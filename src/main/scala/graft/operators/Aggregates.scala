@@ -1,0 +1,345 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Q
+import graft.sources.Tables.{t, events, dsum, davg}
+
+/** Aggregations, distinct/dedup, statistics and window functions
+  * (SURVEY.md §2.4–§2.5). All group-bys are plain hash aggregates —
+  * Spark does partial (map-side) + final aggregation automatically, which
+  * is the 100 TB path: the shuffle carries one row per (partition × group),
+  * not per input row. */
+object Aggregates {
+
+  /** TPC-H Q1-shaped grouped aggregate (sum/avg/count per flag+status).
+    * Doubles are summed through DECIMAL(18,2) so the result is exact and
+    * independent of partition order (oracle parity, SURVEY §7.5). */
+  val groupbyAgg: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) -
+             col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** COUNT(DISTINCT) + plain counts per group. */
+  val groupCountDistinct: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** ROLLUP subtotals (grand total + per-flag + per-flag-status). */
+  val rollupAgg: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** CUBE over two dims. */
+  val cubeAgg: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** SELECT DISTINCT full-row dedup (Q2/Q3 collapse duplicate Kafka
+    * messages, `localTrinoTest.ipynb:1184,1475`). */
+  val distinctRows: Q = (s, dir) =>
+    events(s, dir)
+      .select("user_id", "event_type")
+      .distinct()
+      .orderBy("user_id", "event_type")
+
+  /** Dedup-latest-by-key (`KubeflowStockPricePrediction.ipynb:548-549`:
+    * sort by _timestamp, keep last per Date). One shuffle by key; the
+    * rank-filter is the batch binding, Streams has the watermark binding. */
+  val dedupLatestByKey: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** Global min/max/count (MinMaxScaler.fit analog,
+    * `localTrinoTest.ipynb:467-472`). */
+  val aggMinmaxGlobal: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .agg(
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        count(lit(1)).as("n"))
+
+  /** Exact quantiles + median (RobustScaler.fit analog,
+    * `KubeflowStockPricePrediction.ipynb:287-290`). Exact percentile (not
+    * approx) so DuckDB's quantile_cont matches; rounded for libm parity. */
+  val quantiles: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.25)"), 6).as("q25"),
+        round(expr("percentile(value, 0.5)"), 6).as("median"),
+        round(expr("percentile(value, 0.75)"), 6).as("q75"))
+      .orderBy("event_type")
+
+  /** Pairwise Pearson correlation (client `both.corr()`,
+    * `localTrinoTest.ipynb:438`) as a tidy single row. */
+  val corrMatrix: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(corr(col("l_quantity"), col("l_discount")), 6)
+          .as("corr_qty_disc"),
+        round(corr(col("l_extendedprice"), col("l_discount")), 6)
+          .as("corr_price_disc"))
+
+  /** HLL++ approximate distinct — sketch values are engine-specific, so no
+    * SQL oracle (driver records rows-only). At 100 TB this replaces
+    * COUNT(DISTINCT)'s full shuffle with a fixed-size sketch merge. */
+  val approxCountDistinct: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  // ---- window functions (§2.5) ----
+
+  /** rank / dense_rank / row_number / lag / lead over per-user event time. */
+  val windowRankLagLead: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wv = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id").asc)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        row_number().over(w).as("rn"),
+        rank().over(wv).as("value_rank"),
+        dense_rank().over(wv).as("value_dense_rank"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+      .orderBy("event_id")
+  }
+
+  /** Rolling 10-row sum/avg per user (decimal-exact — DuckDB evaluates
+    * window aggs with a segment tree, so double summation order differs). */
+  val windowRollingSum: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-9, 0)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("rolling_sum"),
+        count(lit(1)).over(w).as("rolling_n"))
+      .orderBy("event_id")
+  }
+
+  /** Length-10 trailing sequence windows as arrays — the engine-side
+    * replacement for the client's partition_dataset loop
+    * (`localTrinoTest.ipynb:593-608`): each row carries the last 10 values
+    * for its user, ready for tensorization. */
+  val seqWindowArrays: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-9, 0)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        collect_list(col("value")).over(w).as("seq"),
+        count(lit(1)).over(w).as("seq_len"))
+      .filter(col("seq_len") === 10)
+      .orderBy("event_id")
+  }
+
+  /** Min-max feature scaling pushed server-side
+    * (MinMaxScaler transform, `localTrinoTest.ipynb:467-472`): window
+    * min/max per event_type are exact, the division is the same IEEE op in
+    * both engines. */
+  val scaleMinmax: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type")
+    events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("value") - min(col("value")).over(w)) /
+         (max(col("value")).over(w) - min(col("value")).over(w)))
+          .as("value_scaled"))
+      .orderBy("event_id")
+  }
+
+  /** Robust scaling: (x − median) / IQR per group
+    * (`KubeflowStockPricePrediction.ipynb:287-290`). Group stats computed
+    * once (tiny agg), then broadcast-joined back onto the fact — the
+    * scalable shape (a window over the whole fact would re-sort it). */
+  val scaleRobust: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val stats = ev.groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("med"),
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("med")) / (col("q3") - col("q1")), 6)
+          .as("value_scaled"))
+      .orderBy("event_id")
+  }
+
+  /** Per-table row counts (client len(df) checks). */
+  val countRows: Q = (s, dir) => {
+    val one = (n: String) =>
+      t(s, dir, n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n"))
+    one("lineitem").unionByName(one("orders")).unionByName(one("customer"))
+      .orderBy("tbl")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "groupby_agg" -> groupbyAgg,
+    "group_count_distinct" -> groupCountDistinct,
+    "rollup_agg" -> rollupAgg,
+    "cube_agg" -> cubeAgg,
+    "distinct_rows" -> distinctRows,
+    "dedup_latest_by_key" -> dedupLatestByKey,
+    "agg_minmax_global" -> aggMinmaxGlobal,
+    "quantiles" -> quantiles,
+    "corr_matrix" -> corrMatrix,
+    "approx_count_distinct" -> approxCountDistinct,
+    "window_rank_lag_lead" -> windowRankLagLead,
+    "window_rolling_sum" -> windowRollingSum,
+    "seq_window_arrays" -> seqWindowArrays,
+    "scale_minmax" -> scaleMinmax,
+    "scale_robust" -> scaleRobust,
+    "count_rows" -> countRows)
+
+  val oracles: Map[String, String] = Map(
+    "groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           / count(l_quantity) AS avg_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(l_extendedprice) AS avg_price,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "group_count_distinct" ->
+      """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+         count(*) AS n_orders
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""",
+    "distinct_rows" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "dedup_latest_by_key" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                event_type, value
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id
+           ORDER BY ts DESC, event_id DESC) = 1
+         ORDER BY user_id""",
+    "agg_minmax_global" ->
+      """SELECT min(l_extendedprice) AS min_price,
+         max(l_extendedprice) AS max_price,
+         min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+         count(*) AS n FROM lineitem""",
+    "quantiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.25), 6) AS q25,
+         round(quantile_cont(value, 0.5), 6) AS median,
+         round(quantile_cont(value, 0.75), 6) AS q75
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "corr_matrix" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6)
+           AS corr_qty_price,
+         round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+         round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc
+         FROM lineitem""",
+    "window_rank_lag_lead" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         row_number() OVER w AS rn,
+         rank() OVER wv AS value_rank,
+         dense_rank() OVER wv AS value_dense_rank,
+         lag(value, 1) OVER w AS prev_value,
+         lead(value, 1) OVER w AS next_value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+           wv AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+         ORDER BY event_id""",
+    "window_rolling_sum" ->
+      """SELECT event_id, user_id, value,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           AS rolling_sum,
+         count(*) OVER w AS rolling_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "seq_window_arrays" ->
+      """SELECT event_id, user_id, seq, seq_len FROM (
+           SELECT event_id, user_id,
+             list(value) OVER w AS seq, count(*) OVER w AS seq_len
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         WHERE seq_len = 10 ORDER BY event_id""",
+    "scale_minmax" ->
+      """SELECT event_id, event_type, value,
+         (value - min(value) OVER w) /
+           (max(value) OVER w - min(value) OVER w) AS value_scaled
+         FROM events WINDOW w AS (PARTITION BY event_type)
+         ORDER BY event_id""",
+    "scale_robust" ->
+      """WITH s AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+           FROM events GROUP BY event_type)
+         SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.med) / (s.q3 - s.q1), 6) AS value_scaled
+         FROM events e JOIN s USING (event_type)
+         ORDER BY event_id""",
+    "count_rows" ->
+      """SELECT tbl, n FROM (
+           SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
+           UNION ALL SELECT 'orders', count(*) FROM orders
+           UNION ALL SELECT 'customer', count(*) FROM customer)
+         ORDER BY tbl""")
+}

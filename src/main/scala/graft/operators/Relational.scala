@@ -1,0 +1,501 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Q
+import graft.sources.Tables.{t, events, dsum, davg}
+
+/** Relational core: the operator surface exercised by the reference's five
+  * queries + client dataflow (SURVEY.md §2.0–§2.3, §2.6–§2.8), re-expressed
+  * over the harness star schema. Every operator is a declarative
+  * DataFrame pipeline — Catalyst handles pushdown, pruning, join strategy
+  * (broadcast below threshold), and AQE re-planning; nothing here
+  * hand-schedules execution.
+  *
+  * Determinism contract with the DuckDB oracle (SURVEY.md §7.5):
+  *  - every query ends in a total ORDER BY over a non-null unique key,
+  *    with Spark's null ordering (NULLS FIRST on ASC, NULLS LAST on DESC)
+  *    spelled out in the SQL twin;
+  *  - double aggregation goes through DECIMAL(18,2) (exact, order-free);
+  *  - libm-backed scalars (ln/exp/pow) are rounded to 6 dp on both sides.
+  */
+object Relational {
+
+  private val D = "timestamp_ntz" // harness date columns are parquet NTZ
+
+  // ---------------------------------------------------------------- queries
+
+  /** Flagship Q1 analog (reference `localTrinoTest.ipynb:119-121`):
+    * fact ⋈ dim equi-join + date predicate + projection + total sort.
+    * orders is the small side at any SF ratio (1:4 vs lineitem) but still
+    * scales with SF, so no broadcast pin — AQE picks SMJ/BHJ by stats. */
+  val q1JoinFilterSort: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .filter(o("o_orderdate") < lit("1999-01-01").cast(D))
+      .select(o("o_orderkey"), o("o_orderdate"), o("o_totalprice"),
+        l("l_linenumber"), l("l_quantity"), l("l_extendedprice"))
+      .orderBy(col("o_orderkey").asc, col("l_linenumber").asc)
+  }
+
+  /** Column projection — narrow ReadSchema at the parquet scan. */
+  val scanProject: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** SELECT * ... LIMIT k (reference M3 metadata smoke query). */
+  val selectStarLimit: Q = (s, dir) =>
+    t(s, dir, "orders").orderBy("o_orderkey").limit(5)
+
+  /** Date-range conjunction (Q1/Q4 `<`/`>` date predicates + AND). */
+  val filterDateRange: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(D) &&
+              col("l_shipdate") <  lit("1997-01-01").cast(D))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** IN / BETWEEN / LIKE predicates (SURVEY §2.2 'A' row). */
+  val filterInBetweenLike: Q = (s, dir) =>
+    t(s, dir, "part")
+      .filter(col("p_size").between(10, 30) &&
+              col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+              col("p_name").like("%e%"))
+      .select("p_partkey", "p_name", "p_brand", "p_size")
+      .orderBy("p_partkey")
+
+  /** CASE WHEN projection. */
+  val caseWhenProject: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("price_band"))
+      .orderBy("o_orderkey")
+
+  /** float32 casts (client casts every feature to float32,
+    * `localTrinoTest.ipynb:128-129`). */
+  val castFloat32: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast(FloatType).as("price_f32"),
+        col("l_quantity").cast(FloatType).as("qty_f32"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** String scalar functions (§2.8). */
+  val scalarStringFuncs: Q = (s, dir) =>
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 4).as("name_pfx"),
+        expr("replace(p_name, ' ', '_')").as("name_snake"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** Date/time scalar functions (§2.8 date family). */
+  val scalarDateFuncs: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 5 DAYS")).as("plus5"))
+      .orderBy("o_orderkey")
+
+  /** Math scalar functions; libm outputs rounded for cross-engine parity. */
+  val scalarMathFuncs: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("qty_dev"),
+        round(col("l_extendedprice") * 0.07, 2).as("fee"),
+        sqrt(col("l_extendedprice")).as("price_sqrt"),
+        round(log(col("l_extendedprice") + 1), 6).as("price_ln"),
+        round(pow(col("l_discount") + 1, 3), 6).as("disc_cube"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** JSON field extraction over events.props (reference decodes JSON Kafka
+    * messages by field map, `trino/kafka/weatherdata.json:5-54`). */
+  val jsonExtract: Q = (s, dir) =>
+    events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .orderBy("event_id")
+
+  // ---- joins (§2.3) ----
+
+  /** Snowflake dim chain customer→nation→region; both dims are tiny at any
+    * SF (25 / 5 rows) — pinned broadcast keeps this shuffle-free. */
+  val joinBroadcastDims: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(c("c_custkey"), c("c_name"), n("n_name").as("nation"),
+        r("r_name").as("region"))
+      .orderBy("c_custkey")
+  }
+
+  /** LEFT OUTER join preserving null rows (Q2 semantics: weather rows with
+    * no stock row survive with nulls, `localTrinoTest.ipynb:1184-1186`). */
+  val joinLeftOuter: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .select(c("c_custkey"), o("o_orderkey"), o("o_totalprice"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+  }
+
+  /** Q4 semantics (`KubeflowStockPricePrediction.ipynb:786-788`): a
+    * post-outer-join predicate on the NULLABLE side silently drops the
+    * null-extended rows — kept outer+filter (not rewritten to inner) to
+    * replicate the reference exactly; Catalyst's EliminateOuterJoin does
+    * the inner-conversion under the hood. */
+  val joinLeftOuterPostfilter: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .filter(o("o_orderdate") > lit("2000-01-01").cast(D))
+      .select(c("c_custkey"), c("c_name"), o("o_orderkey"), o("o_orderdate"))
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
+  /** LEFT SEMI (EXISTS): customers having at least one urgent order. */
+  val joinSemi: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** LEFT ANTI (NOT EXISTS): customers with no urgent order. */
+  val joinAnti: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Cross join of the two mini-dims (bounded 5×25 — never do this on
+    * fact tables; the similarity ops use blocking instead). */
+  val joinCross: Q = (s, dir) =>
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select(col("r_regionkey"), col("r_name"), col("n_nationkey"),
+        col("n_name"))
+      .orderBy("r_regionkey", "n_nationkey")
+
+  /** AS-OF join (click → latest purchase at-or-before, same user),
+    * implemented shuffle-once: tag + union + one window pass instead of a
+    * range join (a range join would explode to |clicks|×|purchases| per
+    * user before filtering; the union-window is O(n log n) in each
+    * partition and needs a single hash partition by user_id — the 100 TB
+    * plan). Ties at equal ts resolve purchase-first, matching ASOF's
+    * inclusive `p.ts <= c.ts`. */
+  val joinAsof: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        lit(1).as("side"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        lit(0).as("side"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    clicks.unionByName(purchases)
+      .withColumn("p_ts",
+        when(col("side") === 0, col("ts")))
+      .withColumn("p_value",
+        when(col("side") === 0, col("value")))
+      .withColumn("purchase_ts", last("p_ts", ignoreNulls = true).over(w))
+      .withColumn("purchase_value",
+        last("p_value", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select("event_id", "user_id", "ts", "value", "purchase_ts",
+        "purchase_value")
+      .orderBy("event_id")
+  }
+
+  // ---- null handling (§2.2 NULL row) ----
+
+  /** fillna(0) analog (`localTrinoTest.ipynb:949`): nulls produced by the
+    * outer join are filled engine-side. */
+  val naFill: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .select(c("c_custkey"), o("o_orderkey"),
+        coalesce(o("o_totalprice"), lit(0.0)).as("totalprice_filled"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+  }
+
+  /** dropna() analog (`localTrinoTest.ipynb:1193`). */
+  val naDrop: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .select(c("c_custkey"), o("o_orderkey"), o("o_totalprice"))
+      .na.drop()
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
+  // ---- sorts / limits / top-k (§2.6) ----
+
+  /** Multi-column global sort with mixed direction. */
+  val orderbyMulti: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy(col("o_orderstatus").asc, col("o_totalprice").desc,
+        col("o_orderkey").asc)
+
+  /** Top-k by price — Spark plans TakeOrderedAndProject (no global sort). */
+  val topK: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** tail-k (client `data2predict[-10:]`, `localTrinoTest.ipynb:1194`):
+    * last 10 by date, re-emitted ascending. */
+  val tailK: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .limit(10)
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+
+  // ---- set ops (§2.7) ----
+
+  /** UNION ALL via unionByName (client pd.concat, `localTrinoTest.ipynb:1494`). */
+  val unionAll: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val hi = o.filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), lit("hi").as("bucket"))
+    val lo = o.filter(col("o_totalprice") < 10000)
+      .select(lit("lo").as("bucket"), col("o_orderkey")) // shuffled col order
+    hi.unionByName(lo).orderBy("o_orderkey", "bucket")
+  }
+
+  /** UNION DISTINCT. */
+  val unionDistinct: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_totalprice") > 400000).select("o_custkey")
+      .union(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey"))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  val intersectKeys: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  val exceptKeys: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.select(col("c_custkey").as("k"))
+      .except(o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k")))
+      .orderBy("k")
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+
+  val queries: Map[String, Q] = Map(
+    "q1_join_filter_sort" -> q1JoinFilterSort,
+    "scan_project" -> scanProject,
+    "select_star_limit" -> selectStarLimit,
+    "filter_date_range" -> filterDateRange,
+    "filter_in_between_like" -> filterInBetweenLike,
+    "case_when_project" -> caseWhenProject,
+    "cast_float32" -> castFloat32,
+    "scalar_string_funcs" -> scalarStringFuncs,
+    "scalar_date_funcs" -> scalarDateFuncs,
+    "scalar_math_funcs" -> scalarMathFuncs,
+    "json_extract" -> jsonExtract,
+    "join_broadcast_dims" -> joinBroadcastDims,
+    "join_left_outer" -> joinLeftOuter,
+    "join_left_outer_postfilter" -> joinLeftOuterPostfilter,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_cross" -> joinCross,
+    "join_asof" -> joinAsof,
+    "na_fill" -> naFill,
+    "na_drop" -> naDrop,
+    "orderby_multi" -> orderbyMulti,
+    "top_k" -> topK,
+    "tail_k" -> tailK,
+    "union_all" -> unionAll,
+    "union_distinct" -> unionDistinct,
+    "intersect_keys" -> intersectKeys,
+    "except_keys" -> exceptKeys)
+
+  val oracles: Map[String, String] = Map(
+    "q1_join_filter_sort" ->
+      """SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         l.l_linenumber, l.l_quantity, l.l_extendedprice
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE o.o_orderdate < TIMESTAMP '1999-01-01'
+         ORDER BY o_orderkey ASC, l_linenumber ASC""",
+    "scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_orderkey, l_linenumber""",
+    "select_star_limit" ->
+      "SELECT * FROM orders ORDER BY o_orderkey LIMIT 5",
+    "filter_date_range" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+         ORDER BY l_orderkey, l_linenumber""",
+    "filter_in_between_like" ->
+      """SELECT p_partkey, p_name, p_brand, p_size FROM part
+         WHERE p_size BETWEEN 10 AND 30
+           AND p_brand IN ('Brand#1','Brand#2','Brand#3')
+           AND p_name LIKE '%e%'
+         ORDER BY p_partkey""",
+    "case_when_project" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_totalprice > 300000 THEN 'big'
+              WHEN o_totalprice > 100000 THEN 'mid'
+              ELSE 'small' END AS price_band
+         FROM orders ORDER BY o_orderkey""",
+    "cast_float32" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS FLOAT) AS price_f32,
+         CAST(l_quantity AS FLOAT) AS qty_f32
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "scalar_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+         substring(p_name, 1, 4) AS name_pfx,
+         replace(p_name, ' ', '_') AS name_snake,
+         length(p_name) AS name_len,
+         concat_ws('/', p_brand, p_type) AS brand_type
+         FROM part ORDER BY p_partkey""",
+    "scalar_date_funcs" ->
+      """SELECT o_orderkey,
+         year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+         day(o_orderdate) AS dom,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         o_orderdate + INTERVAL 5 DAY AS plus5
+         FROM orders ORDER BY o_orderkey""",
+    "scalar_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+         abs(l_quantity - 25) AS qty_dev,
+         round(l_extendedprice * 0.07, 2) AS fee,
+         sqrt(l_extendedprice) AS price_sqrt,
+         round(ln(l_extendedprice + 1), 6) AS price_ln,
+         round(pow(l_discount + 1, 3), 6) AS disc_cube
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "json_extract" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events ORDER BY event_id""",
+    "join_broadcast_dims" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region
+         FROM customer c
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         ORDER BY c_custkey""",
+    "join_left_outer" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer c
+         LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+           ON c.c_custkey = o.o_custkey
+         ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""",
+    "join_left_outer_postfilter" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate
+         FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+         WHERE o.o_orderdate > TIMESTAMP '2000-01-01'
+         ORDER BY c_custkey, o_orderkey""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "join_cross" ->
+      """SELECT r.r_regionkey, r.r_name, n.n_nationkey, n.n_name
+         FROM region r CROSS JOIN nation n
+         ORDER BY r_regionkey, n_nationkey""",
+    "join_asof" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts, c.value,
+                p.ts AS purchase_ts, p.value AS purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.ts <= c.ts
+         ORDER BY c.event_id""",
+    "na_fill" ->
+      """SELECT c.c_custkey, o.o_orderkey,
+         coalesce(o.o_totalprice, 0.0) AS totalprice_filled
+         FROM customer c
+         LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+           ON c.c_custkey = o.o_custkey
+         ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""",
+    "na_drop" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer c
+         LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+           ON c.c_custkey = o.o_custkey
+         WHERE c.c_custkey IS NOT NULL AND o.o_orderkey IS NOT NULL
+           AND o.o_totalprice IS NOT NULL
+         ORDER BY c_custkey, o_orderkey""",
+    "orderby_multi" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC""",
+    "top_k" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "tail_k" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+           ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10)
+         ORDER BY o_orderdate ASC, o_orderkey ASC""",
+    "union_all" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, 'hi' AS bucket FROM orders
+           WHERE o_totalprice > 400000
+           UNION ALL
+           SELECT o_orderkey, 'lo' AS bucket FROM orders
+           WHERE o_totalprice < 10000)
+         ORDER BY o_orderkey, bucket""",
+    "union_distinct" ->
+      """SELECT DISTINCT o_custkey FROM (
+           SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+           UNION ALL
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         ORDER BY o_custkey""",
+    "intersect_keys" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
+    "except_keys" ->
+      """SELECT c_custkey AS k FROM customer
+         EXCEPT
+         SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY k""")
+}

@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Catalog of the harness tables (/root/repo/TESTDATA.md) with the
+  * declared-schema discipline of the reference (SURVEY.md §1.3: schemas are
+  * declared, never inferred on the query path — cf. reference
+  * `trino/kafka/weatherdata.json`, `mongodb.properties` schemadef).
+  *
+  * Parquet is self-describing, so batch reads take the file schema; the
+  * explicit StructTypes below exist for (a) the streaming binding, where
+  * `readStream` REQUIRES a user-supplied schema, and (b) schema assertions
+  * in tests.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Batch scan of one harness table. Column pruning + predicate pushdown
+    * into the parquet scan are Catalyst built-ins — callers just
+    * select/filter and the scan narrows (verify via .explain PushedFilters).
+    */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events, with the nanosecond parquet timestamp normalized to Spark's
+    * microsecond TimestampType. Spark rejects TIMESTAMP(NANOS) parquet
+    * columns outright ([PARQUET_TYPE_ILLEGAL]); sessions must set
+    * spark.sql.legacy.parquet.nanosAsLong=true, and this loader converts
+    * the raw nanos with integer division (`div` — double division would
+    * lose precision above 2^53) to micros, the same truncation DuckDB
+    * applies casting TIMESTAMP_NS to TIMESTAMP, keeping the oracle
+    * comparable. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  /** Session conf every graft SparkSession needs (oracle parity + ns reads). */
+  val sessionConf: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true")
+
+  // ---- declared schemas (streaming sources / test assertions) ----
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  val lineitemSchema: StructType = StructType(Seq(
+    StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType),
+    StructField("l_suppkey", LongType),
+    StructField("l_linenumber", IntegerType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType),
+    StructField("l_discount", DoubleType),
+    StructField("l_tax", DoubleType),
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_shipdate", TimestampType)))
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  // ---- oracle-deterministic numeric helpers ----
+
+  /** Exact, order-independent sum of a 2-decimal column: cast to
+    * DECIMAL(18,2) first so Spark and DuckDB both sum in exact integer
+    * arithmetic (double summation order differs between engines and across
+    * partitions). Result cast back to double for schema parity. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Deterministic average built from the exact decimal sum. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+}
