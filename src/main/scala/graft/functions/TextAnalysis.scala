@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables.t
+
+/** Text-analysis operators for the training-data pipeline over `documents`
+  * (north star in /root/repo/BASELINE.json; the reference itself has no
+  * server-side text functions — SURVEY.md §2.10 — so these are the
+  * engine-provided extensions, built purely from codegen'd built-ins and
+  * higher-order functions, no UDFs).
+  *
+  * Cross-engine determinism: every hash is derived from md5 (identical in
+  * Spark and DuckDB); folds are written as explicit left-to-right
+  * `aggregate`/`list_reduce` so double/integer accumulation order is
+  * pinned (SURVEY.md §7.5).
+  */
+object TextAnalysis {
+
+  /** 60-bit deterministic hash from the md5 hex prefix — the one hash both
+    * engines share. Spark dialect. */
+  def hex60(s: String): String =
+    s"CAST(conv(substr(md5($s), 1, 15), 16, 10) AS BIGINT)"
+
+  /** DuckDB dialect of [[hex60]]. */
+  def hex60Duck(s: String): String =
+    s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
+
+  private val STOP = "('the','a','of','to','and')"
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation). */
+  val tokenCount: Q = (s, dir) =>
+    t(s, dir, "documents").selectExpr(
+      "doc_id",
+      "size(split(text, ' ')) AS n_tokens_ws",
+      "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_tokens_bpe",
+      "length(text) AS n_chars_real")
+      .orderBy("doc_id")
+
+  val tokenCountOracle: String =
+    """SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tokens_bpe,
+       length(text) AS n_chars_real
+       FROM documents ORDER BY doc_id"""
+
+  /** Quality scoring: length, alpha ratio, stopword ratio, mean token
+    * length — the standard cheap pre-training filters. */
+  val qualityScore: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id", "text", "split(text, ' ') AS toks")
+      .selectExpr(
+        "doc_id",
+        "length(text) AS n_chars_real",
+        "size(toks) AS n_tokens",
+        s"round(CAST(size(filter(toks, x -> x IN $STOP)) AS DOUBLE) / size(toks), 6) AS stopword_ratio",
+        "round(CAST(length(regexp_replace(text, '[^a-z]', '')) AS DOUBLE) / length(text), 6) AS alpha_ratio",
+        "round((CAST(length(text) AS DOUBLE) - (size(toks) - 1)) / size(toks), 6) AS avg_token_len")
+      .orderBy("doc_id")
+
+  val qualityScoreOracle: String =
+    s"""SELECT doc_id, length(text) AS n_chars_real,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(CAST(len(list_filter(string_split(text, ' '), x -> x IN $STOP)) AS DOUBLE)
+         / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+         / length(text), 6) AS alpha_ratio,
+       round((CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+         / len(string_split(text, ' ')), 6) AS avg_token_len
+       FROM documents ORDER BY doc_id"""
+
+  /** n-gram-heuristic language ID: marker-token votes per language,
+    * argmax with a fixed tiebreak order. (The harness corpus is synthetic
+    * English-ish text, so 'en' dominates — the *operator* is the point.) */
+  val langId: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id", "lang", "split(text, ' ') AS toks")
+      .selectExpr(
+        "doc_id", "lang AS lang_declared",
+        "size(filter(toks, x -> x IN ('the','and','of','is'))) AS s_en",
+        "size(filter(toks, x -> x IN ('der','und','die','ist'))) AS s_de",
+        "size(filter(toks, x -> x IN ('el','los','es','y'))) AS s_es",
+        "size(filter(toks, x -> x IN ('le','les','est','et'))) AS s_fr")
+      .selectExpr("doc_id", "lang_declared", "s_en", "s_de", "s_es", "s_fr",
+        """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred""")
+      .orderBy("doc_id")
+
+  val langIdOracle: String =
+    """WITH sc AS (
+         SELECT doc_id, lang AS lang_declared,
+           len(list_filter(string_split(text,' '),
+             x -> x IN ('the','and','of','is'))) AS s_en,
+           len(list_filter(string_split(text,' '),
+             x -> x IN ('der','und','die','ist'))) AS s_de,
+           len(list_filter(string_split(text,' '),
+             x -> x IN ('el','los','es','y'))) AS s_es,
+           len(list_filter(string_split(text,' '),
+             x -> x IN ('le','les','est','et'))) AS s_fr
+         FROM documents)
+       SELECT doc_id, lang_declared, s_en, s_de, s_es, s_fr,
+         CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+              WHEN s_es >= s_fr THEN 'es'
+              ELSE 'fr' END AS lang_pred
+       FROM sc ORDER BY doc_id"""
+
+  /** Document fingerprinting: md5-based 60-bit content fingerprint of the
+    * space-normalized text, plus a 31-ish-bit polynomial rolling hash over
+    * the first 64 codepoints (both exact-arithmetic, both portable). */
+  val fingerprint: Q = (s, dir) =>
+    t(s, dir, "documents").selectExpr(
+      "doc_id",
+      hex60("regexp_replace(lower(text), ' +', ' ')") + " AS fp_md5",
+      """CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+         ELSE aggregate(
+           transform(sequence(1, least(length(text), 64)),
+             i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)),
+           CAST(0 AS BIGINT),
+           (h, c) -> (h * 31 + c) % 1000000007) END AS fp_rolling""")
+      .orderBy("doc_id")
+
+  val fingerprintOracle: String =
+    s"""SELECT doc_id,
+       ${hex60Duck("regexp_replace(lower(text), ' +', ' ', 'g')")} AS fp_md5,
+       CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+       ELSE list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, least(length(text), 64) + 1),
+             i -> CAST(ascii(text[i]) AS BIGINT))),
+         (h, c) -> (h * 31 + c) % 1000000007) END AS fp_rolling
+       FROM documents ORDER BY doc_id"""
+
+  val queries: Map[String, Q] = Map(
+    "text_token_count" -> tokenCount,
+    "text_quality_score" -> qualityScore,
+    "text_lang_id" -> langId,
+    "text_fingerprint" -> fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" -> tokenCountOracle,
+    "text_quality_score" -> qualityScoreOracle,
+    "text_lang_id" -> langIdOracle,
+    "text_fingerprint" -> fingerprintOracle)
+}

@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables.t
+import graft.functions.TextAnalysis.{hex60, hex60Duck}
+
+/** Deduplication operators for the training-data pipeline over `documents`
+  * (north star, /root/repo/BASELINE.json): exact hash-dedup, MinHash+LSH,
+  * SimHash banding, and an exact n-gram-Jaccard baseline.
+  *
+  * Every hash derives from md5 so Spark and the DuckDB oracle run the SAME
+  * algorithm and agree bit-for-bit; all arithmetic is 64-bit integer
+  * (mod 2^31−1 universal hashing), never floating point.
+  *
+  * Scale notes (100 TB): exact dedup is a hash shuffle on md5(text) — one
+  * pass, no text comparison. MinHash/LSH is the near-dup scale path: cost
+  * is linear in corpus size (16 perms × shingles per doc, all inside
+  * per-row higher-order functions — no explode of shingles), and the only
+  * shuffle is the band-bucket self-join whose key (band, 128-bit digest)
+  * is uniformly distributed, so no skew. The exact-Jaccard op is
+  * deliberately bounded (doc_id < 300) — it exists as the correctness
+  * baseline; all-pairs Jaccard is not a 100 TB operator.
+  */
+object Dedup {
+
+  private val P = "2147483647" // 2^31 − 1
+
+  // Spark dialect -----------------------------------------------------------
+  /** distinct word-3-gram shingles of `text` (empty when < 3 tokens). */
+  private val shSpark =
+    """CASE WHEN size(split(text, ' ')) < 3 THEN array()
+       ELSE array_distinct(transform(
+         sequence(1, size(split(text, ' ')) - 2),
+         i -> concat_ws(' ', element_at(split(text, ' '), i),
+                             element_at(split(text, ' '), i + 1),
+                             element_at(split(text, ' '), i + 2)))) END"""
+
+  // DuckDB dialect ----------------------------------------------------------
+  private val shDuck =
+    """CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+       ELSE list_distinct(list_transform(
+         range(1, len(string_split(text, ' ')) - 1),
+         i -> string_split(text, ' ')[i] || ' ' ||
+              string_split(text, ' ')[i+1] || ' ' ||
+              string_split(text, ' ')[i+2])) END"""
+
+  /** Exact dedup, the 100 TB shape: group by a 60-bit content hash (never
+    * by the raw text — the shuffle key stays 8 bytes). */
+  val exact: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id", hex60("text") + " AS text_hash")
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+
+  val exactOracle: String =
+    s"""SELECT ${hex60Duck("text")} AS text_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+       FROM documents GROUP BY 1 ORDER BY keep_doc_id"""
+
+  /** Exact n-gram (word-3-gram) Jaccard near-dup pairs — the correctness
+    * baseline for MinHash, bounded to doc_id < 300 (all-pairs is O(n²)). */
+  val ngramJaccard: Q = (s, dir) => {
+    val sh = t(s, dir, "documents")
+      .filter(col("doc_id") < 300)
+      .selectExpr("doc_id", s"$shSpark AS sh")
+    val a = sh.selectExpr("doc_id AS d1", "sh AS sh1")
+    val b = sh.selectExpr("doc_id AS d2", "sh AS sh2")
+    a.crossJoin(b).filter(col("d1") < col("d2"))
+      .selectExpr("d1", "d2",
+        """round(CAST(size(array_intersect(sh1, sh2)) AS DOUBLE)
+           / size(array_union(sh1, sh2)), 6) AS jaccard""")
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("d1", "d2")
+  }
+
+  val ngramJaccardOracle: String =
+    s"""WITH sh AS (
+         SELECT doc_id, $shDuck AS sh FROM documents WHERE doc_id < 300)
+       SELECT a.doc_id AS d1, b.doc_id AS d2,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / len(list_distinct(a.sh || b.sh)), 6) >= 0.5
+       ORDER BY d1, d2"""
+
+  /** MinHash (16 perms, universal hashing mod 2^31−1) + LSH (4 bands × 4
+    * rows) + exact-Jaccard verification of the candidates. */
+  val minhashLsh: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .selectExpr("doc_id", s"$shSpark AS sh")
+      .filter(size(col("sh")) > 0)
+    val sigs = docs.selectExpr("doc_id", "sh",
+      s"""transform(sequence(0, 15), j -> array_min(transform(
+            transform(sh, x -> ${hex60("x")} % $P),
+            h -> (((2654435761 * (j + 1)) % $P) * h
+                  + (40503 * (j + 1) + 17) % $P) % $P))) AS sigs""")
+    val bands = sigs.selectExpr("doc_id",
+      "explode(sequence(0, 3)) AS band", "sigs")
+      .selectExpr("doc_id", "band",
+        """md5(concat_ws(',',
+             element_at(sigs, 4*band+1), element_at(sigs, 4*band+2),
+             element_at(sigs, 4*band+3), element_at(sigs, 4*band+4)))
+           AS bkey""")
+    val x = bands.selectExpr("doc_id AS d1", "band", "bkey")
+    val y = bands.selectExpr("doc_id AS d2", "band AS band2", "bkey AS bkey2")
+    val cand = x.join(y,
+        x("band") === y("band2") && x("bkey") === y("bkey2") &&
+        x("d1") < y("d2"))
+      .select("d1", "d2").distinct()
+    val sh1 = docs.selectExpr("doc_id AS dd1", "sh AS sh1")
+    val sh2 = docs.selectExpr("doc_id AS dd2", "sh AS sh2")
+    cand.join(sh1, col("d1") === col("dd1"))
+      .join(sh2, col("d2") === col("dd2"))
+      .selectExpr("d1", "d2",
+        """round(CAST(size(array_intersect(sh1, sh2)) AS DOUBLE)
+           / size(array_union(sh1, sh2)), 6) AS jaccard""")
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("d1", "d2")
+  }
+
+  val minhashLshOracle: String =
+    s"""WITH docs AS (
+         SELECT doc_id, $shDuck AS sh FROM documents),
+       docs2 AS (SELECT * FROM docs WHERE len(sh) > 0),
+       sigs AS (
+         SELECT doc_id, sh,
+           list_transform(range(0, 16), j -> list_min(list_transform(
+             list_transform(sh, x -> ${hex60Duck("x")} % $P),
+             h -> (((2654435761 * (j + 1)) % $P) * h
+                   + (40503 * (j + 1) + 17) % $P) % $P))) AS sigs
+         FROM docs2),
+       bands AS (
+         SELECT doc_id, t.band AS band,
+           md5(concat_ws(',', sigs[4*t.band+1], sigs[4*t.band+2],
+                              sigs[4*t.band+3], sigs[4*t.band+4])) AS bkey
+         FROM sigs, range(0, 4) t(band)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       scored AS (
+         SELECT c.d1, c.d2,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         FROM cand c
+         JOIN docs2 a ON c.d1 = a.doc_id
+         JOIN docs2 b ON c.d2 = b.doc_id)
+       SELECT * FROM scored WHERE jaccard >= 0.8 ORDER BY d1, d2"""
+
+  /** 32-bit SimHash per document (sign of per-bit weight over distinct
+    * token hashes). */
+  private val simhashSpark =
+    s"""CAST(aggregate(
+          transform(sequence(0, 31), b -> CASE
+            WHEN 2 * size(filter(
+                   transform(array_distinct(split(text, ' ')),
+                     x -> ${hex60("x")} % 4294967296),
+                   h -> (h & CAST(pow(2, b) AS BIGINT)) > 0))
+                 - size(array_distinct(split(text, ' '))) > 0
+            THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+          CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"""
+
+  private val simhashDuck =
+    s"""CAST(list_sum(
+          list_transform(range(0, 32), b -> CASE
+            WHEN 2 * len(list_filter(
+                   list_transform(list_distinct(string_split(text, ' ')),
+                     x -> ${hex60Duck("x")} % 4294967296),
+                   h -> (h & CAST(pow(2, b) AS BIGINT)) > 0))
+                 - len(list_distinct(string_split(text, ' '))) > 0
+            THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
+        AS BIGINT)"""
+
+  val simhash: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id", s"$simhashSpark AS simhash")
+      .orderBy("doc_id")
+
+  val simhashOracle: String =
+    s"""SELECT doc_id, $simhashDuck AS simhash
+       FROM documents ORDER BY doc_id"""
+
+  /** SimHash near-dup pairs via 4×8-bit banding (candidates share at least
+    * one band) + Hamming-distance verification ≤ 3. The band join is the
+    * scale path — no all-pairs comparison. */
+  val simhashPairs: Q = (s, dir) => {
+    val sh = t(s, dir, "documents")
+      .selectExpr("doc_id", s"$simhashSpark AS simhash")
+    val bands = sh.selectExpr("doc_id", "simhash",
+      "explode(sequence(0, 3)) AS band")
+      .selectExpr("doc_id", "simhash", "band",
+        "simhash & CAST(255 * pow(2, 8 * band) AS BIGINT) AS bval")
+    val x = bands.selectExpr("doc_id AS d1", "simhash AS h1", "band", "bval")
+    val y = bands.selectExpr("doc_id AS d2", "simhash AS h2",
+      "band AS band2", "bval AS bval2")
+    x.join(y, x("band") === y("band2") && x("bval") === y("bval2") &&
+        x("d1") < y("d2"))
+      .selectExpr("d1", "d2", "bit_count(h1 ^ h2) AS hamming")
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("d1", "d2")
+  }
+
+  val simhashPairsOracle: String =
+    s"""WITH sh AS (
+         SELECT doc_id, $simhashDuck AS simhash FROM documents),
+       bands AS (
+         SELECT doc_id, simhash, t.band AS band,
+           simhash & CAST(255 * pow(2, 8 * t.band) AS BIGINT) AS bval
+         FROM sh, range(0, 4) t(band)),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+           bit_count(xor(x.simhash, y.simhash)) AS hamming
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+       SELECT * FROM cand WHERE hamming <= 3 ORDER BY d1, d2"""
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> exact,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_simhash" -> simhash,
+    "dedup_simhash_pairs" -> simhashPairs)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactOracle,
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_simhash" -> simhashOracle,
+    "dedup_simhash_pairs" -> simhashPairsOracle)
+}

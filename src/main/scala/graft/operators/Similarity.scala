@@ -1,0 +1,258 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Q
+import graft.sources.Tables.t
+import graft.functions.TextAnalysis.{hex60, hex60Duck}
+
+/** Similarity search over `embeddings.embedding: array<float>` (north
+  * star, /root/repo/BASELINE.json): brute-force cosine top-k as the
+  * correctness baseline, label-partitioned (IVF-style) and
+  * random-hyperplane-LSH bucketed variants as the scale paths, plus
+  * cosine near-dup pairs and norm statistics.
+  *
+  * Determinism: every dot product is an explicit left-to-right fold
+  * (Spark `aggregate`, DuckDB `list_reduce`) over float→double casts, so
+  * both engines produce bit-identical doubles; ranking ties break on
+  * vec_id. Hyperplanes are derived from md5 — the same pseudo-random
+  * planes in both engines.
+  *
+  * Scale notes (100 TB): queries are broadcast (small side); brute-force
+  * top-k runs two-stage — per-partition top-k first (map-side, no data
+  * movement), then a final top-k over nPartitions×k survivors — so the
+  * shuffle is O(k·partitions), not O(corpus). The LSH variant cuts the
+  * scanned corpus per query to one bucket (~1/256); IVF-by-label to one
+  * cell. */
+object Similarity {
+
+  /** Spark: sequential-fold dot product of two float array columns. */
+  private def dotS(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) ->
+        CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+
+  /** DuckDB: the same fold, same order. */
+  private def dotD(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(range(1, len($a) + 1), i ->
+          CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+        (acc, v) -> acc + v)"""
+
+  private def normS(a: String) = s"sqrt(${dotS(a, a)})"
+  private def normD(a: String) = s"sqrt(${dotD(a, a)})"
+
+  /** embeddings with a precomputed L2 norm (computed once, reused by every
+    * pair — at scale this is a cheap narrow projection before the join). */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .selectExpr("vec_id", "label", "embedding",
+        s"${normS("embedding")} AS nrm")
+
+  private val vecsDuck =
+    s"""SELECT vec_id, label, embedding, ${normD("embedding")} AS nrm
+        FROM embeddings"""
+
+  /** Brute-force cosine top-5 for 10 query vectors — two-stage top-k. */
+  val annBruteTopk: Q = (s, dir) => {
+    val v = vecs(s, dir)
+    val q = v.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", "embedding AS q_emb", "nrm AS q_nrm")
+    val c = v.filter(col("vec_id") >= 10)
+      .selectExpr("vec_id AS c_id", "embedding AS c_emb", "nrm AS c_nrm")
+    val scored = c.join(broadcast(q))
+      .selectExpr("q_id", "c_id",
+        s"${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim")
+      .withColumn("pid", spark_partition_id())
+    val w1 = Window.partitionBy("q_id", "pid")
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    val w2 = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    scored
+      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= 5)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= 5)
+      .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  val annBruteTopkOracle: String =
+    s"""WITH v AS ($vecsDuck),
+       q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+             FROM v WHERE vec_id < 10),
+       c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+             FROM v WHERE vec_id >= 10),
+       scored AS (
+         SELECT q_id, c_id,
+           ${dotD("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim
+         FROM c CROSS JOIN q),
+       ranked AS (
+         SELECT q_id, c_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY cos_sim DESC, c_id ASC) AS rank
+         FROM scored)
+       SELECT q_id, rank, c_id, round(cos_sim, 6) AS cos_sim
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
+  /** IVF-style top-3: the label column acts as the coarse quantizer cell;
+    * each query probes only its own cell. */
+  val annIvfLabelTopk: Q = (s, dir) => {
+    val v = vecs(s, dir)
+    val q = v.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", "label AS q_label",
+        "embedding AS q_emb", "nrm AS q_nrm")
+    val c = v.filter(col("vec_id") >= 10)
+      .selectExpr("vec_id AS c_id", "label AS c_label",
+        "embedding AS c_emb", "nrm AS c_nrm")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    c.join(broadcast(q), col("c_label") === col("q_label"))
+      .selectExpr("q_id", "c_id",
+        s"${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  val annIvfLabelTopkOracle: String =
+    s"""WITH v AS ($vecsDuck),
+       q AS (SELECT vec_id AS q_id, label AS q_label,
+               embedding AS q_emb, nrm AS q_nrm FROM v WHERE vec_id < 10),
+       c AS (SELECT vec_id AS c_id, label AS c_label,
+               embedding AS c_emb, nrm AS c_nrm FROM v WHERE vec_id >= 10),
+       ranked AS (
+         SELECT q_id, c_id,
+           ${dotD("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY
+             ${dotD("q_emb", "c_emb")} / (q_nrm * c_nrm) DESC, c_id ASC)
+             AS rank
+         FROM c JOIN q ON c_label = q_label)
+       SELECT q_id, rank, c_id, round(cos_sim, 6) AS cos_sim
+       FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  /** Random-hyperplane bucket id: 8 md5-derived hyperplanes → 8 sign bits.
+    * Spark dialect (col = embedding column name). */
+  private def bucketS(col: String): String =
+    s"""CAST(aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
+        acc + CASE WHEN
+          aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (a2, i) ->
+            a2 + CAST(element_at($col, i) AS DOUBLE) *
+              ((${hex60("concat('hp_', CAST(j AS STRING), '_', CAST(i AS STRING))")} % 2001 - 1000) / 1000.0)) > 0
+          THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+        AS BIGINT)"""
+
+  private def bucketD(col: String): String =
+    s"""CAST(list_sum(list_transform(range(0, 8), j ->
+        CASE WHEN
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, 65), i ->
+              CAST($col[i] AS DOUBLE) *
+              ((${hex60Duck("concat('hp_', CAST(j AS VARCHAR), '_', CAST(i AS VARCHAR))")} % 2001 - 1000) / 1000.0))),
+            (acc, v) -> acc + v) > 0
+          THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
+        AS BIGINT)"""
+
+  /** LSH-bucketed ANN: candidates share the query's 8-bit hyperplane
+    * bucket (~1/256 of the corpus scanned per query; recall < 1 by
+    * design — the scale/recall trade). */
+  val annLshTopk: Q = (s, dir) => {
+    val v = vecs(s, dir)
+      .selectExpr("vec_id", "embedding", "nrm",
+        s"${bucketS("embedding")} AS bucket")
+    val q = v.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", "embedding AS q_emb", "nrm AS q_nrm",
+        "bucket AS q_bucket")
+    val c = v.filter(col("vec_id") >= 10)
+      .selectExpr("vec_id AS c_id", "embedding AS c_emb", "nrm AS c_nrm",
+        "bucket AS c_bucket")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    c.join(broadcast(q), col("c_bucket") === col("q_bucket"))
+      .selectExpr("q_id", "c_id",
+        s"${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim")
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  val annLshTopkOracle: String =
+    s"""WITH v AS (
+         SELECT vec_id, embedding, ${normD("embedding")} AS nrm,
+           ${bucketD("embedding")} AS bucket
+         FROM embeddings),
+       q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+               bucket AS q_bucket FROM v WHERE vec_id < 10),
+       c AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm,
+               bucket AS c_bucket FROM v WHERE vec_id >= 10),
+       ranked AS (
+         SELECT q_id, c_id,
+           ${dotD("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY
+             ${dotD("q_emb", "c_emb")} / (q_nrm * c_nrm) DESC, c_id ASC)
+             AS rank
+         FROM c JOIN q ON c_bucket = q_bucket)
+       SELECT q_id, rank, c_id, round(cos_sim, 6) AS cos_sim
+       FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  /** Embedding-cosine near-dup pairs (brute-force baseline; threshold 0.4
+    * — the harness embeddings are near-orthogonal, max cos ≈ 0.51). */
+  val cosineNeardup: Q = (s, dir) => {
+    val v = vecs(s, dir)
+    val a = v.selectExpr("vec_id AS v1", "embedding AS e1", "nrm AS n1")
+    val b = v.selectExpr("vec_id AS v2", "embedding AS e2", "nrm AS n2")
+    a.crossJoin(b).filter(col("v1") < col("v2"))
+      .selectExpr("v1", "v2",
+        s"${dotS("e1", "e2")} / (n1 * n2) AS cos_sim")
+      .filter(col("cos_sim") >= 0.4)
+      .selectExpr("v1", "v2", "round(cos_sim, 6) AS cos_sim")
+      .orderBy("v1", "v2")
+  }
+
+  val cosineNeardupOracle: String =
+    s"""WITH v AS ($vecsDuck),
+       p AS (
+         SELECT a.vec_id AS v1, b.vec_id AS v2,
+           ${dotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+         FROM v a JOIN v b ON a.vec_id < b.vec_id)
+       SELECT v1, v2, round(cos_sim, 6) AS cos_sim
+       FROM p WHERE cos_sim >= 0.4 ORDER BY v1, v2"""
+
+  /** Per-label L2-norm statistics (norms rounded to 4 dp, then summed in
+    * DECIMAL so the average is partition-order independent). */
+  val normStats: Q = (s, dir) =>
+    vecs(s, dir)
+      .selectExpr("label", "round(nrm, 4) AS nrm4")
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        min("nrm4").as("min_norm"),
+        max("nrm4").as("max_norm"),
+        (sum(col("nrm4").cast(DecimalType(18, 4))).cast(DoubleType) /
+          count(lit(1))).as("avg_norm"))
+      .orderBy("label")
+
+  val normStatsOracle: String =
+    s"""WITH v AS ($vecsDuck)
+       SELECT label, count(*) AS n,
+         min(round(nrm, 4)) AS min_norm,
+         max(round(nrm, 4)) AS max_norm,
+         CAST(sum(CAST(round(nrm, 4) AS DECIMAL(18,4))) AS DOUBLE)
+           / count(*) AS avg_norm
+       FROM v GROUP BY label ORDER BY label"""
+
+  val queries: Map[String, Q] = Map(
+    "ann_brute_topk" -> annBruteTopk,
+    "ann_ivf_label_topk" -> annIvfLabelTopk,
+    "ann_lsh_topk" -> annLshTopk,
+    "embedding_cosine_neardup" -> cosineNeardup,
+    "embedding_norm_stats" -> normStats)
+
+  val oracles: Map[String, String] = Map(
+    "ann_brute_topk" -> annBruteTopkOracle,
+    "ann_ivf_label_topk" -> annIvfLabelTopkOracle,
+    "ann_lsh_topk" -> annLshTopkOracle,
+    "embedding_cosine_neardup" -> cosineNeardupOracle,
+    "embedding_norm_stats" -> normStatsOracle)
+}
