@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextAnalysis
-import graft.operators.{Aggregates, Dedup, Relational, Similarity}
+import graft.operators.{Aggregates, Dedup, Multimodal, Relational, Similarity}
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * The operator implementations live in graft.operators.* / graft.functions.*;
@@ -18,12 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (engine-specific sketches)
     * get the driver's weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Aggregates.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+      Streams.oracles
 }

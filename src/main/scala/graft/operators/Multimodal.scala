@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables.t
+import graft.functions.TextAnalysis.{hex60, hex60Duck}
+
+/** Multimodal-column plumbing (north star, /root/repo/BASELINE.json):
+  * image/audio/video are opaque `binary` columns with typed metadata.
+  * The harness ships no binary table and this container has no media
+  * codecs, so the media payload is a deterministic stand-in
+  * (`CAST(text AS BINARY)` of `documents.text`) and the DECODE step is a
+  * deterministic fake over the raw bytes — but the Spark-side plumbing is
+  * real: schema, typed Dataset + mapPartitions batch shape (the Scala
+  * analog of mapInPandas batch UDFs), partition-parallel feature
+  * extraction, frame sampling via step sequences.
+  *
+  * A production deployment swaps `decodeStub` for a real codec call per
+  * partition-batch; nothing else changes.
+  */
+object Multimodal {
+
+  /** Typed rows for the mapPartitions decode stage (public — Catalyst
+    * codegen instantiates them from generated Java). */
+  case class MediaIn(doc_id: Long, media: Array[Byte])
+  case class MediaFeat(doc_id: Long, n_bytes: Long,
+      mean_byte: Double, b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** The clearly-marked decode stub: deterministic byte statistics in
+    * place of a real image/audio decode (mean byte value + 4-bin
+    * histogram). Pure integer arithmetic → exactly reproducible by the
+    * SQL oracle. */
+  private def decodeStub(m: MediaIn): MediaFeat = {
+    val bs = m.media
+    var sum = 0L
+    val bins = new Array[Long](4)
+    var i = 0
+    while (i < bs.length) {
+      val v = bs(i) & 0xff
+      sum += v
+      bins(v / 64) += 1
+      i += 1
+    }
+    val mean =
+      if (bs.length == 0) 0.0
+      else BigDecimal(sum.toDouble / bs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    MediaFeat(m.doc_id, bs.length.toLong, mean,
+      bins(0), bins(1), bins(2), bins(3))
+  }
+
+  /** Typed metadata for opaque media blobs: size plus md5-derived fake
+    * width/height/duration (what a catalog column for images/video looks
+    * like; all SQL-derivable, so oracle-checked). */
+  val mmMetadata: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id",
+        "octet_length(CAST(text AS BINARY)) AS n_bytes",
+        s"16 + ${hex60("concat('w_', text)")} % 240 AS width",
+        s"16 + ${hex60("concat('h_', text)")} % 120 AS height",
+        "1 + n_chars div 100 AS n_frames")
+      .orderBy("doc_id")
+
+  val mmMetadataOracle: String =
+    s"""SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       16 + ${hex60Duck("concat('w_', text)")} % 240 AS width,
+       16 + ${hex60Duck("concat('h_', text)")} % 120 AS height,
+       1 + n_chars // 100 AS n_frames
+       FROM documents ORDER BY doc_id"""
+
+  /** Batch feature extraction through a typed Dataset + mapPartitions —
+    * the real multimodal execution shape (per-partition batching keeps a
+    * codec/model warm per task; at 100 TB this is the only pattern that
+    * amortizes decoder init across rows). */
+  val mmDecodeFeatures: Q = (s, dir) => {
+    implicit val inEnc: org.apache.spark.sql.Encoder[MediaIn] =
+      Encoders.product[MediaIn]
+    implicit val outEnc: org.apache.spark.sql.Encoder[MediaFeat] =
+      Encoders.product[MediaFeat]
+    t(s, dir, "documents")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS media")
+      .as[MediaIn]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle recomputes the byte statistics in SQL (ASCII text ⇒ UTF-8
+    * bytes = codepoints). */
+  val mmDecodeFeaturesOracle: String =
+    """WITH b AS (
+         SELECT doc_id,
+           list_transform(range(1, length(text) + 1),
+             i -> ascii(text[i])) AS bytes
+         FROM documents)
+       SELECT doc_id, len(bytes) AS n_bytes,
+         round(CAST(list_sum(bytes) AS DOUBLE) / len(bytes), 6) AS mean_byte,
+         len(list_filter(bytes, v -> v // 64 = 0)) AS b0,
+         len(list_filter(bytes, v -> v // 64 = 1)) AS b1,
+         len(list_filter(bytes, v -> v // 64 = 2)) AS b2,
+         len(list_filter(bytes, v -> v // 64 = 3)) AS b3
+       FROM b ORDER BY doc_id"""
+
+  /** Frame sampling: the media is chunked into 32-byte "frames"; every
+    * 4th frame is sampled and fingerprinted (the video-keyframe access
+    * pattern — pure pushdown-friendly projection + generator, no UDF). */
+  val mmFrameSample: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id", "text",
+        "sequence(0, greatest(CAST(ceil(length(text) / 32.0) AS INT) - 1, 0), 4) AS frame_ids")
+      .selectExpr("doc_id", "explode(frame_ids) AS frame_idx", "text")
+      .selectExpr("doc_id", "frame_idx",
+        "md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_digest")
+      .orderBy("doc_id", "frame_idx")
+
+  val mmFrameSampleOracle: String =
+    """SELECT doc_id, frame_idx,
+       md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_digest
+       FROM (
+         SELECT doc_id, text,
+           unnest(range(0, greatest(CAST(ceil(length(text) / 32.0) AS INT), 1), 4)) AS frame_idx
+         FROM documents)
+       ORDER BY doc_id, frame_idx"""
+
+  val queries: Map[String, Q] = Map(
+    "mm_metadata" -> mmMetadata,
+    "mm_decode_features" -> mmDecodeFeatures,
+    "mm_frame_sample" -> mmFrameSample)
+
+  val oracles: Map[String, String] = Map(
+    "mm_metadata" -> mmMetadataOracle,
+    "mm_decode_features" -> mmDecodeFeaturesOracle,
+    "mm_frame_sample" -> mmFrameSampleOracle)
+}

@@ -1,0 +1,179 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.Q
+import graft.sources.Tables
+
+/** Structured-Streaming binding of the reference's stream semantics
+  * (SURVEY.md §2.9): the Kafka topics are append-only tables whose
+  * duplicates are collapsed at query time; the offline harness has no
+  * broker, so streams replay the events parquet through a file source —
+  * swapping in `format("kafka")` + `startingOffsetsByTimestamp` (the
+  * `kafka.properties:7` pushdown analog) is a one-line production change.
+  *
+  * Each streaming op runs synchronously (Trigger.AvailableNow + memory
+  * sink) and returns the materialized table, so the driver's Verify
+  * harness treats it like any batch query. Watermarks bound state at
+  * scale; the outputs chosen here (key sets, complete-mode window aggs)
+  * are deterministic regardless of file/partition arrival order.
+  */
+object Streams {
+
+  /** Raw parquet schema for the stream source (file streams REQUIRE a
+    * user schema; ts arrives as raw nanos — see Tables.events). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** The file-stream source requires a DIRECTORY (it's a replay of an
+    * arrival log); the harness ships a single parquet file, so stage a
+    * symlink dir in tmp once per sf. In production this is the Kafka
+    * topic / landing directory. */
+  private def stagedDir(dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(dir, "events.parquet").toAbsolutePath
+    val d = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream_" + java.lang.Integer.toHexString(dir.hashCode))
+    if (!Files.exists(d)) {
+      Files.createDirectories(d)
+      Files.createSymbolicLink(d.resolve("events.parquet"), src)
+    }
+    d.toString
+  }
+
+  /** Stream source keeps ts as TIMESTAMP (with local tz): watermarks
+    * require it. Session tz is pinned UTC, so casting window bounds back
+    * to NTZ on output is value-preserving. */
+  private def eventStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(rawSchema).parquet(stagedDir(dir))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the materialized result. */
+  private def runToTable(s: SparkSession, df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Streaming dedup: first-seen-wins dropDuplicates per key with a
+    * watermark bounding state (the streaming binding of DISTINCT —
+    * SURVEY.md §2.4; the batch binding is Aggregates.distinctRows).
+    * Output is the key set, which is arrival-order independent. */
+  val streamDedupKeys: Q = (s, dir) => {
+    val deduped = eventStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id")
+      .select("user_id")
+    runToTable(s, deduped, "stream_dedup_keys", "append")
+      .orderBy("user_id")
+  }
+
+  val streamDedupKeysOracle: String =
+    "SELECT DISTINCT user_id FROM events ORDER BY user_id"
+
+  /** Tumbling 1-day event-time windows (complete mode → every window
+    * emitted; decimal sums for cross-engine exactness). */
+  val streamTumblingCounts: Q = (s, dir) => {
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_value"))
+    runToTable(s, agg, "stream_tumbling_counts", "complete")
+      .selectExpr("CAST(window.start AS TIMESTAMP_NTZ) AS day_start",
+        "event_type", "n", "sum_value")
+      .orderBy("day_start", "event_type")
+  }
+
+  val streamTumblingCountsOracle: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY day_start, event_type"""
+
+  /** Sliding 2-day windows advancing 1 day — each event lands in two
+    * windows. */
+  val streamSlidingCounts: Q = (s, dir) => {
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 days", "1 day"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(s, agg, "stream_sliding_counts", "complete")
+      .selectExpr("CAST(window.start AS TIMESTAMP_NTZ) AS win_start", "n")
+      .orderBy("win_start")
+  }
+
+  val streamSlidingCountsOracle: String =
+    """SELECT wstart AS win_start, count(*) AS n FROM (
+         SELECT unnest([
+           CAST(date_trunc('day', ts) AS TIMESTAMP),
+           CAST(date_trunc('day', ts) AS TIMESTAMP) - INTERVAL 1 DAY
+         ]) AS wstart
+         FROM events)
+       GROUP BY wstart ORDER BY win_start"""
+
+  /** Batch sessionization (30-minute inactivity gap) via gaps-and-islands
+    * — the deterministic batch twin of `session_window`; one shuffle by
+    * user_id, two window passes, no self-join. */
+  val sessionizeEvents: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") - col("prev_ts") > expr("INTERVAL '30' MINUTE"), 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+      .groupBy("user_id", "sess_id")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_value"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  val sessionizeEventsOracle: String =
+    """WITH marked AS (
+         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+       sess AS (
+         SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         FROM marked)
+       SELECT user_id, sess_id, min(ts) AS session_start,
+         max(ts) AS session_end, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""
+
+  val queries: Map[String, Q] = Map(
+    "stream_dedup_keys" -> streamDedupKeys,
+    "stream_tumbling_counts" -> streamTumblingCounts,
+    "stream_sliding_counts" -> streamSlidingCounts,
+    "sessionize_events" -> sessionizeEvents)
+
+  val oracles: Map[String, String] = Map(
+    "stream_dedup_keys" -> streamDedupKeysOracle,
+    "stream_tumbling_counts" -> streamTumblingCountsOracle,
+    "stream_sliding_counts" -> streamSlidingCountsOracle,
+    "sessionize_events" -> sessionizeEventsOracle)
+}
