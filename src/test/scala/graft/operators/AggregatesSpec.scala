@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AggregatesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedup_latest_by_key keeps exactly one row per user — the newest") {
+    val out = Aggregates.dedupLatestByKey(spark, sf)
+    val users = out.select("user_id").distinct().count()
+    assert(out.count() === users)
+    // newest: no event for the same user with a strictly later ts
+    val ev = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id").agg(max("ts").as("max_ts"))
+    val joined = out.join(ev, "user_id")
+      .filter(col("ts") < col("max_ts")).count()
+    assert(joined === 0)
+  }
+
+  test("distinct is idempotent (distinct∘distinct = distinct)") {
+    val once = Aggregates.distinctRows(spark, sf)
+    assert(once.distinct().count() === once.count())
+  }
+
+  test("groupby_agg decimal sums equal a direct exact recomputation") {
+    val out = Aggregates.groupbyAgg(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byKey = out.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // count_order sums to the filtered row count
+    val total = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp_ntz"))
+      .count()
+    assert(byKey.values.map(_.getAs[Long]("count_order")).sum === total)
+    // avg_qty = sum_qty / count_order exactly (doubles derived that way)
+    byKey.values.foreach { r =>
+      assert(r.getAs[Double]("avg_qty") ===
+        r.getAs[Double]("sum_qty") / r.getAs[Long]("count_order"))
+    }
+  }
+
+  test("rolling window never exceeds 10 rows and matches a scalar check") {
+    val out = Aggregates.windowRollingSum(spark, sf)
+    assert(out.agg(max("rolling_n")).head.getLong(0) <= 10)
+    assert(out.filter(col("rolling_n") < 1).count() === 0)
+  }
+
+  test("seq_window_arrays emits only complete length-10 windows") {
+    val out = Aggregates.seqWindowArrays(spark, sf)
+    assert(out.filter(size(col("seq")) =!= 10).count() === 0)
+    // per user: n rows with complete windows = max(events_of_user - 9, 0)
+    val perUser = graft.sources.Tables.events(spark, sf)
+      .groupBy("user_id").count()
+      .withColumn("expect", greatest(col("count") - 9, lit(0L)))
+    val got = out.groupBy("user_id").count()
+      .withColumnRenamed("count", "got")
+    val bad = perUser.join(got, Seq("user_id"), "left_outer")
+      .filter(coalesce(col("got"), lit(0L)) =!= col("expect")).count()
+    assert(bad === 0)
+  }
+
+  test("scale_minmax lands in [0,1]") {
+    val out = Aggregates.scaleMinmax(spark, sf)
+    val oob = out.filter(col("value_scaled") < 0 || col("value_scaled") > 1)
+    assert(oob.count() === 0)
+  }
+
+  test("rollup row count = groups + per-flag subtotals + grand total") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val groups = li.select("l_returnflag", "l_linestatus").distinct().count()
+    val flags = li.select("l_returnflag").distinct().count()
+    assert(Aggregates.rollupAgg(spark, sf).count() === groups + flags + 1)
+  }
+
+  test("property: decimal-sum path is partition-order independent") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val xs = List.fill(200)(
+        BigDecimal(rnd.nextDouble() * 9999)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val s7 = xs.toDF("v").repartition(7)
+        .agg(graft.sources.Tables.dsum(col("v"))).head.getDouble(0)
+      val s1 = xs.reverse.toDF("v").coalesce(1)
+        .agg(graft.sources.Tables.dsum(col("v"))).head.getDouble(0)
+      assert(s7 === s1)
+    }
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("left outer join preserves customers without matching orders") {
+    val out = Relational.joinLeftOuter(spark, sf)
+    val nulls = out.filter(col("o_orderkey").isNull).count()
+    assert(nulls > 0, "expected null-extended rows (Q2 semantics)")
+    val total = out.count()
+    val customers = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(total >= customers)
+  }
+
+  test("post-outer-join filter on nullable side drops null rows (Q4)") {
+    val out = Relational.joinLeftOuterPostfilter(spark, sf)
+    assert(out.filter(col("o_orderkey").isNull).count() === 0)
+  }
+
+  test("semi + anti partition the customer set") {
+    val semi = Relational.joinSemi(spark, sf).count()
+    val anti = Relational.joinAnti(spark, sf).count()
+    val all = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(semi + anti === all)
+  }
+
+  test("as-of join picks the latest purchase at or before each click") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00", 100L, "purchase", 5.0),
+      (2L, "2024-01-01 11:00:00", 100L, "click", 1.0),
+      (3L, "2024-01-01 12:00:00", 100L, "purchase", 7.0),
+      (4L, "2024-01-01 12:00:00", 100L, "click", 2.0),
+      (5L, "2024-01-01 09:00:00", 200L, "click", 3.0)
+    ).toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp_ntz")).drop("ts_s")
+    // the same union-window logic joinAsof uses, on a known fixture
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        lit(1).as("side"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        lit(0).as("side"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val out = clicks.unionByName(purchases)
+      .withColumn("p_v", when(col("side") === 0, col("value")))
+      .withColumn("purchase_value", last("p_v", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select("event_id", "purchase_value")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(out(2L) === Some(5.0))  // click@11 sees purchase@10
+    assert(out(4L) === Some(7.0))  // click@12 ties with purchase@12 → inclusive
+    assert(out(5L) === None)       // no earlier purchase → null
+  }
+
+  test("tail_k returns the last 10 orders ascending") {
+    val rows = Relational.tailK(spark, sf).collect()
+    assert(rows.length === 10)
+    val dates = rows.map(_.getAs[java.time.LocalDateTime]("o_orderdate"))
+    assert(dates.sameElements(dates.sorted))
+  }
+
+  test("set ops: intersect ⊆ union_distinct inputs; except disjoint from right") {
+    val except = Relational.exceptKeys(spark, sf)
+    val fKeys = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+    assert(except.join(fKeys, "k").count() === 0)
+  }
+}
