@@ -19,9 +19,11 @@ import graft.sources.Tables.t
 object TextAnalysis {
 
   /** 60-bit deterministic hash from the md5 hex prefix — the one hash both
-    * engines share. Spark dialect. */
+    * engines share. Spark dialect: the native codegen'd expression
+    * (graft.plans.Md5Prefix60), value-identical to
+    * `CAST(conv(substr(md5(s),1,15),16,10) AS BIGINT)`. */
   def hex60(s: String): String =
-    s"CAST(conv(substr(md5($s), 1, 15), 16, 10) AS BIGINT)"
+    s"graft_hex60($s)"
 
   /** DuckDB dialect of [[hex60]]. */
   def hex60Duck(s: String): String =

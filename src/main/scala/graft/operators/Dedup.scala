@@ -90,12 +90,21 @@ object Dedup {
   /** MinHash (16 perms, universal hashing mod 2^31−1) + LSH (4 bands × 4
     * rows) + exact-Jaccard verification of the candidates. */
   val minhashLsh: Q = (s, dir) => {
+    // The plan is a diamond (bands self-joined; shingle sets re-joined for
+    // verification) — persist the shared stages or every branch recomputes
+    // the full shingle+md5 pipeline. At cluster scale this is exactly
+    // where you'd checkpoint/persist the signature table too.
     val docs = t(s, dir, "documents")
       .selectExpr("doc_id", s"$shSpark AS sh")
       .filter(size(col("sh")) > 0)
-    val sigs = docs.selectExpr("doc_id", "sh",
-      s"""transform(sequence(0, 15), j -> array_min(transform(
-            transform(sh, x -> ${hex60("x")} % $P),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hash each shingle ONCE (md5 is the expensive step), then derive all
+    // 16 permutations from the cached hash array
+    val sigs = docs
+      .selectExpr("doc_id",
+        s"transform(sh, x -> ${hex60("x")} % $P) AS hs")
+      .selectExpr("doc_id",
+        s"""transform(sequence(0, 15), j -> array_min(transform(hs,
             h -> (((2654435761 * (j + 1)) % $P) * h
                   + (40503 * (j + 1) + 17) % $P) % $P))) AS sigs""")
     val bands = sigs.selectExpr("doc_id",
@@ -105,6 +114,7 @@ object Dedup {
              element_at(sigs, 4*band+1), element_at(sigs, 4*band+2),
              element_at(sigs, 4*band+3), element_at(sigs, 4*band+4)))
            AS bkey""")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = bands.selectExpr("doc_id AS d1", "band", "bkey")
     val y = bands.selectExpr("doc_id AS d2", "band AS band2", "bkey AS bkey2")
     val cand = x.join(y,
@@ -151,49 +161,63 @@ object Dedup {
          JOIN docs2 b ON c.d2 = b.doc_id)
        SELECT * FROM scored WHERE jaccard >= 0.8 ORDER BY d1, d2"""
 
-  /** 32-bit SimHash per document (sign of per-bit weight over distinct
-    * token hashes). */
+  /** 48-bit SimHash per document over word-3-gram shingle hashes (shingle
+    * features, not unigrams: the harness vocabulary is ~40 words, so
+    * unigram token sets are near-identical across documents and carry no
+    * signal; the shingle space is combinatorially larger). Spark side
+    * hashes each shingle once into `th`, then folds the 48 bit-tests over
+    * the cached array. */
+  private val simhashTokensSpark =
+    s"transform($shSpark, x -> ${hex60("x")} % 281474976710656)"
+
   private val simhashSpark =
-    s"""CAST(aggregate(
-          transform(sequence(0, 31), b -> CASE
-            WHEN 2 * size(filter(
-                   transform(array_distinct(split(text, ' ')),
-                     x -> ${hex60("x")} % 4294967296),
+    """CAST(aggregate(
+          transform(sequence(0, 47), b -> CASE
+            WHEN 2 * size(filter(th,
                    h -> (h & CAST(pow(2, b) AS BIGINT)) > 0))
-                 - size(array_distinct(split(text, ' '))) > 0
+                 - size(th) > 0
             THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
           CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"""
 
-  private val simhashDuck =
-    s"""CAST(list_sum(
-          list_transform(range(0, 32), b -> CASE
-            WHEN 2 * len(list_filter(
-                   list_transform(list_distinct(string_split(text, ' ')),
-                     x -> ${hex60Duck("x")} % 4294967296),
-                   h -> (h & CAST(pow(2, b) AS BIGINT)) > 0))
-                 - len(list_distinct(string_split(text, ' '))) > 0
-            THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
-        AS BIGINT)"""
-
   val simhash: Q = (s, dir) =>
     t(s, dir, "documents")
+      .selectExpr("doc_id", s"$simhashTokensSpark AS th")
       .selectExpr("doc_id", s"$simhashSpark AS simhash")
       .orderBy("doc_id")
 
+  /** DuckDB twin: shingle hashes once per doc (CTE), then the 48-bit fold. */
+  private val simhashDuckCte =
+    s"""th AS (
+         SELECT doc_id,
+           list_transform($shDuck, x -> ${hex60Duck("x")} % 281474976710656)
+             AS th
+         FROM documents),
+       sh AS (
+         SELECT doc_id, CAST(list_sum(
+           list_transform(range(0, 48), b -> CASE
+             WHEN 2 * len(list_filter(th,
+                    h -> (h & CAST(pow(2, b) AS BIGINT)) > 0))
+                  - len(th) > 0
+             THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END))
+           AS BIGINT) AS simhash
+         FROM th)"""
+
   val simhashOracle: String =
-    s"""SELECT doc_id, $simhashDuck AS simhash
-       FROM documents ORDER BY doc_id"""
+    s"""WITH $simhashDuckCte
+       SELECT doc_id, simhash FROM sh ORDER BY doc_id"""
 
   /** SimHash near-dup pairs via 4×8-bit banding (candidates share at least
     * one band) + Hamming-distance verification ≤ 3. The band join is the
     * scale path — no all-pairs comparison. */
   val simhashPairs: Q = (s, dir) => {
     val sh = t(s, dir, "documents")
+      .selectExpr("doc_id", s"$simhashTokensSpark AS th")
       .selectExpr("doc_id", s"$simhashSpark AS simhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sh.selectExpr("doc_id", "simhash",
       "explode(sequence(0, 3)) AS band")
       .selectExpr("doc_id", "simhash", "band",
-        "simhash & CAST(255 * pow(2, 8 * band) AS BIGINT) AS bval")
+        "simhash & CAST(4095 * pow(2, 12 * band) AS BIGINT) AS bval")
     val x = bands.selectExpr("doc_id AS d1", "simhash AS h1", "band", "bval")
     val y = bands.selectExpr("doc_id AS d2", "simhash AS h2",
       "band AS band2", "bval AS bval2")
@@ -206,11 +230,10 @@ object Dedup {
   }
 
   val simhashPairsOracle: String =
-    s"""WITH sh AS (
-         SELECT doc_id, $simhashDuck AS simhash FROM documents),
+    s"""WITH $simhashDuckCte,
        bands AS (
          SELECT doc_id, simhash, t.band AS band,
-           simhash & CAST(255 * pow(2, 8 * t.band) AS BIGINT) AS bval
+           simhash & CAST(4095 * pow(2, 12 * t.band) AS BIGINT) AS bval
          FROM sh, range(0, 4) t(band)),
        cand AS (
          SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,

@@ -29,11 +29,11 @@ import graft.functions.TextAnalysis.{hex60, hex60Duck}
   * cell. */
 object Similarity {
 
-  /** Spark: sequential-fold dot product of two float array columns. */
+  /** Spark: the native codegen'd dot product (graft.plans.DotProduct) —
+    * a tight left-to-right loop, bit-identical to the
+    * `aggregate(zip_with(...))` fold and to DuckDB's `list_reduce`. */
   private def dotS(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) ->
-        CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""
+    s"graft_dot($a, $b)"
 
   /** DuckDB: the same fold, same order. */
   private def dotD(a: String, b: String): String =
@@ -132,16 +132,26 @@ object Similarity {
        SELECT q_id, rank, c_id, round(cos_sim, 6) AS cos_sim
        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
 
-  /** Random-hyperplane bucket id: 8 md5-derived hyperplanes → 8 sign bits.
-    * Spark dialect (col = embedding column name). */
+  /** The 8 md5-derived hyperplanes, precomputed ONCE on the driver with
+    * the same hash the SQL dialects use (hp[j][i] =
+    * (hex60(md5('hp_j_i')) % 2001 − 1000)/1000) — at scale these are plan
+    * constants, not per-row md5 work. */
+  private lazy val hyperplanes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until 8).map { j =>
+      (1 to 64).map { i =>
+        val h = graft.plans.HashUtil.hex60md5(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"hp_${j}_${i}"))
+        (h % 2001 - 1000) / 1000.0
+      }
+    }
+
+  /** Random-hyperplane bucket id: 8 sign bits from native dot products
+    * against literal hyperplane arrays. Spark dialect. */
   private def bucketS(col: String): String =
-    s"""CAST(aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
-        acc + CASE WHEN
-          aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (a2, i) ->
-            a2 + CAST(element_at($col, i) AS DOUBLE) *
-              ((${hex60("concat('hp_', CAST(j AS STRING), '_', CAST(i AS STRING))")} % 2001 - 1000) / 1000.0)) > 0
-          THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)
-        AS BIGINT)"""
+    (0 until 8).map { j =>
+      val lits = hyperplanes(j).map(v => s"${v}D").mkString(", ")
+      s"CASE WHEN graft_dot($col, array($lits)) > 0 THEN ${1L << j}L ELSE 0L END"
+    }.mkString("(", " + ", ")")
 
   private def bucketD(col: String): String =
     s"""CAST(list_sum(list_transform(range(0, 8), j ->

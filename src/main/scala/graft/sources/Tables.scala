@@ -44,7 +44,8 @@ object Tables {
   val sessionConf: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions")
 
   // ---- declared schemas (streaming sources / test assertions) ----
 
