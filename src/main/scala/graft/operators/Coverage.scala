@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Q
+import graft.sources.Tables.{t, events}
+
+/** Inventory completers for SURVEY.md §2 rows not covered elsewhere:
+  * CSV ingest (§2.1), GROUPING SETS (§2.4), RANGE window frames (§2.5),
+  * array functions (§2.8), timestamp-bounded scans (§2.9 — the
+  * `kafka.timestamp-upper-bound-force-push-down-enabled` analog), and
+  * metadata queries (§2.11 M1–M3). */
+object Coverage {
+
+  /** CSV ingest with a DECLARED schema (the reference loads CSVs into
+    * Postgres/Mongo with explicit types — `fill_postgresql.sql:12`,
+    * `fillMongoDB.ipynb` cell-2; schema inference never touches the query
+    * path). Round-trips a projection through CSV and reads it back. */
+  val csvIngest: Q = (s, dir) => {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    t(s, dir, "part")
+      .select("p_partkey", "p_name", "p_brand", "p_size")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_size", IntegerType)))
+    s.read.option("header", "true").schema(schema).csv(out)
+      .orderBy("p_partkey")
+  }
+
+  val csvIngestOracle: String =
+    """SELECT p_partkey, p_name, p_brand, p_size FROM part
+       ORDER BY p_partkey"""
+
+  /** Explicit GROUPING SETS (beyond rollup/cube). */
+  val groupingSets: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+         FROM orders_v
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""")
+  }
+
+  val groupingSetsOracle: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+       ORDER BY o_orderstatus ASC NULLS FIRST,
+                o_orderpriority ASC NULLS FIRST"""
+
+  /** RANGE window frame (value-based, tie-inclusive — unlike ROWS
+    * frames): how many same-type events fall within 50 units below each
+    * event's value. */
+  val windowRangeFrame: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type").orderBy(col("value"))
+      .rangeBetween(-50, 0)
+    events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        count(lit(1)).over(w).as("n_in_range"))
+      .orderBy("event_id")
+  }
+
+  val windowRangeFrameOracle: String =
+    """SELECT event_id, event_type, value,
+       count(*) OVER (PARTITION BY event_type ORDER BY value
+         RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS n_in_range
+       FROM events ORDER BY event_id"""
+
+  /** Array functions over tokenized text (§2.8 'A' row: array fns). */
+  val arrayFuncs: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        "size(toks) AS n_tokens",
+        "size(array_distinct(toks)) AS n_distinct",
+        "slice(array_sort(array_distinct(toks)), 1, 5) AS first5",
+        "array_contains(toks, 'the') AS has_the")
+      .orderBy("doc_id")
+
+  val arrayFuncsOracle: String =
+    """SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5)
+         AS first5,
+       list_contains(string_split(text, ' '), 'the') AS has_the
+       FROM documents ORDER BY doc_id"""
+
+  /** Timestamp-bounded scan of the event stream — the batch analog of
+    * Kafka `startingOffsetsByTimestamp`/`endingOffsetsByTimestamp`
+    * (reference pushes the upper bound into the broker seek,
+    * `trino/catalog/kafka.properties:7`); here the bound is pushed into
+    * the parquet scan (PushedFilters). */
+  val eventsTimeBounded: Q = (s, dir) =>
+    events(s, dir)
+      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp_ntz") &&
+              col("ts") <  lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type")
+      .orderBy("event_id")
+
+  val eventsTimeBoundedOracle: String =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+       FROM events
+       WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+       ORDER BY event_id"""
+
+  /** Metadata path (M1–M3, `vanilla_k8s_trino_demo_installation.txt:
+    * 764-773`): register the catalog's tables, then answer SHOW TABLES. */
+  val metaShowTables: Q = (s, dir) => {
+    graft.sources.Tables.names.foreach { n =>
+      t(s, dir, n).createOrReplaceTempView(s"graft_$n")
+    }
+    s.sql("SHOW TABLES")
+      .filter(col("tableName").startsWith("graft_"))
+      .selectExpr("substring(tableName, 7) AS table_name")
+      .orderBy("table_name")
+  }
+
+  val metaShowTablesOracle: String =
+    """SELECT * FROM (VALUES ('customer'), ('documents'), ('embeddings'),
+       ('events'), ('lineitem'), ('nation'), ('orders'), ('part'),
+       ('region'), ('supplier')) AS t(table_name) ORDER BY table_name"""
+
+  val queries: Map[String, Q] = Map(
+    "csv_ingest" -> csvIngest,
+    "grouping_sets_agg" -> groupingSets,
+    "window_range_frame" -> windowRangeFrame,
+    "array_funcs" -> arrayFuncs,
+    "events_time_bounded" -> eventsTimeBounded,
+    "meta_show_tables" -> metaShowTables)
+
+  val oracles: Map[String, String] = Map(
+    "csv_ingest" -> csvIngestOracle,
+    "grouping_sets_agg" -> groupingSetsOracle,
+    "window_range_frame" -> windowRangeFrameOracle,
+    "array_funcs" -> arrayFuncsOracle,
+    "events_time_bounded" -> eventsTimeBoundedOracle,
+    "meta_show_tables" -> metaShowTablesOracle)
+}

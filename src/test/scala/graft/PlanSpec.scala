@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.operators.{Aggregates, Relational, Similarity}
+
+/** Physical-plan assertions: the scale properties the engine promises
+  * (pushdown, pruning, broadcast, codegen, top-k) must be visible in the
+  * executed plan, not just hoped for. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("projection prunes the parquet ReadSchema to selected columns") {
+    val p = plan(Relational.scanProject(spark, sf))
+    assert(p.contains("l_extendedprice"))
+    assert(!p.contains("l_discount"), "unselected column leaked into scan")
+  }
+
+  test("date filters are pushed to the parquet scan") {
+    val p = plan(Relational.filterDateRange(spark, sf))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+           p.contains("GreaterThanOrEqual(`l_shipdate`"),
+      s"expected shipdate pushdown in:\n$p")
+  }
+
+  test("dim-chain join broadcasts the small sides") {
+    val p = plan(Relational.joinBroadcastDims(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ in:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.topK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k in:\n$p")
+  }
+
+  test("grouped aggregation runs partial+final hash aggregates in codegen") {
+    val df = Aggregates.groupbyAgg(spark, sf)
+    val p = plan(df)
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing")
+    val cg = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen"), "agg fell out of codegen")
+  }
+
+  test("ann queries broadcast the query-vector side") {
+    val p = plan(Similarity.annBruteTopk(spark, sf))
+    assert(p.contains("Broadcast"), s"expected broadcast join in:\n$p")
+  }
+
+  test("flagship join stays inside whole-stage codegen") {
+    val cg = Relational.q1JoinFilterSort(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen"))
+  }
+}
