@@ -104,9 +104,7 @@ object Dedup {
       .selectExpr("doc_id",
         s"transform(sh, x -> ${hex60("x")} % $P) AS hs")
       .selectExpr("doc_id",
-        s"""transform(sequence(0, 15), j -> array_min(transform(hs,
-            h -> (((2654435761 * (j + 1)) % $P) * h
-                  + (40503 * (j + 1) + 17) % $P) % $P))) AS sigs""")
+        "graft_minhash_sigs(hs) AS sigs") // native: one pass, 16 mins
     val bands = sigs.selectExpr("doc_id",
       "explode(sequence(0, 3)) AS band", "sigs")
       .selectExpr("doc_id", "band",
@@ -171,13 +169,7 @@ object Dedup {
     s"transform($shSpark, x -> ${hex60("x")} % 281474976710656)"
 
   private val simhashSpark =
-    """CAST(aggregate(
-          transform(sequence(0, 47), b -> CASE
-            WHEN 2 * size(filter(th,
-                   h -> (h & CAST(pow(2, b) AS BIGINT)) > 0))
-                 - size(th) > 0
-            THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
-          CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"""
+    "graft_simhash48(th)" // native: one pass over the feature hashes
 
   val simhash: Q = (s, dir) =>
     t(s, dir, "documents")

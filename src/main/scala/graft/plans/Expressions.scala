@@ -34,6 +34,55 @@ object HashUtil {
     while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
     (h << 4) | ((d(7) & 0xf0L) >>> 4)
   }
+
+  private final val P = 2147483647L
+  private final val MA: Array[Long] =
+    Array.tabulate(16)(j => (2654435761L * (j + 1)) % P)
+  private final val MB: Array[Long] =
+    Array.tabulate(16)(j => (40503L * (j + 1) + 17L) % P)
+
+  /** All 16 minhash signature values of a shingle-hash array (null for
+    * empty input). Called from generated code. */
+  def minhashSigs(hs: ArrayData): Array[Long] = {
+    val n = hs.numElements()
+    if (n == 0) return null
+    val sigs = Array.fill(16)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 16) {
+        val v = (MA(j) * h + MB(j)) % P
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sigs
+  }
+
+  /** 48-bit simhash of a feature-hash array. Called from generated code. */
+  def simhash48(hs: ArrayData): Long = {
+    val n = hs.numElements()
+    val cnt = new Array[Int](48)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var b = 0
+      while (b < 48) {
+        if (((h >>> b) & 1L) == 1L) cnt(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 48) {
+      if (2 * cnt(b) - n > 0) sh |= (1L << b)
+      b += 1
+    }
+    sh
+  }
 }
 
 /** Dot product of two numeric arrays (float or double elements) as one
@@ -107,6 +156,61 @@ case class Md5Prefix60(child: Expression)
       : Expression = copy(newChild)
 }
 
+/** All 16 MinHash signature values in one pass over the shingle-hash
+  * array — replaces `transform(sequence(0,15), j -> array_min(transform(
+  * hs, h -> (a_j*h + b_j) % P)))` (16 interpreted lambda passes) with a
+  * single codegen'd nested loop. Universal-hash constants are identical:
+  * a_j = (2654435761·(j+1)) mod P, b_j = (40503·(j+1)+17) mod P,
+  * P = 2^31−1. Empty input → null (callers filter size>0). */
+case class MinhashSigs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = v.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    if (n == 0) return null
+    val sigs = HashUtil.minhashSigs(hs)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sigs = ctx.freshName("sigs")
+      s"""
+         |long[] $sigs = graft.plans.HashUtil.minhashSigs($c);
+         |if ($sigs == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($sigs);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(newChild)
+}
+
+/** 48-bit SimHash from an array of feature hashes in one codegen'd pass —
+  * bit b of the result is set iff more than half the hashes have bit b
+  * set (weight 2·cnt−n > 0), identical to the HOF bit-test fold. */
+case class SimHash48(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.simhash48(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashUtil.simhash48($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(newChild)
+}
+
 /** Session extension registering the native functions for SQL use
   * (`spark.sql.extensions=graft.plans.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -119,5 +223,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hex60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "graft_hex60"),
       (exprs: Seq[Expression]) => Md5Prefix60(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "graft_minhash_sigs"),
+      (exprs: Seq[Expression]) => MinhashSigs(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash48"),
+      new ExpressionInfo(classOf[SimHash48].getName, "graft_simhash48"),
+      (exprs: Seq[Expression]) => SimHash48(exprs.head)))
   }
 }
