@@ -128,7 +128,68 @@ object Coverage {
        ('events'), ('lineitem'), ('nation'), ('orders'), ('part'),
        ('region'), ('supplier')) AS t(table_name) ORDER BY table_name"""
 
+  /** PIVOT: per-user event-type counts as columns (fixed value list →
+    * stable schema, no extra distinct-values pass at scale). */
+  val pivotEventCounts: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val pivotEventCountsOracle: String =
+    """SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** HAVING: post-aggregation filter. */
+  val havingFilter: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(graft.sources.Tables.dsum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .filter(col("sum_price") > 2000000)
+      .orderBy("o_custkey")
+
+  val havingFilterOracle: String =
+    """SELECT o_custkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       count(*) AS n_orders
+       FROM orders GROUP BY o_custkey
+       HAVING CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         > 2000000
+       ORDER BY o_custkey"""
+
+  /** Scalar subquery: rows above the global (decimal-exact) average —
+    * Spark side as a broadcast single-row join, same value semantics. */
+  val scalarSubquery: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val thr = o.agg(
+      (graft.sources.Tables.dsum(col("o_totalprice")) / count(lit(1)))
+        .as("thr"))
+    o.join(broadcast(thr))
+      .filter(col("o_totalprice") > col("thr"))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val scalarSubqueryOracle: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_totalprice > (
+         SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(*) FROM orders)
+       ORDER BY o_orderkey"""
+
   val queries: Map[String, Q] = Map(
+    "pivot_event_counts" -> pivotEventCounts,
+    "having_filter" -> havingFilter,
+    "scalar_subquery" -> scalarSubquery,
     "csv_ingest" -> csvIngest,
     "grouping_sets_agg" -> groupingSets,
     "window_range_frame" -> windowRangeFrame,
@@ -137,6 +198,9 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "pivot_event_counts" -> pivotEventCountsOracle,
+    "having_filter" -> havingFilterOracle,
+    "scalar_subquery" -> scalarSubqueryOracle,
     "csv_ingest" -> csvIngestOracle,
     "grouping_sets_agg" -> groupingSetsOracle,
     "window_range_frame" -> windowRangeFrameOracle,

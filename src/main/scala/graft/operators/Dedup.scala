@@ -90,21 +90,16 @@ object Dedup {
   /** MinHash (16 perms, universal hashing mod 2^31−1) + LSH (4 bands × 4
     * rows) + exact-Jaccard verification of the candidates. */
   val minhashLsh: Q = (s, dir) => {
-    // The plan is a diamond (bands self-joined; shingle sets re-joined for
-    // verification) — persist the shared stages or every branch recomputes
-    // the full shingle+md5 pipeline. At cluster scale this is exactly
-    // where you'd checkpoint/persist the signature table too.
-    val docs = t(s, dir, "documents")
-      .selectExpr("doc_id", s"$shSpark AS sh")
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // hash each shingle ONCE (md5 is the expensive step), then derive all
-    // 16 permutations from the cached hash array
-    val sigs = docs
+    // Signature path is fully native: text → shingle hashes → 16 mins in
+    // two fused byte-level passes (min-hash is multiset-invariant, so the
+    // non-distinct native shingle stream yields the same minima as the
+    // distinct set the oracle uses). Only `bands` is persisted — it feeds
+    // both sides of the LSH self-join; at cluster scale this is where
+    // you'd checkpoint the signature table.
+    val sigs = t(s, dir, "documents")
       .selectExpr("doc_id",
-        s"transform(sh, x -> ${hex60("x")} % $P) AS hs")
-      .selectExpr("doc_id",
-        "graft_minhash_sigs(hs) AS sigs") // native: one pass, 16 mins
+        "graft_minhash_sigs(graft_shingle_hashes(text)) AS sigs")
+      .filter(col("sigs").isNotNull)
     val bands = sigs.selectExpr("doc_id",
       "explode(sequence(0, 3)) AS band", "sigs")
       .selectExpr("doc_id", "band",
@@ -119,8 +114,18 @@ object Dedup {
         x("band") === y("band2") && x("bkey") === y("bkey2") &&
         x("d1") < y("d2"))
       .select("d1", "d2").distinct()
-    val sh1 = docs.selectExpr("doc_id AS dd1", "sh AS sh1")
-    val sh2 = docs.selectExpr("doc_id AS dd2", "sh AS sh2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Exact-Jaccard verification builds the (expensive) distinct
+    // shingle-string arrays ONLY for candidate docs — a semi-join first,
+    // so the verification cost scales with candidates, not the corpus.
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val docsSub = t(s, dir, "documents")
+      .join(candIds, "doc_id")
+      .selectExpr("doc_id", s"$shSpark AS sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh1 = docsSub.selectExpr("doc_id AS dd1", "sh AS sh1")
+    val sh2 = docsSub.selectExpr("doc_id AS dd2", "sh AS sh2")
     cand.join(sh1, col("d1") === col("dd1"))
       .join(sh2, col("d2") === col("dd2"))
       .selectExpr("d1", "d2",
@@ -130,8 +135,10 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  val minhashLshOracle: String =
-    s"""WITH docs AS (
+  /** The minhash CTE chain through `scored` — shared by the pair oracle
+    * and the clustering oracle. */
+  private val minhashScoredCte: String =
+    s"""docs AS (
          SELECT doc_id, $shDuck AS sh FROM documents),
        docs2 AS (SELECT * FROM docs WHERE len(sh) > 0),
        sigs AS (
@@ -156,7 +163,10 @@ object Dedup {
              / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
          FROM cand c
          JOIN docs2 a ON c.d1 = a.doc_id
-         JOIN docs2 b ON c.d2 = b.doc_id)
+         JOIN docs2 b ON c.d2 = b.doc_id)"""
+
+  val minhashLshOracle: String =
+    s"""WITH $minhashScoredCte
        SELECT * FROM scored WHERE jaccard >= 0.8 ORDER BY d1, d2"""
 
   /** 48-bit SimHash per document over word-3-gram shingle hashes (shingle
@@ -234,7 +244,75 @@ object Dedup {
            ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
        SELECT * FROM cand WHERE hamming <= 3 ORDER BY d1, d2"""
 
+  /** Near-dup CLUSTERING: connected components over the verified minhash
+    * pairs via iterative min-label propagation (the canonical-keeper step
+    * of a production dedup pipeline). The driver loop runs one
+    * join+aggregate per round and stops at fixpoint — O(component
+    * diameter) rounds, each a single shuffle; at 100 TB this is the
+    * standard large-scale connected-components pattern (no driver-side
+    * data, only a convergence counter). */
+  val clusters: Q = (s, dir) => {
+    // The candidate graph is orders of magnitude smaller than the corpus
+    // (near-dups are sparse), so the per-iteration label table is
+    // broadcast — each propagation round is a map-side join + one tiny
+    // aggregate, no iteration-scaling shuffles. With a dense graph you'd
+    // drop the broadcast hints and let AQE pick.
+    // localCheckpoint truncates lineage: without it every iteration's
+    // logical plan embeds the whole history and Catalyst re-analyzes an
+    // exponentially growing tree (the classic iterative-plan explosion).
+    val edges = minhashLsh(s, dir).select("d1", "d2")
+      .coalesce(1).localCheckpoint(true)
+    val bi = edges.unionByName(
+      edges.selectExpr("d2 AS d1", "d1 AS d2"))
+      .coalesce(1).localCheckpoint(true)
+    val verts = bi.select(col("d1").as("doc_id")).distinct()
+    var labels = verts.withColumn("lab", col("doc_id"))
+      .coalesce(1).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      // phase 1: take the min label over graph neighbors
+      val nbrMin = bi.join(broadcast(labels), bi("d2") === labels("doc_id"))
+        .groupBy(bi("d1")).agg(min("lab").as("nbr_lab"))
+        .select(col("d1").as("nb_doc"), col("nbr_lab"))
+      val prop = labels.join(broadcast(nbrMin),
+          labels("doc_id") === nbrMin("nb_doc"), "left_outer")
+        .select(labels("doc_id"),
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+      // phase 2: pointer jumping (label := label of my label) — takes the
+      // convergence from O(diameter) to O(log diameter) rounds
+      val byId = prop.selectExpr("doc_id AS p_doc", "lab AS p_lab")
+      val next = prop.join(broadcast(byId), prop("lab") === col("p_doc"),
+          "left_outer")
+        .select(prop("doc_id"),
+          least(prop("lab"), coalesce(col("p_lab"), prop("lab"))).as("lab"))
+        .coalesce(1).localCheckpoint(true)
+      changed = next.alias("n")
+        .join(broadcast(labels.select(col("doc_id"), col("lab").as("old"))),
+          "doc_id")
+        .filter(col("lab") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("lab").as("cluster_rep"))
+      .orderBy("doc_id")
+  }
+
+  val clustersOracle: String =
+    s"""WITH RECURSIVE $minhashScoredCte,
+       edges AS (SELECT d1, d2 FROM scored WHERE jaccard >= 0.8),
+       bi AS (SELECT d1, d2 FROM edges
+              UNION ALL SELECT d2, d1 FROM edges),
+       verts AS (SELECT DISTINCT d1 AS doc_id FROM bi),
+       reach(doc_id, lab) AS (
+         SELECT doc_id, doc_id FROM verts
+         UNION
+         SELECT b.d1, r.lab FROM bi b JOIN reach r ON b.d2 = r.doc_id)
+       SELECT doc_id, min(lab) AS cluster_rep
+       FROM reach GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "dedup_clusters" -> clusters,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -242,6 +320,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs)
 
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> clustersOracle,
     "dedup_exact" -> exactOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> minhashLshOracle,

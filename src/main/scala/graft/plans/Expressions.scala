@@ -61,6 +61,48 @@ object HashUtil {
     sigs
   }
 
+  /** Word-3-gram shingle hashes of a text in one pass: split on single
+    * spaces (same token boundaries as `split(text, ' ')`), join each
+    * 3-token window with single spaces (same bytes `concat_ws(' ', ...)`
+    * produces), md5-prefix-hash mod 2^31−1. Duplicate shingles are NOT
+    * removed — min-hash signatures are multiset-invariant, so the min per
+    * permutation equals the distinct-set formulation the oracle uses.
+    * Returns null when there are fewer than 3 tokens. */
+  def shingleHashes(s: UTF8String): Array[Long] = {
+    val bytes = s.getBytes
+    // token boundaries: indices of spaces
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    if (nTok < 3) return null
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTok) = bytes.length + 1
+    val md = mdTl.get()
+    val out = new Array[Long](nTok - 2)
+    var k = 0
+    while (k < nTok - 2) {
+      // shingle = bytes[starts(k) .. starts(k+3)-2] (three tokens + the
+      // two separating spaces, excluding the trailing space)
+      md.reset()
+      md.update(bytes, starts(k), starts(k + 3) - 1 - starts(k) - 1 + 1)
+      val d = md.digest()
+      var h = 0L
+      i = 0
+      while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = (h << 4) | ((d(7) & 0xf0L) >>> 4)
+      out(k) = h % P
+      k += 1
+    }
+    out
+  }
+
   /** 48-bit simhash of a feature-hash array. Called from generated code. */
   def simhash48(hs: ArrayData): Long = {
     val n = hs.numElements()
@@ -211,6 +253,39 @@ case class SimHash48(child: Expression) extends UnaryExpression {
       : Expression = copy(newChild)
 }
 
+/** Word-3-gram shingle hashes straight from text (split + window + md5
+  * fused into one byte-level pass, no intermediate string arrays). Only
+  * valid where downstream use is multiset-invariant (min-hash); the
+  * Jaccard-verification path keeps the distinct shingle-string arrays. */
+case class ShingleHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val hs = HashUtil.shingleHashes(v.asInstanceOf[UTF8String])
+    if (hs == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(hs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val hs = ctx.freshName("hs")
+      s"""
+         |long[] $hs = graft.plans.HashUtil.shingleHashes($c);
+         |if ($hs == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($hs);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(newChild)
+}
+
 /** Session extension registering the native functions for SQL use
   * (`spark.sql.extensions=graft.plans.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -231,5 +306,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash48"),
       new ExpressionInfo(classOf[SimHash48].getName, "graft_simhash48"),
       (exprs: Seq[Expression]) => SimHash48(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName,
+        "graft_shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head)))
   }
 }
