@@ -117,8 +117,9 @@ object Coverage {
     graft.sources.Tables.names.foreach { n =>
       t(s, dir, n).createOrReplaceTempView(s"graft_$n")
     }
+    val expected = graft.sources.Tables.names.map("graft_" + _)
     s.sql("SHOW TABLES")
-      .filter(col("tableName").startsWith("graft_"))
+      .filter(col("tableName").isin(expected: _*))
       .selectExpr("substring(tableName, 7) AS table_name")
       .orderBy("table_name")
   }
@@ -186,7 +187,40 @@ object Coverage {
            / count(*) FROM orders)
        ORDER BY o_orderkey"""
 
+  /** Bucketed co-located join: both sides written bucketed+sorted on the
+    * join key, so the sort-merge join needs NO Exchange and no sort — the
+    * bucketing/pre-partitioning scale path (at 100 TB this is how a fact
+    * table joins repeatedly on the same key without re-shuffling). */
+  val joinBucketed: Q = (s, dir) => {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val ot = s"graft_orders_b_$tag"
+    val lt = s"graft_lineitem_b_$tag"
+    if (!s.catalog.tableExists(ot)) {
+      t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ot)
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(lt)
+    }
+    // merge hint: at toy SF the planner would broadcast instead and skip
+    // the bucketed layout entirely; at 100 TB SMJ-over-buckets IS the plan
+    val o = s.table(ot).hint("merge")
+    val l = s.table(lt).hint("merge")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(o("o_orderkey"), l("l_linenumber"), l("l_quantity"),
+        o("o_totalprice"))
+      .orderBy("o_orderkey", "l_linenumber")
+  }
+
+  val joinBucketedOracle: String =
+    """SELECT o.o_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       ORDER BY o_orderkey, l_linenumber"""
+
   val queries: Map[String, Q] = Map(
+    "join_bucketed" -> joinBucketed,
     "pivot_event_counts" -> pivotEventCounts,
     "having_filter" -> havingFilter,
     "scalar_subquery" -> scalarSubquery,
@@ -198,6 +232,7 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "join_bucketed" -> joinBucketedOracle,
     "pivot_event_counts" -> pivotEventCountsOracle,
     "having_filter" -> havingFilterOracle,
     "scalar_subquery" -> scalarSubqueryOracle,

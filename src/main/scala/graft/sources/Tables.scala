@@ -45,7 +45,11 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
-    "spark.sql.extensions" -> "graft.plans.GraftExtensions")
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions",
+    // per-process warehouse: the in-memory catalog dies with the JVM but
+    // managed-table locations would survive and collide on the next run
+    "spark.sql.warehouse.dir" ->
+      s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_${ProcessHandle.current().pid()}")
 
   // ---- declared schemas (streaming sources / test assertions) ----
 

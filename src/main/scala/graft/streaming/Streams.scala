@@ -165,13 +165,55 @@ object Streams {
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
        FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""
 
+  /** Custom stateful streaming via mapGroupsWithState: later-message-wins
+    * latest-record-per-key (the reference's core streaming-dedup
+    * semantic, `KubeflowStockPricePrediction.ipynb:548-549`). State is
+    * one (ts, event_id, value) triple per key. The memory-sink output is
+    * compacted with a final rank so the result is identical however the
+    * replay was micro-batched. */
+  val streamStatefulLatest: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val ev = eventStream(s, dir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us", "value")
+      .as[(Long, Long, Long, Double)]
+    val latest = ev.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Double), (Long, Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        var cur = state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0.0))
+        rows.foreach { r =>
+          if (r._3 > cur._1 || (r._3 == cur._1 && r._2 > cur._2))
+            cur = (r._3, r._2, r._4)
+        }
+        state.update(cur)
+        (uid, cur._2, cur._1, cur._3)
+      }
+      .toDF("user_id", "event_id", "ts_us", "value")
+    val mem = runToTable(s, latest, "stream_stateful_latest", "update")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    mem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .selectExpr("user_id", "event_id",
+        "CAST(timestamp_micros(ts_us) AS TIMESTAMP_NTZ) AS ts", "value")
+      .orderBy("user_id")
+  }
+
+  val streamStatefulLatestOracle: String =
+    """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+       FROM events
+       QUALIFY row_number() OVER (PARTITION BY user_id
+         ORDER BY ts DESC, event_id DESC) = 1
+       ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
+    "stream_stateful_latest" -> streamStatefulLatest,
     "stream_dedup_keys" -> streamDedupKeys,
     "stream_tumbling_counts" -> streamTumblingCounts,
     "stream_sliding_counts" -> streamSlidingCounts,
     "sessionize_events" -> sessionizeEvents)
 
   val oracles: Map[String, String] = Map(
+    "stream_stateful_latest" -> streamStatefulLatestOracle,
     "stream_dedup_keys" -> streamDedupKeysOracle,
     "stream_tumbling_counts" -> streamTumblingCountsOracle,
     "stream_sliding_counts" -> streamSlidingCountsOracle,

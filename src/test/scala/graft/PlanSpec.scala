@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
 
-import graft.operators.{Aggregates, Relational, Similarity}
+import graft.operators.{Aggregates, Coverage, Relational, Similarity}
 
 /** Physical-plan assertions: the scale properties the engine promises
   * (pushdown, pruning, broadcast, codegen, top-k) must be visible in the
@@ -50,6 +50,16 @@ class PlanSpec extends SparkSpec {
   test("ann queries broadcast the query-vector side") {
     val p = plan(Similarity.annBruteTopk(spark, sf))
     assert(p.contains("Broadcast"), s"expected broadcast join in:\n$p")
+  }
+
+  test("bucketed join plans no shuffle before the join") {
+    val df = Coverage.joinBucketed(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    // the final orderBy range-partitions; the JOIN inputs must not be
+    // hash-shuffled — the bucketed layout satisfies SMJ's requirement
+    assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join re-shuffled:\n$p")
   }
 
   test("flagship join stays inside whole-stage codegen") {
