@@ -56,24 +56,23 @@ object Similarity {
     s"""SELECT vec_id, label, embedding, ${normD("embedding")} AS nrm
         FROM embeddings"""
 
-  /** Brute-force cosine top-5 for 10 query vectors — two-stage top-k. */
+  /** Brute-force cosine top-5 for 10 query vectors. A single rank filter
+    * is enough: Spark's InferWindowGroupLimit plans it as a two-stage
+    * WindowGroupLimit (per-partition Partial top-k before the shuffle,
+    * Final after), so the shuffle carries O(k·partitions), not the
+    * corpus — verified in PlanSpec. */
   val annBruteTopk: Q = (s, dir) => {
     val v = vecs(s, dir)
     val q = v.filter(col("vec_id") < 10)
       .selectExpr("vec_id AS q_id", "embedding AS q_emb", "nrm AS q_nrm")
     val c = v.filter(col("vec_id") >= 10)
       .selectExpr("vec_id AS c_id", "embedding AS c_emb", "nrm AS c_nrm")
-    val scored = c.join(broadcast(q))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    c.join(broadcast(q))
       .selectExpr("q_id", "c_id",
         s"${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim")
-      .withColumn("pid", spark_partition_id())
-    val w1 = Window.partitionBy("q_id", "pid")
-      .orderBy(col("cos_sim").desc, col("c_id").asc)
-    val w2 = Window.partitionBy("q_id")
-      .orderBy(col("cos_sim").desc, col("c_id").asc)
-    scored
-      .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= 5)
-      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= 5)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
       .orderBy("q_id", "rank")
   }

@@ -47,9 +47,11 @@ class PlanSpec extends SparkSpec {
     assert(cg.contains("WholeStageCodegen"), "agg fell out of codegen")
   }
 
-  test("ann queries broadcast the query-vector side") {
+  test("ann queries broadcast the query-vector side and stage the top-k") {
     val p = plan(Similarity.annBruteTopk(spark, sf))
     assert(p.contains("Broadcast"), s"expected broadcast join in:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not staged into partial top-k:\n$p")
   }
 
   test("bucketed join plans no shuffle before the join") {
