@@ -95,6 +95,29 @@ object Similarity {
        SELECT q_id, rank, c_id, round(cos_sim, 6) AS cos_sim
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
 
+  /** The same top-5 through the custom whole-operator path
+    * (graft.plans.CosineTopKJoin → CosineTopKJoinExec, SURVEY §7.4(c)):
+    * bounded per-query top-k buffers inside each corpus partition, so the
+    * scored cross product is never materialized; a final exact rank over
+    * the k·partitions survivors matches the brute-force oracle exactly. */
+  val annCustomTopk: Q = (s, dir) => {
+    val v = vecs(s, dir)
+    val corpus = v.filter(col("vec_id") >= 10)
+      .selectExpr("vec_id AS c_id", "embedding", "nrm")
+    val queries = v.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", "embedding", "nrm")
+    val partial = org.apache.spark.sql.graft.Bridge.ofRows(s,
+      graft.plans.CosineTopKJoin(
+        corpus.queryExecution.analyzed,
+        queries.queryExecution.analyzed, 5))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    partial
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
   /** IVF-style top-3: the label column acts as the coarse quantizer cell;
     * each query probes only its own cell. */
   val annIvfLabelTopk: Q = (s, dir) => {
@@ -252,6 +275,7 @@ object Similarity {
        FROM v GROUP BY label ORDER BY label"""
 
   val queries: Map[String, Q] = Map(
+    "ann_custom_exec_topk" -> annCustomTopk,
     "ann_brute_topk" -> annBruteTopk,
     "ann_ivf_label_topk" -> annIvfLabelTopk,
     "ann_lsh_topk" -> annLshTopk,
@@ -259,6 +283,7 @@ object Similarity {
     "embedding_norm_stats" -> normStats)
 
   val oracles: Map[String, String] = Map(
+    "ann_custom_exec_topk" -> annBruteTopkOracle, // identical result set
     "ann_brute_topk" -> annBruteTopkOracle,
     "ann_ivf_label_topk" -> annIvfLabelTopkOracle,
     "ann_lsh_topk" -> annLshTopkOracle,
