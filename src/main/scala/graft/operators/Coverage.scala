@@ -219,7 +219,94 @@ object Coverage {
        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
        ORDER BY o_orderkey, l_linenumber"""
 
+  /** Range (interval) join without a nested-loop explosion: pairs of
+    * events by the same user within 5 minutes of each other. Each left
+    * row probes its own time band and the adjacent one (equi-join on
+    * (user, band)), then the exact range predicate filters — the banding
+    * turns an inequality join into a shuffle-friendly equi-join whose
+    * per-key fan-out is bounded by band occupancy. */
+  val joinRangeBanded: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .selectExpr("event_id", "user_id", "ts",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 300000000 AS band")
+    val probe = ev.selectExpr("event_id AS e1", "user_id AS u1",
+        "ts AS ts1", "explode(array(band - 1, band, band + 1)) AS pband")
+    val build = ev.selectExpr("event_id AS e2", "user_id AS u2",
+      "ts AS ts2", "band AS bband")
+    probe.join(build,
+        col("u1") === col("u2") && col("pband") === col("bband") &&
+        col("e1") < col("e2"))
+      .filter(col("ts2") >= col("ts1") - expr("INTERVAL '5' MINUTE") &&
+              col("ts2") <= col("ts1") + expr("INTERVAL '5' MINUTE"))
+      .select(col("e1"), col("e2"), col("u1").as("user_id"))
+      .distinct()
+      .orderBy("e1", "e2")
+  }
+
+  val joinRangeBandedOracle: String =
+    """SELECT a.event_id AS e1, b.event_id AS e2, a.user_id
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id AND a.event_id < b.event_id
+        AND b.ts >= a.ts - INTERVAL 5 MINUTE
+        AND b.ts <= a.ts + INTERVAL 5 MINUTE
+       ORDER BY e1, e2"""
+
+  /** Built-in session_window aggregation (the batch binding of the
+    * 30-minute-gap sessionization; Streams.sessionizeEvents is the
+    * gaps-and-islands twin). */
+  val sessionWindowAgg: Q = (s, dir) =>
+    events(s, dir)
+      .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .selectExpr("user_id",
+        "CAST(session_window.start AS TIMESTAMP_NTZ) AS session_start",
+        "n_events")
+      .orderBy("user_id", "session_start")
+
+  val sessionWindowAggOracle: String =
+    """WITH marked AS (
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+       sess AS (
+         SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+           ORDER BY ts ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_id
+         FROM marked)
+       SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+       FROM sess GROUP BY user_id, sess_id
+       ORDER BY user_id, session_start"""
+
+  /** Salted join: the left side's key is salted and the (small) right
+    * side replicated across the salt domain — the standard fix when one
+    * hot key would pin a whole shuffle partition. Results are identical
+    * to the plain join (oracle is the unsalted SQL). */
+  val joinSalted: Q = (s, dir) => {
+    val salts = 8
+    val o = t(s, dir, "orders")
+      .selectExpr("o_orderkey", "o_custkey", "o_totalprice",
+        s"pmod(hash(o_orderkey), $salts) AS salt")
+    val c = t(s, dir, "customer")
+      .selectExpr("c_custkey", "c_name",
+        s"explode(sequence(0, ${salts - 1})) AS salt")
+    o.join(c, o("o_custkey") === c("c_custkey") && o("salt") === c("salt"))
+      .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val joinSaltedOracle: String =
+    """SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       ORDER BY o_orderkey"""
+
   val queries: Map[String, Q] = Map(
+    "join_range_banded" -> joinRangeBanded,
+    "session_window_agg" -> sessionWindowAgg,
+    "join_salted" -> joinSalted,
     "join_bucketed" -> joinBucketed,
     "pivot_event_counts" -> pivotEventCounts,
     "having_filter" -> havingFilter,
@@ -232,6 +319,9 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "join_range_banded" -> joinRangeBandedOracle,
+    "session_window_agg" -> sessionWindowAggOracle,
+    "join_salted" -> joinSaltedOracle,
     "join_bucketed" -> joinBucketedOracle,
     "pivot_event_counts" -> pivotEventCountsOracle,
     "having_filter" -> havingFilterOracle,

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CoverageMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mm_decode_features: byte stats match a direct Scala computation") {
+    val feats = Multimodal.mmDecodeFeatures(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.take(20).foreach { case (id, text) =>
+      val bs = text.getBytes("UTF-8")
+      val r = feats(id)
+      assert(r.getAs[Long]("n_bytes") === bs.length.toLong)
+      assert(r.getAs[Long]("b0") ===
+        bs.count(b => (b & 0xff) / 64 == 0).toLong)
+    }
+  }
+
+  test("mm_frame_sample digests only every 4th frame") {
+    val out = Multimodal.mmFrameSample(spark, sf)
+    assert(out.filter(col("frame_idx") % 4 =!= 0).count() === 0)
+    assert(out.count() > 0)
+  }
+
+  test("join_salted equals the plain join") {
+    val salted = Coverage.joinSalted(spark, sf)
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+    val plain = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+    assert(salted.count() === plain.count())
+    assert(salted.except(plain).count() === 0)
+    assert(plain.except(salted).count() === 0)
+  }
+
+  test("join_range_banded equals the direct inequality join") {
+    val banded = Coverage.joinRangeBanded(spark, sf)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val a = ev.selectExpr("event_id AS e1", "user_id AS u1", "ts AS ts1")
+    val b = ev.selectExpr("event_id AS e2", "user_id AS u2", "ts AS ts2")
+    val direct = a.join(b,
+        col("u1") === col("u2") && col("e1") < col("e2") &&
+        col("ts2") >= col("ts1") - expr("INTERVAL '5' MINUTE") &&
+        col("ts2") <= col("ts1") + expr("INTERVAL '5' MINUTE"))
+      .select(col("e1"), col("e2"))
+    assert(banded.count() === direct.count())
+    assert(banded.select("e1", "e2").except(direct).count() === 0)
+  }
+
+  test("dedup_clusters: representative is the component minimum") {
+    val reps = Dedup.clusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(reps.nonEmpty)
+    reps.foreach { case (doc, rep) =>
+      assert(rep <= doc)
+      assert(reps.getOrElse(rep, rep) === rep, "rep of rep must be itself")
+    }
+  }
+
+  test("csv ingest round-trips the projection exactly") {
+    val out = Coverage.csvIngest(spark, sf)
+    val src = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_name", "p_brand", "p_size")
+    assert(out.count() === src.count())
+    assert(out.except(src).count() === 0)
+  }
+}
