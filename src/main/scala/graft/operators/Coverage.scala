@@ -303,7 +303,63 @@ object Coverage {
        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
        ORDER BY o_orderkey"""
 
+  /** Generator: posexplode (array → rows with position). */
+  val posexplodeTokens: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 20)
+      .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, tok)")
+      .orderBy("doc_id", "pos")
+
+  val posexplodeTokensOracle: String =
+    """SELECT doc_id,
+       unnest(range(0, len(string_split(text, ' ')))) AS pos,
+       unnest(string_split(text, ' ')) AS tok
+       FROM documents WHERE doc_id < 20
+       ORDER BY doc_id, pos"""
+
+  /** min_by / max_by aggregates (argmin/argmax) with a composite tiebreak
+    * key so the result is deterministic. */
+  val minByMaxBy: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        // composite numeric key (value dominates, event_id breaks ties)
+        // because DuckDB's max_by can't take struct keys
+        expr("max_by(event_id, value * 1000000 + event_id)")
+          .as("max_value_event"),
+        expr("min_by(event_id, value * 1000000 + event_id)")
+          .as("min_value_event"),
+        max("value").as("max_value"),
+        min("value").as("min_value"))
+      .orderBy("user_id")
+
+  val minByMaxByOracle: String =
+    """SELECT user_id,
+       max_by(event_id, value * 1000000 + event_id) AS max_value_event,
+       min_by(event_id, value * 1000000 + event_id) AS min_value_event,
+       max(value) AS max_value, min(value) AS min_value
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** Ordered string aggregation (sorted collect + join — deterministic,
+    * unlike bare collect_list). */
+  val stringAggSorted: Q = (s, dir) =>
+    events(s, dir)
+      .select("user_id", "event_type").distinct()
+      .groupBy("user_id")
+      .agg(expr("array_join(sort_array(collect_list(event_type)), ',')")
+        .as("types_csv"))
+      .orderBy("user_id")
+
+  val stringAggSortedOracle: String =
+    """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type)
+         AS types_csv
+       FROM (SELECT DISTINCT user_id, event_type FROM events)
+       GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
+    "posexplode_tokens" -> posexplodeTokens,
+    "min_by_max_by" -> minByMaxBy,
+    "string_agg_sorted" -> stringAggSorted,
     "join_range_banded" -> joinRangeBanded,
     "session_window_agg" -> sessionWindowAgg,
     "join_salted" -> joinSalted,
@@ -319,6 +375,9 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "posexplode_tokens" -> posexplodeTokensOracle,
+    "min_by_max_by" -> minByMaxByOracle,
+    "string_agg_sorted" -> stringAggSortedOracle,
     "join_range_banded" -> joinRangeBandedOracle,
     "session_window_agg" -> sessionWindowAggOracle,
     "join_salted" -> joinSaltedOracle,

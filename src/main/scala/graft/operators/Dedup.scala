@@ -169,22 +169,16 @@ object Dedup {
     s"""WITH $minhashScoredCte
        SELECT * FROM scored WHERE jaccard >= 0.8 ORDER BY d1, d2"""
 
-  /** 48-bit SimHash per document over word-3-gram shingle hashes (shingle
-    * features, not unigrams: the harness vocabulary is ~40 words, so
-    * unigram token sets are near-identical across documents and carry no
-    * signal; the shingle space is combinatorially larger). Spark side
-    * hashes each shingle once into `th`, then folds the 48 bit-tests over
-    * the cached array. */
-  private val simhashTokensSpark =
-    s"transform($shSpark, x -> ${hex60("x")} % 281474976710656)"
-
-  private val simhashSpark =
-    "graft_simhash48(th)" // native: one pass over the feature hashes
+  /** 48-bit SimHash per document over DISTINCT word-3-gram shingles
+    * (shingle features, not unigrams: the harness vocabulary is ~40
+    * words, so unigram token sets are near-identical across documents
+    * and carry no signal). Spark side is one native pass
+    * (graft.plans.SimHash48Text); the oracle runs the equivalent
+    * expression chain. */
 
   val simhash: Q = (s, dir) =>
     t(s, dir, "documents")
-      .selectExpr("doc_id", s"$simhashTokensSpark AS th")
-      .selectExpr("doc_id", s"$simhashSpark AS simhash")
+      .selectExpr("doc_id", "graft_simhash48_text(text) AS simhash")
       .orderBy("doc_id")
 
   /** DuckDB twin: shingle hashes once per doc (CTE), then the 48-bit fold. */
@@ -213,8 +207,7 @@ object Dedup {
     * scale path — no all-pairs comparison. */
   val simhashPairs: Q = (s, dir) => {
     val sh = t(s, dir, "documents")
-      .selectExpr("doc_id", s"$simhashTokensSpark AS th")
-      .selectExpr("doc_id", s"$simhashSpark AS simhash")
+      .selectExpr("doc_id", "graft_simhash48_text(text) AS simhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sh.selectExpr("doc_id", "simhash",
       "explode(sequence(0, 3)) AS band")

@@ -103,6 +103,63 @@ object HashUtil {
     out
   }
 
+  /** 48-bit simhash straight from text: tokenize, build the DISTINCT
+    * word-3-gram shingle set (exact string dedupe — simhash, unlike
+    * minhash, is multiset-sensitive), md5-hash each mod 2^48, majority
+    * vote per bit. Values identical to the expression-chain formulation
+    * the oracle uses. */
+  def simhash48FromText(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    val cnt = new Array[Int](48)
+    var n = 0
+    if (nTok >= 3) {
+      val starts = new Array[Int](nTok + 1)
+      var t = 1
+      starts(0) = 0
+      i = 0
+      while (i < bytes.length) {
+        if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+        i += 1
+      }
+      starts(nTok) = bytes.length + 1
+      val seen = new java.util.HashSet[String]()
+      val md = mdTl.get()
+      var k = 0
+      while (k < nTok - 2) {
+        val from = starts(k)
+        val len = starts(k + 3) - 1 - from
+        val shingle = new String(bytes, from, len,
+          java.nio.charset.StandardCharsets.UTF_8)
+        if (seen.add(shingle)) {
+          md.reset()
+          md.update(bytes, from, len)
+          val d = md.digest()
+          var h = 0L
+          i = 0
+          while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+          h = ((h << 4) | ((d(7) & 0xf0L) >>> 4)) % 281474976710656L
+          var b = 0
+          while (b < 48) {
+            if (((h >>> b) & 1L) == 1L) cnt(b) += 1
+            b += 1
+          }
+          n += 1
+        }
+        k += 1
+      }
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 48) {
+      if (2 * cnt(b) - n > 0) sh |= (1L << b)
+      b += 1
+    }
+    sh
+  }
+
   /** 48-bit simhash of a feature-hash array. Called from generated code. */
   def simhash48(hs: ArrayData): Long = {
     val n = hs.numElements()
@@ -253,6 +310,23 @@ case class SimHash48(child: Expression) extends UnaryExpression {
       : Expression = copy(newChild)
 }
 
+/** 48-bit SimHash straight from text in one native pass (distinct
+  * shingles, exact string dedupe). */
+case class SimHash48Text(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    HashUtil.simhash48FromText(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashUtil.simhash48FromText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(newChild)
+}
+
 /** Word-3-gram shingle hashes straight from text (split + window + md5
   * fused into one byte-level pass, no intermediate string arrays). Only
   * valid where downstream use is multiset-invariant (min-hash); the
@@ -307,6 +381,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash48"),
       new ExpressionInfo(classOf[SimHash48].getName, "graft_simhash48"),
       (exprs: Seq[Expression]) => SimHash48(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash48_text"),
+      new ExpressionInfo(classOf[SimHash48Text].getName,
+        "graft_simhash48_text"),
+      (exprs: Seq[Expression]) => SimHash48Text(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName,
