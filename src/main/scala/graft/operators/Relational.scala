@@ -128,6 +128,51 @@ object Relational {
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
       .orderBy("event_id")
 
+  /** TPC-H Q3-style shipping-priority query: 3-way join, decimal-exact
+    * revenue, group, top-10 — a realistic macro workload (plans as two
+    * shuffles + WindowGroupLimit-free TakeOrdered after aggregation). */
+  val q3ShippingPriority: Q = (s, dir) => {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1999-06-01").cast(D))
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1999-06-01").cast(D))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(l("l_orderkey"), o("o_orderdate"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+           col("l_discount").cast(DecimalType(18, 2)))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier-volume: 6-way snowflake join with the
+    * customer-and-supplier-same-nation condition, revenue per nation. */
+  val q5LocalSupplier: Q = (s, dir) => {
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(D) &&
+              col("o_orderdate") < lit("1998-01-01").cast(D))
+    val l = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey") &&
+        c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+           col("l_discount").cast(DecimalType(18, 2)))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
   // ---- joins (§2.3) ----
 
   /** Snowflake dim chain customer→nation→region; both dims are tiny at any
@@ -314,6 +359,8 @@ object Relational {
   // ------------------------------------------------------------ oracle SQL
 
   val queries: Map[String, Q] = Map(
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q5_local_supplier" -> q5LocalSupplier,
     "q1_join_filter_sort" -> q1JoinFilterSort,
     "scan_project" -> scanProject,
     "select_star_limit" -> selectStarLimit,
@@ -343,6 +390,36 @@ object Relational {
     "except_keys" -> exceptKeys)
 
   val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT l.l_orderkey, o.o_orderdate,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS DOUBLE) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1999-06-01'
+           AND l.l_shipdate > TIMESTAMP '1999-06-01'
+         GROUP BY l.l_orderkey, o.o_orderdate
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n.n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS DOUBLE) AS revenue
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n.n_name
+         ORDER BY revenue DESC, n_name ASC""",
     "q1_join_filter_sort" ->
       """SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
          l.l_linenumber, l.l_quantity, l.l_extendedprice

@@ -274,7 +274,44 @@ object Similarity {
            / count(*) AS avg_norm
        FROM v GROUP BY label ORDER BY label"""
 
+  /** Per-vector int8 quantization (the storage-shrink step of a vector
+    * pipeline): symmetric scale = max|x|, q = round(x/scale·127), plus
+    * the reconstruction RMSE. All folds order-pinned for the oracle. */
+  val quantizeInt8: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale")
+      .selectExpr("vec_id", "scale",
+        """transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INT))
+           AS qvec""",
+        """round(sqrt(aggregate(zip_with(embedding,
+             transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INT)),
+             (x, q) -> pow(CAST(x AS DOUBLE) - CAST(q AS DOUBLE) * scale / 127, 2)),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v) / size(embedding)), 6)
+           AS rmse""")
+      .selectExpr("vec_id", "round(scale, 6) AS scale", "qvec", "rmse")
+      .orderBy("vec_id")
+
+  val quantizeInt8Oracle: String =
+    """WITH s AS (
+         SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+             AS scale
+         FROM embeddings)
+       SELECT vec_id, round(scale, 6) AS scale,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INT)) AS qvec,
+         round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(embedding, x ->
+             pow(CAST(x AS DOUBLE) -
+               CAST(CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INT)
+                 AS DOUBLE) * scale / 127, 2))),
+           (acc, v) -> acc + v) / len(embedding)), 6) AS rmse
+       FROM s ORDER BY vec_id"""
+
   val queries: Map[String, Q] = Map(
+    "embedding_quantize_int8" -> quantizeInt8,
     "ann_custom_exec_topk" -> annCustomTopk,
     "ann_brute_topk" -> annBruteTopk,
     "ann_ivf_label_topk" -> annIvfLabelTopk,
@@ -283,6 +320,7 @@ object Similarity {
     "embedding_norm_stats" -> normStats)
 
   val oracles: Map[String, String] = Map(
+    "embedding_quantize_int8" -> quantizeInt8Oracle,
     "ann_custom_exec_topk" -> annBruteTopkOracle, // identical result set
     "ann_brute_topk" -> annBruteTopkOracle,
     "ann_ivf_label_topk" -> annIvfLabelTopkOracle,

@@ -205,7 +205,37 @@ object Streams {
          ORDER BY ts DESC, event_id DESC) = 1
        ORDER BY user_id"""
 
+  /** foreachBatch parquet sink — the client-result-sink binding
+    * (reference writes query results to CSV on a shared volume,
+    * `KubeflowStockPricePrediction.ipynb:179-186`); foreachBatch is where
+    * a production stream does idempotent/transactional writes. */
+  val streamForeachBatchSink: Q = (s, dir) => {
+    val out = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_fbsink_" +
+        java.lang.Integer.toHexString(dir.hashCode))
+    if (out.exists()) {
+      out.listFiles().foreach(_.delete())
+      out.delete()
+    }
+    val q = eventStream(s, dir)
+      .selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts",
+        "user_id", "event_type", "value")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out.getAbsolutePath)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(out.getAbsolutePath).orderBy("event_id")
+  }
+
+  val streamForeachBatchSinkOracle: String =
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+       value
+       FROM events ORDER BY event_id"""
+
   val queries: Map[String, Q] = Map(
+    "stream_foreach_batch_sink" -> streamForeachBatchSink,
     "stream_stateful_latest" -> streamStatefulLatest,
     "stream_dedup_keys" -> streamDedupKeys,
     "stream_tumbling_counts" -> streamTumblingCounts,
@@ -213,6 +243,7 @@ object Streams {
     "sessionize_events" -> sessionizeEvents)
 
   val oracles: Map[String, String] = Map(
+    "stream_foreach_batch_sink" -> streamForeachBatchSinkOracle,
     "stream_stateful_latest" -> streamStatefulLatestOracle,
     "stream_dedup_keys" -> streamDedupKeysOracle,
     "stream_tumbling_counts" -> streamTumblingCountsOracle,
