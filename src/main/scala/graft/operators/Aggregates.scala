@@ -212,7 +212,44 @@ object Aggregates {
       .orderBy("tbl")
   }
 
+  /** KMV distinct-count sketch (custom TypedImperativeAggregate,
+    * graft.plans.KmvDistinct) next to the exact count. Because the sketch
+    * is built on the engine's md5-derived hash, the DuckDB oracle
+    * reproduces the estimate EXACTLY — unlike HLL, whose register layout
+    * is engine-specific. */
+  val kmvDistinct: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("round(graft_kmv_distinct(CAST(l_partkey AS STRING)), 4)")
+          .as("est_distinct"),
+        countDistinct(col("l_partkey")).as("exact_distinct"))
+      .orderBy("l_returnflag")
+
+  val kmvDistinctOracle: String =
+    s"""WITH h AS (
+         SELECT DISTINCT l_returnflag,
+           ${graft.functions.TextAnalysis.hex60Duck("CAST(l_partkey AS VARCHAR)")} AS h
+         FROM lineitem),
+       r AS (
+         SELECT l_returnflag, h,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+         FROM h),
+       kk AS (
+         SELECT l_returnflag, max(h) AS kth, count(*) AS n
+         FROM r WHERE rn <= 1024 GROUP BY l_returnflag),
+       ex AS (
+         SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT kk.l_returnflag,
+         round(CASE WHEN kk.n < 1024 THEN CAST(kk.n AS DOUBLE)
+               ELSE 1023 * pow(2, 60) / kk.kth END, 4) AS est_distinct,
+         ex.exact_distinct
+       FROM kk JOIN ex ON kk.l_returnflag = ex.l_returnflag
+       ORDER BY kk.l_returnflag"""
+
   val queries: Map[String, Q] = Map(
+    "approx_distinct_kmv" -> kmvDistinct,
     "groupby_agg" -> groupbyAgg,
     "group_count_distinct" -> groupCountDistinct,
     "rollup_agg" -> rollupAgg,
@@ -231,6 +268,7 @@ object Aggregates {
     "count_rows" -> countRows)
 
   val oracles: Map[String, String] = Map(
+    "approx_distinct_kmv" -> kmvDistinctOracle,
     "groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -387,6 +387,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_simhash48_text"),
       (exprs: Seq[Expression]) => SimHash48Text(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("graft_kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
+      (exprs: Seq[Expression]) => KmvDistinct(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName,
         "graft_shingle_hashes"),
