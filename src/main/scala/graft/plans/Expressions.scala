@@ -365,6 +365,7 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => GraftStrategies)
+    e.injectOptimizerRule(_ => RewriteRankOneToMaxBy)
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

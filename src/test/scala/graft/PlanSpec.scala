@@ -54,6 +54,17 @@ class PlanSpec extends SparkSpec {
       s"rank filter not staged into partial top-k:\n$p")
   }
 
+  test("rank=1 dedup rewrites to a map-side-combinable max_by aggregate") {
+    val df = Aggregates.dedupLatestByKey(spark, sf)
+    val p = plan(df)
+    assert(p.contains("max_by"),
+      s"RewriteRankOneToMaxBy did not fire:\n$p")
+    assert(!p.contains("row_number"),
+      s"window survived the rewrite:\n$p")
+    assert(p.contains("partial_max_by"),
+      s"no map-side partial aggregation:\n$p")
+  }
+
   test("bucketed join plans no shuffle before the join") {
     val df = Coverage.joinBucketed(spark, sf)
     val p = df.queryExecution.executedPlan.toString()
