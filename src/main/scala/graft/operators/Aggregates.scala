@@ -248,7 +248,62 @@ object Aggregates {
        FROM kk JOIN ex ON kk.l_returnflag = ex.l_returnflag
        ORDER BY kk.l_returnflag"""
 
+  /** The reference's ENTIRE pre-ML Kubeflow DAG collapsed into one lazy
+    * plan (SURVEY §3.2 — its biggest architectural win): query → dedup
+    * latest-per-(user, day) → min-max scale per event type → trailing
+    * 5-step sequence windows, with stage boundaries only at genuine
+    * shuffles. The reference runs this as four pods passing CSVs over a
+    * PVC (`KubeflowStockPricePrediction.ipynb` cells 7–13). */
+  val pipelineTrainPrep: Q = (s, dir) => {
+    val ev = events(s, dir)
+      .withColumn("day", date_trunc("day", col("ts")))
+    val wDedup = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val deduped = ev
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)
+      .select("user_id", "day", "event_type", "value")
+    val wScale = Window.partitionBy("event_type")
+    val scaled = deduped
+      .withColumn("value_scaled",
+        (col("value") - min(col("value")).over(wScale)) /
+        (max(col("value")).over(wScale) - min(col("value")).over(wScale)))
+    val wSeq = Window.partitionBy("user_id")
+      .orderBy(col("day").asc)
+      .rowsBetween(-4, 0)
+    scaled
+      .withColumn("seq", collect_list(col("value_scaled")).over(wSeq))
+      .withColumn("seq_len", count(lit(1)).over(wSeq))
+      .filter(col("seq_len") === 5)
+      .select("user_id", "day", "seq")
+      .orderBy("user_id", "day")
+  }
+
+  val pipelineTrainPrepOracle: String =
+    """WITH ev AS (
+         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           value, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+         FROM events),
+       deduped AS (
+         SELECT user_id, day, event_type, value FROM ev
+         QUALIFY row_number() OVER (PARTITION BY user_id, day
+           ORDER BY ts DESC, event_id DESC) = 1),
+       scaled AS (
+         SELECT user_id, day, event_type, value,
+           (value - min(value) OVER w) /
+             (max(value) OVER w - min(value) OVER w) AS value_scaled
+         FROM deduped WINDOW w AS (PARTITION BY event_type)),
+       seqs AS (
+         SELECT user_id, day,
+           list(value_scaled) OVER ws AS seq, count(*) OVER ws AS seq_len
+         FROM scaled
+         WINDOW ws AS (PARTITION BY user_id ORDER BY day ASC
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+       SELECT user_id, day, seq FROM seqs WHERE seq_len = 5
+       ORDER BY user_id, day"""
+
   val queries: Map[String, Q] = Map(
+    "pipeline_train_prep" -> pipelineTrainPrep,
     "approx_distinct_kmv" -> kmvDistinct,
     "groupby_agg" -> groupbyAgg,
     "group_count_distinct" -> groupCountDistinct,
@@ -268,6 +323,7 @@ object Aggregates {
     "count_rows" -> countRows)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_train_prep" -> pipelineTrainPrepOracle,
     "approx_distinct_kmv" -> kmvDistinctOracle,
     "groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,

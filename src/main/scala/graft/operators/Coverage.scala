@@ -356,7 +356,80 @@ object Coverage {
        FROM (SELECT DISTINCT user_id, event_type FROM events)
        GROUP BY user_id ORDER BY user_id"""
 
+  /** first_value / last_value / nth_value / ntile window functions. */
+  val windowValueFuncs: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        first(col("value")).over(wf).as("first_value"),
+        last(col("value")).over(wf).as("last_value"),
+        nth_value(col("value"), 2).over(wf).as("second_value"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("event_id")
+  }
+
+  val windowValueFuncsOracle: String =
+    """SELECT event_id, user_id, value,
+       first_value(value) OVER wf AS first_value,
+       last_value(value) OVER wf AS last_value,
+       nth_value(value, 2) OVER wf AS second_value,
+       ntile(4) OVER w AS quartile
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+         wf AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY event_id"""
+
+  /** Conditional aggregation (FILTER / sum-of-CASE). */
+  val conditionalAgg: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        sum(when(col("event_type") === "purchase",
+            col("value").cast(DecimalType(18, 2)))
+          .otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("purchase_value"),
+        count(lit(1)).as("n_total"))
+      .orderBy("user_id")
+
+  val conditionalAggOracle: String =
+    """SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'error') AS n_errors,
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(value AS DECIMAL(18,2))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS purchase_value,
+       count(*) AS n_total
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** Date arithmetic breadth: diffs, truncation distance, extraction. */
+  val scalarDateArith: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .selectExpr("o_orderkey",
+        "datediff(o_orderdate, CAST('1995-01-01' AS TIMESTAMP_NTZ)) AS days_since_epoch_start",
+        "(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS months_since",
+        "quarter(o_orderdate) AS qtr",
+        "weekofyear(o_orderdate) AS wk")
+      .orderBy("o_orderkey")
+
+  val scalarDateArithOracle: String =
+    """SELECT o_orderkey,
+       datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
+         AS days_since_epoch_start,
+       (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1
+         AS months_since,
+       quarter(o_orderdate) AS qtr,
+       weekofyear(o_orderdate) AS wk
+       FROM orders ORDER BY o_orderkey"""
+
   val queries: Map[String, Q] = Map(
+    "window_value_funcs" -> windowValueFuncs,
+    "conditional_agg" -> conditionalAgg,
+    "scalar_date_arith" -> scalarDateArith,
     "posexplode_tokens" -> posexplodeTokens,
     "min_by_max_by" -> minByMaxBy,
     "string_agg_sorted" -> stringAggSorted,
@@ -375,6 +448,9 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "window_value_funcs" -> windowValueFuncsOracle,
+    "conditional_agg" -> conditionalAggOracle,
+    "scalar_date_arith" -> scalarDateArithOracle,
     "posexplode_tokens" -> posexplodeTokensOracle,
     "min_by_max_by" -> minByMaxByOracle,
     "string_agg_sorted" -> stringAggSortedOracle,
