@@ -137,13 +137,65 @@ object TextAnalysis {
          (h, c) -> (h * 31 + c) % 1000000007) END AS fp_rolling
        FROM documents ORDER BY doc_id"""
 
+  /** Normalization-aware exact dedup: lower-case, digits→0, collapsed
+    * whitespace — catches trivial near-identical copies before the
+    * (costlier) MinHash pass. */
+  val dedupNormalized: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id",
+        hex60("regexp_replace(regexp_replace(lower(text), '[0-9]', '0'), ' +', ' ')")
+          + " AS norm_hash")
+      .groupBy("norm_hash")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+
+  val dedupNormalizedOracle: String =
+    s"""SELECT ${hex60Duck("regexp_replace(regexp_replace(lower(text), '[0-9]', '0', 'g'), ' +', ' ', 'g')")}
+         AS norm_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+       FROM documents GROUP BY 1 ORDER BY keep_doc_id"""
+
+  /** Scrubbing pass (PII-style): mask digit runs, count the masks —
+    * the redaction step of a training-data pipeline. */
+  val textScrub: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id",
+        "regexp_replace(text, '[0-9]+', '<NUM>') AS text_scrubbed",
+        "size(regexp_extract_all(text, '[0-9]+', 0)) AS n_masked")
+      .orderBy("doc_id")
+
+  val textScrubOracle: String =
+    """SELECT doc_id,
+       regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS text_scrubbed,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_masked
+       FROM documents ORDER BY doc_id"""
+
+  /** Document-length histogram (100-char buckets) — the corpus-profile
+    * aggregate every data pipeline starts with. */
+  val docLengthHistogram: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("length(text) div 100 AS bucket")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket")
+
+  val docLengthHistogramOracle: String =
+    """SELECT length(text) // 100 AS bucket, count(*) AS n_docs
+       FROM documents GROUP BY 1 ORDER BY bucket"""
+
   val queries: Map[String, Q] = Map(
+    "dedup_normalized" -> dedupNormalized,
+    "text_scrub" -> textScrub,
+    "doc_length_histogram" -> docLengthHistogram,
     "text_token_count" -> tokenCount,
     "text_quality_score" -> qualityScore,
     "text_lang_id" -> langId,
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "dedup_normalized" -> dedupNormalizedOracle,
+    "text_scrub" -> textScrubOracle,
+    "doc_length_histogram" -> docLengthHistogramOracle,
     "text_token_count" -> tokenCountOracle,
     "text_quality_score" -> qualityScoreOracle,
     "text_lang_id" -> langIdOracle,

@@ -302,7 +302,46 @@ object Aggregates {
        SELECT user_id, day, seq FROM seqs WHERE seq_len = 5
        ORDER BY user_id, day"""
 
+  /** Funnel conversion: per user, the ordered signup → click → purchase
+    * progression (each stage must happen strictly after the previous
+    * one's first occurrence) — one aggregation pass, no self-joins. */
+  val funnelConversion: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val stages = ev.groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("t_purchase"))
+    stages.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t_signup")).as("n_signup"),
+      count(when(col("t_click") > col("t_signup"), 1))
+        .as("n_click_after_signup"),
+      count(when(col("t_purchase") > col("t_click") &&
+        col("t_click") > col("t_signup"), 1)).as("n_full_funnel"))
+  }
+
+  val funnelConversionOracle: String =
+    """WITH stages AS (
+         SELECT user_id,
+           min(CASE WHEN event_type = 'signup'
+             THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+           min(CASE WHEN event_type = 'click'
+             THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+           min(CASE WHEN event_type = 'purchase'
+             THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+         FROM events GROUP BY user_id)
+       SELECT count(*) AS n_users,
+         count(t_signup) AS n_signup,
+         count(*) FILTER (WHERE t_click > t_signup)
+           AS n_click_after_signup,
+         count(*) FILTER (WHERE t_purchase > t_click
+           AND t_click > t_signup) AS n_full_funnel
+       FROM stages"""
+
   val queries: Map[String, Q] = Map(
+    "funnel_conversion" -> funnelConversion,
     "pipeline_train_prep" -> pipelineTrainPrep,
     "approx_distinct_kmv" -> kmvDistinct,
     "groupby_agg" -> groupbyAgg,
@@ -323,6 +362,7 @@ object Aggregates {
     "count_rows" -> countRows)
 
   val oracles: Map[String, String] = Map(
+    "funnel_conversion" -> funnelConversionOracle,
     "pipeline_train_prep" -> pipelineTrainPrepOracle,
     "approx_distinct_kmv" -> kmvDistinctOracle,
     "groupby_agg" ->
