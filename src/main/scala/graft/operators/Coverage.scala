@@ -98,12 +98,21 @@ object Coverage {
     * (reference pushes the upper bound into the broker seek,
     * `trino/catalog/kafka.properties:7`); here the bound is pushed into
     * the parquet scan (PushedFilters). */
-  val eventsTimeBounded: Q = (s, dir) =>
-    events(s, dir)
-      .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp_ntz") &&
-              col("ts") <  lit("2024-01-20 00:00:00").cast("timestamp_ntz"))
+  val eventsTimeBounded: Q = (s, dir) => {
+    // Bound the RAW int64-nanos column so the predicate reaches the
+    // parquet scan (a filter on the converted timestamp sits above the
+    // projection and scans everything). Whole-second bounds make the
+    // ns-domain and µs-domain filters select identical rows.
+    def ns(isoInstant: String): Long =
+      java.time.Instant.parse(isoInstant).getEpochSecond * 1000000000L
+    graft.sources.Tables.t(s, dir, "events")
+      .filter(col("ts") >= ns("2024-01-10T00:00:00Z") &&
+              col("ts") < ns("2024-01-20T00:00:00Z"))
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       .select("event_id", "ts", "user_id", "event_type")
       .orderBy("event_id")
+  }
 
   val eventsTimeBoundedOracle: String =
     """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type

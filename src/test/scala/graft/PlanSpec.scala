@@ -65,6 +65,13 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial aggregation:\n$p")
   }
 
+  test("timestamp bounds are pushed to the raw nanos parquet scan") {
+    val p = plan(Coverage.eventsTimeBounded(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,") ||
+           p.contains("GreaterThanOrEqual(ts,17"),
+      s"ts bound not pushed to scan:\n$p")
+  }
+
   test("bucketed join plans no shuffle before the join") {
     val df = Coverage.joinBucketed(spark, sf)
     val p = df.queryExecution.executedPlan.toString()
