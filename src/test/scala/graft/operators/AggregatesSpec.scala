@@ -73,6 +73,36 @@ class AggregatesSpec extends SparkSpec {
     assert(Aggregates.rollupAgg(spark, sf).count() === groups + flags + 1)
   }
 
+  test("kmv sketch: exact below k, close above k, partition-independent") {
+    val out = Aggregates.kmvDistinct(spark, sf).collect()
+    out.foreach { r =>
+      val est = r.getAs[Double]("est_distinct")
+      val exact = r.getAs[Long]("exact_distinct")
+      if (exact < 1024) assert(est === exact.toDouble)
+      else assert(math.abs(est - exact) / exact < 0.15,
+        s"KMV estimate $est too far from $exact")
+    }
+    // partition-order independence: same result from a different layout
+    val again = Aggregates.kmvDistinct(spark, sf).collect()
+    assert(out.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("funnel counts are monotonically non-increasing") {
+    val r = Aggregates.funnelConversion(spark, sf).head()
+    val users = r.getAs[Long]("n_users")
+    val signup = r.getAs[Long]("n_signup")
+    val click = r.getAs[Long]("n_click_after_signup")
+    val full = r.getAs[Long]("n_full_funnel")
+    assert(users >= signup && signup >= click && click >= full)
+    assert(full >= 0)
+  }
+
+  test("pipeline_train_prep emits 5-length sequences only") {
+    val out = Aggregates.pipelineTrainPrep(spark, sf)
+    assert(out.filter(size(col("seq")) =!= 5).count() === 0)
+    assert(out.count() > 0)
+  }
+
   test("property: decimal-sum path is partition-order independent") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 5) {
