@@ -36,9 +36,9 @@ object TextAnalysis {
   val tokenCount: Q = (s, dir) =>
     t(s, dir, "documents").selectExpr(
       "doc_id",
-      "size(split(text, ' ')) AS n_tokens_ws",
-      "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_tokens_bpe",
-      "length(text) AS n_chars_real")
+      "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens_ws",
+      "CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS n_tokens_bpe",
+      "CAST(length(text) AS BIGINT) AS n_chars_real")
       .orderBy("doc_id")
 
   val tokenCountOracle: String =
@@ -55,8 +55,8 @@ object TextAnalysis {
       .selectExpr("doc_id", "text", "split(text, ' ') AS toks")
       .selectExpr(
         "doc_id",
-        "length(text) AS n_chars_real",
-        "size(toks) AS n_tokens",
+        "CAST(length(text) AS BIGINT) AS n_chars_real",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
         s"round(CAST(size(filter(toks, x -> x IN $STOP)) AS DOUBLE) / size(toks), 6) AS stopword_ratio",
         "round(CAST(length(regexp_replace(text, '[^a-z]', '')) AS DOUBLE) / length(text), 6) AS alpha_ratio",
         "round((CAST(length(text) AS DOUBLE) - (size(toks) - 1)) / size(toks), 6) AS avg_token_len")
@@ -81,10 +81,10 @@ object TextAnalysis {
       .selectExpr("doc_id", "lang", "split(text, ' ') AS toks")
       .selectExpr(
         "doc_id", "lang AS lang_declared",
-        "size(filter(toks, x -> x IN ('the','and','of','is'))) AS s_en",
-        "size(filter(toks, x -> x IN ('der','und','die','ist'))) AS s_de",
-        "size(filter(toks, x -> x IN ('el','los','es','y'))) AS s_es",
-        "size(filter(toks, x -> x IN ('le','les','est','et'))) AS s_fr")
+        "CAST(size(filter(toks, x -> x IN ('the','and','of','is'))) AS BIGINT) AS s_en",
+        "CAST(size(filter(toks, x -> x IN ('der','und','die','ist'))) AS BIGINT) AS s_de",
+        "CAST(size(filter(toks, x -> x IN ('el','los','es','y'))) AS BIGINT) AS s_es",
+        "CAST(size(filter(toks, x -> x IN ('le','les','est','et'))) AS BIGINT) AS s_fr")
       .selectExpr("doc_id", "lang_declared", "s_en", "s_de", "s_es", "s_fr",
         """CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
                 WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
@@ -161,7 +161,7 @@ object TextAnalysis {
     t(s, dir, "documents")
       .selectExpr("doc_id",
         "regexp_replace(text, '[0-9]+', '<NUM>') AS text_scrubbed",
-        "size(regexp_extract_all(text, '[0-9]+', 0)) AS n_masked")
+        "CAST(size(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT) AS n_masked")
       .orderBy("doc_id")
 
   val textScrubOracle: String =
@@ -174,7 +174,7 @@ object TextAnalysis {
     * aggregate every data pipeline starts with. */
   val docLengthHistogram: Q = (s, dir) =>
     t(s, dir, "documents")
-      .selectExpr("length(text) div 100 AS bucket")
+      .selectExpr("CAST(length(text) AS BIGINT) div 100 AS bucket")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket")

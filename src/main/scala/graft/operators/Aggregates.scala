@@ -134,9 +134,9 @@ object Aggregates {
       .orderBy(col("value").desc, col("event_id").asc)
     events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-        row_number().over(w).as("rn"),
-        rank().over(wv).as("value_rank"),
-        dense_rank().over(wv).as("value_dense_rank"),
+        row_number().over(w).cast(LongType).as("rn"),
+        rank().over(wv).cast(LongType).as("value_rank"),
+        dense_rank().over(wv).cast(LongType).as("value_dense_rank"),
         lag(col("value"), 1).over(w).as("prev_value"),
         lead(col("value"), 1).over(w).as("next_value"))
       .orderBy("event_id")

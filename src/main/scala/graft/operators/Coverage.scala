@@ -78,8 +78,8 @@ object Coverage {
     t(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id",
-        "size(toks) AS n_tokens",
-        "size(array_distinct(toks)) AS n_distinct",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct",
         "slice(array_sort(array_distinct(toks)), 1, 5) AS first5",
         "array_contains(toks, 'the') AS has_the")
       .orderBy("doc_id")
@@ -317,6 +317,7 @@ object Coverage {
     t(s, dir, "documents")
       .filter(col("doc_id") < 20)
       .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, tok)")
+      .selectExpr("doc_id", "CAST(pos AS BIGINT) AS pos", "tok")
       .orderBy("doc_id", "pos")
 
   val posexplodeTokensOracle: String =
@@ -376,7 +377,7 @@ object Coverage {
         first(col("value")).over(wf).as("first_value"),
         last(col("value")).over(wf).as("last_value"),
         nth_value(col("value"), 2).over(wf).as("second_value"),
-        ntile(4).over(w).as("quartile"))
+        ntile(4).over(w).cast(LongType).as("quartile"))
       .orderBy("event_id")
   }
 
@@ -419,10 +420,10 @@ object Coverage {
   val scalarDateArith: Q = (s, dir) =>
     t(s, dir, "orders")
       .selectExpr("o_orderkey",
-        "datediff(o_orderdate, CAST('1995-01-01' AS TIMESTAMP_NTZ)) AS days_since_epoch_start",
-        "(year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS months_since",
-        "quarter(o_orderdate) AS qtr",
-        "weekofyear(o_orderdate) AS wk")
+        "CAST(datediff(o_orderdate, CAST('1995-01-01' AS TIMESTAMP_NTZ)) AS BIGINT) AS days_since_epoch_start",
+        "CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS BIGINT) AS months_since",
+        "CAST(quarter(o_orderdate) AS BIGINT) AS qtr",
+        "CAST(weekofyear(o_orderdate) AS BIGINT) AS wk")
       .orderBy("o_orderkey")
 
   val scalarDateArithOracle: String =

@@ -218,7 +218,7 @@ object Dedup {
       "band AS band2", "bval AS bval2")
     x.join(y, x("band") === y("band2") && x("bval") === y("bval2") &&
         x("d1") < y("d2"))
-      .selectExpr("d1", "d2", "bit_count(h1 ^ h2) AS hamming")
+      .selectExpr("d1", "d2", "CAST(bit_count(h1 ^ h2) AS BIGINT) AS hamming")
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("d1", "d2")
@@ -232,7 +232,7 @@ object Dedup {
          FROM sh, range(0, 4) t(band)),
        cand AS (
          SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
-           bit_count(xor(x.simhash, y.simhash)) AS hamming
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
          FROM bands x JOIN bands y
            ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
        SELECT * FROM cand WHERE hamming <= 3 ORDER BY d1, d2"""

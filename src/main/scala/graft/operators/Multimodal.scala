@@ -57,7 +57,7 @@ object Multimodal {
   val mmMetadata: Q = (s, dir) =>
     t(s, dir, "documents")
       .selectExpr("doc_id",
-        "octet_length(CAST(text AS BINARY)) AS n_bytes",
+        "CAST(octet_length(CAST(text AS BINARY)) AS BIGINT) AS n_bytes",
         s"16 + ${hex60("concat('w_', text)")} % 240 AS width",
         s"16 + ${hex60("concat('h_', text)")} % 120 AS height",
         "1 + n_chars div 100 AS n_frames")
@@ -112,7 +112,7 @@ object Multimodal {
       .selectExpr("doc_id", "text",
         "sequence(0, greatest(CAST(ceil(length(text) / 32.0) AS INT) - 1, 0), 4) AS frame_ids")
       .selectExpr("doc_id", "explode(frame_ids) AS frame_idx", "text")
-      .selectExpr("doc_id", "frame_idx",
+      .selectExpr("doc_id", "CAST(frame_idx AS BIGINT) AS frame_idx",
         "md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_digest")
       .orderBy("doc_id", "frame_idx")
 

@@ -94,7 +94,7 @@ object Relational {
         upper(col("p_name")).as("name_upper"),
         substring(col("p_name"), 1, 4).as("name_pfx"),
         expr("replace(p_name, ' ', '_')").as("name_snake"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast(LongType).as("name_len"),
         concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
       .orderBy("p_partkey")
 
@@ -102,9 +102,9 @@ object Relational {
   val scalarDateFuncs: Q = (s, dir) =>
     t(s, dir, "orders")
       .select(col("o_orderkey"),
-        year(col("o_orderdate")).as("yr"),
-        month(col("o_orderdate")).as("mo"),
-        dayofmonth(col("o_orderdate")).as("dom"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mo"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
         date_trunc("month", col("o_orderdate")).as("month_start"),
         (col("o_orderdate") + expr("INTERVAL 5 DAYS")).as("plus5"))
       .orderBy("o_orderkey")

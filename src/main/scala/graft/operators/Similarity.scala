@@ -72,7 +72,8 @@ object Similarity {
     c.join(broadcast(q))
       .selectExpr("q_id", "c_id",
         s"${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim")
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
       .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
       .orderBy("q_id", "rank")
   }
@@ -113,7 +114,8 @@ object Similarity {
     val w = Window.partitionBy("q_id")
       .orderBy(col("cos_sim").desc, col("c_id").asc)
     partial
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
       .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
       .orderBy("q_id", "rank")
   }
@@ -133,7 +135,8 @@ object Similarity {
     c.join(broadcast(q), col("c_label") === col("q_label"))
       .selectExpr("q_id", "c_id",
         s"${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim")
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
       .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
       .orderBy("q_id", "rank")
   }
@@ -204,7 +207,8 @@ object Similarity {
     c.join(broadcast(q), col("c_bucket") === col("q_bucket"))
       .selectExpr("q_id", "c_id",
         s"${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim")
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
       .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
       .orderBy("q_id", "rank")
   }

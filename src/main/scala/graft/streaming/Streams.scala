@@ -156,9 +156,10 @@ object Streams {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
        sess AS (
-         SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+         SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
            ORDER BY ts ASC, event_id ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sess_id
          FROM marked)
        SELECT user_id, sess_id, min(ts) AS session_start,
          max(ts) AS session_end, count(*) AS n_events,

@@ -73,8 +73,8 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().groupBy(_.getLong(0))
     assert(rows.size === 10)
     rows.values.foreach { rs =>
-      val sorted = rs.sortBy(_.getInt(1))
-      assert(sorted.map(_.getInt(1)).toSeq === (1 to 5))
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to 5L))
       val sims = sorted.map(_.getDouble(2))
       assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
     }
