@@ -81,6 +81,17 @@ def main():
             print(f"FAIL {name}: schema spark={scols} oracle={ocols}")
             n_bad += 1
             continue
+        # dtype-strict schema comparison (the driver's check may be)
+        st = dict((c[0], c[1]) for c in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({flist})").fetchall())
+        ot = dict((c[0], c[1]) for c in con.execute(
+            f"DESCRIBE {sql}").fetchall())
+        dtbad = [f"{c}: spark={st[c]} oracle={ot[c]}"
+                 for c in sorted(st) if c in ot and st[c] != ot[c]]
+        if dtbad:
+            print(f"FAIL {name}: dtype mismatch {dtbad}")
+            n_bad += 1
+            continue
         if len(srows) != len(orows):
             print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
             n_bad += 1
