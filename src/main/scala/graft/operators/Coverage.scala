@@ -253,8 +253,10 @@ object Coverage {
   }
 
   val joinRangeBandedOracle: String =
-    """SELECT a.event_id AS e1, b.event_id AS e2, a.user_id
-       FROM events a JOIN events b
+    """WITH ev AS (
+         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+       SELECT a.event_id AS e1, b.event_id AS e2, a.user_id
+       FROM ev a JOIN ev b
          ON a.user_id = b.user_id AND a.event_id < b.event_id
         AND b.ts >= a.ts - INTERVAL 5 MINUTE
         AND b.ts <= a.ts + INTERVAL 5 MINUTE

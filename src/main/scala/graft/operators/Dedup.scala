@@ -10,6 +10,14 @@ import graft.functions.TextAnalysis.{hex60, hex60Duck}
   * (north star, /root/repo/BASELINE.json): exact hash-dedup, MinHash+LSH,
   * SimHash banding, and an exact n-gram-Jaccard baseline.
   *
+  * Algorithms follow the published formulations: MinHash resemblance
+  * sketches (Broder, "On the resemblance and containment of documents",
+  * SEQUENCES 1997) with banded LSH (Indyk & Motwani, STOC 1998; the
+  * bands/rows analysis as in Mining of Massive Datasets ch. 3); SimHash
+  * random-projection fingerprints (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002) as deployed for
+  * near-dup web crawling (Manku, Jain & Das Sarma, WWW 2007).
+  *
   * Every hash derives from md5 so Spark and the DuckDB oracle run the SAME
   * algorithm and agree bit-for-bit; all arithmetic is 64-bit integer
   * (mod 2^31−1 universal hashing), never floating point.

@@ -13,6 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
 /** KMV (k-minimum-values) distinct-count sketch as a custom
   * TypedImperativeAggregate (SURVEY §7.4: the engine-grade custom
   * aggregate path — mutable serialized buffer, partial/merge/final).
+  * Estimator per Bar-Yossef et al., "Counting distinct elements in a
+  * data stream" (RANDOM 2002) / Beyer et al., "On synopses for
+  * distinct-value estimation under multiset operations" (SIGMOD 2007):
+  * E = (k−1)/U_(k) with U_(k) the kth smallest normalized hash.
   *
   * Unlike HLL (whose register layout is engine-specific, so
   * approx_count_distinct gets only a rows-only check), KMV over the

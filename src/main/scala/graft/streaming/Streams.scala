@@ -235,7 +235,45 @@ object Streams {
        value
        FROM events ORDER BY event_id"""
 
+  /** Stream-stream inner join with watermarks on BOTH sides and a
+    * time-range condition (the reference's Q2 weather⋈stock join in
+    * streaming form — SURVEY §2.3: exactly what Structured Streaming
+    * requires to bound join state): clicks matched to same-user
+    * purchases within ±5 minutes. The emitted match set is independent
+    * of micro-batching, so the batch range join is the oracle. */
+  val streamStreamJoin: Q = (s, dir) => {
+    val clicks = eventStream(s, dir)
+      .filter(col("event_type") === "click")
+      .selectExpr("event_id AS click_id", "user_id AS cu", "ts AS ct")
+      .withWatermark("ct", "1 hour")
+    val purchases = eventStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("event_id AS purchase_id", "user_id AS pu", "ts AS pt")
+      .withWatermark("pt", "1 hour")
+    val joined = clicks.join(purchases,
+      expr("""cu = pu AND
+              pt >= ct - INTERVAL 5 MINUTES AND
+              pt <= ct + INTERVAL 5 MINUTES"""))
+    runToTable(s, joined, "stream_stream_join", "append")
+      .selectExpr("click_id", "purchase_id", "cu AS user_id")
+      .orderBy("click_id", "purchase_id")
+  }
+
+  val streamStreamJoinOracle: String =
+    """WITH ev AS (
+         SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+         FROM events)
+       SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+         c.user_id
+       FROM ev c JOIN ev p
+         ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts - INTERVAL 5 MINUTE
+        AND p.ts <= c.ts + INTERVAL 5 MINUTE
+       ORDER BY click_id, purchase_id"""
+
   val queries: Map[String, Q] = Map(
+    "stream_stream_join" -> streamStreamJoin,
     "stream_foreach_batch_sink" -> streamForeachBatchSink,
     "stream_stateful_latest" -> streamStatefulLatest,
     "stream_dedup_keys" -> streamDedupKeys,
@@ -244,6 +282,7 @@ object Streams {
     "sessionize_events" -> sessionizeEvents)
 
   val oracles: Map[String, String] = Map(
+    "stream_stream_join" -> streamStreamJoinOracle,
     "stream_foreach_batch_sink" -> streamForeachBatchSinkOracle,
     "stream_stateful_latest" -> streamStatefulLatestOracle,
     "stream_dedup_keys" -> streamDedupKeysOracle,
