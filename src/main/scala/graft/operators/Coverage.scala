@@ -438,7 +438,56 @@ object Coverage {
        weekofyear(o_orderdate) AS wk
        FROM orders ORDER BY o_orderkey"""
 
+  /** String padding/trimming/field extraction (§2.8 string family). */
+  val stringPadSplit: Q = (s, dir) =>
+    t(s, dir, "part")
+      .selectExpr("p_partkey",
+        "lpad(p_brand, 12, '.') AS brand_padded",
+        "rpad(p_type, 10, '_') AS type_padded",
+        "trim(concat(' ', p_name, ' ')) AS name_trimmed",
+        "split_part(p_name, ' ', 1) AS name_first_word")
+      .orderBy("p_partkey")
+
+  val stringPadSplitOracle: String =
+    """SELECT p_partkey,
+       lpad(p_brand, 12, '.') AS brand_padded,
+       rpad(p_type, 10, '_') AS type_padded,
+       trim(concat(' ', p_name, ' ')) AS name_trimmed,
+       split_part(p_name, ' ', 1) AS name_first_word
+       FROM part ORDER BY p_partkey"""
+
+  /** Bitwise operators + null-safe equality (§2.8). */
+  val bitwiseNullsafe: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .groupBy("o_custkey").agg(max("o_totalprice").as("max_f_price"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .selectExpr("c_custkey",
+        "c_custkey & 255 AS key_low_byte",
+        "c_custkey | 1 AS key_or_one",
+        "CAST(bit_count(c_custkey) AS BIGINT) AS key_bits",
+        "shiftleft(c_nationkey, 2) AS nation_shifted",
+        "max_f_price <=> NULL AS no_f_orders")
+      .orderBy("c_custkey")
+  }
+
+  val bitwiseNullsafeOracle: String =
+    """SELECT c.c_custkey,
+       c.c_custkey & 255 AS key_low_byte,
+       c.c_custkey | 1 AS key_or_one,
+       CAST(bit_count(c.c_custkey) AS BIGINT) AS key_bits,
+       c.c_nationkey << 2 AS nation_shifted,
+       o.max_f_price IS NOT DISTINCT FROM NULL AS no_f_orders
+       FROM customer c
+       LEFT OUTER JOIN (
+         SELECT o_custkey, max(o_totalprice) AS max_f_price
+         FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) o
+         ON c.c_custkey = o.o_custkey
+       ORDER BY c_custkey"""
+
   val queries: Map[String, Q] = Map(
+    "string_pad_split" -> stringPadSplit,
+    "bitwise_nullsafe" -> bitwiseNullsafe,
     "window_value_funcs" -> windowValueFuncs,
     "conditional_agg" -> conditionalAgg,
     "scalar_date_arith" -> scalarDateArith,
@@ -460,6 +509,8 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "string_pad_split" -> stringPadSplitOracle,
+    "bitwise_nullsafe" -> bitwiseNullsafeOracle,
     "window_value_funcs" -> windowValueFuncsOracle,
     "conditional_agg" -> conditionalAggOracle,
     "scalar_date_arith" -> scalarDateArithOracle,
