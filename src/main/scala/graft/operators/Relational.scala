@@ -270,6 +270,38 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** FULL OUTER join — both sides' unmatched rows null-extended (customer
+    * side restricted so right-only rows exist). */
+  val joinFullOuter: Q = (s, dir) => {
+    val c = t(s, dir, "customer").filter(col("c_custkey") < 1000)
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(c("c_custkey"), o("o_orderkey"), o("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first,
+        col("o_orderkey").asc_nulls_first)
+  }
+
+  /** RIGHT OUTER join (the mirrored Q2 shape). */
+  val joinRightOuter: Q = (s, dir) => {
+    val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    val c = t(s, dir, "customer").filter(col("c_custkey") < 1000)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right_outer")
+      .select(c("c_custkey"), c("c_name"), o("o_orderkey"))
+      .orderBy(col("c_custkey").asc,
+        col("o_orderkey").asc_nulls_first)
+  }
+
+  /** Multiset set ops: EXCEPT ALL / INTERSECT ALL preserve multiplicity
+    * (unlike the distinct variants). */
+  val setopsAll: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val f = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val p = o.filter(col("o_orderstatus") === "P").select("o_custkey")
+    f.exceptAll(p).withColumn("op", lit("except_all"))
+      .unionByName(f.intersectAll(p).withColumn("op", lit("intersect_all")))
+      .orderBy("op", "o_custkey")
+  }
+
   // ---- null handling (§2.2 NULL row) ----
 
   /** fillna(0) analog (`localTrinoTest.ipynb:949`): nulls produced by the
@@ -375,6 +407,9 @@ object Relational {
     "join_broadcast_dims" -> joinBroadcastDims,
     "join_left_outer" -> joinLeftOuter,
     "join_left_outer_postfilter" -> joinLeftOuterPostfilter,
+    "join_full_outer" -> joinFullOuter,
+    "join_right_outer" -> joinRightOuter,
+    "setops_all" -> setopsAll,
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
     "join_cross" -> joinCross,
@@ -497,6 +532,30 @@ object Relational {
          FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
          WHERE o.o_orderdate > TIMESTAMP '2000-01-01'
          ORDER BY c_custkey, o_orderkey""",
+    "join_full_outer" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM (SELECT * FROM customer WHERE c_custkey < 1000) c
+         FULL OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+           ON c.c_custkey = o.o_custkey
+         ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""",
+    "join_right_outer" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey
+         FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+         RIGHT OUTER JOIN (SELECT * FROM customer WHERE c_custkey < 1000) c
+           ON o.o_custkey = c.c_custkey
+         ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""",
+    "setops_all" ->
+      """SELECT * FROM (
+           SELECT o_custkey, 'except_all' AS op FROM (
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             EXCEPT ALL
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+           UNION ALL
+           SELECT o_custkey, 'intersect_all' AS op FROM (
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             INTERSECT ALL
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'))
+         ORDER BY op, o_custkey""",
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o
