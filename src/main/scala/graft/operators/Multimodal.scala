@@ -125,12 +125,38 @@ object Multimodal {
          FROM documents)
        ORDER BY doc_id, frame_idx"""
 
+  /** Resize stub: the derived-asset projection (thumbnail dims + digest
+    * of the leading bytes standing in for the re-encoded payload). A real
+    * resize swaps the digest expression for a codec call in the
+    * mapPartitions pipeline above; the catalog shape is what matters. */
+  val mmResizeStub: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id", "text",
+        s"16 + ${hex60("concat('w_', text)")} % 240 AS width",
+        s"16 + ${hex60("concat('h_', text)")} % 120 AS height")
+      .selectExpr("doc_id", "width", "height",
+        "width div 2 AS thumb_w",
+        "height div 2 AS thumb_h",
+        "md5(substring(text, 1, 64)) AS thumb_digest")
+      .orderBy("doc_id")
+
+  val mmResizeStubOracle: String =
+    s"""SELECT doc_id,
+       16 + ${hex60Duck("concat('w_', text)")} % 240 AS width,
+       16 + ${hex60Duck("concat('h_', text)")} % 120 AS height,
+       (16 + ${hex60Duck("concat('w_', text)")} % 240) // 2 AS thumb_w,
+       (16 + ${hex60Duck("concat('h_', text)")} % 120) // 2 AS thumb_h,
+       md5(substring(text, 1, 64)) AS thumb_digest
+       FROM documents ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "mm_resize_stub" -> mmResizeStub,
     "mm_metadata" -> mmMetadata,
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_frame_sample" -> mmFrameSample)
 
   val oracles: Map[String, String] = Map(
+    "mm_resize_stub" -> mmResizeStubOracle,
     "mm_metadata" -> mmMetadataOracle,
     "mm_decode_features" -> mmDecodeFeaturesOracle,
     "mm_frame_sample" -> mmFrameSampleOracle)
