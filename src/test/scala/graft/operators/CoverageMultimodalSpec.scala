@@ -64,6 +64,22 @@ class CoverageMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("setops_all preserves multiplicity: |F \\ P| + |F ∩ P| = |F|") {
+    val all = Relational.setopsAll(spark, sf)
+    val exceptN = all.filter(col("op") === "except_all").count()
+    val intersectN = all.filter(col("op") === "intersect_all").count()
+    val fN = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderstatus") === "F").count()
+    assert(exceptN + intersectN === fN)
+  }
+
+  test("mm_resize_stub halves dimensions") {
+    val bad = Multimodal.mmResizeStub(spark, sf)
+      .filter(col("thumb_w") =!= expr("width div 2") ||
+        col("thumb_h") =!= expr("height div 2"))
+    assert(bad.count() === 0)
+  }
+
   test("csv ingest round-trips the projection exactly") {
     val out = Coverage.csvIngest(spark, sf)
     val src = spark.read.parquet(s"$sf/part.parquet")

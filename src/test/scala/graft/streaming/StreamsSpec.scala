@@ -29,6 +29,24 @@ class StreamsSpec extends SparkSpec {
     assert(total === 2 * events)
   }
 
+  test("stream-stream join equals the batch range join") {
+    val streamed = Streams.streamStreamJoin(spark, sf)
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.sources.Tables.events(spark, sf)
+    val c = ev.filter(col("event_type") === "click")
+      .selectExpr("event_id AS click_id", "user_id AS cu", "ts AS ct")
+    val p = ev.filter(col("event_type") === "purchase")
+      .selectExpr("event_id AS purchase_id", "user_id AS pu", "ts AS pt")
+    val batch = c.join(p,
+        col("cu") === col("pu") &&
+        col("pt") >= col("ct") - expr("INTERVAL '5' MINUTE") &&
+        col("pt") <= col("ct") + expr("INTERVAL '5' MINUTE"))
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+  }
+
   test("sessionization: session bounds ordered, events partitioned exactly") {
     val out = Streams.sessionizeEvents(spark, sf)
     assert(out.filter(col("session_end") < col("session_start")).count() === 0)
