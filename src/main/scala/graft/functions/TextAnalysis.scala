@@ -183,7 +183,52 @@ object TextAnalysis {
     """SELECT length(text) // 100 AS bucket, count(*) AS n_docs
        FROM documents GROUP BY 1 ORDER BY bucket"""
 
+  /** Deterministic bottom-k sampling: the k documents with the smallest
+    * content-keyed hash. Unlike rand()-based sampling this is
+    * reproducible across runs, engines and cluster sizes — the way a
+    * training pipeline pins an eval split. */
+  val sampleBottomK: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id", "lang",
+        hex60("concat('sample_', CAST(doc_id AS STRING))") + " AS h")
+      .orderBy("h")
+      .limit(20)
+      .selectExpr("doc_id", "lang", "h")
+      .orderBy("doc_id")
+
+  val sampleBottomKOracle: String =
+    s"""SELECT doc_id, lang, h FROM (
+         SELECT doc_id, lang,
+           ${hex60Duck("concat('sample_', CAST(doc_id AS VARCHAR))")} AS h
+         FROM documents ORDER BY h LIMIT 20)
+       ORDER BY doc_id"""
+
+  /** Stratified deterministic sampling: bottom-3 per language stratum via
+    * a rank over the same portable hash (even per-stratum coverage with
+    * the same reproducibility guarantee). */
+  val sampleStratified: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("h")
+    t(s, dir, "documents")
+      .selectExpr("doc_id", "lang",
+        hex60("concat('strat_', CAST(doc_id AS STRING))") + " AS h")
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select("lang", "rn", "doc_id")
+      .orderBy("lang", "rn")
+  }
+
+  val sampleStratifiedOracle: String =
+    s"""SELECT lang, rn, doc_id FROM (
+         SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang ORDER BY
+             ${hex60Duck("concat('strat_', CAST(doc_id AS VARCHAR))")}) AS rn
+         FROM documents)
+       WHERE rn <= 3 ORDER BY lang, rn"""
+
   val queries: Map[String, Q] = Map(
+    "corpus_sample_bottomk" -> sampleBottomK,
+    "corpus_sample_stratified" -> sampleStratified,
     "dedup_normalized" -> dedupNormalized,
     "text_scrub" -> textScrub,
     "doc_length_histogram" -> docLengthHistogram,
@@ -193,6 +238,8 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "corpus_sample_bottomk" -> sampleBottomKOracle,
+    "corpus_sample_stratified" -> sampleStratifiedOracle,
     "dedup_normalized" -> dedupNormalizedOracle,
     "text_scrub" -> textScrubOracle,
     "doc_length_histogram" -> docLengthHistogramOracle,
