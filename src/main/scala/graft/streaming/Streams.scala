@@ -26,7 +26,7 @@ object Streams {
 
   /** Raw parquet schema for the stream source (file streams REQUIRE a
     * user schema; ts arrives as raw nanos — see Tables.events). */
-  private val rawSchema = StructType(Seq(
+  private[graft] val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
     StructField("user_id", LongType),
@@ -172,10 +172,16 @@ object Streams {
     * one (ts, event_id, value) triple per key. The memory-sink output is
     * compacted with a final rank so the result is identical however the
     * replay was micro-batched. */
-  val streamStatefulLatest: Q = (s, dir) => {
+  val streamStatefulLatest: Q = (s, dir) =>
+    statefulLatestCore(s, eventStream(s, dir), "stream_stateful_latest")
+
+  /** Core of the stateful latest-per-key op, parameterized by source so
+    * tests can drive it with a multi-file (multi-micro-batch) replay. */
+  private[graft] def statefulLatestCore(s: SparkSession,
+      stream: DataFrame, name: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    val ev = eventStream(s, dir)
+    val ev = stream
       .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us", "value")
       .as[(Long, Long, Long, Double)]
     val latest = ev.groupByKey(_._1)
@@ -190,7 +196,7 @@ object Streams {
         (uid, cur._2, cur._1, cur._3)
       }
       .toDF("user_id", "event_id", "ts_us", "value")
-    val mem = runToTable(s, latest, "stream_stateful_latest", "update")
+    val mem = runToTable(s, latest, name, "update")
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_us").desc, col("event_id").desc)
     mem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

@@ -29,6 +29,22 @@ class StreamsSpec extends SparkSpec {
     assert(total === 2 * events)
   }
 
+  test("stateful latest is identical under multi-micro-batch replay") {
+    // split events into 3 files; maxFilesPerTrigger=1 forces 3 batches
+    val dir3 = s"${System.getProperty("java.io.tmpdir")}/graft_events3"
+    spark.read.parquet(s"$sf/events.parquet")
+      .repartition(3).write.mode("overwrite").parquet(dir3)
+    val stream = spark.readStream.schema(Streams.rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir3)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val multi = Streams.statefulLatestCore(spark, stream, "stateful_mb")
+      .orderBy("user_id")
+      .collect().map(_.toString).toSeq
+    val single = Streams.streamStatefulLatest(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(multi === single)
+  }
+
   test("stream-stream join equals the batch range join") {
     val streamed = Streams.streamStreamJoin(spark, sf)
       .select("click_id", "purchase_id")
