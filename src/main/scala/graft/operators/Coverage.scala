@@ -485,7 +485,32 @@ object Coverage {
          ON c.c_custkey = o.o_custkey
        ORDER BY c_custkey"""
 
+  /** Hive-style partitioned layout + partition pruning: events written
+    * partitionBy(event_type), then a type-filtered read touches ONLY that
+    * partition's files (PartitionFilters in the scan — asserted in
+    * PlanSpec). At 100 TB, date/tenant partitioning like this is the
+    * first line of scan reduction, before any row-level pushdown. */
+  val partitionedWritePrune: Q = (s, dir) => {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      events(s, dir)
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts",
+          "user_id", "value", "event_type")
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    }
+    s.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value", "event_type")
+      .orderBy("event_id")
+  }
+
+  val partitionedWritePruneOracle: String =
+    """SELECT event_id, user_id, value, event_type FROM events
+       WHERE event_type = 'purchase' ORDER BY event_id"""
+
   val queries: Map[String, Q] = Map(
+    "partitioned_write_prune" -> partitionedWritePrune,
     "string_pad_split" -> stringPadSplit,
     "bitwise_nullsafe" -> bitwiseNullsafe,
     "window_value_funcs" -> windowValueFuncs,
@@ -509,6 +534,7 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "partitioned_write_prune" -> partitionedWritePruneOracle,
     "string_pad_split" -> stringPadSplitOracle,
     "bitwise_nullsafe" -> bitwiseNullsafeOracle,
     "window_value_funcs" -> windowValueFuncsOracle,

@@ -65,6 +65,12 @@ class PlanSpec extends SparkSpec {
       s"no map-side partial aggregation:\n$p")
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    val p = plan(Coverage.partitionedWritePrune(spark, sf))
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition pruning in:\n$p")
+  }
+
   test("timestamp bounds are pushed to the raw nanos parquet scan") {
     val p = plan(Coverage.eventsTimeBounded(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,") ||
