@@ -314,7 +314,38 @@ object Similarity {
            (acc, v) -> acc + v) / len(embedding)), 6) AS rmse
        FROM s ORDER BY vec_id"""
 
+  /** Per-label centroids (the IVF coarse-quantizer training step):
+    * element-wise mean over each label's vectors. The per-label vector
+    * list is sorted by vec_id before the fold, so double accumulation
+    * order is pinned and both engines agree exactly (collect order across
+    * partitions is otherwise nondeterministic). At scale this is one hash
+    * aggregation; the state per label is one vector list — for millions
+    * of members you'd switch to per-dimension decimal sums. */
+  val centroids: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+          .as("vs"))
+      .selectExpr("label", "n",
+        """transform(sequence(1, 64), j -> round(
+             aggregate(vs, CAST(0 AS DOUBLE),
+               (acc, v) -> acc + CAST(element_at(v.embedding, j) AS DOUBLE))
+             / n, 6)) AS centroid""")
+      .orderBy("label")
+
+  val centroidsOracle: String =
+    """SELECT label, count(*) AS n,
+       list_transform(range(1, 65), j -> round(
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list(embedding ORDER BY vec_id),
+             e -> CAST(e[j] AS DOUBLE))),
+           (acc, v) -> acc + v) / count(*), 6)) AS centroid
+       FROM embeddings GROUP BY label ORDER BY label"""
+
   val queries: Map[String, Q] = Map(
+    "embedding_centroids" -> centroids,
     "embedding_quantize_int8" -> quantizeInt8,
     "ann_custom_exec_topk" -> annCustomTopk,
     "ann_brute_topk" -> annBruteTopk,
@@ -324,6 +355,7 @@ object Similarity {
     "embedding_norm_stats" -> normStats)
 
   val oracles: Map[String, String] = Map(
+    "embedding_centroids" -> centroidsOracle,
     "embedding_quantize_int8" -> quantizeInt8Oracle,
     "ann_custom_exec_topk" -> annBruteTopkOracle, // identical result set
     "ann_brute_topk" -> annBruteTopkOracle,
