@@ -344,7 +344,75 @@ object Similarity {
            (acc, v) -> acc + v) / count(*), 6)) AS centroid
        FROM embeddings GROUP BY label ORDER BY label"""
 
+  /** True two-stage IVF: queries probe the cell of their NEAREST computed
+    * centroid (not their own label — the real coarse-quantizer routing),
+    * then rank only that cell's vectors. Centroids are the deterministic
+    * rounded means above, so assignment and search agree across engines. */
+  val annIvfCentroidTopk: Q = (s, dir) => {
+    val cents = centroids(s, dir)
+      .selectExpr("label AS c_label", "centroid",
+        s"${normS("centroid")} AS c_cnrm")
+    val q = vecs(s, dir).filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", "embedding AS q_emb", "nrm AS q_nrm")
+    val wAssign = Window.partitionBy("q_id")
+      .orderBy(col("cent_sim").desc, col("c_label").asc)
+    val assigned = q.crossJoin(broadcast(cents))
+      .selectExpr("q_id", "q_emb", "q_nrm", "c_label",
+        s"${dotS("q_emb", "centroid")} / (q_nrm * c_cnrm) AS cent_sim")
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select("q_id", "q_emb", "q_nrm", "c_label")
+    val c = vecs(s, dir).filter(col("vec_id") >= 10)
+      .selectExpr("vec_id AS c_id", "label AS v_label",
+        "embedding AS c_emb", "nrm AS c_nrm")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    c.join(broadcast(assigned), col("v_label") === col("c_label"))
+      .selectExpr("q_id", "c_id",
+        s"${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim")
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  val annIvfCentroidTopkOracle: String =
+    s"""WITH cents AS (
+         SELECT label AS c_label,
+           list_transform(range(1, 65), j -> round(
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list(embedding ORDER BY vec_id),
+                 e -> CAST(e[j] AS DOUBLE))),
+               (acc, v) -> acc + v) / count(*), 6)) AS centroid
+         FROM embeddings GROUP BY label),
+       cents2 AS (
+         SELECT c_label, centroid, ${normD("centroid")} AS c_cnrm
+         FROM cents),
+       v AS ($vecsDuck),
+       q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+             FROM v WHERE vec_id < 10),
+       assigned AS (
+         SELECT q_id, q_emb, q_nrm, c_label FROM (
+           SELECT q.q_id, q.q_emb, q.q_nrm, c.c_label,
+             row_number() OVER (PARTITION BY q.q_id ORDER BY
+               ${dotD("q_emb", "centroid")} / (q_nrm * c_cnrm) DESC,
+               c.c_label ASC) AS arn
+           FROM q CROSS JOIN cents2 c)
+         WHERE arn = 1),
+       c AS (SELECT vec_id AS c_id, label AS v_label,
+               embedding AS c_emb, nrm AS c_nrm FROM v WHERE vec_id >= 10),
+       ranked AS (
+         SELECT q_id, c_id,
+           ${dotD("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY
+             ${dotD("q_emb", "c_emb")} / (q_nrm * c_nrm) DESC, c_id ASC)
+             AS rank
+         FROM c JOIN assigned a ON c.v_label = a.c_label)
+       SELECT q_id, rank, c_id, round(cos_sim, 6) AS cos_sim
+       FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
+
   val queries: Map[String, Q] = Map(
+    "ann_ivf_centroid_topk" -> annIvfCentroidTopk,
     "embedding_centroids" -> centroids,
     "embedding_quantize_int8" -> quantizeInt8,
     "ann_custom_exec_topk" -> annCustomTopk,
@@ -355,6 +423,7 @@ object Similarity {
     "embedding_norm_stats" -> normStats)
 
   val oracles: Map[String, String] = Map(
+    "ann_ivf_centroid_topk" -> annIvfCentroidTopkOracle,
     "embedding_centroids" -> centroidsOracle,
     "embedding_quantize_int8" -> quantizeInt8Oracle,
     "ann_custom_exec_topk" -> annBruteTopkOracle, // identical result set
