@@ -509,7 +509,51 @@ object Coverage {
     """SELECT event_id, user_id, value, event_type FROM events
        WHERE event_type = 'purchase' ORDER BY event_id"""
 
+  /** Windowed distinct count — Spark has no COUNT(DISTINCT) over windows,
+    * so the idiom is size(collect_set() OVER w): distinct event types
+    * each user has produced up to each event. */
+  val windowDistinctCount: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        size(collect_set(col("event_type")).over(w)).cast(LongType)
+          .as("types_so_far"))
+      .orderBy("event_id")
+  }
+
+  val windowDistinctCountOracle: String =
+    """SELECT event_id, user_id, event_type,
+       len(list_distinct(list(event_type) OVER w)) AS types_so_far
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       ORDER BY event_id"""
+
+  /** Rank-ratio window functions: percent_rank and cume_dist (exact
+    * rational values — identical IEEE division in both engines). */
+  val windowRankRatios: Q = (s, dir) => {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("event_id")
+  }
+
+  val windowRankRatiosOracle: String =
+    """SELECT event_id, event_type, value,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+       FROM events
+       WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+       ORDER BY event_id"""
+
   val queries: Map[String, Q] = Map(
+    "window_distinct_count" -> windowDistinctCount,
+    "window_rank_ratios" -> windowRankRatios,
     "partitioned_write_prune" -> partitionedWritePrune,
     "string_pad_split" -> stringPadSplit,
     "bitwise_nullsafe" -> bitwiseNullsafe,
@@ -534,6 +578,8 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "window_distinct_count" -> windowDistinctCountOracle,
+    "window_rank_ratios" -> windowRankRatiosOracle,
     "partitioned_write_prune" -> partitionedWritePruneOracle,
     "string_pad_split" -> stringPadSplitOracle,
     "bitwise_nullsafe" -> bitwiseNullsafeOracle,
