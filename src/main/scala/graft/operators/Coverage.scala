@@ -551,7 +551,33 @@ object Coverage {
        WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
        ORDER BY event_id"""
 
+  /** UNPIVOT / melt (wide → long): lineitem's three charge columns as
+    * (measure, value) rows — the reshaping step the reference's client
+    * does in pandas before plotting/scaling. */
+  val unpivotMeasures: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 1000)
+      .selectExpr("l_orderkey", "l_linenumber",
+        """stack(3, 'extendedprice', l_extendedprice,
+                    'discount', l_discount,
+                    'tax', l_tax) AS (measure, val)""")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  val unpivotMeasuresOracle: String =
+    """SELECT l_orderkey, l_linenumber, measure, val FROM (
+         SELECT l_orderkey, l_linenumber,
+           'extendedprice' AS measure, l_extendedprice AS val
+         FROM lineitem WHERE l_orderkey < 1000
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'discount', l_discount
+         FROM lineitem WHERE l_orderkey < 1000
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'tax', l_tax
+         FROM lineitem WHERE l_orderkey < 1000)
+       ORDER BY l_orderkey, l_linenumber, measure"""
+
   val queries: Map[String, Q] = Map(
+    "unpivot_measures" -> unpivotMeasures,
     "window_distinct_count" -> windowDistinctCount,
     "window_rank_ratios" -> windowRankRatios,
     "partitioned_write_prune" -> partitionedWritePrune,
@@ -578,6 +604,7 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "unpivot_measures" -> unpivotMeasuresOracle,
     "window_distinct_count" -> windowDistinctCountOracle,
     "window_rank_ratios" -> windowRankRatiosOracle,
     "partitioned_write_prune" -> partitionedWritePruneOracle,
