@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.Q
 import graft.sources.Tables.t
-import graft.functions.TextAnalysis.{hex60, hex60Duck}
+import graft.functions.TextAnalysis.hex60Duck
 
 /** Similarity search over `embeddings.embedding: array<float>` (north
   * star, /root/repo/BASELINE.json): brute-force cosine top-k as the

@@ -13,6 +13,10 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  test("driver smoke contract: entry returns rows on sf0.001") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
   test("projection prunes the parquet ReadSchema to selected columns") {
     val p = plan(Relational.scanProject(spark, sf))
     assert(p.contains("l_extendedprice"))
