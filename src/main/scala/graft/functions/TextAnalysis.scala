@@ -226,7 +226,82 @@ object TextAnalysis {
          FROM documents)
        WHERE rn <= 3 ORDER BY lang, rn"""
 
+  /** Frequent items (heavy hitters): the corpus's top-10 tokens by
+    * occurrence — explode → count → top-k, the exact-counting baseline of
+    * the frequency-sketch family. */
+  val frequentTokens: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS tok")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(10)
+
+  val frequentTokensOracle: String =
+    """SELECT tok, count(*) AS n FROM (
+         SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 10"""
+
+  /** Bigram collocations scored by pointwise mutual information:
+    * PMI = ln(p(ab) / (p(a)·p(b))) over word bigrams — the classic
+    * collocation-mining statistic. Probabilities are exact rationals of
+    * counts; only the final ln is rounded. */
+  val bigramPmi: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+    val bigrams = toks
+      .selectExpr(
+        """explode(CASE WHEN size(toks) < 2 THEN array()
+           ELSE transform(sequence(1, size(toks) - 1),
+             i -> struct(element_at(toks, i) AS w1,
+                         element_at(toks, i + 1) AS w2)) END) AS bg""")
+      .selectExpr("bg.w1 AS w1", "bg.w2 AS w2")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
+    val unis = toks.selectExpr("explode(toks) AS w")
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val totBg = bigrams.agg(sum("n_bg").as("tot_bg"))
+    val totW = unis.agg(sum("n_w").as("tot_w"))
+    bigrams
+      .join(unis.selectExpr("w AS w1", "n_w AS n_w1"), "w1")
+      .join(unis.selectExpr("w AS w2", "n_w AS n_w2"), "w2")
+      .crossJoin(broadcast(totBg)).crossJoin(broadcast(totW))
+      .selectExpr("w1", "w2", "n_bg",
+        """round(ln((CAST(n_bg AS DOUBLE) / tot_bg) /
+           ((CAST(n_w1 AS DOUBLE) / tot_w) *
+            (CAST(n_w2 AS DOUBLE) / tot_w))), 6) AS pmi""")
+      .orderBy(col("n_bg").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+  }
+
+  val bigramPmiOracle: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       bigrams AS (
+         SELECT bg['w1'] AS w1, bg['w2'] AS w2, count(*) AS n_bg FROM (
+           SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+             ELSE list_transform(range(1, len(toks)),
+               i -> {'w1': toks[i], 'w2': toks[i + 1]}) END) AS bg
+           FROM toks)
+         GROUP BY 1, 2),
+       unis AS (
+         SELECT w, count(*) AS n_w FROM (
+           SELECT unnest(toks) AS w FROM toks) GROUP BY w),
+       tots AS (
+         SELECT (SELECT sum(n_bg) FROM bigrams) AS tot_bg,
+                (SELECT sum(n_w) FROM unis) AS tot_w)
+       SELECT b.w1, b.w2, b.n_bg,
+         round(ln((CAST(b.n_bg AS DOUBLE) / tot_bg) /
+           ((CAST(u1.n_w AS DOUBLE) / tot_w) *
+            (CAST(u2.n_w AS DOUBLE) / tot_w))), 6) AS pmi
+       FROM bigrams b
+       JOIN unis u1 ON b.w1 = u1.w
+       JOIN unis u2 ON b.w2 = u2.w
+       CROSS JOIN tots
+       ORDER BY n_bg DESC, w1 ASC, w2 ASC LIMIT 20"""
+
   val queries: Map[String, Q] = Map(
+    "text_frequent_tokens" -> frequentTokens,
+    "text_bigram_pmi" -> bigramPmi,
     "corpus_sample_bottomk" -> sampleBottomK,
     "corpus_sample_stratified" -> sampleStratified,
     "dedup_normalized" -> dedupNormalized,
@@ -238,6 +313,8 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_frequent_tokens" -> frequentTokensOracle,
+    "text_bigram_pmi" -> bigramPmiOracle,
     "corpus_sample_bottomk" -> sampleBottomKOracle,
     "corpus_sample_stratified" -> sampleStratifiedOracle,
     "dedup_normalized" -> dedupNormalizedOracle,
