@@ -37,6 +37,40 @@ object Coverage {
     """SELECT p_partkey, p_name, p_brand, p_size FROM part
        ORDER BY p_partkey"""
 
+  /** ORC ingest round-trip (columnar alternative to parquet; same
+    * declared-schema discipline). */
+  val orcIngest: Q = (s, dir) => {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    t(s, dir, "supplier").write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy("s_suppkey")
+  }
+
+  val orcIngestOracle: String =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+       ORDER BY s_suppkey"""
+
+  /** JSON-lines ingest with a DECLARED schema (the Kafka-message shape:
+    * one JSON object per line — `trino/kafka/weatherdata.json` declares
+    * exactly this mapping). */
+  val jsonIngest: Q = (s, dir) => {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    t(s, dir, "nation").write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    s.read.schema(schema).json(out)
+      .orderBy("n_nationkey")
+  }
+
+  val jsonIngestOracle: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM nation
+       ORDER BY n_nationkey"""
+
   /** Explicit GROUPING SETS (beyond rollup/cube). */
   val groupingSets: Q = (s, dir) => {
     t(s, dir, "orders").createOrReplaceTempView("orders_v")
@@ -577,6 +611,8 @@ object Coverage {
        ORDER BY l_orderkey, l_linenumber, measure"""
 
   val queries: Map[String, Q] = Map(
+    "orc_ingest" -> orcIngest,
+    "json_ingest" -> jsonIngest,
     "unpivot_measures" -> unpivotMeasures,
     "window_distinct_count" -> windowDistinctCount,
     "window_rank_ratios" -> windowRankRatios,
@@ -604,6 +640,8 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "orc_ingest" -> orcIngestOracle,
+    "json_ingest" -> jsonIngestOracle,
     "unpivot_measures" -> unpivotMeasuresOracle,
     "window_distinct_count" -> windowDistinctCountOracle,
     "window_rank_ratios" -> windowRankRatiosOracle,
