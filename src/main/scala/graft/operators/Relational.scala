@@ -173,6 +173,37 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** TPC-H Q6-style forecasting revenue: pure scan+filter+aggregate — the
+    * canonical pushdown/codegen benchmark (no join, no shuffle beyond the
+    * single-row final agg). */
+  val q6ForecastRevenue: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(D) &&
+              col("l_shipdate") < lit("1997-01-01").cast(D) &&
+              col("l_discount").between(0.02, 0.04) &&
+              col("l_quantity") < 25)
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(18, 2)))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q18-style large-order customers: aggregate-HAVING subquery
+    * driving a multi-join top-k. */
+  val q18LargeOrders: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val bigOrders = l.groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 150)
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    o.join(bigOrders, o("o_orderkey") === bigOrders("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(c("c_custkey"), c("c_name"), o("o_orderkey"),
+        o("o_orderdate"), o("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+
   // ---- joins (§2.3) ----
 
   /** Snowflake dim chain customer→nation→region; both dims are tiny at any
@@ -391,6 +422,8 @@ object Relational {
   // ------------------------------------------------------------ oracle SQL
 
   val queries: Map[String, Q] = Map(
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q18_large_orders" -> q18LargeOrders,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
     "q1_join_filter_sort" -> q1JoinFilterSort,
@@ -425,6 +458,29 @@ object Relational {
     "except_keys" -> exceptKeys)
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.04
+           AND l_quantity < 25""",
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             > 150)
+         SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, big.sum_qty
+         FROM orders o
+         JOIN big ON o.o_orderkey = big.l_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""",
     "q3_shipping_priority" ->
       """SELECT l.l_orderkey, o.o_orderdate,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
