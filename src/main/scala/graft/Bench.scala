@@ -1,5 +1,16 @@
 package graft
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR and
+  * prints ONE compact JSON line as the very last stdout of the run. The
+  * driver tail-captures the process output, so the line must be (a) short —
+  * timings are rounded to ms, ~25 bytes/query — and (b) final — it is
+  * printed AFTER spark.stop(), and the log level is ERROR so the WARN-level
+  * state-store maintenance race at shutdown can't append a stack trace
+  * after it (round-1 postmortem: a 4 KB full-precision line followed by
+  * 1.9 KB of shutdown WARNs overflowed the tail window → "parsed": null). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,13 +23,13 @@ object Bench {
       builder.config(k, v)
     }
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup: JIT/codegen the common scan→join→sort paths so the
     // first timed query doesn't absorb session start-up
     try SparkEntry.queries.get("q1_join_filter_sort")
       .foreach(f => f(spark, sfDir).count())
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -28,10 +39,11 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
     spark.stop()
+    def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

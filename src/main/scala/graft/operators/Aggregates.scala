@@ -166,9 +166,17 @@ object Aggregates {
       .rowsBetween(-9, 0)
     events(s, dir)
       .select(col("event_id"), col("user_id"),
-        collect_list(col("value")).over(w).as("seq"),
+        collect_list(col("value")).over(w).as("seq_arr"),
         count(lit(1)).over(w).as("seq_len"))
       .filter(col("seq_len") === 10)
+      // emit the sequence as ','-joined µ-scaled bigints, not a raw array:
+      // the driver's checker row-sorts results in pandas, where ndarray
+      // cells are unhashable; element order and 1e-6 precision are still
+      // fully compared
+      .selectExpr("event_id", "user_id",
+        """concat_ws(',', transform(seq_arr,
+           x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS STRING))) AS seq""",
+        "seq_len")
       .orderBy("event_id")
   }
 
@@ -272,10 +280,14 @@ object Aggregates {
       .orderBy(col("day").asc)
       .rowsBetween(-4, 0)
     scaled
-      .withColumn("seq", collect_list(col("value_scaled")).over(wSeq))
+      .withColumn("seq_arr", collect_list(col("value_scaled")).over(wSeq))
       .withColumn("seq_len", count(lit(1)).over(wSeq))
       .filter(col("seq_len") === 5)
-      .select("user_id", "day", "seq")
+      // serialized (µ-scaled bigint CSV) for the driver's pandas row-sort —
+      // see seqWindowArrays
+      .selectExpr("user_id", "day",
+        """concat_ws(',', transform(seq_arr,
+           x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS STRING))) AS seq""")
       .orderBy("user_id", "day")
   }
 
@@ -295,11 +307,15 @@ object Aggregates {
          FROM deduped WINDOW w AS (PARTITION BY event_type)),
        seqs AS (
          SELECT user_id, day,
-           list(value_scaled) OVER ws AS seq, count(*) OVER ws AS seq_len
+           list(value_scaled) OVER ws AS seq_arr, count(*) OVER ws AS seq_len
          FROM scaled
          WINDOW ws AS (PARTITION BY user_id ORDER BY day ASC
            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
-       SELECT user_id, day, seq FROM seqs WHERE seq_len = 5
+       SELECT user_id, day,
+         array_to_string(list_transform(seq_arr,
+           x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), ',')
+           AS seq
+       FROM seqs WHERE seq_len = 5
        ORDER BY user_id, day"""
 
   /** Funnel conversion: per user, the ordered signup → click → purchase
@@ -447,9 +463,13 @@ object Aggregates {
            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
     "seq_window_arrays" ->
-      """SELECT event_id, user_id, seq, seq_len FROM (
+      """SELECT event_id, user_id,
+           array_to_string(list_transform(seq_arr,
+             x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), ',')
+             AS seq,
+           seq_len FROM (
            SELECT event_id, user_id,
-             list(value) OVER w AS seq, count(*) OVER w AS seq_len
+             list(value) OVER w AS seq_arr, count(*) OVER w AS seq_len
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))

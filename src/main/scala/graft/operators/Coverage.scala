@@ -107,14 +107,17 @@ object Coverage {
          RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS n_in_range
        FROM events ORDER BY event_id"""
 
-  /** Array functions over tokenized text (§2.8 'A' row: array fns). */
+  /** Array functions over tokenized text (§2.8 'A' row: array fns).
+    * The first-5 slice is emitted space-joined (concat_ws) rather than as a
+    * raw array column: the driver's checker row-sorts results in pandas,
+    * where ndarray cells are unhashable and crash the sort. */
   val arrayFuncs: Q = (s, dir) =>
     t(s, dir, "documents")
       .selectExpr("doc_id", "split(text, ' ') AS toks")
       .selectExpr("doc_id",
         "CAST(size(toks) AS BIGINT) AS n_tokens",
         "CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct",
-        "slice(array_sort(array_distinct(toks)), 1, 5) AS first5",
+        "concat_ws(' ', slice(array_sort(array_distinct(toks)), 1, 5)) AS first5",
         "array_contains(toks, 'the') AS has_the")
       .orderBy("doc_id")
 
@@ -122,8 +125,9 @@ object Coverage {
     """SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
        len(list_distinct(string_split(text, ' '))) AS n_distinct,
-       list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5)
-         AS first5,
+       array_to_string(
+         list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5),
+         ' ') AS first5,
        list_contains(string_split(text, ' '), 'the') AS has_the
        FROM documents ORDER BY doc_id"""
 

@@ -134,13 +134,21 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh1 = docsSub.selectExpr("doc_id AS dd1", "sh AS sh1")
     val sh2 = docsSub.selectExpr("doc_id AS dd2", "sh AS sh2")
-    cand.join(sh1, col("d1") === col("dd1"))
+    val result = cand.join(sh1, col("d1") === col("dd1"))
       .join(sh2, col("d2") === col("dd2"))
       .selectExpr("d1", "d2",
         """round(CAST(size(array_intersect(sh1, sh2)) AS DOUBLE)
            / size(array_union(sh1, sh2)), 6) AS jaccard""")
       .filter(col("jaccard") >= 0.8)
       .orderBy("d1", "d2")
+      // eager localCheckpoint materializes the (tiny) verified-pair set
+      // once, so the intermediate caches can be dropped here instead of
+      // leaking until the caller runs clearCache()
+      .localCheckpoint(true)
+    bands.unpersist(false)
+    cand.unpersist(false)
+    docsSub.unpersist(false)
+    result
   }
 
   /** The minhash CTE chain through `scored` — shared by the pair oracle
@@ -210,9 +218,9 @@ object Dedup {
     s"""WITH $simhashDuckCte
        SELECT doc_id, simhash FROM sh ORDER BY doc_id"""
 
-  /** SimHash near-dup pairs via 4×8-bit banding (candidates share at least
-    * one band) + Hamming-distance verification ≤ 3. The band join is the
-    * scale path — no all-pairs comparison. */
+  /** SimHash near-dup pairs via 4×12-bit banding over the 48-bit hash
+    * (candidates share at least one band) + Hamming-distance verification
+    * ≤ 3. The band join is the scale path — no all-pairs comparison. */
   val simhashPairs: Q = (s, dir) => {
     val sh = t(s, dir, "documents")
       .selectExpr("doc_id", "graft_simhash48_text(text) AS simhash")
@@ -224,12 +232,18 @@ object Dedup {
     val x = bands.selectExpr("doc_id AS d1", "simhash AS h1", "band", "bval")
     val y = bands.selectExpr("doc_id AS d2", "simhash AS h2",
       "band AS band2", "bval AS bval2")
-    x.join(y, x("band") === y("band2") && x("bval") === y("bval2") &&
+    val result = x.join(y,
+        x("band") === y("band2") && x("bval") === y("bval2") &&
         x("d1") < y("d2"))
       .selectExpr("d1", "d2", "CAST(bit_count(h1 ^ h2) AS BIGINT) AS hamming")
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy("d1", "d2")
+      // materialize, then drop the shared-signature cache (no leak for
+      // library callers — see minhashLsh)
+      .localCheckpoint(true)
+    sh.unpersist(false)
+    result
   }
 
   val simhashPairsOracle: String =
@@ -295,6 +309,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // Pointer jumping converges in O(log diameter) rounds, so 20 covers
+    // any real graph — but NEVER return partially-converged labels
+    // silently: wrong cluster_rep values would masquerade as a result.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected-components label propagation did not converge after " +
+          s"$iter iterations ($changed labels still changing)")
     labels.select(col("doc_id"), col("lab").as("cluster_rep"))
       .orderBy("doc_id")
   }

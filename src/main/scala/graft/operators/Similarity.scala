@@ -304,8 +304,9 @@ object Similarity {
              AS scale
          FROM embeddings)
        SELECT vec_id, round(scale, 6) AS scale,
-         list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INT)) AS qvec,
+         array_to_string(list_transform(embedding,
+           x -> CAST(CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INT)
+             AS VARCHAR)), ',') AS qvec,
          round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
            list_transform(embedding, x ->
              pow(CAST(x AS DOUBLE) -
@@ -337,11 +338,13 @@ object Similarity {
 
   val centroidsOracle: String =
     """SELECT label, count(*) AS n,
-       list_transform(range(1, 65), j -> round(
-         list_reduce(list_prepend(CAST(0 AS DOUBLE),
-           list_transform(list(embedding ORDER BY vec_id),
-             e -> CAST(e[j] AS DOUBLE))),
-           (acc, v) -> acc + v) / count(*), 6)) AS centroid
+       array_to_string(
+         list_transform(range(1, 65), j -> CAST(CAST(round(1000000 * round(
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list(embedding ORDER BY vec_id),
+               e -> CAST(e[j] AS DOUBLE))),
+             (acc, v) -> acc + v) / count(*), 6)) AS BIGINT) AS VARCHAR)),
+         ',') AS centroid
        FROM embeddings GROUP BY label ORDER BY label"""
 
   /** True two-stage IVF: queries probe the cell of their NEAREST computed
@@ -411,10 +414,27 @@ object Similarity {
        SELECT q_id, rank, c_id, round(cos_sim, 6) AS cos_sim
        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
 
+  /** Harness-facing variants of the two array-valued queries: the driver's
+    * checker row-sorts results in pandas, where ndarray cells are
+    * unhashable and crash the sort, so the vector columns are emitted as
+    * ','-joined strings (µ-scaled bigints for doubles, plain ints for the
+    * int8 codes). Element order and 1e-6 precision are still compared;
+    * the array-returning `centroids`/`quantizeInt8` stay the library API. */
+  private val centroidsSer: Q = (s, dir) =>
+    centroids(s, dir).selectExpr("label", "n",
+      """concat_ws(',', transform(centroid,
+         x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS STRING)))
+         AS centroid""")
+
+  private val quantizeInt8Ser: Q = (s, dir) =>
+    quantizeInt8(s, dir).selectExpr("vec_id", "scale",
+      "concat_ws(',', transform(qvec, x -> CAST(x AS STRING))) AS qvec",
+      "rmse")
+
   val queries: Map[String, Q] = Map(
     "ann_ivf_centroid_topk" -> annIvfCentroidTopk,
-    "embedding_centroids" -> centroids,
-    "embedding_quantize_int8" -> quantizeInt8,
+    "embedding_centroids" -> centroidsSer,
+    "embedding_quantize_int8" -> quantizeInt8Ser,
     "ann_custom_exec_topk" -> annCustomTopk,
     "ann_brute_topk" -> annBruteTopk,
     "ann_ivf_label_topk" -> annIvfLabelTopk,

@@ -55,6 +55,10 @@ object RewriteRankOneToMaxBy extends Rule[LogicalPlan] {
           spec.partitionSpec.forall(_.isInstanceOf[Attribute]) &&
           spec.orderSpec.nonEmpty &&
           spec.orderSpec.forall(_.direction == Descending) &&
+          // struct comparison in max_by treats nulls as smallest — that is
+          // DESC NULLS LAST. An explicit DESC NULLS FIRST window would pick
+          // a different row when sort keys contain nulls, so leave it alone.
+          spec.orderSpec.forall(_.nullOrdering == NullsLast) &&
           spec.orderSpec.forall(_.child.deterministic)
       } yield {
         val child = w.child

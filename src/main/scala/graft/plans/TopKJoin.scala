@@ -95,13 +95,24 @@ case class CosineTopKJoinExec(corpus: SparkPlan, queries: SparkPlan, k: Int,
         while (qi < nq) {
           val q = qs(qi)
           val qe = q._2
+          // dimensions must agree — a silent min-length truncation would
+          // produce a plausible-but-wrong similarity for a malformed row
+          if (emb.length != qe.length)
+            throw new IllegalArgumentException(
+              s"CosineTopKJoin: embedding dim mismatch (corpus id=$cid " +
+                s"has ${emb.length}, query id=${q._1} has ${qe.length})")
           var acc = 0.0
           var i = 0
-          val n = math.min(emb.length, qe.length)
+          val n = emb.length
           while (i < n) { acc += emb(i).toDouble * qe(i).toDouble; i += 1 }
           val sim = acc / (q._3 * nrm)
+          // a zero-norm vector yields NaN similarity: exclude it EXPLICITLY
+          // (cosine is undefined there). Note the window-rank formulation
+          // would sort NaN first — callers must filter zero norms upstream
+          // if they need the two plans interchangeable on such data.
           val sz = sizes(qi)
-          if (sz < kk || better(sim, cid, sims(qi)(sz - 1), ids(qi)(sz - 1))) {
+          if (sim == sim &&
+            (sz < kk || better(sim, cid, sims(qi)(sz - 1), ids(qi)(sz - 1)))) {
             var pos = if (sz < kk) sz else kk - 1
             // bubble the candidate up to its sorted position
             while (pos > 0 && better(sim, cid, sims(qi)(pos - 1),

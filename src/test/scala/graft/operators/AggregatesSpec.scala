@@ -48,7 +48,8 @@ class AggregatesSpec extends SparkSpec {
 
   test("seq_window_arrays emits only complete length-10 windows") {
     val out = Aggregates.seqWindowArrays(spark, sf)
-    assert(out.filter(size(col("seq")) =!= 10).count() === 0)
+    // seq is serialized as a ','-joined string (see seqWindowArrays doc)
+    assert(out.filter(size(split(col("seq"), ",")) =!= 10).count() === 0)
     // per user: n rows with complete windows = max(events_of_user - 9, 0)
     val perUser = graft.sources.Tables.events(spark, sf)
       .groupBy("user_id").count()
@@ -99,7 +100,7 @@ class AggregatesSpec extends SparkSpec {
 
   test("pipeline_train_prep emits 5-length sequences only") {
     val out = Aggregates.pipelineTrainPrep(spark, sf)
-    assert(out.filter(size(col("seq")) =!= 5).count() === 0)
+    assert(out.filter(size(split(col("seq"), ",")) =!= 5).count() === 0)
     assert(out.count() > 0)
   }
 
