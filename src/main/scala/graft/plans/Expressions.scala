@@ -386,6 +386,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => GraftStrategies)
     e.injectOptimizerRule(_ => RewriteRankOneToMaxBy)
+    e.injectOptimizerRule(_ => RewriteCosineTopK)
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

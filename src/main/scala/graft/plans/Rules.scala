@@ -2,8 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Optimizer rule (SURVEY §7.4: Rule[LogicalPlan] path): rewrite
   * "keep the first-ranked row per key" —
@@ -78,6 +80,112 @@ object RewriteRankOneToMaxBy extends Rule[LogicalPlan] {
               exprId = a.exprId)
           } :+ Alias(Literal(1), rnAttr.name)(exprId = rnAttr.exprId)
         Project(restored, agg)
+      }
+      rewritten.getOrElse(f)
+  }
+}
+
+/** Optimizer rule (SURVEY §7.4: the declarative-to-custom-operator path):
+  * recognize the brute-force cosine top-k pattern —
+  *
+  *   Filter(rank <= k, Window(rank ← row_number() OVER
+  *     (PARTITION BY q_id ORDER BY cos_sim DESC, c_id ASC),
+  *     Project(q_id, c_id, cos_sim ← graft_dot(e1,e2)/(n1*n2),
+  *       Join(corpus, queries, cross/inner, no condition))))
+  *
+  * — and replace the join+project under the Window with the bounded
+  * `CosineTopKJoin` partial top-k (graft.plans.TopKJoin). The Window+Filter
+  * stay on top as the exact final rank over the k·partitions survivors, so
+  * results are identical to the brute-force plan (same fold, same
+  * comparator) while the |corpus|×|queries| scored cross product is never
+  * materialized. Users write the declarative form; the engine picks the
+  * operator — the same contract Catalyst applies to its own joins.
+  *
+  * Guards are strict: exact (sim DESC NULLS LAST, id ASC NULLS FIRST)
+  * order, BIGINT ids, ARRAY<FLOAT> embeddings, DOUBLE norms, each side
+  * supplying exactly one of (id, embedding, norm). Anything else keeps the
+  * window plan (which InferWindowGroupLimit still stages into partial
+  * top-k).
+  */
+object RewriteCosineTopK extends Rule[LogicalPlan] {
+
+  /** (rank attribute, k) from `rank <= k` / `rank < k+1` / `rank = 1`,
+    * looking through the LONG cast users add for oracle dtype parity. */
+  private def rankBound(cond: Expression): Option[(Attribute, Int)] = {
+    def attr(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case Cast(a: Attribute, LongType, _, _) => Some(a)
+      case _ => None
+    }
+    cond match {
+      case LessThanOrEqual(e, Literal(k: Int, IntegerType)) =>
+        attr(e).map((_, k))
+      case LessThanOrEqual(e, Literal(k: Long, LongType)) =>
+        attr(e).map((_, k.toInt))
+      case LessThan(e, Literal(k: Int, IntegerType)) => attr(e).map((_, k - 1))
+      case LessThan(e, Literal(k: Long, LongType)) =>
+        attr(e).map((_, k.toInt - 1))
+      case EqualTo(e, Literal(1, IntegerType)) => attr(e).map((_, 1))
+      case EqualTo(e, Literal(1L, LongType)) => attr(e).map((_, 1))
+      case _ => None
+    }
+  }
+
+  private def isLong(a: Attribute) = a.dataType == LongType
+  private def isFloatArr(a: Attribute) = a.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def isDouble(a: Attribute) = a.dataType == DoubleType
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, w @ Window(
+        Seq(al @ Alias(WindowExpression(RowNumber(), spec), _)),
+        _, _, Project(projList, Join(jl, jr, Inner | Cross, None, _)), _)) =>
+      val rewritten = for {
+        (rnAttr, k) <- rankBound(cond)
+        if k >= 1 && rnAttr.exprId == al.exprId
+        qId <- spec.partitionSpec match {
+          case Seq(a: Attribute) if isLong(a) => Some(a)
+          case _ => None
+        }
+        (simAttr, cId) <- spec.orderSpec match {
+          case Seq(SortOrder(s: Attribute, Descending, NullsLast, _),
+                   SortOrder(c: Attribute, Ascending, NullsFirst, _))
+            if isDouble(s) && isLong(c) => Some((s, c))
+          case _ => None
+        }
+        // the projection must be exactly (q_id, c_id, cos_sim) IN THAT
+        // ORDER — the physical operator emits columns in that order, and
+        // Window.output = child.output ++ rank must be unchanged
+        if projList.map(_.toAttribute.exprId) ==
+          Seq(qId.exprId, cId.exprId, simAttr.exprId)
+        simDef <- projList.collectFirst {
+          case a @ Alias(Divide(DotProduct(e1: Attribute, e2: Attribute),
+              Multiply(n1: Attribute, n2: Attribute, _), _), _)
+            if a.exprId == simAttr.exprId => (e1, e2, n1, n2)
+        }
+        (e1, e2, n1, n2) = simDef
+        if Seq(e1, e2).forall(isFloatArr) && Seq(n1, n2).forall(isDouble)
+        // split the four inputs by join side; q_id's side is the
+        // (broadcast) query side, the other streams as the corpus
+        qSide = if (jl.outputSet.contains(qId)) jl else jr
+        cSide = if (jl.outputSet.contains(qId)) jr else jl
+        if qSide.outputSet.contains(qId) && cSide.outputSet.contains(cId)
+        qEmb <- Seq(e1, e2).find(qSide.outputSet.contains)
+        cEmb <- Seq(e1, e2).find(cSide.outputSet.contains)
+        qNrm <- Seq(n1, n2).find(qSide.outputSet.contains)
+        cNrm <- Seq(n1, n2).find(cSide.outputSet.contains)
+        if qEmb.exprId != cEmb.exprId && qNrm.exprId != cNrm.exprId
+      } yield {
+        val topk = CosineTopKJoin(
+          Project(Seq(cId, cEmb, cNrm), cSide),
+          Project(Seq(qId, qEmb, qNrm), qSide),
+          k,
+          // reuse the ORIGINAL attributes (same exprIds) so the Window,
+          // Filter, and everything above resolve unchanged
+          output = Seq(qId, cId, simAttr))
+        f.copy(child = w.copy(child = topk))
       }
       rewritten.getOrElse(f)
   }

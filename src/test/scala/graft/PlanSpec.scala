@@ -52,10 +52,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ann queries broadcast the query-vector side and stage the top-k") {
-    val p = plan(Similarity.annBruteTopk(spark, sf))
+    // IVF-label variant: its equi-join keeps the window form (the cosine
+    // rewrite below requires an unconditioned cross join), so it shows
+    // the broadcast + WindowGroupLimit staging
+    val p = plan(Similarity.annIvfLabelTopk(spark, sf))
     assert(p.contains("Broadcast"), s"expected broadcast join in:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"rank filter not staged into partial top-k:\n$p")
+  }
+
+  test("declarative cosine top-k rewrites to CosineTopKJoinExec") {
+    val p = plan(Similarity.annBruteTopk(spark, sf))
+    assert(p.contains("CosineTopKJoin"),
+      s"RewriteCosineTopK did not fire on the declarative form:\n$p")
   }
 
   test("rank=1 dedup rewrites to a map-side-combinable max_by aggregate") {
