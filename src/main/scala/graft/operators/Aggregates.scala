@@ -103,6 +103,63 @@ object Aggregates {
         round(expr("percentile(value, 0.75)"), 6).as("q75"))
       .orderBy("event_type")
 
+  /** The same three quantiles through the mergeable fixed-bucket histogram
+    * sketch (graft.plans.HistQuantile, a TypedImperativeAggregate): 256
+    * equi-width buckets over [0, 512) (w = 2.0), quantile read by linear
+    * interpolation inside the containing bucket. Unlike exact percentile
+    * (which shuffles and sorts every value per group), the sketch shuffles
+    * one 2 KB count vector per group — the 100 TB grouped-quantile path.
+    * The oracle replays the identical histogram + interpolation in SQL, so
+    * this custom aggregate is hash-checked, not rows-only. */
+  val quantileHistSketch: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr(
+          "graft_hist_quantile(value, 0.0D, 512.0D, 256, 0.25D)"), 6)
+          .as("q25"),
+        round(expr(
+          "graft_hist_quantile(value, 0.0D, 512.0D, 256, 0.5D)"), 6)
+          .as("median"),
+        round(expr(
+          "graft_hist_quantile(value, 0.0D, 512.0D, 256, 0.75D)"), 6)
+          .as("q75"))
+      .orderBy("event_type")
+
+  val quantileHistSketchOracle: String =
+    """WITH b AS (
+         SELECT event_type,
+           LEAST(GREATEST(CAST(floor((value - 0.0) / 2.0) AS BIGINT), 0),
+             255) AS bi,
+           count(*) AS c
+         FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+             FROM b GROUP BY 1),
+       cw AS (
+         SELECT event_type, bi, c,
+           CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bi)
+             AS BIGINT) AS cum
+         FROM b),
+       qs AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75)) AS v(q)),
+       sel AS (
+         SELECT cw.event_type, qs.q, cw.bi, cw.c, cw.cum - cw.c AS cumb,
+           t.n
+         FROM cw JOIN t USING (event_type) CROSS JOIN qs
+         WHERE cw.cum >= qs.q * t.n
+         QUALIFY row_number() OVER (PARTITION BY cw.event_type, qs.q
+           ORDER BY cw.bi) = 1),
+       est AS (
+         SELECT event_type, q,
+           round(0.0 + 2.0 * (bi + (q * n - cumb) / c), 6) AS est
+         FROM sel)
+       SELECT event_type, n,
+         max(CASE WHEN q = 0.25 THEN est END) AS q25,
+         max(CASE WHEN q = 0.5  THEN est END) AS median,
+         max(CASE WHEN q = 0.75 THEN est END) AS q75
+       FROM est JOIN t USING (event_type)
+       GROUP BY event_type, n ORDER BY event_type"""
+
   /** Pairwise Pearson correlation (client `both.corr()`,
     * `localTrinoTest.ipynb:438`) as a tidy single row. */
   val corrMatrix: Q = (s, dir) =>
@@ -368,6 +425,7 @@ object Aggregates {
     "dedup_latest_by_key" -> dedupLatestByKey,
     "agg_minmax_global" -> aggMinmaxGlobal,
     "quantiles" -> quantiles,
+    "quantile_hist_sketch" -> quantileHistSketch,
     "corr_matrix" -> corrMatrix,
     "approx_count_distinct" -> approxCountDistinct,
     "window_rank_lag_lead" -> windowRankLagLead,
@@ -436,6 +494,7 @@ object Aggregates {
          round(quantile_cont(value, 0.5), 6) AS median,
          round(quantile_cont(value, 0.75), 6) AS q75
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "quantile_hist_sketch" -> quantileHistSketchOracle,
     "corr_matrix" ->
       """SELECT round(corr(l_quantity, l_extendedprice), 6)
            AS corr_qty_price,

@@ -413,6 +413,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv_distinct"),
       (exprs: Seq[Expression]) => KmvDistinct(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("graft_hist_quantile"),
+      new ExpressionInfo(classOf[HistQuantile].getName,
+        "graft_hist_quantile"),
+      (exprs: Seq[Expression]) => HistQuantile.fromExprs(exprs)))
+    e.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName,
         "graft_shingle_hashes"),

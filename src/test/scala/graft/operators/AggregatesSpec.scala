@@ -117,4 +117,30 @@ class AggregatesSpec extends SparkSpec {
       assert(s7 === s1)
     }
   }
+
+  test("property: hist-quantile sketch is partition-order independent " +
+      "and lands within one bucket width of the exact quantile") {
+    val rnd = new scala.util.Random(7)
+    val xs = List.fill(500)(rnd.nextDouble() * 500)
+    val expr50 = "graft_hist_quantile(v, 0.0D, 512.0D, 256, 0.5D)"
+    val s7 = xs.toDF("v").repartition(7)
+      .selectExpr(expr50).head.getDouble(0)
+    val s1 = xs.reverse.toDF("v").coalesce(1)
+      .selectExpr(expr50).head.getDouble(0)
+    assert(s7 === s1, "merge order changed the sketch result")
+    val exact = xs.sorted.apply(250)
+    assert(math.abs(s7 - exact) <= 2.0,
+      s"sketch median $s7 vs exact $exact off by more than bucket width")
+  }
+
+  test("hist-quantile sketch: empty input is NULL, q=0/q=1 hit the edges") {
+    val empty = Seq.empty[Double].toDF("v")
+      .selectExpr("graft_hist_quantile(v, 0.0D, 512.0D, 256, 0.5D)").head
+    assert(empty.isNullAt(0))
+    val one = Seq(100.0).toDF("v")
+    assert(one.selectExpr("graft_hist_quantile(v, 0.0D, 512.0D, 256, 0.0D)")
+      .head.getDouble(0) === 100.0)
+    assert(one.selectExpr("graft_hist_quantile(v, 0.0D, 512.0D, 256, 1.0D)")
+      .head.getDouble(0) === 102.0) // upper edge of the containing bucket
+  }
 }
