@@ -299,7 +299,96 @@ object TextAnalysis {
        CROSS JOIN tots
        ORDER BY n_bg DESC, w1 ASC, w2 ASC LIMIT 20"""
 
+  /** Sequence packing (the concat-and-chunk step that turns a document
+    * corpus into fixed-length training windows): per source shard, docs
+    * are laid out in doc_id order, token counts accumulate, and each doc
+    * gets its context-window id (floor(tokens_before / capacity)), its
+    * offset inside the window, and whether it spans a window boundary.
+    * This is the fully parallel packing LLM training actually uses
+    * (documents concatenated, then split every `cap` tokens) — no
+    * bin-packing recursion, just a partitioned window cumsum, so a 100 TB
+    * corpus packs shard-parallel with one shuffle on `source`. */
+  val packSequences: Q = (s, dir) => {
+    val cap = 512
+    t(s, dir, "documents")
+      .selectExpr("source", "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+      .selectExpr("source", "doc_id", "n_tok",
+        s"""CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+            PRECEDING), 0) AS BIGINT) AS tok_before""")
+      .selectExpr("source", "doc_id", "n_tok",
+        s"CAST(floor(tok_before / $cap) AS BIGINT) AS window_id",
+        s"tok_before % $cap AS win_offset",
+        s"(tok_before % $cap) + n_tok > $cap AS spans_boundary")
+      .orderBy("source", "doc_id")
+  }
+
+  val packSequencesOracle: String =
+    """WITH d AS (
+         SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+         FROM documents),
+       c AS (
+         SELECT source, doc_id, n_tok,
+           CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+             PRECEDING), 0) AS BIGINT) AS tok_before
+         FROM d)
+       SELECT source, doc_id, n_tok,
+         CAST(floor(tok_before / 512) AS BIGINT) AS window_id,
+         tok_before % 512 AS win_offset,
+         (tok_before % 512) + n_tok > 512 AS spans_boundary
+       FROM c ORDER BY source, doc_id"""
+
+  /** Benchmark decontamination (the eval-set overlap check every training
+    * pipeline runs before shipping data): docs with doc_id < 20 act as the
+    * held-out benchmark; every training doc (doc_id >= 20) reports how
+    * many distinct word-5-grams it shares with the benchmark set and with
+    * how many benchmark docs it collides. The join key is the md5-derived
+    * 60-bit hash of each 5-gram, so at scale this is a hash semi-join on
+    * fixed-width longs — the benchmark side (small by construction) is
+    * broadcast, and the corpus side never shuffles. */
+  val decontamOverlap: Q = (s, dir) => {
+    val grams = t(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        // guard: sequence(1, 0) in Spark is the DESCENDING [1, 0], so
+        // short docs must short-circuit to an empty gram list
+        """CASE WHEN size(toks) >= 5 THEN
+             array_distinct(transform(sequence(1, size(toks) - 4),
+               i -> graft_hex60(concat_ws(' ', slice(toks, i, 5)))))
+           ELSE array() END AS gs""")
+      .selectExpr("doc_id", "explode(gs) AS g")
+    val bench = grams.filter(col("doc_id") < 20)
+      .selectExpr("doc_id AS b_id", "g AS bg")
+    val train = grams.filter(col("doc_id") >= 20)
+    train.join(broadcast(bench), col("g") === col("bg"))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("g")).as("n_shared_grams"),
+        countDistinct(col("b_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
+  val decontamOverlapOracle: String =
+    s"""WITH g AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+           i -> ${hex60Duck(
+             "array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')")})))
+           AS g
+         FROM documents),
+       bench AS (SELECT doc_id AS b_id, g AS bg FROM g WHERE doc_id < 20),
+       train AS (SELECT * FROM g WHERE doc_id >= 20)
+       SELECT doc_id,
+         count(DISTINCT g) AS n_shared_grams,
+         count(DISTINCT b_id) AS n_bench_docs
+       FROM train JOIN bench ON g = bg
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "pack_sequences" -> packSequences,
+    "decontam_overlap" -> decontamOverlap,
     "text_frequent_tokens" -> frequentTokens,
     "text_bigram_pmi" -> bigramPmi,
     "corpus_sample_bottomk" -> sampleBottomK,
@@ -313,6 +402,8 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "pack_sequences" -> packSequencesOracle,
+    "decontam_overlap" -> decontamOverlapOracle,
     "text_frequent_tokens" -> frequentTokensOracle,
     "text_bigram_pmi" -> bigramPmiOracle,
     "corpus_sample_bottomk" -> sampleBottomKOracle,

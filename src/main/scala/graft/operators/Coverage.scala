@@ -176,6 +176,58 @@ object Coverage {
        ('events'), ('lineitem'), ('nation'), ('orders'), ('part'),
        ('region'), ('supplier')) AS t(table_name) ORDER BY table_name"""
 
+  /** Map functions (§2.8 'A' row: map fns): construction (map,
+    * str_to_map), lookup (element_at), keys/size, and map_concat. Outputs
+    * are emitted as scalars/joined strings; the oracle states the expected
+    * values directly (the semantic spec, independent of MAP dialect). */
+  val mapFuncs: Q = (s, dir) =>
+    events(s, dir)
+      .selectExpr("event_id",
+        "map('et', event_type, 'uid', CAST(user_id AS STRING)) AS m",
+        """str_to_map(concat('a:1,b:', CAST(event_id % 3 AS STRING)),
+           ',', ':') AS m2""")
+      .selectExpr("event_id",
+        "CAST(size(m) AS BIGINT) AS m_size",
+        "element_at(m, 'et') AS et",
+        "concat_ws(',', array_sort(map_keys(m2))) AS m2_keys",
+        "element_at(m2, 'b') AS b_val",
+        "CAST(size(map_concat(m, m2)) AS BIGINT) AS concat_size")
+      .orderBy("event_id")
+
+  val mapFuncsOracle: String =
+    """SELECT event_id,
+       CAST(2 AS BIGINT) AS m_size,
+       event_type AS et,
+       'a,b' AS m2_keys,
+       CAST(event_id % 3 AS VARCHAR) AS b_val,
+       CAST(4 AS BIGINT) AS concat_size
+       FROM events ORDER BY event_id"""
+
+  /** Catalog DDL round-trip (§2.11 CREATE TABLE, the fill_postgresql.sql
+    * analog): CREATE TABLE … USING parquet, INSERT INTO … SELECT from the
+    * scanned source, read back through the catalog. The managed table is
+    * per-SF-tagged like the bucketed tables (one warehouse per process).
+    * Cites reference DDL local_demo_setup/fill_postgresql.sql:1-10. */
+  val metaCreateInsert: Q = (s, dir) => {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val tbl = s"graft_ddl_orders_$tag"
+    if (!s.catalog.tableExists(tbl)) {
+      s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_orderstatus STRING) " +
+        "USING parquet")
+      t(s, dir, "orders").createOrReplaceTempView(s"graft_ddl_src_$tag")
+      s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus " +
+        s"FROM graft_ddl_src_$tag WHERE o_orderkey < 500")
+    }
+    s.sql(s"SELECT o_orderstatus, count(*) AS n, " +
+      s"CAST(min(o_orderkey) AS BIGINT) AS min_key FROM $tbl " +
+      "GROUP BY o_orderstatus ORDER BY o_orderstatus")
+  }
+
+  val metaCreateInsertOracle: String =
+    """SELECT o_orderstatus, count(*) AS n, min(o_orderkey) AS min_key
+       FROM orders WHERE o_orderkey < 500
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   /** PIVOT: per-user event-type counts as columns (fixed value list →
     * stable schema, no extra distinct-values pass at scale). */
   val pivotEventCounts: Q = (s, dir) =>
@@ -641,6 +693,8 @@ object Coverage {
     "window_range_frame" -> windowRangeFrame,
     "array_funcs" -> arrayFuncs,
     "events_time_bounded" -> eventsTimeBounded,
+    "map_funcs" -> mapFuncs,
+    "meta_create_insert" -> metaCreateInsert,
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
@@ -670,5 +724,7 @@ object Coverage {
     "window_range_frame" -> windowRangeFrameOracle,
     "array_funcs" -> arrayFuncsOracle,
     "events_time_bounded" -> eventsTimeBoundedOracle,
+    "map_funcs" -> mapFuncsOracle,
+    "meta_create_insert" -> metaCreateInsertOracle,
     "meta_show_tables" -> metaShowTablesOracle)
 }

@@ -85,14 +85,22 @@ object Streams {
 
   /** Tumbling 1-day event-time windows (complete mode → every window
     * emitted; decimal sums for cross-engine exactness). */
-  val streamTumblingCounts: Q = (s, dir) => {
-    val agg = eventStream(s, dir)
+  val streamTumblingCounts: Q = (s, dir) =>
+    tumblingCore(s, eventStream(s, dir), "stream_tumbling_counts")
+
+  /** Core of the tumbling aggregation over any event stream — also driven
+    * by the replay-determinism spec with a 3-file maxFilesPerTrigger=1
+    * source (same result no matter how the files arrive in micro-batches;
+    * decimal partial sums keep the total partition-order independent). */
+  private[graft] def tumblingCore(s: SparkSession,
+      stream: DataFrame, name: String): DataFrame = {
+    val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
           .as("sum_value"))
-    runToTable(s, agg, "stream_tumbling_counts", "complete")
+    runToTable(s, agg, name, "complete")
       .selectExpr("CAST(window.start AS TIMESTAMP_NTZ) AS day_start",
         "event_type", "n", "sum_value")
       .orderBy("day_start", "event_type")

@@ -45,6 +45,20 @@ class StreamsSpec extends SparkSpec {
     assert(multi === single)
   }
 
+  test("tumbling counts are identical under multi-micro-batch replay") {
+    val dir3 = s"${System.getProperty("java.io.tmpdir")}/graft_events3t"
+    spark.read.parquet(s"$sf/events.parquet")
+      .repartition(3).write.mode("overwrite").parquet(dir3)
+    val stream = spark.readStream.schema(Streams.rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir3)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val multi = Streams.tumblingCore(spark, stream, "tumbling_mb")
+      .collect().map(_.toString).toSeq
+    val single = Streams.streamTumblingCounts(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(multi === single)
+  }
+
   test("stream-stream join equals the batch range join") {
     val streamed = Streams.streamStreamJoin(spark, sf)
       .select("click_id", "purchase_id")
