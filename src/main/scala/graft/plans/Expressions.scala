@@ -103,6 +103,48 @@ object HashUtil {
     out
   }
 
+  /** DISTINCT word-n-gram 60-bit hashes in one byte-level pass — value-
+    * identical to `array_distinct(transform(sequence(1, nTok-n+1), i ->
+    * hex60(concat_ws(' ', slice(split(text,' '), i, n)))))` but ~40×
+    * faster: higher-order-function lambdas evaluate interpreted per
+    * element, while this hashes each n-token byte range in place (the
+    * joined n-gram IS the original byte span, spaces included). Returns
+    * an empty array for docs shorter than n tokens. Called from generated
+    * code. */
+  def ngramHashes(s: UTF8String, n: Int): Array[Long] = {
+    val bytes = s.getBytes
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    if (nTok < n) return Array.emptyLongArray
+    val starts = new Array[Int](nTok + 1)
+    var t = 1
+    starts(0) = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(nTok) = bytes.length + 1
+    val md = mdTl.get()
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new Array[Long](nTok - n + 1)
+    var m = 0
+    var k = 0
+    while (k <= nTok - n) {
+      md.reset()
+      md.update(bytes, starts(k), starts(k + n) - starts(k) - 1)
+      val d = md.digest()
+      var h = 0L
+      i = 0
+      while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = (h << 4) | ((d(7) & 0xf0L) >>> 4)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      k += 1
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+  }
+
   /** 48-bit simhash straight from text: tokenize, build the DISTINCT
     * word-3-gram shingle set (exact string dedupe — simhash, unlike
     * minhash, is multiset-sensitive), md5-hash each mod 2^48, majority
@@ -380,6 +422,37 @@ case class ShingleHashes(child: Expression) extends UnaryExpression {
       : Expression = copy(newChild)
 }
 
+/** Distinct word-n-gram hex60 hashes (see HashUtil.ngramHashes). The gram
+  * width is a literal second argument fixed at plan time. */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"graft_ngram_hashes: n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashUtil.ngramHashes(v.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.HashUtil.ngramHashes($c, $n))")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object NgramHashes {
+  def fromExprs(exprs: Seq[Expression]): NgramHashes = {
+    require(exprs.length == 2 && exprs(1).foldable,
+      "graft_ngram_hashes(text, n) takes a column and a literal width")
+    NgramHashes(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue())
+  }
+}
+
 /** Session extension registering the native functions for SQL use
   * (`spark.sql.extensions=graft.plans.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -417,6 +490,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HistQuantile].getName,
         "graft_hist_quantile"),
       (exprs: Seq[Expression]) => HistQuantile.fromExprs(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("graft_ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName,
+        "graft_ngram_hashes"),
+      (exprs: Seq[Expression]) => NgramHashes.fromExprs(exprs)))
     e.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName,

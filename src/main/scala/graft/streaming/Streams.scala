@@ -57,13 +57,28 @@ object Streams {
     s.readStream.schema(rawSchema).parquet(stagedDir(dir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** State-store partition count for the streaming queries. A stateful
+    * operator creates one state store per shuffle partition at the FIRST
+    * micro-batch (fixed for the checkpoint's lifetime), and every batch
+    * pays a per-store commit — so this is sized to the stream's key
+    * volume, not the batch-analytics shuffle default (32 here): the
+    * harness streams carry ~1e5 keys, where 8 stores cut per-batch commit
+    * overhead ~4× with zero skew risk. On a real cluster this scales to
+    * O(cores) like any shuffle, but it is a deliberate, per-stream knob —
+    * repartitioning a checkpointed stream later requires a state rebuild. */
+  private val streamStatePartitions = "8"
+
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the materialized result. */
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
       mode: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 

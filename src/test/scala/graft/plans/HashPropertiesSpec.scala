@@ -50,6 +50,20 @@ class HashPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("native n-gram hashes equal the distinct split/slice/md5 chain") {
+    for (n <- Seq(1, 2, 5)) {
+      samples(text, 200).foreach { s =>
+        val toks = s.split(" ", -1)
+        val expect =
+          if (toks.length < n) Array.emptyLongArray
+          else toks.sliding(n).map(w => refHex60(w.mkString(" ")))
+            .toSeq.distinct.toArray
+        val got = HashUtil.ngramHashes(UTF8String.fromString(s), n)
+        assert(got.toSeq === expect.toSeq, s"for n=$n '$s'")
+      }
+    }
+  }
+
   test("minhashSigs equals the 16 universal-hash minima") {
     samples(text, 100).foreach { s =>
       val hs = HashUtil.shingleHashes(UTF8String.fromString(s))
