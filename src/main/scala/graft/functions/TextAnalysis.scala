@@ -340,6 +340,40 @@ object TextAnalysis {
          (tok_before % 512) + n_tok > 512 AS spans_boundary
        FROM c ORDER BY source, doc_id"""
 
+  /** Deterministic mixture weighting (the source-rebalancing step of a
+    * training-data pipeline): each language keeps documents at a declared
+    * rate (en 1.0, zh/de 0.5, fr/es 0.25) by comparing the md5-derived
+    * 60-bit doc hash against rate·2^60 — the same decide-by-hash trick as
+    * the bottom-k sampler, so membership is a pure function of doc_id:
+    * reproducible across runs, engines, and cluster sizes, with no
+    * coordination (each partition decides locally; the only shuffle is
+    * the summary aggregation). */
+  val mixWeighted: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id", "lang",
+        hex60("concat('mix_', CAST(doc_id AS STRING))") + " AS h")
+      .selectExpr("lang",
+        """CASE lang WHEN 'en' THEN 1152921504606846976
+                     WHEN 'zh' THEN 576460752303423488
+                     WHEN 'de' THEN 576460752303423488
+                     ELSE 288230376151711744 END AS thr""",
+        "h")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("h") < col("thr"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+
+  val mixWeightedOracle: String =
+    s"""SELECT lang, count(*) AS n_total,
+       CAST(sum(
+         CASE WHEN ${hex60Duck("concat('mix_', CAST(doc_id AS VARCHAR))")}
+             < CASE lang WHEN 'en' THEN 1152921504606846976
+                         WHEN 'zh' THEN 576460752303423488
+                         WHEN 'de' THEN 576460752303423488
+                         ELSE 288230376151711744 END
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       FROM documents GROUP BY lang ORDER BY lang"""
+
   /** Benchmark decontamination (the eval-set overlap check every training
     * pipeline runs before shipping data): docs with doc_id < 20 act as the
     * held-out benchmark; every training doc (doc_id >= 20) reports how
@@ -393,6 +427,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "pack_sequences" -> packSequences,
     "decontam_overlap" -> decontamOverlap,
+    "corpus_mix_weighted" -> mixWeighted,
     "text_frequent_tokens" -> frequentTokens,
     "text_bigram_pmi" -> bigramPmi,
     "corpus_sample_bottomk" -> sampleBottomK,
@@ -408,6 +443,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "pack_sequences" -> packSequencesOracle,
     "decontam_overlap" -> decontamOverlapOracle,
+    "corpus_mix_weighted" -> mixWeightedOracle,
     "text_frequent_tokens" -> frequentTokensOracle,
     "text_bigram_pmi" -> bigramPmiOracle,
     "corpus_sample_bottomk" -> sampleBottomKOracle,

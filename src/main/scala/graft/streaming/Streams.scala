@@ -301,8 +301,57 @@ object Streams {
         AND p.ts <= c.ts + INTERVAL 5 MINUTE
        ORDER BY click_id, purchase_id"""
 
+  /** The custom histogram-quantile sketch INSIDE a streaming window
+    * aggregation: per-day median of event values. TypedImperativeAggregate
+    * buffers serialize into the state store between micro-batches, so the
+    * sketch streams exactly like a built-in aggregate — per-day state is
+    * one 256-bucket count vector regardless of event volume, and the
+    * result is micro-batch-order independent (commutative merges). The
+    * oracle replays the histogram + interpolation with day grouping. */
+  val streamHistQuantile: Q = (s, dir) => {
+    val agg = eventStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("graft_hist_quantile(value, 0.0D, 512.0D, 256, 0.5D)"),
+          6).as("p50"))
+    runToTable(s, agg, "stream_hist_quantile", "complete")
+      .selectExpr("CAST(window.start AS TIMESTAMP_NTZ) AS day_start",
+        "n", "p50")
+      .orderBy("day_start")
+  }
+
+  val streamHistQuantileOracle: String =
+    """WITH e AS (
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           value
+         FROM events WHERE value IS NOT NULL),
+       b AS (
+         SELECT day_start,
+           LEAST(GREATEST(CAST(floor((value - 0.0) / 2.0) AS BIGINT), 0),
+             255) AS bi,
+           count(*) AS c
+         FROM e GROUP BY 1, 2),
+       t AS (SELECT day_start, CAST(sum(c) AS BIGINT) AS n
+             FROM b GROUP BY 1),
+       cw AS (
+         SELECT day_start, bi, c,
+           CAST(sum(c) OVER (PARTITION BY day_start ORDER BY bi)
+             AS BIGINT) AS cum
+         FROM b),
+       sel AS (
+         SELECT cw.day_start, cw.bi, cw.c, cw.cum - cw.c AS cumb, t.n
+         FROM cw JOIN t USING (day_start)
+         WHERE cw.cum >= 0.5 * t.n
+         QUALIFY row_number() OVER (PARTITION BY cw.day_start
+           ORDER BY cw.bi) = 1)
+       SELECT day_start, n,
+         round(0.0 + 2.0 * (bi + (0.5 * n - cumb) / c), 6) AS p50
+       FROM sel ORDER BY day_start"""
+
   val queries: Map[String, Q] = Map(
     "stream_stream_join" -> streamStreamJoin,
+    "stream_hist_quantile" -> streamHistQuantile,
     "stream_foreach_batch_sink" -> streamForeachBatchSink,
     "stream_stateful_latest" -> streamStatefulLatest,
     "stream_dedup_keys" -> streamDedupKeys,
@@ -317,5 +366,6 @@ object Streams {
     "stream_dedup_keys" -> streamDedupKeysOracle,
     "stream_tumbling_counts" -> streamTumblingCountsOracle,
     "stream_sliding_counts" -> streamSlidingCountsOracle,
+    "stream_hist_quantile" -> streamHistQuantileOracle,
     "sessionize_events" -> sessionizeEventsOracle)
 }
