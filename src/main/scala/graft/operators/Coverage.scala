@@ -286,6 +286,43 @@ object Coverage {
            / count(*) FROM orders)
        ORDER BY o_orderkey"""
 
+  /** Correlated EXISTS / NOT EXISTS / correlated scalar subquery (§2.2
+    * 'A' row: predicates beyond the reference's date compares) through
+    * spark.sql — Catalyst decorrelates EXISTS into a left-semi and NOT
+    * EXISTS into a left-anti join, so both run as hash joins at scale
+    * (no per-row subquery execution). Customers under key 300 with at
+    * least one order but none above 250 000, plus their correlated
+    * per-customer max order price. */
+  val subqueryExists: Q = (s, dir) => {
+    t(s, dir, "customer").createOrReplaceTempView("graft_sq_customer")
+    t(s, dir, "orders").createOrReplaceTempView("graft_sq_orders")
+    s.sql(
+      """SELECT c_custkey,
+           round((SELECT max(o_totalprice) FROM graft_sq_orders o
+             WHERE o.o_custkey = c.c_custkey), 2) AS max_price
+         FROM graft_sq_customer c
+         WHERE c_custkey < 300
+           AND EXISTS (SELECT 1 FROM graft_sq_orders o
+                        WHERE o.o_custkey = c.c_custkey)
+           AND NOT EXISTS (SELECT 1 FROM graft_sq_orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 250000.0)
+         ORDER BY c_custkey""")
+  }
+
+  val subqueryExistsOracle: String =
+    """SELECT c_custkey,
+         round((SELECT max(o_totalprice) FROM orders o
+           WHERE o.o_custkey = c.c_custkey), 2) AS max_price
+       FROM customer c
+       WHERE c_custkey < 300
+         AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 250000.0)
+       ORDER BY c_custkey"""
+
   /** Bucketed co-located join: both sides written bucketed+sorted on the
     * join key, so the sort-merge join needs NO Exchange and no sort — the
     * bucketing/pre-partitioning scale path (at 100 TB this is how a fact
@@ -694,6 +731,7 @@ object Coverage {
     "array_funcs" -> arrayFuncs,
     "events_time_bounded" -> eventsTimeBounded,
     "map_funcs" -> mapFuncs,
+    "subquery_exists" -> subqueryExists,
     "meta_create_insert" -> metaCreateInsert,
     "meta_show_tables" -> metaShowTables)
 
@@ -725,6 +763,7 @@ object Coverage {
     "array_funcs" -> arrayFuncsOracle,
     "events_time_bounded" -> eventsTimeBoundedOracle,
     "map_funcs" -> mapFuncsOracle,
+    "subquery_exists" -> subqueryExistsOracle,
     "meta_create_insert" -> metaCreateInsertOracle,
     "meta_show_tables" -> metaShowTablesOracle)
 }
