@@ -67,6 +67,12 @@ class PlanSpec extends SparkSpec {
       s"RewriteCosineTopK did not fire on the declarative form:\n$p")
   }
 
+  test("EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
+    val p = plan(Coverage.subqueryExists(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS not decorrelated:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS not decorrelated:\n$p")
+  }
+
   test("rank=1 dedup rewrites to a map-side-combinable max_by aggregate") {
     val df = Aggregates.dedupLatestByKey(spark, sf)
     val p = plan(df)
