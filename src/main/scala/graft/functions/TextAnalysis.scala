@@ -424,7 +424,79 @@ object TextAnalysis {
        FROM train JOIN bench ON g = bg
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** The whole training-data pipeline as ONE declarative plan — the
+    * flagship composition the engine exists for: quality filter (≥ 30
+    * tokens) → exact dedup (keep the smallest doc_id per content hash) →
+    * near-dedup (drop the larger side of every verified MinHash pair,
+    * computed corpus-wide) → mixture weighting (decide-by-hash per
+    * language) → sequence packing (concat-and-chunk per source). Every
+    * stage is the already-verified operator; Catalyst fuses the chain, so
+    * one job runs filter+dedup map-side, two hash shuffles (content hash,
+    * near-dup semi-join), and the packing window — no intermediate
+    * materialization a 100 TB run would have to write out. */
+  val pipelineCorpusPrep: Q = (s, dir) => {
+    import graft.operators.Dedup
+    val docs = t(s, dir, "documents")
+      .selectExpr("doc_id", "source", "lang", "text",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+      .filter(col("n_tok") >= 30)
+    val keepExact = docs
+      .selectExpr("doc_id", hex60("text") + " AS h")
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val exactKept = docs.join(keepExact, Seq("doc_id"), "left_semi")
+    val nearDrop = Dedup.minhashLsh(s, dir)
+      .select(col("d2").as("doc_id")).distinct()
+    val deduped = exactKept.join(nearDrop, Seq("doc_id"), "left_anti")
+    val mixed = deduped.filter(expr(
+      s"""${hex60("concat('mix_', CAST(doc_id AS STRING))")} <
+          CASE lang WHEN 'en' THEN 1152921504606846976
+                    WHEN 'zh' THEN 576460752303423488
+                    WHEN 'de' THEN 576460752303423488
+                    ELSE 288230376151711744 END"""))
+    mixed
+      .selectExpr("doc_id", "source", "lang", "n_tok",
+        """CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+            PRECEDING), 0) AS BIGINT) AS tok_before""")
+      .selectExpr("doc_id", "source", "lang", "n_tok",
+        "CAST(floor(tok_before / 512) AS BIGINT) AS window_id",
+        "tok_before % 512 AS win_offset")
+      .orderBy("doc_id")
+  }
+
+  val pipelineCorpusPrepOracle: String =
+    s"""WITH ${graft.operators.Dedup.minhashScoredCte},
+       pairs AS (SELECT d1, d2 FROM scored WHERE jaccard >= 0.8),
+       q AS (
+         SELECT doc_id, source, lang, text,
+           len(string_split(text, ' ')) AS n_tok
+         FROM documents WHERE len(string_split(text, ' ')) >= 30),
+       ke AS (
+         SELECT min(doc_id) AS doc_id FROM q
+         GROUP BY ${hex60Duck("text")}),
+       e AS (SELECT q.* FROM q SEMI JOIN ke USING (doc_id)),
+       nd AS (SELECT * FROM e
+              WHERE doc_id NOT IN (SELECT d2 FROM pairs)),
+       mx AS (SELECT * FROM nd
+              WHERE ${hex60Duck("concat('mix_', CAST(doc_id AS VARCHAR))")}
+                < CASE lang WHEN 'en' THEN 1152921504606846976
+                            WHEN 'zh' THEN 576460752303423488
+                            WHEN 'de' THEN 576460752303423488
+                            ELSE 288230376151711744 END),
+       c AS (
+         SELECT doc_id, source, lang, n_tok,
+           CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+             PRECEDING), 0) AS BIGINT) AS tok_before
+         FROM mx)
+       SELECT doc_id, source, lang, n_tok,
+         CAST(floor(tok_before / 512) AS BIGINT) AS window_id,
+         tok_before % 512 AS win_offset
+       FROM c ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "pipeline_corpus_prep" -> pipelineCorpusPrep,
     "pack_sequences" -> packSequences,
     "decontam_overlap" -> decontamOverlap,
     "corpus_mix_weighted" -> mixWeighted,
@@ -441,6 +513,7 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_corpus_prep" -> pipelineCorpusPrepOracle,
     "pack_sequences" -> packSequencesOracle,
     "decontam_overlap" -> decontamOverlapOracle,
     "corpus_mix_weighted" -> mixWeightedOracle,

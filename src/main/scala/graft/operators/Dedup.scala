@@ -159,9 +159,9 @@ object Dedup {
     result
   }
 
-  /** The minhash CTE chain through `scored` — shared by the pair oracle
-    * and the clustering oracle. */
-  private val minhashScoredCte: String =
+  /** The minhash CTE chain through `scored` — shared by the pair oracle,
+    * the clustering oracle, and the corpus-pipeline oracle. */
+  private[graft] val minhashScoredCte: String =
     s"""docs AS (
          SELECT doc_id, $shDuck AS sh FROM documents),
        docs2 AS (SELECT * FROM docs WHERE len(sh) > 0),
