@@ -149,13 +149,97 @@ object Multimodal {
        md5(substring(text, 1, 64)) AS thumb_digest
        FROM documents ORDER BY doc_id"""
 
+  /** Typed row for the media→embedding stage. */
+  case class MediaHist(doc_id: Long, emb: Array[Float])
+
+  /** Decode → embed → similarity-search in one plan: each media blob is
+    * embedded as its 16-bin byte histogram (the decode-stub stand-in for
+    * a real image/audio encoder) through the typed mapPartitions batch
+    * path, then the first five docs query the rest for cosine top-3 —
+    * WRITTEN as the declarative cross-join + window-rank form, which
+    * `RewriteCosineTopK` rewrites onto `CosineTopKJoinExec` (the rule is
+    * shape-based, so it fires over this non-parquet, typed-pipeline child
+    * exactly as it does over the embeddings table; asserted in PlanSpec).
+    * Histogram counts are small integers — exact in FLOAT — so the
+    * double fold agrees with the oracle bit-for-bit. */
+  val mmEmbedAnn: Q = (s, dir) => {
+    implicit val inEnc: org.apache.spark.sql.Encoder[MediaIn] =
+      Encoders.product[MediaIn]
+    implicit val histEnc: org.apache.spark.sql.Encoder[MediaHist] =
+      Encoders.product[MediaHist]
+    val hist = t(s, dir, "documents")
+      .selectExpr("doc_id", "CAST(text AS BINARY) AS media")
+      .as[MediaIn]
+      .mapPartitions(_.map { m =>
+        val bins = new Array[Float](16)
+        var i = 0
+        while (i < m.media.length) {
+          bins((m.media(i) & 0xff) / 16) += 1f
+          i += 1
+        }
+        MediaHist(m.doc_id, bins)
+      })
+      .toDF()
+      .selectExpr("doc_id", "emb", "sqrt(graft_dot(emb, emb)) AS nrm")
+    val q = hist.filter(col("doc_id") < 5)
+      .selectExpr("doc_id AS q_id", "emb AS q_emb", "nrm AS q_nrm")
+    val c = hist.filter(col("doc_id") >= 5)
+      .selectExpr("doc_id AS c_id", "emb AS c_emb", "nrm AS c_nrm")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    c.join(broadcast(q))
+      .selectExpr("q_id", "c_id",
+        "graft_dot(q_emb, c_emb) / (q_nrm * c_nrm) AS cos_sim")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  private val dotD16 =
+    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       list_transform(range(1, 17), i -> %A%[i] * %B%[i])),
+       (acc, v) -> acc + v)"""
+
+  val mmEmbedAnnOracle: String = {
+    def dot(a: String, b: String) =
+      dotD16.replace("%A%", a).replace("%B%", b)
+    s"""WITH b AS (
+         SELECT doc_id,
+           list_transform(range(1, length(text) + 1),
+             i -> ascii(text[i])) AS bytes
+         FROM documents),
+       h AS (
+         SELECT doc_id,
+           list_transform(range(0, 16), bin ->
+             CAST(len(list_filter(bytes, v -> v // 16 = bin)) AS DOUBLE))
+             AS emb
+         FROM b),
+       n AS (SELECT doc_id, emb, sqrt(${dot("emb", "emb")}) AS nrm FROM h),
+       q AS (SELECT doc_id AS q_id, emb AS q_emb, nrm AS q_nrm
+             FROM n WHERE doc_id < 5),
+       c AS (SELECT doc_id AS c_id, emb AS c_emb, nrm AS c_nrm
+             FROM n WHERE doc_id >= 5),
+       ranked AS (
+         SELECT q_id, c_id,
+           ${dot("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY
+             ${dot("q_emb", "c_emb")} / (q_nrm * c_nrm) DESC, c_id ASC)
+             AS rank
+         FROM c CROSS JOIN q)
+       SELECT q_id, rank, c_id, round(cos_sim, 6) AS cos_sim
+       FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_embed_ann" -> mmEmbedAnn,
     "mm_resize_stub" -> mmResizeStub,
     "mm_metadata" -> mmMetadata,
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_frame_sample" -> mmFrameSample)
 
   val oracles: Map[String, String] = Map(
+    "mm_embed_ann" -> mmEmbedAnnOracle,
     "mm_resize_stub" -> mmResizeStubOracle,
     "mm_metadata" -> mmMetadataOracle,
     "mm_decode_features" -> mmDecodeFeaturesOracle,

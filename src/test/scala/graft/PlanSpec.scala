@@ -67,6 +67,12 @@ class PlanSpec extends SparkSpec {
       s"RewriteCosineTopK did not fire on the declarative form:\n$p")
   }
 
+  test("cosine top-k rewrite also fires over the typed media pipeline") {
+    val p = plan(graft.operators.Multimodal.mmEmbedAnn(spark, sf))
+    assert(p.contains("CosineTopKJoin"),
+      s"RewriteCosineTopK did not fire on mm_embed_ann:\n$p")
+  }
+
   test("EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
     val p = plan(Coverage.subqueryExists(spark, sf))
     assert(p.contains("LeftSemi"), s"EXISTS not decorrelated:\n$p")
