@@ -160,6 +160,53 @@ object Aggregates {
        FROM est JOIN t USING (event_type)
        GROUP BY event_type, n ORDER BY event_type"""
 
+  /** Unknown-bounds variant: when [lo, hi) isn't known a priori, a cheap
+    * min/max pre-pass (one scalar aggregate — the same two-phase planning
+    * Spark itself uses to sample range-partition bounds) parameterizes
+    * the sketch. The two doubles ride into the second job as plan-time
+    * literals; Double.toString round-trips exactly, and the oracle
+    * derives the identical bounds from its own min/max scalar subquery,
+    * so the bucket boundaries agree bit-for-bit. */
+  val quantileHistAuto: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val r = ev.agg(min(col("value")), max(col("value"))).head
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr(
+          s"graft_hist_quantile(value, ${lo}D, ${hi}D, 256, 0.5D)"), 6)
+          .as("p50"))
+      .orderBy("event_type")
+  }
+
+  val quantileHistAutoOracle: String =
+    """WITH bd AS (
+         SELECT min(value) AS lo, max(value) AS hi FROM events),
+       b AS (
+         SELECT event_type,
+           LEAST(GREATEST(CAST(floor((value - bd.lo)
+             / ((bd.hi - bd.lo) / 256)) AS BIGINT), 0), 255) AS bi,
+           count(*) AS c
+         FROM events, bd WHERE value IS NOT NULL GROUP BY 1, 2),
+       t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+             FROM b GROUP BY 1),
+       cw AS (
+         SELECT event_type, bi, c,
+           CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bi)
+             AS BIGINT) AS cum
+         FROM b),
+       sel AS (
+         SELECT cw.event_type, cw.bi, cw.c, cw.cum - cw.c AS cumb, t.n
+         FROM cw JOIN t USING (event_type)
+         WHERE cw.cum >= 0.5 * t.n
+         QUALIFY row_number() OVER (PARTITION BY cw.event_type
+           ORDER BY cw.bi) = 1)
+       SELECT event_type, n,
+         round(bd.lo + ((bd.hi - bd.lo) / 256)
+           * (bi + (0.5 * n - cumb) / c), 6) AS p50
+       FROM sel, bd ORDER BY event_type"""
+
   /** Pairwise Pearson correlation (client `both.corr()`,
     * `localTrinoTest.ipynb:438`) as a tidy single row. */
   val corrMatrix: Q = (s, dir) =>
@@ -426,6 +473,7 @@ object Aggregates {
     "agg_minmax_global" -> aggMinmaxGlobal,
     "quantiles" -> quantiles,
     "quantile_hist_sketch" -> quantileHistSketch,
+    "quantile_hist_auto" -> quantileHistAuto,
     "corr_matrix" -> corrMatrix,
     "approx_count_distinct" -> approxCountDistinct,
     "window_rank_lag_lead" -> windowRankLagLead,
@@ -495,6 +543,7 @@ object Aggregates {
          round(quantile_cont(value, 0.75), 6) AS q75
          FROM events GROUP BY event_type ORDER BY event_type""",
     "quantile_hist_sketch" -> quantileHistSketchOracle,
+    "quantile_hist_auto" -> quantileHistAutoOracle,
     "corr_matrix" ->
       """SELECT round(corr(l_quantity, l_extendedprice), 6)
            AS corr_qty_price,
