@@ -299,6 +299,45 @@ object TextAnalysis {
        CROSS JOIN tots
        ORDER BY n_bg DESC, w1 ASC, w2 ASC LIMIT 20"""
 
+  /** Count-Min frequency estimation (graft.plans.CmCount, the engine's
+    * third custom sketch aggregate): bounded-state token-frequency
+    * estimates next to their exact counts. The estimate can only
+    * overcount (bucket collisions), never undercount — asserted by the
+    * oracle producing the IDENTICAL estimates from the same md5-derived
+    * row hashes. At 100 TB the sketch answers "how often does X occur"
+    * with 8 KB of state per group instead of a full token group-by. */
+  val cmFrequency: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS token")
+    def est(p: String) = expr(s"graft_cm_count(token, '$p')").as(s"est_$p")
+    def exact(p: String) =
+      sum(when(col("token") === p, 1L).otherwise(0L)).as(s"exact_$p")
+    toks.agg(
+      est("join"), exact("join"),
+      est("scan"), exact("scan"),
+      est("zzznotaword"), exact("zzznotaword"))
+  }
+
+  val cmFrequencyOracle: String = {
+    // the exact Count-Min estimate in SQL: per row j, the count of ALL
+    // token instances landing in the probe's bucket; estimate = min_j
+    def bucket(j: Int, tok: String) =
+      s"${hex60Duck(s"concat('cm$j', '_', $tok)")} % 256"
+    def est(p: String) =
+      (0 until 4).map { j =>
+        s"""(SELECT count(*) FROM toks
+            WHERE ${bucket(j, "token")} = ${bucket(j, s"'$p'")})"""
+      }.mkString("LEAST(", ", ", s") AS est_$p")
+    def exact(p: String) =
+      s"(SELECT count(*) FROM toks WHERE token = '$p') AS exact_$p"
+    s"""WITH toks AS (
+         SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       SELECT
+         ${est("join")}, ${exact("join")},
+         ${est("scan")}, ${exact("scan")},
+         ${est("zzznotaword")}, ${exact("zzznotaword")}"""
+  }
+
   /** Sequence packing (the concat-and-chunk step that turns a document
     * corpus into fixed-length training windows): per source shard, docs
     * are laid out in doc_id order, token counts accumulate, and each doc
@@ -500,6 +539,7 @@ object TextAnalysis {
     "pack_sequences" -> packSequences,
     "decontam_overlap" -> decontamOverlap,
     "corpus_mix_weighted" -> mixWeighted,
+    "text_cm_frequency" -> cmFrequency,
     "text_frequent_tokens" -> frequentTokens,
     "text_bigram_pmi" -> bigramPmi,
     "corpus_sample_bottomk" -> sampleBottomK,
@@ -517,6 +557,7 @@ object TextAnalysis {
     "pack_sequences" -> packSequencesOracle,
     "decontam_overlap" -> decontamOverlapOracle,
     "corpus_mix_weighted" -> mixWeightedOracle,
+    "text_cm_frequency" -> cmFrequencyOracle,
     "text_frequent_tokens" -> frequentTokensOracle,
     "text_bigram_pmi" -> bigramPmiOracle,
     "corpus_sample_bottomk" -> sampleBottomKOracle,

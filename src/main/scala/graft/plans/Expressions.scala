@@ -491,6 +491,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_hist_quantile"),
       (exprs: Seq[Expression]) => HistQuantile.fromExprs(exprs)))
     e.injectFunction((
+      FunctionIdentifier("graft_cm_count"),
+      new ExpressionInfo(classOf[CmCount].getName, "graft_cm_count"),
+      (exprs: Seq[Expression]) => CmCount.fromExprs(exprs)))
+    e.injectFunction((
       FunctionIdentifier("graft_ngram_hashes"),
       new ExpressionInfo(classOf[NgramHashes].getName,
         "graft_ngram_hashes"),

@@ -37,7 +37,8 @@ class DeterminismFuzzSpec extends SparkSpec {
         graft.sources.Tables.dsum(col("l_extendedprice")).as("sum_price"),
         expr("graft_kmv_distinct(CAST(l_partkey AS STRING))").as("nd"),
         expr("graft_hist_quantile(CAST(l_quantity AS DOUBLE)," +
-          " 0.0D, 64.0D, 64, 0.5D)").as("p50"))
+          " 0.0D, 64.0D, 64, 0.5D)").as("p50"),
+        expr("graft_cm_count(l_returnflag, 'R')").as("cm"))
   }
 
   test("random filter+agg shapes are identical at 1 vs 13 partitions") {
