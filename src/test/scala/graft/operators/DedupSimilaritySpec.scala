@@ -32,6 +32,25 @@ class DedupSimilaritySpec extends SparkSpec {
     lsh.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("dedup operators drop their intermediate caches (no library leak)") {
+    // minhashLsh/simhashPairs persist shared stages and must unpersist
+    // them after the eager checkpoint — a caller invoking the operators
+    // repeatedly must not accumulate cached RDDs (round-2 fix; the
+    // harness's clearCache() between queries must not be load-bearing)
+    def cachedCount: Int =
+      spark.sparkContext.getPersistentRDDs.size
+    val before = cachedCount
+    Dedup.minhashLsh(spark, sf).count()
+    Dedup.simhashPairs(spark, sf).count()
+    // localCheckpoint blocks are intentional (they ARE the results and
+    // are reclaimed by GC/session teardown); persisted MEMORY_AND_DISK
+    // intermediates from the operators themselves must all be gone.
+    // Checkpointed RDDs register as persistent too, so allow exactly
+    // the two checkpoint results and nothing else.
+    assert(cachedCount <= before + 2,
+      s"dedup operators leaked cached stages: $before -> $cachedCount")
+  }
+
   test("simhash of identical texts is identical; pairs report hamming 0") {
     val sh = Dedup.simhash(spark, sf).as[(Long, Long)].collect().toMap
     assert(sh.size === 500)
