@@ -320,9 +320,10 @@ object TextAnalysis {
 
   val cmFrequencyOracle: String = {
     // the exact Count-Min estimate in SQL: per row j, the count of ALL
-    // token instances landing in the probe's bucket; estimate = min_j
+    // token instances landing in the probe's bucket; estimate = min_j.
+    // Bucket j is byte j of md5('cm_' + token) — hex chars 2j+1..2j+2.
     def bucket(j: Int, tok: String) =
-      s"${hex60Duck(s"concat('cm$j', '_', $tok)")} % 256"
+      s"CAST(concat('0x', substr(md5(concat('cm_', $tok)), ${2 * j + 1}, 2)) AS BIGINT)"
     def est(p: String) =
       (0 until 4).map { j =>
         s"""(SELECT count(*) FROM toks
@@ -463,6 +464,63 @@ object TextAnalysis {
        FROM train JOIN bench ON g = bg
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Bloom-filter decontamination — the broadcast-filter variant of
+    * decontam_overlap for when even a broadcast semi-join is too heavy:
+    * the benchmark set's 5-gram hashes build an 8 KB Bloom filter
+    * (graft.plans.BloomBuild, merged by bitwise OR), which probes every
+    * training gram MAP-SIDE as a plan literal — at 100 TB the corpus
+    * never shuffles and never hash-joins; each gram pays one md5 + 4 bit
+    * tests. Flags are exact-or-false-positive (never false-negative), the
+    * right direction for contamination screening. The oracle reproduces
+    * the filter bit-for-bit in SQL (including any false positives), so
+    * the check is hash-exact. */
+  val decontamBloom: Q = (s, dir) => {
+    val grams = t(s, dir, "documents")
+      .selectExpr("doc_id", "explode(graft_ngram_hashes(text, 5)) AS gh")
+      .selectExpr("doc_id", "CAST(gh AS STRING) AS g")
+    val bf = grams.filter(col("doc_id") < 20)
+      .agg(expr("graft_bloom_build(g)")).head.getAs[Array[Byte]](0)
+    grams.filter(col("doc_id") >= 20)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(call_function("graft_bloom_contains", lit(bf), col("g")),
+          1L).otherwise(0L)).as("n_bloom_hits"))
+      .filter(col("n_bloom_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  val decontamBloomOracle: String = {
+    // bit j of a gram: bytes 2j..2j+1 of md5('bf_' + gram) = hex chars
+    // 4j+1..4j+4 — the exact BloomUtil layout
+    def bit(j: Int) =
+      s"CAST(concat('0x', substr(md5(concat('bf_', g)), ${4 * j + 1}, 4)) AS BIGINT)"
+    val bits = (0 until 4).map(bit).mkString("[", ", ", "]")
+    s"""WITH g AS (
+         SELECT doc_id, CAST(unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+           i -> ${hex60Duck(
+             "array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')")})))
+           AS VARCHAR) AS g
+         FROM documents),
+       bench_bits AS (
+         SELECT DISTINCT unnest($bits) AS bit
+         FROM (SELECT DISTINCT g FROM g WHERE doc_id < 20)),
+       tb AS (
+         SELECT doc_id, g, unnest($bits) AS bit
+         FROM g WHERE doc_id >= 20),
+       hits AS (
+         SELECT doc_id, g FROM tb JOIN bench_bits USING (bit)
+         GROUP BY doc_id, g HAVING count(*) = 4),
+       agg AS (
+         SELECT t.doc_id, count(*) AS n_grams, count(h.g) AS n_bloom_hits
+         FROM (SELECT doc_id, g FROM g WHERE doc_id >= 20) t
+         LEFT JOIN hits h ON t.doc_id = h.doc_id AND t.g = h.g
+         GROUP BY t.doc_id)
+       SELECT doc_id, n_grams, n_bloom_hits FROM agg
+       WHERE n_bloom_hits > 0 ORDER BY doc_id"""
+  }
+
   /** The whole training-data pipeline as ONE declarative plan — the
     * flagship composition the engine exists for: quality filter (≥ 30
     * tokens) → exact dedup (keep the smallest doc_id per content hash) →
@@ -538,6 +596,7 @@ object TextAnalysis {
     "pipeline_corpus_prep" -> pipelineCorpusPrep,
     "pack_sequences" -> packSequences,
     "decontam_overlap" -> decontamOverlap,
+    "decontam_bloom" -> decontamBloom,
     "corpus_mix_weighted" -> mixWeighted,
     "text_cm_frequency" -> cmFrequency,
     "text_frequent_tokens" -> frequentTokens,
@@ -556,6 +615,7 @@ object TextAnalysis {
     "pipeline_corpus_prep" -> pipelineCorpusPrepOracle,
     "pack_sequences" -> packSequencesOracle,
     "decontam_overlap" -> decontamOverlapOracle,
+    "decontam_bloom" -> decontamBloomOracle,
     "corpus_mix_weighted" -> mixWeightedOracle,
     "text_cm_frequency" -> cmFrequencyOracle,
     "text_frequent_tokens" -> frequentTokensOracle,

@@ -170,19 +170,35 @@ object Aggregates {
   val quantileHistAuto: Q = (s, dir) => {
     val ev = events(s, dir)
     val r = ev.agg(min(col("value")), max(col("value"))).head
-    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
-    ev.groupBy("event_type")
-      .agg(
-        count(lit(1)).as("n"),
-        round(expr(
-          s"graft_hist_quantile(value, ${lo}D, ${hi}D, 256, 0.5D)"), 6)
-          .as("p50"))
-      .orderBy("event_type")
+    if (r.isNullAt(0)) {
+      // empty input (min/max are NULL): the grouped result is empty
+      // anyway — emit it with the same schema instead of NPE-ing
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          lit(null).cast("double").as("p50"))
+        .orderBy("event_type")
+    } else {
+      val lo = r.getDouble(0)
+      // all-equal input would give hi == lo (zero bucket width); widen to
+      // lo+1 — every value lands in bucket 0 and the interpolated result
+      // stays within one bucket width of the exact quantile. The oracle
+      // applies the same hi==lo widening so bounds agree bit-for-bit.
+      val hi = if (r.getDouble(1) > lo) r.getDouble(1) else lo + 1.0
+      ev.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr(
+            s"graft_hist_quantile(value, ${lo}D, ${hi}D, 256, 0.5D)"), 6)
+            .as("p50"))
+        .orderBy("event_type")
+    }
   }
 
   val quantileHistAutoOracle: String =
     """WITH bd AS (
-         SELECT min(value) AS lo, max(value) AS hi FROM events),
+         SELECT min(value) AS lo,
+                CASE WHEN max(value) > min(value) THEN max(value)
+                     ELSE min(value) + 1 END AS hi FROM events),
        b AS (
          SELECT event_type,
            LEAST(GREATEST(CAST(floor((value - bd.lo)

@@ -21,11 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * is a counter matrix merged by element-wise addition (commutative,
   * associative), so a grouped frequency estimate is bit-identical under
   * any partitioning and shuffles 8 KB per group instead of every token.
-  * The row hashes derive from the engine's md5 hex60 (`"cm" + row + "_" +
-  * token`), so the DuckDB oracle reproduces the EXACT estimate in SQL:
-  * estimate = min over rows j of (count of input tokens colliding with
-  * the probe's bucket j). Estimates overcount (never undercount); the
-  * standard (ε, δ) bounds apply with ε = e/256, δ = e^-4.
+  * All DEPTH row-buckets derive from ONE md5 digest per token — bucket j
+  * is byte j of md5("cm_" + token) — so the hot path computes a single
+  * hash per row (a one-entry thread-local memo additionally shares it
+  * across the aggregate instances evaluating the same input row), and the
+  * DuckDB oracle reproduces the EXACT estimate in SQL via hex substrings
+  * of the same digest: estimate = min over rows j of (count of input
+  * tokens colliding with the probe's bucket j). Estimates overcount
+  * (never undercount); the standard (ε, δ) bounds apply with ε = e/256,
+  * δ = e^-4.
   */
 case class CmCount(
     child: Expression,
@@ -41,6 +45,15 @@ case class CmCount(
   override def nullable: Boolean = false
   override def prettyName: String = "graft_cm_count"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cm_count: token column must be STRING, got " +
+          child.dataType.sql)
+
   private val probeBuckets: Array[Int] = CmCount.buckets(probe)
 
   override def createAggregationBuffer(): Array[Long] =
@@ -49,10 +62,10 @@ case class CmCount(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
+      val bks = CmCount.bucketsCached(v.asInstanceOf[UTF8String].toString)
       var j = 0
       while (j < DEPTH) {
-        buf(j * WIDTH + CmCount.bucket(j, s)) += 1
+        buf(j * WIDTH + bks(j)) += 1
         j += 1
       }
     }
@@ -105,19 +118,39 @@ object CmCount {
   val DEPTH = 4
   val WIDTH = 256
 
-  /** Row-j bucket of a token: hex60(md5("cm<j>_<token>")) mod WIDTH —
-    * the same definition the DuckDB oracle spells out. */
-  def bucket(j: Int, token: String): Int =
-    (HashUtil.hex60md5(UTF8String.fromString(s"cm${j}_$token")) % WIDTH)
-      .toInt
+  /** All DEPTH buckets of a token from ONE digest: bucket j is byte j of
+    * md5("cm_" + token) — the same definition the DuckDB oracle spells
+    * out as hex substrings of the same md5. */
+  def buckets(token: String): Array[Int] = {
+    val d = HashUtil.md5bytes("cm_" + token)
+    Array.tabulate(DEPTH)(j => d(j) & 0xff)
+  }
 
-  def buckets(token: String): Array[Int] =
-    Array.tabulate(DEPTH)(j => bucket(j, token))
+  // One-entry per-thread memo: the aggregate instances for different
+  // probes all evaluate the same token of the same input row back to
+  // back, so the digest is shared across instances without shared state.
+  private val memo =
+    ThreadLocal.withInitial[Array[AnyRef]](() => new Array[AnyRef](2))
+
+  def bucketsCached(token: String): Array[Int] = {
+    val m = memo.get()
+    if (token.equals(m(0))) m(1).asInstanceOf[Array[Int]]
+    else {
+      val b = buckets(token)
+      m(0) = token
+      m(1) = b
+      b
+    }
+  }
 
   def fromExprs(exprs: Seq[Expression]): CmCount = {
     require(exprs.length == 2 && exprs(1).foldable,
       "graft_cm_count(token, probe) takes a column and a literal probe")
-    CmCount(exprs.head,
-      exprs(1).eval().asInstanceOf[UTF8String].toString)
+    val probe = exprs(1).eval() match {
+      case s: UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_cm_count: probe must be a STRING literal, got $other")
+    }
+    CmCount(exprs.head, probe)
   }
 }

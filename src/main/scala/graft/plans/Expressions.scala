@@ -35,6 +35,13 @@ object HashUtil {
     (h << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
+  /** Full 16-byte md5 digest of a string's UTF-8 bytes. */
+  def md5bytes(s: String): Array[Byte] = {
+    val md = mdTl.get()
+    md.reset()
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   private final val P = 2147483647L
   private final val MA: Array[Long] =
     Array.tabulate(16)(j => (2654435761L * (j + 1)) % P)
@@ -504,5 +511,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName,
         "graft_shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_build"),
+      new ExpressionInfo(classOf[BloomBuild].getName, "graft_bloom_build"),
+      (exprs: Seq[Expression]) => BloomBuild(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName,
+        "graft_bloom_contains"),
+      (exprs: Seq[Expression]) => BloomContains(exprs(0), exprs(1))))
   }
 }

@@ -98,7 +98,10 @@ object RewriteRankOneToMaxBy extends Rule[LogicalPlan] {
   * stay on top as the exact final rank over the k·partitions survivors, so
   * results are identical to the brute-force plan (same fold, same
   * comparator) while the |corpus|×|queries| scored cross product is never
-  * materialized. Users write the declarative form; the engine picks the
+  * materialized. Identity extends to the edge cases: the operator ranks
+  * NaN similarities first and NULL-scoring pairs (dim mismatch, NULL
+  * embedding/norm/element) last, exactly as the window plan orders
+  * graft_dot's output under sim DESC NULLS LAST (see TopKJoin scaladoc). Users write the declarative form; the engine picks the
   * operator — the same contract Catalyst applies to its own joins.
   *
   * Guards are strict: exact (sim DESC NULLS LAST, id ASC NULLS FIRST)

@@ -19,7 +19,21 @@ import org.apache.spark.sql.types._
   * only k·|queries| rows per partition. A final exact rank over that
   * reduced set (done by the caller) yields results identical to the
   * brute-force plan — same left-to-right dot-product fold, same
-  * (sim DESC, c_id ASC) comparator — so the DuckDB oracle is unchanged.
+  * ordering — INCLUDING the edge cases of the window formulation
+  * (graft_dot ÷ norms under sim DESC NULLS LAST, c_id ASC):
+  *   - NaN similarity (NaN embedding elements; zero norms when ANSI is
+  *     off): Spark's double ordering treats NaN as the LARGEST value, so
+  *     NaN candidates rank FIRST; the buffer comparator uses
+  *     java.lang.Double.compare to match.
+  *   - zero norm product under ANSI (the session default): ANSI Divide
+  *     throws DIVIDE_BY_ZERO, so this operator throws too rather than
+  *     silently differing from the plan it replaces.
+  *   - NULL similarity (embedding-dimension mismatch, NULL embedding /
+  *     norm, NULL array element — exactly when graft_dot yields NULL):
+  *     ranked LAST (NULLS LAST); the buffer retains them only while
+  *     fewer than k non-null candidates exist, like the window plan.
+  *   - -0.0 is normalized to 0.0 before comparison (UnsafeRow writers do
+  *     the same to the window plan's sort keys).
   *
   * Children contract: corpus rows are (c_id BIGINT, embedding
   * ARRAY<FLOAT>, nrm DOUBLE); queries likewise (q_id, embedding, nrm).
@@ -50,7 +64,9 @@ object CosineTopKJoin {
   def freshOutput(): Seq[Attribute] = Seq(
     AttributeReference("q_id", LongType, nullable = false)(),
     AttributeReference("c_id", LongType, nullable = false)(),
-    AttributeReference("cos_sim", DoubleType, nullable = false)())
+    // cos_sim is nullable: a dim-mismatched or NULL-carrying pair scores
+    // NULL (graft_dot parity), ranked last by the caller's NULLS LAST rank
+    AttributeReference("cos_sim", DoubleType, nullable = true)())
 }
 
 case class CosineTopKJoinExec(corpus: SparkPlan, queries: SparkPlan, k: Int,
@@ -66,16 +82,39 @@ case class CosineTopKJoinExec(corpus: SparkPlan, queries: SparkPlan, k: Int,
       newRight: SparkPlan): SparkPlan =
     copy(corpus = newLeft, queries = newRight)
 
-  /** strictly-better under (sim DESC, c_id ASC) — the exact comparator
-    * the final rank and the oracle use. */
-  @inline private def better(s1: Double, id1: Long, s2: Double,
-      id2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && id1 < id2)
+  /** strictly-better under (sim DESC NULLS LAST, c_id ASC) — the exact
+    * ordering the final rank and the oracle use. Non-null beats null;
+    * among non-nulls, java.lang.Double.compare matches Spark's double
+    * ordering (NaN largest → ranks first under DESC). */
+  @inline private def better(n1: Boolean, s1: Double, id1: Long,
+      n2: Boolean, s2: Double, id2: Long): Boolean = {
+    if (n1 != n2) n2
+    else {
+      val c = if (n1) 0 else java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && id1 < id2)
+    }
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kk = k
+    val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+    // (q_id, embedding, norm, isNull) — isNull when the query row itself
+    // can never score (NULL embedding/norm or NULL array element), the
+    // same conditions under which graft_dot yields NULL
     val qCollected = queries.executeCollect().map { r =>
-      (r.getLong(0), r.getArray(1).toFloatArray(), r.getDouble(2))
+      var qnull = r.isNullAt(1) || r.isNullAt(2)
+      var qe: Array[Float] = null
+      if (!qnull) {
+        val a = r.getArray(1)
+        val n = a.numElements()
+        qe = new Array[Float](n)
+        var i = 0
+        while (i < n && !qnull) {
+          if (a.isNullAt(i)) qnull = true else qe(i) = a.getFloat(i)
+          i += 1
+        }
+      }
+      (r.getLong(0), qe, if (qnull) 0.0 else r.getDouble(2), qnull)
     }
     val bc = sparkContext.broadcast(qCollected)
     val types = output.map(_.dataType).toArray
@@ -85,44 +124,63 @@ case class CosineTopKJoinExec(corpus: SparkPlan, queries: SparkPlan, k: Int,
       // per-query bounded buffers kept sorted best-first (k is small)
       val sims = Array.fill(nq)(new Array[Double](kk))
       val ids = Array.fill(nq)(new Array[Long](kk))
+      val nulls = Array.fill(nq)(new Array[Boolean](kk))
       val sizes = new Array[Int](nq)
       while (it.hasNext) {
         val row = it.next()
         val cid = row.getLong(0)
-        val emb = row.getArray(1).toFloatArray()
-        val nrm = row.getDouble(2)
+        val cNull = row.isNullAt(1) || row.isNullAt(2)
+        val arr = if (cNull) null else row.getArray(1)
+        val nrm = if (cNull) 0.0 else row.getDouble(2)
         var qi = 0
         while (qi < nq) {
           val q = qs(qi)
           val qe = q._2
-          // dimensions must agree — a silent min-length truncation would
-          // produce a plausible-but-wrong similarity for a malformed row
-          if (emb.length != qe.length)
-            throw new IllegalArgumentException(
-              s"CosineTopKJoin: embedding dim mismatch (corpus id=$cid " +
-                s"has ${emb.length}, query id=${q._1} has ${qe.length})")
-          var acc = 0.0
-          var i = 0
-          val n = emb.length
-          while (i < n) { acc += emb(i).toDouble * qe(i).toDouble; i += 1 }
-          val sim = acc / (q._3 * nrm)
-          // a zero-norm vector yields NaN similarity: exclude it EXPLICITLY
-          // (cosine is undefined there). Note the window-rank formulation
-          // would sort NaN first — callers must filter zero norms upstream
-          // if they need the two plans interchangeable on such data.
+          var isNull = cNull || q._4
+          var sim = 0.0
+          if (!isNull) {
+            val n = arr.numElements()
+            if (n != qe.length) {
+              // dim mismatch scores NULL — graft_dot parity; the final
+              // NULLS LAST rank surfaces it only when a query has fewer
+              // than k well-formed candidates
+              isNull = true
+            } else {
+              var acc = 0.0
+              var i = 0
+              while (i < n && !isNull) {
+                if (arr.isNullAt(i)) isNull = true
+                else acc += arr.getFloat(i).toDouble * qe(i).toDouble
+                i += 1
+              }
+              if (!isNull) {
+                val div = q._3 * nrm
+                if (div == 0.0 && ansi) throw new ArithmeticException(
+                  "[DIVIDE_BY_ZERO] Division by zero: cosine norm " +
+                    "product is 0 — identical to the ANSI window plan " +
+                    "this operator replaces (set spark.sql.ansi.enabled" +
+                    "=false for NaN semantics)")
+                // + 0.0 normalizes -0.0 (as UnsafeRow writers would); NaN
+                // is kept and ranks FIRST via the comparator
+                sim = acc / div + 0.0
+              }
+            }
+          }
           val sz = sizes(qi)
-          if (sim == sim &&
-            (sz < kk || better(sim, cid, sims(qi)(sz - 1), ids(qi)(sz - 1)))) {
+          if (sz < kk || better(isNull, sim, cid,
+              nulls(qi)(sz - 1), sims(qi)(sz - 1), ids(qi)(sz - 1))) {
             var pos = if (sz < kk) sz else kk - 1
             // bubble the candidate up to its sorted position
-            while (pos > 0 && better(sim, cid, sims(qi)(pos - 1),
-                ids(qi)(pos - 1))) {
+            while (pos > 0 && better(isNull, sim, cid, nulls(qi)(pos - 1),
+                sims(qi)(pos - 1), ids(qi)(pos - 1))) {
               sims(qi)(pos) = sims(qi)(pos - 1)
               ids(qi)(pos) = ids(qi)(pos - 1)
+              nulls(qi)(pos) = nulls(qi)(pos - 1)
               pos -= 1
             }
             sims(qi)(pos) = sim
             ids(qi)(pos) = cid
+            nulls(qi)(pos) = isNull
             if (sz < kk) sizes(qi) = sz + 1
           }
           qi += 1
@@ -134,7 +192,7 @@ case class CosineTopKJoinExec(corpus: SparkPlan, queries: SparkPlan, k: Int,
         (0 until sizes(qi)).iterator.map { r =>
           outRow.update(0, qs(qi)._1)
           outRow.update(1, ids(qi)(r))
-          outRow.update(2, sims(qi)(r))
+          outRow.update(2, if (nulls(qi)(r)) null else sims(qi)(r))
           proj(outRow).copy(): InternalRow
         }
       }

@@ -68,18 +68,27 @@ object Streams {
     * repartitioning a checkpointed stream later requires a state rebuild. */
   private val streamStatePartitions = "8"
 
+  /** Isolated session for one streaming run: same SparkContext, shared
+    * catalog/cache, same extensions (both ride the SparkConf), but a FRESH
+    * SQL conf — so pinning spark.sql.shuffle.partitions here is invisible
+    * to any concurrent batch query or other stream on the parent session
+    * (a session-global set/restore would leak the temporary value to
+    * whatever else runs in the window, and two overlapping streams could
+    * restore each other's value). */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
+    ns
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink and
-    * return the materialized result. */
-  private def runToTable(s: SparkSession, df: DataFrame, name: String,
+    * return the materialized result (from the stream's own session). */
+  private def runToTable(df: DataFrame, name: String,
       mode: String): DataFrame = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
-    try {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(name)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
   }
 
   /** Streaming dedup: first-seen-wins dropDuplicates per key with a
@@ -87,11 +96,12 @@ object Streams {
     * SURVEY.md §2.4; the batch binding is Aggregates.distinctRows).
     * Output is the key set, which is arrival-order independent. */
   val streamDedupKeys: Q = (s, dir) => {
-    val deduped = eventStream(s, dir)
+    val ss = streamSession(s)
+    val deduped = eventStream(ss, dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id")
       .select("user_id")
-    runToTable(s, deduped, "stream_dedup_keys", "append")
+    runToTable(deduped, "stream_dedup_keys", "append")
       .orderBy("user_id")
   }
 
@@ -100,8 +110,10 @@ object Streams {
 
   /** Tumbling 1-day event-time windows (complete mode → every window
     * emitted; decimal sums for cross-engine exactness). */
-  val streamTumblingCounts: Q = (s, dir) =>
-    tumblingCore(s, eventStream(s, dir), "stream_tumbling_counts")
+  val streamTumblingCounts: Q = (s, dir) => {
+    val ss = streamSession(s)
+    tumblingCore(ss, eventStream(ss, dir), "stream_tumbling_counts")
+  }
 
   /** Core of the tumbling aggregation over any event stream — also driven
     * by the replay-determinism spec with a 3-file maxFilesPerTrigger=1
@@ -115,7 +127,7 @@ object Streams {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
           .as("sum_value"))
-    runToTable(s, agg, name, "complete")
+    runToTable(agg, name, "complete")
       .selectExpr("CAST(window.start AS TIMESTAMP_NTZ) AS day_start",
         "event_type", "n", "sum_value")
       .orderBy("day_start", "event_type")
@@ -130,11 +142,12 @@ object Streams {
   /** Sliding 2-day windows advancing 1 day — each event lands in two
     * windows. */
   val streamSlidingCounts: Q = (s, dir) => {
-    val agg = eventStream(s, dir)
+    val ss = streamSession(s)
+    val agg = eventStream(ss, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "2 days", "1 day"))
       .agg(count(lit(1)).as("n"))
-    runToTable(s, agg, "stream_sliding_counts", "complete")
+    runToTable(agg, "stream_sliding_counts", "complete")
       .selectExpr("CAST(window.start AS TIMESTAMP_NTZ) AS win_start", "n")
       .orderBy("win_start")
   }
@@ -195,8 +208,10 @@ object Streams {
     * one (ts, event_id, value) triple per key. The memory-sink output is
     * compacted with a final rank so the result is identical however the
     * replay was micro-batched. */
-  val streamStatefulLatest: Q = (s, dir) =>
-    statefulLatestCore(s, eventStream(s, dir), "stream_stateful_latest")
+  val streamStatefulLatest: Q = (s, dir) => {
+    val ss = streamSession(s)
+    statefulLatestCore(ss, eventStream(ss, dir), "stream_stateful_latest")
+  }
 
   /** Core of the stateful latest-per-key op, parameterized by source so
     * tests can drive it with a multi-file (multi-micro-batch) replay. */
@@ -219,7 +234,7 @@ object Streams {
         (uid, cur._2, cur._1, cur._3)
       }
       .toDF("user_id", "event_id", "ts_us", "value")
-    val mem = runToTable(s, latest, name, "update")
+    val mem = runToTable(latest, name, "update")
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_us").desc, col("event_id").desc)
     mem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -271,11 +286,12 @@ object Streams {
     * purchases within ±5 minutes. The emitted match set is independent
     * of micro-batching, so the batch range join is the oracle. */
   val streamStreamJoin: Q = (s, dir) => {
-    val clicks = eventStream(s, dir)
+    val ss = streamSession(s)
+    val clicks = eventStream(ss, dir)
       .filter(col("event_type") === "click")
       .selectExpr("event_id AS click_id", "user_id AS cu", "ts AS ct")
       .withWatermark("ct", "1 hour")
-    val purchases = eventStream(s, dir)
+    val purchases = eventStream(ss, dir)
       .filter(col("event_type") === "purchase")
       .selectExpr("event_id AS purchase_id", "user_id AS pu", "ts AS pt")
       .withWatermark("pt", "1 hour")
@@ -283,7 +299,7 @@ object Streams {
       expr("""cu = pu AND
               pt >= ct - INTERVAL 5 MINUTES AND
               pt <= ct + INTERVAL 5 MINUTES"""))
-    runToTable(s, joined, "stream_stream_join", "append")
+    runToTable(joined, "stream_stream_join", "append")
       .selectExpr("click_id", "purchase_id", "cu AS user_id")
       .orderBy("click_id", "purchase_id")
   }
@@ -309,13 +325,14 @@ object Streams {
     * result is micro-batch-order independent (commutative merges). The
     * oracle replays the histogram + interpolation with day grouping. */
   val streamHistQuantile: Q = (s, dir) => {
-    val agg = eventStream(s, dir)
+    val ss = streamSession(s)
+    val agg = eventStream(ss, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("n"),
         round(expr("graft_hist_quantile(value, 0.0D, 512.0D, 256, 0.5D)"),
           6).as("p50"))
-    runToTable(s, agg, "stream_hist_quantile", "complete")
+    runToTable(agg, "stream_hist_quantile", "complete")
       .selectExpr("CAST(window.start AS TIMESTAMP_NTZ) AS day_start",
         "n", "p50")
       .orderBy("day_start")

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.execution.ExplainMode
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -79,5 +79,106 @@ class AdviceFixesSpec extends SparkSpec {
       s"rewrite must not fire on NULLS FIRST:\n$p")
     val got = df.collect().map(r => (r.getString(0), r.getString(2))).toMap
     assert(got === Map("k1" -> "the-null", "k2" -> "only"))
+  }
+
+  // ---- round-3: CosineTopKJoinExec mirrors the window plan's edge cases
+  // (NaN similarity ranks first, dim-mismatch/NULL scores NULL and ranks
+  // last) so RewriteCosineTopK's identity claim holds on malformed data ----
+
+  private def vecDf(rows: Seq[Row]) = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true)),
+      StructField("nrm", DoubleType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+  }
+
+  test("CosineTopKJoinExec matches the brute window plan on NaN/dim-mismatch/null data") {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = vecDf(Seq(
+      Row(10L, Array(1.0f, 0.0f), 1.0),          // valid
+      Row(11L, Array(Float.NaN, 0.0f), 1.0),     // NaN element → NaN sim
+      Row(12L, Array(1.0f, 2.0f, 3.0f), 3.74),   // dim mismatch → NULL sim
+      Row(13L, Array(0.6f, 0.8f), 1.0),          // valid
+      Row(14L, null, null)))                     // NULL embedding → NULL sim
+      .selectExpr("vec_id AS c_id", "embedding", "nrm")
+    val queries = vecDf(Seq(Row(1L, Array(0.0f, 1.0f), 1.0)))
+      .selectExpr("vec_id AS q_id", "embedding", "nrm")
+    val k = 4
+    def rank(df: org.apache.spark.sql.DataFrame, cidSort: Column) = {
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, cidSort)
+      df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("q_id", "rank", "c_id", "cos_sim")
+        .orderBy("q_id", "rank")
+    }
+    // c_id ASC NULLS LAST keeps RewriteCosineTopK from ALSO rewriting the
+    // brute plan (its guard wants the NULLS FIRST default) without changing
+    // results — c_id is never null here
+    val brute = rank(
+      corpus.crossJoin(queries.selectExpr(
+          "q_id", "embedding AS q_emb", "nrm AS q_nrm"))
+        .selectExpr("q_id", "c_id",
+          "graft_dot(embedding, q_emb) / (nrm * q_nrm) AS cos_sim"),
+      col("c_id").asc_nulls_last)
+    assert(!brute.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+      .contains("CosineTopKJoin"),
+      "brute plan must stay brute for this comparison")
+    val custom = rank(org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      graft.plans.CosineTopKJoin(
+        corpus.queryExecution.analyzed,
+        queries.queryExecution.analyzed, k)),
+      col("c_id").asc)
+    def show(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2),
+          if (r.isNullAt(3)) "NULL" else r.getDouble(3).toString))
+    val (b, c) = (show(brute), show(custom))
+    assert(b === c, s"brute=$b custom=$c")
+    // and the expected shape: NaN first, two valid, then a NULL survivor
+    assert(b.map(_._3) === Seq(11L, 13L, 10L, 12L))
+    assert(b.head._4 === "NaN" && b.last._4 === "NULL")
+  }
+
+  test("CosineTopKJoinExec throws on zero norms under ANSI, like the window plan") {
+    val corpus = vecDf(Seq(Row(10L, Array(0.0f, 0.0f), 0.0)))
+      .selectExpr("vec_id AS c_id", "embedding", "nrm")
+    val queries = vecDf(Seq(Row(1L, Array(0.0f, 1.0f), 1.0)))
+      .selectExpr("vec_id AS q_id", "embedding", "nrm")
+    assert(spark.conf.get("spark.sql.ansi.enabled") === "true")
+    val custom = org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      graft.plans.CosineTopKJoin(
+        corpus.queryExecution.analyzed,
+        queries.queryExecution.analyzed, 1))
+    val e = intercept[Throwable] { custom.collect() }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("DIVIDE_BY_ZERO"), msgs)
+  }
+
+  test("quantile_hist_auto survives empty and all-equal events input") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_qha").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def write(rows: Seq[Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    write(Nil)
+    assert(graft.operators.Aggregates.quantileHistAuto(spark, dir)
+      .collect().isEmpty)
+    write(Seq(
+      Row(1L, 1000000000L, 1L, "click", 7.0, "{}"),
+      Row(2L, 2000000000L, 2L, "click", 7.0, "{}")))
+    val r = graft.operators.Aggregates.quantileHistAuto(spark, dir)
+      .collect()
+    assert(r.length === 1 && r(0).getLong(1) === 2L)
+    // all-equal input: interpolated p50 stays within one (widened) bucket
+    // width of the exact quantile 7.0
+    assert(math.abs(r(0).getDouble(2) - 7.0) <= 1.0 / 256 + 1e-9)
   }
 }
