@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextAnalysis
 import graft.operators.{Aggregates, Coverage, Dedup, Multimodal, Relational,
-  Similarity}
+  Similarity, Timeseries}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Streams.queries ++ Coverage.queries
+      Streams.queries ++ Coverage.queries ++ Timeseries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (engine-specific sketches)
@@ -29,5 +29,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Aggregates.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      Streams.oracles ++ Coverage.oracles
+      Streams.oracles ++ Coverage.oracles ++ Timeseries.oracles
 }

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -592,7 +593,166 @@ object TextAnalysis {
          tok_before % 512 AS win_offset
        FROM c ORDER BY doc_id"""
 
+  /** Character-level Shannon entropy over the [a-z ] alphabet — a cheap
+    * gibberish/boilerplate signal (low-entropy docs are repeated chars or
+    * tiny alphabets; compressed-garbage scores near the 4.75-bit max).
+    * Pure per-row projection: counts come from length-difference tricks,
+    * the fold is an explicit left-to-right `aggregate` so the double sum
+    * is order-pinned for the oracle. */
+  val charEntropy: Q = (s, dir) =>
+    t(s, dir, "documents").selectExpr(
+      "doc_id",
+      """CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE) ELSE
+         round(aggregate(
+           transform(
+             transform(concat(transform(sequence(97, 122), i -> chr(i)),
+                              array(' ')),
+               c -> CAST(length(text) - length(replace(text, c, ''))
+                    AS DOUBLE) / length(text)),
+             p -> CASE WHEN p = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+                  ELSE -p * log2(p) END),
+           CAST(0 AS DOUBLE), (acc, x) -> acc + x), 6) END
+         AS char_entropy""")
+      .orderBy("doc_id")
+
+  val charEntropyOracle: String =
+    """SELECT doc_id,
+       CASE WHEN length(text) = 0 THEN CAST(0 AS DOUBLE) ELSE
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(
+           list_transform(
+             list_concat(list_transform(range(97, 123),
+               i -> chr(CAST(i AS INT))), [' ']),
+             c -> CAST(length(text) - length(replace(text, c, ''))
+                  AS DOUBLE) / length(text)),
+           p -> CASE WHEN p = 0 THEN CAST(0 AS DOUBLE)
+                ELSE -p * log2(p) END)),
+         (acc, x) -> acc + x), 6) END AS char_entropy
+       FROM documents ORDER BY doc_id"""
+
+  /** Repetition profile (Gopher-style quality filters): duplicate-token
+    * and duplicate-bigram fractions plus the most-frequent-token share.
+    * All per-row HOF arithmetic — embarrassingly parallel, no shuffle
+    * before the output sort. */
+  val repetitionStats: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "toks",
+        "CAST(size(toks) AS BIGINT) AS n_tokens",
+        "CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct",
+        """CASE WHEN size(toks) < 2 THEN array()
+           ELSE transform(sequence(1, size(toks) - 1),
+             i -> concat(element_at(toks, i), ' ',
+                         element_at(toks, i + 1))) END AS bigrams""")
+      .selectExpr("doc_id", "n_tokens", "n_distinct",
+        "round(CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_tokens, 6)"
+          + " AS dup_token_ratio",
+        """round(CAST(array_max(transform(array_distinct(toks),
+             u -> size(filter(toks, x -> x = u)))) AS DOUBLE) / n_tokens, 6)
+           AS top_token_frac""",
+        """CASE WHEN size(bigrams) = 0 THEN CAST(0 AS DOUBLE)
+           ELSE round(CAST(1 AS DOUBLE)
+             - CAST(size(array_distinct(bigrams)) AS DOUBLE) / size(bigrams),
+             6) END AS dup_bigram_ratio""")
+      .orderBy("doc_id")
+
+  val repetitionStatsOracle: String =
+    """WITH tk AS (
+         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       b AS (
+         SELECT doc_id, toks,
+           len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct,
+           CASE WHEN len(toks) < 2 THEN []
+           ELSE list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i + 1]) END AS bigrams
+         FROM tk)
+       SELECT doc_id, n_tokens, n_distinct,
+         round(CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE) / n_tokens, 6)
+           AS dup_token_ratio,
+         round(CAST(list_max(list_transform(list_distinct(toks),
+           u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) / n_tokens,
+           6) AS top_token_frac,
+         CASE WHEN len(bigrams) = 0 THEN CAST(0 AS DOUBLE)
+         ELSE round(CAST(1 AS DOUBLE)
+           - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams), 6)
+         END AS dup_bigram_ratio
+       FROM b ORDER BY doc_id"""
+
+  /** TF-IDF top-3 terms per document. Shape at scale: one shuffle to
+    * (doc, token) term frequencies; the document-frequency table is a
+    * vocabulary-sized aggregate broadcast back (never a corpus shuffle);
+    * the per-doc top-3 rank is staged by WindowGroupLimit. Scores are
+    * rounded BEFORE ranking so the rank itself is cross-engine
+    * deterministic (ties broken by token). */
+  val tfidfTopK: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val tf = docs
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS token")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(broadcast(dfreq), "token").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + lit(1)).cast("double")
+          / (col("df") + lit(1))), 6))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "rnk", "token", "tf", "df", "score")
+      .orderBy("doc_id", "rnk")
+  }
+
+  val tfidfTopKOracle: String =
+    """WITH tf AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         FROM documents),
+       tfc AS (SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY 1, 2),
+       dfc AS (SELECT token, count(*) AS df FROM tfc GROUP BY 1),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       sc AS (
+         SELECT tfc.doc_id, tfc.token, tfc.tf, dfc.df,
+           round(tfc.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (dfc.df + 1)),
+             6) AS score
+         FROM tfc JOIN dfc USING (token) CROSS JOIN n)
+       SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY score DESC, token) AS rnk,
+         token, tf, df, score
+       FROM sc
+       QUALIFY rnk <= 3
+       ORDER BY doc_id, rnk"""
+
+  /** Integer-exact per-source quality gate: keep the top 10% of documents
+    * per source by length (rank*10 <= partition count — no float
+    * percentile on the cut line, so the kept set is bit-deterministic).
+    * The shape of every "best decile per domain" corpus filter. */
+  val qualityTopPercent: Q = (s, dir) => {
+    val wRank = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val wAll = Window.partitionBy("source")
+    t(s, dir, "documents")
+      .withColumn("rnk", row_number().over(wRank).cast("bigint"))
+      .withColumn("n_src", count(lit(1)).over(wAll))
+      .filter(col("rnk") * 10 <= col("n_src"))
+      .select("source", "rnk", "doc_id", "n_chars")
+      .orderBy("source", "rnk")
+  }
+
+  val qualityTopPercentOracle: String =
+    """SELECT source,
+       row_number() OVER (PARTITION BY source
+         ORDER BY n_chars DESC, doc_id) AS rnk,
+       doc_id, n_chars
+       FROM documents
+       QUALIFY rnk * 10 <= count(*) OVER (PARTITION BY source)
+       ORDER BY source, rnk"""
+
   val queries: Map[String, Q] = Map(
+    "text_char_entropy" -> charEntropy,
+    "text_repetition" -> repetitionStats,
+    "text_tfidf_topk" -> tfidfTopK,
+    "quality_top_percent" -> qualityTopPercent,
     "pipeline_corpus_prep" -> pipelineCorpusPrep,
     "pack_sequences" -> packSequences,
     "decontam_overlap" -> decontamOverlap,
@@ -612,6 +772,10 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_char_entropy" -> charEntropyOracle,
+    "text_repetition" -> repetitionStatsOracle,
+    "text_tfidf_topk" -> tfidfTopKOracle,
+    "quality_top_percent" -> qualityTopPercentOracle,
     "pipeline_corpus_prep" -> pipelineCorpusPrepOracle,
     "pack_sequences" -> packSequencesOracle,
     "decontam_overlap" -> decontamOverlapOracle,

@@ -476,7 +476,34 @@ object Aggregates {
            AND t_click > t_signup) AS n_full_funnel
        FROM stages"""
 
+  /** Percentile winsorization: clip each value into its event_type's
+    * [p05, p95] band — the outlier-robust cousin of scale_minmax (the
+    * reference's client scalers are exactly this family,
+    * `KubeflowStockPricePrediction.ipynb:287-290`). The per-group
+    * percentile table is tiny and broadcast back; the clip itself is a
+    * map-side projection, so the only shuffle is the stats aggregate. */
+  val scaleWinsorize: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val stats = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.05)").as("p05"),
+      expr("percentile(value, 0.95)").as("p95"))
+    ev.join(broadcast(stats), "event_type")
+      .selectExpr("event_id", "event_type", "value",
+        "round(least(greatest(value, p05), p95), 6) AS value_winsorized")
+      .orderBy("event_id")
+  }
+
+  val scaleWinsorizeOracle: String =
+    """WITH st AS (SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+       FROM events GROUP BY 1)
+       SELECT event_id, e.event_type, value,
+         round(least(greatest(value, p05), p95), 6) AS value_winsorized
+       FROM events e JOIN st USING (event_type) ORDER BY event_id"""
+
   val queries: Map[String, Q] = Map(
+    "scale_winsorize" -> scaleWinsorize,
     "funnel_conversion" -> funnelConversion,
     "pipeline_train_prep" -> pipelineTrainPrep,
     "approx_distinct_kmv" -> kmvDistinct,
@@ -500,6 +527,7 @@ object Aggregates {
     "count_rows" -> countRows)
 
   val oracles: Map[String, String] = Map(
+    "scale_winsorize" -> scaleWinsorizeOracle,
     "funnel_conversion" -> funnelConversionOracle,
     "pipeline_train_prep" -> pipelineTrainPrepOracle,
     "approx_distinct_kmv" -> kmvDistinctOracle,

@@ -703,7 +703,66 @@ object Coverage {
          FROM lineitem WHERE l_orderkey < 1000)
        ORDER BY l_orderkey, l_linenumber, measure"""
 
+  /** Top-k rows per group (top-3 orders by price per priority class) —
+    * written as the declarative rank filter; Spark's InferWindowGroupLimit
+    * stages it into Partial/Final WindowGroupLimit, so each partition
+    * forwards only k candidate rows per group and the sort shuffle carries
+    * O(k · groups · partitions), never the full table (asserted in
+    * PlanSpec). */
+  val topkPerGroup: Q = (s, dir) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rnk")
+  }
+
+  val topkPerGroupOracle: String =
+    """SELECT o_orderpriority,
+       row_number() OVER (PARTITION BY o_orderpriority
+         ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+       o_orderkey, o_totalprice
+       FROM orders QUALIFY rnk <= 3
+       ORDER BY o_orderpriority, rnk"""
+
+  /** Join with a runtime Bloom filter: the optimizer injects a
+    * bloom-build on the selective (filtered-orders) side and a
+    * `might_contain` probe above the lineitem scan, so non-matching fact
+    * rows die BEFORE the join shuffle — at 100 TB this is the difference
+    * between shuffling the whole fact table and shuffling the ~1% that
+    * can match. Runs on an isolated session (newSession: fresh SQL conf,
+    * shared context) because injection requires the shuffle-join shape —
+    * a broadcast join would use DPP instead — and the scan-size
+    * thresholds are tuned for petabyte defaults, not test files. */
+  val joinRuntimeBloom: Q = (s, dir) => {
+    val iso = s.newSession()
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    iso.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    t(iso, dir, "lineitem")
+      .join(t(iso, dir, "orders").filter("o_totalprice > 400000"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        graft.sources.Tables.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val joinRuntimeBloomOracle: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_totalprice > 400000
+       GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, Q] = Map(
+    "topk_per_group" -> topkPerGroup,
+    "join_runtime_bloom" -> joinRuntimeBloom,
     "orc_ingest" -> orcIngest,
     "json_ingest" -> jsonIngest,
     "unpivot_measures" -> unpivotMeasures,
@@ -736,6 +795,8 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "topk_per_group" -> topkPerGroupOracle,
+    "join_runtime_bloom" -> joinRuntimeBloomOracle,
     "orc_ingest" -> orcIngestOracle,
     "json_ingest" -> jsonIngestOracle,
     "unpivot_measures" -> unpivotMeasuresOracle,

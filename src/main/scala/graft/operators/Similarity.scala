@@ -431,7 +431,39 @@ object Similarity {
       "concat_ws(',', transform(qvec, x -> CAST(x AS STRING))) AS qvec",
       "rmse")
 
+  /** Signed random projection (Johnson–Lindenstrauss sketch) 64d → 8d:
+    * out_j = Σ_i ±emb_i with the sign drawn from a deterministic integer
+    * hash of (i, j) — the dimensionality-reduction front of every
+    * LSH/ANN index build. Pure per-row projection (no shuffle before the
+    * output sort); ±1 multiplication keeps every double op exact, so the
+    * result is bit-identical cross-engine with no rounding. */
+  val randomProjection: Q = (s, dir) => {
+    def projS(j: Int): String =
+      s"""aggregate(
+            transform(sequence(1, size(embedding)),
+              i -> CASE WHEN (i * 2654435761L + $j * 40503) % 1000 < 500
+                   THEN CAST(element_at(embedding, i) AS DOUBLE)
+                   ELSE -CAST(element_at(embedding, i) AS DOUBLE) END),
+            CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS proj_$j"""
+    t(s, dir, "embeddings")
+      .selectExpr("vec_id" +: (0 until 8).map(projS): _*)
+      .orderBy("vec_id")
+  }
+
+  val randomProjectionOracle: String = {
+    def projD(j: Int): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(range(1, len(embedding) + 1),
+              i -> CASE WHEN (i * 2654435761 + $j * 40503) % 1000 < 500
+                   THEN CAST(embedding[i] AS DOUBLE)
+                   ELSE -CAST(embedding[i] AS DOUBLE) END)),
+            (acc, x) -> acc + x) AS proj_$j"""
+    s"""SELECT vec_id, ${(0 until 8).map(projD).mkString(",\n       ")}
+       FROM embeddings ORDER BY vec_id"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "embedding_random_projection" -> randomProjection,
     "ann_ivf_centroid_topk" -> annIvfCentroidTopk,
     "embedding_centroids" -> centroidsSer,
     "embedding_quantize_int8" -> quantizeInt8Ser,
@@ -443,6 +475,7 @@ object Similarity {
     "embedding_norm_stats" -> normStats)
 
   val oracles: Map[String, String] = Map(
+    "embedding_random_projection" -> randomProjectionOracle,
     "ann_ivf_centroid_topk" -> annIvfCentroidTopkOracle,
     "embedding_centroids" -> centroidsOracle,
     "embedding_quantize_int8" -> quantizeInt8Oracle,

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+import graft.sources.Tables.{dsum, events}
+
+/** Time-series operators over the event stream — the engine-side versions
+  * of the reference's date-keyed dataflow (SURVEY.md §1.1: every table is a
+  * date-keyed time series; the client pandas code fills/aligns by date).
+  * The reference's stock table is missing weekend rows and the notebook
+  * papers over it with an outer join + dropna (`localTrinoTest.ipynb:1193`)
+  * — a real engine offers the spine/gap-fill and history-tracking
+  * primitives directly.
+  *
+  * Scale posture: every operator here is one shuffle (a groupBy or a
+  * per-key window); the date spine is generated from one global min/max
+  * aggregate (2 rows broadcast), never materialized driver-side.
+  */
+object Timeseries {
+
+  /** Date-spine gap fill: daily aggregate of a sparse event subset,
+    * LEFT-joined onto a generated continuous day spine so missing days
+    * surface as explicit zero rows (the weekend-rows problem of the
+    * reference's stock table, solved engine-side). The spine bounds come
+    * from the FULL table so the fill range is stable as the subset
+    * thins. */
+  val gapfillDateSpine: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val sparse = ev
+      .filter("event_type = 'purchase' AND value > 250")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    val spine = ev
+      .agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+      .selectExpr("explode(sequence(d0, d1, interval 1 day)) AS day")
+    spine.join(sparse, Seq("day"), "left_outer")
+      .selectExpr("day",
+        "coalesce(n_events, CAST(0 AS BIGINT)) AS n_events",
+        "coalesce(sum_value, CAST(0 AS DOUBLE)) AS sum_value")
+      .orderBy("day")
+  }
+
+  val gapfillDateSpineOracle: String =
+    """WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0,
+                         CAST(max(ts) AS DATE) AS d1 FROM events),
+       sp AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                AS DATE) AS day FROM b),
+       ag AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+              FROM events WHERE event_type = 'purchase' AND value > 250
+              GROUP BY 1)
+       SELECT sp.day, coalesce(ag.n_events, 0) AS n_events,
+         coalesce(ag.sum_value, 0.0) AS sum_value
+       FROM sp LEFT JOIN ag USING (day) ORDER BY day"""
+
+  /** SCD2 history build: change-detect each user's event_type sequence
+    * (drop rows equal to the previous state), then stamp every surviving
+    * version row with [valid_from, valid_to) via lead() — NULL valid_to
+    * marks the current version. This is the slowly-changing-dimension
+    * snapshot the reference's later-message-wins dedup is a degenerate
+    * (keep-only-last) case of. One shuffle on user_id; both window passes
+    * reuse the same (user_id, ts, event_id) sort. */
+  val scd2History: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  val scd2HistoryOracle: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                    event_type FROM events),
+       c AS (SELECT *, lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             FROM e),
+       k AS (SELECT user_id, event_id, ts, event_type FROM c
+             WHERE prev_type IS NULL OR prev_type <> event_type)
+       SELECT user_id, event_id, event_type, ts AS valid_from,
+         lead(ts) OVER w AS valid_to,
+         lead(ts) OVER w IS NULL AS is_current
+       FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ORDER BY user_id, valid_from, event_id"""
+
+  /** Multi-grain time rollup: the same measure aggregated at day, week
+    * (ISO Monday start), and month grain in one result — the cube a
+    * time-series dashboard reads. Each grain is an independent partial+
+    * final hash aggregation over the shared scan (Spark reuses the
+    * exchange), so cost stays one scan + three small shuffles. */
+  val timeRollupMulti: Q = (s, dir) => {
+    val ev = events(s, dir)
+    def roll(grain: String) = ev
+      .groupBy(to_date(date_trunc(grain, col("ts"))).as("period_start"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(lit(grain).as("grain"), col("period_start"),
+        col("n_events"), col("sum_value"))
+    roll("day").unionByName(roll("week")).unionByName(roll("month"))
+      .orderBy("grain", "period_start")
+  }
+
+  val timeRollupMultiOracle: String =
+    """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+       SELECT * FROM (
+         SELECT 'day' AS grain,
+           CAST(date_trunc('day', ts) AS DATE) AS period_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM e GROUP BY 2
+         UNION ALL
+         SELECT 'week',
+           CAST(date_trunc('week', ts) AS DATE), count(*),
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         FROM e GROUP BY 2
+         UNION ALL
+         SELECT 'month',
+           CAST(date_trunc('month', ts) AS DATE), count(*),
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         FROM e GROUP BY 2)
+       ORDER BY grain, period_start"""
+
+  val queries: Map[String, Q] = Map(
+    "gapfill_date_spine" -> gapfillDateSpine,
+    "scd2_history" -> scd2History,
+    "time_rollup_multi" -> timeRollupMulti)
+
+  val oracles: Map[String, String] = Map(
+    "gapfill_date_spine" -> gapfillDateSpineOracle,
+    "scd2_history" -> scd2HistoryOracle,
+    "time_rollup_multi" -> timeRollupMultiOracle)
+}

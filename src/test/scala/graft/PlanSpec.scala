@@ -113,6 +113,20 @@ class PlanSpec extends SparkSpec {
       s"bucketed join re-shuffled:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side before the join shuffle") {
+    val p = plan(Coverage.joinRuntimeBloom(spark, sf))
+    assert(p.contains("might_contain"),
+      s"no bloom probe above the lineitem scan:\n$p")
+    assert(p.contains("bloom_filter_agg"),
+      s"no bloom build on the filtered-orders side:\n$p")
+  }
+
+  test("per-group top-k stages WindowGroupLimit partial+final") {
+    val p = plan(Coverage.topkPerGroup(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=3 filter did not stage a group limit:\n$p")
+  }
+
   test("flagship join stays inside whole-stage codegen") {
     val cg = Relational.q1JoinFilterSort(spark, sf)
       .queryExecution.explainString(ExplainMode.fromString("codegen"))
