@@ -617,7 +617,10 @@ object Coverage {
     * partition's files (PartitionFilters in the scan — asserted in
     * PlanSpec). At 100 TB, date/tenant partitioning like this is the
     * first line of scan reduction, before any row-level pushdown. */
-  val partitionedWritePrune: Q = (s, dir) => {
+  /** Hive-partitioned (by event_type) copy of events, written once per
+    * sf dir — the layout both the static-pruning and the DPP query scan. */
+  private def partitionedEventsDir(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
       java.lang.Integer.toHexString(dir.hashCode)
     if (!new java.io.File(out, "_SUCCESS").exists()) {
@@ -626,7 +629,11 @@ object Coverage {
           "user_id", "value", "event_type")
         .write.mode("overwrite").partitionBy("event_type").parquet(out)
     }
-    s.read.parquet(out)
+    out
+  }
+
+  val partitionedWritePrune: Q = (s, dir) => {
+    s.read.parquet(partitionedEventsDir(s, dir))
       .filter(col("event_type") === "purchase")
       .select("event_id", "user_id", "value", "event_type")
       .orderBy("event_id")
@@ -760,7 +767,49 @@ object Coverage {
        WHERE o_totalprice > 400000
        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** Dynamic partition pruning: the fact side is the hive-partitioned
+    * events layout, the dim side is a small category table with an
+    * independent filter — at runtime the optimizer turns the dim's
+    * surviving keys into a partition filter on the fact scan
+    * (`PartitionFilters: [... dynamicpruning ...]`), so only the matching
+    * partition directories are read. At 100 TB this is the
+    * date/tenant-partitioned-fact ⋈ filtered-dim pattern: the fact scan
+    * cost tracks the dim filter's selectivity, not the table size. Both
+    * sides are real parquet scans (DPP's benefit heuristic compares scan
+    * sizes, so a purely in-memory dim would not trigger it). */
+  val joinDppPrune: Q = (s, dir) => {
+    val fact = s.read.parquet(partitionedEventsDir(s, dir))
+    val dimPath = s"${System.getProperty("java.io.tmpdir")}/graft_dim_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    if (!new java.io.File(dimPath, "_SUCCESS").exists()) {
+      import s.implicits._
+      Seq(("click", "engagement"), ("view", "engagement"),
+        ("purchase", "revenue"), ("signup", "acquisition"),
+        ("error", "ops"))
+        .toDF("event_type", "category")
+        .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    }
+    val dim = s.read.parquet(dimPath).filter(col("category") === "revenue")
+    fact.join(dim, "event_type")
+      .groupBy("event_type", "category")
+      .agg(count(lit(1)).as("n_events"),
+        graft.sources.Tables.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val joinDppPruneOracle: String =
+    """WITH dim AS (SELECT * FROM (VALUES
+         ('click','engagement'), ('view','engagement'),
+         ('purchase','revenue'), ('signup','acquisition'),
+         ('error','ops')) AS t(event_type, category))
+       SELECT e.event_type, d.category, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events e JOIN dim d USING (event_type)
+       WHERE d.category = 'revenue'
+       GROUP BY 1, 2 ORDER BY e.event_type"""
+
   val queries: Map[String, Q] = Map(
+    "join_dpp_prune" -> joinDppPrune,
     "topk_per_group" -> topkPerGroup,
     "join_runtime_bloom" -> joinRuntimeBloom,
     "orc_ingest" -> orcIngest,
@@ -795,6 +844,7 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "join_dpp_prune" -> joinDppPruneOracle,
     "topk_per_group" -> topkPerGroupOracle,
     "join_runtime_bloom" -> joinRuntimeBloomOracle,
     "orc_ingest" -> orcIngestOracle,

@@ -366,7 +366,88 @@ object Streams {
          round(0.0 + 2.0 * (bi + (0.5 * n - cumb) / c), 6) AS p50
        FROM sel ORDER BY day_start"""
 
+  /** Arbitrary-state streaming v2: per-user running aggregate via
+    * `transformWithState` (Spark 4's StatefulProcessor API) over a
+    * RocksDB state store. State is ONE (n, sum_cents, last_ts, last_id)
+    * tuple per key — constant per user regardless of volume; sums are
+    * integer cents so the result is exact under any micro-batching.
+    * RocksDB keeps state off-heap and incrementally checkpointed — the
+    * 100 TB knob: state capacity scales with disk, not executor heap. */
+  private class RunningAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Long), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode,
+      TimerValues, ValueState}
+    @transient private var st: ValueState[(Long, Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("agg",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      var (n, sum, lts, lid) =
+        if (st.exists()) st.get() else (0L, 0L, Long.MinValue, Long.MinValue)
+      rows.foreach { case (_, eid, tsUs, cents) =>
+        n += 1
+        sum += cents
+        if (tsUs > lts || (tsUs == lts && eid > lid)) { lts = tsUs; lid = eid }
+      }
+      st.update((n, sum, lts, lid))
+      Iterator.single((key, n, sum, lid))
+    }
+  }
+
+  val streamTwsRunningAgg: Q = (s, dir) => {
+    val ss = streamSession(s)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    twsCore(ss, eventStream(ss, dir), "stream_tws_running_agg")
+  }
+
+  /** Core of the transformWithState running aggregate, parameterized by
+    * source so tests can drive it with a multi-file micro-batch replay.
+    * The caller's session must have the RocksDB state-store provider set
+    * (transformWithState requires it). */
+  private[graft] def twsCore(s: SparkSession, stream: DataFrame,
+      name: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val ev = stream
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS ts_us",
+        "CAST(round(coalesce(value, CAST(0 AS DOUBLE)) * 100) AS BIGINT)" +
+          " AS cents")
+      .as[(Long, Long, Long, Long)]
+    val out = ev.groupByKey(_._1)
+      .transformWithState(new RunningAggProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "sum_cents", "last_event_id")
+    val mem = runToTable(out, name, "update")
+    // compact the update-mode emissions: n_events strictly grows per key
+    // across batches, so the max-n row is the final state however the
+    // replay was micro-batched
+    val w = Window.partitionBy("user_id").orderBy(col("n_events").desc)
+    mem.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "n_events", "sum_cents", "last_event_id")
+      .orderBy("user_id")
+  }
+
+  val streamTwsRunningAggOracle: String =
+    """WITH agg AS (
+         SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+             AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1),
+       last AS (
+         SELECT user_id, event_id AS last_event_id FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id
+           ORDER BY ts DESC, event_id DESC) = 1)
+       SELECT a.user_id, n_events, sum_cents, last_event_id
+       FROM agg a JOIN last USING (user_id) ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
+    "stream_tws_running_agg" -> streamTwsRunningAgg,
     "stream_stream_join" -> streamStreamJoin,
     "stream_hist_quantile" -> streamHistQuantile,
     "stream_foreach_batch_sink" -> streamForeachBatchSink,
@@ -377,6 +458,7 @@ object Streams {
     "sessionize_events" -> sessionizeEvents)
 
   val oracles: Map[String, String] = Map(
+    "stream_tws_running_agg" -> streamTwsRunningAggOracle,
     "stream_stream_join" -> streamStreamJoinOracle,
     "stream_foreach_batch_sink" -> streamForeachBatchSinkOracle,
     "stream_stateful_latest" -> streamStatefulLatestOracle,

@@ -121,6 +121,12 @@ class PlanSpec extends SparkSpec {
       s"no bloom build on the filtered-orders side:\n$p")
   }
 
+  test("dim filter prunes fact partitions at runtime (DPP)") {
+    val p = plan(Coverage.joinDppPrune(spark, sf))
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+  }
+
   test("per-group top-k stages WindowGroupLimit partial+final") {
     val p = plan(Coverage.topkPerGroup(spark, sf))
     assert(p.contains("WindowGroupLimit"),

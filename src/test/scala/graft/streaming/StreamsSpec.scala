@@ -59,6 +59,24 @@ class StreamsSpec extends SparkSpec {
     assert(multi === single)
   }
 
+  test("transformWithState running agg is identical under multi-batch replay") {
+    val dir3 = s"${System.getProperty("java.io.tmpdir")}/graft_events3w"
+    spark.read.parquet(s"$sf/events.parquet")
+      .repartition(3).write.mode("overwrite").parquet(dir3)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val stream = ss.readStream.schema(Streams.rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir3)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val multi = Streams.twsCore(ss, stream, "tws_mb")
+      .collect().map(_.toString).toSeq
+    val single = Streams.streamTwsRunningAgg(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(multi === single)
+  }
+
   test("stream-stream join equals the batch range join") {
     val streamed = Streams.streamStreamJoin(spark, sf)
       .select("click_id", "purchase_id")
