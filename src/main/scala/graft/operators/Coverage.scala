@@ -808,7 +808,92 @@ object Coverage {
        WHERE d.category = 'revenue'
        GROUP BY 1, 2 ORDER BY e.event_type"""
 
+  /** Recursive CTE (WITH RECURSIVE, Spark 4): transitive closure over the
+    * verified MinHash near-dup pair graph — every head (no incoming edge)
+    * to every reachable member. The SQL-native form of the
+    * connected-components pass (Dedup.clusters is the DataFrame
+    * pointer-jumping version for big graphs; recursion fits when the
+    * component diameter is small, as near-dup chains are). */
+  val recursiveCte: Q = (s, dir) => {
+    Dedup.minhashLsh(s, dir).select("d1", "d2")
+      .createOrReplaceTempView("pairs_rc")
+    s.sql(
+      """WITH RECURSIVE reach (head, member) AS (
+           SELECT d1, d2 FROM pairs_rc
+           WHERE d1 NOT IN (SELECT d2 FROM pairs_rc)
+           UNION ALL
+           SELECT r.head, p.d2 FROM reach r
+           JOIN pairs_rc p ON r.member = p.d1
+         )
+         SELECT DISTINCT head, member FROM reach
+         ORDER BY head, member""")
+  }
+
+  val recursiveCteOracle: String =
+    s"""WITH RECURSIVE ${Dedup.minhashScoredCte},
+       pairs AS (SELECT d1, d2 FROM scored WHERE jaccard >= 0.8),
+       reach (head, member) AS (
+         SELECT d1, d2 FROM pairs
+         WHERE d1 NOT IN (SELECT d2 FROM pairs)
+         UNION ALL
+         SELECT r.head, p.d2 FROM reach r JOIN pairs p ON r.member = p.d1
+       )
+       SELECT DISTINCT head, member FROM reach
+       ORDER BY head, member"""
+
+  /** LATERAL correlated subquery: top-2 suppliers by balance per nation
+    * — the per-row-subquery SQL surface (Trino/Postgres LATERAL). */
+  val lateralJoin: Q = (s, dir) => {
+    graft.sources.Tables.t(s, dir, "nation")
+      .createOrReplaceTempView("nation_lat")
+    graft.sources.Tables.t(s, dir, "supplier")
+      .createOrReplaceTempView("supplier_lat")
+    s.sql(
+      """SELECT n.n_name, l.s_name, l.s_acctbal
+         FROM nation_lat n
+         JOIN LATERAL (
+           SELECT s_name, s_acctbal FROM supplier_lat
+           WHERE s_nationkey = n.n_nationkey
+           ORDER BY s_acctbal DESC, s_name LIMIT 2) l
+         ORDER BY n.n_name, l.s_acctbal DESC, l.s_name""")
+  }
+
+  val lateralJoinOracle: String =
+    """SELECT n.n_name, l.s_name, l.s_acctbal
+       FROM nation n
+       JOIN LATERAL (
+         SELECT s_name, s_acctbal FROM supplier
+         WHERE s_nationkey = n.n_nationkey
+         ORDER BY s_acctbal DESC, s_name LIMIT 2) l ON true
+       ORDER BY n.n_name, l.s_acctbal DESC, l.s_name"""
+
+  /** ANSI-mode error discipline with try_* escape hatches: the session
+    * runs full ANSI (divide-by-zero/overflow/bad casts THROW — the
+    * correctness default a warehouse engine wants), and try_divide /
+    * try_cast give per-expression NULL-on-error semantics where dirty
+    * data is expected. DuckDB's `/` and TRY_CAST carry the identical
+    * NULL-on-error contract, so results hash-match. */
+  val tryFuncsAnsi: Q = (s, dir) =>
+    events(s, dir)
+      .selectExpr("event_id",
+        "try_divide(value, CAST(user_id % 3 AS DOUBLE)) AS safe_div",
+        "try_cast(props AS INT) AS bad_cast",
+        "try_cast(substring(event_type, 1, 1) AS INT) AS bad_cast2",
+        "try_cast(CAST(user_id AS STRING) AS INT) AS good_cast")
+      .orderBy("event_id")
+
+  val tryFuncsAnsiOracle: String =
+    """SELECT event_id,
+       value / CAST(user_id % 3 AS DOUBLE) AS safe_div,
+       TRY_CAST(props AS INT) AS bad_cast,
+       TRY_CAST(substring(event_type, 1, 1) AS INT) AS bad_cast2,
+       TRY_CAST(CAST(user_id AS VARCHAR) AS INT) AS good_cast
+       FROM events ORDER BY event_id"""
+
   val queries: Map[String, Q] = Map(
+    "sql_recursive_cte" -> recursiveCte,
+    "join_lateral_topk" -> lateralJoin,
+    "try_funcs_ansi" -> tryFuncsAnsi,
     "join_dpp_prune" -> joinDppPrune,
     "topk_per_group" -> topkPerGroup,
     "join_runtime_bloom" -> joinRuntimeBloom,
@@ -844,6 +929,9 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "sql_recursive_cte" -> recursiveCteOracle,
+    "join_lateral_topk" -> lateralJoinOracle,
+    "try_funcs_ansi" -> tryFuncsAnsiOracle,
     "join_dpp_prune" -> joinDppPruneOracle,
     "topk_per_group" -> topkPerGroupOracle,
     "join_runtime_bloom" -> joinRuntimeBloomOracle,

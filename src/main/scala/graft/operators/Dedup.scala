@@ -341,7 +341,42 @@ object Dedup {
        SELECT doc_id, min(lab) AS cluster_rep
        FROM reach GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Edit-distance near-dup verification: block on a 60-bit hash of the
+    * normalized 40-char prefix (cheap, deterministic blocking), then
+    * verify each candidate pair with exact Levenshtein distance — the
+    * standard verify step after any LSH/fingerprint recall stage.
+    * Levenshtein is O(len²) per pair, so at 100 TB it only ever runs on
+    * the blocked candidates (the join output), never all pairs; both
+    * engines ship the identical DP definition, so distances are exact
+    * integers. */
+  val dedupEditDistance: Q = (s, dir) => {
+    val blocked = t(s, dir, "documents")
+      .selectExpr("doc_id", "text",
+        hex60("substring(lower(text), 1, 40)") + " AS blk")
+    val a = blocked.selectExpr("doc_id AS d1", "text AS t1", "blk")
+    val b = blocked.selectExpr("doc_id AS d2", "text AS t2", "blk")
+    a.join(b, "blk")
+      .filter(col("d1") < col("d2"))
+      .withColumn("dist", levenshtein(col("t1"), col("t2")).cast("bigint"))
+      .filter(col("dist") <= 30)
+      .select("d1", "d2", "dist")
+      .orderBy("d1", "d2")
+  }
+
+  val dedupEditDistanceOracle: String =
+    s"""WITH blocked AS (
+         SELECT doc_id, text,
+           ${hex60Duck("substring(lower(text), 1, 40)")} AS blk
+         FROM documents)
+       SELECT a.doc_id AS d1, b.doc_id AS d2,
+         levenshtein(a.text, b.text) AS dist
+       FROM blocked a JOIN blocked b
+         ON a.blk = b.blk AND a.doc_id < b.doc_id
+       WHERE levenshtein(a.text, b.text) <= 30
+       ORDER BY d1, d2"""
+
   val queries: Map[String, Q] = Map(
+    "dedup_edit_distance" -> dedupEditDistance,
     "dedup_clusters" -> clusters,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -350,6 +385,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs)
 
   val oracles: Map[String, String] = Map(
+    "dedup_edit_distance" -> dedupEditDistanceOracle,
     "dedup_clusters" -> clustersOracle,
     "dedup_exact" -> exactOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
