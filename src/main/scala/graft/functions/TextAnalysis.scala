@@ -748,7 +748,63 @@ object TextAnalysis {
        QUALIFY rnk * 10 <= count(*) OVER (PARTITION BY source)
        ORDER BY source, rnk"""
 
+  /** Overlapping document chunking (RAG/window prep): 200-char chunks on
+    * a 150-char stride (50-char overlap), one output row per chunk.
+    * Pure per-row generate — the explode carries (doc_id, chunk) only,
+    * so the shuffle-free pre-embedding chunk table scales linearly. */
+  val docChunkOverlap: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .filter("length(text) > 0")
+      .selectExpr("doc_id",
+        "explode(sequence(CAST(0 AS BIGINT)," +
+          " CAST((length(text) - 1) div 150 AS BIGINT))) AS chunk_id",
+        "text")
+      .selectExpr("doc_id", "chunk_id",
+        "substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk",
+        "CAST(length(substring(text, CAST(chunk_id * 150 + 1 AS INT), 200))" +
+          " AS BIGINT) AS chunk_len")
+      .orderBy("doc_id", "chunk_id")
+
+  val docChunkOverlapOracle: String =
+    """SELECT doc_id, i AS chunk_id,
+       substring(text, CAST(i * 150 + 1 AS INT), 200) AS chunk,
+       length(substring(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_len
+       FROM documents,
+       LATERAL (SELECT unnest(range(0, (length(text) - 1) // 150 + 1))
+                AS i) t
+       WHERE length(text) > 0
+       ORDER BY doc_id, chunk_id"""
+
+  /** Deterministic train/val/test assignment: the split is a pure
+    * function of doc_id (md5 bucket mod 100 → 80/10/10), so it is
+    * reproducible across cluster sizes, runs, and engines — no sampling
+    * state, no coordination; the canonical leak-proof ML split. */
+  val corpusSplitAssign: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id", "source",
+        hex60("concat('split_', CAST(doc_id AS STRING))") + " % 100" +
+          " AS bucket")
+      .selectExpr("doc_id", "source", "bucket",
+        """CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split""")
+      .orderBy("doc_id")
+
+  val corpusSplitAssignOracle: String =
+    s"""WITH b AS (
+         SELECT doc_id, source,
+           ${hex60Duck("concat('split_', CAST(doc_id AS VARCHAR))")} % 100
+             AS bucket
+         FROM documents)
+       SELECT doc_id, source, bucket,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+       FROM b ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "doc_chunk_overlap" -> docChunkOverlap,
+    "corpus_split_assign" -> corpusSplitAssign,
     "text_char_entropy" -> charEntropy,
     "text_repetition" -> repetitionStats,
     "text_tfidf_topk" -> tfidfTopK,
@@ -772,6 +828,8 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "doc_chunk_overlap" -> docChunkOverlapOracle,
+    "corpus_split_assign" -> corpusSplitAssignOracle,
     "text_char_entropy" -> charEntropyOracle,
     "text_repetition" -> repetitionStatsOracle,
     "text_tfidf_topk" -> tfidfTopKOracle,

@@ -502,7 +502,57 @@ object Aggregates {
          round(least(greatest(value, p05), p95), 6) AS value_winsorized
        FROM events e JOIN st USING (event_type) ORDER BY event_id"""
 
+  /** Z-score anomaly flags per event_type. The moments are computed over
+    * exact integer cents (sum and sum-of-squares as BIGINTs), so mean and
+    * variance are bit-identical cross-engine and partition-order
+    * independent — no Welford-vs-naive numeric drift; sqrt is IEEE
+    * correctly-rounded, so even the unrounded z agrees. One aggregation
+    * shuffle; the 5-row stats table broadcasts back. */
+  val anomalyZscore: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val stats = ev.filter(col("value").isNotNull)
+      .selectExpr("event_type",
+        "CAST(round(value * 100) AS BIGINT) AS c")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(expr("c * c")).as("ss"))
+      .selectExpr("event_type", "n",
+        "CAST(s AS DOUBLE) / (100.0 * n) AS mean",
+        "(CAST(ss AS DOUBLE) / 10000.0" +
+          " - n * pow(CAST(s AS DOUBLE) / (100.0 * n), 2)) / (n - 1)" +
+          " AS variance")
+    ev.join(broadcast(stats), "event_type")
+      .selectExpr("event_id", "event_type", "value",
+        "round((value - mean) / sqrt(variance), 6) AS z",
+        "CASE WHEN abs((value - mean) / sqrt(variance)) > 2.5" +
+          " THEN true ELSE false END AS is_anomaly")
+      .orderBy("event_id")
+  }
+
+  val anomalyZscoreOracle: String =
+    """WITH c AS (
+         SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+         FROM events WHERE value IS NOT NULL),
+       st AS (
+         SELECT event_type, count(*) AS n,
+           CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+         FROM c GROUP BY 1),
+       m AS (
+         SELECT event_type,
+           CAST(s AS DOUBLE) / (100.0 * n) AS mean,
+           (CAST(ss AS DOUBLE) / 10000.0
+             - n * pow(CAST(s AS DOUBLE) / (100.0 * n), 2)) / (n - 1)
+             AS variance
+         FROM st)
+       SELECT event_id, e.event_type, value,
+         round((value - mean) / sqrt(variance), 6) AS z,
+         CASE WHEN abs((value - mean) / sqrt(variance)) > 2.5
+           THEN true ELSE false END AS is_anomaly
+       FROM events e JOIN m USING (event_type)
+       ORDER BY event_id"""
+
   val queries: Map[String, Q] = Map(
+    "anomaly_zscore" -> anomalyZscore,
     "scale_winsorize" -> scaleWinsorize,
     "funnel_conversion" -> funnelConversion,
     "pipeline_train_prep" -> pipelineTrainPrep,
@@ -527,6 +577,7 @@ object Aggregates {
     "count_rows" -> countRows)
 
   val oracles: Map[String, String] = Map(
+    "anomaly_zscore" -> anomalyZscoreOracle,
     "scale_winsorize" -> scaleWinsorizeOracle,
     "funnel_conversion" -> funnelConversionOracle,
     "pipeline_train_prep" -> pipelineTrainPrepOracle,
