@@ -890,7 +890,131 @@ object Coverage {
        TRY_CAST(CAST(user_id AS VARCHAR) AS INT) AS good_cast
        FROM events ORDER BY event_id"""
 
+  /** Fill-forward imputation (LOCF): error events null out their reading,
+    * and `last_value(... ) IGNORE NULLS` carries the user's previous
+    * non-null value forward — the time-series imputation the reference
+    * does client-side with fillna (SURVEY §2.2). One shuffle on user_id. */
+  val windowFillForward: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events(s, dir)
+      .withColumn("reading",
+        expr("CASE WHEN event_type = 'error' THEN NULL ELSE value END"))
+      .withColumn("reading_filled",
+        last(col("reading"), ignoreNulls = true).over(w))
+      .select("event_id", "user_id", "event_type", "reading",
+        "reading_filled")
+      .orderBy("event_id")
+  }
+
+  val windowFillForwardOracle: String =
+    """SELECT event_id, user_id, event_type,
+       CASE WHEN event_type = 'error' THEN NULL ELSE value END AS reading,
+       last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+         IGNORE NULLS) OVER (PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS reading_filled
+       FROM events ORDER BY event_id"""
+
+  /** Pure theta join (no equi-key): events banded into a 4-row tier
+    * reference purely by `lo <= value < hi`. Spark plans
+    * BroadcastNestedLoopJoin — correct for tiny broadcast-able reference
+    * tables; with a large band table the banding trick
+    * (join_range_banded) turns this into an equi-join instead. */
+  val joinThetaBnl: Q = (s, dir) => {
+    import s.implicits._
+    val tiers = Seq(
+      ("low", 0.0, 25.0), ("mid", 25.0, 50.0),
+      ("high", 50.0, 100.0), ("extreme", 100.0, 1e9))
+      .toDF("tier", "lo", "hi")
+    events(s, dir)
+      .join(broadcast(tiers),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_events"),
+        graft.sources.Tables.dsum(col("value")).as("sum_value"))
+      .orderBy("tier")
+  }
+
+  val joinThetaBnlOracle: String =
+    """WITH tiers AS (SELECT * FROM (VALUES
+         ('low', 0.0, 25.0), ('mid', 25.0, 50.0),
+         ('high', 50.0, 100.0), ('extreme', 100.0, 1e9))
+         AS t(tier, lo, hi))
+       SELECT tier, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events e JOIN tiers t
+         ON e.value >= t.lo AND e.value < t.hi
+       GROUP BY tier ORDER BY tier"""
+
+  /** Column-profile statistics (ANALYZE-style data-quality pass): one row
+    * per profiled column with row/null/distinct counts and min/max —
+    * computed in a single scan (all aggregates fused into one
+    * partial+final hash aggregation), then unpivoted row-per-column. The
+    * profile every ingestion pipeline runs before trusting a feed. */
+  val profileColumnStats: Q = (s, dir) => {
+    val one = events(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      // value
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("value_nulls"),
+      countDistinct(col("value")).as("value_ndv"),
+      min("value").as("value_min"), max("value").as("value_max"),
+      // user_id
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("uid_nulls"),
+      countDistinct(col("user_id")).as("uid_ndv"),
+      min("user_id").as("uid_min"), max("user_id").as("uid_max"),
+      // event_type
+      sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("et_nulls"),
+      countDistinct(col("event_type")).as("et_ndv"),
+      min("event_type").as("et_min"), max("event_type").as("et_max"))
+    one.selectExpr(
+      """explode(array(
+           struct('event_type' AS column_name, n_rows, et_nulls AS n_nulls,
+             et_ndv AS n_distinct, et_min AS min_str, et_max AS max_str),
+           struct('user_id' AS column_name, n_rows, uid_nulls AS n_nulls,
+             uid_ndv AS n_distinct, CAST(uid_min AS STRING) AS min_str,
+             CAST(uid_max AS STRING) AS max_str),
+           struct('value' AS column_name, n_rows, value_nulls AS n_nulls,
+             value_ndv AS n_distinct, CAST(value_min AS STRING) AS min_str,
+             CAST(value_max AS STRING) AS max_str)
+         )) AS p""")
+      .selectExpr("p.column_name", "p.n_rows", "p.n_nulls", "p.n_distinct",
+        "p.min_str", "p.max_str")
+      .orderBy("column_name")
+  }
+
+  val profileColumnStatsOracle: String =
+    """WITH one AS (
+         SELECT count(*) AS n_rows,
+           count(*) FILTER (WHERE value IS NULL) AS value_nulls,
+           count(DISTINCT value) AS value_ndv,
+           CAST(min(value) AS VARCHAR) AS value_min,
+           CAST(max(value) AS VARCHAR) AS value_max,
+           count(*) FILTER (WHERE user_id IS NULL) AS uid_nulls,
+           count(DISTINCT user_id) AS uid_ndv,
+           CAST(min(user_id) AS VARCHAR) AS uid_min,
+           CAST(max(user_id) AS VARCHAR) AS uid_max,
+           count(*) FILTER (WHERE event_type IS NULL) AS et_nulls,
+           count(DISTINCT event_type) AS et_ndv,
+           min(event_type) AS et_min, max(event_type) AS et_max
+         FROM events)
+       SELECT 'event_type' AS column_name, n_rows, et_nulls AS n_nulls,
+         et_ndv AS n_distinct, et_min AS min_str, et_max AS max_str
+       FROM one
+       UNION ALL
+       SELECT 'user_id', n_rows, uid_nulls, uid_ndv, uid_min, uid_max
+       FROM one
+       UNION ALL
+       SELECT 'value', n_rows, value_nulls, value_ndv, value_min, value_max
+       FROM one
+       ORDER BY column_name"""
+
   val queries: Map[String, Q] = Map(
+    "profile_column_stats" -> profileColumnStats,
+    "window_fill_forward" -> windowFillForward,
+    "join_theta_bnl" -> joinThetaBnl,
     "sql_recursive_cte" -> recursiveCte,
     "join_lateral_topk" -> lateralJoin,
     "try_funcs_ansi" -> tryFuncsAnsi,
@@ -929,6 +1053,9 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "profile_column_stats" -> profileColumnStatsOracle,
+    "window_fill_forward" -> windowFillForwardOracle,
+    "join_theta_bnl" -> joinThetaBnlOracle,
     "sql_recursive_cte" -> recursiveCteOracle,
     "join_lateral_topk" -> lateralJoinOracle,
     "try_funcs_ansi" -> tryFuncsAnsiOracle,

@@ -59,6 +59,56 @@ class StreamsSpec extends SparkSpec {
     assert(multi === single)
   }
 
+  test("windowed agg resumes from checkpoint when new files arrive") {
+    // run 1 processes half the events; the source is then extended and a
+    // SECOND streaming query starts from the SAME checkpoint — the file
+    // source must skip the already-processed files and the state store
+    // must restore the first run's window counts, or the complete-mode
+    // output would only cover the second half.
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths}
+    val base = System.getProperty("java.io.tmpdir")
+    val srcDir = s"$base/graft_events_inc"
+    val ckpt = s"$base/graft_ckpt_resume"
+    for (d <- Seq(srcDir, ckpt) if Files.exists(Paths.get(d)))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(srcDir)
+    def runOnce(name: String): org.apache.spark.sql.DataFrame = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = ss.readStream.schema(Streams.rawSchema).parquet(srcDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ss.table(name)
+        .selectExpr("CAST(window.start AS TIMESTAMP_NTZ) AS day_start",
+          "event_type", "n")
+    }
+    runOnce("ckpt_run1")
+    ev.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(srcDir)
+    val resumed = runOnce("ckpt_run2")
+      .orderBy("day_start", "event_type")
+      .collect().map(_.toString).toSeq
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy(expr("date_trunc('day', ts)").as("day_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .selectExpr("CAST(day_start AS TIMESTAMP_NTZ) AS day_start",
+        "event_type", "n")
+      .orderBy("day_start", "event_type")
+      .collect().map(_.toString).toSeq
+    assert(resumed === batch)
+  }
+
   test("transformWithState running agg is identical under multi-batch replay") {
     val dir3 = s"${System.getProperty("java.io.tmpdir")}/graft_events3w"
     spark.read.parquet(s"$sf/events.parquet")
