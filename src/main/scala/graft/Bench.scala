@@ -87,13 +87,17 @@ object Bench {
         java.nio.file.Paths.get("bench_full.json"),
         fullLine.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    // stdout line: slowest queries first, as many as fit in the budget
+    // stdout line: slowest queries first, as many as fit in the budget.
+    // The errors list is capped too (full list lives in bench_full.json)
+    // — a mass-failure run (~150 names ≈ 3 KB) would otherwise overflow
+    // the 2000-char tail window all by itself, exactly when the error
+    // report matters most.
     val byTime = results2.sortBy { case (n, v) => (-v, n) }
     val budget = 1700
-    val errJson = errors.map("\"" + _ + "\"").mkString(",")
+    val errJson = errors.take(8).map("\"" + _ + "\"").mkString(",")
     def line(n: Int): String = {
       val omitted = results.size - n
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{${entries(byTime.take(n))}},"qcount":${results.size},"omitted":$omitted,"errors":[$errJson],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{${entries(byTime.take(n))}},"qcount":${results.size},"omitted":$omitted,"errors":[$errJson],"errcount":${errors.size},"sf":"$sfDir"}"""
     }
     val n = (results.size to 0 by -1).find(line(_).length <= budget).getOrElse(0)
     println(line(n))

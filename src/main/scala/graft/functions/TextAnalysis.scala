@@ -423,13 +423,31 @@ object TextAnalysis {
     * 60-bit hash of each 5-gram, so at scale this is a hash semi-join on
     * fixed-width longs — the benchmark side (small by construction) is
     * broadcast, and the corpus side never shuffles. */
-  val decontamOverlap: Q = (s, dir) => {
-    // native one-pass distinct n-gram hashing (graft.plans.NgramHashes) —
-    // the equivalent transform/slice/concat_ws lambda chain evaluates
-    // interpreted per gram and dominated the runtime (measured 3.1 s of
-    // the 3.6 s total at sf0.1 just building grams)
-    val grams = t(s, dir, "documents")
+  /** Shared 5-gram derivation for the decontamination operators: one row
+    * per DISTINCT gram hash per doc, via the native one-pass kernel
+    * (graft.plans.NgramHashes) — the equivalent transform/slice/concat_ws
+    * lambda chain evaluates interpreted per gram and dominated the
+    * runtime (measured 3.1 s of the 3.6 s total at sf0.1 just building
+    * grams). Any change to the gram width, tokenizer, or hash scheme must
+    * change HERE and in [[gramsCte]] together — they are the two dialects
+    * of one definition. */
+  private def gramRows(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "documents")
       .selectExpr("doc_id", "explode(graft_ngram_hashes(text, 5)) AS g")
+
+  /** DuckDB twin of [[gramRows]] — a complete `g AS (...)` CTE body. */
+  private val gramsCte: String =
+    s"""g AS (
+         SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
+           i -> ${hex60Duck(
+             "array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')")})))
+           AS g
+         FROM documents)"""
+
+  val decontamOverlap: Q = (s, dir) => {
+    val grams = gramRows(s, dir)
     // Pre-aggregate the benchmark side to ONE row per gram (gram → the
     // set of bench docs containing it): the join then emits one row per
     // matching train gram instead of one per (gram × bench doc) pair —
@@ -450,13 +468,7 @@ object TextAnalysis {
   }
 
   val decontamOverlapOracle: String =
-    s"""WITH g AS (
-         SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
-           i -> ${hex60Duck(
-             "array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')")})))
-           AS g
-         FROM documents),
+    s"""WITH $gramsCte,
        bench AS (SELECT doc_id AS b_id, g AS bg FROM g WHERE doc_id < 20),
        train AS (SELECT * FROM g WHERE doc_id >= 20)
        SELECT doc_id,
@@ -476,9 +488,8 @@ object TextAnalysis {
     * the filter bit-for-bit in SQL (including any false positives), so
     * the check is hash-exact. */
   val decontamBloom: Q = (s, dir) => {
-    val grams = t(s, dir, "documents")
-      .selectExpr("doc_id", "explode(graft_ngram_hashes(text, 5)) AS gh")
-      .selectExpr("doc_id", "CAST(gh AS STRING) AS g")
+    val grams = gramRows(s, dir)
+      .selectExpr("doc_id", "CAST(g AS STRING) AS g")
     val bf = grams.filter(col("doc_id") < 20)
       .agg(expr("graft_bloom_build(g)")).head.getAs[Array[Byte]](0)
     grams.filter(col("doc_id") >= 20)
@@ -497,25 +508,20 @@ object TextAnalysis {
     def bit(j: Int) =
       s"CAST(concat('0x', substr(md5(concat('bf_', g)), ${4 * j + 1}, 4)) AS BIGINT)"
     val bits = (0 until 4).map(bit).mkString("[", ", ", "]")
-    s"""WITH g AS (
-         SELECT doc_id, CAST(unnest(list_distinct(list_transform(
-           range(1, greatest(len(string_split(text, ' ')) - 4, 0) + 1),
-           i -> ${hex60Duck(
-             "array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')")})))
-           AS VARCHAR) AS g
-         FROM documents),
+    s"""WITH $gramsCte,
+       gs AS (SELECT doc_id, CAST(g AS VARCHAR) AS g FROM g),
        bench_bits AS (
          SELECT DISTINCT unnest($bits) AS bit
-         FROM (SELECT DISTINCT g FROM g WHERE doc_id < 20)),
+         FROM (SELECT DISTINCT g FROM gs WHERE doc_id < 20)),
        tb AS (
          SELECT doc_id, g, unnest($bits) AS bit
-         FROM g WHERE doc_id >= 20),
+         FROM gs WHERE doc_id >= 20),
        hits AS (
          SELECT doc_id, g FROM tb JOIN bench_bits USING (bit)
          GROUP BY doc_id, g HAVING count(*) = 4),
        agg AS (
          SELECT t.doc_id, count(*) AS n_grams, count(h.g) AS n_bloom_hits
-         FROM (SELECT doc_id, g FROM g WHERE doc_id >= 20) t
+         FROM (SELECT doc_id, g FROM gs WHERE doc_id >= 20) t
          LEFT JOIN hits h ON t.doc_id = h.doc_id AND t.g = h.g
          GROUP BY t.doc_id)
        SELECT doc_id, n_grams, n_bloom_hits FROM agg

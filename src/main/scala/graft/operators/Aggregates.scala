@@ -171,9 +171,13 @@ object Aggregates {
     val ev = events(s, dir)
     val r = ev.agg(min(col("value")), max(col("value"))).head
     if (r.isNullAt(0)) {
-      // empty input (min/max are NULL): the grouped result is empty
-      // anyway — emit it with the same schema instead of NPE-ing
-      ev.groupBy("event_type")
+      // degenerate input (min/max NULL): either the table is empty or
+      // EVERY value is NULL — the oracle filters value IS NOT NULL and
+      // so emits zero rows in both cases; match it exactly (grouping the
+      // unfiltered frame would emit one (event_type, n, NULL) row per
+      // group of all-NULL values)
+      ev.filter(col("value").isNotNull)
+        .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           lit(null).cast("double").as("p50"))
         .orderBy("event_type")
@@ -518,13 +522,22 @@ object Aggregates {
         sum(expr("c * c")).as("ss"))
       .selectExpr("event_type", "n",
         "CAST(s AS DOUBLE) / (100.0 * n) AS mean",
-        "(CAST(ss AS DOUBLE) / 10000.0" +
+        // singleton groups have no sample variance — NULL, not an ANSI
+        // divide-by-zero at (n - 1)
+        "CASE WHEN n < 2 THEN CAST(NULL AS DOUBLE)" +
+          " ELSE (CAST(ss AS DOUBLE) / 10000.0" +
           " - n * pow(CAST(s AS DOUBLE) / (100.0 * n), 2)) / (n - 1)" +
-          " AS variance")
+          " END AS variance")
+    // variance NULL (singleton group) or 0 (constant group) → z NULL and
+    // no anomaly, matching the oracle's semantics instead of throwing
+    // DIVIDE_BY_ZERO under ANSI
     ev.join(broadcast(stats), "event_type")
       .selectExpr("event_id", "event_type", "value",
-        "round((value - mean) / sqrt(variance), 6) AS z",
-        "CASE WHEN abs((value - mean) / sqrt(variance)) > 2.5" +
+        "CASE WHEN variance > 0" +
+          " THEN round((value - mean) / sqrt(variance), 6)" +
+          " ELSE CAST(NULL AS DOUBLE) END AS z",
+        "CASE WHEN variance > 0" +
+          " AND abs((value - mean) / sqrt(variance)) > 2.5" +
           " THEN true ELSE false END AS is_anomaly")
       .orderBy("event_id")
   }
@@ -540,13 +553,17 @@ object Aggregates {
        m AS (
          SELECT event_type,
            CAST(s AS DOUBLE) / (100.0 * n) AS mean,
-           (CAST(ss AS DOUBLE) / 10000.0
-             - n * pow(CAST(s AS DOUBLE) / (100.0 * n), 2)) / (n - 1)
-             AS variance
+           CASE WHEN n < 2 THEN CAST(NULL AS DOUBLE)
+             ELSE (CAST(ss AS DOUBLE) / 10000.0
+               - n * pow(CAST(s AS DOUBLE) / (100.0 * n), 2)) / (n - 1)
+             END AS variance
          FROM st)
        SELECT event_id, e.event_type, value,
-         round((value - mean) / sqrt(variance), 6) AS z,
-         CASE WHEN abs((value - mean) / sqrt(variance)) > 2.5
+         CASE WHEN variance > 0
+           THEN round((value - mean) / sqrt(variance), 6)
+           ELSE CAST(NULL AS DOUBLE) END AS z,
+         CASE WHEN variance > 0
+           AND abs((value - mean) / sqrt(variance)) > 2.5
            THEN true ELSE false END AS is_anomaly
        FROM events e JOIN m USING (event_type)
        ORDER BY event_id"""

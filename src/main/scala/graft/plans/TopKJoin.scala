@@ -155,14 +155,22 @@ case class CosineTopKJoinExec(corpus: SparkPlan, queries: SparkPlan, k: Int,
               }
               if (!isNull) {
                 val div = q._3 * nrm
-                if (div == 0.0 && ansi) throw new ArithmeticException(
-                  "[DIVIDE_BY_ZERO] Division by zero: cosine norm " +
-                    "product is 0 — identical to the ANSI window plan " +
-                    "this operator replaces (set spark.sql.ansi.enabled" +
-                    "=false for NaN semantics)")
-                // + 0.0 normalizes -0.0 (as UnsafeRow writers would); NaN
-                // is kept and ranks FIRST via the comparator
-                sim = acc / div + 0.0
+                if (div == 0.0) {
+                  // Spark's Divide on a zero divisor throws under ANSI
+                  // and yields NULL otherwise (never IEEE Inf/NaN) —
+                  // mirror both so the window plan this operator
+                  // replaces stays result-identical in either mode
+                  if (ansi) throw new ArithmeticException(
+                    "[DIVIDE_BY_ZERO] Division by zero: cosine norm " +
+                      "product is 0 — identical to the ANSI window plan " +
+                      "this operator replaces (set spark.sql.ansi." +
+                      "enabled=false for NULL-on-zero semantics)")
+                  isNull = true
+                } else {
+                  // + 0.0 normalizes -0.0 (as UnsafeRow writers would);
+                  // NaN inputs keep NaN and rank FIRST via the comparator
+                  sim = acc / div + 0.0
+                }
               }
             }
           }

@@ -180,5 +180,39 @@ class AdviceFixesSpec extends SparkSpec {
     // all-equal input: interpolated p50 stays within one (widened) bucket
     // width of the exact quantile 7.0
     assert(math.abs(r(0).getDouble(2) - 7.0) <= 1.0 / 256 + 1e-9)
+    // all-NULL values: min/max are NULL on a NON-empty table; the oracle
+    // filters value IS NOT NULL and emits zero rows — so must the engine
+    // (not one (event_type, n, NULL) row per group)
+    write(Seq(
+      Row(1L, 1000000000L, 1L, "click", null, "{}"),
+      Row(2L, 2000000000L, 2L, "view", null, "{}")))
+    assert(graft.operators.Aggregates.quantileHistAuto(spark, dir)
+      .collect().isEmpty)
+  }
+
+  test("CosineTopKJoinExec scores zero norms NULL with ANSI off, like Divide") {
+    // non-ANSI Spark Divide yields NULL on a zero divisor (never IEEE
+    // Inf/NaN), so the zero-norm candidate must rank LAST as a NULL,
+    // not FIRST as NaN
+    val corpus = vecDf(Seq(
+      Row(10L, Array(0.0f, 0.0f), 0.0),
+      Row(11L, Array(0.6f, 0.8f), 1.0)))
+      .selectExpr("vec_id AS c_id", "embedding", "nrm")
+    val queries = vecDf(Seq(Row(1L, Array(0.0f, 1.0f), 1.0)))
+      .selectExpr("vec_id AS q_id", "embedding", "nrm")
+    // isolated session: suites share the session and may run in parallel
+    // threads, so the non-ANSI conf must never touch the global conf
+    val iso = spark.newSession()
+    iso.conf.set("spark.sql.ansi.enabled", "false")
+    val custom = org.apache.spark.sql.graft.Bridge.ofRows(iso,
+      graft.plans.CosineTopKJoin(
+        corpus.queryExecution.analyzed,
+        queries.queryExecution.analyzed, 2))
+    val rows = custom.selectExpr("c_id", "cos_sim")
+      .collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) "NULL" else r.getDouble(1).toString))
+      .sortBy(_._1)
+    assert(rows(0)._1 === 10L && rows(0)._2 === "NULL", rows.toSeq)
+    assert(rows(1)._1 === 11L && rows(1)._2 != "NULL", rows.toSeq)
   }
 }
