@@ -82,22 +82,10 @@ case class CosineTopKJoinExec(corpus: SparkPlan, queries: SparkPlan, k: Int,
       newRight: SparkPlan): SparkPlan =
     copy(corpus = newLeft, queries = newRight)
 
-  /** strictly-better under (sim DESC NULLS LAST, c_id ASC) — the exact
-    * ordering the final rank and the oracle use. Non-null beats null;
-    * among non-nulls, java.lang.Double.compare matches Spark's double
-    * ordering (NaN largest → ranks first under DESC). */
-  @inline private def better(n1: Boolean, s1: Double, id1: Long,
-      n2: Boolean, s2: Double, id2: Long): Boolean = {
-    if (n1 != n2) n2
-    else {
-      val c = if (n1) 0 else java.lang.Double.compare(s1, s2)
-      c > 0 || (c == 0 && id1 < id2)
-    }
-  }
-
   override protected def doExecute(): RDD[InternalRow] = {
     val kk = k
     val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+    import CosineTopKJoinExec.better
     // (q_id, embedding, norm, isNull) — isNull when the query row itself
     // can never score (NULL embedding/norm or NULL array element), the
     // same conditions under which graft_dot yields NULL
@@ -204,6 +192,25 @@ case class CosineTopKJoinExec(corpus: SparkPlan, queries: SparkPlan, k: Int,
           proj(outRow).copy(): InternalRow
         }
       }
+    }
+  }
+}
+
+object CosineTopKJoinExec {
+  /** strictly-better under (sim DESC NULLS LAST, c_id ASC) — the exact
+    * ordering the final rank and the oracle use. Non-null beats null;
+    * among non-nulls, java.lang.Double.compare matches Spark's double
+    * ordering (NaN largest → ranks first under DESC). Lives on the
+    * companion, NOT the exec: an instance method would make the
+    * mapPartitions closure capture `this` and serialize the whole exec
+    * node (child SparkPlans included) into every task — the reason
+    * Spark's own execs copy fields to locals before closing over them. */
+  @inline private[plans] def better(n1: Boolean, s1: Double, id1: Long,
+      n2: Boolean, s2: Double, id2: Long): Boolean = {
+    if (n1 != n2) n2
+    else {
+      val c = if (n1) 0 else java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && id1 < id2)
     }
   }
 }

@@ -85,12 +85,13 @@ class AdviceFixesSpec extends SparkSpec {
   // (NaN similarity ranks first, dim-mismatch/NULL scores NULL and ranks
   // last) so RewriteCosineTopK's identity claim holds on malformed data ----
 
-  private def vecDf(rows: Seq[Row]) = {
+  private def vecDf(rows: Seq[Row],
+      session: org.apache.spark.sql.SparkSession = spark) = {
     val schema = StructType(Seq(
       StructField("vec_id", LongType, nullable = false),
       StructField("embedding", ArrayType(FloatType, containsNull = true)),
       StructField("nrm", DoubleType)))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    session.createDataFrame(session.sparkContext.parallelize(rows, 2), schema)
   }
 
   test("CosineTopKJoinExec matches the brute window plan on NaN/dim-mismatch/null data") {
@@ -194,16 +195,20 @@ class AdviceFixesSpec extends SparkSpec {
     // non-ANSI Spark Divide yields NULL on a zero divisor (never IEEE
     // Inf/NaN), so the zero-norm candidate must rank LAST as a NULL,
     // not FIRST as NaN
-    val corpus = vecDf(Seq(
-      Row(10L, Array(0.0f, 0.0f), 0.0),
-      Row(11L, Array(0.6f, 0.8f), 1.0)))
-      .selectExpr("vec_id AS c_id", "embedding", "nrm")
-    val queries = vecDf(Seq(Row(1L, Array(0.0f, 1.0f), 1.0)))
-      .selectExpr("vec_id AS q_id", "embedding", "nrm")
     // isolated session: suites share the session and may run in parallel
-    // threads, so the non-ANSI conf must never touch the global conf
+    // threads, so the non-ANSI conf must never touch the global conf.
+    // The plans are ALSO analyzed on iso — Bridge.ofRows requires plans
+    // from the session it executes on (a spark-analyzed plan executed on
+    // iso reproducibly SIGSEGV'd the JVM inside the corpus row read;
+    // see Bridge scaladoc)
     val iso = spark.newSession()
     iso.conf.set("spark.sql.ansi.enabled", "false")
+    val corpus = vecDf(Seq(
+      Row(10L, Array(0.0f, 0.0f), 0.0),
+      Row(11L, Array(0.6f, 0.8f), 1.0)), iso)
+      .selectExpr("vec_id AS c_id", "embedding", "nrm")
+    val queries = vecDf(Seq(Row(1L, Array(0.0f, 1.0f), 1.0)), iso)
+      .selectExpr("vec_id AS q_id", "embedding", "nrm")
     val custom = org.apache.spark.sql.graft.Bridge.ofRows(iso,
       graft.plans.CosineTopKJoin(
         corpus.queryExecution.analyzed,
