@@ -55,6 +55,19 @@ case class CosineTopKJoin(corpus: LogicalPlan, queries: LogicalPlan, k: Int,
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
 
+  // The node consumes EVERY child column even though it holds no
+  // expressions over them. The default references (expression-derived)
+  // would be empty, and ColumnPruning then plants `Project []` under
+  // both children — the exec would read zero-field UnsafeRows
+  // (baseObject=null) and SIGSEGV the JVM on the first getLong. This
+  // was the round-3/4 `sbt test` crash: only plans with a sub-output
+  // Project ABOVE the node (e.g. select("c_id","cos_sim")) triggered
+  // pruning, which is why Verify (rewrite injected after the pruning
+  // batch) and the all-column tests never hit it.
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      corpus.output ++ queries.output)
+
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
       newRight: LogicalPlan): LogicalPlan =
     copy(corpus = newLeft, queries = newRight)
@@ -82,9 +95,27 @@ case class CosineTopKJoinExec(corpus: SparkPlan, queries: SparkPlan, k: Int,
       newRight: SparkPlan): SparkPlan =
     copy(corpus = newLeft, queries = newRight)
 
+  /** Fail fast (a clear exception, not a segfault) if a child does not
+    * carry the documented (id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE)
+    * shape — e.g. if an optimizer rule ever again prunes or reorders the
+    * child columns out from under the raw field reads below. */
+  private def requireChildShape(side: String, p: SparkPlan): Unit = {
+    val t = p.output.map(_.dataType)
+    require(t.length == 3 && t(0) == LongType &&
+        t(1) == ArrayType(FloatType, containsNull = true) && t(2) == DoubleType,
+      s"CosineTopKJoinExec $side child must be (id BIGINT, " +
+        s"embedding ARRAY<FLOAT>, nrm DOUBLE); got ${p.output.map(a =>
+          s"${a.name}: ${a.dataType.simpleString}").mkString("[", ", ", "]")}")
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
+    requireChildShape("corpus", corpus)
+    requireChildShape("queries", queries)
     val kk = k
-    val ansi = org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+    // pinned from the plan's own session, not the calling thread's
+    // SQLConf.get — a cached RDD re-materialized from another session
+    // must keep the semantics it was planned with
+    val ansi = session.sessionState.conf.ansiEnabled
     import CosineTopKJoinExec.better
     // (q_id, embedding, norm, isNull) — isNull when the query row itself
     // can never score (NULL embedding/norm or NULL array element), the

@@ -7,19 +7,14 @@ import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSpark
 /** Minimal private[sql] bridge: build a DataFrame from a custom logical
   * plan (Dataset.ofRows is private[sql]; extensions conventionally reach
   * it from a package under org.apache.spark.sql). Only used by
-  * graft.operators.Similarity.annCustomTopk.
+  * graft.operators.Similarity.annCustomTopk and the plan specs.
   *
-  * CONTRACT: `plan` must have been analyzed on `spark` (or a plan built
-  * from scratch against `spark`-owned relations). Executing a plan
-  * analyzed on a DIFFERENT session is undefined behavior in Spark —
-  * leaf nodes (ExternalRDD/LogicalRDD/FileSourceScan) hold state owned
-  * by their origin session, and in this environment a spark-analyzed
-  * plan run through ofRows(otherSession, …) reproducibly crashed the
-  * JVM (SIGSEGV in UnsafeRow.getLong reading the scan's rows; JDK
-  * 17.0.20, Spark 4.1.2 — see AdviceFixesSpec "scores zero norms NULL"
-  * which now builds its inputs on the isolated session). The production
-  * path is safe by construction: RewriteCosineTopK rewrites subplans of
-  * the very query the session is executing. */
+  * `plan` should be analyzed on `spark` (leaf nodes hold session-owned
+  * state). Note the rounds-3/4 `sbt test` SIGSEGV once blamed on a
+  * cross-session ofRows was actually ColumnPruning planting empty
+  * Projects under a custom node with an empty `references` set — fixed
+  * in CosineTopKJoin.references, guarded by CosineTopKJoinExec's child
+  * schema `require` (misuse now throws instead of segfaulting). */
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)

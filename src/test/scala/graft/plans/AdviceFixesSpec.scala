@@ -197,10 +197,11 @@ class AdviceFixesSpec extends SparkSpec {
     // not FIRST as NaN
     // isolated session: suites share the session and may run in parallel
     // threads, so the non-ANSI conf must never touch the global conf.
-    // The plans are ALSO analyzed on iso — Bridge.ofRows requires plans
-    // from the session it executes on (a spark-analyzed plan executed on
-    // iso reproducibly SIGSEGV'd the JVM inside the corpus row read;
-    // see Bridge scaladoc)
+    // REGRESSION GUARD: the selectExpr of a SUBSET of the node's output
+    // below is load-bearing — it is what once made ColumnPruning plant
+    // empty Projects under the node's children (empty `references`) and
+    // SIGSEGV the exec's raw field reads. Fixed by CosineTopKJoin's
+    // `references` override; keep the sub-output projection here.
     val iso = spark.newSession()
     iso.conf.set("spark.sql.ansi.enabled", "false")
     val corpus = vecDf(Seq(
@@ -219,5 +220,23 @@ class AdviceFixesSpec extends SparkSpec {
       .sortBy(_._1)
     assert(rows(0)._1 === 10L && rows(0)._2 === "NULL", rows.toSeq)
     assert(rows(1)._1 === 11L && rows(1)._2 != "NULL", rows.toSeq)
+  }
+
+  test("CosineTopKJoinExec rejects a mis-shaped child with a clear error") {
+    // the guard that replaced the old SIGSEGV: a child without the
+    // (id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE) shape must throw,
+    // never read raw fields off the wrong layout
+    val bad = spark.range(3)
+      .selectExpr("id AS c_id", "CAST(id AS DOUBLE) AS nrm")
+    val queries = vecDf(Seq(Row(1L, Array(0.0f, 1.0f), 1.0)))
+      .selectExpr("vec_id AS q_id", "embedding", "nrm")
+    val custom = org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      graft.plans.CosineTopKJoin(
+        bad.queryExecution.analyzed,
+        queries.queryExecution.analyzed, 1))
+    val e = intercept[Throwable] { custom.collect() }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("corpus child must be"), msgs)
   }
 }
