@@ -1011,7 +1011,74 @@ object Coverage {
        FROM one
        ORDER BY column_name"""
 
+  /** Catalog navigation (M1/M2, `vanilla_k8s_trino_demo_installation
+    * .txt:764-766,771`): SHOW CATALOGS, then a USE round-trip (create a
+    * schema, switch into it, read the current schema back, restore).
+    * Spark's session catalog is the single `spark_catalog` — the analog
+    * of the reference's catalog list — and USE maps to USE <database>. */
+  val metaShowCatalogs: Q = (s, dir) => {
+    val before = s.catalog.currentDatabase
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_meta")
+    s.sql("USE graft_meta")
+    val current = s.catalog.currentDatabase
+    s.sql(s"USE `$before`")
+    s.sql("SHOW CATALOGS")
+      .selectExpr("catalog AS catalog_name")
+      .withColumn("used_schema", lit(current))
+      .orderBy("catalog_name")
+  }
+
+  val metaShowCatalogsOracle: String =
+    "SELECT 'spark_catalog' AS catalog_name, 'graft_meta' AS used_schema"
+
+  /** Decimal mapping parity (`trinodemo.properties:5-6`:
+    * `decimal-mapping=allow_overflow` + `decimal-rounding-mode=HALF_UP`):
+    * pins (a) scale-reduction rounding is HALF_UP — ties away from zero
+    * on BOTH signs (Spark `Decimal.changePrecision` uses HALF_UP; DuckDB
+    * rounds half away from zero — identical on ties), and (b) a value
+    * whose precision overflows the target type maps to NULL under
+    * try-cast on both engines (the allow_overflow analog) — mixed
+    * NULL/non-NULL across rows since only prices > 9999.99 overflow
+    * DECIMAL(8,2) after ×100. Doubles enter through DECIMAL(18,2) first
+    * (the repo-wide exact-decimal discipline), so every subsequent step
+    * is exact decimal arithmetic on both sides. */
+  val decimalHalfUp: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") < 2000)
+      .selectExpr(
+        "l_orderkey",
+        "CAST(l_linenumber AS BIGINT) AS l_linenumber",
+        """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(12,1))
+           AS half_up_pos""",
+        """CAST(CAST(-l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(12,1))
+           AS half_up_neg""",
+        """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(10,0))
+           AS half_up_int""",
+        """TRY_CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           CAST(100 AS DECIMAL(3,0)) AS DECIMAL(8,2)) AS overflow_null""")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // DuckDB's decimal→decimal cast TRUNCATES on scale reduction (0.26 →
+  // 0.2), unlike Spark's HALF_UP cast — so the oracle spells the HALF_UP
+  // semantics explicitly via round() (half away from zero = HALF_UP on
+  // both signs), then casts only to align the declared type.
+  val decimalHalfUpOracle: String =
+    """SELECT l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1)
+         AS DECIMAL(12,1)) AS half_up_pos,
+       CAST(round(CAST(-l_extendedprice AS DECIMAL(18,2)), 1)
+         AS DECIMAL(12,1)) AS half_up_neg,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 0)
+         AS DECIMAL(10,0)) AS half_up_int,
+       TRY_CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         CAST(100 AS DECIMAL(3,0)) AS DECIMAL(8,2)) AS overflow_null
+       FROM lineitem WHERE l_orderkey < 2000
+       ORDER BY l_orderkey, l_linenumber"""
+
   val queries: Map[String, Q] = Map(
+    "meta_show_catalogs" -> metaShowCatalogs,
+    "decimal_halfup_overflow" -> decimalHalfUp,
     "profile_column_stats" -> profileColumnStats,
     "window_fill_forward" -> windowFillForward,
     "join_theta_bnl" -> joinThetaBnl,
@@ -1053,6 +1120,8 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "meta_show_catalogs" -> metaShowCatalogsOracle,
+    "decimal_halfup_overflow" -> decimalHalfUpOracle,
     "profile_column_stats" -> profileColumnStatsOracle,
     "window_fill_forward" -> windowFillForwardOracle,
     "join_theta_bnl" -> joinThetaBnlOracle,

@@ -298,23 +298,27 @@ object Dedup {
       val nbrMin = bi.join(broadcast(labels), bi("d2") === labels("doc_id"))
         .groupBy(bi("d1")).agg(min("lab").as("nbr_lab"))
         .select(col("d1").as("nb_doc"), col("nbr_lab"))
+      // carry the incoming label through as `old` so convergence is read
+      // straight off the checkpointed result below — NOT via a fresh
+      // labels-vs-next join, which would add a broadcast build + join
+      // recompute per round (2 extra jobs/iteration, the dedup_clusters
+      // regression flagged in round 4)
       val prop = labels.join(broadcast(nbrMin),
           labels("doc_id") === nbrMin("nb_doc"), "left_outer")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), labels("lab").as("old"),
           least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
       // phase 2: pointer jumping (label := label of my label) — takes the
       // convergence from O(diameter) to O(log diameter) rounds
       val byId = prop.selectExpr("doc_id AS p_doc", "lab AS p_lab")
       val next = prop.join(broadcast(byId), prop("lab") === col("p_doc"),
           "left_outer")
-        .select(prop("doc_id"),
+        .select(prop("doc_id"), prop("old"),
           least(prop("lab"), coalesce(col("p_lab"), prop("lab"))).as("lab"))
         .coalesce(1).localCheckpoint(true)
-      changed = next.alias("n")
-        .join(broadcast(labels.select(col("doc_id"), col("lab").as("old"))),
-          "doc_id")
-        .filter(col("lab") =!= col("old")).count()
-      labels = next
+      // reads the materialized checkpoint RDD: a single-partition scan,
+      // no joins, no broadcasts
+      changed = next.filter(col("lab") =!= col("old")).count()
+      labels = next.select("doc_id", "lab")
       iter += 1
     }
     // Pointer jumping converges in O(log diameter) rounds, so 20 covers
