@@ -101,8 +101,15 @@ case class CosineTopKJoinExec(corpus: SparkPlan, queries: SparkPlan, k: Int,
     * child columns out from under the raw field reads below. */
   private def requireChildShape(side: String, p: SparkPlan): Unit = {
     val t = p.output.map(_.dataType)
-    require(t.length == 3 && t(0) == LongType &&
-        t(1) == ArrayType(FloatType, containsNull = true) && t(2) == DoubleType,
+    // containsNull is intentionally not pinned: the parquet-scan corpus
+    // reports ARRAY<FLOAT> with nullable elements while the typed media
+    // pipeline's encoder derives containsNull=false for Array[Float] —
+    // both are valid inputs (the row reads handle either)
+    val embOk = t.length == 3 && (t(1) match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    require(t.length == 3 && t(0) == LongType && embOk && t(2) == DoubleType,
       s"CosineTopKJoinExec $side child must be (id BIGINT, " +
         s"embedding ARRAY<FLOAT>, nrm DOUBLE); got ${p.output.map(a =>
           s"${a.name}: ${a.dataType.simpleString}").mkString("[", ", ", "]")}")

@@ -68,9 +68,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("cosine top-k rewrite also fires over the typed media pipeline") {
-    val p = plan(graft.operators.Multimodal.mmEmbedAnn(spark, sf))
+    val df = graft.operators.Multimodal.mmEmbedAnn(spark, sf)
+    val p = plan(df)
     assert(p.contains("CosineTopKJoin"),
       s"RewriteCosineTopK did not fire on mm_embed_ann:\n$p")
+    // and EXECUTE it: the typed pipeline's encoder derives
+    // ARRAY<FLOAT> with containsNull=false (the parquet corpus reports
+    // true), so this path must reach CosineTopKJoinExec's child-shape
+    // guard and row reads — a plan-string assert alone missed a guard
+    // regression that only bench surfaced
+    assert(df.count() > 0)
   }
 
   test("EXISTS/NOT EXISTS decorrelate to semi/anti hash joins") {
