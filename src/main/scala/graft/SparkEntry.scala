@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      Streams.queries ++ Coverage.queries ++ Timeseries.queries
+      Streams.queries ++ Coverage.queries ++ Timeseries.queries ++
+      graft.sources.Jdbc.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (engine-specific sketches)
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Aggregates.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-      Streams.oracles ++ Coverage.oracles ++ Timeseries.oracles
+      Streams.oracles ++ Coverage.oracles ++ Timeseries.oracles ++
+      graft.sources.Jdbc.oracles
 }
