@@ -68,20 +68,46 @@ object Dedup {
        min(doc_id) AS keep_doc_id, count(*) AS n_copies
        FROM documents GROUP BY 1 ORDER BY keep_doc_id"""
 
-  /** Exact n-gram (word-3-gram) Jaccard near-dup pairs — the correctness
-    * baseline for MinHash, bounded to doc_id < 300 (all-pairs is O(n²)).
-    * Jaccard is computed over the DISTINCT 60-bit shingle hashes (the
-    * native one-pass graft_ngram_hashes kernel), not the shingle strings:
-    * both engines hash identically so the comparison stays exact, set ops
-    * run on fixed-width longs instead of strings (measured 2.0 s → 0.6 s
-    * at sf0.1), and a hash collision would need ~2^60 shingles. */
+  /** EXACT n-gram (word-3-gram) Jaccard near-dup pairs over the WHOLE
+    * corpus — no cartesian product and no doc_id bound: a
+    * prefix-filtered set-similarity join (the published
+    * prefix-filtering principle of Chaudhuri et al. 2006 / PPJoin, Xiao
+    * et al. 2008 — public literature). Shingles are ranked by global
+    * document frequency (rarest first, hash tie-break: one shared total
+    * order); each doc joins only on its first |sh| − ⌈t·|sh|⌉ + 1
+    * shingles. Completeness at t = 0.5 is provable: if two docs'
+    * prefixes are disjoint their overlap is ≤ ⌈0.5·min⌉ − 1, below the
+    * Jaccard-0.5 overlap floor 2t/(1+t)·min = 2/3·min — so every
+    * qualifying pair shares a prefix shingle. Candidates then verify
+    * with the exact array intersect/union (identical values to the
+    * brute-force formulation). Hot (stop-word-ish) shingles rank LAST,
+    * so they almost never enter a prefix — the inverted-index fan-out
+    * is driven by rare shingles, which is what makes this the 100 TB
+    * shape (plus the |size| ratio length filter). Jaccard runs over
+    * DISTINCT 60-bit shingle hashes (native graft_ngram_hashes kernel):
+    * both engines hash identically, set ops stay fixed-width. */
   val ngramJaccard: Q = (s, dir) => {
     val sh = t(s, dir, "documents")
-      .filter(col("doc_id") < 300)
-      .selectExpr("doc_id", "graft_ngram_hashes(text, 3) AS sh")
-    val a = sh.selectExpr("doc_id AS d1", "sh AS sh1")
-    val b = sh.selectExpr("doc_id AS d2", "sh AS sh2")
-    a.crossJoin(b).filter(col("d1") < col("d2"))
+      .selectExpr("doc_id",
+        "array_distinct(graft_ngram_hashes(text, 3)) AS sh")
+      .filter(size(col("sh")) > 0)
+    val ex = sh.selectExpr("doc_id", "size(sh) AS n", "explode(sh) AS h")
+    val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("h"))
+    val prefix = ex.join(dfreq, "h")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("n") - ceil(col("n") * lit(0.5)) + lit(1))
+      .select(col("doc_id"), col("n"), col("h"))
+    val cand = prefix.selectExpr("doc_id AS d1", "n AS n1", "h")
+      .join(prefix.selectExpr("doc_id AS d2", "n AS n2", "h"), "h")
+      // J ≤ min/max, so J ≥ 0.5 needs max ≤ 2·min (length filter)
+      .filter(col("d1") < col("d2") &&
+        greatest(col("n1"), col("n2")) <= least(col("n1"), col("n2")) * 2)
+      .select("d1", "d2").distinct()
+    cand
+      .join(sh.selectExpr("doc_id AS d1", "sh AS sh1"), "d1")
+      .join(sh.selectExpr("doc_id AS d2", "sh AS sh2"), "d2")
       .selectExpr("d1", "d2",
         """round(CAST(size(array_intersect(sh1, sh2)) AS DOUBLE)
            / size(array_union(sh1, sh2)), 6) AS jaccard""")
@@ -89,17 +115,21 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  // oracle stays the O(n²) brute force (DuckDB only runs it at sf0.01);
+  // the shared-shingle guard mirrors the inverted-index domain — a pair
+  // with zero shared shingles has Jaccard 0 and never qualifies
   val ngramJaccardOracle: String =
     s"""WITH sh AS (
          SELECT doc_id,
            list_distinct(list_transform($shDuck, x -> ${hex60Duck("x")}))
              AS sh
-         FROM documents WHERE doc_id < 300)
+         FROM documents)
        SELECT a.doc_id AS d1, b.doc_id AS d2,
          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
            / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       WHERE len(list_intersect(a.sh, b.sh)) > 0
+         AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
            / len(list_distinct(a.sh || b.sh)), 6) >= 0.5
        ORDER BY d1, d2"""
 
