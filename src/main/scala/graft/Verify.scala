@@ -24,6 +24,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // drop any previous dump FIRST: a failed query must never leave a
+      // stale (passing) parquet behind for the checker to compare — that
+      // masked a real execution failure once (round 5, mm_embed_ann)
+      val target = Paths.get(outDir, name)
+      if (Files.exists(target)) {
+        Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
