@@ -1,19 +1,22 @@
 package graft
-import org.apache.spark.sql.execution.ExplainMode
-/** Dev tool: dump formatted plans for the flagship queries (PLANS.md). */
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch: dump one query's executed plan (builder-side dev aid). */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val b = org.apache.spark.sql.SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val builder = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
-    graft.sources.Tables.sessionConf.foreach { case (k, v) => b.config(k, v) }
-    val spark = b.getOrCreate(); spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    for (name <- args) {
-      println(s"===== $name =====")
-      println(SparkEntry.queries(name)(spark, dir)
-        .queryExecution.explainString(ExplainMode.fromString("formatted")))
+    graft.sources.Tables.sessionConf.foreach { case (k, v) =>
+      builder.config(k, v)
     }
-    spark.stop()
+    val s = builder.getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val df = SparkEntry.queries(args(0))(s, args(1))
+    println("PLANSTART")
+    println(df.queryExecution.executedPlan.toString)
+    println("PLANEND")
   }
 }

@@ -232,14 +232,39 @@ object Similarity {
        SELECT q_id, rank, c_id, round(cos_sim, 6) AS cos_sim
        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
 
-  /** Embedding-cosine near-dup pairs (brute-force baseline; threshold 0.4
-    * — the harness embeddings are near-orthogonal, max cos ≈ 0.51). */
-  val cosineNeardup: Q = (s, dir) => {
+  /** Embedding-cosine near-dup pairs (threshold 0.4 — the harness
+    * embeddings are near-orthogonal, max cos ≈ 0.51, so no exact
+    * geometric bound separates matches from the bulk; the LSH-bucketed
+    * path is the approximate scale answer for higher thresholds).
+    *
+    * Exact all-pairs, but NOT a cartesian: the O(n²) comparison space is
+    * decomposed into B(B+1)/2 block-pair tasks (2D blocking, the
+    * distributed-GEMM / all-pairs scheme). A vector in block b is
+    * replicated to tasks (b, j≥b) as the left operand and (i≤b, b) as
+    * the right, so every unordered block pair is covered exactly once and
+    * the shuffle carries O(n·B) rows — never O(n²). Each task equi-joins
+    * two ~n/B-row blocks locally; the quadratic work is streamed through
+    * the join, not materialized. At 100 TB, B grows as sqrt(#cores) and
+    * per-task memory stays O(n/B) rows — no partition ever holds the
+    * full corpus, unlike a broadcast/cartesian plan. */
+  val cosineNeardup: Q = cosineNeardupBlocked(8)
+
+  /** The blocked kernel with an explicit block count — results are
+    * invariant to B (B=1 degenerates to the single brute-force task);
+    * asserted in DedupSimilaritySpec. */
+  private[operators] def cosineNeardupBlocked(B: Int): Q = (s, dir) => {
     val v = vecs(s, dir)
-    val a = v.selectExpr("vec_id AS v1", "embedding AS e1", "nrm AS n1")
-    val b = v.selectExpr("vec_id AS v2", "embedding AS e2", "nrm AS n2")
-    a.crossJoin(b).filter(col("v1") < col("v2"))
-      .selectExpr("v1", "v2",
+      .selectExpr("vec_id", "embedding", "nrm",
+        s"CAST(pmod(vec_id, $B) AS INT) AS blk")
+    val lhs = v.selectExpr("vec_id AS a_id", "embedding AS e1", "nrm AS n1",
+      "blk AS ti", s"explode(sequence(blk, ${B - 1})) AS tj")
+    val rhs = v.selectExpr("vec_id AS b_id", "embedding AS e2", "nrm AS n2",
+      "explode(sequence(0, blk)) AS ti", "blk AS tj")
+    lhs.join(rhs, Seq("ti", "tj"))
+      // diagonal tasks see both orientations + self-pairs: keep a_id<b_id;
+      // off-diagonal tasks see each unordered pair exactly once.
+      .filter(col("ti") =!= col("tj") || col("a_id") < col("b_id"))
+      .selectExpr("least(a_id, b_id) AS v1", "greatest(a_id, b_id) AS v2",
         s"${dotS("e1", "e2")} / (n1 * n2) AS cos_sim")
       .filter(col("cos_sim") >= 0.4)
       .selectExpr("v1", "v2", "round(cos_sim, 6) AS cos_sim")

@@ -145,4 +145,14 @@ class PlanSpec extends SparkSpec {
       .queryExecution.explainString(ExplainMode.fromString("codegen"))
     assert(cg.contains("WholeStageCodegen"))
   }
+
+  test("exact cosine all-pairs is a blocked equi-join, not a cartesian") {
+    val p = plan(Similarity.cosineNeardup(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs fell back to a cartesian plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on block-pair task keys in:\n$p")
+  }
 }

@@ -86,6 +86,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(cos((1L, 3L)) - 1.0) < 1e-12) // scale-invariant
   }
 
+  test("blocked cosine all-pairs is invariant to the block count") {
+    // B=1 is the degenerate single-task brute force; any B must emit the
+    // identical pair set and values (block decomposition is a pure
+    // re-scheduling of the same comparisons).
+    val brute = Similarity.cosineNeardupBlocked(1)(spark, sf)
+      .collect().map(_.toString).sorted
+    for (b <- Seq(3, 8, 13)) {
+      val blocked = Similarity.cosineNeardupBlocked(b)(spark, sf)
+        .collect().map(_.toString).sorted
+      assert(blocked === brute, s"B=$b diverged from brute force")
+    }
+    assert(brute.nonEmpty)
+  }
+
   test("ann_brute_topk: ranks are 1..5 per query, cosine non-increasing") {
     val rows = Similarity.annBruteTopk(spark, sf)
       .select("q_id", "rank", "cos_sim")
