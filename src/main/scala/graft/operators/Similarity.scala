@@ -347,30 +347,50 @@ object Similarity {
     * partitions is otherwise nondeterministic). At scale this is one hash
     * aggregation; the state per label is one vector list — for millions
     * of members you'd switch to per-dimension decimal sums. */
+  /** Per-label centroids via per-dimension DECIMAL sums: posexplode to
+    * (label, dim, value), quantize each element to 6 dp, sum exactly in
+    * DECIMAL(18,6). The decimal sum is order-independent, so the whole
+    * computation is two plain partial+final hash aggregates with O(1)
+    * state per (label, dim) — no per-cell vector list is ever buffered
+    * (the previous sorted collect_list held the entire cell in one agg
+    * buffer, a ceiling at millions of members per label). The final
+    * per-label state is just 64 decimal sums. */
   val centroids: Q = (s, dir) =>
     t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .selectExpr("label", "pos + 1 AS pos",
+        "CAST(round(CAST(col AS DOUBLE), 6) AS DECIMAL(18,6)) AS xq")
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("xq").as("sx"))
       .groupBy("label")
-      .agg(
-        count(lit(1)).as("n"),
-        sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
-          .as("vs"))
+      .agg(max("n").as("n"),
+        sort_array(collect_list(struct(col("pos"), col("sx")))).as("ps"))
       .selectExpr("label", "n",
-        """transform(sequence(1, 64), j -> round(
-             aggregate(vs, CAST(0 AS DOUBLE),
-               (acc, v) -> acc + CAST(element_at(v.embedding, j) AS DOUBLE))
-             / n, 6)) AS centroid""")
+        "transform(ps, p -> round(CAST(p.sx AS DOUBLE) / n, 6)) AS centroid")
       .orderBy("label")
 
+  /** DuckDB: the same per-dimension decimal-sum centroid — exact decimal
+    * arithmetic on both engines makes the result partition- and
+    * order-independent. Yields (label, n, centroid LIST(DOUBLE)). */
+  private val centroidDuck =
+    """SELECT label, n, list_transform(sxs, v -> round(v / n, 6)) AS centroid
+       FROM (SELECT label, max(n) AS n,
+                    list(CAST(sx AS DOUBLE) ORDER BY pos) AS sxs
+             FROM (SELECT label, pos, count(*) AS n, sum(xq) AS sx
+                   FROM (SELECT label, j AS pos,
+                           CAST(round(CAST(embedding[j] AS DOUBLE), 6)
+                             AS DECIMAL(18,6)) AS xq
+                         FROM embeddings
+                         CROSS JOIN generate_series(1, 64) AS t(j)) u
+                   GROUP BY label, pos) s
+             GROUP BY label) g"""
+
   val centroidsOracle: String =
-    """SELECT label, count(*) AS n,
-       array_to_string(
-         list_transform(range(1, 65), j -> CAST(CAST(round(1000000 * round(
-           list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             list_transform(list(embedding ORDER BY vec_id),
-               e -> CAST(e[j] AS DOUBLE))),
-             (acc, v) -> acc + v) / count(*), 6)) AS BIGINT) AS VARCHAR)),
-         ',') AS centroid
-       FROM embeddings GROUP BY label ORDER BY label"""
+    s"""SELECT label, n,
+       array_to_string(list_transform(centroid, x ->
+         CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), ',')
+         AS centroid
+       FROM ($centroidDuck) ORDER BY label"""
 
   /** True two-stage IVF: queries probe the cell of their NEAREST computed
     * centroid (not their own label — the real coarse-quantizer routing),
@@ -406,13 +426,7 @@ object Similarity {
 
   val annIvfCentroidTopkOracle: String =
     s"""WITH cents AS (
-         SELECT label AS c_label,
-           list_transform(range(1, 65), j -> round(
-             list_reduce(list_prepend(CAST(0 AS DOUBLE),
-               list_transform(list(embedding ORDER BY vec_id),
-                 e -> CAST(e[j] AS DOUBLE))),
-               (acc, v) -> acc + v) / count(*), 6)) AS centroid
-         FROM embeddings GROUP BY label),
+         SELECT label AS c_label, centroid FROM ($centroidDuck)),
        cents2 AS (
          SELECT c_label, centroid, ${normD("centroid")} AS c_cnrm
          FROM cents),

@@ -146,6 +146,15 @@ class PlanSpec extends SparkSpec {
     assert(cg.contains("WholeStageCodegen"))
   }
 
+  test("centroids aggregate per-dimension decimal sums, not whole cells") {
+    val p = plan(Similarity.centroids(spark, sf))
+    assert(p.contains("posexplode"), s"expected exploded dims in:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-dim sum lost its map-side partial:\n$p")
+    assert(!p.contains("collect_list(struct(vec_id"),
+      "whole-cell vector buffering returned")
+  }
+
   test("exact cosine all-pairs is a blocked equi-join, not a cartesian") {
     val p = plan(Similarity.cosineNeardup(spark, sf))
     assert(!p.contains("CartesianProduct") &&
