@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -304,28 +305,41 @@ object Dedup {
     * diameter) rounds, each a single shuffle; at 100 TB this is the
     * standard large-scale connected-components pattern (no driver-side
     * data, only a convergence counter). */
-  val clusters: Q = (s, dir) => {
-    // The candidate graph is orders of magnitude smaller than the corpus
-    // (near-dups are sparse), so the per-iteration label table is
-    // broadcast — each propagation round is a map-side join + one tiny
-    // aggregate, no iteration-scaling shuffles. With a dense graph you'd
-    // drop the broadcast hints and let AQE pick.
+  val clusters: Q = clustersImpl(sparseMaxEdges = 4L * 1000 * 1000)
+
+  /** The CC kernel with an explicit sparse/dense switch. When the
+    * candidate graph is small (near-dups are sparse — the common case),
+    * the per-iteration label table is broadcast and squeezed to one
+    * partition: each round is a map-side join + one tiny aggregate. When
+    * the edge set exceeds `sparseMaxEdges`, every round runs as plain
+    * shuffle hash-joins with full parallelism — the dense-duplication
+    * path (e.g. a crawl with a boilerplate page repeated millions of
+    * times), where a broadcast label table would OOM the executors.
+    * Both paths are the same algorithm; DedupSimilaritySpec asserts they
+    * produce identical labels. */
+  private[operators] def clustersImpl(sparseMaxEdges: Long): Q = (s, dir) => {
     // localCheckpoint truncates lineage: without it every iteration's
     // logical plan embeds the whole history and Catalyst re-analyzes an
     // exponentially growing tree (the classic iterative-plan explosion).
-    val edges = minhashLsh(s, dir).select("d1", "d2")
-      .coalesce(1).localCheckpoint(true)
-    val bi = edges.unionByName(
-      edges.selectExpr("d2 AS d1", "d1 AS d2"))
-      .coalesce(1).localCheckpoint(true)
+    val edges0 = minhashLsh(s, dir).select("d1", "d2")
+      .localCheckpoint(true)
+    val sparse = edges0.count() <= sparseMaxEdges
+    // count() first, squeeze after: the count materializes the checkpoint
+    val squeeze: DataFrame => DataFrame =
+      if (sparse) df => df.coalesce(1).localCheckpoint(true)
+      else df => df.localCheckpoint(true)
+    val hint: DataFrame => DataFrame =
+      if (sparse) broadcast else identity
+    val edges = squeeze(edges0)
+    val bi = squeeze(edges.unionByName(
+      edges.selectExpr("d2 AS d1", "d1 AS d2")))
     val verts = bi.select(col("d1").as("doc_id")).distinct()
-    var labels = verts.withColumn("lab", col("doc_id"))
-      .coalesce(1).localCheckpoint(true)
+    var labels = squeeze(verts.withColumn("lab", col("doc_id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
       // phase 1: take the min label over graph neighbors
-      val nbrMin = bi.join(broadcast(labels), bi("d2") === labels("doc_id"))
+      val nbrMin = bi.join(hint(labels), bi("d2") === labels("doc_id"))
         .groupBy(bi("d1")).agg(min("lab").as("nbr_lab"))
         .select(col("d1").as("nb_doc"), col("nbr_lab"))
       // carry the incoming label through as `old` so convergence is read
@@ -333,20 +347,20 @@ object Dedup {
       // labels-vs-next join, which would add a broadcast build + join
       // recompute per round (2 extra jobs/iteration, the dedup_clusters
       // regression flagged in round 4)
-      val prop = labels.join(broadcast(nbrMin),
+      val prop = labels.join(hint(nbrMin),
           labels("doc_id") === nbrMin("nb_doc"), "left_outer")
         .select(labels("doc_id"), labels("lab").as("old"),
           least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
       // phase 2: pointer jumping (label := label of my label) — takes the
       // convergence from O(diameter) to O(log diameter) rounds
       val byId = prop.selectExpr("doc_id AS p_doc", "lab AS p_lab")
-      val next = prop.join(broadcast(byId), prop("lab") === col("p_doc"),
-          "left_outer")
-        .select(prop("doc_id"), prop("old"),
-          least(prop("lab"), coalesce(col("p_lab"), prop("lab"))).as("lab"))
-        .coalesce(1).localCheckpoint(true)
-      // reads the materialized checkpoint RDD: a single-partition scan,
-      // no joins, no broadcasts
+      val next = squeeze(
+        prop.join(hint(byId), prop("lab") === col("p_doc"), "left_outer")
+          .select(prop("doc_id"), prop("old"),
+            least(prop("lab"), coalesce(col("p_lab"), prop("lab")))
+              .as("lab")))
+      // reads the materialized checkpoint RDD: a scan, no joins, no
+      // broadcasts (single-partition on the sparse path)
       changed = next.filter(col("lab") =!= col("old")).count()
       labels = next.select("doc_id", "lab")
       iter += 1

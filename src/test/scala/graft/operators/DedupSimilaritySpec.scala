@@ -86,6 +86,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(cos((1L, 3L)) - 1.0) < 1e-12) // scale-invariant
   }
 
+  test("CC dense (shuffle-join) path matches the sparse (broadcast) path") {
+    // sparseMaxEdges = -1 forces every round onto the dense path: plain
+    // shuffle hash-joins, no coalesce(1), no broadcast label table.
+    val sparse = Dedup.clustersImpl(Long.MaxValue)(spark, sf)
+      .collect().map(_.toString).sorted
+    val dense = Dedup.clustersImpl(-1L)(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(dense === sparse)
+    assert(sparse.nonEmpty)
+  }
+
   test("blocked cosine all-pairs is invariant to the block count") {
     // B=1 is the degenerate single-task brute force; any B must emit the
     // identical pair set and values (block decomposition is a pure
