@@ -28,9 +28,10 @@ import graft.functions.TextAnalysis.{hex60, hex60Duck}
   * is linear in corpus size (16 perms × shingles per doc, all inside
   * per-row higher-order functions — no explode of shingles), and the only
   * shuffle is the band-bucket self-join whose key (band, 128-bit digest)
-  * is uniformly distributed, so no skew. The exact-Jaccard op is
-  * deliberately bounded (doc_id < 300) — it exists as the correctness
-  * baseline; all-pairs Jaccard is not a 100 TB operator.
+  * is uniformly distributed, so no skew. The exact-Jaccard op is a
+  * prefix-filtered set-similarity join (candidates only where rare-prefix
+  * shingles collide — provably recall-complete, no cartesian); it doubles
+  * as the exact correctness baseline for the MinHash estimate.
   */
 object Dedup {
 
