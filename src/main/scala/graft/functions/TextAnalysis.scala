@@ -785,6 +785,51 @@ object TextAnalysis {
     * function of doc_id (md5 bucket mod 100 → 80/10/10), so it is
     * reproducible across cluster sizes, runs, and engines — no sampling
     * state, no coordination; the canonical leak-proof ML split. */
+  /** Deterministic global training-order shuffle: each epoch consumes the
+    * corpus in a pseudorandom order that must be reproducible across
+    * reruns and independent of input partitioning. Sort key = seeded
+    * 60-bit md5 hash of doc_id (change the epoch tag → new permutation).
+    *
+    * The explicit position `ord` is computed the scalable way: bucket on
+    * the key's top 3 bits (md5 is uniform, so buckets are balanced and
+    * monotone in the key — at cluster scale use the top log₂(shards)
+    * bits), rank WITHIN each bucket (parallel window), then add
+    * per-bucket offsets from a tiny count table that is broadcast —
+    * never a single-partition global window, which would funnel 100 TB
+    * through one task. The bucket id is computed from the data, not from
+    * `spark_partition_id`, so both plan branches see identical buckets
+    * with no exchange-reuse assumption. */
+  val corpusShuffle: Q = (s, dir) => {
+    val keyed = t(s, dir, "documents")
+      .selectExpr("doc_id", "source",
+        hex60("concat('epoch7_', CAST(doc_id AS STRING))") +
+          " AS shuffle_key")
+      .withColumn("pid", expr("shiftright(shuffle_key, 57)"))
+    val offsets = keyed.groupBy("pid").count()
+      .withColumn("offset",
+        coalesce(sum("count").over(
+          Window.orderBy("pid").rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val wIn = Window.partitionBy("pid")
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    keyed
+      .withColumn("rn", row_number().over(wIn))
+      .join(broadcast(offsets), "pid")
+      .selectExpr("doc_id", "source", "shuffle_key",
+        "CAST(rn AS BIGINT) + offset - 1 AS ord")
+      .orderBy("ord")
+  }
+
+  val corpusShuffleOracle: String =
+    s"""SELECT doc_id, source, shuffle_key,
+         row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS ord
+       FROM (SELECT doc_id, source,
+               ${hex60Duck("concat('epoch7_', CAST(doc_id AS VARCHAR))")}
+                 AS shuffle_key
+             FROM documents)
+       ORDER BY ord"""
+
   val corpusSplitAssign: Q = (s, dir) =>
     t(s, dir, "documents")
       .selectExpr("doc_id", "source",
@@ -811,6 +856,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "doc_chunk_overlap" -> docChunkOverlap,
     "corpus_split_assign" -> corpusSplitAssign,
+    "corpus_global_shuffle" -> corpusShuffle,
     "text_char_entropy" -> charEntropy,
     "text_repetition" -> repetitionStats,
     "text_tfidf_topk" -> tfidfTopK,
@@ -836,6 +882,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "doc_chunk_overlap" -> docChunkOverlapOracle,
     "corpus_split_assign" -> corpusSplitAssignOracle,
+    "corpus_global_shuffle" -> corpusShuffleOracle,
     "text_char_entropy" -> charEntropyOracle,
     "text_repetition" -> repetitionStatsOracle,
     "text_tfidf_topk" -> tfidfTopKOracle,

@@ -7,6 +7,18 @@ import graft.SparkSpec
 class CoverageMultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("corpus_global_shuffle: ord is the contiguous 0..n-1 key rank") {
+    val rows = graft.functions.TextAnalysis.corpusShuffle(spark, sf)
+      .collect()
+    val n = rows.length
+    assert(rows.map(_.getLong(3)).toSeq === (0L until n.toLong))
+    // ord order must equal (shuffle_key, doc_id) order — the bucketed
+    // rank + offset-table construction reproduces the global sort rank
+    val byKey = rows.sortBy(r => (r.getLong(2), r.getLong(0)))
+      .map(_.getLong(3)).toSeq
+    assert(byKey === (0L until n.toLong))
+  }
+
   test("mm_decode_features: byte stats match a direct Scala computation") {
     val feats = Multimodal.mmDecodeFeatures(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
