@@ -365,17 +365,30 @@ object Similarity {
       .groupBy("label")
       .agg(max("n").as("n"),
         sort_array(collect_list(struct(col("pos"), col("sx")))).as("ps"))
+      // Final 6-dp rounding as EXACT integer math: sx is integral in
+      // µ-units (DECIMAL(_,6)), so round-half-up(sx/n, 6) ≡
+      // (2m+n) div (2n) on BIGINTs (sign-split for away-from-zero).
+      // Dividing in DOUBLE and rounding hits real ties — sum 0.616992
+      // over n=192 is exactly 0.0032135 — where Spark and DuckDB round
+      // opposite ways; integer arithmetic cannot disagree.
       .selectExpr("label", "n",
-        "transform(ps, p -> round(CAST(p.sx AS DOUBLE) / n, 6)) AS centroid")
+        """transform(ps, p -> CAST(
+             CASE WHEN p.sx >= 0
+               THEN (2 * CAST(p.sx * 1000000 AS BIGINT) + n) div (2 * n)
+               ELSE -((2 * CAST(-p.sx * 1000000 AS BIGINT) + n) div (2 * n))
+             END AS DOUBLE) / 1000000.0D) AS centroid""")
       .orderBy("label")
 
   /** DuckDB: the same per-dimension decimal-sum centroid — exact decimal
     * arithmetic on both engines makes the result partition- and
     * order-independent. Yields (label, n, centroid LIST(DOUBLE)). */
   private val centroidDuck =
-    """SELECT label, n, list_transform(sxs, v -> round(v / n, 6)) AS centroid
+    """SELECT label, n, list_transform(ms, m -> CAST(
+         CASE WHEN m >= 0 THEN (2 * m + n) // (2 * n)
+              ELSE -((2 * (-m) + n) // (2 * n)) END AS DOUBLE)
+         / 1000000.0) AS centroid
        FROM (SELECT label, max(n) AS n,
-                    list(CAST(sx AS DOUBLE) ORDER BY pos) AS sxs
+                    list(CAST(sx * 1000000 AS BIGINT) ORDER BY pos) AS ms
              FROM (SELECT label, pos, count(*) AS n, sum(xq) AS sx
                    FROM (SELECT label, j AS pos,
                            CAST(round(CAST(embedding[j] AS DOUBLE), 6)
