@@ -86,6 +86,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(cos((1L, 3L)) - 1.0) < 1e-12) // scale-invariant
   }
 
+  test("integer µ-unit rounding is half-up-away-from-zero, ties included") {
+    // the exact tie that diverged Spark vs DuckDB at sf0.1: sum 0.616992
+    // over n=192 is exactly 0.0032135 → must round UP to 0.003214; the
+    // negated sum must round to -0.003214 (away from zero)
+    val r = spark.sql(
+      """SELECT
+           CAST(CASE WHEN m >= 0
+             THEN (2 * m + n) div (2 * n)
+             ELSE -((2 * (-m) + n) div (2 * n)) END AS DOUBLE) / 1e6 AS up,
+           CAST(CASE WHEN -m >= 0
+             THEN (2 * (-m) + n) div (2 * n)
+             ELSE -((2 * m + n) div (2 * n)) END AS DOUBLE) / 1e6 AS dn
+         FROM (SELECT CAST(616992 AS BIGINT) AS m,
+                      CAST(192 AS BIGINT) AS n)""").head()
+    assert(r.getDouble(0) === 0.003214)
+    assert(r.getDouble(1) === -0.003214)
+  }
+
   test("CC dense (shuffle-join) path matches the sparse (broadcast) path") {
     // sparseMaxEdges = -1 forces every round onto the dense path: plain
     // shuffle hash-joins, no coalesce(1), no broadcast label table.
