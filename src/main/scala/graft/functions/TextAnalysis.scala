@@ -347,17 +347,40 @@ object TextAnalysis {
     * offset inside the window, and whether it spans a window boundary.
     * This is the fully parallel packing LLM training actually uses
     * (documents concatenated, then split every `cap` tokens) — no
-    * bin-packing recursion, just a partitioned window cumsum, so a 100 TB
-    * corpus packs shard-parallel with one shuffle on `source`. */
+    * bin-packing recursion, just cumulative sums.
+    *
+    * The per-source running sum is computed WITHOUT a one-partition-per-
+    * source window (which would serialize a giant source through one
+    * task's sort): doc_ids are sub-sharded by `doc_id div stride`
+    * (monotone in doc_id, so shard order = doc order), the cumsum runs
+    * within each (source, shard) in parallel, and each shard adds its
+    * predecessor shards' token total from a per-shard offset table that
+    * is smaller than the corpus by the stride factor — the same
+    * bucketed-rank + offset-table construction as corpus_global_shuffle.
+    * tok_before is identical to the single-window formulation (the
+    * decomposition is a pure re-association of the same sum); repeat the
+    * reduction recursively if even the offset table is huge. */
   val packSequences: Q = (s, dir) => {
     val cap = 512
-    t(s, dir, "documents")
+    val stride = 128
+    val base = t(s, dir, "documents")
       .selectExpr("source", "doc_id",
-        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
-      .selectExpr("source", "doc_id", "n_tok",
-        s"""CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok",
+        s"doc_id div $stride AS sub")
+    val offsets = base.groupBy("source", "sub")
+      .agg(sum("n_tok").as("sub_tok"))
+      .selectExpr("source", "sub",
+        """CAST(coalesce(sum(sub_tok) OVER (PARTITION BY source
+           ORDER BY sub ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+           PRECEDING), 0) AS BIGINT) AS sub_before""")
+    base
+      .selectExpr("source", "doc_id", "n_tok", "sub",
+        s"""CAST(coalesce(sum(n_tok) OVER (PARTITION BY source, sub
             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1
-            PRECEDING), 0) AS BIGINT) AS tok_before""")
+            PRECEDING), 0) AS BIGINT) AS in_sub_before""")
+      .join(offsets, Seq("source", "sub"))
+      .selectExpr("source", "doc_id", "n_tok",
+        "sub_before + in_sub_before AS tok_before")
       .selectExpr("source", "doc_id", "n_tok",
         s"CAST(floor(tok_before / $cap) AS BIGINT) AS window_id",
         s"tok_before % $cap AS win_offset",
