@@ -225,6 +225,68 @@ object Dedup {
     s"""WITH $minhashScoredCte
        SELECT * FROM scored WHERE jaccard >= 0.8 ORDER BY d1, d2"""
 
+  /** INCREMENTAL near-dup dedup: dedupe a NEW ingest batch (doc_id % 5
+    * = 0, the "delta") against the EXISTING corpus's LSH index (the
+    * rest) — the production ingest pattern. The corpus side only
+    * computes/stores band keys (in production a persisted table,
+    * bucketed by band key so the probe is co-located); per batch, ONLY
+    * the delta's bands shuffle, candidates come from the delta⋈index
+    * band join, and exact-Jaccard verification touches candidate docs
+    * alone. Corpus work is amortized across ingests instead of
+    * re-sharding 100 TB per batch — the self-join variant
+    * ([[minhashLsh]]) re-pairs the whole corpus every run. */
+  val dedupIncrementalLsh: Q = (s, dir) => {
+    def bandsOf(docs: org.apache.spark.sql.DataFrame) =
+      docs.selectExpr("doc_id",
+          "graft_minhash_sigs(graft_shingle_hashes(text)) AS sigs")
+        .filter(col("sigs").isNotNull)
+        .selectExpr("doc_id", "explode(sequence(0, 3)) AS band", "sigs")
+        .selectExpr("doc_id", "band",
+          """md5(concat_ws(',',
+               element_at(sigs, 4*band+1), element_at(sigs, 4*band+2),
+               element_at(sigs, 4*band+3), element_at(sigs, 4*band+4)))
+             AS bkey""")
+    val docs = t(s, dir, "documents")
+    val index = bandsOf(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+      .selectExpr("doc_id AS corpus_id", "band", "bkey")
+    val delta = bandsOf(docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+      .selectExpr("doc_id AS new_id", "band AS band2", "bkey AS bkey2")
+    val cand = delta.join(index,
+        col("band2") === col("band") && col("bkey2") === col("bkey"))
+      .select("new_id", "corpus_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cand.select(col("new_id").as("doc_id"))
+      .union(cand.select(col("corpus_id").as("doc_id"))).distinct()
+    val docsSub = docs.join(candIds, "doc_id")
+      .selectExpr("doc_id", s"$shSpark AS sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = cand
+      .join(docsSub.selectExpr("doc_id AS nn", "sh AS sh_new"),
+        col("new_id") === col("nn"))
+      .join(docsSub.selectExpr("doc_id AS cc", "sh AS sh_cor"),
+        col("corpus_id") === col("cc"))
+      .selectExpr("new_id", "corpus_id",
+        """round(CAST(size(array_intersect(sh_new, sh_cor)) AS DOUBLE)
+           / size(array_union(sh_new, sh_cor)), 6) AS jaccard""")
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("new_id", "corpus_id")
+      .localCheckpoint(true)
+    cand.unpersist(false)
+    docsSub.unpersist(false)
+    result
+  }
+
+  /** Oracle: the shared scored CTE restricted to cross-side pairs (one
+    * delta, one corpus doc), normalized to (new_id, corpus_id). */
+  val dedupIncrementalLshOracle: String =
+    s"""WITH $minhashScoredCte
+       SELECT CASE WHEN d1 % 5 = 0 THEN d1 ELSE d2 END AS new_id,
+              CASE WHEN d1 % 5 = 0 THEN d2 ELSE d1 END AS corpus_id,
+              jaccard
+       FROM scored
+       WHERE jaccard >= 0.8 AND ((d1 % 5 = 0) <> (d2 % 5 = 0))
+       ORDER BY new_id, corpus_id"""
+
   /** 48-bit SimHash per document over DISTINCT word-3-gram shingles
     * (shingle features, not unigrams: the harness vocabulary is ~40
     * words, so unigram token sets are near-identical across documents
@@ -430,6 +492,7 @@ object Dedup {
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_incremental_lsh" -> dedupIncrementalLsh,
     "dedup_simhash" -> simhash,
     "dedup_simhash_pairs" -> simhashPairs)
 
@@ -439,6 +502,7 @@ object Dedup {
     "dedup_exact" -> exactOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> minhashLshOracle,
+    "dedup_incremental_lsh" -> dedupIncrementalLshOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle)
 }

@@ -86,6 +86,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(cos((1L, 3L)) - 1.0) < 1e-12) // scale-invariant
   }
 
+  test("incremental LSH equals the self-join LSH on cross-side pairs") {
+    val inc = Dedup.dedupIncrementalLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (d1, d2, _) => (d1 % 5 == 0) != (d2 % 5 == 0) }
+      .map { case (d1, d2, j) =>
+        if (d1 % 5 == 0) (d1, d2, j) else (d2, d1, j) }
+      .toSet
+    assert(inc === full)
+  }
+
   test("integer µ-unit rounding is half-up-away-from-zero, ties included") {
     // the exact tie that diverged Spark vs DuckDB at sf0.1: sum 0.616992
     // over n=192 is exactly 0.0032135 → must round UP to 0.003214; the
