@@ -756,6 +756,44 @@ object TextAnalysis {
     * per source by length (rank*10 <= partition count — no float
     * percentile on the cut line, so the kept set is bit-deterministic).
     * The shape of every "best decile per domain" corpus filter. */
+  /** Token-budget curation: per source, admit documents in quality order
+    * (longest-first here — any deterministic score works, ties on
+    * doc_id) until a fixed token budget fills; emit each kept doc with
+    * its cumulative token count. This is mixture construction under
+    * per-domain token budgets (the knob real pretraining mixes are
+    * specified in), complementing `corpus_mix_weighted` (rate-based) and
+    * `quality_top_percent` (count-based). One window cumsum per source —
+    * sources are the parallel unit; for a pathologically large single
+    * source, the admitted set is a sorted prefix, so pre-filter with an
+    * approximate score threshold (quantile sketch) and rank only the
+    * survivors. */
+  val corpusBudgetCap: Q = (s, dir) => {
+    val budget = 800L
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    t(s, dir, "documents")
+      .selectExpr("source", "doc_id", "n_chars",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tok")
+      .withColumn("cum_tok",
+        sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum_tok") <= budget)
+      .select("source", "doc_id", "n_tok", "cum_tok")
+      .orderBy("source", "cum_tok")
+  }
+
+  val corpusBudgetCapOracle: String =
+    """WITH ranked AS (
+         SELECT source, doc_id,
+           len(string_split(text, ' ')) AS n_tok,
+           CAST(sum(len(string_split(text, ' '))) OVER (
+             PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_tok
+         FROM documents)
+       SELECT source, doc_id, n_tok, cum_tok
+       FROM ranked WHERE cum_tok <= 800
+       ORDER BY source, cum_tok"""
+
   val qualityTopPercent: Q = (s, dir) => {
     val wRank = Window.partitionBy("source")
       .orderBy(col("n_chars").desc, col("doc_id"))
@@ -880,6 +918,7 @@ object TextAnalysis {
     "doc_chunk_overlap" -> docChunkOverlap,
     "corpus_split_assign" -> corpusSplitAssign,
     "corpus_global_shuffle" -> corpusShuffle,
+    "corpus_budget_cap" -> corpusBudgetCap,
     "text_char_entropy" -> charEntropy,
     "text_repetition" -> repetitionStats,
     "text_tfidf_topk" -> tfidfTopK,
@@ -906,6 +945,7 @@ object TextAnalysis {
     "doc_chunk_overlap" -> docChunkOverlapOracle,
     "corpus_split_assign" -> corpusSplitAssignOracle,
     "corpus_global_shuffle" -> corpusShuffleOracle,
+    "corpus_budget_cap" -> corpusBudgetCapOracle,
     "text_char_entropy" -> charEntropyOracle,
     "text_repetition" -> repetitionStatsOracle,
     "text_tfidf_topk" -> tfidfTopKOracle,
