@@ -227,6 +227,45 @@ object TextAnalysis {
          FROM documents)
        WHERE rn <= 3 ORDER BY lang, rn"""
 
+  /** Weighted priority sampling without replacement: top-5 docs per
+    * source under priority key = hash(doc) div weight, weight =
+    * n_chars — the integer-exact analog of Efraimidis–Spirakis
+    * exponential-jump sampling (keys u^(1/w) / −ln(u)/w, "Weighted
+    * random sampling with a reservoir", IPL 2006): dividing a uniform
+    * 60-bit hash by the weight makes a doc's chance of owning a
+    * small key rise ∝ its weight, while staying deterministic across
+    * engines, runs and cluster sizes (no floats, no RNG state).
+    * Token-weighted corpus subsampling is the standard way to cut a
+    * source to a budget without biasing against long documents.
+    *
+    * Scale shape: one narrow projection + a per-source top-k rank —
+    * Spark plans the rank filter as a two-stage WindowGroupLimit
+    * (partial per-partition top-k before the exchange), so the shuffle
+    * carries O(k·partitions) rows, not the corpus. */
+  val sampleWeighted: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("priority", "doc_id")
+    t(s, dir, "documents")
+      .selectExpr("doc_id", "source", "n_chars",
+        hex60("concat('wsamp_', CAST(doc_id AS STRING))") +
+          " div n_chars AS priority")
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 5)
+      .select("source", "rnk", "doc_id", "n_chars", "priority")
+      .orderBy("source", "rnk")
+  }
+
+  val sampleWeightedOracle: String =
+    s"""SELECT source, rnk, doc_id, n_chars, priority FROM (
+         SELECT doc_id, source, n_chars,
+           ${hex60Duck("concat('wsamp_', CAST(doc_id AS VARCHAR))")}
+             // n_chars AS priority,
+           row_number() OVER (PARTITION BY source ORDER BY
+             ${hex60Duck("concat('wsamp_', CAST(doc_id AS VARCHAR))")}
+               // n_chars, doc_id) AS rnk
+         FROM documents)
+       WHERE rnk <= 5 ORDER BY source, rnk"""
+
   /** Frequent items (heavy hitters): the corpus's top-10 tokens by
     * occurrence — explode → count → top-k, the exact-counting baseline of
     * the frequency-sketch family. */
@@ -242,6 +281,37 @@ object TextAnalysis {
     """SELECT tok, count(*) AS n FROM (
          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
        GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 10"""
+
+  /** N-gram LM count table (the Kneser-Ney/ngram-LM prep stage): corpus
+    * word-trigram counts, top-20 with lexicographic tie-break. One
+    * per-row transform (no token self-join), one partial+final hash
+    * aggregate, one top-k — the canonical count-collection shape that
+    * at 100 TB runs with map-side combine carrying only (trigram, n)
+    * pairs into the exchange. */
+  val trigramCounts: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("split(text, ' ') AS tk") // split once, not per lambda elem
+      .selectExpr(
+        """explode(CASE WHEN size(tk) < 3 THEN array()
+           ELSE transform(sequence(1, size(tk) - 2),
+             i -> concat_ws(' ', element_at(tk, i),
+                                 element_at(tk, i + 1),
+                                 element_at(tk, i + 2)))
+           END) AS tg""")
+      .groupBy("tg")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tg").asc)
+      .limit(20)
+
+  val trigramCountsOracle: String =
+    """SELECT tg, count(*) AS n FROM (
+         SELECT unnest(CASE WHEN len(string_split(text, ' ')) < 3 THEN []
+           ELSE list_transform(range(1, len(string_split(text, ' ')) - 1),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2]) END) AS tg
+         FROM documents)
+       GROUP BY tg ORDER BY n DESC, tg ASC LIMIT 20"""
 
   /** Bigram collocations scored by pointwise mutual information:
     * PMI = ln(p(ab) / (p(a)·p(b))) over word bigrams — the classic
@@ -930,9 +1000,11 @@ object TextAnalysis {
     "corpus_mix_weighted" -> mixWeighted,
     "text_cm_frequency" -> cmFrequency,
     "text_frequent_tokens" -> frequentTokens,
+    "text_trigram_counts" -> trigramCounts,
     "text_bigram_pmi" -> bigramPmi,
     "corpus_sample_bottomk" -> sampleBottomK,
     "corpus_sample_stratified" -> sampleStratified,
+    "corpus_sample_weighted" -> sampleWeighted,
     "dedup_normalized" -> dedupNormalized,
     "text_scrub" -> textScrub,
     "doc_length_histogram" -> docLengthHistogram,
@@ -957,9 +1029,11 @@ object TextAnalysis {
     "corpus_mix_weighted" -> mixWeightedOracle,
     "text_cm_frequency" -> cmFrequencyOracle,
     "text_frequent_tokens" -> frequentTokensOracle,
+    "text_trigram_counts" -> trigramCountsOracle,
     "text_bigram_pmi" -> bigramPmiOracle,
     "corpus_sample_bottomk" -> sampleBottomKOracle,
     "corpus_sample_stratified" -> sampleStratifiedOracle,
+    "corpus_sample_weighted" -> sampleWeightedOracle,
     "dedup_normalized" -> dedupNormalizedOracle,
     "text_scrub" -> textScrubOracle,
     "doc_length_histogram" -> docLengthHistogramOracle,

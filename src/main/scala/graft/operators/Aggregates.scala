@@ -280,6 +280,63 @@ object Aggregates {
       .orderBy("event_id")
   }
 
+  /** Exact rolling median over a trailing 7-row window per user — the
+    * robust-statistics sibling of the rolling mean (outlier-resistant
+    * smoothing for monitoring/feature pipelines). Spark has no median
+    * window function, so the idiom is sort_array(collect_list() OVER w)
+    * + middle-element interpolation; the window is bounded (7 rows) so
+    * per-row state is O(7), and the shuffle is the usual per-user
+    * exchange. Both engines compute (lo+hi)/2 from the same sorted
+    * array, rounded to 6 dp (DuckDB's QUANTILE_CONT interpolation is
+    * the same arithmetic but not guaranteed the same instruction
+    * order). */
+  val windowRollingMedian: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-6, 0)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        sort_array(collect_list(col("value")).over(w)).as("arr"))
+      .selectExpr("event_id", "user_id", "value",
+        """round((element_at(arr, CAST((size(arr) + 1) div 2 AS INT)) +
+                  element_at(arr, CAST(size(arr) div 2 + 1 AS INT))) / 2, 6)
+           AS med7""")
+      .orderBy("event_id")
+  }
+
+  val windowRollingMedianOracle: String =
+    """SELECT event_id, user_id, value,
+       round(median(value) OVER (PARTITION BY user_id
+         ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+       FROM events ORDER BY event_id"""
+
+  /** Modal value per group (MODE aggregate): the most frequent
+    * o_orderpriority within each order status, ties broken
+    * lexicographically. Two partial+final hash aggregates + a rank-1
+    * filter — never a per-group value collect, so group cardinality is
+    * unbounded at scale (same shape as dedup-latest-by-key). */
+  val aggMode: Q = (s, dir) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("n_occurrences").desc, col("mode_priority").asc)
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_orderstatus", "mode_priority", "n_occurrences")
+      .orderBy("o_orderstatus")
+  }
+
+  val aggModeOracle: String =
+    """SELECT o_orderstatus, mode_priority, n_occurrences FROM (
+         SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           count(*) AS n_occurrences,
+           row_number() OVER (PARTITION BY o_orderstatus
+             ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+         FROM orders GROUP BY 1, 2)
+       WHERE rn = 1 ORDER BY o_orderstatus"""
+
   /** Length-10 trailing sequence windows as arrays — the engine-side
     * replacement for the client's partition_dataset loop
     * (`localTrinoTest.ipynb:593-608`): each row carries the last 10 values
@@ -588,6 +645,8 @@ object Aggregates {
     "approx_count_distinct" -> approxCountDistinct,
     "window_rank_lag_lead" -> windowRankLagLead,
     "window_rolling_sum" -> windowRollingSum,
+    "window_rolling_median" -> windowRollingMedian,
+    "agg_mode" -> aggMode,
     "seq_window_arrays" -> seqWindowArrays,
     "scale_minmax" -> scaleMinmax,
     "scale_robust" -> scaleRobust,
@@ -682,6 +741,8 @@ object Aggregates {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "window_rolling_median" -> windowRollingMedianOracle,
+    "agg_mode" -> aggModeOracle,
     "seq_window_arrays" ->
       """SELECT event_id, user_id,
            array_to_string(list_transform(seq_arr,

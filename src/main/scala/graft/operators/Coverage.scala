@@ -643,6 +643,73 @@ object Coverage {
     """SELECT event_id, user_id, value, event_type FROM events
        WHERE event_type = 'purchase' ORDER BY event_id"""
 
+  /** Small-file compaction — the table-maintenance operator every
+    * petabyte lake needs: streaming ingest leaves thousands of tiny
+    * files per partition, and scan cost then tracks file COUNT (task
+    * scheduling + footer reads), not bytes. The op rewrites a
+    * fragmented copy of `events` (16 shards ≈ 60 rows each at sf0.01)
+    * into size-targeted files via a single `repartition(2)` write —
+    * at cluster scale the shard count comes from bytes/target_file_size
+    * and the rewrite is per-partition-subtree, exactly what
+    * OPTIMIZE/rewrite_data_files does in the public lakehouse engines.
+    * The query re-reads the COMPACTED copy and aggregates it, so the
+    * oracle proves the rewrite is content-preserving (decimal-exact
+    * sums); CoverageSpec asserts the file counts actually collapsed
+    * 16 → 2. */
+  private[operators] def compactedEventsDir(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val frag = s"$tmp/graft_frag_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val comp = s"$tmp/graft_compact_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    if (!new java.io.File(frag, "_SUCCESS").exists()) {
+      events(s, dir)
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts",
+          "user_id", "value", "event_type")
+        .repartition(16)
+        .write.mode("overwrite").parquet(frag)
+    }
+    if (!new java.io.File(comp, "_SUCCESS").exists()) {
+      s.read.parquet(frag)
+        .repartition(2)
+        .write.mode("overwrite").parquet(comp)
+    }
+    comp
+  }
+
+  val maintenanceCompactFiles: Q = (s, dir) =>
+    s.read.parquet(compactedEventsDir(s, dir))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("total_value"))
+      .orderBy("event_type")
+
+  val maintenanceCompactFilesOracle: String =
+    """SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** NTILE bucketing: equal-frequency quartiles of account balance
+    * within each market segment — the standard feature-binning /
+    * cohort-assignment window. Per-group shuffle + in-partition rank,
+    * no global sort. */
+  val windowNtile: Q = (s, dir) => {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast(LongType).as("quartile"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  val windowNtileOracle: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+       ntile(4) OVER (PARTITION BY c_mktsegment
+         ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+       FROM customer ORDER BY c_mktsegment, c_custkey"""
+
   /** Windowed distinct count — Spark has no COUNT(DISTINCT) over windows,
     * so the idiom is size(collect_set() OVER w): distinct event types
     * each user has produced up to each event. */
@@ -1094,6 +1161,8 @@ object Coverage {
     "window_distinct_count" -> windowDistinctCount,
     "window_rank_ratios" -> windowRankRatios,
     "partitioned_write_prune" -> partitionedWritePrune,
+    "maintenance_compact_files" -> maintenanceCompactFiles,
+    "window_ntile" -> windowNtile,
     "string_pad_split" -> stringPadSplit,
     "bitwise_nullsafe" -> bitwiseNullsafe,
     "window_value_funcs" -> windowValueFuncs,
@@ -1137,6 +1206,8 @@ object Coverage {
     "window_distinct_count" -> windowDistinctCountOracle,
     "window_rank_ratios" -> windowRankRatiosOracle,
     "partitioned_write_prune" -> partitionedWritePruneOracle,
+    "maintenance_compact_files" -> maintenanceCompactFilesOracle,
+    "window_ntile" -> windowNtileOracle,
     "string_pad_split" -> stringPadSplitOracle,
     "bitwise_nullsafe" -> bitwiseNullsafeOracle,
     "window_value_funcs" -> windowValueFuncsOracle,

@@ -486,7 +486,67 @@ object Dedup {
        WHERE levenshtein(a.text, b.text) <= 30
        ORDER BY d1, d2"""
 
+  /** C4-style line-level dedup (Raffel et al., "Exploring the Limits of
+    * Transfer Learning…", JMLR 2020 §2.2: "we discarded all but one of
+    * any three-sentence span occurring more than once in the data set").
+    * The harness corpus has no newlines, so a "line" is a fixed
+    * 16-token chunk; across the WHOLE corpus each distinct chunk keeps
+    * only its first occurrence (min (doc_id, chunk_id)) and every later
+    * copy is dropped, then documents are reassembled from their
+    * surviving chunks in order.
+    *
+    * Scale shape (100 TB): chunking is a per-row higher-order function
+    * (no token explode — one output row per chunk, not per token); the
+    * only shuffle is the first-occurrence window keyed by the chunk
+    * text's hash-partition — uniformly distributed, no skew — followed
+    * by a group-by-doc reassembly. Both are single exchanges; at
+    * cluster scale the chunk key would be a 128-bit digest rather than
+    * the chunk string so the exchange stays fixed-width (same trick as
+    * dedup_exact), kept as raw text here so the oracle is readable. */
+  val lineLevel: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk").orderBy("doc_id", "chunk_id")
+    t(s, dir, "documents")
+      .selectExpr("doc_id",
+        """posexplode(transform(
+             sequence(0, CAST((size(split(text, ' ')) - 1) div 16 AS INT)),
+             c -> concat_ws(' ', slice(split(text, ' '), c * 16 + 1, 16))))
+           AS (chunk_id, chunk)""")
+      .withColumn("keep",
+        (row_number().over(w) === 1).cast("int"))
+      .groupBy("doc_id")
+      .agg(
+        expr("""array_join(transform(
+                  filter(array_sort(collect_list(struct(chunk_id, keep, chunk))),
+                         x -> x.keep = 1),
+                  x -> x.chunk), ' ')""").as("clean_text"),
+        sum("keep").cast("bigint").as("n_kept"),
+        (count(lit(1)) - sum("keep")).cast("bigint").as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  val lineLevelOracle: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       chunks AS (
+         SELECT doc_id, c AS chunk_id,
+           array_to_string(tk[c*16+1 : c*16+16], ' ') AS chunk
+         FROM toks,
+           LATERAL (SELECT unnest(range(0, (len(tk)-1)//16 + 1)) AS c) u),
+       flagged AS (
+         SELECT doc_id, chunk_id, chunk,
+           CASE WHEN row_number() OVER (PARTITION BY chunk
+             ORDER BY doc_id, chunk_id) = 1 THEN 1 ELSE 0 END AS keep
+         FROM chunks)
+       SELECT doc_id,
+         coalesce(string_agg(CASE WHEN keep = 1 THEN chunk END, ' '
+           ORDER BY chunk_id), '') AS clean_text,
+         CAST(sum(keep) AS BIGINT) AS n_kept,
+         CAST(count(*) - sum(keep) AS BIGINT) AS n_dropped
+       FROM flagged GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "dedup_line_level" -> lineLevel,
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_clusters" -> clusters,
     "dedup_exact" -> exact,
@@ -497,6 +557,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs)
 
   val oracles: Map[String, String] = Map(
+    "dedup_line_level" -> lineLevelOracle,
     "dedup_edit_distance" -> dedupEditDistanceOracle,
     "dedup_clusters" -> clustersOracle,
     "dedup_exact" -> exactOracle,

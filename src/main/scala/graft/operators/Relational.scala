@@ -187,6 +187,45 @@ object Relational {
         .cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_lines"))
 
+  /** TPC-H Q7-style volume shipping: the deepest join tree in the macro
+    * set (lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ×2) with the
+    * disjunctive cross-nation predicate that can only apply AFTER both
+    * nation joins. Scale shape: both nation dims are pre-filtered to the
+    * two named nations and broadcast (so the OR never blocks pushdown of
+    * the cheap half), supplier is broadcast-sized, and the only real
+    * shuffles are the two fact-side equi-joins; revenue sums in
+    * DECIMAL(18,2) so grouping is order-independent and oracle-exact. */
+  val q7VolumeShipping: Q = (s, dir) => {
+    val pair = Seq("NATION_20", "NATION_11")
+    val n1 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .selectExpr("n_nationkey AS s_nk", "n_name AS supp_nation")
+    val n2 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .selectExpr("n_nationkey AS c_nk", "n_name AS cust_nation")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast(D) &&
+              col("l_shipdate") < lit("1997-01-01").cast(D))
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val su = t(s, dir, "supplier")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n1), su("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_20" &&
+               col("cust_nation") === "NATION_11") ||
+              (col("supp_nation") === "NATION_11" &&
+               col("cust_nation") === "NATION_20"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+           col("l_discount").cast(DecimalType(18, 2)))))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   /** TPC-H Q18-style large-order customers: aggregate-HAVING subquery
     * driving a multi-join top-k. */
   val q18LargeOrders: Q = (s, dir) => {
@@ -426,6 +465,7 @@ object Relational {
     "q18_large_orders" -> q18LargeOrders,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
+    "q7_volume_shipping" -> q7VolumeShipping,
     "q1_join_filter_sort" -> q1JoinFilterSort,
     "scan_project" -> scanProject,
     "select_star_limit" -> selectStarLimit,
@@ -511,6 +551,25 @@ object Relational {
            AND o.o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY n.n_name
          ORDER BY revenue DESC, n_name ASC""",
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INT) AS l_year,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS DOUBLE) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l.l_shipdate < TIMESTAMP '1997-01-01'
+           AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11') OR
+                (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+         GROUP BY 1, 2, 3
+         ORDER BY supp_nation, cust_nation, l_year""",
     "q1_join_filter_sort" ->
       """SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
          l.l_linenumber, l.l_quantity, l.l_extendedprice

@@ -340,6 +340,86 @@ object Similarity {
            (acc, v) -> acc + v) / len(embedding)), 6) AS rmse
        FROM s ORDER BY vec_id"""
 
+  /** Top-5 cosine neighbors scored entirely over int8-QUANTIZED vectors
+    * (symmetric quantized distance — the SQ8 path of the
+    * Faiss/IVF-SQ family, public literature: Jégou et al., "Product
+    * quantization for nearest neighbor search", TPAMI 2011 §II
+    * discusses scalar quantizers as the baseline): each embedding is
+    * compressed 4× (float32 → int8, per-vector max-abs scale) and the
+    * score is the INTEGER dot product of the two code vectors
+    * normalized by their integer norms. All pair arithmetic is
+    * 64-bit-integer exact (the only doubles are one sqrt and one divide
+    * per pair — bit-identical in both engines), so ranking is
+    * deterministic with no float-fold order sensitivity.
+    *
+    * Scale rationale: at 100 TB the ANN corpus scan is memory-bandwidth
+    * bound, so shrinking the resident vector table 4× (and turning FMA
+    * folds into integer MACs) is the first production lever — composable
+    * with the IVF cell / LSH bucket pruning above (quantize the residual
+    * per cell). Per-vector scales make the codes self-contained; the
+    * per-pair rescale cancels in cosine so it never even enters the
+    * score. */
+  val annInt8Topk: Q = (s, dir) => {
+    val qv = t(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale")
+      .selectExpr("vec_id",
+        """transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INT)) AS qvec""")
+      .selectExpr("vec_id", "qvec",
+        """sqrt(aggregate(zip_with(qvec, qvec,
+             (x, y) -> CAST(x AS BIGINT) * y),
+           CAST(0 AS BIGINT), (a, v) -> a + v)) AS qnrm""")
+    val q = qv.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", "qvec AS q_q", "qnrm AS q_n")
+    val c = qv.filter(col("vec_id") >= 10)
+      .selectExpr("vec_id AS c_id", "qvec AS c_q", "qnrm AS c_n")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_q").desc, col("c_id").asc)
+    c.join(broadcast(q))
+      .selectExpr("q_id", "c_id",
+        """aggregate(zip_with(q_q, c_q, (x, y) -> CAST(x AS BIGINT) * y),
+           CAST(0 AS BIGINT), (a, v) -> a + v) / (q_n * c_n) AS cos_q""")
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .selectExpr("q_id", "rank", "c_id", "round(cos_q, 6) AS cos_q")
+      .orderBy("q_id", "rank")
+  }
+
+  val annInt8TopkOracle: String =
+    """WITH sc AS (
+         SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) /
+               list_max(list_transform(embedding,
+                 y -> abs(CAST(y AS DOUBLE)))) * 127) AS INT)) AS qvec
+         FROM embeddings),
+       qv AS (
+         SELECT vec_id, qvec,
+           sqrt(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len(qvec) + 1),
+               i -> CAST(qvec[i] AS BIGINT) * qvec[i])),
+             (a, v) -> a + v)) AS qnrm
+         FROM sc),
+       q AS (SELECT vec_id AS q_id, qvec AS q_q, qnrm AS q_n
+             FROM qv WHERE vec_id < 10),
+       c AS (SELECT vec_id AS c_id, qvec AS c_q, qnrm AS c_n
+             FROM qv WHERE vec_id >= 10),
+       scored AS (
+         SELECT q_id, c_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len(q_q) + 1),
+               i -> CAST(q_q[i] AS BIGINT) * c_q[i])),
+             (a, v) -> a + v) / (q_n * c_n) AS cos_q
+         FROM c CROSS JOIN q),
+       ranked AS (
+         SELECT q_id, c_id, cos_q,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY cos_q DESC, c_id ASC) AS rank
+         FROM scored)
+       SELECT q_id, rank, c_id, round(cos_q, 6) AS cos_q
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
   /** Per-label centroids (the IVF coarse-quantizer training step):
     * element-wise mean over each label's vectors. The per-label vector
     * list is sorted by vec_id before the fold, so double accumulation
@@ -523,6 +603,7 @@ object Similarity {
     "ann_brute_topk" -> annBruteTopk,
     "ann_ivf_label_topk" -> annIvfLabelTopk,
     "ann_lsh_topk" -> annLshTopk,
+    "ann_int8_topk" -> annInt8Topk,
     "embedding_cosine_neardup" -> cosineNeardup,
     "embedding_norm_stats" -> normStats)
 
@@ -535,6 +616,7 @@ object Similarity {
     "ann_brute_topk" -> annBruteTopkOracle,
     "ann_ivf_label_topk" -> annIvfLabelTopkOracle,
     "ann_lsh_topk" -> annLshTopkOracle,
+    "ann_int8_topk" -> annInt8TopkOracle,
     "embedding_cosine_neardup" -> cosineNeardupOracle,
     "embedding_norm_stats" -> normStatsOracle)
 }

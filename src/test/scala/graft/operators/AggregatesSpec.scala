@@ -19,6 +19,70 @@ class AggregatesSpec extends SparkSpec {
     assert(joined === 0)
   }
 
+  test("agg_mode: the reported mode really has the max count per group") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val counts = orders.groupBy("o_orderstatus", "o_orderpriority")
+      .count().collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => r.getString(1) -> r.getLong(2)).toMap)
+      .toMap
+    Aggregates.aggMode(spark, sf).collect().foreach { r =>
+      val (status, mode, n) =
+        (r.getString(0), r.getString(1), r.getLong(2))
+      val grp = counts(status)
+      assert(grp(mode) === n)
+      assert(n === grp.values.max)
+      // deterministic tie-break: lexicographically first among maxima
+      val maxima = grp.filter(_._2 == n).keys.toSeq.sorted
+      assert(mode === maxima.head)
+    }
+  }
+
+  test("window_rolling_median matches a direct per-user recomputation") {
+    val out = Aggregates.windowRollingMedian(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getDouble(3)))
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      ordered.indices.foreach { i =>
+        val win = ordered.slice(math.max(0, i - 6), i + 1)
+          .map(_._4).sorted
+        val n = win.length
+        val med = (win((n + 1) / 2 - 1) + win(n / 2)) / 2
+        val got = out(ordered(i)._3)
+        assert(math.abs(got - BigDecimal(med)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+          s"event ${ordered(i)._3}: $got vs $med")
+      }
+    }
+  }
+
+  test("text_trigram_counts: totals tile the corpus token counts") {
+    val top = graft.functions.TextAnalysis.trigramCounts(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(top.length === 20)
+    // counts are non-increasing with lexicographic tie-break
+    top.sliding(2).foreach { case Array((t1, n1), (t2, n2)) =>
+      assert(n1 > n2 || (n1 === n2 && t1 < t2))
+    }
+    // every trigram really occurs that many times (independent recount)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").as[String].collect()
+    val expect = top.toMap.keySet
+    val counted = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { text =>
+      val tk = text.split(' ')
+      (0 to tk.length - 3).foreach { i =>
+        val tg = s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}"
+        if (expect(tg)) counted(tg) = counted.getOrElse(tg, 0L) + 1L
+      }
+    }
+    top.foreach { case (tg, n) => assert(counted(tg) === n, tg) }
+  }
+
   test("distinct is idempotent (distinct∘distinct = distinct)") {
     val once = Aggregates.distinctRows(spark, sf)
     assert(once.distinct().count() === once.count())

@@ -19,6 +19,55 @@ class CoverageMultimodalSpec extends SparkSpec {
     assert(byKey === (0L until n.toLong))
   }
 
+  test("maintenance_compact_files: 16 fragments collapse to 2 files, " +
+      "content preserved") {
+    Coverage.maintenanceCompactFiles(spark, sf).collect() // forces writes
+    def parquetFiles(d: String): Int =
+      new java.io.File(d).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    val tmp = System.getProperty("java.io.tmpdir")
+    val tag = java.lang.Integer.toHexString(sf.hashCode)
+    assert(parquetFiles(s"$tmp/graft_frag_$tag") === 16)
+    assert(parquetFiles(s"$tmp/graft_compact_$tag") === 2)
+    // the rewrite must be a pure re-layout: same rows, same values
+    val orig = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "user_id", "value", "event_type")
+    val comp = spark.read.parquet(s"$tmp/graft_compact_$tag")
+      .selectExpr("event_id", "user_id", "value", "event_type")
+    assert(comp.exceptAll(orig).isEmpty && orig.exceptAll(comp).isEmpty)
+  }
+
+  test("window_ntile: quartile sizes within each segment differ by <= 1") {
+    val sizes = Coverage.windowNtile(spark, sf)
+      .groupBy("c_mktsegment", "quartile").count()
+      .groupBy("c_mktsegment")
+      .agg(max("count").as("mx"), min("count").as("mn"),
+        countDistinct("quartile").as("nq"))
+      .collect()
+    assert(sizes.nonEmpty)
+    sizes.foreach { r =>
+      assert(r.getAs[Long]("nq") === 4L)
+      assert(r.getAs[Long]("mx") - r.getAs[Long]("mn") <= 1L)
+    }
+  }
+
+  test("corpus_sample_weighted prefers long documents") {
+    val samp = graft.functions.TextAnalysis.sampleWeighted(spark, sf)
+    val sampAvg = samp.agg(avg("n_chars")).head().getDouble(0)
+    val corpusAvg = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(avg("n_chars")).head().getDouble(0)
+    // priority = hash div n_chars biases selection toward heavy docs;
+    // on the fixed sf0.001 corpus the sample mean is ~17% above the
+    // corpus mean — assert the direction with margin
+    assert(sampAvg > corpusAvg,
+      s"weighted sample mean $sampAvg should exceed corpus mean $corpusAvg")
+    // exactly 5 per source, ranks contiguous
+    samp.groupBy("source").agg(count(lit(1)).as("n"), max("rnk").as("mr"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("n") === 5L && r.getAs[Long]("mr") === 5L)
+      }
+  }
+
   test("mm_decode_features: byte stats match a direct Scala computation") {
     val feats = Multimodal.mmDecodeFeatures(spark, sf)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap

@@ -32,6 +32,40 @@ class DedupSimilaritySpec extends SparkSpec {
     lsh.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("dedup_line_level: untouched docs round-trip; chunk accounting " +
+      "is exact; the corpus has real cross-doc chunk dups") {
+    val out = Dedup.lineLevel(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    var dropped = 0L
+    out.foreach { r =>
+      val (id, clean) = (r.getLong(0), r.getString(1))
+      val (kept, drop) = (r.getLong(2), r.getLong(3))
+      dropped += drop
+      // chunk count must tile the token count exactly
+      val nTok = docs(id).split(' ').length
+      assert(kept + drop === (nTok - 1) / 16 + 1)
+      if (drop == 0L) assert(clean === docs(id),
+        s"doc $id lost no chunks but text changed")
+      else assert(clean.length < docs(id).length)
+    }
+    assert(dropped > 0L,
+      "sf0.001 plants cross-doc duplicate chunks; none were dropped")
+  }
+
+  test("ann_int8_topk: quantized top-5 overlaps exact top-5 on >= 3 of 5") {
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets(Similarity.annBruteTopk(spark, sf))
+    val quant = sets(Similarity.annInt8Topk(spark, sf))
+    assert(quant.keySet === exact.keySet)
+    exact.foreach { case (q, ex) =>
+      val ov = (ex & quant(q)).size
+      assert(ov >= 3, s"query $q: int8 overlap $ov < 3 of 5")
+    }
+  }
+
   test("dedup operators drop their intermediate caches (no library leak)") {
     // minhashLsh/simhashPairs persist shared stages and must unpersist
     // them after the eager checkpoint — a caller invoking the operators

@@ -60,6 +60,36 @@ class RelationalSpec extends SparkSpec {
     assert(out(5L) === None)       // no earlier purchase → null
   }
 
+  test("q7 volume shipping: only the named nation pair, both directions," +
+      " revenue matches an independent SQL recomputation") {
+    val out = Relational.q7VolumeShipping(spark, sf).collect()
+    assert(out.nonEmpty)
+    val pairs = out.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.subsetOf(Set(("NATION_20", "NATION_11"),
+      ("NATION_11", "NATION_20"))))
+    // independent recomputation through the SQL surface on temp views
+    Seq("lineitem", "orders", "customer", "supplier", "nation")
+      .foreach(n => spark.read.parquet(s"$sf/$n.parquet")
+        .createOrReplaceTempView(s"q7_$n"))
+    val sql = spark.sql(
+      """SELECT n1.n_name supp_nation, n2.n_name cust_nation,
+           year(l_shipdate) l_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) revenue, count(*) n_lines
+         FROM q7_lineitem JOIN q7_orders ON l_orderkey = o_orderkey
+           JOIN q7_customer ON o_custkey = c_custkey
+           JOIN q7_supplier ON l_suppkey = s_suppkey
+           JOIN q7_nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN q7_nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+             OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""").collect()
+    assert(out.map(_.toSeq).toSeq === sql.map(_.toSeq).toSeq)
+  }
+
   test("tail_k returns the last 10 orders ascending") {
     val rows = Relational.tailK(spark, sf).collect()
     assert(rows.length === 10)
