@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -643,6 +644,64 @@ object Coverage {
     """SELECT event_id, user_id, value, event_type FROM events
        WHERE event_type = 'purchase' ORDER BY event_id"""
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the semantics SQL equi-join
+    * silently drops and ETL key-reconciliation needs. Spark plans
+    * EqualNullSafe as a normal hash-join key (coalesce-boxed), so the
+    * scale shape is identical to an inner equi-join, not a nested loop.
+    * Keys are made nullable via nullif on one region to exercise the
+    * NULL↔NULL match path. */
+  val joinNullSafe: Q = (s, dir) => {
+    val n = t(s, dir, "nation")
+      .selectExpr("n_name", "nullif(n_regionkey, 2) AS rk")
+    val r = t(s, dir, "region")
+      .selectExpr("r_name", "nullif(r_regionkey, 2) AS rk2")
+    n.join(r, col("rk") <=> col("rk2"))
+      .select("n_name", "r_name")
+      .orderBy("n_name")
+  }
+
+  val joinNullSafeOracle: String =
+    """SELECT n_name, r_name
+       FROM (SELECT n_name, nullif(n_regionkey, 2) AS rk FROM nation) n
+       JOIN (SELECT r_name, nullif(r_regionkey, 2) AS rk2 FROM region) r
+         ON n.rk IS NOT DISTINCT FROM r.rk2
+       ORDER BY n_name"""
+
+  /** Mergeable partial aggregation — the incremental-rollup pattern: two
+    * ingest batches are pre-aggregated independently and the daily
+    * rollup is rebuilt by MERGING the partials (sum of counts, sum of
+    * decimal sums), never rescanning raw history. Exactness holds
+    * because every aggregate in the state is decomposable and decimal
+    * sums are order-free; the oracle recomputes straight from the raw
+    * table, proving merge(partials) ≡ direct aggregation. At 100 TB
+    * this is the difference between a daily O(delta) job and an
+    * O(history) one. */
+  val incrementalAggMerge: Q = (s, dir) => {
+    def partial(half: DataFrame): DataFrame = half
+      .groupBy(date_trunc("day", col("ts")).as("day_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+    val ev = events(s, dir)
+    val batches = Seq(
+      partial(ev.filter(pmod(col("event_id"), lit(2)) === 0)),
+      partial(ev.filter(pmod(col("event_id"), lit(2)) === 1)))
+    batches.reduce(_ unionByName _)
+      .groupBy("day_start", "event_type")
+      .agg(sum("n").as("n_events"),
+        sum("sv").cast(DoubleType).as("sum_value"))
+      .selectExpr("CAST(day_start AS TIMESTAMP_NTZ) AS day_start",
+        "event_type", "n_events", "sum_value")
+      .orderBy("day_start", "event_type")
+  }
+
+  val incrementalAggMergeOracle: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY day_start, event_type"""
+
   /** Small-file compaction — the table-maintenance operator every
     * petabyte lake needs: streaming ingest leaves thousands of tiny
     * files per partition, and scan cost then tracks file COUNT (task
@@ -1163,6 +1222,8 @@ object Coverage {
     "partitioned_write_prune" -> partitionedWritePrune,
     "maintenance_compact_files" -> maintenanceCompactFiles,
     "window_ntile" -> windowNtile,
+    "join_null_safe" -> joinNullSafe,
+    "incremental_agg_merge" -> incrementalAggMerge,
     "string_pad_split" -> stringPadSplit,
     "bitwise_nullsafe" -> bitwiseNullsafe,
     "window_value_funcs" -> windowValueFuncs,
@@ -1208,6 +1269,8 @@ object Coverage {
     "partitioned_write_prune" -> partitionedWritePruneOracle,
     "maintenance_compact_files" -> maintenanceCompactFilesOracle,
     "window_ntile" -> windowNtileOracle,
+    "join_null_safe" -> joinNullSafeOracle,
+    "incremental_agg_merge" -> incrementalAggMergeOracle,
     "string_pad_split" -> stringPadSplitOracle,
     "bitwise_nullsafe" -> bitwiseNullsafeOracle,
     "window_value_funcs" -> windowValueFuncsOracle,

@@ -152,6 +152,44 @@ object Streams {
       .orderBy("win_start")
   }
 
+  /** Streaming windowed top-k (trending items): per tumbling day, the 3
+    * most frequent event types. The stream maintains only (window, type)
+    * counts — O(windows × types) state bounded by the watermark; the
+    * rank-k cut runs on the materialized snapshot because streaming
+    * aggregations can't nest window functions (same split a production
+    * dashboard uses: incremental counts in the stream, top-k at read).
+    * Complete-mode counts are arrival-order independent, so the result
+    * is deterministic under any micro-batch replay. */
+  val streamWindowedTopk: Q = (s, dir) => {
+    val ss = streamSession(s)
+    val agg = eventStream(ss, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val snap = runToTable(agg, "stream_windowed_topk", "complete")
+      .selectExpr("CAST(window.start AS TIMESTAMP_NTZ) AS day_start",
+        "event_type", "n")
+    val w = Window.partitionBy("day_start")
+      .orderBy(col("n").desc, col("event_type").asc)
+    snap
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 3)
+      .select("day_start", "rnk", "event_type", "n")
+      .orderBy("day_start", "rnk")
+  }
+
+  val streamWindowedTopkOracle: String =
+    """WITH counts AS (
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           event_type, count(*) AS n
+         FROM events GROUP BY 1, 2)
+       SELECT day_start, rnk, event_type, n FROM (
+         SELECT day_start, event_type, n,
+           row_number() OVER (PARTITION BY day_start
+             ORDER BY n DESC, event_type ASC) AS rnk
+         FROM counts)
+       WHERE rnk <= 3 ORDER BY day_start, rnk"""
+
   val streamSlidingCountsOracle: String =
     """SELECT wstart AS win_start, count(*) AS n FROM (
          SELECT unnest([
@@ -455,6 +493,7 @@ object Streams {
     "stream_dedup_keys" -> streamDedupKeys,
     "stream_tumbling_counts" -> streamTumblingCounts,
     "stream_sliding_counts" -> streamSlidingCounts,
+    "stream_windowed_topk" -> streamWindowedTopk,
     "sessionize_events" -> sessionizeEvents)
 
   val oracles: Map[String, String] = Map(
@@ -465,6 +504,7 @@ object Streams {
     "stream_dedup_keys" -> streamDedupKeysOracle,
     "stream_tumbling_counts" -> streamTumblingCountsOracle,
     "stream_sliding_counts" -> streamSlidingCountsOracle,
+    "stream_windowed_topk" -> streamWindowedTopkOracle,
     "stream_hist_quantile" -> streamHistQuantileOracle,
     "sessionize_events" -> sessionizeEventsOracle)
 }

@@ -51,6 +51,34 @@ class CoverageMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("join_null_safe: NULL keys match each other — no nation is lost") {
+    val out = Coverage.joinNullSafe(spark, sf).collect()
+    val nations = spark.read.parquet(s"$sf/nation.parquet").count()
+    // every nation matches exactly one region: by value, or via the
+    // NULL<=>NULL path for the nullified region key
+    assert(out.length.toLong === nations)
+    val regions = spark.read.parquet(s"$sf/region.parquet")
+      .filter(col("r_regionkey") === 2).select("r_name")
+      .head().getString(0)
+    val viaNull = spark.read.parquet(s"$sf/nation.parquet")
+      .filter(col("n_regionkey") === 2).count()
+    assert(out.count(_.getString(1) == regions).toLong === viaNull)
+    // sanity: a plain equi-join on the same nullified keys loses them
+    assert(out.length.toLong > nations - viaNull)
+  }
+
+  test("incremental_agg_merge: merged partials equal one-pass aggregation") {
+    val merged = Coverage.incrementalAggMerge(spark, sf).collect()
+    val direct = graft.sources.Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz")
+        .as("day_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy("day_start", "event_type").collect()
+    assert(merged.map(_.toSeq).toSeq === direct.map(_.toSeq).toSeq)
+  }
+
   test("corpus_sample_weighted prefers long documents") {
     val samp = graft.functions.TextAnalysis.sampleWeighted(spark, sf)
     val sampAvg = samp.agg(avg("n_chars")).head().getDouble(0)

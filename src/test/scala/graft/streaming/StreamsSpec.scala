@@ -29,6 +29,32 @@ class StreamsSpec extends SparkSpec {
     assert(total === 2 * events)
   }
 
+  test("stream windowed top-k equals a batch recount of the same days") {
+    val out = Streams.streamWindowedTopk(spark, sf).collect()
+    assert(out.nonEmpty)
+    // per day: at most 3 rows, ranks contiguous from 1, counts
+    // non-increasing, and each (day, type, n) matches a batch recount
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz").as("d"),
+        col("event_type"))
+      .count().collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0),
+        r.getString(1)) -> r.getLong(2)).toMap
+    out.groupBy(_.getAs[java.time.LocalDateTime](0)).foreach {
+      case (_, rows) =>
+        val sorted = rows.sortBy(_.getLong(1))
+        assert(sorted.length <= 3)
+        assert(sorted.map(_.getLong(1)).toSeq ===
+          (1L to sorted.length.toLong))
+        val ns = sorted.map(_.getLong(3))
+        assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+        sorted.foreach { r =>
+          assert(batch((r.getAs[java.time.LocalDateTime](0),
+            r.getString(2))) === r.getLong(3))
+        }
+    }
+  }
+
   test("stateful latest is identical under multi-micro-batch replay") {
     // split events into 3 files; maxFilesPerTrigger=1 forces 3 batches
     val dir3 = s"${System.getProperty("java.io.tmpdir")}/graft_events3"
