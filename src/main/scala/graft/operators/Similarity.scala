@@ -360,16 +360,15 @@ object Similarity {
     * per-pair rescale cancels in cosine so it never even enters the
     * score. */
   val annInt8Topk: Q = (s, dir) => {
+    // graft_sq8 / graft_idot are the codegen kernels (Expressions.scala):
+    // one O(d) maxabs+quantize pass and integer MACs — the HOF spelling
+    // (`transform(v, x -> round(x / array_max(...) * 127))`) re-evaluates
+    // the scale per element after Catalyst project-collapse (O(d²)
+    // interpreted) and is kept only in the DuckDB oracle.
     val qv = t(s, dir, "embeddings")
-      .selectExpr("vec_id", "embedding",
-        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale")
-      .selectExpr("vec_id",
-        """transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS INT)) AS qvec""")
+      .selectExpr("vec_id", "graft_sq8(embedding) AS qvec")
       .selectExpr("vec_id", "qvec",
-        """sqrt(aggregate(zip_with(qvec, qvec,
-             (x, y) -> CAST(x AS BIGINT) * y),
-           CAST(0 AS BIGINT), (a, v) -> a + v)) AS qnrm""")
+        "sqrt(graft_idot(qvec, qvec)) AS qnrm")
     val q = qv.filter(col("vec_id") < 10)
       .selectExpr("vec_id AS q_id", "qvec AS q_q", "qnrm AS q_n")
     val c = qv.filter(col("vec_id") >= 10)
@@ -378,8 +377,7 @@ object Similarity {
       .orderBy(col("cos_q").desc, col("c_id").asc)
     c.join(broadcast(q))
       .selectExpr("q_id", "c_id",
-        """aggregate(zip_with(q_q, c_q, (x, y) -> CAST(x AS BIGINT) * y),
-           CAST(0 AS BIGINT), (a, v) -> a + v) / (q_n * c_n) AS cos_q""")
+        "graft_idot(q_q, c_q) / (q_n * c_n) AS cos_q")
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= 5)
       .selectExpr("q_id", "rank", "c_id", "round(cos_q, 6) AS cos_q")

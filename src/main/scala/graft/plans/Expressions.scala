@@ -306,6 +306,155 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** SQ8 scalar quantizer: array<float|double> → array<int> int8 codes,
+  * code_i = round_half_away(v_i / maxabs(v) * 127). One O(d) maxabs pass
+  * + one O(d) quantize pass — the codegen replacement for the HOF
+  * formulation `transform(v, x -> round(x / array_max(...) * 127))`,
+  * which Catalyst collapse inlines into an O(d²)-per-row interpreted
+  * lambda (the scale subexpression re-evaluates per element). Rounding
+  * is binary half-away-from-zero, which agrees with Spark's
+  * BigDecimal-HALF_UP `round()` and DuckDB's `round()` for every
+  * representable input (shortest-decimal round-trip preserves the
+  * fractional-half relation). */
+case class Sq8Quantize(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, false)
+
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val n = a.numElements()
+    val out = new Array[Int](n)
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      val ax = math.abs(x)
+      if (ax > mx) mx = ax
+      i += 1
+    }
+    i = 0
+    while (i < n) {
+      val x = if (isF) a.getFloat(i).toDouble else a.getDouble(i)
+      out(i) = Sq8Quantize.code(x, mx)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val mx = ctx.freshName("mx")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = 0.0;
+         |int[] $out = new int[$n];
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; }
+         |  else {
+         |    double $x = Math.abs((double) $a.$get($i));
+         |    if ($x > $mx) { $mx = $x; }
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = graft.plans.Sq8Quantize.code(
+         |      (double) $a.$get($i), $mx);
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object Sq8Quantize {
+  /** Half-away-from-zero on the exact binary fraction (no +0.5 addition,
+    * so no double-rounding edge at values just below a half). */
+  def code(x: Double, maxAbs: Double): Int = {
+    if (maxAbs == 0.0) return 0
+    val v = x / maxAbs * 127.0
+    val a = math.abs(v)
+    val f = math.floor(a)
+    val r = if (a - f >= 0.5) f + 1.0 else f
+    (if (v < 0) -r else r).toInt
+  }
+}
+
+/** Integer dot product over two array<int> code vectors → bigint. The
+  * codegen mate of [[Sq8Quantize]]: integer MACs, no per-element lambda
+  * interpretation, exact (no float fold order to pin). */
+case class IntDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getInt(i).toLong * y.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $acc += ((long) $a.getInt($i)) * ((long) $b.getInt($i));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 /** 60-bit md5-prefix hash of a string — the engine's portable content
   * hash (shared with the DuckDB oracle via the hex-prefix definition). */
 case class Md5Prefix60(child: Expression)
@@ -475,6 +624,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hex60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "graft_hex60"),
       (exprs: Seq[Expression]) => Md5Prefix60(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_sq8"),
+      new ExpressionInfo(classOf[Sq8Quantize].getName, "graft_sq8"),
+      (exprs: Seq[Expression]) => Sq8Quantize(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_idot"),
+      new ExpressionInfo(classOf[IntDot].getName, "graft_idot"),
+      (exprs: Seq[Expression]) => IntDot(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_minhash_sigs"),
       new ExpressionInfo(classOf[MinhashSigs].getName, "graft_minhash_sigs"),

@@ -66,6 +66,26 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("graft_sq8/graft_idot equal the HOF quantize/fold on real vectors") {
+    val both = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id",
+        "graft_sq8(embedding) AS kq",
+        """transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) /
+             array_max(transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+             * 127) AS INT)) AS hq""")
+      .selectExpr("vec_id", "kq", "hq",
+        "graft_idot(kq, kq) AS kdot",
+        """aggregate(zip_with(hq, hq, (x, y) -> CAST(x AS BIGINT) * y),
+           CAST(0 AS BIGINT), (a, v) -> a + v) AS hdot""")
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+        s"vec ${r.getLong(0)}: kernel codes != HOF codes")
+      assert(r.getLong(3) === r.getLong(4))
+    }
+  }
+
   test("dedup operators drop their intermediate caches (no library leak)") {
     // minhashLsh/simhashPairs persist shared stages and must unpersist
     // them after the eager checkpoint — a caller invoking the operators

@@ -97,4 +97,23 @@ class HashPropertiesSpec extends AnyFunSuite {
         s"for '$s'")
     }
   }
+
+  test("sq8 code equals BigDecimal HALF_UP rounding of v/max*127, " +
+      "ties away from zero") {
+    // explicit ties: ±63.5 must round AWAY from zero (±64), the case
+    // where Math.round-style floor(v+0.5) would give -63 for -63.5
+    assert(Sq8Quantize.code(1.0, 2.0) === 64)   //  63.5 →  64
+    assert(Sq8Quantize.code(-1.0, 2.0) === -64) // −63.5 → −64
+    assert(Sq8Quantize.code(0.0, 2.0) === 0)
+    assert(Sq8Quantize.code(2.0, 2.0) === 127)
+    assert(Sq8Quantize.code(0.5, 0.0) === 0)    // zero vector guard
+    val vals = samples(Gen.chooseNum(-1e3, 1e3), 300)
+    val maxes = samples(Gen.chooseNum(1e-3, 1e3), 300)
+    vals.zip(maxes).foreach { case (v, m) =>
+      val x = v / m * 127.0
+      val expect = BigDecimal(x)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt
+      assert(Sq8Quantize.code(v, m) === expect, s"v=$v m=$m x=$x")
+    }
+  }
 }
