@@ -74,6 +74,49 @@ object TextAnalysis {
          / len(string_split(text, ' ')), 6) AS avg_token_len
        FROM documents ORDER BY doc_id"""
 
+  /** Model-based quality FILTER (the fasttext-classifier stage of a
+    * public data pipeline, e.g. CCNet/GPT-style "quality classifier"):
+    * a fixed-weight logistic model over the interpretable features
+    * above — stopword ratio, token count, average token length —
+    * emitting a calibrated keep-probability and the binary keep
+    * decision. The weights are frozen constants (a trained model's
+    * coefficients would drop in the same way), so the op is a pure
+    * per-row projection: embarrassingly parallel, no shuffle, and the
+    * score is one exp() on a double built from exact rationals —
+    * rounded to 6 dp for cross-engine parity like every libm output
+    * here. */
+  val qualityClassifier: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id", "text", "split(text, ' ') AS toks")
+      .selectExpr("doc_id",
+        s"CAST(size(filter(toks, x -> x IN $STOP)) AS DOUBLE)" +
+          " / size(toks) AS sr",
+        "CAST(size(toks) AS DOUBLE) AS nt",
+        "(CAST(length(text) AS DOUBLE) - (size(toks) - 1)) / size(toks)" +
+          " AS atl")
+      .selectExpr("doc_id",
+        "-2.95 + 8.0 * sr + 0.02 * nt + 0.4 * atl AS z")
+      .selectExpr("doc_id",
+        "round(1.0 / (1.0 + exp(-z)), 6) AS p_keep",
+        "z >= 0 AS keep")
+      .orderBy("doc_id")
+
+  val qualityClassifierOracle: String =
+    s"""WITH f AS (
+         SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x IN $STOP))
+             AS DOUBLE) / len(string_split(text, ' ')) AS sr,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+           (CAST(length(text) AS DOUBLE) -
+             (len(string_split(text, ' ')) - 1))
+             / len(string_split(text, ' ')) AS atl
+         FROM documents),
+       zz AS (SELECT doc_id, -2.95 + 8.0 * sr + 0.02 * nt + 0.4 * atl AS z
+              FROM f)
+       SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS p_keep,
+         z >= 0 AS keep
+       FROM zz ORDER BY doc_id"""
+
   /** n-gram-heuristic language ID: marker-token votes per language,
     * argmax with a fixed tiebreak order. (The harness corpus is synthetic
     * English-ish text, so 'en' dominates — the *operator* is the point.) */
@@ -1010,6 +1053,7 @@ object TextAnalysis {
     "doc_length_histogram" -> docLengthHistogram,
     "text_token_count" -> tokenCount,
     "text_quality_score" -> qualityScore,
+    "text_quality_classifier" -> qualityClassifier,
     "text_lang_id" -> langId,
     "text_fingerprint" -> fingerprint)
 
@@ -1039,6 +1083,7 @@ object TextAnalysis {
     "doc_length_histogram" -> docLengthHistogramOracle,
     "text_token_count" -> tokenCountOracle,
     "text_quality_score" -> qualityScoreOracle,
+    "text_quality_classifier" -> qualityClassifierOracle,
     "text_lang_id" -> langIdOracle,
     "text_fingerprint" -> fingerprintOracle)
 }

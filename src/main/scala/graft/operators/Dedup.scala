@@ -380,12 +380,21 @@ object Dedup {
     * times), where a broadcast label table would OOM the executors.
     * Both paths are the same algorithm; DedupSimilaritySpec asserts they
     * produce identical labels. */
-  private[operators] def clustersImpl(sparseMaxEdges: Long): Q = (s, dir) => {
+  private[operators] def clustersImpl(sparseMaxEdges: Long): Q = (s, dir) =>
+    ccFromEdges(minhashLsh(s, dir).select("d1", "d2"), sparseMaxEdges)
+      .select(col("doc_id"), col("lab").as("cluster_rep"))
+      .orderBy("doc_id")
+
+  /** Connected-components label kernel over an arbitrary (d1, d2) edge
+    * frame → (doc_id, lab) with lab = component-minimum id. Shared by
+    * the MinHash cluster op and the SemDeDup-style embedding cluster op
+    * (Similarity.dedupSemanticKeep). */
+  private[operators] def ccFromEdges(edgesIn: DataFrame,
+      sparseMaxEdges: Long): DataFrame = {
     // localCheckpoint truncates lineage: without it every iteration's
     // logical plan embeds the whole history and Catalyst re-analyzes an
     // exponentially growing tree (the classic iterative-plan explosion).
-    val edges0 = minhashLsh(s, dir).select("d1", "d2")
-      .localCheckpoint(true)
+    val edges0 = edgesIn.localCheckpoint(true)
     val sparse = edges0.count() <= sparseMaxEdges
     // count() first, squeeze after: the count materializes the checkpoint
     val squeeze: DataFrame => DataFrame =
@@ -435,8 +444,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connected-components label propagation did not converge after " +
           s"$iter iterations ($changed labels still changing)")
-    labels.select(col("doc_id"), col("lab").as("cluster_rep"))
-      .orderBy("doc_id")
+    labels.select("doc_id", "lab")
   }
 
   val clustersOracle: String =

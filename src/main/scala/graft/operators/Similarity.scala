@@ -280,6 +280,54 @@ object Similarity {
        SELECT v1, v2, round(cos_sim, 6) AS cos_sim
        FROM p WHERE cos_sim >= 0.4 ORDER BY v1, v2"""
 
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv 2023 — public literature): embedding-space near-duplicate
+    * CLUSTERS (cosine ≥ 0.4 pairs → connected components) keep exactly
+    * one representative each (the component-minimum vec_id, which at
+    * scale would be "closest to cluster centroid" — min-id keeps the
+    * decision deterministic and engine-portable); every other member is
+    * marked dropped. Pipeline shape: the blocked all-pairs kernel emits
+    * candidate edges (no cartesian), the shared pointer-jumping CC
+    * kernel (Dedup.ccFromEdges) labels components in O(log diameter)
+    * rounds, and a left join marks singletons as their own keepers —
+    * the full decide-stage of an embedding dedup pass, not just the
+    * pair list. */
+  val dedupSemanticKeep: Q = (s, dir) => {
+    val pairs = cosineNeardupBlocked(8)(s, dir)
+      .selectExpr("v1 AS d1", "v2 AS d2")
+    val labels = Dedup.ccFromEdges(pairs, sparseMaxEdges = 4L * 1000 * 1000)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"))
+      .join(labels, col("vec_id") === col("doc_id"), "left_outer")
+      .selectExpr("vec_id",
+        "coalesce(lab, vec_id) AS cluster_rep",
+        "coalesce(lab, vec_id) = vec_id AS is_kept")
+      .orderBy("vec_id")
+  }
+
+  val dedupSemanticKeepOracle: String =
+    s"""WITH RECURSIVE v AS ($vecsDuck),
+       p AS (
+         SELECT a.vec_id AS v1, b.vec_id AS v2,
+           ${dotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+         FROM v a JOIN v b ON a.vec_id < b.vec_id),
+       edges AS (SELECT v1 AS d1, v2 AS d2 FROM p WHERE cos_sim >= 0.4),
+       bi AS (SELECT d1, d2 FROM edges
+              UNION ALL SELECT d2, d1 FROM edges),
+       verts AS (SELECT DISTINCT d1 AS doc_id FROM bi),
+       reach(doc_id, lab) AS (
+         SELECT doc_id, doc_id FROM verts
+         UNION
+         SELECT b.d1, r.lab FROM bi b JOIN reach r ON b.d2 = r.doc_id),
+       labs AS (SELECT doc_id, min(lab) AS lab
+                FROM reach GROUP BY doc_id)
+       SELECT e.vec_id,
+         coalesce(l.lab, e.vec_id) AS cluster_rep,
+         coalesce(l.lab, e.vec_id) = e.vec_id AS is_kept
+       FROM embeddings e LEFT JOIN labs l ON e.vec_id = l.doc_id
+       ORDER BY e.vec_id"""
+
   /** Per-label L2-norm statistics (norms rounded to 4 dp, then summed in
     * DECIMAL so the average is partition-order independent). */
   val normStats: Q = (s, dir) =>
@@ -602,6 +650,7 @@ object Similarity {
     "ann_ivf_label_topk" -> annIvfLabelTopk,
     "ann_lsh_topk" -> annLshTopk,
     "ann_int8_topk" -> annInt8Topk,
+    "dedup_semantic_keep" -> dedupSemanticKeep,
     "embedding_cosine_neardup" -> cosineNeardup,
     "embedding_norm_stats" -> normStats)
 
@@ -615,6 +664,7 @@ object Similarity {
     "ann_ivf_label_topk" -> annIvfLabelTopkOracle,
     "ann_lsh_topk" -> annLshTopkOracle,
     "ann_int8_topk" -> annInt8TopkOracle,
+    "dedup_semantic_keep" -> dedupSemanticKeepOracle,
     "embedding_cosine_neardup" -> cosineNeardupOracle,
     "embedding_norm_stats" -> normStatsOracle)
 }

@@ -164,4 +164,36 @@ class PlanSpec extends SparkSpec {
            p.contains("BroadcastHashJoin"),
       s"expected an equi-join on block-pair task keys in:\n$p")
   }
+
+  test("int8 ANN: native kernels in the plan, two-stage top-k, broadcast " +
+      "queries") {
+    val p = plan(Similarity.annInt8Topk(spark, sf))
+    assert(p.contains("graft_sq8") || p.contains("sq8quantize") ||
+           p.toLowerCase.contains("sq8"),
+      s"expected the native quantize kernel in:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-partition partial top-k missing:\n$p")
+    assert(p.contains("Broadcast"), s"query side not broadcast:\n$p")
+  }
+
+  test("q7 deep join tree: zero fact-side shuffles before the partial agg") {
+    val p = plan(Relational.q7VolumeShipping(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      s"a dim join fell back to a fact shuffle:\n$p")
+    assert(p.contains("partial_sum"), "map-side partial aggregation missing")
+    // nation IN-filter is pushed into the scans
+    assert(p.contains("In(n_name") || p.contains("n_name IN"),
+      s"nation pre-filter not pushed:\n$p")
+  }
+
+  test("line-level dedup generates chunks, not token explosions") {
+    val df = graft.operators.Dedup.lineLevel(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("posexplode"), s"expected chunk generator in:\n$p")
+    // exactly three exchanges: chunk-key window, doc reassembly, final sort
+    val exchanges = "Exchange".r.findAllIn(
+      p.replace("BroadcastExchange", "")).length
+    assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$p")
+  }
 }

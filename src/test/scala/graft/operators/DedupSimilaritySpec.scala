@@ -66,6 +66,41 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dedup_semantic_keep: one keeper per cluster, pairs co-clustered") {
+    val out = Similarity.dedupSemanticKeep(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // exactly one kept member per cluster_rep, and it IS the rep
+    out.values.groupBy(_._1).foreach { case (rep, members) =>
+      assert(members.count(_._2) === 1, s"cluster $rep")
+    }
+    out.foreach { case (id, (rep, kept)) =>
+      assert(kept === (id == rep))
+      assert(rep <= id) // rep is the component minimum
+    }
+    // every cosine-neardup pair must land in the same cluster
+    Similarity.cosineNeardup(spark, sf)
+      .select("v1", "v2").as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        assert(out(a)._1 === out(b)._1, s"pair ($a,$b) split")
+      }
+    // and something actually deduplicated at this threshold
+    assert(out.values.exists(!_._2))
+  }
+
+  test("text_quality_classifier: keep is consistent with the probability") {
+    val rows = graft.functions.TextAnalysis.qualityClassifier(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, keep) = (r.getDouble(1), r.getBoolean(2))
+      assert(p > 0.0 && p < 1.0)
+      // keep ⇔ z ≥ 0 ⇔ p ≥ 0.5 (p is rounded to 6 dp, so compare lax)
+      assert(keep === (p >= 0.4999995), s"doc ${r.getLong(0)}: p=$p")
+    }
+    assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)),
+      "classifier should separate the corpus at this operating point")
+  }
+
   test("graft_sq8/graft_idot equal the HOF quantize/fold on real vectors") {
     val both = spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("vec_id",
