@@ -340,6 +340,56 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** NEAREST as-of join: each click matches the temporally CLOSEST
+    * purchase of the same user in either direction (ties prefer the
+    * past match, ASOF convention). Same shuffle-once shape as
+    * [[joinAsof]] — tag + union + ONE hash partition by user_id — with
+    * two window passes over the same sorted run (backward
+    * last-non-null, forward first-non-null), then a per-row delta
+    * comparison. A range join would be |clicks|×|purchases| per user
+    * before filtering; this is O(n log n) per partition, the 100 TB
+    * plan for bidirectional event alignment (sensor fusion, quote/trade
+    * matching). */
+  val joinAsofNearest: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        lit(1).as("side"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        lit(0).as("side"))
+    val ord = Seq(col("ts").asc, col("side").asc, col("event_id").asc)
+    val wPast = Window.partitionBy("user_id").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wFut = Window.partitionBy("user_id").orderBy(ord: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("p_ts", when(col("side") === 0, col("ts")))
+      .withColumn("p_v", when(col("side") === 0, col("value")))
+      .withColumn("b_ts", last("p_ts", ignoreNulls = true).over(wPast))
+      .withColumn("b_v", last("p_v", ignoreNulls = true).over(wPast))
+      .withColumn("f_ts", first("p_ts", ignoreNulls = true).over(wFut))
+      .withColumn("f_v", first("p_v", ignoreNulls = true).over(wFut))
+      .filter(col("side") === 1)
+      .selectExpr("event_id", "user_id", "ts",
+        """CASE
+             WHEN b_ts IS NULL AND f_ts IS NULL THEN CAST(NULL AS STRING)
+             WHEN f_ts IS NULL THEN 'past'
+             WHEN b_ts IS NULL THEN 'future'
+             WHEN unix_micros(CAST(ts AS TIMESTAMP))
+                  - unix_micros(CAST(b_ts AS TIMESTAMP))
+               <= unix_micros(CAST(f_ts AS TIMESTAMP))
+                  - unix_micros(CAST(ts AS TIMESTAMP)) THEN 'past'
+             ELSE 'future' END AS direction""",
+        "b_ts", "f_ts", "b_v", "f_v")
+      .selectExpr("event_id", "user_id", "ts", "direction",
+        """CASE direction WHEN 'past' THEN b_ts
+           WHEN 'future' THEN f_ts END AS nearest_ts""",
+        """CASE direction WHEN 'past' THEN b_v
+           WHEN 'future' THEN f_v END AS nearest_value""")
+      .orderBy("event_id")
+  }
+
   /** FULL OUTER join — both sides' unmatched rows null-extended (customer
     * side restricted so right-only rows exist). */
   val joinFullOuter: Q = (s, dir) => {
@@ -487,6 +537,7 @@ object Relational {
     "join_anti" -> joinAnti,
     "join_cross" -> joinCross,
     "join_asof" -> joinAsof,
+    "join_asof_nearest" -> joinAsofNearest,
     "na_fill" -> naFill,
     "na_drop" -> naDrop,
     "orderby_multi" -> orderbyMulti,
@@ -698,6 +749,27 @@ object Relational {
                 p.ts AS purchase_ts, p.value AS purchase_value
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND p.ts <= c.ts
+         ORDER BY c.event_id""",
+    "join_asof_nearest" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT c.event_id, c.user_id, c.ts,
+                n.direction, n.nearest_ts, n.nearest_value
+         FROM clicks c LEFT JOIN LATERAL (
+           SELECT CASE WHEN p.ts <= c.ts THEN 'past' ELSE 'future' END
+                    AS direction,
+                  p.ts AS nearest_ts, p.value AS nearest_value
+           FROM purchases p
+           WHERE p.user_id = c.user_id
+           ORDER BY CASE WHEN p.ts <= c.ts
+                      THEN epoch_us(c.ts) - epoch_us(p.ts)
+                      ELSE epoch_us(p.ts) - epoch_us(c.ts) END ASC,
+                    (p.ts > c.ts) ASC
+           LIMIT 1) n ON true
          ORDER BY c.event_id""",
     "na_fill" ->
       """SELECT c.c_custkey, o.o_orderkey,

@@ -60,6 +60,39 @@ class RelationalSpec extends SparkSpec {
     assert(out(5L) === None)       // no earlier purchase → null
   }
 
+  test("nearest as-of join equals a brute-force per-click recomputation") {
+    val out = Relational.joinAsofNearest(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getString(3),
+        r.getDouble(4)))
+    val purchasesByUser = ev.filter(_._4 == "purchase").groupBy(_._2)
+    val clicks = ev.filter(_._4 == "click")
+    assert(out.size === clicks.length)
+    def us(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        t.getNano / 1000L
+    clicks.foreach { case (id, user, cts, _, _) =>
+      val r = out(id)
+      purchasesByUser.get(user) match {
+        case None =>
+          assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+        case Some(ps) =>
+          val best = ps.minBy { p =>
+            val d = us(p._3) - us(cts)
+            (math.abs(d), d > 0) // tie prefers past
+          }
+          val expDir = if (us(best._3) <= us(cts)) "past" else "future"
+          assert(r.getString(3) === expDir, s"click $id")
+          assert(r.getAs[java.time.LocalDateTime](4) === best._3)
+          assert(r.getDouble(5) === best._5)
+      }
+    }
+  }
+
   test("q7 volume shipping: only the named nation pair, both directions," +
       " revenue matches an independent SQL recomputation") {
     val out = Relational.q7VolumeShipping(spark, sf).collect()
