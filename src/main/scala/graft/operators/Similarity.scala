@@ -252,7 +252,16 @@ object Similarity {
   /** The blocked kernel with an explicit block count — results are
     * invariant to B (B=1 degenerates to the single brute-force task);
     * asserted in DedupSimilaritySpec. */
-  private[operators] def cosineNeardupBlocked(B: Int): Q = (s, dir) => {
+  private[operators] def cosineNeardupBlocked(B: Int): Q = (s, dir) =>
+    cosinePairsRaw(B)(s, dir)
+      .selectExpr("v1", "v2", "round(cos_sim, 6) AS cos_sim")
+      .orderBy("v1", "v2")
+
+  /** Unordered qualifying pairs (raw cos_sim) — the edge feed for the
+    * SemDeDup clustering, which must NOT inherit the presentation sort
+    * (the CC kernel checkpoints its input, so a sort here would be
+    * materialized for nothing). */
+  private[operators] def cosinePairsRaw(B: Int): Q = (s, dir) => {
     val v = vecs(s, dir)
       .selectExpr("vec_id", "embedding", "nrm",
         s"CAST(pmod(vec_id, $B) AS INT) AS blk")
@@ -267,8 +276,6 @@ object Similarity {
       .selectExpr("least(a_id, b_id) AS v1", "greatest(a_id, b_id) AS v2",
         s"${dotS("e1", "e2")} / (n1 * n2) AS cos_sim")
       .filter(col("cos_sim") >= 0.4)
-      .selectExpr("v1", "v2", "round(cos_sim, 6) AS cos_sim")
-      .orderBy("v1", "v2")
   }
 
   val cosineNeardupOracle: String =
@@ -294,7 +301,7 @@ object Similarity {
     * the full decide-stage of an embedding dedup pass, not just the
     * pair list. */
   val dedupSemanticKeep: Q = (s, dir) => {
-    val pairs = cosineNeardupBlocked(8)(s, dir)
+    val pairs = cosinePairsRaw(8)(s, dir)
       .selectExpr("v1 AS d1", "v2 AS d2")
     val labels = Dedup.ccFromEdges(pairs, sparseMaxEdges = 4L * 1000 * 1000)
     t(s, dir, "embeddings")
