@@ -644,6 +644,43 @@ object Coverage {
     """SELECT event_id, user_id, value, event_type FROM events
        WHERE event_type = 'purchase' ORDER BY event_id"""
 
+  /** Z-order (Morton) layout key — the multi-dimensional data-skipping
+    * sort every lakehouse OPTIMIZE ZORDER implements: interleaving the
+    * bits of two clustering columns gives one sort key whose runs are
+    * spatially local in BOTH dimensions, so min/max file statistics
+    * prune selective predicates on either column (a single-column sort
+    * only skips on its leading column). The op emits each event's
+    * 16+16-bit Morton code and presents the rows in layout order — at
+    * scale this ordering feeds a `sortWithinPartitions`+write, giving
+    * per-file stats tight in user_id AND event_id with one range
+    * exchange. The bit interleave is pure integer arithmetic, identical
+    * in both engines. */
+  val maintenanceZorderKey: Q = (s, dir) =>
+    events(s, dir)
+      .selectExpr("event_id",
+        "CAST(user_id % 65536 AS BIGINT) AS a",
+        "CAST(event_id % 65536 AS BIGINT) AS b")
+      .selectExpr("event_id", "a", "b",
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT),
+           (acc, i) -> acc
+             + shiftleft(shiftright(a, i) % 2, 2 * i)
+             + shiftleft(shiftright(b, i) % 2, 2 * i + 1))
+           AS zval""")
+      .orderBy("zval", "event_id")
+
+  val maintenanceZorderKeyOracle: String =
+    """SELECT event_id, a, b,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(0, 16), i ->
+           ((a >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+           + ((b >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))),
+         (x, y) -> x + y) AS zval
+       FROM (SELECT event_id,
+               CAST(user_id % 65536 AS BIGINT) AS a,
+               CAST(event_id % 65536 AS BIGINT) AS b
+             FROM events)
+       ORDER BY zval, event_id"""
+
   /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
     * match each other instead of vanishing — the semantics SQL equi-join
     * silently drops and ETL key-reconciliation needs. Spark plans
@@ -1224,6 +1261,7 @@ object Coverage {
     "window_ntile" -> windowNtile,
     "join_null_safe" -> joinNullSafe,
     "incremental_agg_merge" -> incrementalAggMerge,
+    "maintenance_zorder_key" -> maintenanceZorderKey,
     "string_pad_split" -> stringPadSplit,
     "bitwise_nullsafe" -> bitwiseNullsafe,
     "window_value_funcs" -> windowValueFuncs,
@@ -1271,6 +1309,7 @@ object Coverage {
     "window_ntile" -> windowNtileOracle,
     "join_null_safe" -> joinNullSafeOracle,
     "incremental_agg_merge" -> incrementalAggMergeOracle,
+    "maintenance_zorder_key" -> maintenanceZorderKeyOracle,
     "string_pad_split" -> stringPadSplitOracle,
     "bitwise_nullsafe" -> bitwiseNullsafeOracle,
     "window_value_funcs" -> windowValueFuncsOracle,

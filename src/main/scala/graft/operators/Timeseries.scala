@@ -91,6 +91,43 @@ object Timeseries {
        FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        ORDER BY user_id, valid_from, event_id"""
 
+  /** Point-in-time (time-travel) snapshot over the SCD2 history: each
+    * user's state AS OF a fixed instant T — the query every
+    * slowly-changing-dimension consumer runs ("what did the dimension
+    * look like when the fact happened"). Declaratively it is the SCD2
+    * derivation + one interval-containment filter; at scale the filter
+    * prunes to ≤1 row per key before any downstream join, and because
+    * validity intervals partition each key's timeline the result is
+    * exactly one row per user active at T. */
+  val scd2PointInTime: Q = (s, dir) => {
+    val T = "TIMESTAMP_NTZ '2024-01-15 12:00:00'"
+    scd2History(s, dir)
+      .filter(expr(s"valid_from <= $T") &&
+        (col("valid_to").isNull || expr(s"valid_to > $T")))
+      .select(col("user_id"), col("event_type").as("state_at_t"),
+        col("valid_from"), col("is_current"))
+      .orderBy("user_id")
+  }
+
+  val scd2PointInTimeOracle: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                    event_type FROM events),
+       c AS (SELECT *, lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             FROM e),
+       k AS (SELECT user_id, event_id, ts, event_type FROM c
+             WHERE prev_type IS NULL OR prev_type <> event_type),
+       h AS (SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current
+             FROM k WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts, event_id))
+       SELECT user_id, event_type AS state_at_t, valid_from, is_current
+       FROM h
+       WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+         AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
+       ORDER BY user_id"""
+
   /** Multi-grain time rollup: the same measure aggregated at day, week
     * (ISO Monday start), and month grain in one result — the cube a
     * time-series dashboard reads. Each grain is an independent partial+
@@ -130,10 +167,12 @@ object Timeseries {
   val queries: Map[String, Q] = Map(
     "gapfill_date_spine" -> gapfillDateSpine,
     "scd2_history" -> scd2History,
+    "scd2_point_in_time" -> scd2PointInTime,
     "time_rollup_multi" -> timeRollupMulti)
 
   val oracles: Map[String, String] = Map(
     "gapfill_date_spine" -> gapfillDateSpineOracle,
     "scd2_history" -> scd2HistoryOracle,
+    "scd2_point_in_time" -> scd2PointInTimeOracle,
     "time_rollup_multi" -> timeRollupMultiOracle)
 }

@@ -152,6 +152,34 @@ object Streams {
       .orderBy("win_start")
   }
 
+  /** Stream-static enrichment join: the live event stream joined to a
+    * BATCH dimension table (customer) inside the streaming query — the
+    * canonical "enrich the stream with reference data" pattern
+    * (Structured Streaming re-plans the static side per micro-batch, so
+    * a slowly-refreshed dim is picked up without restarting). The dim
+    * is broadcast-sized, so each micro-batch pays a map-side hash join,
+    * no stream-side shuffle; output is a complete-mode count per market
+    * segment — arrival-order independent. */
+  val streamStaticJoin: Q = (s, dir) => {
+    val ss = streamSession(s)
+    val dim = Tables.t(ss, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventStream(ss, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_value"))
+    runToTable(agg, "stream_static_join", "complete")
+      .orderBy("c_mktsegment")
+  }
+
+  val streamStaticJoinOracle: String =
+    """SELECT c_mktsegment, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   /** Streaming windowed top-k (trending items): per tumbling day, the 3
     * most frequent event types. The stream maintains only (window, type)
     * counts — O(windows × types) state bounded by the watermark; the
@@ -494,6 +522,7 @@ object Streams {
     "stream_tumbling_counts" -> streamTumblingCounts,
     "stream_sliding_counts" -> streamSlidingCounts,
     "stream_windowed_topk" -> streamWindowedTopk,
+    "stream_static_join" -> streamStaticJoin,
     "sessionize_events" -> sessionizeEvents)
 
   val oracles: Map[String, String] = Map(
@@ -505,6 +534,7 @@ object Streams {
     "stream_tumbling_counts" -> streamTumblingCountsOracle,
     "stream_sliding_counts" -> streamSlidingCountsOracle,
     "stream_windowed_topk" -> streamWindowedTopkOracle,
+    "stream_static_join" -> streamStaticJoinOracle,
     "stream_hist_quantile" -> streamHistQuantileOracle,
     "sessionize_events" -> sessionizeEventsOracle)
 }

@@ -51,6 +51,63 @@ class CoverageMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("scd2 point-in-time: one row per active user, state = last " +
+      "change at or before T") {
+    val T = java.time.LocalDateTime.parse("2024-01-15T12:00:00")
+    val out = Timeseries.scd2PointInTime(spark, sf).collect()
+    val byUser = out.groupBy(_.getLong(0))
+    assert(byUser.values.forall(_.length == 1), "duplicate user at T")
+    // independent recomputation: each user's latest type-change <= T
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getString(3)))
+    ev.groupBy(_._1).foreach { case (user, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      // change rows: first event or type differs from predecessor
+      val changes = ordered.zip(None +: ordered.map(Some(_)))
+        .collect { case (cur, prev)
+          if prev.forall(_._4 != cur._4) => cur }
+      val active = changes.takeWhile(c => !c._3.isAfter(T)).lastOption
+      (active, byUser.get(user).map(_.toSeq)) match {
+        case (Some(c), Some(Seq(row))) =>
+          assert(row.getString(1) === c._4, s"user $user")
+          assert(row.getAs[java.time.LocalDateTime](2) === c._3)
+        case (None, got) =>
+          assert(got.isEmpty, s"user $user should be absent at T")
+        case (some, got) =>
+          fail(s"user $user: expected $some, got $got")
+      }
+    }
+  }
+
+  test("zorder key de-interleaves back to its inputs and beats a " +
+      "1-D sort for 2-D skipping") {
+    val rows = Coverage.maintenanceZorderKey(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bit de-interleave reconstructs both dimensions exactly
+    rows.foreach { case (_, a, b, z) =>
+      var (ra, rb) = (0L, 0L)
+      (0 until 16).foreach { i =>
+        ra |= ((z >> (2 * i)) & 1L) << i
+        rb |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(ra === a && rb === b, s"z=$z")
+    }
+    // data-skipping property: chunk the layout into 16 "files"; the
+    // summed min/max extent of the NON-leading dimension must be
+    // tighter under z-order than under a plain sort by a (which leaves
+    // b unclustered) — this is exactly why OPTIMIZE ZORDER exists
+    def extent(sorted: Seq[(Long, Long)]): Long =
+      sorted.grouped(math.max(1, sorted.length / 16)).map { chunk =>
+        chunk.map(_._2).max - chunk.map(_._2).min
+      }.sum
+    val byZ = rows.sortBy(r => (r._4, r._1)).map(r => (r._2, r._3))
+    val byA = rows.sortBy(r => (r._2, r._1)).map(r => (r._2, r._3))
+    assert(extent(byZ) < extent(byA),
+      s"z-order extent ${extent(byZ)} !< a-sort extent ${extent(byA)}")
+  }
+
   test("join_null_safe: NULL keys match each other — no nation is lost") {
     val out = Coverage.joinNullSafe(spark, sf).collect()
     val nations = spark.read.parquet(s"$sf/nation.parquet").count()

@@ -55,6 +55,21 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("stream-static join equals the batch join recount") {
+    val streamed = Streams.streamStaticJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.sources.Tables.events(spark, sf)
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sv"))
+      .orderBy("c_mktsegment").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stateful latest is identical under multi-micro-batch replay") {
     // split events into 3 files; maxFilesPerTrigger=1 forces 3 batches
     val dir3 = s"${System.getProperty("java.io.tmpdir")}/graft_events3"
