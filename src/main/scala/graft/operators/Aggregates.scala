@@ -311,6 +311,53 @@ object Aggregates {
          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
        FROM events ORDER BY event_id"""
 
+  /** Truncated exponentially-weighted moving average (α = 0.3 over the
+    * trailing 10 rows): the time-series smoother that weights recent
+    * observations geometrically. True EWMA is a sequential recurrence;
+    * the bounded-window truncation keeps it expressible as a per-row
+    * weighted fold over the collected window (error ≤ 0.7¹⁰ ≈ 2.8 % of
+    * the oldest weight), which is what keeps per-row state O(10) and
+    * the whole thing one per-user exchange. Both engines run the same
+    * left-to-right fold, so doubles agree bit-for-bit before the 6 dp
+    * round. */
+  val windowEwma: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(-9, 0)
+    events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        collect_list(col("value")).over(w).as("arr"))
+      .selectExpr("event_id", "user_id", "value",
+        """round(
+             aggregate(zip_with(arr, sequence(1, size(arr)),
+                 (x, i) -> x * pow(0.7, size(arr) - i)),
+               CAST(0 AS DOUBLE), (a, v) -> a + v)
+             / aggregate(sequence(1, size(arr)),
+                 CAST(0 AS DOUBLE),
+                 (a, i) -> a + pow(0.7, size(arr) - i)), 6)
+           AS ewma10""")
+      .orderBy("event_id")
+  }
+
+  val windowEwmaOracle: String =
+    """SELECT event_id, user_id, value,
+       round(
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(range(1, len(arr) + 1),
+             i -> arr[i] * pow(0.7, len(arr) - i))),
+           (a, v) -> a + v)
+         / list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(range(1, len(arr) + 1),
+               i -> pow(0.7, len(arr) - i))),
+             (a, v) -> a + v), 6) AS ewma10
+       FROM (
+         SELECT event_id, user_id, value,
+           list(value) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr
+         FROM events)
+       ORDER BY event_id"""
+
   /** Modal value per group (MODE aggregate): the most frequent
     * o_orderpriority within each order status, ties broken
     * lexicographically. Two partial+final hash aggregates + a rank-1
@@ -646,6 +693,7 @@ object Aggregates {
     "window_rank_lag_lead" -> windowRankLagLead,
     "window_rolling_sum" -> windowRollingSum,
     "window_rolling_median" -> windowRollingMedian,
+    "window_ewma" -> windowEwma,
     "agg_mode" -> aggMode,
     "seq_window_arrays" -> seqWindowArrays,
     "scale_minmax" -> scaleMinmax,
@@ -742,6 +790,7 @@ object Aggregates {
            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
     "window_rolling_median" -> windowRollingMedianOracle,
+    "window_ewma" -> windowEwmaOracle,
     "agg_mode" -> aggModeOracle,
     "seq_window_arrays" ->
       """SELECT event_id, user_id,

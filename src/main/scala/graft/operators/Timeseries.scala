@@ -56,6 +56,82 @@ object Timeseries {
          coalesce(ag.sum_value, 0.0) AS sum_value
        FROM sp LEFT JOIN ag USING (day) ORDER BY day"""
 
+  /** Linear-interpolation gap fill: the spine's missing days get the
+    * straight line between the surrounding known points (leading gaps
+    * take the next known value, trailing the previous — the pandas
+    * `interpolate(limit_direction='both')` contract, served
+    * engine-side). Two window passes over the date-ordered spine find
+    * the bracketing known points; the blend is
+    * prev + (next − prev) · Δdays/span. The windows are global but run
+    * over the SPINE (one row per day — O(days), not O(events)), so the
+    * single-partition sort is bounded by calendar length; per-series
+    * data would partition by key exactly like fill-forward. */
+  val gapfillLinearInterp: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val known = ev
+      .filter("event_type = 'purchase' AND value > 250")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(dsum(col("value")).as("sum_value"))
+    val spine = ev
+      .agg(to_date(min("ts")).as("d0"), to_date(max("ts")).as("d1"))
+      .selectExpr("explode(sequence(d0, d1, interval 1 day)) AS day")
+    val wPast = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wFut = Window.orderBy("day")
+      .rowsBetween(0, Window.unboundedFollowing)
+    spine.join(known, Seq("day"), "left_outer")
+      .withColumn("pv", last("sum_value", ignoreNulls = true).over(wPast))
+      .withColumn("pd", last(when(col("sum_value").isNotNull, col("day")),
+        ignoreNulls = true).over(wPast))
+      .withColumn("nv", first("sum_value", ignoreNulls = true).over(wFut))
+      .withColumn("nd", first(when(col("sum_value").isNotNull, col("day")),
+        ignoreNulls = true).over(wFut))
+      .selectExpr("day", "sum_value IS NOT NULL AS observed",
+        """round(CASE
+             WHEN sum_value IS NOT NULL THEN sum_value
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * CAST(datediff(day, pd) AS DOUBLE)
+                                   / datediff(nd, pd)
+           END, 6) AS value_filled""")
+      .orderBy("day")
+  }
+
+  val gapfillLinearInterpOracle: String =
+    """WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0,
+                         CAST(max(ts) AS DATE) AS d1 FROM events),
+       sp AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                AS DATE) AS day FROM b),
+       ag AS (SELECT CAST(ts AS DATE) AS day,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+              FROM events WHERE event_type = 'purchase' AND value > 250
+              GROUP BY 1),
+       j AS (SELECT sp.day, ag.sum_value
+             FROM sp LEFT JOIN ag USING (day)),
+       w AS (SELECT day, sum_value,
+               last_value(sum_value IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN sum_value IS NOT NULL THEN day END
+                 IGNORE NULLS) OVER wp AS pd,
+               first_value(sum_value IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN sum_value IS NOT NULL THEN day END
+                 IGNORE NULLS) OVER wf AS nd
+             FROM j
+             WINDOW wp AS (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       SELECT day, sum_value IS NOT NULL AS observed,
+         round(CASE
+           WHEN sum_value IS NOT NULL THEN sum_value
+           WHEN pv IS NULL THEN nv
+           WHEN nv IS NULL THEN pv
+           ELSE pv + (nv - pv)
+             * CAST(date_diff('day', pd, day) AS DOUBLE)
+             / date_diff('day', pd, nd)
+         END, 6) AS value_filled
+       FROM w ORDER BY day"""
+
   /** SCD2 history build: change-detect each user's event_type sequence
     * (drop rows equal to the previous state), then stamp every surviving
     * version row with [valid_from, valid_to) via lead() — NULL valid_to
@@ -168,11 +244,13 @@ object Timeseries {
     "gapfill_date_spine" -> gapfillDateSpine,
     "scd2_history" -> scd2History,
     "scd2_point_in_time" -> scd2PointInTime,
+    "gapfill_linear_interp" -> gapfillLinearInterp,
     "time_rollup_multi" -> timeRollupMulti)
 
   val oracles: Map[String, String] = Map(
     "gapfill_date_spine" -> gapfillDateSpineOracle,
     "scd2_history" -> scd2HistoryOracle,
     "scd2_point_in_time" -> scd2PointInTimeOracle,
+    "gapfill_linear_interp" -> gapfillLinearInterpOracle,
     "time_rollup_multi" -> timeRollupMultiOracle)
 }

@@ -60,6 +60,55 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("window_ewma matches a direct truncated-EWMA recomputation") {
+    val out = Aggregates.windowEwma(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getDouble(3)))
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      ordered.indices.foreach { i =>
+        val win = ordered.slice(math.max(0, i - 9), i + 1).map(_._4)
+        val n = win.length
+        var (num, den) = (0.0, 0.0)
+        win.zipWithIndex.foreach { case (x, k) =>
+          val wgt = math.pow(0.7, n - (k + 1))
+          num += x * wgt; den += wgt
+        }
+        val got = out(ordered(i)._3)
+        assert(math.abs(got - num / den) < 2e-6,
+          s"event ${ordered(i)._3}: $got vs ${num / den}")
+      }
+    }
+  }
+
+  test("gapfill_linear_interp: observed days exact, gaps between " +
+      "neighbors, edges held") {
+    val rows = Timeseries.gapfillLinearInterp(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Date](0).toLocalDate, r.getBoolean(1),
+        r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val days = rows.map(_._1)
+    assert(days.zip(days.tail).forall { case (a, b) =>
+      b.toEpochDay - a.toEpochDay == 1L }, "spine not contiguous daily")
+    // every gap value lies within [min,max] of the bracketing observed
+    // values; leading/trailing gaps equal the nearest observed value
+    val obsIdx = rows.zipWithIndex.filter(_._1._2).map(_._2)
+    rows.zipWithIndex.filterNot(_._1._2).foreach { case ((_, _, v), i) =>
+      val prev = obsIdx.filter(_ < i).lastOption.map(rows(_)._3)
+      val next = obsIdx.find(_ > i).map(rows(_)._3)
+      (prev, next) match {
+        case (Some(p), Some(n)) =>
+          assert(v >= math.min(p, n) - 1e-6 && v <= math.max(p, n) + 1e-6)
+        case (None, Some(n)) => assert(math.abs(v - n) < 1e-6)
+        case (Some(p), None) => assert(math.abs(v - p) < 1e-6)
+        case _ => fail("no observed values at all")
+      }
+    }
+  }
+
   test("text_trigram_counts: totals tile the corpus token counts") {
     val top = graft.functions.TextAnalysis.trigramCounts(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1))
