@@ -226,6 +226,80 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q10-style returned-item reporting: which customers returned
+    * the most revenue in a quarter — 4-way join (returned lineitems ⋈
+    * date-bounded orders ⋈ customer ⋈ broadcast nation), decimal
+    * revenue per customer, top-20. The returnflag and date filters both
+    * reach their scans; the only wide shuffle is the customer-grain
+    * aggregate. */
+  val q10ReturnedItems: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(D) &&
+              col("o_orderdate") < lit("1996-07-01").cast(D))
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(c("c_custkey"), c("c_name"), n("n_name"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+           col("l_discount").cast(DecimalType(18, 2)))))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q14-style promotion effect: one scan-month of lineitem ⋈
+    * part, CASE-gated decimal sums, a single percentage out — the
+    * conditional-aggregate-over-join microbenchmark. */
+  val q14PromoRevenue: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(D) &&
+              col("l_shipdate") < lit("1996-03-01").cast(D))
+    val p = t(s, dir, "part")
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 2)) -
+               col("l_discount").cast(DecimalType(18, 2))))
+          .otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("promo_revenue"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) -
+             col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("total_revenue"))
+      .selectExpr(
+        "round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct",
+        "promo_revenue", "total_revenue")
+  }
+
+  /** TPC-H Q19-style discounted revenue: the OR-of-ANDs join predicate
+    * (three brand/size/quantity bands) that stresses disjunctive
+    * pushdown — Catalyst extracts the common `l_partkey = p_partkey`
+    * equi-key so the join stays hash-based, with the disjunction as a
+    * residual; the IN-able brand set is pushed to the part scan. */
+  val q19DiscountedRevenue: Q = (s, dir) => {
+    val l = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+    val bands =
+      (p("p_brand") === "Brand#2" && p("p_size").between(1, 15) &&
+        l("l_quantity").between(1, 11)) ||
+      (p("p_brand") === "Brand#19" && p("p_size").between(1, 25) &&
+        l("l_quantity").between(10, 20)) ||
+      (p("p_brand") === "Brand#9" && p("p_size").between(1, 35) &&
+        l("l_quantity").between(20, 30))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey") && bands)
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) -
+           col("l_discount").cast(DecimalType(18, 2)))))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** TPC-H Q18-style large-order customers: aggregate-HAVING subquery
     * driving a multi-join top-k. */
   val q18LargeOrders: Q = (s, dir) => {
@@ -516,6 +590,9 @@ object Relational {
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier" -> q5LocalSupplier,
     "q7_volume_shipping" -> q7VolumeShipping,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q14_promo_revenue" -> q14PromoRevenue,
+    "q19_discounted_revenue" -> q19DiscountedRevenue,
     "q1_join_filter_sort" -> q1JoinFilterSort,
     "scan_project" -> scanProject,
     "select_star_limit" -> selectStarLimit,
@@ -621,6 +698,52 @@ object Relational {
                 (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
          GROUP BY 1, 2, 3
          ORDER BY supp_nation, cust_nation, l_year""",
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS DOUBLE) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate < TIMESTAMP '1996-07-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, c_custkey ASC
+         LIMIT 20""",
+    "q14_promo_revenue" ->
+      """WITH a AS (
+         SELECT
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS promo_revenue,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             AS DOUBLE) AS total_revenue
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l.l_shipdate < TIMESTAMP '1996-03-01')
+         SELECT round(100.0 * promo_revenue / total_revenue, 6)
+           AS promo_pct, promo_revenue, total_revenue
+         FROM a""",
+    "q19_discounted_revenue" ->
+      """SELECT
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS DOUBLE) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 1 AND 11)
+            OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 25
+                AND l.l_quantity BETWEEN 10 AND 20)
+            OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 1 AND 35
+                AND l.l_quantity BETWEEN 20 AND 30)""",
     "q1_join_filter_sort" ->
       """SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice,
          l.l_linenumber, l.l_quantity, l.l_extendedprice

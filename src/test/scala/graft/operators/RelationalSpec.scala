@@ -123,6 +123,22 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === sql.map(_.toSeq).toSeq)
   }
 
+  test("q10/q14/q19 macro analogs: sane shapes and non-trivial selections") {
+    val q10 = Relational.q10ReturnedItems(spark, sf).collect()
+    assert(q10.nonEmpty && q10.length <= 20)
+    val revs = q10.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+      "q10 not revenue-descending")
+    val q14 = Relational.q14PromoRevenue(spark, sf).head()
+    val pct = q14.getAs[Double]("promo_pct")
+    assert(pct > 0.0 && pct < 100.0, s"promo_pct $pct out of range")
+    assert(q14.getAs[Double]("promo_revenue") <
+      q14.getAs[Double]("total_revenue"))
+    val q19 = Relational.q19DiscountedRevenue(spark, sf).head()
+    assert(q19.getAs[Long]("n_lines") > 0, "q19 bands selected nothing")
+    assert(q19.getAs[Double]("revenue") > 0.0)
+  }
+
   test("tail_k returns the last 10 orders ascending") {
     val rows = Relational.tailK(spark, sf).collect()
     assert(rows.length === 10)
