@@ -101,6 +101,15 @@ class DedupSimilaritySpec extends SparkSpec {
       "classifier should separate the corpus at this operating point")
   }
 
+  test("two-stage rerank reproduces the exact brute-force top-5") {
+    val exact = Similarity.annBruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val staged = Similarity.annTwoStageRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(staged.toSeq === exact.toSeq,
+      "depth-50 shortlist failed to recover the exact ranking")
+  }
+
   test("graft_sq8/graft_idot equal the HOF quantize/fold on real vectors") {
     val both = spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("vec_id",
