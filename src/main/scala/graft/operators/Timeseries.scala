@@ -204,6 +204,70 @@ object Timeseries {
          AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
        ORDER BY user_id"""
 
+  /** Feature-store point-in-time join: every fact row (purchase) is
+    * enriched with the dimension version (the user's SCD2 state) valid
+    * AT ITS OWN timestamp — the temporal-correctness join that keeps
+    * training features free of future leakage. NOT a range join: the
+    * dim's version rows and the facts are tagged, unioned, and swept by
+    * ONE per-user window (state = last version at-or-before each fact),
+    * so the plan is a single hash exchange + sort per key regardless of
+    * how many versions a key has — the same O(n log n) shape as the
+    * as-of join, which a |facts|×|versions| interval join would not
+    * survive at 100 TB. Version boundaries here are the user's
+    * ACTIVITY-state changes (non-purchase event types), looked up by
+    * the purchase facts; in production the dim table is any SCD2
+    * source. */
+  val joinPointInTime: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val w0 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // dim-version rows: SCD2 change rows over the user's ACTIVITY stream
+    // (non-purchase events) — a dimension distinct from the fact stream,
+    // so the looked-up state is genuinely historical
+    val versions = ev
+      .filter(col("event_type") =!= "purchase")
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("prev_type", lag("event_type", 1).over(w0))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("ts"),
+        col("event_type").as("dim_state"), col("event_id"),
+        lit(0).as("side"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        lit(null).cast("string").as("dim_state"), col("event_id"),
+        lit(1).as("side"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    facts.unionByName(versions)
+      .withColumn("state_at_ts",
+        last("dim_state", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("state_at_ts"))
+      .orderBy("event_id")
+  }
+
+  val joinPointInTimeOracle: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                    event_type FROM events),
+       a AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+       c AS (SELECT *, lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             FROM a),
+       v AS (SELECT user_id, event_id, ts, event_type FROM c
+             WHERE prev_type IS NULL OR prev_type <> event_type),
+       f AS (SELECT user_id, event_id, ts FROM e
+             WHERE event_type = 'purchase')
+       SELECT f.event_id, f.user_id, f.ts, n.state_at_ts
+       FROM f LEFT JOIN LATERAL (
+         SELECT v.event_type AS state_at_ts
+         FROM v
+         WHERE v.user_id = f.user_id
+           AND (v.ts < f.ts OR (v.ts = f.ts AND v.event_id <= f.event_id))
+         ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) n ON true
+       ORDER BY f.event_id"""
+
   /** Multi-grain time rollup: the same measure aggregated at day, week
     * (ISO Monday start), and month grain in one result — the cube a
     * time-series dashboard reads. Each grain is an independent partial+
@@ -244,6 +308,7 @@ object Timeseries {
     "gapfill_date_spine" -> gapfillDateSpine,
     "scd2_history" -> scd2History,
     "scd2_point_in_time" -> scd2PointInTime,
+    "join_point_in_time" -> joinPointInTime,
     "gapfill_linear_interp" -> gapfillLinearInterp,
     "time_rollup_multi" -> timeRollupMulti)
 
@@ -251,6 +316,7 @@ object Timeseries {
     "gapfill_date_spine" -> gapfillDateSpineOracle,
     "scd2_history" -> scd2HistoryOracle,
     "scd2_point_in_time" -> scd2PointInTimeOracle,
+    "join_point_in_time" -> joinPointInTimeOracle,
     "gapfill_linear_interp" -> gapfillLinearInterpOracle,
     "time_rollup_multi" -> timeRollupMultiOracle)
 }

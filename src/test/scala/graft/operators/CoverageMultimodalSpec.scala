@@ -51,6 +51,32 @@ class CoverageMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("point-in-time join: every fact sees the version current at its " +
+      "own timestamp, never a future one") {
+    val out = Timeseries.joinPointInTime(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2), r.getString(3)))
+    var checked = 0
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      ordered.zipWithIndex.foreach { case ((_, id, _, tpe), i) =>
+        if (tpe == "purchase") {
+          // brute force: the latest non-purchase activity state at or
+          // before this fact (null when the purchase precedes any)
+          val state = ordered.take(i + 1).filter(_._4 != "purchase")
+            .lastOption.map(_._4)
+          assert(Option(out(id)) === state, s"event $id")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 0 && checked === out.size)
+    assert(out.values.exists(_ != null), "no fact saw any version")
+  }
+
   test("scd2 point-in-time: one row per active user, state = last " +
       "change at or before T") {
     val T = java.time.LocalDateTime.parse("2024-01-15T12:00:00")
