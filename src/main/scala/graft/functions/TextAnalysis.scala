@@ -356,6 +356,37 @@ object TextAnalysis {
          FROM documents)
        GROUP BY tg ORDER BY n DESC, tg ASC LIMIT 20"""
 
+  /** BPE merge-candidate statistics (Sennrich, Haddow & Birch, "Neural
+    * Machine Translation of Rare Words with Subword Units", ACL 2016 —
+    * the tokenizer-training primitive): corpus-wide counts of adjacent
+    * SYMBOL pairs inside words, whose argmax is the next merge a BPE
+    * trainer would perform. One word-explode + one per-row pair
+    * generation (no character self-join) + one partial+final count —
+    * at 100 TB each merge iteration is exactly this job over the
+    * current vocabulary's segmentation, so the counting shape IS the
+    * trainer's inner loop. Top-10 with lexicographic tie-break. */
+  val bpeMergeStep: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .filter(length(col("w")) >= 2)
+      .selectExpr(
+        """explode(transform(sequence(1, length(w) - 1),
+           i -> concat(substring(w, i, 1), substring(w, i + 1, 1))))
+           AS pair""")
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(10)
+
+  val bpeMergeStepOracle: String =
+    """SELECT pair, count(*) AS n FROM (
+         SELECT unnest(list_transform(range(1, length(w)),
+           i -> substr(w, i, 1) || substr(w, i + 1, 1))) AS pair
+         FROM (SELECT unnest(string_split(text, ' ')) AS w
+               FROM documents)
+         WHERE length(w) >= 2)
+       GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 10"""
+
   /** Bigram collocations scored by pointwise mutual information:
     * PMI = ln(p(ab) / (p(a)·p(b))) over word bigrams — the classic
     * collocation-mining statistic. Probabilities are exact rationals of
@@ -1044,6 +1075,7 @@ object TextAnalysis {
     "text_cm_frequency" -> cmFrequency,
     "text_frequent_tokens" -> frequentTokens,
     "text_trigram_counts" -> trigramCounts,
+    "text_bpe_merge_step" -> bpeMergeStep,
     "text_bigram_pmi" -> bigramPmi,
     "corpus_sample_bottomk" -> sampleBottomK,
     "corpus_sample_stratified" -> sampleStratified,
@@ -1074,6 +1106,7 @@ object TextAnalysis {
     "text_cm_frequency" -> cmFrequencyOracle,
     "text_frequent_tokens" -> frequentTokensOracle,
     "text_trigram_counts" -> trigramCountsOracle,
+    "text_bpe_merge_step" -> bpeMergeStepOracle,
     "text_bigram_pmi" -> bigramPmiOracle,
     "corpus_sample_bottomk" -> sampleBottomKOracle,
     "corpus_sample_stratified" -> sampleStratifiedOracle,

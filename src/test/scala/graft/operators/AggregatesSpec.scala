@@ -109,6 +109,23 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("text_bpe_merge_step: pair counts match a direct recount") {
+    val top = graft.functions.TextAnalysis.bpeMergeStep(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(top.length === 10)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").as[String].collect()
+    val want = top.toMap.keySet
+    val counted = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_.split(' ').filter(_.length >= 2).foreach { w =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        if (want(p)) counted(p) = counted.getOrElse(p, 0L) + 1L
+      }
+    })
+    top.foreach { case (p, n) => assert(counted(p) === n, p) }
+  }
+
   test("text_trigram_counts: totals tile the corpus token counts") {
     val top = graft.functions.TextAnalysis.trigramCounts(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1))
