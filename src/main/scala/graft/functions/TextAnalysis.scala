@@ -369,22 +369,27 @@ object TextAnalysis {
     t(s, dir, "documents")
       .selectExpr("explode(split(text, ' ')) AS w")
       .filter(length(col("w")) >= 2)
-      .selectExpr(
+      // collapse to the (word, freq) vocabulary FIRST — Sennrich's
+      // trainer operates on the vocab dict, and at corpus scale the
+      // pair explode then runs over |vocab| rows, not |occurrences|
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+      .selectExpr("wn",
         """explode(transform(sequence(1, length(w) - 1),
            i -> concat(substring(w, i, 1), substring(w, i + 1, 1))))
            AS pair""")
       .groupBy("pair")
-      .agg(count(lit(1)).as("n"))
+      .agg(sum("wn").as("n"))
       .orderBy(col("n").desc, col("pair").asc)
       .limit(10)
 
   val bpeMergeStepOracle: String =
-    """SELECT pair, count(*) AS n FROM (
-         SELECT unnest(list_transform(range(1, length(w)),
+    """SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM (
+         SELECT wn, unnest(list_transform(range(1, length(w)),
            i -> substr(w, i, 1) || substr(w, i + 1, 1))) AS pair
-         FROM (SELECT unnest(string_split(text, ' ')) AS w
-               FROM documents)
-         WHERE length(w) >= 2)
+         FROM (SELECT w, count(*) AS wn FROM (
+                 SELECT unnest(string_split(text, ' ')) AS w
+                 FROM documents)
+               WHERE length(w) >= 2 GROUP BY w))
        GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 10"""
 
   /** Bigram collocations scored by pointwise mutual information:
