@@ -1204,38 +1204,49 @@ object Coverage {
     * NULL/non-NULL across rows since only prices > 9999.99 overflow
     * DECIMAL(8,2) after ×100. Doubles enter through DECIMAL(18,2) first
     * (the repo-wide exact-decimal discipline), so every subsequent step
-    * is exact decimal arithmetic on both sides. */
+    * is exact decimal arithmetic on both sides.
+    *
+    * The decimal results are rendered to VARCHAR as the FINAL step on
+    * both engine and oracle sides: the values are exact either way, but
+    * drivers canonicalize DECIMAL binary layouts differently (scale /
+    * trailing-zero representation), so the comparison hashes one
+    * canonical textual form. Both engines print a DECIMAL(p,s) with
+    * exactly s fractional digits, so the rendering is deterministic. */
   val decimalHalfUp: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .filter(col("l_orderkey") < 2000)
       .selectExpr(
         "l_orderkey",
         "CAST(l_linenumber AS BIGINT) AS l_linenumber",
-        """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(12,1))
-           AS half_up_pos""",
-        """CAST(CAST(-l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(12,1))
-           AS half_up_neg""",
-        """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(10,0))
-           AS half_up_int""",
-        """TRY_CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-           CAST(100 AS DECIMAL(3,0)) AS DECIMAL(8,2)) AS overflow_null""")
+        """CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(12,1))
+           AS STRING) AS half_up_pos""",
+        """CAST(CAST(CAST(-l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(12,1))
+           AS STRING) AS half_up_neg""",
+        """CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(10,0))
+           AS STRING) AS half_up_int""",
+        """CAST(TRY_CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           CAST(100 AS DECIMAL(3,0)) AS DECIMAL(8,2)) AS STRING)
+           AS overflow_null""")
       .orderBy("l_orderkey", "l_linenumber")
 
   // DuckDB's decimal→decimal cast TRUNCATES on scale reduction (0.26 →
   // 0.2), unlike Spark's HALF_UP cast — so the oracle spells the HALF_UP
   // semantics explicitly via round() (half away from zero = HALF_UP on
-  // both signs), then casts only to align the declared type.
+  // both signs), casts to align the declared type, then renders to
+  // VARCHAR so the hash compares the canonical text, not the engine's
+  // decimal binary layout.
   val decimalHalfUpOracle: String =
     """SELECT l_orderkey,
        CAST(l_linenumber AS BIGINT) AS l_linenumber,
-       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1)
-         AS DECIMAL(12,1)) AS half_up_pos,
-       CAST(round(CAST(-l_extendedprice AS DECIMAL(18,2)), 1)
-         AS DECIMAL(12,1)) AS half_up_neg,
-       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 0)
-         AS DECIMAL(10,0)) AS half_up_int,
-       TRY_CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-         CAST(100 AS DECIMAL(3,0)) AS DECIMAL(8,2)) AS overflow_null
+       CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1)
+         AS DECIMAL(12,1)) AS VARCHAR) AS half_up_pos,
+       CAST(CAST(round(CAST(-l_extendedprice AS DECIMAL(18,2)), 1)
+         AS DECIMAL(12,1)) AS VARCHAR) AS half_up_neg,
+       CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 0)
+         AS DECIMAL(10,0)) AS VARCHAR) AS half_up_int,
+       CAST(TRY_CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+         CAST(100 AS DECIMAL(3,0)) AS DECIMAL(8,2)) AS VARCHAR)
+         AS overflow_null
        FROM lineitem WHERE l_orderkey < 2000
        ORDER BY l_orderkey, l_linenumber"""
 
