@@ -753,26 +753,49 @@ object Coverage {
     * sums); CoverageSpec asserts the file counts actually collapsed
     * 16 → 2. */
   private[operators] def compactedEventsDir(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val tmp = System.getProperty("java.io.tmpdir")
-    val frag = s"$tmp/graft_frag_" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    val comp = s"$tmp/graft_compact_" +
-      java.lang.Integer.toHexString(dir.hashCode)
-    if (!new java.io.File(frag, "_SUCCESS").exists()) {
-      events(s, dir)
-        .selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts",
-          "user_id", "value", "event_type")
-        .repartition(16)
-        .write.mode("overwrite").parquet(frag)
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    Coverage.synchronized {
+      // Cache key is a CONTENT fingerprint (source path + length +
+      // mtime, SHA-256), not dir.hashCode: regenerating the dataset at
+      // the same path changes the fingerprint and rebuilds, and two
+      // distinct dirs can't alias. Writes go to a pid-tagged stage dir
+      // renamed into place, so a concurrent session either wins the
+      // rename or discards its (identical, same-fingerprint) copy —
+      // never reads a half-written layout.
+      val src = new java.io.File(dir, "events.parquet")
+      val key = s"graft-compact-v1:$dir:${src.length}:${src.lastModified}"
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_))
+        .mkString
+      val tmp = System.getProperty("java.io.tmpdir")
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree))
+        f.delete(): Unit
+      }
+      def build(target: String)(write: String => Unit): Unit =
+        if (!new java.io.File(target, "_SUCCESS").exists()) {
+          val stage = s"${target}_stage_${ProcessHandle.current().pid()}"
+          rmTree(new java.io.File(stage))
+          write(stage)
+          if (!new java.io.File(stage).renameTo(new java.io.File(target)))
+            rmTree(new java.io.File(stage)) // lost the race to an equal copy
+        }
+      val frag = s"$tmp/graft_frag_$digest"
+      val comp = s"$tmp/graft_compact_$digest"
+      build(frag) { p =>
+        events(s, dir)
+          .selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts",
+            "user_id", "value", "event_type")
+          .repartition(16)
+          .write.mode("overwrite").parquet(p)
+      }
+      build(comp) { p =>
+        s.read.parquet(frag)
+          .repartition(2)
+          .write.mode("overwrite").parquet(p)
+      }
+      comp
     }
-    if (!new java.io.File(comp, "_SUCCESS").exists()) {
-      s.read.parquet(frag)
-        .repartition(2)
-        .write.mode("overwrite").parquet(comp)
-    }
-    comp
-  }
 
   val maintenanceCompactFiles: Q = (s, dir) =>
     s.read.parquet(compactedEventsDir(s, dir))

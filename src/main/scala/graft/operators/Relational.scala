@@ -878,7 +878,7 @@ object Relational {
            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
            FROM events WHERE event_type = 'click'),
          purchases AS (
-           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
            FROM events WHERE event_type = 'purchase')
          SELECT c.event_id, c.user_id, c.ts,
                 n.direction, n.nearest_ts, n.nearest_value
@@ -891,7 +891,14 @@ object Relational {
            ORDER BY CASE WHEN p.ts <= c.ts
                       THEN epoch_us(c.ts) - epoch_us(p.ts)
                       ELSE epoch_us(p.ts) - epoch_us(c.ts) END ASC,
-                    (p.ts > c.ts) ASC
+                    (p.ts > c.ts) ASC,
+                    -- ties at identical (user_id, ts): the engine's
+                    -- window picks max event_id for 'past' (last in
+                    -- (ts, event_id) order) and min for 'future'
+                    -- (first) — by this point all tied rows share a
+                    -- direction, so one signed key spells both
+                    CASE WHEN p.ts <= c.ts THEN -p.event_id
+                         ELSE p.event_id END ASC
            LIMIT 1) n ON true
          ORDER BY c.event_id""",
     "na_fill" ->

@@ -233,9 +233,14 @@ object Similarity {
        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
 
   /** Embedding-cosine near-dup pairs (threshold 0.4 — the harness
-    * embeddings are near-orthogonal, max cos ≈ 0.51, so no exact
-    * geometric bound separates matches from the bulk; the LSH-bucketed
-    * path is the approximate scale answer for higher thresholds).
+    * embeddings are near-orthogonal, max cos ≈ 0.51 at sf0.01, so no
+    * exact geometric bound separates matches from the bulk). This is
+    * the EXACT-baseline op by design: it guarantees recall 1.0 and its
+    * compute is inherently quadratic (blocked so the SHUFFLE never is —
+    * see below). The production 100 TB path is the cell-bounded pair
+    * of ops, [[cosineNeardupCells]] / [[dedupSemanticScaled]], which
+    * score only within IVF cells (linear candidate volume, the
+    * SemDeDup-paper trade), or [[annLshTopk]] for top-k retrieval.
     *
     * Exact all-pairs, but NOT a cartesian: the O(n²) comparison space is
     * decomposed into B(B+1)/2 block-pair tasks (2D blocking, the
@@ -299,7 +304,11 @@ object Similarity {
     * observed int8/exact divergence (≤1 of top-5 at depth 5 on this
     * corpus), so the result equals the exact brute force — asserted by
     * sharing its oracle, like the custom-exec path. */
-  val annTwoStageRerank: Q = (s, dir) => {
+  /** Stage 1 alone — the depth-k int8 recall shortlist (exposed so the
+    * spec can measure the shortlist-recall margin: how deep into the
+    * exact ranking the first DROPPED candidate sits; oracle-exactness
+    * of the rerank rests on that margin staying > k). */
+  private[operators] def int8Shortlist(depth: Int): Q = (s, dir) => {
     val qv = t(s, dir, "embeddings")
       .selectExpr("vec_id", "graft_sq8(embedding) AS qvec")
       .selectExpr("vec_id", "qvec",
@@ -310,12 +319,16 @@ object Similarity {
       .selectExpr("vec_id AS c_id", "qvec AS c_q", "qnrm AS c_n")
     val wCoarse = Window.partitionBy("q_id")
       .orderBy(col("cos_q").desc, col("c_id").asc)
-    val shortlist = c8.join(broadcast(q8))
+    c8.join(broadcast(q8))
       .selectExpr("q_id", "c_id",
         "graft_idot(q_q, c_q) / (q_n * c_n) AS cos_q")
       .withColumn("rk", row_number().over(wCoarse))
-      .filter(col("rk") <= 50)
+      .filter(col("rk") <= depth)
       .select("q_id", "c_id")
+  }
+
+  val annTwoStageRerank: Q = (s, dir) => {
+    val shortlist = int8Shortlist(50)(s, dir)
     val v = vecs(s, dir)
     val wExact = Window.partitionBy("q_id")
       .orderBy(col("cos_sim").desc, col("c_id").asc)
@@ -331,6 +344,130 @@ object Similarity {
       .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
       .orderBy("q_id", "rank")
   }
+
+  /** IVF cell assignment — the coarse-recall stage of the scaled
+    * semantic-dedup path: every vector routes to its NEAREST computed
+    * centroid (the same deterministic rounded-mean centroids the IVF
+    * search uses), exactly the k-means assignment step of the SemDeDup
+    * paper. Centroids are broadcast (k vectors), so assignment is one
+    * map-side pass over the corpus: O(n·k) compute, zero shuffle before
+    * the per-vector rank. */
+  private def cellAssigned(s: SparkSession, dir: String): DataFrame = {
+    val cents = centroids(s, dir)
+      .selectExpr("label AS c_label", "centroid",
+        s"${normS("centroid")} AS c_cnrm")
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cent_sim").desc, col("c_label").asc)
+    vecs(s, dir).crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "embedding", "nrm", "c_label",
+        s"${dotS("embedding", "centroid")} / (nrm * c_cnrm) AS cent_sim")
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .selectExpr("vec_id", "embedding", "nrm", "c_label AS cell")
+  }
+
+  /** DuckDB twin of [[cellAssigned]] (shares `centroidDuck`). */
+  private lazy val cellAssignedDuck: String =
+    s"""SELECT vec_id, embedding, nrm, c_label AS cell FROM (
+         SELECT v.vec_id, v.embedding, v.nrm, c.c_label,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             ${dotD("v.embedding", "c.centroid")} / (v.nrm * c.c_cnrm)
+               DESC, c.c_label ASC) AS arn
+         FROM ($vecsDuck) v CROSS JOIN (
+           SELECT c_label, centroid, ${normD("centroid")} AS c_cnrm
+           FROM (SELECT label AS c_label, centroid
+                 FROM ($centroidDuck)) c0) c)
+       WHERE arn = 1"""
+
+  /** Cell-bounded qualifying pairs — the SCALED edge feed: candidates
+    * are generated only WITHIN an IVF cell, so candidate volume is
+    * Σ|cell|² ≈ n²/k instead of n² and shrinks linearly with the cell
+    * count k (at 100 TB, k grows with the corpus so cells stay
+    * bounded; cross-cell near-dups are out of scope BY DESIGN — the
+    * recall/cost trade the SemDeDup paper makes, tunable via k and
+    * multi-probe). Inside each cell the same 2D block decomposition as
+    * [[cosinePairsRaw]] keeps per-task memory at O(|cell|/B) rows:
+    * join keys are (cell, ti, tj), so no task ever holds a whole cell
+    * unless the cell is one block. */
+  private[operators] def cellPairsRaw(B: Int): Q = (s, dir) => {
+    val v = cellAssigned(s, dir)
+      .selectExpr("vec_id", "embedding", "nrm", "cell",
+        s"CAST(pmod(vec_id, $B) AS INT) AS blk")
+    val lhs = v.selectExpr("vec_id AS a_id", "embedding AS e1",
+      "nrm AS n1", "cell", "blk AS ti",
+      s"explode(sequence(blk, ${B - 1})) AS tj")
+    val rhs = v.selectExpr("vec_id AS b_id", "embedding AS e2",
+      "nrm AS n2", "cell", "explode(sequence(0, blk)) AS ti",
+      "blk AS tj")
+    lhs.join(rhs, Seq("cell", "ti", "tj"))
+      .filter(col("ti") =!= col("tj") || col("a_id") < col("b_id"))
+      .selectExpr("cell",
+        "least(a_id, b_id) AS v1", "greatest(a_id, b_id) AS v2",
+        s"${dotS("e1", "e2")} / (n1 * n2) AS cos_sim")
+      .filter(col("cos_sim") >= 0.4)
+  }
+
+  private lazy val cellPairsDuck: String =
+    s"""SELECT a.cell, a.vec_id AS v1, b.vec_id AS v2,
+         ${dotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+       FROM ($cellAssignedDuck) a JOIN ($cellAssignedDuck) b
+         ON a.cell = b.cell AND a.vec_id < b.vec_id
+       WHERE ${dotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+         >= 0.4"""
+
+  /** The cell-bounded near-dup pair list itself (the scaled twin of
+    * [[cosineNeardup]]): same exact scoring kernel, candidate space cut
+    * to within-cell. Every emitted pair is also an exact-baseline pair
+    * (soundness — no false positives); DedupSimilaritySpec asserts it. */
+  val cosineNeardupCells: Q = (s, dir) =>
+    cellPairsRaw(8)(s, dir)
+      .selectExpr("cell", "v1", "v2", "round(cos_sim, 6) AS cos_sim")
+      .orderBy("v1", "v2")
+
+  lazy val cosineNeardupCellsOracle: String =
+    s"""SELECT cell, v1, v2, round(cos_sim, 6) AS cos_sim
+       FROM ($cellPairsDuck) ORDER BY v1, v2"""
+
+  /** SemDeDup at production shape: coarse IVF recall (nearest-centroid
+    * cells) → exact within-cell pair scoring → connected components →
+    * keep the component-minimum. Unlike [[dedupSemanticKeep]] (the
+    * exact spec baseline, quadratic compute), NO stage here is
+    * corpus-quadratic: assignment is a broadcast map pass, candidate
+    * generation is within-cell only, and the CC kernel is the shared
+    * O(log d) pointer-jumping one. Because scaled edges ⊆ exact edges,
+    * the scaled clusters are always a REFINEMENT of the exact clusters
+    * (asserted in DedupSimilaritySpec) — the paper's documented trade:
+    * cross-cell duplicates survive, within-cell ones are caught. */
+  val dedupSemanticScaled: Q = (s, dir) => {
+    val pairs = cellPairsRaw(8)(s, dir)
+      .selectExpr("v1 AS d1", "v2 AS d2")
+    val labels = Dedup.ccFromEdges(pairs, sparseMaxEdges = 4L * 1000 * 1000)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"))
+      .join(labels, col("vec_id") === col("doc_id"), "left_outer")
+      .selectExpr("vec_id",
+        "coalesce(lab, vec_id) AS cluster_rep",
+        "coalesce(lab, vec_id) = vec_id AS is_kept")
+      .orderBy("vec_id")
+  }
+
+  lazy val dedupSemanticScaledOracle: String =
+    s"""WITH RECURSIVE
+       edges AS (SELECT v1 AS d1, v2 AS d2 FROM ($cellPairsDuck)),
+       bi AS (SELECT d1, d2 FROM edges
+              UNION ALL SELECT d2, d1 FROM edges),
+       verts AS (SELECT DISTINCT d1 AS doc_id FROM bi),
+       reach(doc_id, lab) AS (
+         SELECT doc_id, doc_id FROM verts
+         UNION
+         SELECT b.d1, r.lab FROM bi b JOIN reach r ON b.d2 = r.doc_id),
+       labs AS (SELECT doc_id, min(lab) AS lab
+                FROM reach GROUP BY doc_id)
+       SELECT e.vec_id,
+         coalesce(l.lab, e.vec_id) AS cluster_rep,
+         coalesce(l.lab, e.vec_id) = e.vec_id AS is_kept
+       FROM embeddings e LEFT JOIN labs l ON e.vec_id = l.doc_id
+       ORDER BY e.vec_id"""
 
   /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-
     * efficient learning at web-scale through semantic deduplication",
@@ -704,7 +841,9 @@ object Similarity {
     "ann_int8_topk" -> annInt8Topk,
     "ann_two_stage_rerank" -> annTwoStageRerank,
     "dedup_semantic_keep" -> dedupSemanticKeep,
+    "dedup_semantic_scaled" -> dedupSemanticScaled,
     "embedding_cosine_neardup" -> cosineNeardup,
+    "embedding_cosine_neardup_cells" -> cosineNeardupCells,
     "embedding_norm_stats" -> normStats)
 
   val oracles: Map[String, String] = Map(
@@ -719,6 +858,8 @@ object Similarity {
     "ann_int8_topk" -> annInt8TopkOracle,
     "ann_two_stage_rerank" -> annBruteTopkOracle, // rerank recovers exact
     "dedup_semantic_keep" -> dedupSemanticKeepOracle,
+    "dedup_semantic_scaled" -> dedupSemanticScaledOracle,
     "embedding_cosine_neardup" -> cosineNeardupOracle,
+    "embedding_cosine_neardup_cells" -> cosineNeardupCellsOracle,
     "embedding_norm_stats" -> normStatsOracle)
 }

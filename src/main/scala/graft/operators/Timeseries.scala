@@ -236,8 +236,13 @@ object Timeseries {
       .select(col("user_id"), col("ts"),
         lit(null).cast("string").as("dim_state"), col("event_id"),
         lit(1).as("side"))
+    // Tie-break at equal ts is event_id-based (facts and versions share
+    // the unique event_id space), so a fact admits exactly the versions
+    // with (v.ts < f.ts) OR (v.ts = f.ts AND v.event_id < f.event_id) —
+    // the oracle's LATERAL predicate. Ordering side before event_id
+    // would instead let a fact see ANY same-ts version row.
     val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").asc, col("side").asc, col("event_id").asc)
+      .orderBy(col("ts").asc, col("event_id").asc, col("side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
     facts.unionByName(versions)
       .withColumn("state_at_ts",

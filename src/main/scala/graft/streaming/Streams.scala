@@ -181,8 +181,11 @@ object Streams {
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
   /** Streaming windowed top-k (trending items): per tumbling day, the 3
-    * most frequent event types. The stream maintains only (window, type)
-    * counts — O(windows × types) state bounded by the watermark; the
+    * most frequent event types. The stream maintains (window, type)
+    * counts — O(windows × types) state, and because this runs in
+    * COMPLETE output mode Spark retains ALL windows (no watermark
+    * eviction — a watermark would be a no-op here, so none is set; an
+    * append/update deployment would add one to bound state). The
     * rank-k cut runs on the materialized snapshot because streaming
     * aggregations can't nest window functions (same split a production
     * dashboard uses: incremental counts in the stream, top-k at read).
@@ -191,7 +194,6 @@ object Streams {
   val streamWindowedTopk: Q = (s, dir) => {
     val ss = streamSession(s)
     val agg = eventStream(ss, dir)
-      .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val snap = runToTable(agg, "stream_windowed_topk", "complete")

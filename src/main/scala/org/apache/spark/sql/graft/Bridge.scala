@@ -3,19 +3,49 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+import org.apache.spark.sql.execution.{ExternalRDD, LogicalRDD}
 
 /** Minimal private[sql] bridge: build a DataFrame from a custom logical
   * plan (Dataset.ofRows is private[sql]; extensions conventionally reach
   * it from a package under org.apache.spark.sql). Only used by
   * graft.operators.Similarity.annCustomTopk and the plan specs.
   *
-  * `plan` should be analyzed on `spark` (leaf nodes hold session-owned
-  * state). Note the rounds-3/4 `sbt test` SIGSEGV once blamed on a
+  * `plan` must be analyzed on `spark` — session-bound leaf nodes
+  * (LogicalRDD / ExternalRDD) carry their owning session, and executing
+  * them under a different one historically manifested as native crashes
+  * deep in codegen rather than a diagnosable error. The contract is now
+  * ENFORCED: ofRows walks the plan's leaves and throws
+  * IllegalArgumentException on a foreign-session leaf instead of
+  * executing it. (The rounds-3/4 `sbt test` SIGSEGV once blamed on a
   * cross-session ofRows was actually ColumnPruning planting empty
   * Projects under a custom node with an empty `references` set — fixed
   * in CosineTopKJoin.references, guarded by CosineTopKJoinExec's child
-  * schema `require` (misuse now throws instead of segfaulting). */
+  * schema `require` — but the affinity hazard is real independent of
+  * that bug.) */
 object Bridge {
-  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
-    CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  // LogicalRDD/ExternalRDD keep their session in a private constructor
+  // field (no accessor in Spark 4.1); read it reflectively once per class.
+  private def leafSession(leaf: AnyRef): Option[AnyRef] =
+    try {
+      val f = leaf.getClass.getDeclaredField("session")
+      f.setAccessible(true)
+      Option(f.get(leaf))
+    } catch { case _: NoSuchFieldException => None }
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame = {
+    val cs = spark.asInstanceOf[CSparkSession]
+    plan.foreach {
+      case leaf @ (_: LogicalRDD | _: ExternalRDD[_]) =>
+        leafSession(leaf).foreach { owner =>
+          require(owner eq cs,
+            s"Bridge.ofRows: leaf ${leaf.getClass.getSimpleName} is bound" +
+              " to a different SparkSession than the one executing the" +
+              " plan — re-analyze the plan on the executing session" +
+              " (cross-session leaves break codegen/state resolution)")
+        }
+      case _ =>
+    }
+    CDataset.ofRows(cs, plan)
+  }
 }

@@ -7,6 +7,30 @@ import graft.SparkSpec
 class AggregatesSpec extends SparkSpec {
   import spark.implicits._
 
+  test("approx_count_distinct: relative error vs exact stays within " +
+      "3x rsd at every scale factor") {
+    // the one oracle-less query (HLL sketch values are engine-specific):
+    // carry evidence instead — at rsd=0.02 the HLL++ estimate must sit
+    // within 3 standard errors (6%) of the exact distinct count, checked
+    // on all three harness scales so the bound isn't a one-corpus fluke
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val approx = Aggregates.approxCountDistinct(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = graft.sources.Tables.t(spark, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(approx.keySet === exact.keySet, dir)
+      exact.foreach { case (k, ex) =>
+        val rel = math.abs(approx(k) - ex).toDouble / ex
+        assert(rel <= 0.06,
+          s"$dir flag=$k: approx=${approx(k)} exact=$ex rel error " +
+            f"$rel%.4f exceeds 3x rsd (0.06)")
+      }
+    }
+  }
+
   test("dedup_latest_by_key keeps exactly one row per user — the newest") {
     val out = Aggregates.dedupLatestByKey(spark, sf)
     val users = out.select("user_id").distinct().count()

@@ -110,6 +110,77 @@ class DedupSimilaritySpec extends SparkSpec {
       "depth-50 shortlist failed to recover the exact ranking")
   }
 
+  test("two-stage rerank shortlist margin: first dropped candidate ranks " +
+      "well below the exact top-5") {
+    // ADVICE round-5: the rerank shares the brute-force oracle, so its
+    // exactness rests on the depth-50 int8 shortlist containing every
+    // exact-top-5 member. Measure the MARGIN (min exact rank among
+    // dropped candidates) so a corpus regeneration that erodes it fails
+    // here with a diagnosable message, not as a bare row mismatch.
+    val v = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding",
+        "sqrt(graft_dot(embedding, embedding)) AS nrm")
+    val q = v.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", "embedding AS qe", "nrm AS qn")
+    val c = v.filter(col("vec_id") >= 10)
+      .selectExpr("vec_id AS c_id", "embedding AS ce", "nrm AS cn")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val exactRank = c.join(broadcast(q))
+      .selectExpr("q_id", "c_id", "graft_dot(qe, ce) / (qn * cn) AS cos")
+      .withColumn("xrank", row_number().over(w))
+      .select("q_id", "c_id", "xrank")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    val kept = Similarity.int8Shortlist(50)(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    var worstMargin = Int.MaxValue
+    exactRank.keys.groupBy(_._1).foreach { case (qid, keys) =>
+      val dropped = keys.filterNot(kept).map(exactRank)
+      val margin = if (dropped.isEmpty) Int.MaxValue else dropped.min
+      worstMargin = math.min(worstMargin, margin)
+      assert(margin > 5, s"query $qid: a candidate at exact rank $margin" +
+        " was dropped by the depth-50 int8 shortlist — the rerank no" +
+        " longer recovers the exact top-5 (corpus drift?)")
+    }
+    info(s"worst shortlist-recall margin across queries: $worstMargin" +
+      " (first dropped candidate's exact rank; must stay > 5)")
+    assert(worstMargin > 10,
+      s"margin $worstMargin is thinner than 2x the rerank k — the" +
+        " depth-50 claim is nearly exhausted on this corpus")
+  }
+
+  test("scaled semantic dedup: cell edges are sound and clusters refine " +
+      "the exact clusters") {
+    // soundness: every cell-bounded pair is an exact-baseline pair with
+    // the identical rounded score (the cell stage only PRUNES)
+    val exactPairs = Similarity.cosineNeardupBlocked(1)(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val cellPairs = Similarity.cosineNeardupCells(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+    assert(cellPairs.nonEmpty, "expected within-cell near-dup pairs")
+    cellPairs.foreach { case (k, s) =>
+      assert(exactPairs.get(k) === Some(s),
+        s"pair $k not in (or disagrees with) the exact baseline")
+    }
+    // refinement: scaled edges ⊆ exact edges, so every scaled cluster
+    // must sit inside exactly one exact cluster (the SemDeDup trade:
+    // cross-cell dups survive, but no false merge is ever introduced)
+    val exactRep = Similarity.dedupSemanticKeep(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scaled = Similarity.dedupSemanticScaled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(scaled.map(_._1).toSet === exactRep.keySet)
+    scaled.groupBy(_._2).foreach { case (rep, members) =>
+      val exactReps = members.map(m => exactRep(m._1)).toSet
+      assert(exactReps.size === 1,
+        s"scaled cluster $rep spans exact clusters $exactReps")
+      assert(members.count(_._3) === 1, s"cluster $rep keeper count")
+      assert(members.map(_._1).min === rep, s"cluster $rep rep not min")
+    }
+  }
+
   test("graft_sq8/graft_idot equal the HOF quantize/fold on real vectors") {
     val both = spark.read.parquet(s"$sf/embeddings.parquet")
       .selectExpr("vec_id",

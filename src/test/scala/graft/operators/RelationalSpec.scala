@@ -83,7 +83,10 @@ class RelationalSpec extends SparkSpec {
         case Some(ps) =>
           val best = ps.minBy { p =>
             val d = us(p._3) - us(cts)
-            (math.abs(d), d > 0) // tie prefers past
+            // tie prefers past; at identical ts the engine picks max
+            // event_id for past and min for future (same key as the
+            // oracle's signed-event_id lateral ORDER BY)
+            (math.abs(d), d > 0, if (d <= 0) -p._1 else p._1)
           }
           val expDir = if (us(best._3) <= us(cts)) "past" else "future"
           assert(r.getString(3) === expDir, s"click $id")

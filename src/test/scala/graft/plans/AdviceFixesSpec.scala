@@ -222,6 +222,30 @@ class AdviceFixesSpec extends SparkSpec {
     assert(rows(1)._1 === 11L && rows(1)._2 != "NULL", rows.toSeq)
   }
 
+  test("Bridge.ofRows rejects a plan whose leaves belong to another session") {
+    // the session-affinity contract is runtime-enforced now (was
+    // doc-only): executing session-bound leaves under a foreign session
+    // must throw a diagnosable IllegalArgumentException up front, not
+    // risk a codegen/state crash later
+    val corpus = vecDf(Seq(Row(10L, Array(1.0f, 0.0f), 1.0)))
+      .selectExpr("vec_id AS c_id", "embedding", "nrm")
+    val queries = vecDf(Seq(Row(1L, Array(0.0f, 1.0f), 1.0)))
+      .selectExpr("vec_id AS q_id", "embedding", "nrm")
+    val other = spark.newSession()
+    val e = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.Bridge.ofRows(other,
+        graft.plans.CosineTopKJoin(
+          corpus.queryExecution.analyzed,
+          queries.queryExecution.analyzed, 1))
+    }
+    assert(e.getMessage.contains("different SparkSession"))
+    // and the same plan on its owning session still builds
+    assert(org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      graft.plans.CosineTopKJoin(
+        corpus.queryExecution.analyzed,
+        queries.queryExecution.analyzed, 1)).collect().nonEmpty)
+  }
+
   test("CosineTopKJoinExec rejects a mis-shaped child with a clear error") {
     // the guard that replaced the old SIGSEGV: a child without the
     // (id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE) shape must throw,
