@@ -1200,9 +1200,14 @@ object Coverage {
   /** Catalog navigation (M1/M2, `vanilla_k8s_trino_demo_installation
     * .txt:764-766,771`): SHOW CATALOGS, then a USE round-trip (create a
     * schema, switch into it, read the current schema back, restore).
-    * Spark's session catalog is the single `spark_catalog` — the analog
-    * of the reference's catalog list — and USE maps to USE <database>. */
+    * TWO real catalogs are listed since round 6: the parquet-backed
+    * session catalog and the live Derby JDBC catalog bound by
+    * [[graft.sources.GraftJdbcCatalog]] (the reference lists mongodb /
+    * trinodemo / system next to each other,
+    * `vanilla_k8s_trino_demo_installation.txt:764`); USE maps to
+    * USE <database>. */
   val metaShowCatalogs: Q = (s, dir) => {
+    graft.sources.Jdbc.registerCatalog(s, dir)
     val before = s.catalog.currentDatabase
     s.sql("CREATE DATABASE IF NOT EXISTS graft_meta")
     s.sql("USE graft_meta")
@@ -1215,7 +1220,11 @@ object Coverage {
   }
 
   val metaShowCatalogsOracle: String =
-    "SELECT 'spark_catalog' AS catalog_name, 'graft_meta' AS used_schema"
+    """SELECT * FROM (
+         SELECT 'graft_jdbc' AS catalog_name, 'graft_meta' AS used_schema
+         UNION ALL
+         SELECT 'spark_catalog', 'graft_meta')
+       ORDER BY catalog_name"""
 
   /** Decimal mapping parity (`trinodemo.properties:5-6`:
     * `decimal-mapping=allow_overflow` + `decimal-rounding-mode=HALF_UP`):

@@ -38,7 +38,9 @@ object Jdbc {
   private def url(dir: String): String =
     s"jdbc:derby:memory:graft_${tag(dir)};create=true"
 
-  private val driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+  private[sources] val derbyDriver =
+    "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+  private val driver = derbyDriver
 
   /** Rows mirrored into the JDBC engine (a bounded slice: the reference
     * DB holds 2.5 k rows — `fill_postgresql.sql`'s applehistory). */
@@ -124,6 +126,80 @@ object Jdbc {
          AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
-  val queries: Map[String, Q] = Map("jdbc_scan_agg" -> jdbcScanAgg)
-  val oracles: Map[String, String] = Map("jdbc_scan_agg" -> jdbcScanAggOracle)
+  /** Bind the Derby mirror as the NAMED catalog `graft_jdbc`
+    * ([[GraftJdbcCatalog]]) so three-part identifiers resolve across
+    * catalogs in one statement. Binding is conf-driven and lazy —
+    * Spark instantiates the plugin at the first
+    * `graft_jdbc.<schema>.<table>` reference — and per-session: the
+    * first sf dir bound in a session wins (the harness uses one dir
+    * per JVM; a multi-tenant deployment would bind one catalog name
+    * per database, exactly like the reference's one properties file
+    * per catalog). */
+  def registerCatalog(s: SparkSession, dir: String): Unit = {
+    ensureMirror(s, dir)
+    s.conf.set("spark.sql.catalog.graft_jdbc",
+      classOf[GraftJdbcCatalog].getName)
+    // first binding wins — the lazily-instantiated plugin caches its
+    // url, so a later conf overwrite would silently disagree with it
+    if (s.conf.getOption("spark.sql.catalog.graft_jdbc.url").isEmpty)
+      s.conf.set("spark.sql.catalog.graft_jdbc.url", url(dir))
+    // force the load: SHOW CATALOGS lists only LOADED catalogs, so a
+    // conf-registered-but-never-referenced catalog would be invisible
+    s.sql("SHOW NAMESPACES IN graft_jdbc").collect(): Unit
+  }
+
+  /** The reference's flagship CROSS-CATALOG join re-expressed over this
+    * engine's two catalogs (`localTrinoTest.ipynb:119-121` joins
+    * `mongodb.weather.weatherny` to `trinodemo.public.applehistory` on
+    * a key, filters on a date and sorts): one SQL statement addresses
+    * the JDBC catalog (`graft_jdbc.APP.GRAFT_ORDERS`, live Derby —
+    * uppercase because Derby stores unquoted identifiers folded up)
+    * and the session catalog (`spark_catalog.default.graft_lineitem`,
+    * parquet) by three-part name. The date predicate is pushed into
+    * the remote engine by the inherited DSv2 pushdown; the parquet
+    * side prunes columns at the scan. */
+  val q1CrossCatalog: Q = (s, dir) => {
+    registerCatalog(s, dir)
+    s.sql(
+      s"""CREATE TABLE IF NOT EXISTS spark_catalog.default.graft_lineitem
+          USING parquet LOCATION '$dir/lineitem.parquet'""")
+    // ORDER BY spells the harness data's actual unique line key —
+    // (l_orderkey, l_linenumber) repeats in the synthetic lineitem, so
+    // the part/supp keys + price complete a total order
+    s.sql(
+      """SELECT o.O_ORDERKEY AS o_orderkey,
+                CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+                l.l_partkey, l.l_suppkey,
+                CAST(o.O_ORDERDATE AS DATE) AS o_orderdate,
+                o.O_ORDERSTATUS AS o_orderstatus,
+                o.O_TOTALPRICE AS o_totalprice,
+                CAST(l.l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice
+         FROM graft_jdbc.APP.GRAFT_ORDERS o
+         JOIN spark_catalog.default.graft_lineitem l
+           ON l.l_orderkey = o.O_ORDERKEY
+         WHERE o.O_ORDERDATE < DATE '1997-01-01'
+         ORDER BY o_orderkey, l_linenumber, l_partkey, l_suppkey,
+           l_extendedprice""")
+  }
+
+  val q1CrossCatalogOracle: String =
+    s"""SELECT o.o_orderkey,
+       CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+       l.l_partkey, l.l_suppkey,
+       CAST(o.o_orderdate AS DATE) AS o_orderdate,
+       o.o_orderstatus,
+       CAST(o.o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+       CAST(l.l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice
+       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderkey < $KeyBound
+         AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+       ORDER BY o_orderkey, l_linenumber, l_partkey, l_suppkey,
+         l_extendedprice"""
+
+  val queries: Map[String, Q] = Map(
+    "jdbc_scan_agg" -> jdbcScanAgg,
+    "q1_cross_catalog" -> q1CrossCatalog)
+  val oracles: Map[String, String] = Map(
+    "jdbc_scan_agg" -> jdbcScanAggOracle,
+    "q1_cross_catalog" -> q1CrossCatalogOracle)
 }

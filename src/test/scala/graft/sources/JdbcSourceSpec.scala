@@ -36,6 +36,27 @@ class JdbcSourceSpec extends SparkSpec {
     assert(jdbc.rdd.getNumPartitions === 4)
   }
 
+  test("graft_jdbc is a real second catalog: SHOW CATALOGS lists both " +
+      "and three-part names resolve") {
+    Jdbc.registerCatalog(spark, sf)
+    val cats = spark.sql("SHOW CATALOGS").collect().map(_.getString(0)).toSet
+    assert(cats.contains("graft_jdbc") && cats.contains("spark_catalog"),
+      s"catalog listing incomplete: $cats")
+    val viaCatalog = spark.sql(
+      "SELECT count(*) FROM graft_jdbc.APP.GRAFT_ORDERS").head.getLong(0)
+    val viaReader = jdbc.count()
+    assert(viaCatalog === viaReader && viaCatalog > 0)
+  }
+
+  test("cross-catalog join pushes the date predicate into the JDBC side") {
+    val df = Jdbc.q1CrossCatalog(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.toUpperCase.contains("O_ORDERDATE"),
+      s"date filter not pushed through the v2 catalog scan:\n$plan")
+    assert(df.limit(1).collect().nonEmpty)
+  }
+
   test("values round-trip the JDBC write+read identically to parquet") {
     val viaJdbc = jdbc
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
