@@ -721,7 +721,7 @@ object TextAnalysis {
       .groupBy("h").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val exactKept = docs.join(keepExact, Seq("doc_id"), "left_semi")
-    val nearDrop = Dedup.minhashLsh(s, dir)
+    val nearDrop = Dedup.verifiedPairs(s, dir)
       .select(col("d2").as("doc_id")).distinct()
     val deduped = exactKept.join(nearDrop, Seq("doc_id"), "left_anti")
     val mixed = deduped.filter(expr(

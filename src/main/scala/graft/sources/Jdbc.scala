@@ -154,14 +154,14 @@ object Jdbc {
     * a key, filters on a date and sorts): one SQL statement addresses
     * the JDBC catalog (`graft_jdbc.APP.GRAFT_ORDERS`, live Derby —
     * uppercase because Derby stores unquoted identifiers folded up)
-    * and the session catalog (`spark_catalog.default.graft_lineitem`,
+    * and the session catalog (`spark_catalog.default.graft_lineitem_cc`,
     * parquet) by three-part name. The date predicate is pushed into
     * the remote engine by the inherited DSv2 pushdown; the parquet
     * side prunes columns at the scan. */
   val q1CrossCatalog: Q = (s, dir) => {
     registerCatalog(s, dir)
     s.sql(
-      s"""CREATE TABLE IF NOT EXISTS spark_catalog.default.graft_lineitem
+      s"""CREATE TABLE IF NOT EXISTS spark_catalog.default.graft_lineitem_cc
           USING parquet LOCATION '$dir/lineitem.parquet'""")
     // ORDER BY spells the harness data's actual unique line key —
     // (l_orderkey, l_linenumber) repeats in the synthetic lineitem, so
@@ -175,7 +175,7 @@ object Jdbc {
                 o.O_TOTALPRICE AS o_totalprice,
                 CAST(l.l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice
          FROM graft_jdbc.APP.GRAFT_ORDERS o
-         JOIN spark_catalog.default.graft_lineitem l
+         JOIN spark_catalog.default.graft_lineitem_cc l
            ON l.l_orderkey = o.O_ORDERKEY
          WHERE o.O_ORDERDATE < DATE '1997-01-01'
          ORDER BY o_orderkey, l_linenumber, l_partkey, l_suppkey,

@@ -65,6 +65,58 @@ object KafkaTopics {
     StructField("timestamp", TimestampType),
     StructField("timestampType", IntegerType)))
 
+  /** Reader options for the real `format("kafka")` binding — including
+    * the `startingOffsetsByTimestamp` / `endingOffsetsByTimestamp`
+    * JSON (per-topic map of partition → epoch-ms) that is the Kafka
+    * connector's offset-pushdown analog of the reference's
+    * timestamp-bounded topic reads. Pure plan-side logic, so it is
+    * fully spec-tested even though this sandbox has no broker AND no
+    * spark-sql-kafka jar (zero-egress): the one untestable line is the
+    * `.format("kafka")` dispatch itself, guarded by
+    * [[connectorAvailable]]. */
+  def kafkaReaderOptions(brokers: String, topic: String, partitions: Int,
+      startMs: Option[Long] = None,
+      endMs: Option[Long] = None): Map[String, String] = {
+    require(partitions > 0, "topic must have at least one partition")
+    def byTs(ms: Long): String =
+      s"""{"$topic": {${
+        (0 until partitions).map(p => s""""$p": $ms""").mkString(", ")}}}"""
+    Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topic,
+      // fail-fast on a dropped topic rather than silently reading nothing
+      "failOnDataLoss" -> "true") ++
+      startMs.map(ms => "startingOffsetsByTimestamp" -> byTs(ms)) ++
+      endMs.map(ms => "endingOffsetsByTimestamp" -> byTs(ms))
+  }
+
+  /** Whether the spark-sql-kafka connector is on the classpath (it is
+    * not in this sandbox — zero-egress, no jar). The binding code
+    * below still compiles and its option/decode layers are tested;
+    * production just adds the connector jar. */
+  def connectorAvailable: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  /** The full production batch read over a descriptor-mapped topic:
+    * `format("kafka")` with timestamp-bounded offsets, then the
+    * declared-schema JSON decode. Plan construction only — callers
+    * execute. Throws Spark's data-source-lookup error when the
+    * connector jar is absent (asserted in KafkaTopicsSpec so the
+    * failure mode is pinned, not discovered in production). */
+  def kafkaBatchRead(s: org.apache.spark.sql.SparkSession,
+      brokers: String, topic: String, schema: StructType,
+      partitions: Int, startMs: Option[Long] = None,
+      endMs: Option[Long] = None): DataFrame = {
+    val reader = kafkaReaderOptions(brokers, topic, partitions, startMs,
+      endMs).foldLeft(s.read.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+    decodeJsonTopic(reader.load(), schema)
+  }
+
   /** Decode a Kafka wire-record frame's JSON `value` payload into the
     * declared topic columns, keeping the source position columns
     * (topic/partition/offset/timestamp) for offset bookkeeping. A

@@ -67,4 +67,52 @@ class KafkaTopicsSpec extends SparkSpec {
     assert(rs(2).isNullAt(0) && rs(2).isNullAt(1))
     assert(rs(2).getString(6) === "stockdata")
   }
+
+  test("timestamp-bounded reader options spell the connector's offset " +
+      "JSON exactly") {
+    val opts = KafkaTopics.kafkaReaderOptions("broker:9092", "weatherdata",
+      partitions = 3, startMs = Some(1609718400000L),
+      endMs = Some(1609804800000L))
+    assert(opts("kafka.bootstrap.servers") === "broker:9092")
+    assert(opts("subscribe") === "weatherdata")
+    assert(opts("failOnDataLoss") === "true")
+    assert(opts("startingOffsetsByTimestamp") ===
+      """{"weatherdata": {"0": 1609718400000, "1": 1609718400000,""" +
+        """ "2": 1609718400000}}""")
+    assert(opts("endingOffsetsByTimestamp") ===
+      """{"weatherdata": {"0": 1609804800000, "1": 1609804800000,""" +
+        """ "2": 1609804800000}}""")
+    // unbounded read omits the offset keys entirely (connector default)
+    val plain = KafkaTopics.kafkaReaderOptions("b:9092", "stockdata", 1)
+    assert(!plain.contains("startingOffsetsByTimestamp") &&
+      !plain.contains("endingOffsetsByTimestamp"))
+  }
+
+  test("kafkaBatchRead plans against the connector when present, fails " +
+      "with the data-source-lookup error when absent") {
+    if (KafkaTopics.connectorAvailable) {
+      // with the jar on the classpath the full read must ANALYZE: the
+      // decoded schema is the descriptor columns + source positions
+      val df = KafkaTopics.kafkaBatchRead(spark, "broker:9092",
+        "weatherdata", KafkaTopics.weatherSchema, partitions = 3,
+        startMs = Some(1609718400000L))
+      val names = df.schema.fields.map(_.name)
+      assert(names.startsWith(
+        KafkaTopics.weatherSchema.fields.map(_.name)))
+      assert(names.takeRight(4).toSeq ===
+        Seq("topic", "partition", "offset", "timestamp"))
+    } else {
+      // this sandbox ships no spark-sql-kafka jar: pin the exact
+      // failure mode (source lookup, naming kafka) so a production
+      // misconfiguration is diagnosable and our availability probe
+      // agrees with Spark's own lookup
+      val e = intercept[Throwable] {
+        KafkaTopics.kafkaBatchRead(spark, "broker:9092", "weatherdata",
+          KafkaTopics.weatherSchema, partitions = 3)
+      }
+      val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+      assert(msg.toLowerCase.contains("kafka"), msg)
+    }
+  }
 }
