@@ -1228,14 +1228,17 @@ object Coverage {
   /** Catalog navigation (M1/M2, `vanilla_k8s_trino_demo_installation
     * .txt:764-766,771`): SHOW CATALOGS, then a USE round-trip (create a
     * schema, switch into it, read the current schema back, restore).
-    * TWO real catalogs are listed since round 6: the parquet-backed
-    * session catalog and the live Derby JDBC catalog bound by
-    * [[graft.sources.GraftJdbcCatalog]] (the reference lists mongodb /
-    * trinodemo / system next to each other,
-    * `vanilla_k8s_trino_demo_installation.txt:764`); USE maps to
+    * THREE real catalogs are listed since round 6: the parquet-backed
+    * session catalog, the live Derby JDBC catalog
+    * ([[graft.sources.GraftJdbcCatalog]]), and the Mongo-analog
+    * document catalog ([[graft.sources.GraftMongoCatalog]], a fully
+    * custom DSv2 connector) — the reference lists mongodb / trinodemo /
+    * system next to each other,
+    * `vanilla_k8s_trino_demo_installation.txt:764`; USE maps to
     * USE <database>. */
   val metaShowCatalogs: Q = (s, dir) => {
     graft.sources.Jdbc.registerCatalog(s, dir)
+    graft.sources.Mongo.registerCatalog(s, dir)
     val before = s.catalog.currentDatabase
     s.sql("CREATE DATABASE IF NOT EXISTS graft_meta")
     s.sql("USE graft_meta")
@@ -1250,6 +1253,8 @@ object Coverage {
   val metaShowCatalogsOracle: String =
     """SELECT * FROM (
          SELECT 'graft_jdbc' AS catalog_name, 'graft_meta' AS used_schema
+         UNION ALL
+         SELECT 'graft_mongo', 'graft_meta'
          UNION ALL
          SELECT 'spark_catalog', 'graft_meta')
        ORDER BY catalog_name"""

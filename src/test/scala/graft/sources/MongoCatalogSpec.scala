@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import graft.SparkSpec
+
+/** The hand-written DSv2 connector stack (GraftMongoCatalog →
+  * GraftMongoTable → pruned scan → partition readers) serving the
+  * schemadef-declared weatherny collection from the extended-JSON
+  * document store. */
+class MongoCatalogSpec extends SparkSpec {
+
+  test("SHOW CATALOGS lists all three real catalogs") {
+    Mongo.registerCatalog(spark, sf)
+    Jdbc.registerCatalog(spark, sf)
+    val cats = spark.sql("SHOW CATALOGS").collect().map(_.getString(0)).toSet
+    assert(Set("graft_mongo", "graft_jdbc", "spark_catalog")
+      .subsetOf(cats), s"incomplete: $cats")
+  }
+
+  test("scan schema is the schemadef declaration; column pruning " +
+      "reaches the partition readers") {
+    Mongo.registerCatalog(spark, sf)
+    val full = spark.table("graft_mongo.weather.weatherny")
+    assert(full.schema.fieldNames.toSeq ===
+      Seq("_id", "awnd", "pgtm", "prcp", "snow", "snwd", "tavg",
+        "tmax", "tmin"))
+    // a single-column projection must prune at the SCAN, not post-hoc:
+    // the reader then never parses the other eight measures
+    val one = spark.sql("SELECT tavg FROM graft_mongo.weather.weatherny")
+    val scans = one.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty, one.queryExecution.executedPlan.toString)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("tavg"),
+      s"pruning did not reach the scan: ${scans.head.scan.description()}")
+    assert(one.collect().length === 30) // 30 event days
+  }
+
+  test("documents decode: midnight-UTC $date ids, deterministic " +
+      "measures, parallel shards") {
+    Mongo.registerCatalog(spark, sf)
+    val rows = spark.sql(
+      """SELECT _id, pgtm, tmax, tmin
+         FROM graft_mongo.weather.weatherny ORDER BY _id""").collect()
+    assert(rows.length === 30)
+    rows.foreach { r =>
+      val ts = r.getTimestamp(0).toInstant
+      assert(ts.toString.endsWith("T00:00:00Z"), s"not midnight UTC: $ts")
+      // count / max / min of user ids are integers carried as doubles
+      Seq(1, 2, 3).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v === math.rint(v) && v >= 0)
+      }
+      assert(r.getDouble(1) > 0) // every day has events
+    }
+    // the store is sharded for parallel reads
+    assert(spark.table("graft_mongo.weather.weatherny")
+      .rdd.getNumPartitions > 1)
+  }
+
+  test("the catalog is read-only: DDL mutations are refused") {
+    Mongo.registerCatalog(spark, sf)
+    val e = intercept[Throwable] {
+      spark.sql(
+        """CREATE TABLE graft_mongo.weather.newcoll (x BIGINT)
+           USING parquet""")
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("read-only"), msgs)
+  }
+
+  test("tri-catalog cross-type join (timestamp _id = DATE) lands rows") {
+    val out = Mongo.q1TriCatalog(spark, sf).collect()
+    assert(out.nonEmpty, "calendar alignment produced an empty join")
+    out.foreach { r =>
+      val day = r.getDate(0)
+      assert(day.toString >= "1995-01-02" && day.toString <= "1995-01-31")
+      assert(r.getLong(2) >= r.getLong(3)) // n_lines >= n_orders
+    }
+  }
+}
