@@ -72,6 +72,43 @@ object Coverage {
     """SELECT n_nationkey, n_name, n_regionkey FROM nation
        ORDER BY n_nationkey"""
 
+  /** Avro ingest round-trip (the row-oriented wire/archive format the
+    * reference reads through its Kafka and Hive connectors; Spark 4
+    * bundles AvroFileFormat in spark-sql but does not service-register
+    * the `avro` short name there, so the provider is addressed by
+    * class). Avro's own embedded writer schema drives the read. */
+  val avroIngest: Q = (s, dir) => {
+    val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_avro_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").format(avro).save(out)
+    s.read.format(avro).load(out)
+      .orderBy("c_custkey")
+  }
+
+  val avroIngestOracle: String =
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+       ORDER BY c_custkey"""
+
+  /** XML ingest round-trip with a DECLARED schema (document-shaped
+    * feeds; Spark 4 bundles the xml source in spark-sql). */
+  val xmlIngest: Q = (s, dir) => {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_xml_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    t(s, dir, "region").select("r_regionkey", "r_name")
+      .write.mode("overwrite").option("rowTag", "region").xml(out)
+    val schema = StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType)))
+    s.read.option("rowTag", "region").schema(schema).xml(out)
+      .orderBy("r_regionkey")
+  }
+
+  val xmlIngestOracle: String =
+    """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"""
+
   /** Explicit GROUPING SETS (beyond rollup/cube). */
   val groupingSets: Q = (s, dir) => {
     t(s, dir, "orders").createOrReplaceTempView("orders_v")
@@ -1329,6 +1366,8 @@ object Coverage {
     "join_runtime_bloom" -> joinRuntimeBloom,
     "orc_ingest" -> orcIngest,
     "json_ingest" -> jsonIngest,
+    "avro_ingest" -> avroIngest,
+    "xml_ingest" -> xmlIngest,
     "unpivot_measures" -> unpivotMeasures,
     "window_distinct_count" -> windowDistinctCount,
     "window_rank_ratios" -> windowRankRatios,
@@ -1377,6 +1416,8 @@ object Coverage {
     "join_runtime_bloom" -> joinRuntimeBloomOracle,
     "orc_ingest" -> orcIngestOracle,
     "json_ingest" -> jsonIngestOracle,
+    "avro_ingest" -> avroIngestOracle,
+    "xml_ingest" -> xmlIngestOracle,
     "unpivot_measures" -> unpivotMeasuresOracle,
     "window_distinct_count" -> windowDistinctCountOracle,
     "window_rank_ratios" -> windowRankRatiosOracle,

@@ -10,6 +10,8 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -135,24 +137,74 @@ class GraftMongoTable(declared: StructType, dataDir: String)
     new GraftMongoScanBuilder(declared, dataDir)
 }
 
-/** Column pruning: Catalyst hands the required subset here; the reader
-  * then decodes ONLY those fields per document. */
+/** Column pruning + filter pushdown: Catalyst hands the required
+  * column subset and the WHERE predicates here. Range/equality
+  * predicates on the `_id` datetime are ABSORBED into the scan (the
+  * document-store analog of sending `find({_id: {$gte, $lt}})` to the
+  * server): the reader checks the `$date` field first and skips the
+  * whole document — never decoding the measure fields — when it falls
+  * outside the bounds. Unsupported predicates are returned as residual
+  * for Spark to evaluate post-scan, so pushdown is always exact. */
 class GraftMongoScanBuilder(declared: StructType, dataDir: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = declared
+  private var accepted: Array[Filter] = Array.empty
+  private var lo: Long = Long.MinValue
+  private var hi: Long = Long.MaxValue
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep declared field order; Catalyst may request any subset
     required = StructType(
       declared.filter(f => requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new GraftMongoScan(required, dataDir)
+
+  // external-type timestamp literal → epoch micros (the store's own
+  // representation); either Java API may arrive depending on session conf
+  private def micros(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition {
+      case EqualTo("_id", v) => micros(v).isDefined
+      case GreaterThan("_id", v) => micros(v).isDefined
+      case GreaterThanOrEqual("_id", v) => micros(v).isDefined
+      case LessThan("_id", v) => micros(v).isDefined
+      case LessThanOrEqual("_id", v) => micros(v).isDefined
+      case IsNotNull("_id") => true
+      case _ => false
+    }
+    ok.foreach {
+      case EqualTo(_, v) =>
+        val m = micros(v).get; lo = lo max m; hi = hi min m
+      case GreaterThan(_, v) => lo = lo max (micros(v).get + 1L)
+      case GreaterThanOrEqual(_, v) => lo = lo max micros(v).get
+      case LessThan(_, v) => hi = hi min (micros(v).get - 1L)
+      case LessThanOrEqual(_, v) => hi = hi min micros(v).get
+      case _ => () // IsNotNull: any bounds check already excludes null
+    }
+    accepted = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new GraftMongoScan(required, dataDir,
+    accepted, if (accepted.isEmpty) None else Some((lo, hi)))
 }
 
-class GraftMongoScan(required: StructType, dataDir: String)
+class GraftMongoScan(required: StructType, dataDir: String,
+    pushed: Array[Filter], bounds: Option[(Long, Long)])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftMongoScan(weatherny, cols=[${required.fieldNames.mkString(",")}])"
+    s"GraftMongoScan(weatherny, cols=[${required.fieldNames.mkString(",")}]" +
+      s", pushed=[${pushed.mkString(",")}])"
   override def planInputPartitions(): Array[InputPartition] = {
     val shards = Option(new java.io.File(dataDir).listFiles())
       .getOrElse(Array.empty)
@@ -162,26 +214,29 @@ class GraftMongoScan(required: StructType, dataDir: String)
     shards.map(GraftMongoInputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftMongoReaderFactory(required)
+    new GraftMongoReaderFactory(required, bounds)
 }
 
 case class GraftMongoInputPartition(path: String) extends InputPartition
 
-class GraftMongoReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+class GraftMongoReaderFactory(required: StructType,
+    bounds: Option[(Long, Long)]) extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new GraftMongoPartitionReader(
-      partition.asInstanceOf[GraftMongoInputPartition].path, required)
+      partition.asInstanceOf[GraftMongoInputPartition].path, required,
+      bounds)
 }
 
 /** Streams one shard of JSON-lines documents; decodes canonical
   * extended JSON per line with Jackson (executor-side, no Spark JSON
   * machinery — this IS the connector's wire decoder): `{"$date":
   * iso-instant}` → TimestampType micros, scalars by declared type,
-  * absent/null fields → null. */
-class GraftMongoPartitionReader(path: String, required: StructType)
-    extends PartitionReader[InternalRow] {
+  * absent/null fields → null. With pushed `_id` bounds, the `$date` is
+  * checked FIRST and out-of-range documents are skipped whole — their
+  * measure fields are never decoded. */
+class GraftMongoPartitionReader(path: String, required: StructType,
+    bounds: Option[(Long, Long)]) extends PartitionReader[InternalRow] {
 
   private val reader = new java.io.BufferedReader(
     new java.io.InputStreamReader(
@@ -191,25 +246,42 @@ class GraftMongoPartitionReader(path: String, required: StructType)
   private var row: InternalRow = _
 
   override def next(): Boolean = {
+    row = null
     var line = reader.readLine()
-    while (line != null && line.trim.isEmpty) line = reader.readLine()
-    if (line == null) { row = null; false }
-    else { row = decode(line); true }
+    while (line != null && row == null) {
+      if (line.trim.nonEmpty) {
+        val doc = om.readTree(line)
+        if (inBounds(doc)) row = decode(doc)
+      }
+      if (row == null) line = reader.readLine()
+    }
+    row != null
   }
 
-  private def decode(line: String): InternalRow = {
-    val doc = om.readTree(line)
+  private def dateMicros(
+      node: com.fasterxml.jackson.databind.JsonNode): Option[Long] = {
+    val d = if (node == null || node.isNull) null else node.get("$date")
+    if (d == null || d.isNull) None
+    else {
+      val inst = java.time.Instant.parse(d.asText)
+      Some(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+    }
+  }
+
+  private def inBounds(
+      doc: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    bounds.forall { case (lo, hi) =>
+      dateMicros(doc.get("_id")).exists(m => m >= lo && m <= hi)
+    }
+
+  private def decode(
+      doc: com.fasterxml.jackson.databind.JsonNode): InternalRow = {
     val values = required.fields.map { f =>
       val node = doc.get(f.name)
       if (node == null || node.isNull) null
       else f.dataType match {
-        case TimestampType =>
-          val d = node.get("$date")
-          if (d == null || d.isNull) null
-          else {
-            val inst = java.time.Instant.parse(d.asText)
-            inst.getEpochSecond * 1000000L + inst.getNano / 1000L
-          }
+        case TimestampType => dateMicros(node)
+          .map(java.lang.Long.valueOf).orNull
         case DoubleType => java.lang.Double.valueOf(node.asDouble())
         case LongType => java.lang.Long.valueOf(node.asLong())
         case IntegerType => java.lang.Integer.valueOf(node.asInt())
@@ -330,6 +402,27 @@ object Mongo {
   val mongoCatalogScanOracle: String =
     s"""SELECT * FROM ($weatherDuck) ORDER BY day"""
 
+  /** Datetime-range predicate ABSORBED by the connector
+    * (SupportsPushDownFilters): the readers bounds-check the `$date`
+    * field first and skip out-of-range documents without decoding
+    * their measures — the `find({_id: {$gte,$lt}})` server-side-filter
+    * analog. MongoCatalogSpec asserts the plan carries the pushed
+    * predicates and leaves no residual Filter. */
+  val mongoPushdownScan: Q = (s, dir) => {
+    registerCatalog(s, dir)
+    s.sql(
+      """SELECT CAST(_id AS DATE) AS day, tavg, prcp
+         FROM graft_mongo.weather.weatherny
+         WHERE _id >= TIMESTAMP '1995-01-10 00:00:00'
+           AND _id <  TIMESTAMP '1995-01-20 00:00:00'
+         ORDER BY day""")
+  }
+
+  val mongoPushdownScanOracle: String =
+    s"""SELECT day, tavg, prcp FROM ($weatherDuck)
+       WHERE day >= DATE '1995-01-10' AND day < DATE '1995-01-20'
+       ORDER BY day"""
+
   /** THE reference flagship, now at full fidelity: THREE catalogs in
     * one statement — the Mongo-analog document catalog, the live JDBC
     * catalog, and the parquet session catalog — joined on the
@@ -371,8 +464,10 @@ object Mongo {
 
   val queries: Map[String, Q] = Map(
     "mongo_catalog_scan" -> mongoCatalogScan,
+    "mongo_pushdown_scan" -> mongoPushdownScan,
     "q1_tri_catalog" -> q1TriCatalog)
   val oracles: Map[String, String] = Map(
     "mongo_catalog_scan" -> mongoCatalogScanOracle,
+    "mongo_pushdown_scan" -> mongoPushdownScanOracle,
     "q1_tri_catalog" -> q1TriCatalogOracle)
 }

@@ -59,6 +59,36 @@ class MongoCatalogSpec extends SparkSpec {
       .rdd.getNumPartitions > 1)
   }
 
+  test("_id range predicates push into the scan with no residual " +
+      "Filter; unsupported predicates stay residual") {
+    Mongo.registerCatalog(spark, sf)
+    val pushed = spark.sql(
+      """SELECT tavg FROM graft_mongo.weather.weatherny
+         WHERE _id >= TIMESTAMP '1995-01-10 00:00:00'
+           AND _id <  TIMESTAMP '1995-01-20 00:00:00'""")
+    val scan = pushed.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }.head.scan
+    assert(scan.description().contains("GreaterThanOrEqual(_id") &&
+      scan.description().contains("LessThan(_id"), scan.description())
+    // exact pushdown: Spark plans no post-scan Filter at all
+    val residualFilters = pushed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(residualFilters.isEmpty,
+      pushed.queryExecution.executedPlan.toString)
+    assert(pushed.collect().length === 10) // Jan 10..19
+    // a measure predicate is NOT absorbed: it must stay a residual
+    // Filter and still evaluate correctly above the scan
+    val mixed = spark.sql(
+      """SELECT tavg FROM graft_mongo.weather.weatherny
+         WHERE _id >= TIMESTAMP '1995-01-10 00:00:00' AND tavg > 0""")
+    assert(mixed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.nonEmpty, mixed.queryExecution.executedPlan.toString)
+    assert(mixed.collect().nonEmpty)
+  }
+
   test("the catalog is read-only: DDL mutations are refused") {
     Mongo.registerCatalog(spark, sf)
     val e = intercept[Throwable] {
