@@ -569,7 +569,82 @@ object Dedup {
          CAST(count(*) - sum(keep) AS BIGINT) AS n_dropped
        FROM flagged GROUP BY doc_id ORDER BY doc_id"""
 
+  /** EXACT substring-duplication spans (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022: remove any
+    * span of ≥ L characters that appears verbatim elsewhere in the
+    * corpus; they use L=50 BPE tokens, here L=40 characters). Their
+    * suffix-array formulation is single-machine; the distributed
+    * equivalent: a span of length ≥ L is cross-document duplicated iff
+    * each of its stride-1 L-grams is, so emit every L-gram position,
+    * keep the positions whose gram occurs in >1 distinct document, and
+    * merge consecutive survivors back into maximal spans per document
+    * (run-grouping: pos − row_number is constant within a run). Emits
+    * per-document span stats: span count, characters covered (what the
+    * removal pass would cut), and the longest duplicated span.
+    *
+    * Scale shape (100 TB): the gram explode is linear in corpus chars
+    * (codegen'd explode+substring — one row per position, no HOF
+    * lambda); the only shuffles are the duplicated-gram aggregate and
+    * the left-semi join back, both keyed by the gram — uniformly
+    * distributed, AQE-skew safe; at cluster scale the key becomes a
+    * 128-bit rolling fingerprint so the exchange stays fixed-width
+    * (same trick as dedup_exact), kept as the raw gram here so the
+    * oracle is readable. The span merge is a per-document window
+    * bounded by document length. */
+  val substringSpans: Q = (s, dir) => {
+    val L = 40
+    val grams = t(s, dir, "documents")
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (L - 1)))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos, $L)").as("g"))
+    val dup = grams.groupBy("g")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1)
+      .select("g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    grams.join(dup, Seq("g"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        (sum("run") + lit(L - 1) * count(lit(1))).as("dup_chars"),
+        (max("run") + lit(L - 1)).as("max_span"))
+      .orderBy("doc_id")
+  }
+
+  val substringSpansOracle: String =
+    """WITH grams AS (
+         SELECT doc_id, CAST(i AS INT) AS pos,
+                substr(text, CAST(i AS INT), 40) AS g
+         FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, length(text) - 39)) AS i
+               FROM documents WHERE length(text) >= 40)),
+       dup AS (
+         SELECT g FROM grams GROUP BY g
+         HAVING count(DISTINCT doc_id) > 1),
+       marked AS (
+         SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+       runs AS (
+         SELECT doc_id,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             AS grp
+         FROM marked),
+       spans AS (
+         SELECT doc_id, grp, count(*) AS run FROM runs GROUP BY 1, 2)
+       SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(run) + 39 * count(*) AS BIGINT) AS dup_chars,
+         CAST(max(run) + 39 AS BIGINT) AS max_span
+       FROM spans GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "dedup_substring_spans" -> substringSpans,
     "dedup_line_level" -> lineLevel,
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_clusters" -> clusters,
@@ -581,6 +656,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs)
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring_spans" -> substringSpansOracle,
     "dedup_line_level" -> lineLevelOracle,
     "dedup_edit_distance" -> dedupEditDistanceOracle,
     "dedup_clusters" -> clustersOracle,

@@ -32,6 +32,43 @@ class DedupSimilaritySpec extends SparkSpec {
     lsh.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("dedup_substring_spans: engine output equals a brute-force " +
+      "single-machine recomputation") {
+    val L = 40
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val byGram = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, txt) <- docs if txt.length >= L; i <- 0 to txt.length - L)
+      byGram.getOrElseUpdate(txt.substring(i, i + L),
+        scala.collection.mutable.Set.empty) += id
+    val expected = docs.flatMap { case (id, txt) =>
+      if (txt.length < L) None
+      else {
+        val dupPos = (0 to txt.length - L).filter { i =>
+          byGram(txt.substring(i, i + L)).size > 1
+        }
+        if (dupPos.isEmpty) None
+        else {
+          // merge consecutive positions into maximal runs
+          val runs = dupPos.tail.foldLeft(List(List(dupPos.head))) {
+            case (acc @ cur :: rest, p) =>
+              if (p == cur.head + 1) (p :: cur) :: rest
+              else List(p) :: acc
+            case (Nil, p) => List(List(p))
+          }.map(_.length)
+          Some((id, runs.length.toLong,
+            (runs.sum + (L - 1) * runs.length).toLong,
+            (runs.max + L - 1).toLong))
+        }
+      }
+    }.sortBy(_._1).toSeq
+    val got = Dedup.substringSpans(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty, "expected cross-doc duplicated 40-char spans")
+    assert(got === expected)
+  }
+
   test("dedup_line_level: untouched docs round-trip; chunk accounting " +
       "is exact; the corpus has real cross-doc chunk dups") {
     val out = Dedup.lineLevel(spark, sf).collect()
