@@ -569,6 +569,52 @@ object Dedup {
          CAST(count(*) - sum(keep) AS BIGINT) AS n_dropped
        FROM flagged GROUP BY doc_id ORDER BY doc_id"""
 
+  /** LSH recall evaluation — the quality gate a production dedup
+    * pipeline ships with: how many of the TRUE near-dup pairs (exact
+    * word-3-gram Jaccard ≥ 0.8, from the prefix-filtered exact join)
+    * did the banded MinHash chain surface? Theory says a J=0.8 pair is
+    * caught with probability 1 − (1 − 0.8⁴)⁴ ≈ 0.88 (the bands/rows
+    * S-curve, Mining of Massive Datasets ch. 3); this measures it on
+    * the actual corpus. Both sides reuse the registered operators, so
+    * the number is the recall of the SHIPPED chain, not a model of it.
+    *
+    * Scale shape: both inputs are the already-scale-safe pair ops;
+    * the comparison is a left join on the tiny pair tables. */
+  val lshRecall: Q = (s, dir) => {
+    val truth = ngramJaccard(s, dir)
+      .filter(col("jaccard") >= 0.8).select("d1", "d2")
+    val caught = verifiedPairs(s, dir)
+      .select(col("d1"), col("d2"), lit(1).as("hit"))
+    truth.join(caught, Seq("d1", "d2"), "left_outer")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_caught"),
+        round(sum(coalesce(col("hit"), lit(0))) / count(lit(1)), 6)
+          .as("recall"))
+  }
+
+  val lshRecallOracle: String =
+    s"""WITH $minhashScoredCte,
+       lsh AS (SELECT d1, d2 FROM scored WHERE jaccard >= 0.8),
+       truth AS (
+         SELECT a.doc_id AS d1, b.doc_id AS d2
+         FROM (SELECT doc_id,
+                 list_distinct(list_transform($shDuck,
+                   x -> ${hex60Duck("x")})) AS sh FROM documents) a
+         JOIN (SELECT doc_id,
+                 list_distinct(list_transform($shDuck,
+                   x -> ${hex60Duck("x")})) AS sh FROM documents) b
+           ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.sh, b.sh)) > 0
+           AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(a.sh || b.sh)), 6) >= 0.8)
+       SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         CAST(sum(CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_caught,
+         round(CAST(sum(CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END)
+           AS DOUBLE) / count(*), 6) AS recall
+       FROM truth t LEFT JOIN lsh l ON t.d1 = l.d1 AND t.d2 = l.d2"""
+
   /** EXACT substring-duplication spans (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", ACL 2022: remove any
     * span of ≥ L characters that appears verbatim elsewhere in the
@@ -645,6 +691,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "dedup_substring_spans" -> substringSpans,
+    "dedup_lsh_recall" -> lshRecall,
     "dedup_line_level" -> lineLevel,
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_clusters" -> clusters,
@@ -657,6 +704,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_substring_spans" -> substringSpansOracle,
+    "dedup_lsh_recall" -> lshRecallOracle,
     "dedup_line_level" -> lineLevelOracle,
     "dedup_edit_distance" -> dedupEditDistanceOracle,
     "dedup_clusters" -> clustersOracle,
