@@ -637,8 +637,14 @@ object Dedup {
     * (same trick as dedup_exact), kept as the raw gram here so the
     * oracle is readable. The span merge is a per-document window
     * bounded by document length. */
-  val substringSpans: Q = (s, dir) => {
-    val L = 40
+  private val SpanL = 40
+
+  /** Maximal cross-document duplicated spans per doc: (doc_id,
+    * start [1-based], len) — the shared kernel of the span-stat and
+    * span-removal ops. */
+  private def dupSpans(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val L = SpanL
     val grams = t(s, dir, "documents")
       .filter(length(col("text")) >= L)
       .select(col("doc_id"), col("text"),
@@ -655,14 +661,98 @@ object Dedup {
     grams.join(dup, Seq("g"), "left_semi")
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy("doc_id", "grp")
-      .agg(count(lit(1)).as("run"))
+      .agg(min("pos").as("start"),
+        (count(lit(1)) + lit(L - 1)).as("len"))
+      .select("doc_id", "start", "len")
+  }
+
+  val substringSpans: Q = (s, dir) =>
+    dupSpans(s, dir)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_spans"),
-        (sum("run") + lit(L - 1) * count(lit(1))).as("dup_chars"),
-        (max("run") + lit(L - 1)).as("max_span"))
+        sum("len").as("dup_chars"),
+        max("len").as("max_span"))
+      .orderBy("doc_id")
+
+  /** APPLY the substring dedup: cut every cross-document duplicated
+    * span out of each document (the removal pass of Lee et al.'s
+    * ExactSubstr — their §4.2 "remove" treatment). The merged spans
+    * are non-overlapping and sorted, so reconstruction is a per-row
+    * fold over the doc's span list (a few elements — HOF-interpreted
+    * cost is per span, not per char), concatenating the segments
+    * between spans. Docs without duplicated spans pass through
+    * unchanged via the left join.
+    *
+    * Scale shape: everything up to the span list is dedup_substring_
+    * spans' plan; the apply adds one join back to `documents` keyed by
+    * doc_id and a per-row fold — no new corpus-sized shuffle beyond
+    * the join. */
+  val substringClean: Q = (s, dir) => {
+    val spanList = dupSpans(s, dir)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("start"),
+        col("len").cast("int").as("len")))).as("spans"))
+    t(s, dir, "documents").select("doc_id", "text")
+      .join(spanList, Seq("doc_id"), "left_outer")
+      .selectExpr("doc_id", "text",
+        """CASE WHEN spans IS NULL THEN text ELSE
+             aggregate(spans,
+               named_struct('pos', 1, 'acc', ''),
+               (st, x) -> named_struct(
+                 'pos', x.start + x.len,
+                 'acc', concat(st.acc,
+                   substring(text, st.pos, x.start - st.pos))),
+               st -> concat(st.acc,
+                 substring(text, st.pos, length(text))))
+           END AS clean_text""")
+      .select(col("doc_id"), col("clean_text"),
+        (length(col("text")) - length(col("clean_text")))
+          .cast("bigint").as("n_removed"))
       .orderBy("doc_id")
   }
+
+  /** Oracle reconstructs by the dumb-but-obviously-right route: keep
+    * every character position not covered by a span (the oracle does
+    * not need to scale — precedent: the O(n²) ngramJaccard oracle). */
+  val substringCleanOracle: String =
+    """WITH grams AS (
+         SELECT doc_id, CAST(i AS INT) AS pos,
+                substr(text, CAST(i AS INT), 40) AS g
+         FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, length(text) - 39)) AS i
+               FROM documents WHERE length(text) >= 40)),
+       dup AS (
+         SELECT g FROM grams GROUP BY g
+         HAVING count(DISTINCT doc_id) > 1),
+       runs AS (
+         SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             AS grp
+         FROM grams WHERE g IN (SELECT g FROM dup)),
+       spans AS (
+         SELECT doc_id, min(pos) AS start, count(*) + 39 AS len
+         FROM runs GROUP BY doc_id, grp),
+       covered AS (
+         SELECT DISTINCT doc_id,
+           unnest(generate_series(start, start + len - 1)) AS i
+         FROM spans),
+       chars AS (
+         SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS c
+         FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, length(text))) AS i
+               FROM documents)),
+       kept AS (
+         SELECT ch.doc_id, ch.i, ch.c FROM chars ch
+         ANTI JOIN covered cv ON ch.doc_id = cv.doc_id AND ch.i = cv.i),
+       agg AS (
+         SELECT doc_id, string_agg(c, '' ORDER BY i) AS clean_text
+         FROM kept GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         CAST(length(d.text) - length(coalesce(a.clean_text, ''))
+           AS BIGINT) AS n_removed
+       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       ORDER BY d.doc_id"""
 
   val substringSpansOracle: String =
     """WITH grams AS (
@@ -691,6 +781,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "dedup_substring_spans" -> substringSpans,
+    "dedup_substring_clean" -> substringClean,
     "dedup_lsh_recall" -> lshRecall,
     "dedup_line_level" -> lineLevel,
     "dedup_edit_distance" -> dedupEditDistance,
@@ -704,6 +795,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_substring_spans" -> substringSpansOracle,
+    "dedup_substring_clean" -> substringCleanOracle,
     "dedup_lsh_recall" -> lshRecallOracle,
     "dedup_line_level" -> lineLevelOracle,
     "dedup_edit_distance" -> dedupEditDistanceOracle,

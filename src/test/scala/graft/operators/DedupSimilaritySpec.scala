@@ -67,6 +67,23 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got.nonEmpty, "expected cross-doc duplicated 40-char spans")
     assert(got === expected)
+
+    // the removal pass: clean_text must equal the text minus every
+    // position covered by a duplicated 40-gram window
+    val expectedClean = docs.map { case (id, txt) =>
+      val covered = Array.fill(txt.length)(false)
+      if (txt.length >= L)
+        for (i <- 0 to txt.length - L
+             if byGram(txt.substring(i, i + L)).size > 1;
+             j <- i until i + L) covered(j) = true
+      val clean = txt.iterator.zipWithIndex
+        .collect { case (c, i) if !covered(i) => c }.mkString
+      (id, clean, (txt.length - clean.length).toLong)
+    }.sortBy(_._1).toSeq
+    val gotClean = Dedup.substringClean(spark, sf)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(gotClean === expectedClean)
+    assert(gotClean.exists(_._3 > 0), "removal pass removed nothing")
   }
 
   test("dedup_line_level: untouched docs round-trip; chunk accounting " +
