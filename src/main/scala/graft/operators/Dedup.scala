@@ -645,13 +645,14 @@ object Dedup {
   private def dupSpans(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val L = SpanL
+    // native kernel: one byte-level pass hashes every L-char window
+    // (position-preserving), so the per-position cost is an md5 of L
+    // bytes instead of an allocated substring, and every downstream
+    // exchange carries an 8-byte hash instead of an L-char string
     val grams = t(s, dir, "documents")
-      .filter(length(col("text")) >= L)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (L - 1)))
-          .as("pos"))
-      .select(col("doc_id"), col("pos"),
-        expr(s"substring(text, pos, $L)").as("g"))
+      .selectExpr("doc_id",
+        s"posexplode(graft_char_ngram_hashes(text, $L)) AS (pos0, g)")
+      .selectExpr("doc_id", "pos0 + 1 AS pos", "g")
     val dup = grams.groupBy("g")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") > 1)
@@ -716,9 +717,9 @@ object Dedup {
     * every character position not covered by a span (the oracle does
     * not need to scale — precedent: the O(n²) ngramJaccard oracle). */
   val substringCleanOracle: String =
-    """WITH grams AS (
+    s"""WITH grams AS (
          SELECT doc_id, CAST(i AS INT) AS pos,
-                substr(text, CAST(i AS INT), 40) AS g
+                ${hex60Duck("substr(text, CAST(i AS INT), 40)")} AS g
          FROM (SELECT doc_id, text,
                  unnest(generate_series(1, length(text) - 39)) AS i
                FROM documents WHERE length(text) >= 40)),
@@ -755,9 +756,9 @@ object Dedup {
        ORDER BY d.doc_id"""
 
   val substringSpansOracle: String =
-    """WITH grams AS (
+    s"""WITH grams AS (
          SELECT doc_id, CAST(i AS INT) AS pos,
-                substr(text, CAST(i AS INT), 40) AS g
+                ${hex60Duck("substr(text, CAST(i AS INT), 40)")} AS g
          FROM (SELECT doc_id, text,
                  unnest(generate_series(1, length(text) - 39)) AS i
                FROM documents WHERE length(text) >= 40)),

@@ -152,6 +152,32 @@ object HashUtil {
     if (m == out.length) out else java.util.Arrays.copyOf(out, m)
   }
 
+  /** Stride-1 character-L-gram 60-bit hashes: hex60md5 of every L-byte
+    * window, position i (0-based) → element i, duplicates kept (the
+    * consumer needs positions). Byte windows equal character windows
+    * for single-byte text (the harness corpus is pure ASCII — verified
+    * octet_length == length); a multibyte corpus would swap this to
+    * codepoint boundaries. Empty array when shorter than L. Called
+    * from generated code. */
+  def charNgramHashes(s: UTF8String, n: Int): Array[Long] = {
+    val bytes = s.getBytes
+    if (bytes.length < n) return Array.emptyLongArray
+    val md = mdTl.get()
+    val out = new Array[Long](bytes.length - n + 1)
+    var k = 0
+    while (k <= bytes.length - n) {
+      md.reset()
+      md.update(bytes, k, n)
+      val d = md.digest()
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      out(k) = (h << 4) | ((d(7) & 0xf0L) >>> 4)
+      k += 1
+    }
+    out
+  }
+
   /** 48-bit simhash straight from text: tokenize, build the DISTINCT
     * word-3-gram shingle set (exact string dedupe — simhash, unlike
     * minhash, is multiset-sensitive), md5-hash each mod 2^48, majority
@@ -609,6 +635,41 @@ object NgramHashes {
   }
 }
 
+/** Stride-1 char-L-gram hex60 hashes with positions preserved (see
+  * HashUtil.charNgramHashes) — the substring-dedup gram kernel: one
+  * byte-level pass per document instead of one interpreted/allocating
+  * `substring` call per position, and the downstream exchanges carry
+  * an 8-byte hash instead of an L-char string. */
+case class CharNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"graft_char_ngram_hashes: n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      HashUtil.charNgramHashes(v.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.plans.HashUtil.charNgramHashes($c, $n))")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object CharNgramHashes {
+  def fromExprs(exprs: Seq[Expression]): CharNgramHashes = {
+    require(exprs.length == 2 && exprs(1).foldable,
+      "graft_char_ngram_hashes(text, n) takes a column and a literal width")
+    CharNgramHashes(exprs.head,
+      exprs(1).eval().asInstanceOf[Number].intValue())
+  }
+}
+
 /** Session extension registering the native functions for SQL use
   * (`spark.sql.extensions=graft.plans.GraftExtensions`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -663,6 +724,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NgramHashes].getName,
         "graft_ngram_hashes"),
       (exprs: Seq[Expression]) => NgramHashes.fromExprs(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("graft_char_ngram_hashes"),
+      new ExpressionInfo(classOf[CharNgramHashes].getName,
+        "graft_char_ngram_hashes"),
+      (exprs: Seq[Expression]) => CharNgramHashes.fromExprs(exprs)))
     e.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName,
