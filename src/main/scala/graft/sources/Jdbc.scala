@@ -143,6 +143,12 @@ object Jdbc {
     // url, so a later conf overwrite would silently disagree with it
     if (s.conf.getOption("spark.sql.catalog.graft_jdbc.url").isEmpty)
       s.conf.set("spark.sql.catalog.graft_jdbc.url", url(dir))
+    // federate computation, not rows: whole GROUP BY aggregates and
+    // LIMITs compile into the remote engine's SQL when the dialect can
+    // express them (PushedAggregates in the scan; JdbcSourceSpec
+    // asserts) — the reference pushes the same way into Postgres
+    s.conf.set("spark.sql.catalog.graft_jdbc.pushDownAggregate", "true")
+    s.conf.set("spark.sql.catalog.graft_jdbc.pushDownLimit", "true")
     // force the load: SHOW CATALOGS lists only LOADED catalogs, so a
     // conf-registered-but-never-referenced catalog would be invisible
     s.sql("SHOW NAMESPACES IN graft_jdbc").collect(): Unit
@@ -196,10 +202,36 @@ object Jdbc {
        ORDER BY o_orderkey, l_linenumber, l_partkey, l_suppkey,
          l_extendedprice"""
 
+  /** GROUP BY executed BY THE REMOTE ENGINE: with pushDownAggregate
+    * the whole count/min/max aggregation compiles into Derby's SQL
+    * (`PushedAggregates` in the scan — asserted by JdbcSourceSpec), so
+    * what crosses the wire is one row per group, not one per order —
+    * the federation shape that matters when the remote table is large
+    * and the link is the bottleneck. */
+  val jdbcAggPushdown: Q = (s, dir) => {
+    registerCatalog(s, dir)
+    s.sql(
+      """SELECT O_ORDERSTATUS AS o_orderstatus,
+                count(*) AS n,
+                min(O_ORDERKEY) AS min_key,
+                max(O_ORDERKEY) AS max_key
+         FROM graft_jdbc.APP.GRAFT_ORDERS
+         GROUP BY O_ORDERSTATUS
+         ORDER BY o_orderstatus""")
+  }
+
+  val jdbcAggPushdownOracle: String =
+    s"""SELECT o_orderstatus, count(*) AS n,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+       FROM orders WHERE o_orderkey < $KeyBound
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val queries: Map[String, Q] = Map(
     "jdbc_scan_agg" -> jdbcScanAgg,
+    "jdbc_agg_pushdown" -> jdbcAggPushdown,
     "q1_cross_catalog" -> q1CrossCatalog)
   val oracles: Map[String, String] = Map(
     "jdbc_scan_agg" -> jdbcScanAggOracle,
+    "jdbc_agg_pushdown" -> jdbcAggPushdownOracle,
     "q1_cross_catalog" -> q1CrossCatalogOracle)
 }

@@ -57,6 +57,18 @@ class JdbcSourceSpec extends SparkSpec {
     assert(df.limit(1).collect().nonEmpty)
   }
 
+  test("whole GROUP BY aggregations compile into the remote engine") {
+    val df = Jdbc.jdbcAggPushdown(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*), MIN(O_ORDERKEY)," +
+      " MAX(O_ORDERKEY)]") &&
+      plan.contains("PushedGroupByExpressions: [O_ORDERSTATUS]"),
+      s"aggregate not pushed:\n$plan")
+    // fully federated: Spark plans NO aggregate of its own
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(df.collect().length === 3)
+  }
+
   test("values round-trip the JDBC write+read identically to parquet") {
     val viaJdbc = jdbc
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
