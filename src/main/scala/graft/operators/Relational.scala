@@ -496,6 +496,33 @@ object Relational {
       .orderBy("op", "o_custkey")
   }
 
+  /** Schema-evolution union (§2.7): two snapshots of a feed whose
+    * schemas drifted — columns matched BY NAME, a column missing on one
+    * side null-filled (`unionByName(allowMissingColumns)`; positional
+    * UNION would silently misalign). The daily-ingest append every
+    * long-lived pipeline eventually needs. */
+  val unionByNameEvolved: Q = (s, dir) => {
+    val o = t(s, dir, "orders")
+    val v1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_orderstatus")
+    val v2 = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+        col("o_orderstatus")) // reordered + one new column
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
+  val unionByNameEvolvedOracle: String =
+    """SELECT * FROM (
+         SELECT o_orderkey, o_orderstatus
+         FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL BY NAME
+         SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2))
+           AS o_totalprice, o_orderstatus
+         FROM orders WHERE o_orderkey % 2 = 1)
+       ORDER BY o_orderkey"""
+
   // ---- null handling (§2.2 NULL row) ----
 
   /** fillna(0) analog (`localTrinoTest.ipynb:949`): nulls produced by the
@@ -610,6 +637,7 @@ object Relational {
     "join_full_outer" -> joinFullOuter,
     "join_right_outer" -> joinRightOuter,
     "setops_all" -> setopsAll,
+    "union_by_name" -> unionByNameEvolved,
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
     "join_cross" -> joinCross,
@@ -833,6 +861,7 @@ object Relational {
          RIGHT OUTER JOIN (SELECT * FROM customer WHERE c_custkey < 1000) c
            ON o.o_custkey = c.c_custkey
          ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""",
+    "union_by_name" -> unionByNameEvolvedOracle,
     "setops_all" ->
       """SELECT * FROM (
            SELECT o_custkey, 'except_all' AS op FROM (
