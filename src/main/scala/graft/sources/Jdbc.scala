@@ -143,12 +143,16 @@ object Jdbc {
     // url, so a later conf overwrite would silently disagree with it
     if (s.conf.getOption("spark.sql.catalog.graft_jdbc.url").isEmpty)
       s.conf.set("spark.sql.catalog.graft_jdbc.url", url(dir))
-    // federate computation, not rows: whole GROUP BY aggregates and
-    // LIMITs compile into the remote engine's SQL when the dialect can
-    // express them (PushedAggregates in the scan; JdbcSourceSpec
-    // asserts) — the reference pushes the same way into Postgres
+    // federate computation, not rows: whole GROUP BY aggregates compile
+    // into the remote engine's SQL (PushedAggregates in the scan;
+    // JdbcSourceSpec asserts) — the reference pushes the same way into
+    // Postgres. pushDownLimit stays OFF for this dialect: Derby cannot
+    // express LIMIT, Spark's Derby dialect emits an EMPTY limit clause
+    // yet still marks the top-N fully pushed and removes its own limit,
+    // so enabling it silently returns the WHOLE table (measured here;
+    // JdbcSourceSpec pins the guard).
     s.conf.set("spark.sql.catalog.graft_jdbc.pushDownAggregate", "true")
-    s.conf.set("spark.sql.catalog.graft_jdbc.pushDownLimit", "true")
+    s.conf.set("spark.sql.catalog.graft_jdbc.pushDownLimit", "false")
     // force the load: SHOW CATALOGS lists only LOADED catalogs, so a
     // conf-registered-but-never-referenced catalog would be invisible
     s.sql("SHOW NAMESPACES IN graft_jdbc").collect(): Unit

@@ -196,4 +196,20 @@ class PlanSpec extends SparkSpec {
       p.replace("BroadcastExchange", "")).length
     assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$p")
   }
+
+  test("substring dedup: native gram kernel, map-side distinct before " +
+      "the gram exchange, no cartesian") {
+    val df = graft.operators.Dedup.substringSpans(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft.plans.HashUtil.charNgramHashes") ||
+           p.toLowerCase.contains("charngramhashes"),
+      s"expected the native gram kernel in:\n$p")
+    // within-doc duplicate grams must collapse BEFORE shuffling: a
+    // partial (g, doc_id) hash aggregate under the gram exchange
+    assert(p.contains("partial_count(distinct"),
+      s"map-side distinct missing under the gram exchange:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup fell back to a cartesian:\n$p")
+  }
 }

@@ -69,6 +69,24 @@ class JdbcSourceSpec extends SparkSpec {
     assert(df.collect().length === 3)
   }
 
+  test("LIMIT pushdown stays disabled: Derby can't express it and " +
+      "Spark would silently drop the limit") {
+    Jdbc.registerCatalog(spark, sf)
+    // measured hazard (pinned so nobody re-enables it): with
+    // pushDownLimit=true Spark marks the top-N fully pushed, the Derby
+    // dialect emits an EMPTY limit clause, and the "LIMIT 10" query
+    // returns the whole table. The guard keeps the limit Spark-side.
+    assert(spark.conf.get(
+      "spark.sql.catalog.graft_jdbc.pushDownLimit") === "false")
+    val df = spark.sql(
+      """SELECT O_ORDERKEY AS o_orderkey
+         FROM graft_jdbc.APP.GRAFT_ORDERS
+         ORDER BY O_ORDERKEY LIMIT 10""")
+    assert(!df.queryExecution.executedPlan.toString.contains("PushedTopN"))
+    val keys = df.collect().map(_.getLong(0)).toSeq
+    assert(keys.length === 10 && keys === keys.sorted)
+  }
+
   test("values round-trip the JDBC write+read identically to parquet") {
     val viaJdbc = jdbc
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
