@@ -580,8 +580,20 @@ object Dedup {
     *
     * Scale shape: both inputs are the already-scale-safe pair ops;
     * the comparison is a left join on the tiny pair tables. */
+  /** Session-lifetime memo of the EXACT pair table (the ground-truth
+    * twin of [[verifiedPairs]]): built once per corpus snapshot;
+    * `dedup_ngram_jaccard` itself stays un-memoized so its benchmark
+    * timing keeps measuring the real prefix-filtered join. */
+  private val exactPairsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  private def exactPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    exactPairsMemo.computeIfAbsent((s, dir),
+      _ => ngramJaccard(s, dir).localCheckpoint())
+
   val lshRecall: Q = (s, dir) => {
-    val truth = ngramJaccard(s, dir)
+    val truth = exactPairs(s, dir)
       .filter(col("jaccard") >= 0.8).select("d1", "d2")
     val caught = verifiedPairs(s, dir)
       .select(col("d1"), col("d2"), lit(1).as("hit"))
