@@ -109,6 +109,25 @@ object Coverage {
   val xmlIngestOracle: String =
     """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"""
 
+  /** Semi-structured VARIANT path (Spark 4's answer to the reference
+    * engine's JSON type): parse once into the binary VARIANT encoding,
+    * then typed field access + a predicate on the extracted value —
+    * the parse-once/probe-many shape that beats per-access string
+    * re-parsing when many fields are read. Output is plain scalars so
+    * every downstream consumer (parquet, oracle) sees ordinary types. */
+  val variantExtract: Q = (s, dir) =>
+    events(s, dir)
+      .selectExpr("event_id",
+        "variant_get(parse_json(props), '$.k', 'bigint') AS k")
+      .filter(col("k") >= 50)
+      .orderBy("event_id")
+
+  val variantExtractOracle: String =
+    """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+       FROM events
+       WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+       ORDER BY event_id"""
+
   /** Explicit GROUPING SETS (beyond rollup/cube). */
   val groupingSets: Q = (s, dir) => {
     t(s, dir, "orders").createOrReplaceTempView("orders_v")
@@ -1368,6 +1387,7 @@ object Coverage {
     "json_ingest" -> jsonIngest,
     "avro_ingest" -> avroIngest,
     "xml_ingest" -> xmlIngest,
+    "variant_extract" -> variantExtract,
     "unpivot_measures" -> unpivotMeasures,
     "window_distinct_count" -> windowDistinctCount,
     "window_rank_ratios" -> windowRankRatios,
@@ -1418,6 +1438,7 @@ object Coverage {
     "json_ingest" -> jsonIngestOracle,
     "avro_ingest" -> avroIngestOracle,
     "xml_ingest" -> xmlIngestOracle,
+    "variant_extract" -> variantExtractOracle,
     "unpivot_measures" -> unpivotMeasuresOracle,
     "window_distinct_count" -> windowDistinctCountOracle,
     "window_rank_ratios" -> windowRankRatiosOracle,
