@@ -128,6 +128,30 @@ object Coverage {
        WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
        ORDER BY event_id"""
 
+  /** SQL-defined function (Spark 4 `CREATE FUNCTION … RETURN` — the
+    * declarative-routine surface the reference engine serves with SQL
+    * routines): the banding logic is declared once and reused by name.
+    * Catalyst INLINES the body at analysis time, so this codegens
+    * exactly like the written-out CASE — none of the black-box
+    * deserialize-per-row penalty of a Scala/Python UDF. */
+  val sqlUdfBanding: Q = (s, dir) => {
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_price_band(p DOUBLE)
+         RETURNS STRING
+         RETURN CASE WHEN p > 300000 THEN 'big'
+                     WHEN p > 100000 THEN 'mid' ELSE 'small' END""")
+    t(s, dir, "orders").createOrReplaceTempView("orders_udf_v")
+    s.sql(
+      """SELECT o_orderkey, graft_price_band(o_totalprice) AS band
+         FROM orders_udf_v ORDER BY o_orderkey""")
+  }
+
+  val sqlUdfBandingOracle: String =
+    """SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS band
+       FROM orders ORDER BY o_orderkey"""
+
   /** Explicit GROUPING SETS (beyond rollup/cube). */
   val groupingSets: Q = (s, dir) => {
     t(s, dir, "orders").createOrReplaceTempView("orders_v")
@@ -1388,6 +1412,7 @@ object Coverage {
     "avro_ingest" -> avroIngest,
     "xml_ingest" -> xmlIngest,
     "variant_extract" -> variantExtract,
+    "sql_udf_banding" -> sqlUdfBanding,
     "unpivot_measures" -> unpivotMeasures,
     "window_distinct_count" -> windowDistinctCount,
     "window_rank_ratios" -> windowRankRatios,
@@ -1439,6 +1464,7 @@ object Coverage {
     "avro_ingest" -> avroIngestOracle,
     "xml_ingest" -> xmlIngestOracle,
     "variant_extract" -> variantExtractOracle,
+    "sql_udf_banding" -> sqlUdfBandingOracle,
     "unpivot_measures" -> unpivotMeasuresOracle,
     "window_distinct_count" -> windowDistinctCountOracle,
     "window_rank_ratios" -> windowRankRatiosOracle,
