@@ -19,9 +19,19 @@ object Coverage {
     * Postgres/Mongo with explicit types — `fill_postgresql.sql:12`,
     * `fillMongoDB.ipynb` cell-2; schema inference never touches the query
     * path). Round-trips a projection through CSV and reads it back. */
-  val csvIngest: Q = (s, dir) => {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+  /** Scratch dir for a write-then-read-back ingest round-trip. Tagged
+    * with the pid: every invocation rewrites before reading, so within
+    * one JVM the name only needs to be stable, but two JVMs sharing
+    * java.io.tmpdir must not overwrite each other mid-read (and two
+    * distinct source dirs may collide on hashCode — harmless same-JVM
+    * because of the rewrite, fatal cross-JVM without the pid). */
+  private def ingestScratch(fmt: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${fmt}_" +
+      s"${ProcessHandle.current().pid()}_" +
       java.lang.Integer.toHexString(dir.hashCode)
+
+  val csvIngest: Q = (s, dir) => {
+    val out = ingestScratch("csv", dir)
     t(s, dir, "part")
       .select("p_partkey", "p_name", "p_brand", "p_size")
       .write.mode("overwrite").option("header", "true").csv(out)
@@ -41,8 +51,7 @@ object Coverage {
   /** ORC ingest round-trip (columnar alternative to parquet; same
     * declared-schema discipline). */
   val orcIngest: Q = (s, dir) => {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val out = ingestScratch("orc", dir)
     t(s, dir, "supplier").write.mode("overwrite").orc(out)
     s.read.orc(out)
       .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
@@ -57,8 +66,7 @@ object Coverage {
     * one JSON object per line — `trino/kafka/weatherdata.json` declares
     * exactly this mapping). */
   val jsonIngest: Q = (s, dir) => {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val out = ingestScratch("json", dir)
     t(s, dir, "nation").write.mode("overwrite").json(out)
     val schema = StructType(Seq(
       StructField("n_nationkey", IntegerType),
@@ -79,8 +87,7 @@ object Coverage {
     * class). Avro's own embedded writer schema drives the read. */
   val avroIngest: Q = (s, dir) => {
     val avro = "org.apache.spark.sql.avro.AvroFileFormat"
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_avro_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val out = ingestScratch("avro", dir)
     t(s, dir, "customer")
       .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
       .write.mode("overwrite").format(avro).save(out)
@@ -95,8 +102,7 @@ object Coverage {
   /** XML ingest round-trip with a DECLARED schema (document-shaped
     * feeds; Spark 4 bundles the xml source in spark-sql). */
   val xmlIngest: Q = (s, dir) => {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_xml_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val out = ingestScratch("xml", dir)
     t(s, dir, "region").select("r_regionkey", "r_name")
       .write.mode("overwrite").option("rowTag", "region").xml(out)
     val schema = StructType(Seq(
@@ -428,14 +434,16 @@ object Coverage {
         ddlCols: String, bucketCol: String, cols: Seq[String]): Unit =
       if (!s.catalog.tableExists(table)) {
         if (new java.io.File(dataDir, "_SUCCESS").exists())
-          s.sql(s"""CREATE TABLE $table ($ddlCols) USING parquet
-                    CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
-                    INTO 8 BUCKETS LOCATION '$dataDir'""")
+          graft.sources.Tables.timedMemo(s"bucketBind:$table")(
+            s.sql(s"""CREATE TABLE $table ($ddlCols) USING parquet
+                      CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+                      INTO 8 BUCKETS LOCATION '$dataDir'"""))
         else
-          t(s, dir, src).select(cols.head, cols.tail: _*)
-            .write.bucketBy(8, bucketCol).sortBy(bucketCol)
-            .option("path", dataDir)
-            .mode("overwrite").saveAsTable(table)
+          graft.sources.Tables.timedMemo(s"bucketWrite:$table")(
+            t(s, dir, src).select(cols.head, cols.tail: _*)
+              .write.bucketBy(8, bucketCol).sortBy(bucketCol)
+              .option("path", dataDir)
+              .mode("overwrite").saveAsTable(table))
       }
     val ot = s"graft_orders_b_${fp("orders.parquet")}"
     val lt = s"graft_lineitem_b_${fp("lineitem.parquet")}"
@@ -452,13 +460,15 @@ object Coverage {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .select(o("o_orderkey"), l("l_linenumber"), l("l_quantity"),
         o("o_totalprice"))
-      .orderBy("o_orderkey", "l_linenumber")
+      // (orderkey, linenumber) repeats in the synthetic lineitem —
+      // quantity completes the total order (RegistryGuardSpec audit)
+      .orderBy("o_orderkey", "l_linenumber", "l_quantity")
   }
 
   val joinBucketedOracle: String =
     """SELECT o.o_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-       ORDER BY o_orderkey, l_linenumber"""
+       ORDER BY o_orderkey, l_linenumber, l_quantity"""
 
   /** Range (interval) join without a nested-loop explosion: pairs of
     * events by the same user within 5 minutes of each other. Each left
@@ -854,38 +864,50 @@ object Coverage {
     * OPTIMIZE/rewrite_data_files does in the public lakehouse engines.
     * The query re-reads the COMPACTED copy and aggregates it, so the
     * oracle proves the rewrite is content-preserving (decimal-exact
-    * sums); CoverageSpec asserts the file counts actually collapsed
-    * 16 → 2. */
+    * sums); CoverageMultimodalSpec asserts the file counts actually
+    * collapsed 16 → 2.
+    *
+    * The fragment/compacted cache dirs for `dir`'s events table — the
+    * single source of truth for the fingerprint naming, shared with
+    * CoverageMultimodalSpec so the spec can never drift from the
+    * operator's cache key again (round 6 re-keyed the cache but left
+    * the spec probing the old `hashCode` names). */
+  private[operators] def compactionDirs(dir: String): (String, String) = {
+    // Cache key is a CONTENT fingerprint (source path + length +
+    // mtime, SHA-256), not dir.hashCode: regenerating the dataset at
+    // the same path changes the fingerprint and rebuilds, and two
+    // distinct dirs can't alias.
+    val src = new java.io.File(dir, "events.parquet")
+    val key = s"graft-compact-v1:$dir:${src.length}:${src.lastModified}"
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_))
+      .mkString
+    val tmp = System.getProperty("java.io.tmpdir")
+    (s"$tmp/graft_frag_$digest", s"$tmp/graft_compact_$digest")
+  }
+
   private[operators] def compactedEventsDir(
       s: org.apache.spark.sql.SparkSession, dir: String): String =
     Coverage.synchronized {
-      // Cache key is a CONTENT fingerprint (source path + length +
-      // mtime, SHA-256), not dir.hashCode: regenerating the dataset at
-      // the same path changes the fingerprint and rebuilds, and two
-      // distinct dirs can't alias. Writes go to a pid-tagged stage dir
-      // renamed into place, so a concurrent session either wins the
-      // rename or discards its (identical, same-fingerprint) copy —
-      // never reads a half-written layout.
-      val src = new java.io.File(dir, "events.parquet")
-      val key = s"graft-compact-v1:$dir:${src.length}:${src.lastModified}"
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_))
-        .mkString
-      val tmp = System.getProperty("java.io.tmpdir")
+      // Writes go to a pid-tagged stage dir renamed into place, so a
+      // concurrent session either wins the rename or discards its
+      // (identical, same-fingerprint) copy — never reads a
+      // half-written layout.
       def rmTree(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rmTree))
         f.delete(): Unit
       }
       def build(target: String)(write: String => Unit): Unit =
-        if (!new java.io.File(target, "_SUCCESS").exists()) {
-          val stage = s"${target}_stage_${ProcessHandle.current().pid()}"
-          rmTree(new java.io.File(stage))
-          write(stage)
-          if (!new java.io.File(stage).renameTo(new java.io.File(target)))
-            rmTree(new java.io.File(stage)) // lost the race to an equal copy
-        }
-      val frag = s"$tmp/graft_frag_$digest"
-      val comp = s"$tmp/graft_compact_$digest"
+        if (!new java.io.File(target, "_SUCCESS").exists())
+          graft.sources.Tables.timedMemo(
+            s"compactLayout:${new java.io.File(target).getName}") {
+            val stage = s"${target}_stage_${ProcessHandle.current().pid()}"
+            rmTree(new java.io.File(stage))
+            write(stage)
+            if (!new java.io.File(stage).renameTo(new java.io.File(target)))
+              rmTree(new java.io.File(stage)) // lost the race to an equal copy
+          }
+      val (frag, comp) = compactionDirs(dir)
       build(frag) { p =>
         events(s, dir)
           .selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts",
@@ -985,7 +1007,7 @@ object Coverage {
         """stack(3, 'extendedprice', l_extendedprice,
                     'discount', l_discount,
                     'tax', l_tax) AS (measure, val)""")
-      .orderBy("l_orderkey", "l_linenumber", "measure")
+      .orderBy("l_orderkey", "l_linenumber", "measure", "val")
 
   val unpivotMeasuresOracle: String =
     """SELECT l_orderkey, l_linenumber, measure, val FROM (
@@ -998,7 +1020,7 @@ object Coverage {
          UNION ALL
          SELECT l_orderkey, l_linenumber, 'tax', l_tax
          FROM lineitem WHERE l_orderkey < 1000)
-       ORDER BY l_orderkey, l_linenumber, measure"""
+       ORDER BY l_orderkey, l_linenumber, measure, val"""
 
   /** Top-k rows per group (top-3 orders by price per priority class) —
     * written as the declarative rank filter; Spark's InferWindowGroupLimit
@@ -1372,7 +1394,10 @@ object Coverage {
         """CAST(TRY_CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
            CAST(100 AS DECIMAL(3,0)) AS DECIMAL(8,2)) AS STRING)
            AS overflow_null""")
-      .orderBy("l_orderkey", "l_linenumber")
+      // duplicate (orderkey, linenumber) lines differ in price —
+      // half_up_pos (ASCII digits, binary-collation-safe on both
+      // engines) completes the total order
+      .orderBy("l_orderkey", "l_linenumber", "half_up_pos")
 
   // DuckDB's decimal→decimal cast TRUNCATES on scale reduction (0.26 →
   // 0.2), unlike Spark's HALF_UP cast — so the oracle spells the HALF_UP
@@ -1393,7 +1418,7 @@ object Coverage {
          CAST(100 AS DECIMAL(3,0)) AS DECIMAL(8,2)) AS VARCHAR)
          AS overflow_null
        FROM lineitem WHERE l_orderkey < 2000
-       ORDER BY l_orderkey, l_linenumber"""
+       ORDER BY l_orderkey, l_linenumber, half_up_pos"""
 
   val queries: Map[String, Q] = Map(
     "meta_show_catalogs" -> metaShowCatalogs,

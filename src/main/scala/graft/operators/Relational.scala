@@ -39,14 +39,18 @@ object Relational {
       .filter(o("o_orderdate") < lit("1999-01-01").cast(D))
       .select(o("o_orderkey"), o("o_orderdate"), o("o_totalprice"),
         l("l_linenumber"), l("l_quantity"), l("l_extendedprice"))
-      .orderBy(col("o_orderkey").asc, col("l_linenumber").asc)
+      // (orderkey, linenumber) repeats in the synthetic lineitem —
+      // qty + price complete a total order over distinguishable rows
+      // (RegistryGuardSpec audits every oracled query for this)
+      .orderBy(col("o_orderkey").asc, col("l_linenumber").asc,
+        col("l_quantity").asc, col("l_extendedprice").asc)
   }
 
   /** Column projection — narrow ReadSchema at the parquet scan. */
   val scanProject: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
 
   /** SELECT * ... LIMIT k (reference M3 metadata smoke query). */
   val selectStarLimit: Q = (s, dir) =>
@@ -58,7 +62,7 @@ object Relational {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast(D) &&
               col("l_shipdate") <  lit("1997-01-01").cast(D))
       .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
 
   /** IN / BETWEEN / LIKE predicates (SURVEY §2.2 'A' row). */
   val filterInBetweenLike: Q = (s, dir) =>
@@ -85,7 +89,7 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").cast(FloatType).as("price_f32"),
         col("l_quantity").cast(FloatType).as("qty_f32"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "price_f32", "qty_f32")
 
   /** String scalar functions (§2.8). */
   val scalarStringFuncs: Q = (s, dir) =>
@@ -118,7 +122,7 @@ object Relational {
         sqrt(col("l_extendedprice")).as("price_sqrt"),
         round(log(col("l_extendedprice") + 1), 6).as("price_ln"),
         round(pow(col("l_discount") + 1, 3), 6).as("disc_cube"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "qty_dev", "fee", "disc_cube")
 
   /** JSON field extraction over events.props (reference decodes JSON Kafka
     * messages by field map, `trino/kafka/weatherdata.json:5-54`). */
@@ -505,9 +509,13 @@ object Relational {
     val o = t(s, dir, "orders")
     val v1 = o.filter(col("o_orderkey") % 2 === 0)
       .select("o_orderkey", "o_orderstatus")
+    // DOUBLE, not DECIMAL: the driver's hash canonicalizes DECIMAL
+    // unstably across engines (the decimal_halfup_overflow lesson);
+    // cents-scale values round-trip exactly through a double.
     val v2 = o.filter(col("o_orderkey") % 2 === 1)
       .select(col("o_orderkey"),
-        col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+        col("o_totalprice").cast("decimal(12,2)").cast("double")
+          .as("o_totalprice"),
         col("o_orderstatus")) // reordered + one new column
     v1.unionByName(v2, allowMissingColumns = true)
       .orderBy("o_orderkey")
@@ -518,7 +526,8 @@ object Relational {
          SELECT o_orderkey, o_orderstatus
          FROM orders WHERE o_orderkey % 2 = 0
          UNION ALL BY NAME
-         SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2))
+         SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
            AS o_totalprice, o_orderstatus
          FROM orders WHERE o_orderkey % 2 = 1)
        ORDER BY o_orderkey"""
@@ -777,10 +786,11 @@ object Relational {
          l.l_linenumber, l.l_quantity, l.l_extendedprice
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          WHERE o.o_orderdate < TIMESTAMP '1999-01-01'
-         ORDER BY o_orderkey ASC, l_linenumber ASC""",
+         ORDER BY o_orderkey ASC, l_linenumber ASC, l_quantity ASC,
+           l_extendedprice ASC""",
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
     "select_star_limit" ->
       "SELECT * FROM orders ORDER BY o_orderkey LIMIT 5",
     "filter_date_range" ->
@@ -788,7 +798,7 @@ object Relational {
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate <  TIMESTAMP '1997-01-01'
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_shipdate, l_quantity""",
     "filter_in_between_like" ->
       """SELECT p_partkey, p_name, p_brand, p_size FROM part
          WHERE p_size BETWEEN 10 AND 30
@@ -805,7 +815,8 @@ object Relational {
       """SELECT l_orderkey, l_linenumber,
          CAST(l_extendedprice AS FLOAT) AS price_f32,
          CAST(l_quantity AS FLOAT) AS qty_f32
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, price_f32, qty_f32""",
     "scalar_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS name_upper,
          substring(p_name, 1, 4) AS name_pfx,
@@ -827,7 +838,8 @@ object Relational {
          sqrt(l_extendedprice) AS price_sqrt,
          round(ln(l_extendedprice + 1), 6) AS price_ln,
          round(pow(l_discount + 1, 3), 6) AS disc_cube
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, qty_dev, fee, disc_cube""",
     "json_extract" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k

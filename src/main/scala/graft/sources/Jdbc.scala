@@ -57,7 +57,7 @@ object Jdbc {
         val meta = conn.getMetaData.getTables(null, null, "GRAFT_ORDERS", null)
         val exists = meta.next()
         meta.close()
-        if (!exists) {
+        if (!exists) graft.sources.Tables.timedMemo("derbyMirror") {
           val st = conn.createStatement()
           st.execute(
             """CREATE TABLE graft_orders (
@@ -111,15 +111,20 @@ object Jdbc {
       .groupBy("o_orderstatus")
       .agg(
         count(lit(1)).as("n"),
-        sum(col("o_totalprice")).cast("decimal(18,2)").as("sum_price"),
+        // decimal-exact sum, rendered DOUBLE: the driver hash is
+        // unstable on raw DECIMAL output (RegistryGuardSpec enforces
+        // DECIMAL-free registry schemas); cast applies above the
+        // pushed-down remote aggregate
+        sum(col("o_totalprice")).cast("decimal(18,2)").cast("double")
+          .as("sum_price"),
         min("o_orderkey").as("min_key"),
         max("o_orderkey").as("max_key"))
       .orderBy("o_orderstatus")
 
   val jdbcScanAggOracle: String =
     s"""SELECT o_orderstatus, count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-         AS sum_price,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+         AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
        FROM orders
        WHERE o_orderkey < $KeyBound
@@ -140,9 +145,20 @@ object Jdbc {
     s.conf.set("spark.sql.catalog.graft_jdbc",
       classOf[GraftJdbcCatalog].getName)
     // first binding wins — the lazily-instantiated plugin caches its
-    // url, so a later conf overwrite would silently disagree with it
-    if (s.conf.getOption("spark.sql.catalog.graft_jdbc.url").isEmpty)
-      s.conf.set("spark.sql.catalog.graft_jdbc.url", url(dir))
+    // url, so a later conf overwrite would silently disagree with it.
+    // A SECOND dir in the same session therefore cannot be honored:
+    // fail closed instead of silently serving the first dir's rows.
+    s.conf.getOption("spark.sql.catalog.graft_jdbc.url") match {
+      case None => s.conf.set("spark.sql.catalog.graft_jdbc.url", url(dir))
+      case Some(bound) if bound != url(dir) =>
+        throw new IllegalStateException(
+          s"graft_jdbc is already bound to $bound; rebinding it to " +
+            s"${url(dir)} in the same session would leave the loaded " +
+            "catalog plugin serving the FIRST dir's rows. Use one " +
+            "session per data dir (the harness contract) or a second " +
+            "catalog name.")
+      case _ => // same dir re-registered: idempotent
+    }
     // federate computation, not rows: whole GROUP BY aggregates compile
     // into the remote engine's SQL (PushedAggregates in the scan;
     // JdbcSourceSpec asserts) — the reference pushes the same way into
@@ -175,15 +191,20 @@ object Jdbc {
           USING parquet LOCATION '$dir/lineitem.parquet'""")
     // ORDER BY spells the harness data's actual unique line key —
     // (l_orderkey, l_linenumber) repeats in the synthetic lineitem, so
-    // the part/supp keys + price complete a total order
+    // the part/supp keys + price complete a total order. Prices are
+    // cast to DOUBLE on BOTH engine and oracle sides: the driver's
+    // hash canonicalizes DECIMAL unstably across engines (same lesson
+    // as decimal_halfup_overflow), and these cents-scale values are
+    // exactly representable in a double.
     s.sql(
       """SELECT o.O_ORDERKEY AS o_orderkey,
                 CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
                 l.l_partkey, l.l_suppkey,
                 CAST(o.O_ORDERDATE AS DATE) AS o_orderdate,
                 o.O_ORDERSTATUS AS o_orderstatus,
-                o.O_TOTALPRICE AS o_totalprice,
-                CAST(l.l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice
+                CAST(o.O_TOTALPRICE AS DOUBLE) AS o_totalprice,
+                CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+                  AS l_extendedprice
          FROM graft_jdbc.APP.GRAFT_ORDERS o
          JOIN spark_catalog.default.graft_lineitem_cc l
            ON l.l_orderkey = o.O_ORDERKEY
@@ -198,8 +219,9 @@ object Jdbc {
        l.l_partkey, l.l_suppkey,
        CAST(o.o_orderdate AS DATE) AS o_orderdate,
        o.o_orderstatus,
-       CAST(o.o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
-       CAST(l.l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice
+       CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+       CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+         AS l_extendedprice
        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
        WHERE o.o_orderkey < $KeyBound
          AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, DecimalType, StructType}
+
+/** Registry-wide declarative-determinism guards. Two classes of bug
+  * have each shipped twice despite being fixed once:
+  *
+  *  1. a query emitting a raw DECIMAL column hash-mismatches the DuckDB
+  *     oracle even when every value is identical (the driver's hash
+  *     canonicalizes DECIMAL unstably across engines) — cost a red row
+  *     in round 5 (`decimal_halfup_overflow`) and again in round 6
+  *     (`q1_cross_catalog`, `union_by_name`);
+  *  2. an ORDER BY whose key does not totally order the result leaves
+  *     the row order — and therefore the driver's order-sensitive
+  *     hash — engine-dependent.
+  *
+  * This spec closes both classes for the WHOLE registry instead of one
+  * query at a time: every registered query's output schema must be
+  * DECIMAL-free (queries that need decimal arithmetic do it internally
+  * and render the result as DOUBLE or VARCHAR), and every oracled
+  * query must end in a global ORDER BY whose key, on the harness data,
+  * admits no tie between two distinguishable rows.
+  */
+class RegistryGuardSpec extends SparkSpec {
+
+  // Build each registered query once and share across tests (streams
+  // execute during construction; batch queries only analyze).
+  private lazy val built: Seq[(String, DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, q) =>
+      n -> q(spark, sf)
+    }
+
+  private def decimalsIn(dt: DataType, path: String): Seq[String] = dt match {
+    case _: DecimalType => Seq(path)
+    case s: StructType =>
+      s.fields.toSeq.flatMap(f => decimalsIn(f.dataType, s"$path.${f.name}"))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      decimalsIn(a.elementType, s"$path[]")
+    case m: org.apache.spark.sql.types.MapType =>
+      decimalsIn(m.keyType, s"$path{k}") ++
+        decimalsIn(m.valueType, s"$path{v}")
+    case _ => Nil
+  }
+
+  test("no registered query emits a DECIMAL column (driver hash is " +
+      "unstable on DECIMAL across engines)") {
+    val offenders = built.flatMap { case (n, df) =>
+      decimalsIn(df.schema, n)
+    }
+    assert(offenders.isEmpty,
+      s"DECIMAL in registered output schemas (cast to DOUBLE or render " +
+        s"VARCHAR on BOTH engine and oracle sides): " +
+        offenders.mkString(", "))
+  }
+
+  /** Names whose result is a single row (global aggregates): row order
+    * cannot matter, so no ORDER BY is demanded. Membership is enforced
+    * below — each must actually return <= 1 row on the harness data. */
+  private val OrderFreeSingleRow: Set[String] = Set(
+    "agg_minmax_global", "corr_matrix", "dedup_lsh_recall",
+    "funnel_conversion", "q14_promo_revenue", "q19_discounted_revenue",
+    "q6_forecast_revenue", "text_cm_frequency")
+
+  test("every oracled query's SQL ends in ORDER BY (or provably " +
+      "returns a single row)") {
+    val byName = built.toMap
+    val missing = SparkEntry.oracleSql.toSeq.sortBy(_._1).collect {
+      case (n, sql)
+          if !OrderFreeSingleRow(n) &&
+            !"(?is).*\\border\\s+by\\b[^)]*$".r.matches(sql.trim) =>
+        n
+    }
+    assert(missing.isEmpty,
+      s"oracled queries without a trailing ORDER BY: " +
+        missing.mkString(", "))
+    // the exemption list must stay honest: every member is 0-or-1-row
+    val fat = OrderFreeSingleRow.toSeq.sorted
+      .filter(n => byName(n).count() > 1L)
+    assert(fat.isEmpty,
+      s"OrderFreeSingleRow members returning >1 row: ${fat.mkString(", ")}")
+  }
+
+  // group rows by normalized key prefix; a key with two
+  // DISTINGUISHABLE rows behind it leaves their order engine-defined
+  private def norm(v: Any): Any = v match {
+    case null => null
+    case b: Array[Byte] => b.toSeq
+    case a: Array[_] => a.toSeq.map(norm)
+    case s: scala.collection.Seq[_] => s.map(norm).toList
+    case m: scala.collection.Map[_, _] =>
+      m.toSeq.map { case (k, x) => (norm(k), norm(x)) }
+        .sortBy(_.toString).toList
+    case r: Row => r.toSeq.map(norm).toList
+    case d: java.math.BigDecimal => d.stripTrailingZeros
+    case x => x
+  }
+
+  /** The trailing ORDER BY column names of an oracle, when every key is
+    * a plain identifier (fallback for plans whose Sort was materialized
+    * away by localCheckpoint). */
+  private def oracleOrderCols(sql: String): Option[Seq[String]] =
+    "(?is).*\\border\\s+by\\s+([^)]*)$".r.findFirstMatchIn(sql.trim)
+      .map(_.group(1))
+      .map(_.split(",").toSeq.map(
+        _.trim.replaceAll("(?i)\\s+(asc|desc|nulls\\s+(first|last))", "")
+          .trim))
+      .filter(_.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")))
+
+  private def tiesOn(rows: Array[Row], k: Int): Boolean =
+    rows.groupBy(r => (0 until k).map(i => norm(r.get(i))).toList)
+      .valuesIterator
+      .exists { rs =>
+        rs.iterator
+          .map(r => (k until r.length).map(i => norm(r.get(i))).toList)
+          .toSet.size > 1
+      }
+
+  test("ORDER BY keys totally order every oracled result on the " +
+      "harness data") {
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    for ((n, df) <- built if SparkEntry.oracleSql.contains(n)) {
+      val plan = df.queryExecution.analyzed
+      plan.collectFirst { case s: Sort if s.global => s } match {
+        case None =>
+          // a localCheckpoint erases the Sort from the plan (the order
+          // is baked into the materialized RDD) — audit via the
+          // oracle's own trailing ORDER BY columns instead; otherwise
+          // order-free only if the result cannot exceed one row
+          oracleOrderCols(SparkEntry.oracleSql(n))
+            .filter(_.forall(df.columns.contains)) match {
+            case Some(cols) if df.count() > 1L =>
+              val reordered = df.select(
+                (cols ++ df.columns.filterNot(cols.contains)).distinct
+                  .map(df.col): _*)
+              if (tiesOn(reordered.collect(), cols.length))
+                offenders += s"$n (tied oracle ORDER BY key)"
+            case _ =>
+              if (df.count() > 1L)
+                offenders += s"$n (no global Sort, >1 row)"
+          }
+        case Some(sort) =>
+          val keys = sort.order.map(_.child)
+          val inOutput = keys.forall {
+            case a: AttributeReference => plan.outputSet.contains(a)
+            case e => e.references.subsetOf(plan.outputSet)
+          }
+          // project the sort keys next to the rows they order; when a
+          // later projection pruned a key, audit at the Sort node
+          // itself (stronger: pre-limit, pre-projection)
+          val checkPlan = if (inOutput) plan else sort
+          val aliased = keys.zipWithIndex.map { case (e, i) =>
+            Alias(e, s"__gk$i")()
+          }
+          val pdf = Bridge.ofRows(spark,
+            Project(aliased ++ checkPlan.output, checkPlan))
+          if (tiesOn(pdf.collect(), keys.length))
+            offenders += s"$n (tied sort key, distinct rows)"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"nondeterministic ordering: ${offenders.mkString(", ")}")
+  }
+}
