@@ -197,15 +197,19 @@ object Dedup {
     * snapshot, and every downstream job — clustering, recursive reach,
     * corpus prep — reads the table instead of re-running the chain.
     * `dedup_minhash_lsh` itself deliberately stays un-memoized so its
-    * benchmark timing measures the real chain. Keyed by (session, dir);
-    * a regenerated corpus in the SAME session+path would need a new
-    * session (matching the one-snapshot-per-run harness contract). */
+    * benchmark timing measures the real chain. Keyed by (session,
+    * CONTENT fingerprint of documents.parquet): a corpus regenerated
+    * at the same path changes the fingerprint and rebuilds instead of
+    * serving stale pairs. */
   private val pairsMemo = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), DataFrame]()
 
   def verifiedPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    pairsMemo.computeIfAbsent((s, dir), _ => minhashLsh(s, dir))
+    pairsMemo.computeIfAbsent(
+      (s, graft.sources.Tables.fingerprint(dir, "documents")),
+      _ => graft.sources.Tables.timedMemo("verifiedPairs")(
+        minhashLsh(s, dir)))
 
   /** The minhash CTE chain through `scored` — shared by the pair oracle,
     * the clustering oracle, and the corpus-pipeline oracle. */
@@ -589,8 +593,10 @@ object Dedup {
 
   private def exactPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    exactPairsMemo.computeIfAbsent((s, dir),
-      _ => ngramJaccard(s, dir).localCheckpoint())
+    exactPairsMemo.computeIfAbsent(
+      (s, graft.sources.Tables.fingerprint(dir, "documents")),
+      _ => graft.sources.Tables.timedMemo("exactPairs")(
+        ngramJaccard(s, dir).localCheckpoint()))
 
   val lshRecall: Q = (s, dir) => {
     val truth = exactPairs(s, dir)

@@ -351,13 +351,17 @@ object Similarity {
     * cell assignment, IVF search — probes the index instead of
     * re-aggregating the corpus. `embedding_centroids` itself stays
     * un-memoized so its benchmark timing keeps measuring the real
-    * build. Keyed (session, dir) like [[Dedup.verifiedPairs]]. */
+    * build. Keyed (session, content fingerprint of embeddings.parquet)
+    * like [[Dedup.verifiedPairs]]: a regenerated corpus rebuilds the
+    * index instead of serving stale centroids. */
   private val centroidMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
   private def centroidIndex(s: SparkSession, dir: String): DataFrame =
-    centroidMemo.computeIfAbsent((s, dir),
-      _ => centroids(s, dir).localCheckpoint())
+    centroidMemo.computeIfAbsent(
+      (s, graft.sources.Tables.fingerprint(dir, "embeddings")),
+      _ => graft.sources.Tables.timedMemo("centroidIndex")(
+        centroids(s, dir).localCheckpoint()))
 
   /** IVF cell assignment — the coarse-recall stage of the scaled
     * semantic-dedup path: every vector routes to its NEAREST computed

@@ -40,6 +40,30 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  /** Content fingerprint of one harness table file: path + length +
+    * mtime, hashed. Memo caches (verified pairs, centroid index,
+    * compaction layouts) key on this instead of the path alone so a
+    * corpus regenerated at the same path rebuilds instead of serving
+    * stale results, and two distinct dirs can never alias. */
+  def fingerprint(sfDir: String, table: String): String = {
+    val f = new java.io.File(sfDir, s"$table.parquet")
+    val key = s"graft-tbl-v1:${f.getPath}:${f.length}:${f.lastModified}"
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(key.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Time a one-off fixture/memo build and report it on stderr, so a
+    * bench sample can attribute first-touch setup cost (Derby fill,
+    * verified-pairs table, centroid index, bucketed layout) to the
+    * build rather than to whichever query happened to run first. */
+  private[graft] def timedMemo[T](what: String)(build: => T): T = {
+    val t0 = System.nanoTime()
+    val r = build
+    System.err.println(
+      f"[graft-memo] $what built in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
   /** Session conf every graft SparkSession needs (oracle parity + ns reads). */
   val sessionConf: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",

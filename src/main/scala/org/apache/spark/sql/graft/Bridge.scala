@@ -22,16 +22,29 @@ import org.apache.spark.sql.execution.{ExternalRDD, LogicalRDD}
   * in CosineTopKJoin.references, guarded by CosineTopKJoinExec's child
   * schema `require` — but the affinity hazard is real independent of
   * that bug.) */
-object Bridge {
+object Bridge extends org.apache.spark.internal.Logging {
 
   // LogicalRDD/ExternalRDD keep their session in a private constructor
-  // field (no accessor in Spark 4.1); read it reflectively once per class.
+  // field (no accessor in Spark 4.1); read it reflectively once per
+  // class. If a Spark upgrade renames the field the guard cannot run —
+  // warn (once per class) instead of disabling it silently, so the
+  // AdviceFixesSpec failure that follows is diagnosable.
+  private val unguardedClasses =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Class[_]]()
   private def leafSession(leaf: AnyRef): Option[AnyRef] =
     try {
       val f = leaf.getClass.getDeclaredField("session")
       f.setAccessible(true)
       Option(f.get(leaf))
-    } catch { case _: NoSuchFieldException => None }
+    } catch {
+      case _: NoSuchFieldException =>
+        if (unguardedClasses.add(leaf.getClass))
+          logWarning(s"Bridge session-affinity guard disabled for " +
+            s"${leaf.getClass.getName}: no 'session' field (Spark " +
+            "internals changed?) — cross-session leaves will no longer " +
+            "be rejected")
+        None
+    }
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame = {
     val cs = spark.asInstanceOf[CSparkSession]

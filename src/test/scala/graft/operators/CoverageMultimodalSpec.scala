@@ -25,14 +25,16 @@ class CoverageMultimodalSpec extends SparkSpec {
     def parquetFiles(d: String): Int =
       new java.io.File(d).listFiles()
         .count(f => f.getName.endsWith(".parquet"))
-    val tmp = System.getProperty("java.io.tmpdir")
-    val tag = java.lang.Integer.toHexString(sf.hashCode)
-    assert(parquetFiles(s"$tmp/graft_frag_$tag") === 16)
-    assert(parquetFiles(s"$tmp/graft_compact_$tag") === 2)
+    // resolve the cache dirs through the operator's own fingerprint
+    // naming — probing a hand-derived name is how this spec went stale
+    // when the cache was re-keyed from hashCode to a content digest
+    val (fragDir, compDir) = Coverage.compactionDirs(sf)
+    assert(parquetFiles(fragDir) === 16)
+    assert(parquetFiles(compDir) === 2)
     // the rewrite must be a pure re-layout: same rows, same values
     val orig = spark.read.parquet(s"$sf/events.parquet")
       .selectExpr("event_id", "user_id", "value", "event_type")
-    val comp = spark.read.parquet(s"$tmp/graft_compact_$tag")
+    val comp = spark.read.parquet(compDir)
       .selectExpr("event_id", "user_id", "value", "event_type")
     assert(comp.exceptAll(orig).isEmpty && orig.exceptAll(comp).isEmpty)
   }
