@@ -53,7 +53,7 @@ object Streams {
   /** Stream source keeps ts as TIMESTAMP (with local tz): watermarks
     * require it. Session tz is pinned UTC, so casting window bounds back
     * to NTZ on output is value-preserving. */
-  private def eventStream(s: SparkSession, dir: String): DataFrame =
+  private[streaming] def eventStream(s: SparkSession, dir: String): DataFrame =
     s.readStream.schema(rawSchema).parquet(stagedDir(dir))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
@@ -75,16 +75,31 @@ object Streams {
     * (a session-global set/restore would leak the temporary value to
     * whatever else runs in the window, and two overlapping streams could
     * restore each other's value). */
-  private def streamSession(s: SparkSession): SparkSession = {
+  private[streaming] def streamSession(s: SparkSession): SparkSession = {
     val ns = s.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
     ns
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and
-    * return the materialized result (from the stream's own session). */
-  private def runToTable(df: DataFrame, name: String,
+    * return the materialized result (from the stream's own session).
+    *
+    * Complete mode retains every window and ignores watermarks for
+    * state eviction, so a `withWatermark` on a complete-mode stream
+    * would misstate the state bound while doing nothing — this funnel
+    * REJECTS the combination (StreamsSpec pins both directions), which
+    * keeps every registered stream's declared retention honest. */
+  private[streaming] def runToTable(df: DataFrame, name: String,
       mode: String): DataFrame = {
+    if (mode == "complete") {
+      val wm = df.queryExecution.analyzed.collectFirst {
+        case e: org.apache.spark.sql.catalyst.plans.logical
+            .EventTimeWatermark => e
+      }
+      require(wm.isEmpty,
+        s"$name: watermark declared under complete output mode — it " +
+          "evicts nothing there; drop it or switch to append/update")
+    }
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
@@ -118,11 +133,18 @@ object Streams {
   /** Core of the tumbling aggregation over any event stream — also driven
     * by the replay-determinism spec with a 3-file maxFilesPerTrigger=1
     * source (same result no matter how the files arrive in micro-batches;
-    * decimal partial sums keep the total partition-order independent). */
+    * decimal partial sums keep the total partition-order independent).
+    *
+    * No watermark on purpose: complete mode retains EVERY window (state
+    * is O(windows × types) for the query's lifetime) and ignores a
+    * watermark for eviction, so declaring one would misstate the state
+    * bound — StreamsSpec pins this invariant for all complete-mode
+    * streams. An append/update deployment bounds state by adding
+    * `withWatermark` and accepting that open windows emit only after
+    * the watermark passes. */
   private[graft] def tumblingCore(s: SparkSession,
       stream: DataFrame, name: String): DataFrame = {
     val agg = stream
-      .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
@@ -143,8 +165,9 @@ object Streams {
     * windows. */
   val streamSlidingCounts: Q = (s, dir) => {
     val ss = streamSession(s)
+    // complete mode — no watermark (no-op for eviction there; see
+    // tumblingCore doc)
     val agg = eventStream(ss, dir)
-      .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "2 days", "1 day"))
       .agg(count(lit(1)).as("n"))
     runToTable(agg, "stream_sliding_counts", "complete")
@@ -394,8 +417,9 @@ object Streams {
     * oracle replays the histogram + interpolation with day grouping. */
   val streamHistQuantile: Q = (s, dir) => {
     val ss = streamSession(s)
+    // complete mode — no watermark (no-op for eviction there; see
+    // tumblingCore doc)
     val agg = eventStream(ss, dir)
-      .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("n"),
         round(expr("graft_hist_quantile(value, 0.0D, 512.0D, 256, 0.5D)"),

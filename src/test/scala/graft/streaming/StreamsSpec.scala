@@ -15,6 +15,27 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("complete-mode streams declare no watermark (no-op eviction); " +
+      "the runToTable funnel rejects the combination") {
+    val ss = Streams.streamSession(spark)
+    // negative: a watermark under complete mode must be refused loudly
+    val dishonest = Streams.eventStream(ss, sf)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+    val e = intercept[IllegalArgumentException] {
+      Streams.runToTable(dishonest, "wm_complete_reject", "complete")
+    }
+    assert(e.getMessage.contains("complete output mode"))
+    // positive: the same aggregation without the watermark runs — and a
+    // watermark in APPEND mode (where it does evict) stays legal
+    val honest = Streams.eventStream(ss, sf)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+    assert(Streams.runToTable(honest, "wm_complete_ok", "complete")
+      .collect().nonEmpty)
+  }
+
   test("tumbling window counts sum to the event count") {
     val out = Streams.streamTumblingCounts(spark, sf)
     val total = out.agg(sum("n")).head.getLong(0)
