@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: time ONE registered query (repeatedly) in a fresh JVM —
+  * `sbt "runMain graft.RunOne <name> [sfDir] [reps]"`. Separates
+  * first-touch fixture/memo cost (reported by the `[graft-memo]` lines)
+  * from the steady-state plan time, which a full Bench run can't do
+  * when the build lands on whichever query runs first. */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: RunOne <query> [sfDir] [reps]")
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val q = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query $name"))
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+    graft.sources.Tables.sessionConf.foreach { case (k, v) =>
+      builder.config(k, v)
+    }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val times = (1 to reps).map { i =>
+      val t0 = System.nanoTime()
+      val n = q(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.err.println(f"[run-one] $name rep $i: $dt%.3f s ($n rows)")
+      dt
+    }
+    spark.stop()
+    val cold = times.head
+    val best = times.min
+    println(
+      f"""{"query":"$name","cold":$cold%.3f,"best":$best%.3f,"reps":$reps}""")
+  }
+}

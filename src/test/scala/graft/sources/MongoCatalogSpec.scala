@@ -110,4 +110,55 @@ class MongoCatalogSpec extends SparkSpec {
       assert(r.getLong(2) >= r.getLong(3)) // n_lines >= n_orders
     }
   }
+
+  test("aggregates are NOT pushed into the document scan (negative " +
+      "twin of jdbc_agg_pushdown): Spark aggregates, result correct") {
+    Mongo.registerCatalog(spark, sf)
+    // the connector implements filter + column pushdown only — a
+    // GROUP BY must therefore plan as scan(pruned) → Spark aggregate,
+    // never a one-row-per-group scan like the JDBC side
+    val agg = spark.sql(
+      """SELECT count(*) AS n, min(tavg) AS mn, max(tavg) AS mx
+         FROM graft_mongo.weather.weatherny
+         WHERE _id >= TIMESTAMP '1995-01-10 00:00:00'""")
+    // sparkPlan, not executedPlan: AQE wraps the executed plan in
+    // AdaptiveSparkPlanExec whose inner stages aren't tree-collectable
+    val plan = agg.queryExecution.sparkPlan
+    val scan = plan.collect { case b: BatchScanExec => b }.head.scan
+    // the scan surface carries the pushed filter but NO aggregate —
+    // it still reads the raw measure column for Spark to aggregate
+    assert(!scan.description().toLowerCase.contains("aggregate"),
+      scan.description())
+    assert(scan.readSchema().fieldNames.contains("tavg"),
+      s"scan must feed raw tavg to the engine: ${scan.description()}")
+    assert(plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate
+          .ObjectHashAggregateExec => a
+    }.nonEmpty, "no engine-side aggregate in the plan")
+    // residual correctness: identical to aggregating the plain scan
+    val r = agg.collect().head
+    val base = spark.table("graft_mongo.weather.weatherny")
+      .filter("_id >= TIMESTAMP '1995-01-10 00:00:00'")
+      .selectExpr("tavg").collect().map(_.getDouble(0))
+    assert(r.getLong(0) === base.length.toLong)
+    assert(r.getDouble(1) === base.min && r.getDouble(2) === base.max)
+  }
+
+  test("LIMIT is NOT pushed into the document scan (the Derby " +
+      "empty-LIMIT lesson, negative side): Spark applies the limit") {
+    Mongo.registerCatalog(spark, sf)
+    val lim = spark.sql(
+      "SELECT _id, tavg FROM graft_mongo.weather.weatherny LIMIT 7")
+    val scan = lim.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }.head.scan
+    assert(!scan.description().toLowerCase.contains("limit"),
+      scan.description())
+    // Spark keeps its own limit operator and it actually binds
+    assert(lim.queryExecution.executedPlan.toString.contains("Limit"),
+      lim.queryExecution.executedPlan.toString)
+    assert(lim.collect().length === 7)
+  }
 }
