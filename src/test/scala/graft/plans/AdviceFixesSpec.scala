@@ -246,6 +246,43 @@ class AdviceFixesSpec extends SparkSpec {
         queries.queryExecution.analyzed, 1)).collect().nonEmpty)
   }
 
+  // ---- round-7 ADVICE pins: the registerCatalog rebind guard fails
+  // closed, and the content fingerprint that keys every memo/fixture
+  // actually changes when a corpus is regenerated in place ----
+
+  test("registerCatalog rejects a second data dir and stays idempotent on the first") {
+    // isolated session: the guard is per-session conf state and the
+    // shared session may already be bound by other suites
+    val iso = spark.newSession()
+    graft.sources.Jdbc.registerCatalog(iso, sf)
+    // same dir again: idempotent, no throw
+    graft.sources.Jdbc.registerCatalog(iso, sf)
+    // different dir: the lazily-loaded plugin would keep serving the
+    // FIRST dir's rows, so the rebind must fail closed
+    val e = intercept[IllegalStateException] {
+      graft.sources.Jdbc.registerCatalog(iso, "/root/testdata/sf0.01")
+    }
+    assert(e.getMessage.contains("already bound"), e.getMessage)
+  }
+
+  test("Tables.fingerprint changes when the file at the same path is rewritten") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_fp").toString
+    val dst = Paths.get(dir, "documents.parquet")
+    Files.write(dst, Array[Byte](1, 2, 3))
+    val before = graft.sources.Tables.fingerprint(dir, "documents")
+    // regenerate in place: longer content → new fingerprint → memo rebuild
+    Files.write(dst, Array[Byte](1, 2, 3, 4))
+    val after = graft.sources.Tables.fingerprint(dir, "documents")
+    assert(before !== after,
+      "fingerprint must change on rewrite or memos serve stale pairs")
+    // and same content at a DIFFERENT path never aliases (the dir.hashCode
+    // collision class ADVICE flagged): path is part of the digest key
+    Files.copy(dst, Paths.get(dir, "documents2.parquet"),
+      StandardCopyOption.COPY_ATTRIBUTES)
+    assert(graft.sources.Tables.fingerprint(dir, "documents2") !== after)
+  }
+
   test("CosineTopKJoinExec rejects a mis-shaped child with a clear error") {
     // the guard that replaced the old SIGSEGV: a child without the
     // (id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE) shape must throw,
