@@ -847,6 +847,293 @@ object Similarity {
        FROM embeddings ORDER BY vec_id"""
   }
 
+  // ------------------------------------------------------------------
+  // Full Lloyd k-means + product quantization (round 7)
+  // ------------------------------------------------------------------
+
+  /** One Lloyd ASSIGNMENT step, shared by plain k-means (byJ=false) and
+    * the per-subspace PQ codebooks (byJ=true, everything keyed by the
+    * subspace id `j`). Centroids are broadcast (k tiny rows), so
+    * assignment is one map-side pass: O(n·k) compute, zero shuffle
+    * before the per-vector rank. Distance is squared L2 via the
+    * expansion ‖x‖² − 2·x·c + ‖c‖² — all three terms are [[dotS]]
+    * left-to-right folds, so the doubles are bit-identical across
+    * engines; ties break on the centroid id. */
+  private def kmAssignSpark(v: DataFrame, cents: DataFrame,
+      byJ: Boolean): DataFrame = {
+    val c = cents.selectExpr(
+      (if (byJ) Seq("j") else Nil) ++ Seq("cid", "centroid",
+        s"${dotS("centroid", "centroid")} AS cc"): _*)
+    val joined =
+      if (byJ) v.join(broadcast(c), "j") else v.crossJoin(broadcast(c))
+    val parts =
+      if (byJ) Seq(col("vec_id"), col("j")) else Seq(col("vec_id"))
+    val w = Window.partitionBy(parts: _*)
+      .orderBy(col("d2").asc, col("cid").asc)
+    joined
+      .withColumn("d2", expr(s"xx - 2 * ${dotS("sv", "centroid")} + cc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "cc", "centroid")
+  }
+
+  /** DuckDB twin of [[kmAssignSpark]] (same expansion, same fold, same
+    * tiebreak). */
+  private def kmAssignDuck(vSrc: String, cSrc: String,
+      byJ: Boolean): String = {
+    val jSel = if (byJ) "j, " else ""
+    val jQual = if (byJ) "v.j, " else ""
+    val joinCond = if (byJ) "ON v.j = c.j" else "ON TRUE"
+    val part = if (byJ) "v.vec_id, v.j" else "v.vec_id"
+    val dist = s"v.xx - 2 * ${dotD("v.sv", "c.centroid")} + c.cc"
+    s"""SELECT vec_id, ${jSel}sv, xx, cid, d2 FROM (
+         SELECT v.vec_id, ${jQual}v.sv, v.xx, c.cid, $dist AS d2,
+           row_number() OVER (PARTITION BY $part
+             ORDER BY $dist ASC, c.cid ASC) AS rn
+         FROM ($vSrc) v JOIN (
+           SELECT ${jSel}cid, centroid,
+             ${dotD("centroid", "centroid")} AS cc FROM ($cSrc)) c
+           $joinCond) z
+       WHERE rn = 1"""
+  }
+
+  /** One Lloyd UPDATE step: per-(key, dimension) DECIMAL(18,6) sums →
+    * exact integer round-half-up means, the same order-independent
+    * O(1)-state-per-cell aggregation as [[centroids]] (no per-cell
+    * vector list is ever buffered — scale posture for cells of millions
+    * of members). Empty cells simply drop out; both engines agree. */
+  private def kmUpdateSpark(assigned: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val k1 = (keys :+ "pos").map(col)
+    assigned
+      .select(keys.map(col) :+ posexplode(col("sv")): _*)
+      .selectExpr(keys ++ Seq("pos + 1 AS pos",
+        "CAST(round(CAST(col AS DOUBLE), 6) AS DECIMAL(18,6)) AS xq"): _*)
+      .groupBy(k1: _*)
+      .agg(count(lit(1)).as("n"), sum("xq").as("sx"))
+      .groupBy(keys.map(col): _*)
+      .agg(max("n").as("n"),
+        sort_array(collect_list(struct(col("pos"), col("sx")))).as("ps"))
+      .selectExpr(keys ++ Seq(
+        """transform(ps, p -> CAST(
+             CASE WHEN p.sx >= 0
+               THEN (2 * CAST(p.sx * 1000000 AS BIGINT) + n) div (2 * n)
+               ELSE -((2 * CAST(-p.sx * 1000000 AS BIGINT) + n) div (2 * n))
+             END AS DOUBLE) / 1000000.0D) AS centroid"""): _*)
+  }
+
+  /** DuckDB twin of [[kmUpdateSpark]]. */
+  private def kmUpdateDuck(aSrc: String, keys: Seq[String],
+      dim: Int): String = {
+    val ks = keys.mkString(", ")
+    s"""SELECT $ks, list_transform(ms, m -> CAST(
+         CASE WHEN m >= 0 THEN (2 * m + n) // (2 * n)
+              ELSE -((2 * (-m) + n) // (2 * n)) END AS DOUBLE)
+         / 1000000.0) AS centroid
+       FROM (SELECT $ks, max(n) AS n,
+                    list(CAST(sx * 1000000 AS BIGINT) ORDER BY pos) AS ms
+             FROM (SELECT $ks, pos, count(*) AS n, sum(xq) AS sx
+                   FROM (SELECT $ks, jj AS pos,
+                           CAST(round(CAST(sv[jj] AS DOUBLE), 6)
+                             AS DECIMAL(18,6)) AS xq
+                         FROM ($aSrc)
+                         CROSS JOIN generate_series(1, $dim) AS g(jj)) u
+                   GROUP BY $ks, pos) s
+             GROUP BY $ks) g"""
+  }
+
+  private val KmK = 8      // clusters
+  private val KmIters = 3  // Lloyd iterations (fixed, not convergence-gated)
+  private val KmDim = 64   // embedding dimensionality
+
+  /** Full Lloyd k-means over the whole embedding corpus (Lloyd, "Least
+    * squares quantization in PCM", IEEE Trans. IT 1982) — the
+    * unsupervised counterpart of the per-label [[centroids]] trainer:
+    * k=8 clusters, 3 assignment/update rounds from a deterministic seed
+    * (the k smallest vec_ids; cluster ids ARE the seed vec_ids), then a
+    * final assignment for the reported partition stats. Output per
+    * cluster: member count, inertia (Σ d², each d² rounded to 6 dp then
+    * DECIMAL-summed so the fold is partition-order independent), and
+    * the µ-unit-serialized centroid.
+    *
+    * Scale (100 TB): per iteration ONE broadcast of k centroids + one
+    * map-side assignment pass + one partial/final hash aggregation with
+    * O(k·d) total state — no corpus shuffle, no per-cell buffering; the
+    * iteration count is a fixed hyperparameter, so the whole plan is
+    * T·(assign+update) with linear cost in corpus size. This is the
+    * standard production layout for training the IVF coarse quantizer
+    * ([[centroidIndex]] consumes exactly this kind of table). */
+  private[operators] def kmeansAt(iters: Int): Q = (s, dir) => {
+    val v = t(s, dir, "embeddings")
+      .selectExpr("vec_id", "embedding AS sv",
+        s"${dotS("embedding", "embedding")} AS xx")
+    var cents = v.filter(col("vec_id") < KmK)
+      .selectExpr("vec_id AS cid",
+        "transform(sv, x -> CAST(x AS DOUBLE)) AS centroid")
+    // each iteration's centroid table is k tiny rows; localCheckpoint
+    // cuts the recursive lineage so iteration i+1 (and the final stats
+    // join) reads 8 materialized rows instead of re-executing every
+    // previous assignment's corpus pass inside its own plan
+    for (_ <- 1 to iters)
+      cents = kmUpdateSpark(kmAssignSpark(v, cents, byJ = false), Seq("cid"))
+        .localCheckpoint()
+    val fin = kmAssignSpark(v, cents, byJ = false)
+    fin.selectExpr("cid", "CAST(round(d2, 6) AS DECIMAL(18,6)) AS dq")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum("dq").as("sdq"))
+      .join(cents, "cid")
+      .selectExpr("cid AS cluster", "n",
+        "round(CAST(sdq AS DOUBLE), 4) AS inertia",
+        """concat_ws(',', transform(centroid,
+           x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS STRING)))
+           AS centroid""")
+      .orderBy("cluster")
+  }
+
+  val embeddingKmeans: Q = kmeansAt(KmIters)
+
+  lazy val embeddingKmeansOracle: String = {
+    val v = s"""SELECT vec_id, embedding AS sv,
+                  ${dotD("embedding", "embedding")} AS xx FROM embeddings"""
+    var cents =
+      s"""SELECT vec_id AS cid,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+          FROM embeddings WHERE vec_id < $KmK"""
+    for (_ <- 1 to KmIters)
+      cents = kmUpdateDuck(kmAssignDuck(v, cents, byJ = false),
+        Seq("cid"), KmDim)
+    val fin = kmAssignDuck(v, cents, byJ = false)
+    s"""SELECT a.cid AS cluster, a.n, a.inertia,
+         array_to_string(list_transform(c.centroid, x ->
+           CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), ',')
+           AS centroid
+       FROM (SELECT cid, count(*) AS n,
+               round(CAST(sum(CAST(round(d2, 6) AS DECIMAL(18,6)))
+                 AS DOUBLE), 4) AS inertia
+             FROM ($fin) GROUP BY cid) a
+       JOIN ($cents) c ON a.cid = c.cid
+       ORDER BY cluster"""
+  }
+
+  private val PqM = 8      // subspaces
+  private val PqSub = 8    // dims per subspace (KmDim / PqM)
+  private val PqK = 32     // codes per subspace codebook
+  private val PqIters = 2  // Lloyd rounds per codebook
+
+  /** Corpus/query rows exploded to one row per (vector, subspace):
+    * `sv` = the j-th 16-dim slice, `xx` its squared norm. */
+  private def pqSubS(src: DataFrame): DataFrame = {
+    val structs = (0 until PqM).map(j =>
+      s"struct(CAST($j AS INT) AS j, " +
+        s"slice(embedding, ${j * PqSub + 1}, $PqSub) AS sv)").mkString(", ")
+    src.selectExpr("vec_id", s"explode(array($structs)) AS e")
+      .selectExpr("vec_id", "e.j AS j", "e.sv AS sv")
+      .selectExpr("vec_id", "j", "sv", s"${dotS("sv", "sv")} AS xx")
+  }
+
+  private def pqSubD(pred: String): String = {
+    val branches = (0 until PqM).map(j =>
+      s"""SELECT vec_id, $j AS j,
+            list_slice(embedding, ${j * PqSub + 1}, ${(j + 1) * PqSub}) AS sv
+          FROM embeddings $pred""").mkString(" UNION ALL ")
+    s"""SELECT vec_id, j, sv, ${dotD("sv", "sv")} AS xx
+        FROM ($branches) u"""
+  }
+
+  /** Product quantization with asymmetric-distance scoring (Jégou,
+    * Douze, Schmid, "Product quantization for nearest neighbor
+    * search", TPAMI 2011): the 64-d space splits into m=8 8-d
+    * subspaces, each with its own 32-code codebook trained by the
+    * shared Lloyd kernel (2 rounds, seeds = the 32 smallest corpus
+    * vec_ids' subvectors), the corpus is ENCODED as 8 small code ids
+    * (40 bits per vector, ~50× compression vs float32 — beyond
+    * [[annInt8Topk]]'s 4×), and each query scores candidates through
+    * an 8×32 lookup table of exact query-to-code squared distances:
+    * score = Σ_j LUT[j][code_j].
+    * Partial distances are rounded to 6 dp and DECIMAL-summed, so the
+    * 8-term fold is order-independent and ranking ties are impossible
+    * to disagree on. Top-5 by ADC distance per query; like every ANN
+    * variant here this is an approximation — the rank-by-code distance,
+    * not the exact cosine order.
+    *
+    * Scale (100 TB): training touches only the corpus sample, codebooks
+    * and the per-query LUT are broadcast (tiny), encoding is one
+    * map-side pass, and the only exchange is the (q_id, c_id) partial
+    * aggregation — candidate volume bounded by |queries|·|corpus|
+    * groups of m=4 rows with map-side combine; the corpus embedding
+    * floats are never shuffled at all. */
+  val annPqAdc: Q = (s, dir) => {
+    val base = t(s, dir, "embeddings")
+    // materialized once: the exploded (vector, subspace) feed is read
+    // by both training rounds AND the encode pass
+    val corpusSub = pqSubS(base.filter(col("vec_id") >= 10))
+      .localCheckpoint()
+    var books = corpusSub.filter(col("vec_id") < 10 + PqK)
+      .selectExpr("j", "vec_id AS cid",
+        "transform(sv, x -> CAST(x AS DOUBLE)) AS centroid")
+    // same lineage cut as the k-means loop: each codebook is m·k tiny
+    // rows, checkpointed so encode/LUT don't re-run the training passes
+    for (_ <- 1 to PqIters)
+      books = kmUpdateSpark(kmAssignSpark(corpusSub, books, byJ = true),
+        Seq("j", "cid"))
+        .localCheckpoint()
+    val codes = kmAssignSpark(corpusSub, books, byJ = true)
+      .selectExpr("vec_id AS c_id", "j", "cid")
+    val qsub = pqSubS(base.filter(col("vec_id") < 10))
+      .selectExpr("vec_id AS q_id", "j", "sv", "xx")
+    val lut = qsub
+      .join(books.selectExpr("j", "cid", "centroid",
+        s"${dotS("centroid", "centroid")} AS cc"), Seq("j"))
+      .selectExpr("q_id", "j", "cid",
+        s"""CAST(round(xx - 2 * ${dotS("sv", "centroid")} + cc, 6)
+           AS DECIMAL(18,6)) AS pd""")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adc").asc, col("c_id").asc)
+    codes.join(broadcast(lut), Seq("j", "cid"))
+      .groupBy("q_id", "c_id")
+      .agg(sum("pd").as("adcq"))
+      .selectExpr("q_id", "c_id", "CAST(adcq AS DOUBLE) AS adc")
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .selectExpr("q_id", "rank", "c_id", "round(adc, 6) AS adc_dist")
+      .orderBy("q_id", "rank")
+  }
+
+  lazy val annPqAdcOracle: String = {
+    val corpusSub = pqSubD("WHERE vec_id >= 10")
+    var books =
+      s"""SELECT j, vec_id AS cid,
+            list_transform(sv, x -> CAST(x AS DOUBLE)) AS centroid
+          FROM ($corpusSub) WHERE vec_id < ${10 + PqK}"""
+    for (_ <- 1 to PqIters)
+      books = kmUpdateDuck(kmAssignDuck(corpusSub, books, byJ = true),
+        Seq("j", "cid"), PqSub)
+    val codes =
+      s"""SELECT vec_id AS c_id, j, cid
+          FROM (${kmAssignDuck(corpusSub, books, byJ = true)}) enc"""
+    val qsub =
+      s"""SELECT vec_id AS q_id, j, sv, xx
+          FROM (${pqSubD("WHERE vec_id < 10")}) qq"""
+    s"""WITH lut AS (
+         SELECT q.q_id, q.j, c.cid,
+           CAST(round(q.xx - 2 * ${dotD("q.sv", "c.centroid")} + c.cc, 6)
+             AS DECIMAL(18,6)) AS pd
+         FROM ($qsub) q JOIN (
+           SELECT j, cid, centroid,
+             ${dotD("centroid", "centroid")} AS cc
+           FROM ($books)) c ON q.j = c.j),
+       scored AS (
+         SELECT l.q_id, k.c_id, CAST(sum(l.pd) AS DOUBLE) AS adc
+         FROM ($codes) k JOIN lut l ON k.j = l.j AND k.cid = l.cid
+         GROUP BY l.q_id, k.c_id),
+       ranked AS (
+         SELECT q_id, c_id, adc, row_number() OVER (PARTITION BY q_id
+           ORDER BY adc ASC, c_id ASC) AS rank
+         FROM scored)
+       SELECT q_id, rank, c_id, round(adc, 6) AS adc_dist
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
+
   val queries: Map[String, Q] = Map(
     "embedding_random_projection" -> randomProjection,
     "ann_ivf_centroid_topk" -> annIvfCentroidTopk,
@@ -862,7 +1149,9 @@ object Similarity {
     "dedup_semantic_scaled" -> dedupSemanticScaled,
     "embedding_cosine_neardup" -> cosineNeardup,
     "embedding_cosine_neardup_cells" -> cosineNeardupCells,
-    "embedding_norm_stats" -> normStats)
+    "embedding_norm_stats" -> normStats,
+    "embedding_kmeans" -> embeddingKmeans,
+    "ann_pq_adc" -> annPqAdc)
 
   val oracles: Map[String, String] = Map(
     "embedding_random_projection" -> randomProjectionOracle,
@@ -879,5 +1168,7 @@ object Similarity {
     "dedup_semantic_scaled" -> dedupSemanticScaledOracle,
     "embedding_cosine_neardup" -> cosineNeardupOracle,
     "embedding_cosine_neardup_cells" -> cosineNeardupCellsOracle,
-    "embedding_norm_stats" -> normStatsOracle)
+    "embedding_norm_stats" -> normStatsOracle,
+    "embedding_kmeans" -> embeddingKmeansOracle,
+    "ann_pq_adc" -> annPqAdcOracle)
 }

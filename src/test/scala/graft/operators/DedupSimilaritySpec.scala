@@ -120,6 +120,63 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans: clusters partition the corpus and Lloyd inertia is " +
+      "non-increasing in the iteration count") {
+    val corpus = graft.sources.Tables.t(spark, sf, "embeddings").count()
+    def run(iters: Int) = {
+      val rows = Similarity.kmeansAt(iters)(spark, sf).collect()
+      (rows.map(_.getLong(1)).sum, rows.map(_.getDouble(2)).sum)
+    }
+    val (n1, i1) = run(1)
+    val (n3, i3) = run(3)
+    println(s"[kmeans-probe] corpus=$corpus n1=$n1 i1=$i1 n3=$n3 i3=$i3")
+    assert(n1 === corpus && n3 === corpus,
+      "every vector must land in exactly one cluster")
+    // Lloyd: each assign+update cycle cannot increase total inertia
+    // (both measured post-final-assignment, so the comparison is fair)
+    assert(i3 <= i1 + 1e-6, s"inertia rose with more iterations: $i1 -> $i3")
+  }
+
+  test("ann_pq_adc: ranks well-formed, ADC non-decreasing, top-5 " +
+      "overlaps exact top-5") {
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val out = Similarity.annPqAdc(spark, sf).collect()
+    out.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to 5L),
+        s"query $q ranks")
+      val ds = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        s"query $q ADC distance not non-decreasing: ${ds.toSeq}")
+    }
+    // truth for the overlap check is exact squared-L2 top-5 — the
+    // metric PQ-ADC actually approximates (the cosine brute baseline
+    // ranks differently when norms vary)
+    val v = graft.sources.Tables.t(spark, sf, "embeddings")
+      .selectExpr("vec_id", "embedding",
+        "graft_dot(embedding, embedding) AS xx")
+    val q = v.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", "embedding AS qe", "xx AS qq")
+    val c = v.filter(col("vec_id") >= 10)
+      .selectExpr("vec_id AS c_id", "embedding AS ce", "xx AS cc")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+      .orderBy(col("d2").asc, col("c_id").asc)
+    val exact = sets(c.join(broadcast(q))
+      .selectExpr("q_id", "c_id",
+        "cc - 2 * graft_dot(ce, qe) + qq AS d2")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5))
+    val pq = sets(Similarity.annPqAdc(spark, sf))
+    assert(pq.keySet === exact.keySet)
+    val overlaps = exact.map { case (qid, ex) => qid -> (ex & pq(qid)).size }
+    println(s"[pq-probe] overlaps=${overlaps.toSeq.sortBy(_._1)}")
+    // 64x-compressed codes cannot be exact; require signal well above
+    // chance (5 random picks from a 490-vector corpus ~ overlap 0)
+    assert(overlaps.values.sum >= overlaps.size,
+      s"mean PQ overlap under 1 of 5: $overlaps")
+  }
+
   test("dedup_semantic_keep: one keeper per cluster, pairs co-clustered") {
     val out = Similarity.dedupSemanticKeep(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
