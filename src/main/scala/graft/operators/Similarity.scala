@@ -1015,6 +1015,107 @@ object Similarity {
        ORDER BY cluster"""
   }
 
+  /** Multi-probe IVF recall curve — the production recall/cost knob the
+    * single-probe [[annIvfCentroidTopk]] lacks: each query searches the
+    * union of its P nearest centroid cells for P = 1..3, and the output
+    * is the measured recall@3 of each probe depth against the exact
+    * brute-force truth (the same shipped-operators-measure-themselves
+    * pattern as `dedup_lsh_recall`). A probed candidate with probe rank
+    * a participates in every depth p >= a via one `explode(sequence)` —
+    * a single plan scores all three depths, no three-fold corpus scan.
+    *
+    * Scale (100 TB): probing multiplies the searched fraction by P/k
+    * (cells stay bounded as k grows with the corpus); the truth join is
+    * |queries|·3 rows — the expensive exact scan exists only to MEASURE
+    * recall and is not part of the production search path. */
+  val annIvfMultiprobeRecall: Q = (s, dir) => {
+    val cents = centroidIndex(s, dir)
+      .selectExpr("label AS c_label", "centroid",
+        s"${normS("centroid")} AS c_cnrm")
+    val v = vecs(s, dir)
+    val q = v.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", "embedding AS q_emb", "nrm AS q_nrm")
+    val wAssign = Window.partitionBy("q_id")
+      .orderBy(col("cent_sim").desc, col("c_label").asc)
+    val probes = q.crossJoin(broadcast(cents))
+      .selectExpr("q_id", "q_emb", "q_nrm", "c_label",
+        s"${dotS("q_emb", "centroid")} / (q_nrm * c_cnrm) AS cent_sim")
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= 3)
+      .select("q_id", "q_emb", "q_nrm", "c_label", "arn")
+    val c = v.filter(col("vec_id") >= 10)
+      .selectExpr("vec_id AS c_id", "label AS v_label",
+        "embedding AS c_emb", "nrm AS c_nrm")
+    val wRank = Window.partitionBy("q_id", "p")
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    val ivfTop = c.join(broadcast(probes), col("v_label") === col("c_label"))
+      .selectExpr("q_id", "c_id",
+        s"${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim",
+        "explode(sequence(arn, 3)) AS p")
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select("p", "q_id", "c_id")
+    val wTruth = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    val truth = c.join(broadcast(q))
+      .selectExpr("q_id", "c_id",
+        s"${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim")
+      .withColumn("rank", row_number().over(wTruth))
+      .filter(col("rank") <= 3)
+      .selectExpr("q_id", "c_id", "explode(sequence(1, 3)) AS p")
+    truth.join(ivfTop.withColumn("hit", lit(1)), Seq("p", "q_id", "c_id"),
+        "left_outer")
+      .groupBy("p")
+      .agg(count(lit(1)).as("total"), count(col("hit")).as("hits"))
+      .selectExpr("CAST(p AS BIGINT) AS p", "hits", "total",
+        "round(CAST(hits AS DOUBLE) / total, 4) AS recall")
+      .orderBy("p")
+  }
+
+  lazy val annIvfMultiprobeRecallOracle: String =
+    s"""WITH cents AS (
+         SELECT label AS c_label, centroid, ${normD("centroid")} AS c_cnrm
+         FROM ($centroidDuck)),
+       v AS ($vecsDuck),
+       q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+             FROM v WHERE vec_id < 10),
+       probes AS (
+         SELECT q_id, q_emb, q_nrm, c_label, arn FROM (
+           SELECT q.q_id, q.q_emb, q.q_nrm, c.c_label,
+             row_number() OVER (PARTITION BY q.q_id ORDER BY
+               ${dotD("q_emb", "centroid")} / (q_nrm * c_cnrm) DESC,
+               c.c_label ASC) AS arn
+           FROM q CROSS JOIN cents c) z
+         WHERE arn <= 3),
+       c AS (SELECT vec_id AS c_id, label AS v_label,
+               embedding AS c_emb, nrm AS c_nrm FROM v WHERE vec_id >= 10),
+       ivftop AS (
+         SELECT p, q_id, c_id FROM (
+           SELECT s.q_id, s.c_id, g.p,
+             row_number() OVER (PARTITION BY s.q_id, g.p ORDER BY
+               s.cos_sim DESC, s.c_id ASC) AS rank
+           FROM (SELECT pr.q_id, c.c_id, pr.arn,
+                   ${dotD("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim
+                 FROM c JOIN probes pr ON c.v_label = pr.c_label) s
+           CROSS JOIN generate_series(1, 3) AS g(p)
+           WHERE s.arn <= g.p) r
+         WHERE rank <= 3),
+       truth AS (
+         SELECT q_id, c_id, g.p FROM (
+           SELECT q.q_id, c.c_id,
+             row_number() OVER (PARTITION BY q.q_id ORDER BY
+               ${dotD("q_emb", "c_emb")} / (q_nrm * c_nrm) DESC,
+               c.c_id ASC) AS rank
+           FROM c CROSS JOIN q) z
+         CROSS JOIN generate_series(1, 3) AS g(p)
+         WHERE rank <= 3)
+       SELECT CAST(t.p AS BIGINT) AS p, count(i.c_id) AS hits,
+         count(*) AS total,
+         round(CAST(count(i.c_id) AS DOUBLE) / count(*), 4) AS recall
+       FROM truth t LEFT JOIN ivftop i
+         ON t.p = i.p AND t.q_id = i.q_id AND t.c_id = i.c_id
+       GROUP BY t.p ORDER BY p"""
+
   private val PqM = 8      // subspaces
   private val PqSub = 8    // dims per subspace (KmDim / PqM)
   private val PqK = 32     // codes per subspace codebook
@@ -1151,7 +1252,8 @@ object Similarity {
     "embedding_cosine_neardup_cells" -> cosineNeardupCells,
     "embedding_norm_stats" -> normStats,
     "embedding_kmeans" -> embeddingKmeans,
-    "ann_pq_adc" -> annPqAdc)
+    "ann_pq_adc" -> annPqAdc,
+    "ann_ivf_multiprobe_recall" -> annIvfMultiprobeRecall)
 
   val oracles: Map[String, String] = Map(
     "embedding_random_projection" -> randomProjectionOracle,
@@ -1170,5 +1272,6 @@ object Similarity {
     "embedding_cosine_neardup_cells" -> cosineNeardupCellsOracle,
     "embedding_norm_stats" -> normStatsOracle,
     "embedding_kmeans" -> embeddingKmeansOracle,
-    "ann_pq_adc" -> annPqAdcOracle)
+    "ann_pq_adc" -> annPqAdcOracle,
+    "ann_ivf_multiprobe_recall" -> annIvfMultiprobeRecallOracle)
 }

@@ -177,6 +177,27 @@ class DedupSimilaritySpec extends SparkSpec {
       s"mean PQ overlap under 1 of 5: $overlaps")
   }
 
+  test("ann_ivf_multiprobe_recall: recall is monotone in probe depth and " +
+      "the P=1 row equals single-probe IVF vs brute truth") {
+    val rows = Similarity.annIvfMultiprobeRecall(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.forall(_._3 === 30L), s"denominator must be |truth|: $rows")
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 <= b._2 },
+      s"hits must be non-decreasing in probe depth: ${rows.toSeq}")
+    // cross-validate three operators: the P=1 candidate cell IS the
+    // single-probe op's cell, so hits(P=1) must equal
+    // |annIvfCentroidTopk top-3 ∩ exact brute top-3|
+    def top3(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("rank") <= 3).select("q_id", "c_id")
+        .as[(Long, Long)].collect().toSet
+    val single = top3(Similarity.annIvfCentroidTopk(spark, sf))
+    val brute = top3(Similarity.annBruteTopk(spark, sf))
+    assert(rows.head._2 === (single & brute).size.toLong,
+      s"P=1 hits ${rows.head._2} != |single-probe ∩ brute| ${(single & brute).size}")
+  }
+
   test("dedup_semantic_keep: one keeper per cluster, pairs co-clustered") {
     val out = Similarity.dedupSemanticKeep(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
