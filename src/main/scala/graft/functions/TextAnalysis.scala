@@ -449,6 +449,92 @@ object TextAnalysis {
        CROSS JOIN tots
        ORDER BY n_bg DESC, w1 ASC, w2 ASC LIMIT 20"""
 
+  /** Bigram-LM perplexity scoring — the CCNet-style quality filter
+    * (Wenzek et al., "CCNet: Extracting high quality monolingual
+    * datasets from web crawl data", LREC 2020): train an add-1-smoothed
+    * bigram language model on the corpus, then score every document by
+    * its average negative log-likelihood under that model —
+    * P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V). Every count is
+    * integer-exact; each per-bigram -ln term is rounded to 6 dp and
+    * DECIMAL-summed so the per-document fold is partition-order
+    * independent; the final mean divides two exactly-agreed numbers.
+    * Documents with fewer than two tokens have no bigrams and drop out.
+    *
+    * Scale (100 TB): the LM tables (bigram/unigram counts) are one
+    * corpus-tokens shuffle to build and orders of magnitude smaller
+    * than the corpus — they join back broadcast when they fit and
+    * hash-partitioned on the token key otherwise (Spark's planner
+    * decides from size); the corpus text itself shuffles only on the
+    * (w1,w2) scoring join keys, and the per-doc aggregation has O(1)
+    * state. In production the trained counts would be snapshotted once
+    * and reused across scoring runs, like [[centroidIndex]]. */
+  val lmPerplexity: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+    val docBigrams = toks
+      .selectExpr("doc_id",
+        """explode(CASE WHEN size(toks) < 2 THEN array()
+           ELSE transform(sequence(1, size(toks) - 1),
+             i -> struct(element_at(toks, i) AS w1,
+                         element_at(toks, i + 1) AS w2)) END) AS bg""")
+      .selectExpr("doc_id", "bg.w1 AS w1", "bg.w2 AS w2")
+    val bgCounts = docBigrams
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_bg"))
+    val unis = toks.selectExpr("explode(toks) AS w")
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    val vocab = unis.agg(count(lit(1)).as("v"))
+    docBigrams
+      .join(bgCounts, Seq("w1", "w2"))
+      .join(unis.selectExpr("w AS w1", "n_w AS n_w1"), "w1")
+      .crossJoin(broadcast(vocab))
+      .selectExpr("doc_id",
+        """CAST(round(-ln((CAST(n_bg AS DOUBLE) + 1) /
+           (CAST(n_w1 AS DOUBLE) + v)), 6) AS DECIMAL(18,6)) AS nll""")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"), sum("nll").as("snll"))
+      // the mean rounds half-up in EXACT integer µ-units (the
+      // `centroids` lesson: round(double, 6) hits real half-ties where
+      // Spark and DuckDB disagree; integer arithmetic cannot)
+      .selectExpr("doc_id", "n_bg",
+        """CAST(CASE WHEN snll >= 0
+             THEN (2 * CAST(snll * 1000000 AS BIGINT) + n_bg)
+               div (2 * n_bg)
+             ELSE -((2 * CAST(-snll * 1000000 AS BIGINT) + n_bg)
+               div (2 * n_bg))
+           END AS DOUBLE) / 1000000.0D AS avg_nll""")
+      .orderBy("doc_id")
+  }
+
+  val lmPerplexityOracle: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       db AS (
+         SELECT doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM (
+           SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+             ELSE list_transform(range(1, len(toks)),
+               i -> {'w1': toks[i], 'w2': toks[i + 1]}) END) AS bg
+           FROM toks)),
+       bgc AS (SELECT w1, w2, count(*) AS n_bg FROM db GROUP BY 1, 2),
+       unis AS (
+         SELECT w, count(*) AS n_w FROM (
+           SELECT unnest(toks) AS w FROM toks) GROUP BY w),
+       vocab AS (SELECT count(*) AS v FROM unis),
+       agg AS (
+         SELECT d.doc_id, count(*) AS n_bg,
+           CAST(sum(CAST(round(-ln((CAST(b.n_bg AS DOUBLE) + 1) /
+               (CAST(u.n_w AS DOUBLE) + v)), 6) AS DECIMAL(18,6)))
+             * 1000000 AS BIGINT) AS s
+         FROM db d
+         JOIN bgc b ON d.w1 = b.w1 AND d.w2 = b.w2
+         JOIN unis u ON d.w1 = u.w
+         CROSS JOIN vocab
+         GROUP BY d.doc_id)
+       SELECT doc_id, n_bg,
+         CAST(CASE WHEN s >= 0 THEN (2 * s + n_bg) // (2 * n_bg)
+              ELSE -((2 * (-s) + n_bg) // (2 * n_bg)) END AS DOUBLE)
+           / 1000000.0 AS avg_nll
+       FROM agg ORDER BY doc_id"""
+
   /** Count-Min frequency estimation (graft.plans.CmCount, the engine's
     * third custom sketch aggregate): bounded-state token-frequency
     * estimates next to their exact counts. The estimate can only
@@ -1082,6 +1168,7 @@ object TextAnalysis {
     "text_trigram_counts" -> trigramCounts,
     "text_bpe_merge_step" -> bpeMergeStep,
     "text_bigram_pmi" -> bigramPmi,
+    "text_lm_perplexity" -> lmPerplexity,
     "corpus_sample_bottomk" -> sampleBottomK,
     "corpus_sample_stratified" -> sampleStratified,
     "corpus_sample_weighted" -> sampleWeighted,
@@ -1113,6 +1200,7 @@ object TextAnalysis {
     "text_trigram_counts" -> trigramCountsOracle,
     "text_bpe_merge_step" -> bpeMergeStepOracle,
     "text_bigram_pmi" -> bigramPmiOracle,
+    "text_lm_perplexity" -> lmPerplexityOracle,
     "corpus_sample_bottomk" -> sampleBottomKOracle,
     "corpus_sample_stratified" -> sampleStratifiedOracle,
     "corpus_sample_weighted" -> sampleWeightedOracle,

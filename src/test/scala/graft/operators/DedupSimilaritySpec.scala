@@ -470,6 +470,25 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("text_lm_perplexity: every multi-token doc scored, scores " +
+      "non-negative, bigram accounting exact") {
+    val out = graft.functions.TextAnalysis.lmPerplexity(spark, sf).collect()
+    val toks = graft.sources.Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS nt")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val multi = toks.filter(_._2 >= 2)
+    assert(out.length === multi.size,
+      "exactly the docs with >= 2 tokens must be scored")
+    out.foreach { r =>
+      val (id, nBg, nll) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      // every adjacent pair is scored: the LM is trained on the same
+      // corpus, so no bigram can miss the inner joins
+      assert(nBg === multi(id) - 1L, s"doc $id bigram count")
+      // add-1 smoothing keeps every P(w2|w1) < 1 for a real vocab
+      assert(nll >= 0.0, s"doc $id negative avg NLL $nll")
+    }
+  }
+
   test("text quality + token counts agree on a literal string") {
     val df = Seq((1L, "the quick brown fox", "en", "s", 19L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
