@@ -197,6 +197,39 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$p")
   }
 
+  test("kmeans: centroids broadcast to the assignment pass, per-dim " +
+      "decimal sums, no corpus cartesian") {
+    val df = Similarity.embeddingKmeans(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the k-row centroid side must reach each assignment as a broadcast
+    assert(p.contains("BroadcastExchange") || p.contains("Broadcast"),
+      s"centroid side not broadcast:\n$p")
+    // update step keeps the decimal per-dimension partial aggregation
+    assert(p.contains("partial_sum"),
+      s"per-dim sum lost its map-side partial:\n$p")
+    // no plan node ever joins corpus AGAINST corpus without keys
+    assert(!p.contains("CartesianProduct"),
+      s"corpus-side cartesian appeared:\n$p")
+  }
+
+  test("PQ-ADC: codebooks and LUT broadcast, top-k staged per query") {
+    val p = plan(Similarity.annPqAdc(spark, sf))
+    assert(p.contains("Broadcast"), s"LUT/codebook side not broadcast:\n$p")
+    assert(p.contains("partial_sum"),
+      s"ADC partial aggregation missing (map-side combine):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scoring fell back to a cartesian:\n$p")
+  }
+
+  test("LM perplexity: token-count tables join back, per-doc agg has " +
+      "map-side partials, corpus text never cartesian-joined") {
+    val p = plan(graft.functions.TextAnalysis.lmPerplexity(spark, sf))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"per-doc aggregation lost its partial:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus cartesian appeared:\n$p")
+  }
+
   test("substring dedup: native gram kernel, map-side distinct before " +
       "the gram exchange, no cartesian") {
     val df = graft.operators.Dedup.substringSpans(spark, sf)
