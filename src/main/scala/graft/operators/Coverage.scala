@@ -1420,7 +1420,108 @@ object Coverage {
        FROM lineitem WHERE l_orderkey < 2000
        ORDER BY l_orderkey, l_linenumber, half_up_pos"""
 
+  /** TIME-WINDOWED conversion funnel — the bounded-window variant of
+    * [[Aggregates.funnelConversion]] (which checks ordering only): each
+    * stage must convert within 1 day of the previous stage's first
+    * occurrence, the standard product-analytics semantics (cf. the
+    * reference's events/time-bounded scan surface,
+    * `trino/kafka/weatherdata.json` + the cron'd producer scripts).
+    * Stages: first `view` per user, first `click` within 1 day AFTER
+    * it, first `purchase` within 1 day after THAT. Output is one row
+    * per stage with the surviving-user count — integers only, no ratio
+    * doubles, so the hash compare is exact by construction.
+    *
+    * Scale shape (100 TB): each stage is one user_id-keyed aggregation;
+    * stage tables shrink monotonically (150 → 60 → 25 here) and every
+    * join is keyed on user_id, so after the first shuffle the stage
+    * chain reuses the same hash partitioning — no broadcast needed,
+    * no per-user event list ever materializes. */
+  val funnelWindowed: Q = (s, dir) => {
+    val ev = events(s, dir).select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1") &&
+        col("ts") <= col("t1") + expr("INTERVAL '1' DAY"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2") &&
+        col("ts") <= col("t2") + expr("INTERVAL '1' DAY"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.agg(count(lit(1)).as("n_users"))
+      .selectExpr("'1_view' AS stage", "n_users")
+      .unionAll(s2.agg(count(lit(1)).as("n_users"))
+        .selectExpr("'2_click' AS stage", "n_users"))
+      .unionAll(s3.agg(count(lit(1)).as("n_users"))
+        .selectExpr("'3_purchase' AS stage", "n_users"))
+      .orderBy("stage")
+  }
+
+  val funnelWindowedOracle: String =
+    """WITH ev AS (
+         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+         FROM events),
+       s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+              WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+              JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > t1
+                AND e.ts <= t1 + INTERVAL 1 DAY GROUP BY e.user_id),
+       s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+              JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > t2
+                AND e.ts <= t2 + INTERVAL 1 DAY GROUP BY e.user_id)
+       SELECT stage, n_users FROM (
+         SELECT '1_view' AS stage, (SELECT count(*) FROM s1) AS n_users
+         UNION ALL
+         SELECT '2_click', (SELECT count(*) FROM s2)
+         UNION ALL
+         SELECT '3_purchase', (SELECT count(*) FROM s3))
+       ORDER BY stage"""
+
+  /** Event-type transition matrix (first-order Markov chain over the
+    * clickstream): for each user, pair every event with the NEXT event
+    * in their timeline, then count (from, to) transitions and express
+    * each row's share of its from-type in integer micro-units
+    * (`n·10⁶ div row_total` — exact integer division on both engines,
+    * no floating rounding anywhere).
+    *
+    * Scale shape: ONE user_id-keyed window pass over events (the same
+    * exchange sessionization uses — at scale these share a stage), then
+    * an aggregation onto the |types|² transition space, which is tiny
+    * and bounded regardless of corpus size. */
+  val eventTransitions: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(s, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum("n").over(Window.partitionBy("from_type")))
+      .selectExpr("from_type", "to_type", "n",
+        "(n * 1000000) div tot AS p_micro")
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsOracle: String =
+    """WITH seq AS (
+         SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC) AS to_type
+         FROM events),
+       counts AS (
+         SELECT event_type AS from_type, to_type, count(*) AS n
+         FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+       SELECT from_type, to_type, n,
+         CAST((n * 1000000)
+           // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+           AS BIGINT) AS p_micro
+       FROM counts ORDER BY from_type, to_type"""
+
   val queries: Map[String, Q] = Map(
+    "funnel_windowed" -> funnelWindowed,
+    "event_transitions" -> eventTransitions,
     "meta_show_catalogs" -> metaShowCatalogs,
     "decimal_halfup_overflow" -> decimalHalfUp,
     "profile_column_stats" -> profileColumnStats,
@@ -1473,6 +1574,8 @@ object Coverage {
     "meta_show_tables" -> metaShowTables)
 
   val oracles: Map[String, String] = Map(
+    "funnel_windowed" -> funnelWindowedOracle,
+    "event_transitions" -> eventTransitionsOracle,
     "meta_show_catalogs" -> metaShowCatalogsOracle,
     "decimal_halfup_overflow" -> decimalHalfUpOracle,
     "profile_column_stats" -> profileColumnStatsOracle,

@@ -261,4 +261,32 @@ class CoverageMultimodalSpec extends SparkSpec {
     assert(out.count() === src.count())
     assert(out.except(src).count() === 0)
   }
+
+  test("windowed funnel stages shrink monotonically and never exceed " +
+    "the unbounded funnel's ordered-stage counts") {
+    val rows = Coverage.funnelWindowed(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ===
+      Seq("1_view", "2_click", "3_purchase"))
+    val Array(v, c, p) = rows.map(_.getAs[Long]("n_users"))
+    assert(v >= c && c >= p && p >= 0)
+    // every view-stage user is a user with >=1 view event
+    val nViewUsers = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(v === nViewUsers)
+  }
+
+  test("event transition matrix conserves mass: row shares sum to ~1e6 " +
+    "and transition count equals events minus users") {
+    val out = Coverage.eventTransitions(spark, sf).collect()
+    val n = out.map(_.getAs[Long]("n")).sum
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(n === expected) // lead() drops exactly one event per user
+    // integer-floor division loses < |row| micro-units per from_type
+    out.groupBy(_.getAs[String]("from_type")).foreach { case (_, rows) =>
+      val share = rows.map(_.getAs[Long]("p_micro")).sum
+      assert(share <= 1000000L && share > 1000000L - rows.length)
+    }
+  }
 }
