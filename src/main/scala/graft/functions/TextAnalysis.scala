@@ -1149,7 +1149,73 @@ object TextAnalysis {
               ELSE 'test' END AS split
        FROM b ORDER BY doc_id"""
 
+  /** Boilerplate (frequent-line) removal — the MassiveText repetition
+    * filter family (Rae et al., "Scaling Language Models: … Gopher",
+    * 2021, §A.1.1; RefinedWeb's line-wise corrections, Penedo et al.
+    * 2023 §3.2): any "line" occurring in ≥ 3 DISTINCT documents is
+    * boilerplate (nav chrome, licence banners, cookie notices) and is
+    * removed from EVERY document it appears in — unlike
+    * [[graft.operators.Dedup.lineLevel]] (C4), which keeps the first
+    * occurrence. The harness corpus has no newlines, so a "line" is the
+    * same fixed 16-token chunk line-level dedup uses.
+    *
+    * Scale shape (100 TB): chunking is a per-row HOF (one output row
+    * per chunk, not per token); chunk document-frequency is one shuffle
+    * on the chunk key — uniform, AQE-skew safe; the ≥ 3-doc survivor
+    * set is tiny by Zipf's law, so it broadcasts back and flagging is
+    * map-side; reassembly is the same per-doc group-by as line-level
+    * dedup. At cluster scale the chunk key becomes a 128-bit digest
+    * (same trick as dedup_exact), kept as raw text here so the oracle
+    * stays readable. */
+  val boilerplateLines: Q = (s, dir) => {
+    val chunks = t(s, dir, "documents")
+      .selectExpr("doc_id",
+        """posexplode(transform(
+             sequence(0, CAST((size(split(text, ' ')) - 1) div 16 AS INT)),
+             c -> concat_ws(' ', slice(split(text, ' '), c * 16 + 1, 16))))
+           AS (chunk_id, chunk)""")
+    val frequent = chunks.groupBy("chunk")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 3)
+      .select(col("chunk"), lit(1).as("bp"))
+    chunks.join(broadcast(frequent), Seq("chunk"), "left_outer")
+      .withColumn("keep", when(col("bp").isNull, 1).otherwise(0))
+      .groupBy("doc_id")
+      .agg(
+        expr("""array_join(transform(
+                  filter(array_sort(collect_list(struct(chunk_id, keep, chunk))),
+                         x -> x.keep = 1),
+                  x -> x.chunk), ' ')""").as("clean_text"),
+        sum("keep").cast("bigint").as("n_kept"),
+        (count(lit(1)) - sum("keep")).cast("bigint").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateLinesOracle: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       chunks AS (
+         SELECT doc_id, c AS chunk_id,
+           array_to_string(tk[c*16+1 : c*16+16], ' ') AS chunk
+         FROM toks,
+           LATERAL (SELECT unnest(range(0, (len(tk)-1)//16 + 1)) AS c) u),
+       freq AS (
+         SELECT chunk FROM chunks GROUP BY chunk
+         HAVING count(DISTINCT doc_id) >= 3),
+       flagged AS (
+         SELECT doc_id, chunk_id, chunk,
+           CASE WHEN chunk IN (SELECT chunk FROM freq) THEN 0 ELSE 1 END
+             AS keep
+         FROM chunks)
+       SELECT doc_id,
+         coalesce(string_agg(CASE WHEN keep = 1 THEN chunk END, ' '
+           ORDER BY chunk_id), '') AS clean_text,
+         CAST(sum(keep) AS BIGINT) AS n_kept,
+         CAST(count(*) - sum(keep) AS BIGINT) AS n_removed
+       FROM flagged GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "text_boilerplate_lines" -> boilerplateLines,
     "doc_chunk_overlap" -> docChunkOverlap,
     "corpus_split_assign" -> corpusSplitAssign,
     "corpus_global_shuffle" -> corpusShuffle,
@@ -1182,6 +1248,7 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint)
 
   val oracles: Map[String, String] = Map(
+    "text_boilerplate_lines" -> boilerplateLinesOracle,
     "doc_chunk_overlap" -> docChunkOverlapOracle,
     "corpus_split_assign" -> corpusSplitAssignOracle,
     "corpus_global_shuffle" -> corpusShuffleOracle,

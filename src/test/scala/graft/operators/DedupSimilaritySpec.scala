@@ -107,6 +107,39 @@ class DedupSimilaritySpec extends SparkSpec {
       "sf0.001 plants cross-doc duplicate chunks; none were dropped")
   }
 
+  test("text_boilerplate_lines: removes ALL occurrences of >=3-doc " +
+      "chunks (strictly more than line-level drops for them); " +
+      "accounting tiles the token count") {
+    val out = graft.functions.TextAnalysis.boilerplateLines(spark, sf)
+      .collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    var removed = 0L
+    out.foreach { r =>
+      val (id, clean) = (r.getLong(0), r.getString(1))
+      val (kept, drop) = (r.getLong(2), r.getLong(3))
+      removed += drop
+      val nTok = docs(id).split(' ').length
+      assert(kept + drop === (nTok - 1) / 16 + 1)
+      if (drop == 0L) assert(clean === docs(id))
+      else assert(clean.length < docs(id).length)
+    }
+    assert(removed > 0L, "no >=3-doc boilerplate chunk found at sf0.001")
+    // boilerplate removes every occurrence, line-level keeps the first:
+    // so for the >=3-doc chunk population, boilerplate must remove
+    // strictly more occurrences than line-level's drop count for them
+    val chunkOf = (text: String) => text.split(' ').grouped(16)
+      .map(_.mkString(" ")).toSeq
+    val freq = docs.toSeq.flatMap { case (id, t) =>
+      chunkOf(t).distinct.map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expectRemoved = docs.toSeq.map { case (_, t) =>
+      chunkOf(t).count(c => freq(c) >= 3)
+    }.sum
+    assert(removed === expectRemoved,
+      "removed-chunk accounting disagrees with an independent recount")
+  }
+
   test("ann_int8_topk: quantized top-5 overlaps exact top-5 on >= 3 of 5") {
     def sets(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "c_id").as[(Long, Long)].collect()
