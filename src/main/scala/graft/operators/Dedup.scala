@@ -798,7 +798,109 @@ object Dedup {
          CAST(max(run) + 39 AS BIGINT) AS max_span
        FROM spans GROUP BY doc_id ORDER BY doc_id"""
 
+  /** SPAN-LEVEL benchmark decontamination — the surgical variant of
+    * decontam_overlap/decontam_bloom (which flag or drop whole docs):
+    * excise exactly the character spans of each TRAINING document that
+    * duplicate the held-out benchmark (doc_id < 20, the same benchmark
+    * the other decontam ops use), keeping the rest of the document.
+    * This is Lee et al.'s ExactSubstr removal applied CROSS-CORPUS
+    * (train vs benchmark) instead of within-corpus — the treatment
+    * recommended when dropping whole documents wastes too much data.
+    * A span is contaminated iff each of its stride-1 20-grams occurs
+    * anywhere in the benchmark; consecutive contaminated positions
+    * merge into maximal spans (run-grouping), and removal is the same
+    * per-row span fold as dedup_substring_clean.
+    *
+    * Scale shape (100 TB): the benchmark gram set is SMALL by
+    * construction (eval suites are a fixed size), so it broadcasts and
+    * the corpus-side probe is a broadcast left-semi join — the corpus
+    * never shuffles to discover contamination; the only corpus-keyed
+    * exchanges are the per-doc run-merge window and the doc_id join
+    * back for removal, both bounded per document. The gram keys are
+    * the native byte-level 8-byte hashes (graft_char_ngram_hashes),
+    * the same kernel the within-corpus substring ops use. */
+  private val ContamL = 20
+
+  val decontamSpanClean: Q = (s, dir) => {
+    val L = ContamL
+    val docs = t(s, dir, "documents")
+    val grams = docs
+      .selectExpr("doc_id",
+        s"posexplode(graft_char_ngram_hashes(text, $L)) AS (pos0, g)")
+      .selectExpr("doc_id", "pos0 + 1 AS pos", "g")
+    val bench = grams.filter(col("doc_id") < 20).select("g").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spanList = grams.filter(col("doc_id") >= 20)
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("start"),
+        (count(lit(1)) + lit(L - 1)).cast("int").as("len"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("start"), col("len"))))
+        .as("spans"))
+    docs.filter(col("doc_id") >= 20).select("doc_id", "text")
+      .join(spanList, Seq("doc_id"), "left_outer")
+      .selectExpr("doc_id", "text",
+        """CASE WHEN spans IS NULL THEN text ELSE
+             aggregate(spans,
+               named_struct('pos', 1, 'acc', ''),
+               (st, x) -> named_struct(
+                 'pos', x.start + x.len,
+                 'acc', concat(st.acc,
+                   substring(text, st.pos, x.start - st.pos))),
+               st -> concat(st.acc,
+                 substring(text, st.pos, length(text))))
+           END AS clean_text""")
+      .select(col("doc_id"), col("clean_text"),
+        (length(col("text")) - length(col("clean_text")))
+          .cast("bigint").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  val decontamSpanCleanOracle: String =
+    s"""WITH grams AS (
+         SELECT doc_id, CAST(i AS INT) AS pos,
+                ${hex60Duck("substr(text, CAST(i AS INT), 20)")} AS g
+         FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, length(text) - 19)) AS i
+               FROM documents WHERE length(text) >= 20)),
+       bench AS (
+         SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+       runs AS (
+         SELECT doc_id, pos,
+           pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+             AS grp
+         FROM grams
+         WHERE doc_id >= 20 AND g IN (SELECT g FROM bench)),
+       spans AS (
+         SELECT doc_id, min(pos) AS start, count(*) + 19 AS len
+         FROM runs GROUP BY doc_id, grp),
+       covered AS (
+         SELECT DISTINCT doc_id,
+           unnest(generate_series(start, start + len - 1)) AS i
+         FROM spans),
+       chars AS (
+         SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS c
+         FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, length(text))) AS i
+               FROM documents WHERE doc_id >= 20)),
+       kept AS (
+         SELECT ch.doc_id, ch.i, ch.c FROM chars ch
+         ANTI JOIN covered cv ON ch.doc_id = cv.doc_id AND ch.i = cv.i),
+       agg AS (
+         SELECT doc_id, string_agg(c, '' ORDER BY i) AS clean_text
+         FROM kept GROUP BY doc_id)
+       SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+         CAST(length(d.text) - length(coalesce(a.clean_text, ''))
+           AS BIGINT) AS n_removed
+       FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       WHERE d.doc_id >= 20
+       ORDER BY d.doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "decontam_span_clean" -> decontamSpanClean,
     "dedup_substring_spans" -> substringSpans,
     "dedup_substring_clean" -> substringClean,
     "dedup_lsh_recall" -> lshRecall,
@@ -813,6 +915,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairs)
 
   val oracles: Map[String, String] = Map(
+    "decontam_span_clean" -> decontamSpanCleanOracle,
     "dedup_substring_spans" -> substringSpansOracle,
     "dedup_substring_clean" -> substringCleanOracle,
     "dedup_lsh_recall" -> lshRecallOracle,

@@ -140,6 +140,37 @@ class DedupSimilaritySpec extends SparkSpec {
       "removed-chunk accounting disagrees with an independent recount")
   }
 
+  test("decontam_span_clean: matches a brute-force span reconstruction " +
+      "and only train docs appear") {
+    val out = Dedup.decontamSpanClean(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val L = 20
+    val bench = docs.filter(_._1 < 20).values
+      .flatMap(t => t.sliding(L).filter(_.length == L)).toSet
+    assert(out.map(_.getLong(0)).toSet === docs.keySet.filter(_ >= 20))
+    var totalRemoved = 0L
+    out.foreach { r =>
+      val (id, clean, removed) =
+        (r.getLong(0), r.getString(1), r.getLong(2))
+      val text = docs(id)
+      // brute force: cover [p, p+L-1] for every position whose L-gram
+      // is a benchmark gram; clean = uncovered chars in order
+      val covered = new Array[Boolean](text.length)
+      text.sliding(L).zipWithIndex.foreach { case (g, p) =>
+        if (g.length == L && bench(g))
+          (p until p + L).foreach(covered(_) = true)
+      }
+      val expect = text.iterator.zipWithIndex
+        .collect { case (c, i) if !covered(i) => c }.mkString
+      assert(clean === expect, s"doc $id span removal mismatch")
+      assert(removed === text.length - expect.length)
+      totalRemoved += removed
+    }
+    assert(totalRemoved > 0L,
+      "sf0.001 benchmark shares no 20-char span with any train doc")
+  }
+
   test("ann_int8_topk: quantized top-5 overlaps exact top-5 on >= 3 of 5") {
     def sets(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "c_id").as[(Long, Long)].collect()
