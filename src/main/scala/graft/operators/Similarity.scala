@@ -407,7 +407,8 @@ object Similarity {
     * [[cosinePairsRaw]] keeps per-task memory at O(|cell|/B) rows:
     * join keys are (cell, ti, tj), so no task ever holds a whole cell
     * unless the cell is one block. */
-  private[operators] def cellPairsRaw(B: Int): Q = (s, dir) => {
+  private[operators] def cellPairsRaw(B: Int,
+      minSim: Double = 0.4): Q = (s, dir) => {
     val v = cellAssigned(s, dir)
       .selectExpr("vec_id", "embedding", "nrm", "cell",
         s"CAST(pmod(vec_id, $B) AS INT) AS blk")
@@ -422,7 +423,7 @@ object Similarity {
       .selectExpr("cell",
         "least(a_id, b_id) AS v1", "greatest(a_id, b_id) AS v2",
         s"${dotS("e1", "e2")} / (n1 * n2) AS cos_sim")
-      .filter(col("cos_sim") >= 0.4)
+      .filter(col("cos_sim") >= minSim)
   }
 
   private lazy val cellPairsDuck: String =
@@ -445,6 +446,50 @@ object Similarity {
   lazy val cosineNeardupCellsOracle: String =
     s"""SELECT cell, v1, v2, round(cos_sim, 6) AS cos_sim
        FROM ($cellPairsDuck) ORDER BY v1, v2"""
+
+  /** kNN-GRAPH construction: every corpus vector's top-3 nearest
+    * neighbours WITHIN its IVF cell — the corpus→corpus self-join that
+    * underlies kNN-LM retrieval, graph-based ANN index builds
+    * (HNSW/NSG seeding), and graph clustering, where the ANN ops above
+    * answer query→corpus instead. Candidates come from the same
+    * cell-bounded 2D-blocked pair plan as the scaled near-dup ops
+    * (Σ|cell|²/B² tasks, never corpus-quadratic), each pair feeds BOTH
+    * endpoints' neighbour lists, and the per-node top-3 is a rank
+    * filter that Spark plans as two-stage WindowGroupLimit — the
+    * shuffle after candidate scoring carries O(k) rows per node, not
+    * the candidate set. Cross-cell neighbours are out of recall BY
+    * DESIGN (the IVF trade); multi-probe assignment would widen it,
+    * measured by ann_ivf_multiprobe_recall. */
+  val knnGraphCells: Q = (s, dir) => {
+    val p = cellPairsRaw(8, -1.1)(s, dir) // no similarity floor: pure kNN
+    val directed = p.selectExpr("v1 AS src", "v2 AS nbr", "cos_sim")
+      .unionAll(p.selectExpr("v2 AS src", "v1 AS nbr", "cos_sim"))
+    val w = Window.partitionBy("src")
+      .orderBy(col("cos_sim").desc, col("nbr").asc)
+    directed
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .selectExpr("src AS vec_id", "rank", "nbr AS nbr_id",
+        "round(cos_sim, 6) AS cos_sim")
+      .orderBy("vec_id", "rank")
+  }
+
+  lazy val knnGraphCellsOracle: String =
+    s"""WITH ca AS ($cellAssignedDuck),
+       pairs AS (
+         SELECT a.vec_id AS src, b.vec_id AS nbr,
+           ${dotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+             AS cos_sim
+         FROM ca a JOIN ca b
+           ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       ranked AS (
+         SELECT src, nbr, cos_sim,
+           row_number() OVER (PARTITION BY src
+             ORDER BY cos_sim DESC, nbr ASC) AS rank
+         FROM pairs)
+       SELECT src AS vec_id, rank, nbr AS nbr_id,
+         round(cos_sim, 6) AS cos_sim
+       FROM ranked WHERE rank <= 3 ORDER BY vec_id, rank"""
 
   /** SemDeDup at production shape: coarse IVF recall (nearest-centroid
     * cells) → exact within-cell pair scoring → connected components →
@@ -1250,6 +1295,7 @@ object Similarity {
     "dedup_semantic_scaled" -> dedupSemanticScaled,
     "embedding_cosine_neardup" -> cosineNeardup,
     "embedding_cosine_neardup_cells" -> cosineNeardupCells,
+    "knn_graph_cells" -> knnGraphCells,
     "embedding_norm_stats" -> normStats,
     "embedding_kmeans" -> embeddingKmeans,
     "ann_pq_adc" -> annPqAdc,
@@ -1270,6 +1316,7 @@ object Similarity {
     "dedup_semantic_scaled" -> dedupSemanticScaledOracle,
     "embedding_cosine_neardup" -> cosineNeardupOracle,
     "embedding_cosine_neardup_cells" -> cosineNeardupCellsOracle,
+    "knn_graph_cells" -> knnGraphCellsOracle,
     "embedding_norm_stats" -> normStatsOracle,
     "embedding_kmeans" -> embeddingKmeansOracle,
     "ann_pq_adc" -> annPqAdcOracle,

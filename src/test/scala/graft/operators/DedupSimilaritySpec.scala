@@ -171,6 +171,28 @@ class DedupSimilaritySpec extends SparkSpec {
       "sf0.001 benchmark shares no 20-char span with any train doc")
   }
 
+  test("knn_graph_cells: per-node top-3 agrees with a direct recount " +
+      "of the cell-bounded pair list") {
+    val out = Similarity.knnGraphCells(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq)
+      .toMap
+    val pairs = Similarity.cellPairsRaw(8, -1.1)(spark, sf)
+      .select("v1", "v2", "cos_sim").as[(Long, Long, Double)].collect()
+    val byNode = (pairs.map { case (a, b, c) => (a, (b, c)) } ++
+      pairs.map { case (a, b, c) => (b, (a, c)) })
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2).sortBy { case (id, c) => (-c, id) }
+        .take(3).map(_._1).toSeq)
+      .toMap
+    assert(out.keySet === byNode.keySet)
+    out.foreach { case (node, nbrs) =>
+      assert(nbrs === byNode(node), s"node $node neighbour list differs")
+      assert(nbrs.size <= 3 && !nbrs.contains(node))
+    }
+    assert(out.valuesIterator.count(_.size == 3) > 0)
+  }
+
   test("ann_int8_topk: quantized top-5 overlaps exact top-5 on >= 3 of 5") {
     def sets(df: org.apache.spark.sql.DataFrame) =
       df.select("q_id", "c_id").as[(Long, Long)].collect()
