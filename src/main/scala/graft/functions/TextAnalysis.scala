@@ -449,6 +449,90 @@ object TextAnalysis {
        CROSS JOIN tots
        ORDER BY n_bg DESC, w1 ASC, w2 ASC LIMIT 20"""
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, "TextRank:
+    * Bringing Order into Text", EMNLP 2004): weighted PageRank over the
+    * word co-occurrence graph — nodes are tokens, edges are adjacent
+    * bigrams weighted by corpus count (symmetrized, per the paper's
+    * undirected formulation), damping 0.85, a FIXED 3 iterations
+    * unrolled on both engines. All arithmetic is INTEGER-exact in
+    * micro-units: ranks start at 10⁶, each edge contributes
+    * `(rank·weight) div out_weight`, and the damped update is
+    * `150000 + (17·Σcontrib) div 20` — BIGINT floor division at every
+    * step, so both engines produce bit-identical ranks and the hash
+    * compare needs no float canonicalization anywhere (the same
+    * determinism treatment as embedding_kmeans / text_lm_perplexity).
+    *
+    * Scale shape (100 TB): the co-occurrence graph is VOCABULARY-sized
+    * (≪ corpus, like the LM count tables) — one corpus-tokens shuffle
+    * builds it, after which each iteration joins the tiny rank table
+    * (broadcast) onto the edge list and aggregates by dst: per-iteration
+    * cost is one edge-table-sized exchange, independent of corpus size.
+    * Each iteration's rank table is localCheckpointed so no plan
+    * re-executes earlier passes (the kmeans lesson, 2.7→1.6 s). */
+  val textRankKeywords: Q = (s, dir) => {
+    val bg = t(s, dir, "documents")
+      .selectExpr("split(text, ' ') AS toks")
+      .selectExpr(
+        """explode(CASE WHEN size(toks) < 2 THEN array()
+           ELSE transform(sequence(1, size(toks) - 1),
+             i -> struct(element_at(toks, i) AS w1,
+                         element_at(toks, i + 1) AS w2)) END) AS bg""")
+      .selectExpr("bg.w1 AS w1", "bg.w2 AS w2")
+    val edges = bg.selectExpr("w1 AS src", "w2 AS dst")
+      .unionAll(bg.selectExpr("w2 AS src", "w1 AS dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val outw = edges.groupBy("src").agg(sum("c").as("ow"))
+    val annotated = edges.join(outw, "src")
+    var rank = outw.selectExpr("src AS token",
+      "CAST(1000000 AS BIGINT) AS r")
+    for (_ <- 1 to 3) {
+      rank = annotated.join(broadcast(rank), col("src") === col("token"))
+        .selectExpr("dst", "(r * c) div ow AS contrib")
+        .groupBy("dst")
+        .agg(expr("CAST(150000 + (17 * sum(contrib)) div 20 AS BIGINT)")
+          .as("r"))
+        .selectExpr("dst AS token", "r")
+        .localCheckpoint()
+    }
+    rank.selectExpr("token", "r AS rank_micro")
+      .orderBy(col("rank_micro").desc, col("token").asc)
+      .limit(15)
+  }
+
+  val textRankKeywordsOracle: String = {
+    // one damped-update iteration as SQL, parameterized by the previous
+    // rank CTE's name — the two dialects of the update must stay twins
+    def iter(prev: String): String =
+      s"""SELECT e.dst AS token,
+           CAST(150000 + (17 * CAST(sum((r.r * e.c) // o.ow) AS BIGINT))
+             // 20 AS BIGINT) AS r
+         FROM edges e
+         JOIN $prev r ON e.src = r.token
+         JOIN outw o ON e.src = o.src
+         GROUP BY e.dst"""
+    s"""WITH toks AS (
+         SELECT string_split(text, ' ') AS tk FROM documents),
+       bg AS (
+         SELECT tk[i] AS w1, tk[i + 1] AS w2
+         FROM toks, LATERAL (SELECT unnest(range(1, len(tk))) AS i) u),
+       edges AS (
+         SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM (
+           SELECT w1 AS src, w2 AS dst FROM bg
+           UNION ALL
+           SELECT w2 AS src, w1 AS dst FROM bg)
+         GROUP BY src, dst),
+       outw AS (
+         SELECT src, CAST(sum(c) AS BIGINT) AS ow FROM edges GROUP BY src),
+       r0 AS (
+         SELECT src AS token, CAST(1000000 AS BIGINT) AS r FROM outw),
+       i1 AS (${iter("r0")}),
+       i2 AS (${iter("i1")}),
+       i3 AS (${iter("i2")})
+       SELECT token, r AS rank_micro FROM i3
+       ORDER BY rank_micro DESC, token ASC LIMIT 15"""
+  }
+
   /** Bigram-LM perplexity scoring — the CCNet-style quality filter
     * (Wenzek et al., "CCNet: Extracting high quality monolingual
     * datasets from web crawl data", LREC 2020): train an add-1-smoothed
@@ -1234,6 +1318,7 @@ object TextAnalysis {
     "text_trigram_counts" -> trigramCounts,
     "text_bpe_merge_step" -> bpeMergeStep,
     "text_bigram_pmi" -> bigramPmi,
+    "text_rank_keywords" -> textRankKeywords,
     "text_lm_perplexity" -> lmPerplexity,
     "corpus_sample_bottomk" -> sampleBottomK,
     "corpus_sample_stratified" -> sampleStratified,
@@ -1267,6 +1352,7 @@ object TextAnalysis {
     "text_trigram_counts" -> trigramCountsOracle,
     "text_bpe_merge_step" -> bpeMergeStepOracle,
     "text_bigram_pmi" -> bigramPmiOracle,
+    "text_rank_keywords" -> textRankKeywordsOracle,
     "text_lm_perplexity" -> lmPerplexityOracle,
     "corpus_sample_bottomk" -> sampleBottomKOracle,
     "corpus_sample_stratified" -> sampleStratifiedOracle,

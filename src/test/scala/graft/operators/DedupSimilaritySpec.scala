@@ -171,6 +171,40 @@ class DedupSimilaritySpec extends SparkSpec {
       "sf0.001 benchmark shares no 20-char span with any train doc")
   }
 
+  test("text_rank_keywords: matches an independent single-machine " +
+      "reimplementation of the integer iteration exactly") {
+    val out = graft.functions.TextAnalysis.textRankKeywords(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.length === 15)
+    assert(out.map(_._2).sameElements(out.map(_._2).sorted.reverse))
+    assert(out.forall(_._2 >= 150000L)) // damping floor
+    // tiny-graph reimplementation: same edges, same µ-unit arithmetic
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").as[String].collect().map(_.split(' '))
+    val edges = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    toks.foreach(_.sliding(2).foreach { p =>
+      if (p.length == 2) {
+        edges((p(0), p(1))) += 1L; edges((p(1), p(0))) += 1L
+      }
+    })
+    val ow = edges.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    var rank = ow.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      edges.foreach { case ((src, dst), c) =>
+        contrib(dst) += rank(src) * c / ow(src)
+      }
+      rank = contrib.map { case (t, s) => t -> (150000L + 17L * s / 20L) }
+        .toMap
+    }
+    val expect = rank.toSeq.sortBy { case (t, r) => (-r, t) }.take(15)
+    assert(out.toSeq === expect,
+      "distributed TextRank differs from the reference reimplementation")
+  }
+
   test("knn_graph_cells: per-node top-3 agrees with a direct recount " +
       "of the cell-bounded pair list") {
     val out = Similarity.knnGraphCells(spark, sf).collect()
