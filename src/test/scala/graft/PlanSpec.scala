@@ -245,4 +245,71 @@ class PlanSpec extends SparkSpec {
            !p.contains("BroadcastNestedLoopJoin"),
       s"substring dedup fell back to a cartesian:\n$p")
   }
+
+  test("windowed funnel: user-keyed equi-joins with map-side partial " +
+      "mins, no cartesian anywhere") {
+    val p = plan(Coverage.funnelWindowed(spark, sf))
+    assert(p.contains("partial_min"),
+      s"stage aggregates lost their partials:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel stage join fell back to a cartesian:\n$p")
+  }
+
+  test("event transitions: one user-keyed window pass feeds the tiny " +
+      "transition aggregate") {
+    val p = plan(Coverage.eventTransitions(spark, sf))
+    assert(p.contains("Window"), s"lead() window missing:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"transition count lost its partial:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("boilerplate removal: frequent-chunk set broadcasts back (the " +
+      "corpus side never shuffles to discover boilerplate)") {
+    val p = plan(graft.functions.TextAnalysis.boilerplateLines(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"frequent set not broadcast:\n$p")
+    assert(p.contains("Generate"), s"chunk generate missing:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("span decontam: native gram kernel + broadcast LEFT SEMI probe " +
+      "of the benchmark gram set") {
+    val df = graft.operators.Dedup.decontamSpanClean(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("charngramhashes"),
+      s"expected the native gram kernel in:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark gram probe is not a broadcast semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("kNN graph: cell-blocked equi-join candidates, per-node top-k " +
+      "staged as WindowGroupLimit, no cartesian") {
+    val p = plan(Similarity.knnGraphCells(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-node rank not staged partial+final:\n$p")
+    // the only nested-loop joins allowed are the deliberate k-centroid
+    // broadcasts of the cell-assignment pass (tiny build side); the
+    // candidate join itself must be a (cell, ti, tj) equi-join
+    assert(!p.contains("CartesianProduct"),
+      s"kNN candidates fell back to a cartesian:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+      s"cell candidate equi-join missing:\n$p")
+  }
+
+  test("TextRank: final top-15 plans TakeOrderedAndProject over the " +
+      "checkpointed rank table (iterations do not re-execute)") {
+    val df = graft.functions.TextAnalysis.textRankKeywords(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-15 is a global sort:\n$p")
+    // the plan must read the checkpointed iteration-3 RDD, not replay
+    // the corpus scan: no parquet scan may appear above the checkpoint
+    assert(!p.contains("Scan parquet"),
+      s"final plan re-executes the corpus scan:\n$p")
+  }
 }
