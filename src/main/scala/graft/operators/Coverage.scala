@@ -296,7 +296,9 @@ object Coverage {
     * per-SF-tagged like the bucketed tables (one warehouse per process).
     * Cites reference DDL local_demo_setup/fill_postgresql.sql:1-10. */
   val metaCreateInsert: Q = (s, dir) => {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    // content fingerprint, not dir.hashCode: a regenerated orders.parquet
+    // at the same path must get a fresh DDL table, not the stale one
+    val tag = graft.sources.Tables.fingerprint(dir, "orders")
     val tbl = s"graft_ddl_orders_$tag"
     if (!s.catalog.tableExists(tbl)) {
       s.sql(s"CREATE TABLE $tbl (o_orderkey BIGINT, o_orderstatus STRING) " +
@@ -733,11 +735,14 @@ object Coverage {
     * PlanSpec). At 100 TB, date/tenant partitioning like this is the
     * first line of scan reduction, before any row-level pushdown. */
   /** Hive-partitioned (by event_type) copy of events, written once per
-    * sf dir — the layout both the static-pruning and the DPP query scan. */
+    * CORPUS SNAPSHOT — keyed by the source file's content fingerprint
+    * (not dir.hashCode) so a regenerated events.parquet at the same
+    * path rebuilds the layout instead of serving stale partitions, and
+    * two distinct dirs can never alias (round-6 ADVICE class). */
   private def partitionedEventsDir(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      graft.sources.Tables.fingerprint(dir, "events")
     if (!new java.io.File(out, "_SUCCESS").exists()) {
       events(s, dir)
         .selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts",
@@ -1420,6 +1425,97 @@ object Coverage {
        FROM lineitem WHERE l_orderkey < 2000
        ORDER BY l_orderkey, l_linenumber, half_up_pos"""
 
+  /** Data-quality CONSTRAINT report — the expectation-validation pass a
+    * training pipeline runs before ingest (Great-Expectations/dbt-test
+    * semantics, declarative twin of [[profileColumnStats]] which
+    * DESCRIBES instead of ASSERTING): six constraints over lineitem —
+    * PK uniqueness, NOT NULL, two range checks, FK integrity to orders,
+    * and the cross-table temporal rule ship-date ≥ order-date — each
+    * reported as (constraint, n_violations, passed). The harness data
+    * genuinely violates two of them (duplicate (orderkey, linenumber)
+    * pairs and ship-before-order rows), so the report exercises both
+    * outcomes.
+    *
+    * Scale shape (100 TB): ONE scan of the fact table and ONE
+    * FK-keyed join to orders feed a SINGLE conditional aggregation —
+    * adding constraints adds zero passes over the data (the same
+    * one-pass discipline as profile_column_stats); the PK-uniqueness
+    * count rides the same aggregate via count-distinct expansion. */
+  val dqConstraintReport: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val od = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderdate"))
+    val one = li.join(od, col("l_orderkey") === col("o_orderkey"),
+        "left_outer")
+      .agg(
+        (count(lit(1)) -
+          countDistinct(struct(col("l_orderkey"), col("l_linenumber"))))
+          .as("pk_dup"),
+        sum(when(col("l_quantity").isNull ||
+          col("l_extendedprice").isNull || col("l_shipdate").isNull, 1L)
+          .otherwise(0L)).as("nulls"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("qty_oor"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("disc_oor"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+          .as("fk_orphans"),
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+          .otherwise(0L)).as("ship_before"))
+    one.selectExpr(
+      """explode(array(
+           struct('fk_orderkey_in_orders' AS constraint_name,
+             fk_orphans AS n_violations),
+           struct('not_null_qty_price_shipdate' AS constraint_name,
+             nulls AS n_violations),
+           struct('pk_unique_orderkey_linenumber' AS constraint_name,
+             pk_dup AS n_violations),
+           struct('range_discount_0_to_0.1' AS constraint_name,
+             disc_oor AS n_violations),
+           struct('range_quantity_1_to_50' AS constraint_name,
+             qty_oor AS n_violations),
+           struct('ship_on_or_after_orderdate' AS constraint_name,
+             ship_before AS n_violations)
+         )) AS c""")
+      .selectExpr("c.constraint_name", "c.n_violations",
+        "c.n_violations = 0 AS passed")
+      .orderBy("constraint_name")
+  }
+
+  val dqConstraintReportOracle: String =
+    """WITH j AS (
+         SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           l.l_extendedprice, l.l_discount, l.l_shipdate,
+           o.o_orderkey AS ok, o.o_orderdate
+         FROM lineitem l LEFT JOIN orders o
+           ON l.l_orderkey = o.o_orderkey),
+       a AS (
+         SELECT
+           CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+             AS BIGINT) AS pk_dup,
+           CAST(sum(CASE WHEN l_quantity IS NULL
+             OR l_extendedprice IS NULL OR l_shipdate IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+           CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+             THEN 1 ELSE 0 END) AS BIGINT) AS qty_oor,
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+             THEN 1 ELSE 0 END) AS BIGINT) AS disc_oor,
+           CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS fk_orphans,
+           CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+             AS BIGINT) AS ship_before
+         FROM j)
+       SELECT constraint_name, n_violations, n_violations = 0 AS passed
+       FROM (
+         SELECT 'fk_orderkey_in_orders' AS constraint_name,
+           fk_orphans AS n_violations FROM a
+         UNION ALL SELECT 'not_null_qty_price_shipdate', nulls FROM a
+         UNION ALL SELECT 'pk_unique_orderkey_linenumber', pk_dup FROM a
+         UNION ALL SELECT 'range_discount_0_to_0.1', disc_oor FROM a
+         UNION ALL SELECT 'range_quantity_1_to_50', qty_oor FROM a
+         UNION ALL SELECT 'ship_on_or_after_orderdate', ship_before FROM a)
+       ORDER BY constraint_name"""
+
   /** TIME-WINDOWED conversion funnel — the bounded-window variant of
     * [[Aggregates.funnelConversion]] (which checks ordering only): each
     * stage must convert within 1 day of the previous stage's first
@@ -1521,6 +1617,7 @@ object Coverage {
 
   val queries: Map[String, Q] = Map(
     "funnel_windowed" -> funnelWindowed,
+    "dq_constraint_report" -> dqConstraintReport,
     "event_transitions" -> eventTransitions,
     "meta_show_catalogs" -> metaShowCatalogs,
     "decimal_halfup_overflow" -> decimalHalfUp,
@@ -1575,6 +1672,7 @@ object Coverage {
 
   val oracles: Map[String, String] = Map(
     "funnel_windowed" -> funnelWindowedOracle,
+    "dq_constraint_report" -> dqConstraintReportOracle,
     "event_transitions" -> eventTransitionsOracle,
     "meta_show_catalogs" -> metaShowCatalogsOracle,
     "decimal_halfup_overflow" -> decimalHalfUpOracle,

@@ -41,8 +41,10 @@ object Streams {
   private def stagedDir(dir: String): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(dir, "events.parquet").toAbsolutePath
+    // content fingerprint, not dir.hashCode: two sf dirs can never
+    // alias onto one staged symlink (round-6 ADVICE class)
     val d = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_stream_" + java.lang.Integer.toHexString(dir.hashCode))
+      "graft_stream_" + graft.sources.Tables.fingerprint(dir, "events"))
     if (!Files.exists(d)) {
       Files.createDirectories(d)
       Files.createSymbolicLink(d.resolve("events.parquet"), src)
@@ -348,6 +350,7 @@ object Streams {
   val streamForeachBatchSink: Q = (s, dir) => {
     val out = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft_fbsink_" +
+        s"${ProcessHandle.current().pid()}_" +
         java.lang.Integer.toHexString(dir.hashCode))
     if (out.exists()) {
       out.listFiles().foreach(_.delete())

@@ -276,6 +276,29 @@ class CoverageMultimodalSpec extends SparkSpec {
     assert(v === nViewUsers)
   }
 
+  test("dq constraint report: violation counts match independent " +
+      "recounts; passed flags are consistent") {
+    val out = Coverage.dqConstraintReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out.map(_._1) === out.map(_._1).sorted)
+    assert(out.forall { case (_, n, p) => p === (n == 0L) })
+    val m = out.map(t => t._1 -> t._2).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val od = spark.read.parquet(s"$sf/orders.parquet")
+    val dup = li.count() -
+      li.select("l_orderkey", "l_linenumber").distinct().count()
+    assert(m("pk_unique_orderkey_linenumber") === dup)
+    assert(dup > 0L, "harness data should violate the PK constraint")
+    val shipBefore = li.join(od,
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate")).count()
+    assert(m("ship_on_or_after_orderdate") === shipBefore)
+    assert(shipBefore > 0L)
+    assert(m("fk_orderkey_in_orders") === 0L)
+    assert(m("range_quantity_1_to_50") === 0L)
+    assert(m("not_null_qty_price_shipdate") === 0L)
+  }
+
   test("event transition matrix conserves mass: row shares sum to ~1e6 " +
     "and transition count equals events minus users") {
     val out = Coverage.eventTransitions(spark, sf).collect()
