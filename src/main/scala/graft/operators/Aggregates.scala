@@ -646,6 +646,66 @@ object Aggregates {
       .orderBy("event_id")
   }
 
+  /** Median-absolute-deviation anomaly flags per event_type — the
+    * robust twin of [[anomalyZscore]] (Leys et al. 2013, "Detecting
+    * outliers: Do not use standard deviation around the mean, use
+    * absolute deviation around the median"): median and MAD resist the
+    * very outliers they flag, where mean/stddev are dragged by them.
+    * Flag: |x − med| > 3·1.4826·MAD (1.4826 = consistency constant for
+    * normal data). Both medians are computed over exact integer CENTS:
+    * interpolated midpoints of integers ≤ 10⁷ are exactly-representable
+    * doubles (halves), so med and MAD are bit-identical cross-engine
+    * with no rounding canonicalization anywhere — the flag compares
+    * exact-grain doubles.
+    *
+    * Scale shape: two grouped percentile aggregations (one for the
+    * median, one for the MAD over deviations) + a broadcast of the
+    * 5-row stats between them; the flag pass is map-side. Exact
+    * percentiles sort within groups — at 100 TB swap in the mergeable
+    * histogram sketch (quantile_hist_sketch) at the same two points. */
+  val anomalyMad: Q = (s, dir) => {
+    val ev = events(s, dir)
+    val c = ev.filter(col("value").isNotNull)
+      .selectExpr("event_type", "CAST(round(value * 100) AS BIGINT) AS c")
+    val med = c.groupBy("event_type")
+      .agg(expr("percentile(c, 0.5)").as("med_c"))
+    val mad = c.join(broadcast(med), "event_type")
+      .selectExpr("event_type", "abs(c - med_c) AS dev")
+      .groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad_c"))
+    ev.join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .selectExpr("event_id", "event_type", "value",
+        "med_c / 100.0 AS med", "mad_c / 100.0 AS mad",
+        """CASE WHEN mad_c > 0
+             AND abs(CAST(round(value * 100) AS BIGINT) - med_c)
+                 > 4.4478 * mad_c
+           THEN true ELSE false END AS is_anomaly""")
+      .orderBy("event_id")
+  }
+
+  val anomalyMadOracle: String =
+    """WITH c AS (
+         SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+         FROM events WHERE value IS NOT NULL),
+       med AS (
+         SELECT event_type, quantile_cont(c, 0.5) AS med_c
+         FROM c GROUP BY 1),
+       mad AS (
+         SELECT c.event_type, quantile_cont(abs(c.c - m.med_c), 0.5)
+           AS mad_c
+         FROM c JOIN med m USING (event_type) GROUP BY c.event_type)
+       SELECT event_id, e.event_type, value,
+         med_c / 100.0 AS med, mad_c / 100.0 AS mad,
+         CASE WHEN mad_c > 0
+           AND abs(CAST(round(value * 100) AS BIGINT) - med_c)
+               > 4.4478 * mad_c
+         THEN true ELSE false END AS is_anomaly
+       FROM events e
+       JOIN med USING (event_type)
+       JOIN mad USING (event_type)
+       ORDER BY event_id"""
+
   val anomalyZscoreOracle: String =
     """WITH c AS (
          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
@@ -674,6 +734,7 @@ object Aggregates {
 
   val queries: Map[String, Q] = Map(
     "anomaly_zscore" -> anomalyZscore,
+    "anomaly_mad" -> anomalyMad,
     "scale_winsorize" -> scaleWinsorize,
     "funnel_conversion" -> funnelConversion,
     "pipeline_train_prep" -> pipelineTrainPrep,
@@ -702,6 +763,7 @@ object Aggregates {
 
   val oracles: Map[String, String] = Map(
     "anomaly_zscore" -> anomalyZscoreOracle,
+    "anomaly_mad" -> anomalyMadOracle,
     "scale_winsorize" -> scaleWinsorizeOracle,
     "funnel_conversion" -> funnelConversionOracle,
     "pipeline_train_prep" -> pipelineTrainPrepOracle,

@@ -447,6 +447,64 @@ object Similarity {
     s"""SELECT cell, v1, v2, round(cos_sim, 6) AS cos_sim
        FROM ($cellPairsDuck) ORDER BY v1, v2"""
 
+  /** Embedding-space OUTLIER detection per IVF cell — the curation
+    * filter that drops mislabeled/noise vectors before training
+    * (centroid-distance pruning, the flip side of SemDeDup's
+    * keep-nearest-centroid): each vector's cosine to its OWN cell
+    * centroid ranks it within the cell, and the farthest decile is
+    * flagged. The gate is the integer-exact rank test
+    * (`rank·10 ≤ n`, same as the quality decile gate) so the flagged
+    * set is reproducible across any partitioning — no float threshold.
+    *
+    * Scale shape: assignment is the broadcast-centroid map pass (zero
+    * corpus shuffle); the only corpus-keyed exchange is the per-cell
+    * rank window — cells stay bounded as k grows with the corpus. */
+  val embeddingOutlierCells: Q = (s, dir) => {
+    val cents = centroidIndex(s, dir)
+      .selectExpr("label AS c_label", "centroid",
+        s"${normS("centroid")} AS c_cnrm")
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cent_sim").desc, col("c_label").asc)
+    val assigned = vecs(s, dir).crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "c_label",
+        s"${dotS("embedding", "centroid")} / (nrm * c_cnrm) AS cent_sim")
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .selectExpr("vec_id", "c_label AS cell", "cent_sim")
+    val wCell = Window.partitionBy("cell")
+      .orderBy(col("cent_sim").asc, col("vec_id").asc)
+    assigned
+      .withColumn("rnk", row_number().over(wCell))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cell")))
+      .selectExpr("vec_id", "cell", "round(cent_sim, 6) AS cent_sim",
+        "rnk * 10 <= n AS is_outlier")
+      .orderBy("vec_id")
+  }
+
+  lazy val embeddingOutlierCellsOracle: String =
+    s"""WITH ca AS (
+         SELECT vec_id, c_label AS cell, cent_sim FROM (
+           SELECT v.vec_id, c.c_label,
+             ${dotD("v.embedding", "c.centroid")} / (v.nrm * c.c_cnrm)
+               AS cent_sim,
+             row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               ${dotD("v.embedding", "c.centroid")} / (v.nrm * c.c_cnrm)
+                 DESC, c.c_label ASC) AS arn
+           FROM ($vecsDuck) v CROSS JOIN (
+             SELECT c_label, centroid, ${normD("centroid")} AS c_cnrm
+             FROM (SELECT label AS c_label, centroid
+                   FROM ($centroidDuck)) c0) c)
+         WHERE arn = 1),
+       r AS (
+         SELECT vec_id, cell, cent_sim,
+           row_number() OVER (PARTITION BY cell
+             ORDER BY cent_sim ASC, vec_id ASC) AS rnk,
+           count(*) OVER (PARTITION BY cell) AS n
+         FROM ca)
+       SELECT vec_id, cell, round(cent_sim, 6) AS cent_sim,
+         rnk * 10 <= n AS is_outlier
+       FROM r ORDER BY vec_id"""
+
   /** kNN-GRAPH construction: every corpus vector's top-3 nearest
     * neighbours WITHIN its IVF cell — the corpus→corpus self-join that
     * underlies kNN-LM retrieval, graph-based ANN index builds
@@ -1296,6 +1354,7 @@ object Similarity {
     "embedding_cosine_neardup" -> cosineNeardup,
     "embedding_cosine_neardup_cells" -> cosineNeardupCells,
     "knn_graph_cells" -> knnGraphCells,
+    "embedding_outlier_cells" -> embeddingOutlierCells,
     "embedding_norm_stats" -> normStats,
     "embedding_kmeans" -> embeddingKmeans,
     "ann_pq_adc" -> annPqAdc,
@@ -1317,6 +1376,7 @@ object Similarity {
     "embedding_cosine_neardup" -> cosineNeardupOracle,
     "embedding_cosine_neardup_cells" -> cosineNeardupCellsOracle,
     "knn_graph_cells" -> knnGraphCellsOracle,
+    "embedding_outlier_cells" -> embeddingOutlierCellsOracle,
     "embedding_norm_stats" -> normStatsOracle,
     "embedding_kmeans" -> embeddingKmeansOracle,
     "ann_pq_adc" -> annPqAdcOracle,

@@ -242,6 +242,42 @@ class AggregatesSpec extends SparkSpec {
     assert(out.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("anomaly_mad: flags match an independent cents-median recount " +
+      "and the long tail is actually flagged") {
+    val out = Aggregates.anomalyMad(spark, sf).collect()
+    assert(out.nonEmpty)
+    // independent recount in exact integer cents
+    val cents = graft.sources.Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .as[(String, Long)].collect()
+    def medianD(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2).toDouble
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val med = cents.groupBy(_._1).view.mapValues(v => medianD(v.map(_._2)))
+      .toMap
+    val mad = cents.groupBy(_._1).view.mapValues { v =>
+      val m = med(v.head._1)
+      val devs = v.map(x => math.abs(x._2 - m))
+      val s = devs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }.toMap
+    var flagged = 0
+    out.foreach { r =>
+      val (v, et, flag) = (r.getDouble(2), r.getString(1), r.getBoolean(5))
+      val expect = mad(et) > 0 &&
+        math.abs(math.round(v * 100) - med(et)) > 4.4478 * mad(et)
+      assert(flag === expect, s"row ${r.getLong(0)}: flag mismatch")
+      if (flag) flagged += 1
+    }
+    assert(flagged > 0, "long-tailed harness values produced no outliers")
+    assert(flagged < out.length / 10, "MAD flagged an implausible share")
+  }
+
   test("funnel counts are monotonically non-increasing") {
     val r = Aggregates.funnelConversion(spark, sf).head()
     val users = r.getAs[Long]("n_users")

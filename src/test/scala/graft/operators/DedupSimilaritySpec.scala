@@ -205,6 +205,28 @@ class DedupSimilaritySpec extends SparkSpec {
       "distributed TextRank differs from the reference reimplementation")
   }
 
+  test("embedding_outlier_cells: per-cell decile accounting is exact " +
+      "and outliers are the farthest-from-centroid vectors") {
+    val out = Similarity.embeddingOutlierCells(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getBoolean(3)))
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(out.length.toLong === total, "every vector must be assigned")
+    out.groupBy(_._2).foreach { case (cell, vs) =>
+      val flagged = vs.filter(_._4)
+      assert(flagged.length === vs.length / 10,
+        s"cell $cell: integer decile gate miscounted")
+      if (flagged.nonEmpty) {
+        // every outlier is at most as close to the centroid as every
+        // kept vector (ties break deterministically by vec_id)
+        val maxOut = flagged.map(_._3).max
+        val minKept = vs.filterNot(_._4).map(_._3).min
+        assert(maxOut <= minKept,
+          s"cell $cell: an outlier is closer than a kept vector")
+      }
+    }
+  }
+
   test("knn_graph_cells: per-node top-3 agrees with a direct recount " +
       "of the cell-bounded pair list") {
     val out = Similarity.knnGraphCells(spark, sf).collect()
