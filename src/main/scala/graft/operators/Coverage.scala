@@ -1129,7 +1129,7 @@ object Coverage {
     * verified MinHash near-dup pair graph — every head (no incoming edge)
     * to every reachable member. The SQL-native form of the
     * connected-components pass (Dedup.clusters is the DataFrame
-    * pointer-jumping version for big graphs; recursion fits when the
+    * hook-and-contract version for big graphs; recursion fits when the
     * component diameter is small, as near-dup chains are). */
   val recursiveCte: Q = (s, dir) => {
     // seed from the memoized verified-pairs TABLE (Dedup.verifiedPairs)

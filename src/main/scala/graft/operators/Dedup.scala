@@ -382,12 +382,13 @@ object Dedup {
        SELECT * FROM cand WHERE hamming <= 3 ORDER BY d1, d2"""
 
   /** Near-dup CLUSTERING: connected components over the verified minhash
-    * pairs via iterative min-label propagation (the canonical-keeper step
-    * of a production dedup pipeline). The driver loop runs one
-    * join+aggregate per round and stops at fixpoint — O(component
-    * diameter) rounds, each a single shuffle; at 100 TB this is the
-    * standard large-scale connected-components pattern (no driver-side
-    * data, only a convergence counter). */
+    * pairs via min-neighbour hooking + graph contraction (the
+    * canonical-keeper step of a production dedup pipeline). The driver
+    * loop runs one hook + one contraction shuffle per round on a
+    * monotonically shrinking edge list and stops when no edges remain —
+    * O(log n) rounds; at 100 TB this is the standard large-scale
+    * connected-components pattern (no driver-side data, only a
+    * convergence counter). */
   val clusters: Q = clustersImpl(sparseMaxEdges = 4L * 1000 * 1000)
 
   /** The CC kernel with an explicit sparse/dense switch. When the
@@ -414,56 +415,108 @@ object Dedup {
     // localCheckpoint truncates lineage: without it every iteration's
     // logical plan embeds the whole history and Catalyst re-analyzes an
     // exponentially growing tree (the classic iterative-plan explosion).
-    val edges0 = edgesIn.localCheckpoint(true)
+    // BUT Spark ≥3.4 checkpoints PRESERVE the originating plan's size
+    // estimate (SPARK-39748, LogicalRDD.fromDataset): in an iterative
+    // kernel whose round joins last round's table with itself, the
+    // inherited sizeInBytes SQUARES every round — its bit-length
+    // doubles, and by round ~20 stats estimation is multiplying
+    // million-digit BigIntegers on the driver (observed: >10 min of
+    // BigInteger.multiplyToomCook3 under LogicalRDD.fromDataset before
+    // any Spark job ran). Rebuilding the frame from the checkpointed
+    // RDD drops the poisoned estimate; broadcasts here come from
+    // explicit hints, so losing stats costs nothing.
+    val strip: DataFrame => DataFrame =
+      df => df.sparkSession.createDataFrame(df.rdd, df.schema)
+    val edges0 = strip(edgesIn.localCheckpoint(true))
     val sparse = edges0.count() <= sparseMaxEdges
     // count() first, squeeze after: the count materializes the checkpoint
     val squeeze: DataFrame => DataFrame =
-      if (sparse) df => df.coalesce(1).localCheckpoint(true)
-      else df => df.localCheckpoint(true)
+      if (sparse) df => strip(df.coalesce(1).localCheckpoint(true))
+      else df => strip(df.localCheckpoint(true))
     val hint: DataFrame => DataFrame =
       if (sparse) broadcast else identity
-    val edges = squeeze(edges0)
-    val bi = squeeze(edges.unionByName(
-      edges.selectExpr("d2 AS d1", "d1 AS d2")))
-    val verts = bi.select(col("d1").as("doc_id")).distinct()
+    // Min-neighbor HOOKING + GRAPH CONTRACTION (the alternating-star
+    // scheme of Kiveris et al. 2014, "Connected Components in MapReduce
+    // and Beyond"). Plain min-label propagation — even with label-path
+    // compression — moves the component minimum only ONE GRAPH HOP per
+    // round: compression shortcuts pointer chains in the label forest,
+    // not distance in the graph, so a long chain whose ids alternate
+    // high/low takes O(diameter) rounds (the sf0.1 mutual-kNN graph has
+    // exactly such a >20-hop chain and blew the old round guard).
+    // Contraction fixes the complexity, not just the constant: each
+    // round every live root hooks to its smallest neighbouring root,
+    // the root map is path-compressed to fixpoint, and the EDGE LIST
+    // ITSELF is rewritten through the map — merged roots become one
+    // supernode, so every surviving root merges again next round.
+    // Root count at least halves per round → O(log n) rounds total,
+    // with the (deduplicated) edge list shrinking monotonically. This
+    // is the standard 100 TB-scale CC: no driver-side data, one
+    // hook + one contraction shuffle per round on an ever-smaller graph.
+    // canonical undirected edge list over current roots, d1 < d2
+    val edges = squeeze(edges0
+      .selectExpr("least(d1, d2) AS d1", "greatest(d1, d2) AS d2")
+      .filter(col("d1") =!= col("d2")).distinct())
+    val verts = edges.selectExpr("d1 AS doc_id")
+      .unionByName(edges.selectExpr("d2 AS doc_id")).distinct()
     var labels = squeeze(verts.withColumn("lab", col("doc_id")))
-    var changed = 1L
+    var e = edges
+    var live = e.count()
     var iter = 0
-    while (changed > 0 && iter < 20) {
-      // phase 1: take the min label over graph neighbors
-      val nbrMin = bi.join(hint(labels), bi("d2") === labels("doc_id"))
-        .groupBy(bi("d1")).agg(min("lab").as("nbr_lab"))
-        .select(col("d1").as("nb_doc"), col("nbr_lab"))
-      // carry the incoming label through as `old` so convergence is read
-      // straight off the checkpointed result below — NOT via a fresh
-      // labels-vs-next join, which would add a broadcast build + join
-      // recompute per round (2 extra jobs/iteration, the dedup_clusters
-      // regression flagged in round 4)
-      val prop = labels.join(hint(nbrMin),
-          labels("doc_id") === nbrMin("nb_doc"), "left_outer")
-        .select(labels("doc_id"), labels("lab").as("old"),
-          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
-      // phase 2: pointer jumping (label := label of my label) — takes the
-      // convergence from O(diameter) to O(log diameter) rounds
-      val byId = prop.selectExpr("doc_id AS p_doc", "lab AS p_lab")
-      val next = squeeze(
-        prop.join(hint(byId), prop("lab") === col("p_doc"), "left_outer")
-          .select(prop("doc_id"), prop("old"),
-            least(prop("lab"), coalesce(col("p_lab"), prop("lab")))
-              .as("lab")))
-      // reads the materialized checkpoint RDD: a scan, no joins, no
-      // broadcasts (single-partition on the sparse path)
-      changed = next.filter(col("lab") =!= col("old")).count()
-      labels = next.select("doc_id", "lab")
+    while (live > 0 && iter < 25) {
+      val bi = e.unionByName(e.selectExpr("d2 AS d1", "d1 AS d2"))
+      // hook: every root points to least(itself, min neighbouring root)
+      val hook = bi.groupBy(col("d1").as("r"))
+        .agg(min("d2").as("mn"))
+        .select(col("r"), least(col("r"), col("mn")).as("rl"))
+      // compress the root map to FIXPOINT: rl := rl(rl) until stable.
+      // Pointers strictly decrease (rl <= r), so the map is a forest;
+      // each jump halves chain depth — O(log depth) steps on the tiny
+      // root table (broadcast + single-partition on the sparse path).
+      var rm = squeeze(hook)
+      var jumping = 1L
+      var jumpIter = 0
+      while (jumping > 0 && jumpIter < 30) {
+        val byId = rm.selectExpr("r AS p_r", "rl AS p_rl")
+        val nxt = squeeze(
+          rm.join(hint(byId), rm("rl") === col("p_r"), "left_outer")
+            .select(rm("r"), rm("rl").as("prev"),
+              least(rm("rl"), coalesce(col("p_rl"), rm("rl"))).as("rl")))
+        // reads the materialized checkpoint RDD: a scan, no joins
+        jumping = nxt.filter(col("rl") =!= col("prev")).count()
+        rm = nxt.select("r", "rl")
+        jumpIter += 1
+      }
+      if (jumping > 0)
+        throw new IllegalStateException(
+          s"root-map compression did not reach fixpoint after " +
+            s"$jumpIter steps ($jumping pointers still moving)")
+      // relabel every vertex through the compressed map (roots absent
+      // from the map belong to already-contracted components)
+      labels = squeeze(labels
+        .join(hint(rm), labels("lab") === rm("r"), "left_outer")
+        .select(labels("doc_id"),
+          coalesce(col("rl"), col("lab")).as("lab")))
+      // contract: rewrite edges onto the new roots, drop self-loops,
+      // dedupe multi-edges so the list shrinks monotonically
+      val r1 = rm.selectExpr("r AS r1", "rl AS rl1")
+      val r2 = rm.selectExpr("r AS r2", "rl AS rl2")
+      e = squeeze(e
+        .join(hint(r1), e("d1") === col("r1"), "left_outer")
+        .join(hint(r2), e("d2") === col("r2"), "left_outer")
+        .selectExpr("coalesce(rl1, d1) AS c1", "coalesce(rl2, d2) AS c2")
+        .selectExpr("least(c1, c2) AS d1", "greatest(c1, c2) AS d2")
+        .filter(col("d1") =!= col("d2")).distinct())
+      live = e.count()
       iter += 1
     }
-    // Pointer jumping converges in O(log diameter) rounds, so 20 covers
-    // any real graph — but NEVER return partially-converged labels
-    // silently: wrong cluster_rep values would masquerade as a result.
-    if (changed > 0)
+    // Contraction halves the live-root count every round, so 25 covers
+    // any graph up to 2^25 vertices per component — but NEVER return
+    // partially-converged labels silently: wrong cluster_rep values
+    // would masquerade as a result.
+    if (live > 0)
       throw new IllegalStateException(
-        s"connected-components label propagation did not converge after " +
-          s"$iter iterations ($changed labels still changing)")
+        s"connected-components contraction did not converge after " +
+          s"$iter rounds ($live edges still live)")
     labels.select("doc_id", "lab")
   }
 

@@ -447,6 +447,68 @@ object Similarity {
     s"""SELECT cell, v1, v2, round(cos_sim, 6) AS cos_sim
        FROM ($cellPairsDuck) ORDER BY v1, v2"""
 
+  /** Mutual-kNN graph clustering: keep only RECIPROCATED neighbour
+    * edges (a ∈ knn(b) AND b ∈ knn(a) — the standard symmetrization
+    * that strips hub-induced false edges from kNN graphs), then label
+    * connected components with the shared hook-and-contract CC kernel.
+    * This is the semantic-clustering primitive between threshold-based
+    * SemDeDup (cosine ≥ τ) and full k-means: density-adaptive, no
+    * global threshold, no fixed k. Vectors with no mutual neighbour
+    * stay unclustered (singletons are not emitted, matching
+    * dedup_clusters' contract).
+    *
+    * Scale shape: the kNN graph is the cell-bounded plan above (O(k)
+    * rows per node after the group limit); mutualization is a
+    * self-join of that tiny edge list on the reversed key; CC is the
+    * shared O(log n)-round hook-and-contract kernel (broadcast root
+    * map on the sparse path) — mutual-kNN graphs are exactly the
+    * long-chain shape that defeats plain label propagation, which is
+    * what forced the kernel's contraction rewrite.
+    * Nothing here touches the corpus again. */
+  val clusterMutualKnn: Q = (s, dir) => {
+    // materialize the directed edge list ONCE: intersect reads it twice
+    // (forward + reversed); the checkpoint guarantees single execution
+    // of the cell-pairs candidate plan instead of relying on
+    // ReuseExchange spotting the twin subtrees
+    val knn = knnGraphCells(s, dir).select("vec_id", "nbr_id")
+      .localCheckpoint(true)
+    val edges = knn
+      .intersect(knn.selectExpr("nbr_id AS vec_id", "vec_id AS nbr_id"))
+      .filter(col("vec_id") < col("nbr_id"))
+      .selectExpr("vec_id AS d1", "nbr_id AS d2")
+    Dedup.ccFromEdges(edges, 4L * 1000 * 1000)
+      .select(col("doc_id").as("vec_id"), col("lab").as("cluster_rep"))
+      .orderBy("vec_id")
+  }
+
+  lazy val clusterMutualKnnOracle: String =
+    s"""WITH RECURSIVE ca AS ($cellAssignedDuck),
+       pairs AS (
+         SELECT a.vec_id AS src, b.vec_id AS nbr,
+           ${dotD("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+             AS cos_sim
+         FROM ca a JOIN ca b
+           ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+       ranked AS (
+         SELECT src, nbr,
+           row_number() OVER (PARTITION BY src
+             ORDER BY cos_sim DESC, nbr ASC) AS rank
+         FROM pairs),
+       knn AS (SELECT src AS a, nbr AS b FROM ranked WHERE rank <= 3),
+       mutual AS (
+         SELECT k1.a AS d1, k1.b AS d2 FROM knn k1
+         JOIN knn k2 ON k1.a = k2.b AND k1.b = k2.a
+         WHERE k1.a < k1.b),
+       bi AS (SELECT d1, d2 FROM mutual
+              UNION ALL SELECT d2, d1 FROM mutual),
+       verts AS (SELECT DISTINCT d1 AS vec_id FROM bi),
+       reach(vec_id, lab) AS (
+         SELECT vec_id, vec_id FROM verts
+         UNION
+         SELECT b.d1, r.lab FROM bi b JOIN reach r ON b.d2 = r.vec_id)
+       SELECT vec_id, min(lab) AS cluster_rep
+       FROM reach GROUP BY vec_id ORDER BY vec_id"""
+
   /** Embedding-space OUTLIER detection per IVF cell — the curation
     * filter that drops mislabeled/noise vectors before training
     * (centroid-distance pruning, the flip side of SemDeDup's
@@ -555,7 +617,7 @@ object Similarity {
     * exact spec baseline, quadratic compute), NO stage here is
     * corpus-quadratic: assignment is a broadcast map pass, candidate
     * generation is within-cell only, and the CC kernel is the shared
-    * O(log d) pointer-jumping one. Because scaled edges ⊆ exact edges,
+    * O(log n) hook-and-contract one. Because scaled edges ⊆ exact edges,
     * the scaled clusters are always a REFINEMENT of the exact clusters
     * (asserted in DedupSimilaritySpec) — the paper's documented trade:
     * cross-cell duplicates survive, within-cell ones are caught. */
@@ -598,8 +660,8 @@ object Similarity {
     * scale would be "closest to cluster centroid" — min-id keeps the
     * decision deterministic and engine-portable); every other member is
     * marked dropped. Pipeline shape: the blocked all-pairs kernel emits
-    * candidate edges (no cartesian), the shared pointer-jumping CC
-    * kernel (Dedup.ccFromEdges) labels components in O(log diameter)
+    * candidate edges (no cartesian), the shared hook-and-contract CC
+    * kernel (Dedup.ccFromEdges) labels components in O(log n)
     * rounds, and a left join marks singletons as their own keepers —
     * the full decide-stage of an embedding dedup pass, not just the
     * pair list. */
@@ -1355,6 +1417,7 @@ object Similarity {
     "embedding_cosine_neardup_cells" -> cosineNeardupCells,
     "knn_graph_cells" -> knnGraphCells,
     "embedding_outlier_cells" -> embeddingOutlierCells,
+    "cluster_mutual_knn" -> clusterMutualKnn,
     "embedding_norm_stats" -> normStats,
     "embedding_kmeans" -> embeddingKmeans,
     "ann_pq_adc" -> annPqAdc,
@@ -1377,6 +1440,7 @@ object Similarity {
     "embedding_cosine_neardup_cells" -> cosineNeardupCellsOracle,
     "knn_graph_cells" -> knnGraphCellsOracle,
     "embedding_outlier_cells" -> embeddingOutlierCellsOracle,
+    "cluster_mutual_knn" -> clusterMutualKnnOracle,
     "embedding_norm_stats" -> normStatsOracle,
     "embedding_kmeans" -> embeddingKmeansOracle,
     "ann_pq_adc" -> annPqAdcOracle,
