@@ -559,6 +559,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r.getDouble(1) === -0.003214)
   }
 
+  test("CC converges in O(log n) rounds on an adversarial long chain") {
+    // The regression that forced the hook-and-contract rewrite: a chain
+    // whose ids alternate high/low so the component minimum is many
+    // GRAPH hops from most nodes. Plain min-label propagation (even
+    // with label-path compression) needs O(diameter) rounds here and
+    // blew the old 20-round guard on the sf0.1 mutual-kNN graph; the
+    // contraction kernel must label it in its round budget. Chain:
+    // 100-0-101-1-102-2-… (120 nodes, diameter 119, the minimum id
+    // sits ~117 hops from the far end) plus a separate triangle to
+    // check component isolation.
+    val n = 60L
+    val chainIds = (0L until n).flatMap(i => Seq(100 + i, i))
+    val chain = chainIds.zip(chainIds.tail)
+    val tri = Seq((500L, 501L), (501L, 502L), (500L, 502L))
+    val edges = (chain ++ tri).toDF("d1", "d2")
+    val labs = Dedup.ccFromEdges(edges, sparseMaxEdges = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chainIds.foreach(id => assert(labs(id) === 0L,
+      s"chain node $id labeled ${labs(id)}, expected component min 0"))
+    Seq(500L, 501L, 502L).foreach(id => assert(labs(id) === 500L))
+    assert(labs.size === chainIds.size + 3)
+    // and the dense path labels the same adversarial graph identically
+    val dense = Dedup.ccFromEdges(edges, sparseMaxEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dense === labs)
+  }
+
   test("CC dense (shuffle-join) path matches the sparse (broadcast) path") {
     // sparseMaxEdges = -1 forces every round onto the dense path: plain
     // shuffle hash-joins, no coalesce(1), no broadcast label table.
