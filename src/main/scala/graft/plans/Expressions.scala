@@ -735,6 +735,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("graft_bitmap_distinct"),
+      new ExpressionInfo(classOf[BitmapDistinct].getName,
+        "graft_bitmap_distinct"),
+      (exprs: Seq[Expression]) => BitmapDistinct(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_bitmap_build"),
+      new ExpressionInfo(classOf[BitmapBuild].getName, "graft_bitmap_build"),
+      (exprs: Seq[Expression]) => BitmapBuild(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_bitmap_union_count"),
+      new ExpressionInfo(classOf[BitmapUnionCount].getName,
+        "graft_bitmap_union_count"),
+      (exprs: Seq[Expression]) => BitmapUnionCount(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("graft_bloom_build"),
       new ExpressionInfo(classOf[BloomBuild].getName, "graft_bloom_build"),
       (exprs: Seq[Expression]) => BloomBuild(exprs.head)))
