@@ -484,6 +484,45 @@ object Aggregates {
        FROM kk JOIN ex ON kk.l_returnflag = ex.l_returnflag
        ORDER BY kk.l_returnflag"""
 
+  /** Exact distinct via compressed Roaring bitmaps
+    * (graft.plans.BitmapDistinct) — exact like COUNT(DISTINCT), mergeable
+    * like HLL. One aggregation pass, fixed-size state per group, no
+    * expand-distinct double shuffle. */
+  val bitmapExactDistinct: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("graft_bitmap_distinct(l_partkey)").as("nd_parts"))
+      .orderBy("l_returnflag")
+
+  val bitmapExactDistinctOracle: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** The production incremental pattern the bitmaps exist for: build one
+    * serialized partial bitmap per (flag, status) slice ONCE
+    * (graft_bitmap_build — in production these persist per ingest
+    * partition), then answer the coarser per-flag distinct by OR-merging
+    * the partials (graft_bitmap_union_count) WITHOUT rescanning the fact
+    * table. Exact at every level; at 100 TB the re-aggregation touches
+    * only a few MB of bitmap bytes instead of the key stream. */
+  val bitmapPartialUnion: Q = (s, dir) => {
+    val partials = t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(expr("graft_bitmap_build(l_partkey)").as("bm"))
+    partials
+      .groupBy("l_returnflag")
+      .agg(
+        expr("graft_bitmap_union_count(bm)").as("nd_parts"),
+        count(lit(1)).as("n_partials"))
+      .orderBy("l_returnflag")
+  }
+
+  val bitmapPartialUnionOracle: String =
+    """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS nd_parts,
+         count(DISTINCT l_linestatus) AS n_partials
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** The reference's ENTIRE pre-ML Kubeflow DAG collapsed into one lazy
     * plan (SURVEY §3.2 — its biggest architectural win): query → dedup
     * latest-per-(user, day) → min-max scale per event type → trailing
@@ -739,6 +778,8 @@ object Aggregates {
     "funnel_conversion" -> funnelConversion,
     "pipeline_train_prep" -> pipelineTrainPrep,
     "approx_distinct_kmv" -> kmvDistinct,
+    "bitmap_exact_distinct" -> bitmapExactDistinct,
+    "bitmap_partial_union" -> bitmapPartialUnion,
     "groupby_agg" -> groupbyAgg,
     "group_count_distinct" -> groupCountDistinct,
     "rollup_agg" -> rollupAgg,
@@ -768,6 +809,8 @@ object Aggregates {
     "funnel_conversion" -> funnelConversionOracle,
     "pipeline_train_prep" -> pipelineTrainPrepOracle,
     "approx_distinct_kmv" -> kmvDistinctOracle,
+    "bitmap_exact_distinct" -> bitmapExactDistinctOracle,
+    "bitmap_partial_union" -> bitmapPartialUnionOracle,
     "groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

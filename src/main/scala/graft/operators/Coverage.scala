@@ -224,17 +224,25 @@ object Coverage {
     * `trino/catalog/kafka.properties:7`); here the bound is pushed into
     * the parquet scan (PushedFilters). */
   val eventsTimeBounded: Q = (s, dir) => {
-    // Bound the RAW int64-nanos column so the predicate reaches the
-    // parquet scan (a filter on the converted timestamp sits above the
-    // projection and scans everything). Whole-second bounds make the
-    // ns-domain and µs-domain filters select identical rows.
+    // Bound the RAW column in its own domain so the predicate reaches the
+    // parquet scan (a filter on a converted column sits above the
+    // projection and scans everything). Legacy files carry int64 nanos,
+    // current ones a native timestamp (Tables.events); whole-second
+    // bounds make both domain filters select identical rows.
     def ns(isoInstant: String): Long =
       java.time.Instant.parse(isoInstant).getEpochSecond * 1000000000L
-    graft.sources.Tables.t(s, dir, "events")
-      .filter(col("ts") >= ns("2024-01-10T00:00:00Z") &&
-              col("ts") < ns("2024-01-20T00:00:00Z"))
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = graft.sources.Tables.t(s, dir, "events")
+    val bounded = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.filter(col("ts") >= ns("2024-01-10T00:00:00Z") &&
+                   col("ts") < ns("2024-01-20T00:00:00Z"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.filter(col("ts") >= to_timestamp_ntz(lit("2024-01-10 00:00:00")) &&
+                   col("ts") < to_timestamp_ntz(lit("2024-01-20 00:00:00")))
+    }
+    bounded
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
       .select("event_id", "ts", "user_id", "event_type")
       .orderBy("event_id")
   }

@@ -27,18 +27,30 @@ object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events, with the nanosecond parquet timestamp normalized to Spark's
-    * microsecond TimestampType. Spark rejects TIMESTAMP(NANOS) parquet
-    * columns outright ([PARQUET_TYPE_ILLEGAL]); sessions must set
-    * spark.sql.legacy.parquet.nanosAsLong=true, and this loader converts
-    * the raw nanos with integer division (`div` — double division would
-    * lose precision above 2^53) to micros, the same truncation DuckDB
-    * applies casting TIMESTAMP_NS to TIMESTAMP, keeping the oracle
-    * comparable. */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    t(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+  /** events, with `ts` normalized to TIMESTAMP_NTZ whatever resolution the
+    * harness wrote the parquet at. The generator has shipped BOTH
+    * TIMESTAMP(NANOS) (rounds 1-7) and TIMESTAMP(MICROS) (round 8+)
+    * columns, so this adapts to the file rather than assuming one:
+    *  - nanos: Spark rejects TIMESTAMP(NANOS) outright
+    *    ([PARQUET_TYPE_ILLEGAL]) unless
+    *    spark.sql.legacy.parquet.nanosAsLong=true (set in [[sessionConf]]),
+    *    after which the column arrives as raw int64 nanos and is converted
+    *    with integer division (`div` — double division would lose precision
+    *    above 2^53), the same truncation DuckDB applies casting
+    *    TIMESTAMP_NS to TIMESTAMP, keeping the oracle comparable;
+    *  - micros: arrives as TIMESTAMP_NTZ (or TIMESTAMP under a session
+    *    with NTZ inference off) and only needs the NTZ cast, value-exact
+    *    under the pinned-UTC session. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = t(spark, sfDir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case _        => col("ts")
+    }
+    raw.withColumn("ts", ts.cast(TimestampNTZType))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
 
   /** Content fingerprint of one harness table file: path + length +
     * mtime, hashed. Memo caches (verified pairs, centroid index,

@@ -24,8 +24,9 @@ import graft.sources.Tables
   */
 object Streams {
 
-  /** Raw parquet schema for the stream source (file streams REQUIRE a
-    * user schema; ts arrives as raw nanos — see Tables.events). */
+  /** Raw parquet schema for the stream source when the harness file
+    * carries the legacy nanos-as-int64 `ts` (file streams REQUIRE a
+    * user schema — see Tables.events for the two encodings). */
   private[graft] val rawSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -52,12 +53,34 @@ object Streams {
     d.toString
   }
 
-  /** Stream source keeps ts as TIMESTAMP (with local tz): watermarks
-    * require it. Session tz is pinned UTC, so casting window bounds back
-    * to NTZ on output is value-preserving. */
+  /** File stream over a directory of event parquet files. The declared
+    * schema must match the files' physical `ts` encoding (legacy int64
+    * nanos vs native micros — Tables.events), so peek at one footer via
+    * a batch read of the SAME path and branch; both paths emit the
+    * identical TIMESTAMP (with local tz) column — watermarks require it,
+    * and under the pinned-UTC session casting window bounds back to NTZ
+    * on output is value-preserving. Specs that stage their own chunked
+    * copies reuse this (Spark rewrites the staged files in the source's
+    * current encoding, so the peek must be per-path, not per-harness). */
+  private[graft] def rawFileStream(s: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val isLong = s.read.parquet(path).schema("ts").dataType == LongType
+    val reader = options.foldLeft(s.readStream) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    if (isLong)
+      reader.schema(rawSchema).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else {
+      val sch = StructType(rawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = TimestampNTZType) else f))
+      reader.schema(sch).parquet(path)
+        .withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
   private[streaming] def eventStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream.schema(rawSchema).parquet(stagedDir(dir))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    rawFileStream(s, stagedDir(dir))
 
   /** State-store partition count for the streaming queries. A stateful
     * operator creates one state store per shuffle partition at the FIRST

@@ -96,9 +96,8 @@ class StreamsSpec extends SparkSpec {
     val dir3 = s"${System.getProperty("java.io.tmpdir")}/graft_events3"
     spark.read.parquet(s"$sf/events.parquet")
       .repartition(3).write.mode("overwrite").parquet(dir3)
-    val stream = spark.readStream.schema(Streams.rawSchema)
-      .option("maxFilesPerTrigger", 1).parquet(dir3)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Streams.rawFileStream(spark, dir3,
+      Map("maxFilesPerTrigger" -> "1"))
     val multi = Streams.statefulLatestCore(spark, stream, "stateful_mb")
       .orderBy("user_id")
       .collect().map(_.toString).toSeq
@@ -111,9 +110,8 @@ class StreamsSpec extends SparkSpec {
     val dir3 = s"${System.getProperty("java.io.tmpdir")}/graft_events3t"
     spark.read.parquet(s"$sf/events.parquet")
       .repartition(3).write.mode("overwrite").parquet(dir3)
-    val stream = spark.readStream.schema(Streams.rawSchema)
-      .option("maxFilesPerTrigger", 1).parquet(dir3)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Streams.rawFileStream(spark, dir3,
+      Map("maxFilesPerTrigger" -> "1"))
     val multi = Streams.tumblingCore(spark, stream, "tumbling_mb")
       .collect().map(_.toString).toSeq
     val single = Streams.streamTumblingCounts(spark, sf)
@@ -140,8 +138,7 @@ class StreamsSpec extends SparkSpec {
     def runOnce(name: String): org.apache.spark.sql.DataFrame = {
       val ss = spark.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
-      val stream = ss.readStream.schema(Streams.rawSchema).parquet(srcDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Streams.rawFileStream(ss, srcDir)
       val agg = stream
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -179,9 +176,8 @@ class StreamsSpec extends SparkSpec {
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val stream = ss.readStream.schema(Streams.rawSchema)
-      .option("maxFilesPerTrigger", 1).parquet(dir3)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Streams.rawFileStream(ss, dir3,
+      Map("maxFilesPerTrigger" -> "1"))
     val multi = Streams.twsCore(ss, stream, "tws_mb")
       .collect().map(_.toString).toSeq
     val single = Streams.streamTwsRunningAgg(spark, sf)
