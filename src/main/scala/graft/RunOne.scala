@@ -24,6 +24,11 @@ object RunOne {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_EXPLAIN=1: dump the executed plan before timing (PLANS.md
+    // evidence comes from here, not from hand-written trees)
+    if (sys.env.get("GRAFT_EXPLAIN").contains("1"))
+      System.err.println(
+        q(spark, sfDir).queryExecution.executedPlan.toString)
     val times = (1 to reps).map { i =>
       val t0 = System.nanoTime()
       val n = q(spark, sfDir).count()
