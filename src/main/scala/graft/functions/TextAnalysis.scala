@@ -325,6 +325,42 @@ object TextAnalysis {
          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
        GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 10"""
 
+  /** Per-language top-5 terms via the Misra-Gries frequent-items summary
+    * (graft.plans.FrequentItemsAgg) — where `text_frequent_tokens`
+    * shuffles every (token) pair, this holds <= 64 counters per group and
+    * only the bounded maps cross the exchange (map-side
+    * ObjectHashAggregate partials): the 100 TB shape for "top terms per
+    * language" over an unbounded term universe. Capacity 64 exceeds the
+    * harness vocabulary (~31), so every count is EXACT and the oracle
+    * recomputes them with a plain GROUP BY; the approximation bounds for
+    * the under-capacity regime are spec-pinned (FrequentItemsSpec). */
+  val heavyHittersPerLang: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("lang", "explode(split(text, ' ')) AS term")
+      .filter(col("term") =!= "")
+      .groupBy("lang")
+      .agg(expr("graft_frequent_items(term, 64)").as("hh"))
+      .selectExpr("lang", "posexplode(hh) AS (pos, e)")
+      .filter(col("pos") < 5)
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.term").as("term"), col("e.cnt").as("cnt"))
+      .orderBy("lang", "rank")
+
+  val heavyHittersPerLangOracle: String =
+    """WITH toks AS (
+         SELECT lang, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       c AS (
+         SELECT lang, term, count(*) AS cnt FROM toks
+         WHERE term <> '' GROUP BY lang, term),
+       r AS (
+         SELECT lang, term, cnt,
+           row_number() OVER (PARTITION BY lang
+             ORDER BY cnt DESC, term ASC) AS rank
+         FROM c)
+       SELECT lang, rank, term, cnt FROM r WHERE rank <= 5
+       ORDER BY lang, rank"""
+
   /** N-gram LM count table (the Kneser-Ney/ngram-LM prep stage): corpus
     * word-trigram counts, top-20 with lexicographic tie-break. One
     * per-row transform (no token self-join), one partial+final hash
@@ -1315,6 +1351,7 @@ object TextAnalysis {
     "corpus_mix_weighted" -> mixWeighted,
     "text_cm_frequency" -> cmFrequency,
     "text_frequent_tokens" -> frequentTokens,
+    "text_heavy_hitters" -> heavyHittersPerLang,
     "text_trigram_counts" -> trigramCounts,
     "text_bpe_merge_step" -> bpeMergeStep,
     "text_bigram_pmi" -> bigramPmi,
@@ -1349,6 +1386,7 @@ object TextAnalysis {
     "corpus_mix_weighted" -> mixWeightedOracle,
     "text_cm_frequency" -> cmFrequencyOracle,
     "text_frequent_tokens" -> frequentTokensOracle,
+    "text_heavy_hitters" -> heavyHittersPerLangOracle,
     "text_trigram_counts" -> trigramCountsOracle,
     "text_bpe_merge_step" -> bpeMergeStepOracle,
     "text_bigram_pmi" -> bigramPmiOracle,

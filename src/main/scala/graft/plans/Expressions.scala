@@ -720,6 +720,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CmCount].getName, "graft_cm_count"),
       (exprs: Seq[Expression]) => CmCount.fromExprs(exprs)))
     e.injectFunction((
+      FunctionIdentifier("graft_frequent_items"),
+      new ExpressionInfo(classOf[FrequentItemsAgg].getName,
+        "graft_frequent_items"),
+      (exprs: Seq[Expression]) => FrequentItemsAgg.fromExprs(exprs)))
+    e.injectFunction((
       FunctionIdentifier("graft_ngram_hashes"),
       new ExpressionInfo(classOf[NgramHashes].getName,
         "graft_ngram_hashes"),
