@@ -301,6 +301,34 @@ class PlanSpec extends SparkSpec {
       s"cell candidate equi-join missing:\n$p")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (complements the " +
+      "manual join_salted operator)") {
+    // Isolated session: lowered skew thresholds so the harness-scale hot
+    // key trips the same OptimizeSkewedJoin rule that handles production
+    // skew; broadcast disabled to force the SMJ path AQE rewrites.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    ss.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import org.apache.spark.sql.functions.{col, lit}
+    val hot = ss.range(0, 50000).select(lit(0L).as("k"), col("id").as("v"))
+    val cold = ss.range(0, 1000)
+      .select((col("id") % 100 + 1).as("k"), col("id").as("v"))
+    val right = ss.range(0, 101).select(col("id").as("k"),
+      (col("id") * 2).as("w"))
+    val j = hot.union(cold).join(right, "k")
+    // collect() (not count()) so THIS query execution's adaptive plan
+    // finalizes — count() would plan a separate aggregate execution
+    assert(j.collect().length === 50000 + 1000)
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"AQE did not mark the hot partition as skewed:\n$p")
+  }
+
   test("TextRank: final top-15 plans TakeOrderedAndProject over the " +
       "checkpointed rank table (iterations do not re-execute)") {
     val df = graft.functions.TextAnalysis.textRankKeywords(spark, sf)
