@@ -484,6 +484,51 @@ object Streams {
          round(0.0 + 2.0 * (bi + (0.5 * n - cumb) / c), 6) AS p50
        FROM sel ORDER BY day_start"""
 
+  /** The Misra-Gries frequent-items summary INSIDE streaming state: top
+    * users per event type over the whole stream. Like the histogram
+    * sketch above, the TypedImperativeAggregate buffer serializes into
+    * the state store between micro-batches — per-group state is one
+    * bounded counter map (<= capacity entries) however many events
+    * arrive, and the Agarwal merge makes the result micro-batch-order
+    * independent. Capacity 4096 exceeds the harness's distinct users
+    * per type (1.5 k at sf0.1), so counts are exact and the oracle is a
+    * plain GROUP BY; the bounded-regime contracts live in
+    * FrequentItemsSpec. */
+  val streamHeavyHitters: Q = (s, dir) => {
+    val ss = streamSession(s)
+    heavyHittersCore(ss, eventStream(ss, dir), "stream_heavy_hitters")
+  }
+
+  /** Core of the streaming heavy hitters, parameterized by source so the
+    * spec can drive it with a multi-file micro-batch replay (the buffer
+    * must survive state-store serialize/deserialize between batches). */
+  private[graft] def heavyHittersCore(s: SparkSession, stream: DataFrame,
+      name: String): DataFrame = {
+    val agg = stream
+      .groupBy(col("event_type"))
+      .agg(expr(
+        "graft_frequent_items(CAST(user_id AS STRING), 4096)").as("hh"))
+    runToTable(agg, name, "complete")
+      .selectExpr("event_type", "posexplode(hh) AS (pos, e)")
+      .filter(col("pos") < 5)
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.term").as("user_id"), col("e.cnt").as("cnt"))
+      .orderBy("event_type", "rank")
+  }
+
+  val streamHeavyHittersOracle: String =
+    """WITH c AS (
+         SELECT event_type, CAST(user_id AS VARCHAR) AS user_id,
+           count(*) AS cnt
+         FROM events GROUP BY 1, 2),
+       r AS (
+         SELECT event_type, user_id, cnt,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY cnt DESC, user_id ASC) AS rank
+         FROM c)
+       SELECT event_type, rank, user_id, cnt FROM r WHERE rank <= 5
+       ORDER BY event_type, rank"""
+
   /** Arbitrary-state streaming v2: per-user running aggregate via
     * `transformWithState` (Spark 4's StatefulProcessor API) over a
     * RocksDB state store. State is ONE (n, sum_cents, last_ts, last_id)
@@ -568,6 +613,7 @@ object Streams {
     "stream_tws_running_agg" -> streamTwsRunningAgg,
     "stream_stream_join" -> streamStreamJoin,
     "stream_hist_quantile" -> streamHistQuantile,
+    "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_foreach_batch_sink" -> streamForeachBatchSink,
     "stream_stateful_latest" -> streamStatefulLatest,
     "stream_dedup_keys" -> streamDedupKeys,
@@ -588,5 +634,6 @@ object Streams {
     "stream_windowed_topk" -> streamWindowedTopkOracle,
     "stream_static_join" -> streamStaticJoinOracle,
     "stream_hist_quantile" -> streamHistQuantileOracle,
+    "stream_heavy_hitters" -> streamHeavyHittersOracle,
     "sessionize_events" -> sessionizeEventsOracle)
 }

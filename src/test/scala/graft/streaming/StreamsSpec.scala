@@ -119,6 +119,20 @@ class StreamsSpec extends SparkSpec {
     assert(multi === single)
   }
 
+  test("streaming heavy hitters are identical under multi-micro-batch " +
+      "replay (MG buffer survives the state store)") {
+    val dir3 = s"${System.getProperty("java.io.tmpdir")}/graft_events3h"
+    spark.read.parquet(s"$sf/events.parquet")
+      .repartition(3).write.mode("overwrite").parquet(dir3)
+    val stream = Streams.rawFileStream(spark, dir3,
+      Map("maxFilesPerTrigger" -> "1"))
+    val multi = Streams.heavyHittersCore(spark, stream, "hh_mb")
+      .collect().map(_.toString).toSeq
+    val single = Streams.streamHeavyHitters(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(multi === single)
+  }
+
   test("windowed agg resumes from checkpoint when new files arrive") {
     // run 1 processes half the events; the source is then extended and a
     // SECOND streaming query starts from the SAME checkpoint — the file
