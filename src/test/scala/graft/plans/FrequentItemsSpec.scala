@@ -67,6 +67,34 @@ class FrequentItemsSpec extends SparkSpec {
     assert(empty.getSeq[Row](0).isEmpty)
   }
 
+  test("seeded random streams: MG bounds hold for every capacity and " +
+      "skew shape") {
+    import spark.implicits._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val cap = 2 + rnd.nextInt(14)
+      val universe = 1 + rnd.nextInt(40)
+      val n = 200 + rnd.nextInt(800)
+      // zipfian-ish skew: key = floor(universe * u^a) for random a
+      val a = 1.0 + rnd.nextDouble() * 3.0
+      val items = Seq.fill(n)(
+        s"k${(universe * math.pow(rnd.nextDouble(), a)).toInt}")
+      val truth = items.groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val got = summarize(items.toDF("t"), cap, 1 + rnd.nextInt(9))
+      assert(got.size <= cap, s"seed $seed: ${got.size} > cap $cap")
+      got.foreach { case (term, cnt) =>
+        assert(cnt <= truth(term), s"seed $seed: $term overestimated")
+        assert(truth(term) - cnt <= n / (cap + 1),
+          s"seed $seed: $term deficit ${truth(term) - cnt} > ${n / (cap + 1)}")
+      }
+      truth.filter(_._2 > 2L * n / (cap + 1)).keys.foreach(k =>
+        assert(got.contains(k), s"seed $seed: heavy item $k evicted"))
+      if (cap >= truth.size)
+        assert(got === truth, s"seed $seed: exact regime not exact")
+    }
+  }
+
   test("capacity must be a positive literal") {
     import spark.implicits._
     val df = Seq("a").toDF("t")
