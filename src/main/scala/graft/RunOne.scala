@@ -25,13 +25,20 @@ object RunOne {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // GRAFT_EXPLAIN=1: dump the executed plan before timing (PLANS.md
-    // evidence comes from here, not from hand-written trees)
-    if (sys.env.get("GRAFT_EXPLAIN").contains("1"))
-      System.err.println(
-        q(spark, sfDir).queryExecution.executedPlan.toString)
+    // evidence comes from here, not from hand-written trees). The
+    // explained DataFrame is reused for rep 1 — rebuilding would run
+    // streaming queries (runToTable) twice and double side effects.
+    var prebuilt: Option[org.apache.spark.sql.DataFrame] =
+      if (sys.env.get("GRAFT_EXPLAIN").contains("1")) {
+        val df = q(spark, sfDir)
+        System.err.println(df.queryExecution.executedPlan.toString)
+        Some(df)
+      } else None
     val times = (1 to reps).map { i =>
       val t0 = System.nanoTime()
-      val n = q(spark, sfDir).count()
+      val df = prebuilt.getOrElse(q(spark, sfDir))
+      prebuilt = None
+      val n = df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       System.err.println(f"[run-one] $name rep $i: $dt%.3f s ($n rows)")

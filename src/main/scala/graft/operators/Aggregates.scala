@@ -523,6 +523,48 @@ object Aggregates {
          count(DISTINCT l_linestatus) AS n_partials
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** 64-bit twin (graft.plans.Bitmap64Distinct over
+    * Roaring64NavigableMap): same exact+mergeable contract with NO key
+    * ceiling — the 100 TB default, where id spaces exceed 2³¹ and the
+    * 32-bit family's Math.toIntExact would (deliberately) throw. The
+    * key here is a composite widened past 32 bits
+    * (l_partkey + l_suppkey·2³²) so the query genuinely exercises
+    * high-bit buckets, not just the int32 subrange. */
+  val bitmapExactDistinct64: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr(
+        "graft_bitmap_distinct64(l_partkey + l_suppkey * 4294967296L)")
+        .as("nd_wide"))
+      .orderBy("l_returnflag")
+
+  val bitmapExactDistinct64Oracle: String =
+    """SELECT l_returnflag,
+         count(DISTINCT l_partkey + l_suppkey * 4294967296) AS nd_wide
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** Incremental re-aggregation over 64-bit partials: per-(flag,status)
+    * serialized bitmaps OR-merged to per-flag exact distincts — the
+    * store-partials-rescan-nothing pattern at full BIGINT width. */
+  val bitmapPartialUnion64: Q = (s, dir) => {
+    val partials = t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(expr("graft_bitmap_build64(l_partkey + l_suppkey * 4294967296L)")
+        .as("bm"))
+    partials
+      .groupBy("l_returnflag")
+      .agg(
+        expr("graft_bitmap_union_count64(bm)").as("nd_wide"),
+        count(lit(1)).as("n_partials"))
+      .orderBy("l_returnflag")
+  }
+
+  val bitmapPartialUnion64Oracle: String =
+    """SELECT l_returnflag,
+         count(DISTINCT l_partkey + l_suppkey * 4294967296) AS nd_wide,
+         count(DISTINCT l_linestatus) AS n_partials
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   /** The reference's ENTIRE pre-ML Kubeflow DAG collapsed into one lazy
     * plan (SURVEY §3.2 — its biggest architectural win): query → dedup
     * latest-per-(user, day) → min-max scale per event type → trailing
@@ -780,6 +822,8 @@ object Aggregates {
     "approx_distinct_kmv" -> kmvDistinct,
     "bitmap_exact_distinct" -> bitmapExactDistinct,
     "bitmap_partial_union" -> bitmapPartialUnion,
+    "bitmap_exact_distinct64" -> bitmapExactDistinct64,
+    "bitmap_partial_union64" -> bitmapPartialUnion64,
     "groupby_agg" -> groupbyAgg,
     "group_count_distinct" -> groupCountDistinct,
     "rollup_agg" -> rollupAgg,
@@ -811,6 +855,8 @@ object Aggregates {
     "approx_distinct_kmv" -> kmvDistinctOracle,
     "bitmap_exact_distinct" -> bitmapExactDistinctOracle,
     "bitmap_partial_union" -> bitmapPartialUnionOracle,
+    "bitmap_exact_distinct64" -> bitmapExactDistinct64Oracle,
+    "bitmap_partial_union64" -> bitmapPartialUnion64Oracle,
     "groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

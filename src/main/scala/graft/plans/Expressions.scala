@@ -754,6 +754,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bitmap_union_count"),
       (exprs: Seq[Expression]) => BitmapUnionCount(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("graft_bitmap_distinct64"),
+      new ExpressionInfo(classOf[Bitmap64Distinct].getName,
+        "graft_bitmap_distinct64"),
+      (exprs: Seq[Expression]) => Bitmap64Distinct(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_bitmap_build64"),
+      new ExpressionInfo(classOf[Bitmap64Build].getName,
+        "graft_bitmap_build64"),
+      (exprs: Seq[Expression]) => Bitmap64Build(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_bitmap_union_count64"),
+      new ExpressionInfo(classOf[Bitmap64UnionCount].getName,
+        "graft_bitmap_union_count64"),
+      (exprs: Seq[Expression]) => Bitmap64UnionCount(exprs.head)))
+    e.injectFunction((
       FunctionIdentifier("graft_bloom_build"),
       new ExpressionInfo(classOf[BloomBuild].getName, "graft_bloom_build"),
       (exprs: Seq[Expression]) => BloomBuild(exprs.head)))

@@ -51,7 +51,9 @@ case class FrequentItemsAgg(
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
   with BinaryLike[Expression] {
 
-  private val capacity: Int = {
+  // lazy so a bad capacity surfaces through checkInputDataTypes as a
+  // clean analysis error, not a constructor throw during planning
+  private lazy val capacity: Int = {
     require(capacityExpr.foldable,
       "graft_frequent_items: capacity must be a literal")
     val c = capacityExpr.eval() match {
@@ -66,6 +68,22 @@ case class FrequentItemsAgg(
 
   override def left: Expression = child
   override def right: Expression = capacityExpr
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != StringType)
+      TypeCheckFailure(
+        s"graft_frequent_items: term column must be STRING, got " +
+          child.dataType.sql)
+    else if (!capacityExpr.foldable ||
+        !Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+          .contains(capacityExpr.dataType))
+      TypeCheckFailure(
+        "graft_frequent_items: capacity must be an integral literal, got " +
+          capacityExpr.dataType.sql)
+    else TypeCheckSuccess
+  }
   override def prettyName: String = "graft_frequent_items"
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -112,9 +130,16 @@ case class FrequentItemsAgg(
   }
 
   override def eval(buf: mutable.HashMap[String, Long]): Any = {
-    val sorted = buf.toArray.sortBy { case (t, c) => (-c, t) }
+    // tie-break equal counts by UTF8String (binary / UTF-8) order, the
+    // collation DuckDB oracles sort by — java.lang.String would compare
+    // UTF-16 code units and diverge on supplementary-plane terms
+    val sorted = buf.toArray
+      .map { case (t, c) => (UTF8String.fromString(t), c) }
+      .sortWith { case ((t1, c1), (t2, c2)) =>
+        c1 > c2 || (c1 == c2 && t1.compareTo(t2) < 0)
+      }
     new GenericArrayData(sorted.map { case (t, c) =>
-      new GenericInternalRow(Array[Any](UTF8String.fromString(t), c))
+      new GenericInternalRow(Array[Any](t, c))
     })
   }
 
@@ -122,7 +147,14 @@ case class FrequentItemsAgg(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    buf.foreach { case (t, c) =>
+      // length-prefixed UTF-8 (not writeUTF, whose 16-bit length field
+      // throws on terms over 65535 encoded bytes)
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+      out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -132,7 +164,14 @@ case class FrequentItemsAgg(
     val n = in.readInt()
     val buf = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { buf(in.readUTF()) = in.readLong(); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf(new String(b, java.nio.charset.StandardCharsets.UTF_8)) =
+        in.readLong()
+      i += 1
+    }
     buf
   }
 

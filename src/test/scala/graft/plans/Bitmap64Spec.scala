@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the 64-bit Roaring bitmap family (Roaring64NavigableMap): the
+  * whole point is keys ABOVE 2³¹ — where the 32-bit family throws by
+  * contract — so every case here drives the high-bit bucket space:
+  * exactness vs COUNT(DISTINCT), the build→union re-aggregation
+  * identity, partition independence, serialize round-trip across
+  * bucket boundaries, negative keys, and null handling. */
+class Bitmap64Spec extends SparkSpec {
+
+  test("distinct64 equals COUNT(DISTINCT) on keys spanning >2^31") {
+    import spark.implicits._
+    // 3 high-32-bit buckets × overlapping low words, plus int32 range
+    val df = (0L until 3L).flatMap { hi =>
+      (0L until 1000L).map(lo => (hi << 32) | lo)
+    }.appended(42L).appended(42L).toDF("k")
+    val got = df.agg(
+      expr("graft_bitmap_distinct64(k)").as("nd"),
+      countDistinct(col("k")).as("exact")).head
+    assert(got.getLong(0) === got.getLong(1))
+    assert(got.getLong(0) === 3000L) // 42 is already in the hi=0 bucket
+  }
+
+  test("distinct64 equals COUNT(DISTINCT) per group on real data") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("wide",
+        expr("l_partkey + l_suppkey * 4294967296L"))
+    val got = li.groupBy("l_returnflag")
+      .agg(expr("graft_bitmap_distinct64(wide)").as("nd"),
+        countDistinct(col("wide")).as("exact"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+  }
+
+  test("build64→union_count64 over partials equals one-level distinct64") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("wide",
+        expr("l_partkey + l_suppkey * 4294967296L"))
+    val partials = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(expr("graft_bitmap_build64(wide)").as("bm"))
+    val merged = partials.groupBy("l_returnflag")
+      .agg(expr("graft_bitmap_union_count64(bm)").as("nd"))
+    val oneLevel = li.groupBy("l_returnflag")
+      .agg(expr("graft_bitmap_distinct64(wide)").as("nd"))
+    val m = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = oneLevel.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === o)
+  }
+
+  test("result is partition-count independent (forces serialize/merge)") {
+    import spark.implicits._
+    val df = (0L until 5000L).map(i => (i % 7L) << 33 | (i % 1000L))
+      .toDF("k")
+    def run(parts: Int): Long =
+      df.repartition(parts)
+        .agg(expr("graft_bitmap_distinct64(k)").as("nd"))
+        .head.getLong(0)
+    assert(run(1) === run(13))
+  }
+
+  test("negative keys (full signed 64-bit domain) count correctly") {
+    import spark.implicits._
+    val df = Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue, -1L).toDF("k")
+    assert(df.agg(expr("graft_bitmap_distinct64(k)")).head.getLong(0) === 5L)
+  }
+
+  test("nulls are ignored, matching COUNT(DISTINCT col)") {
+    import spark.implicits._
+    val df = Seq[java.lang.Long](1L << 40, 2L, null, 2L, null).toDF("k")
+    assert(df.agg(expr("graft_bitmap_distinct64(k)")).head.getLong(0) === 2L)
+    assert(df.filter(col("k").isNull)
+      .agg(expr("graft_bitmap_distinct64(k)")).head.getLong(0) === 0L)
+  }
+
+  test("non-integral input fails at analysis, not at executor runtime") {
+    import spark.implicits._
+    val df = Seq("a").toDF("s")
+    val e = intercept[Exception] {
+      df.agg(expr("graft_bitmap_distinct64(s)")).queryExecution.analyzed
+    }
+    assert(e.getMessage.toLowerCase.contains("integral") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+}
