@@ -97,7 +97,15 @@ object Dedup {
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("h"))
-    val prefix = ex.join(dfreq, "h")
+    // dfreq is VOCABULARY-sized (distinct shingles, 16 bytes/row), ex is
+    // the exploded CORPUS — broadcast the small side so annotating each
+    // shingle with its document frequency costs zero shuffle of ex; the
+    // only corpus exchange left before candidate generation is the
+    // window's doc_id repartition. (At a vocabulary too big for one
+    // executor the fallback is dropping the hint — Catalyst reverts to
+    // the h-keyed shuffle join — but df-annotation vocabularies prune
+    // heavily: only prefix-eligible shingles matter downstream.)
+    val prefix = ex.join(broadcast(dfreq), "h")
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= col("n") - ceil(col("n") * lit(0.5)) + lit(1))
       .select(col("doc_id"), col("n"), col("h"))
