@@ -133,6 +133,80 @@ class StreamsSpec extends SparkSpec {
     assert(multi === single)
   }
 
+  test("under-capacity MG bounds hold through the state store across " +
+      "adversarial micro-batch splits") {
+    // The streaming twin of FrequentItemsSpec's under-capacity fuzz: the
+    // same `true - cnt <= N/(capacity+1)` / no-overestimate / heavy-item-
+    // presence contracts must survive the buffer's serialize→state-store→
+    // deserialize→merge cycle BETWEEN micro-batches. The three slices are
+    // ordered adversarially (tail singletons first, so the summary is
+    // full of throwaway counters before the heavy block ever arrives),
+    // and mtimes force the file source to replay them in that order.
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = System.getProperty("java.io.tmpdir")
+    val dir = s"$base/graft_hh_uc"
+    val d = new java.io.File(dir)
+    if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    d.mkdirs()
+    val slices: Seq[Seq[(String, String)]] = Seq(
+      (1 to 150).map(i => ("g1", s"tail_$i")) ++
+        Seq.fill(30)(("g2", "beta")),
+      Seq.fill(300)(("g1", "heavy")) ++
+        (151 to 260).map(i => ("g1", s"tail_$i")) ++
+        (1 to 80).map(i => ("g2", s"t2_$i")),
+      Seq.fill(60)(("g1", "mid")) ++
+        (261 to 330).map(i => ("g1", s"tail_$i")) ++
+        Seq.fill(40)(("g2", "beta")))
+    slices.zipWithIndex.foreach { case (rows, i) =>
+      val stage = s"$dir/stage_$i"
+      rows.toDF("grp", "t").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val tgt = new java.io.File(d, s"slice_$i.parquet")
+      Files.move(part.toPath, tgt.toPath, StandardCopyOption.REPLACE_EXISTING)
+      assert(tgt.setLastModified(1700000000000L + i * 60000L))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+    val all = slices.flatten
+    val truth = all.groupBy(identity).map { case ((g, t), v) =>
+      (g, t) -> v.size.toLong }
+    val nPerGrp = all.groupBy(_._1).map { case (g, v) => g -> v.size.toLong }
+    val distinctPerGrp = all.distinct.groupBy(_._1)
+      .map { case (g, v) => g -> v.size }
+    for (cap <- Seq(4, 8)) {
+      assert(distinctPerGrp.values.forall(_ > cap)) // genuinely under capacity
+      val ss = Streams.streamSession(spark)
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType)))
+      val stream = ss.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val agg = stream.groupBy("grp")
+        .agg(expr(s"graft_frequent_items(t, $cap)").as("hh"))
+      val got = Streams.runToTable(agg, s"hh_uc_$cap", "complete")
+        .selectExpr("grp", "explode(hh) AS e")
+        .select(col("grp"), col("e.term"), col("e.cnt"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      got.groupBy(_._1._1).foreach { case (g, m) =>
+        assert(m.size <= cap, s"cap $cap group $g: ${m.size} counters")
+      }
+      got.foreach { case ((g, t), cnt) =>
+        val tc = truth((g, t))
+        assert(cnt <= tc, s"cap $cap: $g/$t overestimated $cnt > $tc")
+        assert(tc - cnt <= nPerGrp(g) / (cap + 1),
+          s"cap $cap: $g/$t deficit ${tc - cnt} > ${nPerGrp(g) / (cap + 1)}")
+      }
+      // anything heavier than 2N/(cap+1) must survive the whole replay
+      truth.filter { case ((g, _), c) => c > 2L * nPerGrp(g) / (cap + 1) }
+        .keys.foreach(k =>
+          assert(got.contains(k), s"cap $cap: heavy item $k evicted"))
+    }
+  }
+
   test("windowed agg resumes from checkpoint when new files arrive") {
     // run 1 processes half the events; the source is then extended and a
     // SECOND streaming query starts from the SAME checkpoint — the file
