@@ -11,6 +11,9 @@ trait SparkSpec extends AnyFunSuite {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      // fixed port for ConnectServerSpec's in-process gRPC server (a
+      // SparkConf-level setting, so it must ride the shared context)
+      .config("spark.connect.grpc.binding.port", "15937")
     graft.sources.Tables.sessionConf.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
