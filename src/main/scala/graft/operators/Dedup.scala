@@ -422,7 +422,9 @@ object Dedup {
     * the MinHash cluster op and the SemDeDup-style embedding cluster op
     * (Similarity.dedupSemanticKeep). */
   private[operators] def ccFromEdges(edgesIn: DataFrame,
-      sparseMaxEdges: Long): DataFrame = {
+      sparseMaxEdges: Long,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
+      : DataFrame = {
     // localCheckpoint truncates lineage: without it every iteration's
     // logical plan embeds the whole history and Catalyst re-analyzes an
     // exponentially growing tree (the classic iterative-plan explosion).
@@ -463,15 +465,28 @@ object Dedup {
     // with the (deduplicated) edge list shrinking monotonically. This
     // is the standard 100 TB-scale CC: no driver-side data, one
     // hook + one contraction shuffle per round on an ever-smaller graph.
+    // Materialize-and-count in ONE job: persist the round's edge RDD
+    // and let the terminating count() be the materializing action —
+    // folding the former localCheckpoint-job + count-job pair into one
+    // scheduler round-trip per contraction round (the per-round edge
+    // count doubles as both the convergence probe and the
+    // materialization barrier). The superseded round's RDD is
+    // unpersisted by the caller once the next round is built.
+    def matEdges(df: DataFrame)
+        : (DataFrame, Long, org.apache.spark.rdd.RDD[_]) = {
+      val shaped = if (sparse) df.coalesce(1) else df
+      val rdd = shaped.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnt = rdd.count()
+      (df.sparkSession.createDataFrame(rdd, shaped.schema), cnt, rdd)
+    }
     // canonical undirected edge list over current roots, d1 < d2
-    val edges = squeeze(edges0
+    var (e, live, eRdd) = matEdges(edges0
       .selectExpr("least(d1, d2) AS d1", "greatest(d1, d2) AS d2")
       .filter(col("d1") =!= col("d2")).distinct())
-    val verts = edges.selectExpr("d1 AS doc_id")
-      .unionByName(edges.selectExpr("d2 AS doc_id")).distinct()
+    val verts = e.selectExpr("d1 AS doc_id")
+      .unionByName(e.selectExpr("d2 AS doc_id")).distinct()
     var labels = squeeze(verts.withColumn("lab", col("doc_id")))
-    var e = edges
-    var live = e.count()
     var iter = 0
     while (live > 0 && iter < 25) {
       val bi = e.unionByName(e.selectExpr("d2 AS d1", "d1 AS d2"))
@@ -486,15 +501,23 @@ object Dedup {
       var rm = squeeze(hook)
       var jumping = 1L
       var jumpIter = 0
+      var rmRdd: org.apache.spark.rdd.RDD[_] = null
       while (jumping > 0 && jumpIter < 30) {
         val byId = rm.selectExpr("r AS p_r", "rl AS p_rl")
-        val nxt = squeeze(
-          rm.join(hint(byId), rm("rl") === col("p_r"), "left_outer")
-            .select(rm("r"), rm("rl").as("prev"),
-              least(rm("rl"), coalesce(col("p_rl"), rm("rl"))).as("rl")))
-        // reads the materialized checkpoint RDD: a scan, no joins
-        jumping = nxt.filter(col("rl") =!= col("prev")).count()
-        rm = nxt.select("r", "rl")
+        val nxt = rm.join(hint(byId), rm("rl") === col("p_r"), "left_outer")
+          .select(rm("r"), rm("rl").as("prev"),
+            least(rm("rl"), coalesce(col("p_rl"), rm("rl"))).as("rl"))
+        // materialize-and-probe in ONE job (same fold as matEdges): the
+        // moved-pointer count doubles as the materializing action on the
+        // persisted RDD, replacing the checkpoint-job + count-job pair
+        val shaped = if (sparse) nxt.coalesce(1) else nxt
+        val rdd = shaped.rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        jumping = rdd.filter(row => row.get(1) != row.get(2)).count()
+        if (rmRdd != null) rmRdd.unpersist(false)
+        rmRdd = rdd
+        rm = rm.sparkSession.createDataFrame(rdd, shaped.schema)
+          .select("r", "rl")
         jumpIter += 1
       }
       if (jumping > 0)
@@ -511,15 +534,26 @@ object Dedup {
       // dedupe multi-edges so the list shrinks monotonically
       val r1 = rm.selectExpr("r AS r1", "rl AS rl1")
       val r2 = rm.selectExpr("r AS r2", "rl AS rl2")
-      e = squeeze(e
+      val (ne, nlive, nrdd) = matEdges(e
         .join(hint(r1), e("d1") === col("r1"), "left_outer")
         .join(hint(r2), e("d2") === col("r2"), "left_outer")
         .selectExpr("coalesce(rl1, d1) AS c1", "coalesce(rl2, d2) AS c2")
         .selectExpr("least(c1, c2) AS d1", "greatest(c1, c2) AS d2")
         .filter(col("d1") =!= col("d2")).distinct())
-      live = e.count()
+      eRdd.unpersist(false)
+      // labels and the new edge table are both materialized by now, so
+      // the round's root map is no longer referenced
+      if (rmRdd != null) rmRdd.unpersist(false)
+      e = ne; live = nlive; eRdd = nrdd
       iter += 1
     }
+    eRdd.unpersist(false)
+    roundsOut.foreach(_.set(iter))
+    // observability twin of [graft-memo]: PLANS.md round-count evidence
+    // comes from these lines, not hand counts
+    System.err.println(
+      s"[graft-cc] contraction converged in $iter rounds " +
+        s"(sparse=$sparse)")
     // Contraction halves the live-root count every round, so 25 covers
     // any graph up to 2^25 vertices per component — but NEVER return
     // partially-converged labels silently: wrong cluster_rep values

@@ -574,16 +574,47 @@ class DedupSimilaritySpec extends SparkSpec {
     val chain = chainIds.zip(chainIds.tail)
     val tri = Seq((500L, 501L), (501L, 502L), (500L, 502L))
     val edges = (chain ++ tri).toDF("d1", "d2")
-    val labs = Dedup.ccFromEdges(edges, sparseMaxEdges = Long.MaxValue)
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val labs = Dedup.ccFromEdges(edges, sparseMaxEdges = Long.MaxValue,
+        roundsOut = Some(rounds))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     chainIds.foreach(id => assert(labs(id) === 0L,
       s"chain node $id labeled ${labs(id)}, expected component min 0"))
     Seq(500L, 501L, 502L).foreach(id => assert(labs(id) === 500L))
     assert(labs.size === chainIds.size + 3)
+    // contraction bound: roots at least halve per round, so the budget
+    // is ceil(log2 |V_max_component|) + c — NOT the O(diameter) of
+    // min-label propagation (119 here)
+    val bound = ceilLog2(chainIds.size.toLong) + 2
+    assert(rounds.get > 0 && rounds.get <= bound,
+      s"chain contracted in ${rounds.get} rounds, budget $bound")
     // and the dense path labels the same adversarial graph identically
     val dense = Dedup.ccFromEdges(edges, sparseMaxEdges = -1L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dense === labs)
+  }
+
+  private def ceilLog2(n: Long): Int =
+    64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+
+  test("CC round count stays within the log2 contraction budget on the " +
+      "harness near-dup graph (both paths)") {
+    // The bound the 100 TB claim rests on: hook-and-contract halves the
+    // live-root count per round, so rounds <= ceil(log2 n) + c on ANY
+    // graph — asserted here on the real corpus-derived edge list, sparse
+    // and dense paths alike. Measured counts are recorded in PLANS.md
+    // (cluster_mutual_knn / dedup_clusters plan notes).
+    val edges = Dedup.verifiedPairs(spark, sf).select("d1", "d2")
+    val n = edges.selectExpr("d1 AS v").union(edges.selectExpr("d2 AS v"))
+      .distinct().count()
+    val bound = ceilLog2(n) + 2
+    for (maxEdges <- Seq(Long.MaxValue, -1L)) {
+      val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+      Dedup.ccFromEdges(edges, maxEdges, Some(rounds)).count()
+      assert(rounds.get > 0 && rounds.get <= bound,
+        s"path(maxEdges=$maxEdges): ${rounds.get} rounds > budget " +
+          s"$bound for $n vertices")
+    }
   }
 
   test("CC dense (shuffle-join) path matches the sparse (broadcast) path") {
