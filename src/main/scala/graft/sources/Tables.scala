@@ -91,28 +91,38 @@ object Tables {
     * these tables are tiny by contract (pairs/centroids, not corpus).
     */
   private val memoSeq = new java.util.concurrent.atomic.AtomicLong()
+  // per-(what, fp) build locks — a GLOBAL lock here would serialize the
+  // concurrent fixture warmup (Bench) right where it matters most:
+  // independent memos (exactPairs / verifiedPairs / centroidIndex) must
+  // be able to build in parallel, while two threads wanting the SAME
+  // memo still build it once
+  private val memoLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private[graft] def persistentMemo(s: SparkSession, what: String,
-      fp: String)(build: => DataFrame): DataFrame = synchronized {
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(): Unit
-    }
-    val tmp = System.getProperty("java.io.tmpdir")
-    val target = new java.io.File(s"$tmp/graft_memo_${what}_$fp")
-    if (!new java.io.File(target, "_SUCCESS").exists()) {
-      timedMemo(what) {
-        val stage = new java.io.File(
-          s"${target.getPath}_stage_${ProcessHandle.current().pid()}" +
-            s"_${memoSeq.incrementAndGet()}")
-        rmTree(stage)
-        build.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
-        if (!stage.renameTo(target)) rmTree(stage)
+      fp: String)(build: => DataFrame): DataFrame = {
+    val lock = memoLocks.computeIfAbsent(s"${what}_$fp", _ => new Object)
+    lock.synchronized {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree))
+        f.delete(): Unit
       }
-    } else {
-      System.err.println(s"[graft-memo] $what reused cached table ($fp)")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val target = new java.io.File(s"$tmp/graft_memo_${what}_$fp")
+      if (!new java.io.File(target, "_SUCCESS").exists()) {
+        timedMemo(what) {
+          val stage = new java.io.File(
+            s"${target.getPath}_stage_${ProcessHandle.current().pid()}" +
+              s"_${memoSeq.incrementAndGet()}")
+          rmTree(stage)
+          build.coalesce(1).write.mode("overwrite").parquet(stage.getPath)
+          if (!stage.renameTo(target)) rmTree(stage)
+        }
+      } else {
+        System.err.println(s"[graft-memo] $what reused cached table ($fp)")
+      }
+      s.read.parquet(target.getPath)
     }
-    s.read.parquet(target.getPath)
   }
 
   /** Session conf every graft SparkSession needs (oracle parity + ns reads). */
