@@ -85,11 +85,14 @@ class GraftMongoCatalog extends TableCatalog with SupportsNamespaces {
     if (isWeather(namespace)) Collections.emptyMap()
     else throw new NoSuchNamespaceException(namespace)
 
-  // the store is read-only, like the reference's connector as the demo
-  // uses it: DDL mutations are refused, not silently ignored
+  // the DEMO collection stays read-only, like the reference's connector
+  // as the query side uses it; the INGEST direction (`fillMongoDB.ipynb`
+  // creates and fills collections) maps to createTable + SupportsWrite
+  // on NEW collections below. Unsupported mutations are refused, not
+  // silently ignored.
   private def readOnly =
     new UnsupportedOperationException(
-      s"catalog $catalogName is read-only (document store)")
+      s"catalog $catalogName: operation unsupported on the document store")
 
   override def createNamespace(namespace: Array[String],
       metadata: JMap[String, String]): Unit = throw readOnly
@@ -100,41 +103,223 @@ class GraftMongoCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = throw readOnly
 
+  // a CREATEd collection is its persisted schemadef descriptor + a
+  // shard directory; the descriptor makes loadTable re-derive the
+  // declared schema exactly (the reference's schemadef discipline,
+  // ingest direction)
+  private def descriptorFile(name: String) =
+    new java.io.File(root, s"$name.schemadef.json")
+  private def tableDir(name: String) = new java.io.File(root, name)
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    if (isWeather(namespace)) Array(Identifier.of(ns, "weatherny"))
-    else throw new NoSuchNamespaceException(namespace)
+    if (isWeather(namespace)) {
+      val created = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".schemadef.json"))
+        .map(_.getName.stripSuffix(".schemadef.json"))
+      (Array("weatherny") ++ created).distinct.sorted
+        .map(n => Identifier.of(ns, n))
+    } else throw new NoSuchNamespaceException(namespace)
 
   override def loadTable(ident: Identifier): Table =
     if (isWeather(ident.namespace()) && ident.name() == "weatherny")
-      new GraftMongoTable(
+      new GraftMongoTable("weatherny",
         MongoSchemas.schemadefToStruct(MongoSchemas.weatherNyDescriptor),
-        s"$root/weatherny")
+        s"$root/weatherny", writable = false)
+    else if (isWeather(ident.namespace()) &&
+        descriptorFile(ident.name()).exists())
+      new GraftMongoTable(ident.name(),
+        MongoSchemas.schemadefToStruct(java.nio.file.Files.readString(
+          descriptorFile(ident.name()).toPath)),
+        tableDir(ident.name()).getPath, writable = true)
     else throw new NoSuchTableException(ident)
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: JMap[String, String]): Table = throw readOnly
+      properties: JMap[String, String]): Table = {
+    if (!isWeather(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    require(partitions.isEmpty,
+      "document collections take no partition transforms")
+    if (ident.name() == "weatherny" || descriptorFile(ident.name()).exists())
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace() :+ ident.name()).toSeq)
+    // descriptor LAST, after the shard dir: the descriptor's existence
+    // is what makes the table visible, so a half-created table cannot
+    // be observed
+    tableDir(ident.name()).mkdirs()
+    java.nio.file.Files.writeString(descriptorFile(ident.name()).toPath,
+      MongoSchemas.structToSchemadef(ident.name(), schema))
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = throw readOnly
 
-  override def dropTable(ident: Identifier): Boolean = throw readOnly
+  override def dropTable(ident: Identifier): Boolean =
+    if (isWeather(ident.namespace()) && ident.name() != "weatherny" &&
+        descriptorFile(ident.name()).exists()) {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree))
+        f.delete(): Unit
+      }
+      rmTree(tableDir(ident.name()))
+      descriptorFile(ident.name()).delete()
+    } else if (isWeather(ident.namespace()) && ident.name() == "weatherny")
+      throw readOnly // the demo collection is not droppable
+    else false
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = throw readOnly
 }
 
 /** One declared-schema collection backed by a sharded extended-JSON
-  * document store. */
-class GraftMongoTable(declared: StructType, dataDir: String)
-    extends Table with SupportsRead {
-  override def name(): String = "weatherny"
+  * document store. CREATEd collections are also writable
+  * ([[GraftMongoBatchWrite]]): one shard file per write task (the
+  * parallel-write unit, the analog of inserting through one mongos
+  * router connection per partition), committed atomically via a staged
+  * directory. The demo collection `weatherny` stays read-only. */
+class GraftMongoTable(tableName: String, declared: StructType,
+    dataDir: String, writable: Boolean)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = tableName
   override def schema(): StructType = declared
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writable)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftMongoScanBuilder(declared, dataDir)
+    new GraftMongoScanBuilder(declared, dataDir, allowEmpty = writable)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(writable, s"collection $tableName is read-only")
+    new GraftMongoWriteBuilder(dataDir, declared, info.queryId())
+  }
+}
+
+/** Append/overwrite writes as canonical extended JSON — the exact
+  * inverse of [[GraftMongoPartitionReader]]'s wire decoder, so a
+  * round-trip through the store is value-exact: TimestampType renders
+  * as `{"$date": <iso-instant>}` at micro precision, scalars by
+  * declared type, NULL fields are omitted (the reader treats absent as
+  * null). Commit protocol: every task writes its shard into a
+  * query-scoped stage directory and reports the file in its commit
+  * message; job commit moves the reported shards into the collection
+  * (dropping the previous shards first under INSERT OVERWRITE /
+  * truncate), job abort removes the stage — readers never observe a
+  * half-written shard. */
+class GraftMongoWriteBuilder(dataDir: String, declared: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateFirst = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch
+          : org.apache.spark.sql.connector.write.BatchWrite =
+        new GraftMongoBatchWrite(dataDir, declared, truncateFirst, queryId)
+    }
+}
+
+case class GraftMongoCommit(path: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class GraftMongoBatchWrite(dataDir: String, declared: StructType,
+    truncateFirst: Boolean, queryId: String)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  private def stageDir = new java.io.File(dataDir, s"_stage_$queryId")
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    stageDir.mkdirs()
+    new GraftMongoWriterFactory(stageDir.getPath, declared)
+  }
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val dir = new java.io.File(dataDir)
+    if (truncateFirst)
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .foreach(f => f.delete(): Unit)
+    messages.foreach { case GraftMongoCommit(path) =>
+      val f = new java.io.File(path)
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(dir, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    rmTree(stageDir)
+  }
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = rmTree(stageDir)
+}
+
+class GraftMongoWriterFactory(stagePath: String, declared: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftMongoDataWriter(stagePath, declared, partitionId, taskId)
+}
+
+class GraftMongoDataWriter(stagePath: String, declared: StructType,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  // taskId in the name keeps speculative/retried attempts of the same
+  // partition from colliding in the stage; only the committed attempt's
+  // file is reported and moved
+  private val file = new java.io.File(stagePath,
+    f"part-$partitionId%05d-$taskId")
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(new java.io.FileOutputStream(file),
+      java.nio.charset.StandardCharsets.UTF_8))
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def write(row: InternalRow): Unit = {
+    val doc = om.createObjectNode()
+    declared.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case TimestampType =>
+          val m = row.getLong(i)
+          doc.putObject(f.name).put("$date",
+            java.time.Instant.ofEpochSecond(
+              Math.floorDiv(m, 1000000L),
+              Math.floorMod(m, 1000000L) * 1000L).toString): Unit
+        case DoubleType => doc.put(f.name, row.getDouble(i)): Unit
+        case LongType => doc.put(f.name, row.getLong(i)): Unit
+        case IntegerType => doc.put(f.name, row.getInt(i)): Unit
+        case BooleanType => doc.put(f.name, row.getBoolean(i)): Unit
+        case StringType =>
+          doc.put(f.name, row.getUTF8String(i).toString): Unit
+        case other => throw new IllegalArgumentException(
+          s"unsupported declared type for field ${f.name}: $other")
+      }
+    }
+    out.write(om.writeValueAsString(doc))
+    out.newLine()
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    out.close()
+    GraftMongoCommit(file.getPath)
+  }
+
+  override def abort(): Unit = { out.close(); file.delete(): Unit }
+
+  override def close(): Unit = ()
 }
 
 /** Column pruning + filter pushdown: Catalyst hands the required
@@ -145,7 +330,8 @@ class GraftMongoTable(declared: StructType, dataDir: String)
   * whole document — never decoding the measure fields — when it falls
   * outside the bounds. Unsupported predicates are returned as residual
   * for Spark to evaluate post-scan, so pushdown is always exact. */
-class GraftMongoScanBuilder(declared: StructType, dataDir: String)
+class GraftMongoScanBuilder(declared: StructType, dataDir: String,
+    allowEmpty: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = declared
@@ -194,11 +380,12 @@ class GraftMongoScanBuilder(declared: StructType, dataDir: String)
   override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan = new GraftMongoScan(required, dataDir,
-    accepted, if (accepted.isEmpty) None else Some((lo, hi)))
+    accepted, if (accepted.isEmpty) None else Some((lo, hi)), allowEmpty)
 }
 
 class GraftMongoScan(required: StructType, dataDir: String,
-    pushed: Array[Filter], bounds: Option[(Long, Long)])
+    pushed: Array[Filter], bounds: Option[(Long, Long)],
+    allowEmpty: Boolean = false)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -210,7 +397,10 @@ class GraftMongoScan(required: StructType, dataDir: String,
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("part-"))
       .map(_.getAbsolutePath).sorted
-    require(shards.nonEmpty, s"empty document store at $dataDir")
+    // a freshly CREATEd (writable) collection is legitimately empty;
+    // an empty path for the demo collection means a misconfigured root
+    require(allowEmpty || shards.nonEmpty,
+      s"empty document store at $dataDir")
     shards.map(GraftMongoInputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -462,12 +652,51 @@ object Mongo {
        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
        GROUP BY 1, 2 ORDER BY day"""
 
+  /** The INGEST direction at full TableCatalog fidelity — the
+    * `fillMongoDB.ipynb` analog (reference loads CSVs INTO the document
+    * store; queries then read them back): CREATE a collection through
+    * the catalog (persisting its schemadef descriptor), INSERT
+    * OVERWRITE a deterministic daily aggregate of orders through the
+    * DSv2 write path (one extended-JSON shard per write task, staged
+    * commit), then read it back through the same connector's pruned
+    * scan. INSERT OVERWRITE (not append) keeps the store idempotent
+    * across runs; the DuckDB oracle recomputes the aggregate from
+    * orders directly, so a pass proves the wire encode→decode
+    * round-trip is value-exact. */
+  val mongoIngestRoundtrip: Q = (s, dir) => {
+    registerCatalog(s, dir)
+    s.sql(
+      """CREATE TABLE IF NOT EXISTS graft_mongo.weather.orderdaily
+         (_id TIMESTAMP, n_orders DOUBLE, total DOUBLE)""")
+    s.sql(
+      s"""INSERT OVERWRITE graft_mongo.weather.orderdaily
+          SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS _id,
+            CAST(count(*) AS DOUBLE) AS n_orders,
+            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              AS total
+          FROM parquet.`$dir/orders.parquet`
+          WHERE o_orderkey < 5000
+          GROUP BY 1""")
+    s.sql(
+      """SELECT CAST(_id AS DATE) AS day, n_orders, total
+         FROM graft_mongo.weather.orderdaily ORDER BY day""")
+  }
+
+  val mongoIngestRoundtripOracle: String =
+    """SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders WHERE o_orderkey < 5000
+       GROUP BY 1 ORDER BY day"""
+
   val queries: Map[String, Q] = Map(
     "mongo_catalog_scan" -> mongoCatalogScan,
     "mongo_pushdown_scan" -> mongoPushdownScan,
+    "mongo_ingest_roundtrip" -> mongoIngestRoundtrip,
     "q1_tri_catalog" -> q1TriCatalog)
   val oracles: Map[String, String] = Map(
     "mongo_catalog_scan" -> mongoCatalogScanOracle,
     "mongo_pushdown_scan" -> mongoPushdownScanOracle,
+    "mongo_ingest_roundtrip" -> mongoIngestRoundtripOracle,
     "q1_tri_catalog" -> q1TriCatalogOracle)
 }

@@ -73,6 +73,35 @@ object MongoSchemas {
     StructType(out.toSeq)
   }
 
+  /** Inverse of [[schemadefToStruct]]: render a declared StructType as
+    * a schemadef descriptor document — what the write path persists for
+    * a CREATEd collection, so the catalog re-derives the exact declared
+    * schema on the next loadTable (the ingest direction of the
+    * reference's descriptor discipline: `fillMongoDB.ipynb` creates the
+    * collection, the schemadef declares it to the engine). */
+  def structToSchemadef(table: String, schema: StructType): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    root.put("table", table): Unit
+    val arr = root.putArray("fields")
+    schema.fields.foreach { f =>
+      val n = arr.addObject()
+      n.put("name", f.name): Unit
+      n.put("type", f.dataType match {
+        case TimestampType => "Date"
+        case DoubleType => "Double"
+        case StringType => "String"
+        case LongType => "Long"
+        case IntegerType => "Int"
+        case BooleanType => "Boolean"
+        case other => throw new IllegalArgumentException(
+          s"unmapped type for document collection field ${f.name}: $other")
+      }): Unit
+      n.put("hidden", false): Unit
+    }
+    om.writeValueAsString(root)
+  }
+
   /** The wire-level schema for canonical extended JSON: every declared
     * TimestampType arrives as `{"$date": <iso-string>}`. */
   def wireSchema(declared: StructType): StructType =

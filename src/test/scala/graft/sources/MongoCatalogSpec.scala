@@ -89,16 +89,79 @@ class MongoCatalogSpec extends SparkSpec {
     assert(mixed.collect().nonEmpty)
   }
 
-  test("the catalog is read-only: DDL mutations are refused") {
+  test("the demo collection stays immutable: drop and write are " +
+      "refused; namespace DDL is refused") {
     Mongo.registerCatalog(spark, sf)
-    val e = intercept[Throwable] {
-      spark.sql(
-        """CREATE TABLE graft_mongo.weather.newcoll (x BIGINT)
-           USING parquet""")
+    def msgs(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    val drop = intercept[Throwable] {
+      spark.sql("DROP TABLE graft_mongo.weather.weatherny")
     }
-    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
-    assert(msgs.contains("read-only"), msgs)
+    assert(msgs(drop).contains("unsupported"), msgs(drop))
+    val ins = intercept[Throwable] {
+      spark.sql(
+        """INSERT INTO graft_mongo.weather.weatherny
+           SELECT TIMESTAMP '1995-01-01 00:00:00', 0D, 0D, 0D, 0D, 0D,
+                  0D, 0D, 0D""")
+    }
+    assert(msgs(ins).toLowerCase.contains("append") ||
+      msgs(ins).toLowerCase.contains("write"), msgs(ins))
+    val cns = intercept[Throwable] {
+      spark.sql("CREATE NAMESPACE graft_mongo.stocks")
+    }
+    assert(msgs(cns).contains("unsupported"), msgs(cns))
+  }
+
+  test("write path: CREATE + INSERT round-trips value-exact, OVERWRITE " +
+      "truncates, shards are per-task files, DROP removes the " +
+      "collection and its descriptor") {
+    Mongo.registerCatalog(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS graft_mongo.weather.spec_rt")
+    spark.sql(
+      """CREATE TABLE graft_mongo.weather.spec_rt
+         (_id TIMESTAMP, label STRING, qty BIGINT, price DOUBLE,
+          flag BOOLEAN)""")
+    // the created collection is visible and empty
+    assert(spark.sql("SHOW TABLES IN graft_mongo.weather").collect()
+      .map(_.getString(1)).contains("spec_rt"))
+    assert(spark.table("graft_mongo.weather.spec_rt").count() === 0L)
+    // append with every declared type incl. a NULL (absent-field wire
+    // form) and a timestamp below second precision
+    spark.sql(
+      """INSERT INTO graft_mongo.weather.spec_rt VALUES
+         (TIMESTAMP '1995-01-02 03:04:05.123456', 'a', 7, 1.25, true),
+         (TIMESTAMP '1995-01-03 00:00:00', NULL, -2, -0.5, false)""")
+    val got = spark.table("graft_mongo.weather.spec_rt")
+      .orderBy("_id").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[java.sql.Timestamp](0).toInstant ===
+      java.time.Instant.parse("1995-01-02T03:04:05.123456Z"))
+    assert(got(0).getString(1) === "a" && got(0).getLong(2) === 7L &&
+      got(0).getDouble(3) === 1.25 && got(0).getBoolean(4))
+    assert(got(1).isNullAt(1) && got(1).getLong(2) === -2L &&
+      got(1).getDouble(3) === -0.5 && !got(1).getBoolean(4))
+    // OVERWRITE truncates: the previous two rows are gone
+    spark.sql(
+      """INSERT OVERWRITE graft_mongo.weather.spec_rt VALUES
+         (TIMESTAMP '1996-06-06 00:00:00', 'z', 1, 2.0, false)""")
+    val after = spark.table("graft_mongo.weather.spec_rt").collect()
+    assert(after.length === 1 && after(0).getString(1) === "z")
+    // wire format on disk: per-task part- shards of extended JSON, no
+    // stage leftovers
+    val dataDir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft_mongo.path"), "spec_rt")
+    val files = Option(dataDir.listFiles()).getOrElse(Array.empty)
+    assert(files.forall(f => f.getName.startsWith("part-")),
+      files.map(_.getName).mkString(","))
+    val line = scala.io.Source.fromFile(files.head)
+    try assert(line.getLines().next().contains("\"$date\""))
+    finally line.close()
+    // DROP removes data dir + descriptor; the table disappears
+    spark.sql("DROP TABLE graft_mongo.weather.spec_rt")
+    assert(!dataDir.exists())
+    assert(!spark.sql("SHOW TABLES IN graft_mongo.weather").collect()
+      .map(_.getString(1)).contains("spec_rt"))
   }
 
   test("tri-catalog cross-type join (timestamp _id = DATE) lands rows") {
