@@ -484,6 +484,43 @@ object Streams {
          round(0.0 + 2.0 * (bi + (0.5 * n - cumb) / c), 6) AS p50
        FROM sel ORDER BY day_start"""
 
+  /** EXACT distinct counting INSIDE streaming state via the 64-bit
+    * Roaring bitmap aggregate (graft.plans.Bitmap64Distinct): distinct
+    * users per event type over the whole stream. The serialized bitmap
+    * IS the streaming state between micro-batches — exact like
+    * COUNT(DISTINCT) (which streaming aggregation refuses outright:
+    * Spark cannot incrementalize the expand-distinct plan), mergeable
+    * like a sketch, and sized to the distinct-key count rather than the
+    * event volume. The key is widened past 2³¹ (user_id·2³² + low bits)
+    * so the stream exercises the full BIGINT domain end-to-end. The
+    * oracle is the batch COUNT(DISTINCT) of the same widened key. */
+  val streamExactDistinct: Q = (s, dir) => {
+    val ss = streamSession(s)
+    exactDistinctCore(ss, eventStream(ss, dir), "stream_exact_distinct")
+  }
+
+  /** Core of the streaming exact distinct, parameterized by source so
+    * the spec can replay it over multi-file micro-batches (the bitmap
+    * buffer must survive state-store serialize/merge between batches,
+    * and the union must make the answer batch-split independent). */
+  private[graft] def exactDistinctCore(s: SparkSession, stream: DataFrame,
+      name: String): DataFrame = {
+    val agg = stream
+      .groupBy(col("event_type"))
+      .agg(expr(
+        "graft_bitmap_distinct64(user_id * 4294967296L + event_id % 4294967296L)")
+        .as("nd_wide"))
+    runToTable(agg, name, "complete")
+      .select("event_type", "nd_wide")
+      .orderBy("event_type")
+  }
+
+  val streamExactDistinctOracle: String =
+    """SELECT event_type,
+         count(DISTINCT user_id * 4294967296 + event_id % 4294967296)
+           AS nd_wide
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** The Misra-Gries frequent-items summary INSIDE streaming state: top
     * users per event type over the whole stream. Like the histogram
     * sketch above, the TypedImperativeAggregate buffer serializes into
@@ -614,6 +651,7 @@ object Streams {
     "stream_stream_join" -> streamStreamJoin,
     "stream_hist_quantile" -> streamHistQuantile,
     "stream_heavy_hitters" -> streamHeavyHitters,
+    "stream_exact_distinct" -> streamExactDistinct,
     "stream_foreach_batch_sink" -> streamForeachBatchSink,
     "stream_stateful_latest" -> streamStatefulLatest,
     "stream_dedup_keys" -> streamDedupKeys,
@@ -635,5 +673,6 @@ object Streams {
     "stream_static_join" -> streamStaticJoinOracle,
     "stream_hist_quantile" -> streamHistQuantileOracle,
     "stream_heavy_hitters" -> streamHeavyHittersOracle,
+    "stream_exact_distinct" -> streamExactDistinctOracle,
     "sessionize_events" -> sessionizeEventsOracle)
 }

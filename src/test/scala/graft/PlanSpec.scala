@@ -329,6 +329,32 @@ class PlanSpec extends SparkSpec {
       s"AQE did not mark the hot partition as skewed:\n$p")
   }
 
+  test("bitmap64 distinct: two-level ObjectHashAggregate, partial " +
+      "map-side — only serialized bitmaps cross the exchange") {
+    val df = Aggregates.bitmapExactDistinct64(spark, sf)
+    val p = plan(df)
+    assert(p.contains("ObjectHashAggregate"),
+      s"bitmap aggregate not planned as ObjectHashAggregate:\n$p")
+    assert(p.contains("partial_graft_bitmap_distinct64"),
+      s"no map-side partial bitmap build:\n$p")
+    // the only columns read are the two key parts + the group key
+    assert(p.contains("l_partkey") && p.contains("l_suppkey"),
+      s"composite key columns missing from scan:\n$p")
+  }
+
+  test("n-gram Jaccard: document-frequency annotation is a broadcast " +
+      "join (no corpus shuffle on the shingle key before the window)") {
+    val df = graft.operators.Dedup.ngramJaccard(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the df-annotation join must be broadcast; the candidate self-join
+    // on pruned prefixes may shuffle (that's the PPJoin exchange)
+    val broadcastJoins = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcastJoins >= 1, s"dfreq join not broadcast:\n$p")
+    // the aggregate feeding the broadcast is the vocabulary-sized dfreq
+    assert(p.contains("BroadcastExchange"),
+      s"no broadcast exchange in the plan:\n$p")
+  }
+
   test("TextRank: final top-15 plans TakeOrderedAndProject over the " +
       "checkpointed rank table (iterations do not re-execute)") {
     val df = graft.functions.TextAnalysis.textRankKeywords(spark, sf)

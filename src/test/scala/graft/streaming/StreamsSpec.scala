@@ -133,6 +133,27 @@ class StreamsSpec extends SparkSpec {
     assert(multi === single)
   }
 
+  test("streaming exact distinct (bitmap64 state) is identical under " +
+      "multi-micro-batch replay and equals batch COUNT(DISTINCT)") {
+    val dir3 = s"${System.getProperty("java.io.tmpdir")}/graft_events3b"
+    spark.read.parquet(s"$sf/events.parquet")
+      .repartition(3).write.mode("overwrite").parquet(dir3)
+    val stream = Streams.rawFileStream(spark, dir3,
+      Map("maxFilesPerTrigger" -> "1"))
+    val multi = Streams.exactDistinctCore(spark, stream, "bm64_mb")
+      .collect().map(_.toString).toSeq
+    val single = Streams.streamExactDistinct(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(multi === single)
+    val batch = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(countDistinct(expr(
+        "user_id * 4294967296L + event_id % 4294967296L")).as("nd_wide"))
+      .orderBy("event_type")
+      .collect().map(_.toString).toSeq
+    assert(single === batch)
+  }
+
   test("under-capacity MG bounds hold through the state store across " +
       "adversarial micro-batch splits") {
     // The streaming twin of FrequentItemsSpec's under-capacity fuzz: the
