@@ -1107,6 +1107,103 @@ object TextAnalysis {
        QUALIFY rnk <= 3
        ORDER BY doc_id, rnk"""
 
+  /** BM25 ranked retrieval (Robertson & Zaragoza, "The Probabilistic
+    * Relevance Framework: BM25 and Beyond", FnTIR 2009; k1 = 1.2,
+    * b = 0.75): top-5 documents per query over a fixed multi-term query
+    * set — the retrieval primitive next to [[tfidfTopK]]'s per-doc
+    * keywords, and the lexical side of a RAG/data-curation retrieval
+    * stack (the dense side is the ANN family in Similarity.scala).
+    *
+    * Determinism (the lmPerplexity discipline): tf/df/dl/N are exact
+    * integers; each per-term partial score rounds to 6 dp and
+    * DECIMAL-sums per (query, doc), so the fold is partition-order
+    * independent; ranking orders by the exact decimal sum with doc_id
+    * tie-break. The idf is the standard positive-capped
+    * ln(1 + (N − df + ½)/(df + ½)).
+    *
+    * Scale shape (100 TB): the query set broadcasts (it is tiny by
+    * definition); joining it into the (doc, term, tf) table FIRST means
+    * only postings of query terms survive — the corpus shuffles once to
+    * build tf/dl (shared with every other text op), and the scoring
+    * join + per-(query, doc) aggregation touch the inverted-index
+    * slice, not the corpus. In production tf/dl/df persist as the
+    * inverted index (the [[centroidIndex]] pattern) and queries probe
+    * it. */
+  val bm25TopK: Q = (s, dir) => {
+    import s.implicits._
+    val queries = Seq(
+      (1L, "join"), (1L, "hash"),
+      (2L, "vector"), (2L, "stream"),
+      (3L, "scan"), (3L, "filter"), (3L, "slow")).toDF("q_id", "term")
+    val toks = t(s, dir, "documents")
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("bigint").as("sum_dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("s").desc, col("doc_id"))
+    tf.join(broadcast(queries), "term")
+      .join(dl, "doc_id")
+      .join(broadcast(dfreq.join(broadcast(queries.select("term").distinct()),
+        "term")), "term")
+      .crossJoin(broadcast(stats))
+      .selectExpr("q_id", "doc_id",
+        """CAST(round(
+             ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+             (CAST(tf AS DOUBLE) * 2.2) /
+             (CAST(tf AS DOUBLE) + 1.2 *
+               (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                / CAST(sum_dl AS DOUBLE))),
+           6) AS DECIMAL(18,6)) AS ps""")
+      .groupBy("q_id", "doc_id")
+      .agg(sum("ps").as("s"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= 5)
+      .selectExpr("q_id", "rank", "doc_id", "n_terms",
+        "CAST(s AS DOUBLE) AS bm25")
+      .orderBy("q_id", "rank")
+  }
+
+  val bm25TopKOracle: String =
+    """WITH q(q_id, term) AS (VALUES
+         (1, 'join'), (1, 'hash'),
+         (2, 'vector'), (2, 'stream'),
+         (3, 'scan'), (3, 'filter'), (3, 'slow')),
+       toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       tfc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dlc AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+              FROM dlc),
+       dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+       ps AS (
+         SELECT q.q_id, tfc.doc_id,
+           CAST(round(
+             ln(1 + (CAST(st.n_docs AS DOUBLE) - dfc.df + 0.5) / (CAST(dfc.df AS DOUBLE) + 0.5)) *
+             (CAST(tfc.tf AS DOUBLE) * 2.2) /
+             (CAST(tfc.tf AS DOUBLE) + 1.2 *
+               (0.25 + 0.75 * CAST(dlc.dl AS DOUBLE) * CAST(st.n_docs AS DOUBLE)
+                / CAST(st.sum_dl AS DOUBLE))),
+           6) AS DECIMAL(18,6)) AS ps
+         FROM tfc JOIN q USING (term)
+         JOIN dlc USING (doc_id)
+         JOIN dfc USING (term)
+         CROSS JOIN st),
+       agg AS (
+         SELECT q_id, doc_id, sum(ps) AS s, count(*) AS n_terms
+         FROM ps GROUP BY 1, 2),
+       rk AS (
+         SELECT CAST(q_id AS BIGINT) AS q_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY s DESC, doc_id) AS rank,
+           doc_id, n_terms, CAST(s AS DOUBLE) AS bm25
+         FROM agg)
+       SELECT q_id, rank, doc_id, n_terms, bm25 FROM rk
+       WHERE rank <= 5 ORDER BY q_id, rank"""
+
   /** Integer-exact per-source quality gate: keep the top 10% of documents
     * per source by length (rank*10 <= partition count — no float
     * percentile on the cut line, so the kept set is bit-deterministic).
@@ -1343,6 +1440,7 @@ object TextAnalysis {
     "text_char_entropy" -> charEntropy,
     "text_repetition" -> repetitionStats,
     "text_tfidf_topk" -> tfidfTopK,
+    "text_bm25_topk" -> bm25TopK,
     "quality_top_percent" -> qualityTopPercent,
     "pipeline_corpus_prep" -> pipelineCorpusPrep,
     "pack_sequences" -> packSequences,
@@ -1378,6 +1476,7 @@ object TextAnalysis {
     "text_char_entropy" -> charEntropyOracle,
     "text_repetition" -> repetitionStatsOracle,
     "text_tfidf_topk" -> tfidfTopKOracle,
+    "text_bm25_topk" -> bm25TopKOracle,
     "quality_top_percent" -> qualityTopPercentOracle,
     "pipeline_corpus_prep" -> pipelineCorpusPrepOracle,
     "pack_sequences" -> packSequencesOracle,

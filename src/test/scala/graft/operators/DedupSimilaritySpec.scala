@@ -689,6 +689,57 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("text_bm25_topk: ranks well-formed, scores non-increasing, " +
+      "and the full ranking matches an independent recompute") {
+    val qterms = Map(
+      1L -> Set("join", "hash"),
+      2L -> Set("vector", "stream"),
+      3L -> Set("scan", "filter", "slow"))
+    val out = graft.functions.TextAnalysis.bm25TopK(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq ===
+        (1L to sorted.length.toLong))
+      val scores = sorted.map(_.getDouble(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(qterms.contains(q))
+    }
+    // independent single-machine BM25 with the same integer inputs and
+    // 6dp-rounded partials
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size.toLong
+    val sumDl = docs.values.map(_.size.toLong).sum
+    val dfAll = docs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, v) => t -> v.size.toLong }
+    def score(q: Long): Seq[(Long, BigDecimal)] = docs.toSeq.flatMap {
+      case (d, toks) =>
+        val dl = toks.size.toLong
+        val parts = qterms(q).toSeq.flatMap { term =>
+          val tf = toks.count(_ == term).toLong
+          if (tf == 0) None
+          else {
+            val idf = math.log(1 + (n.toDouble - dfAll(term) + 0.5) /
+              (dfAll(term).toDouble + 0.5))
+            val tfc = (tf.toDouble * 2.2) / (tf.toDouble + 1.2 *
+              (0.25 + 0.75 * dl.toDouble * n.toDouble / sumDl.toDouble))
+            Some(BigDecimal(idf * tfc)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          }
+        }
+        if (parts.isEmpty) None else Some(d -> parts.sum)
+    }.sortBy { case (d, sc) => (-sc, d) }.take(5)
+    qterms.keys.foreach { q =>
+      val expect = score(q)
+      val got = out.filter(_.getLong(0) == q).sortBy(_.getLong(1))
+        .map(r => (r.getLong(2), BigDecimal(r.getDouble(4))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))).toSeq
+      assert(got === expect, s"q=$q: $got vs $expect")
+    }
+  }
+
   test("text quality + token counts agree on a literal string") {
     val df = Seq((1L, "the quick brown fox", "en", "s", 19L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
