@@ -65,6 +65,24 @@ class ConnectServerSpec extends SparkSpec {
         }
         assert(rows === expectRows)
         assert(sawMetrics)
+        // custom Catalyst expressions must also resolve in the
+        // Connect-spawned session (GraftExtensions ride the SparkConf,
+        // so every session built from this context registers them)
+        val req2 = proto.ExecutePlanRequest.newBuilder()
+          .setSessionId(java.util.UUID.randomUUID().toString)
+          .setUserContext(
+            proto.UserContext.newBuilder().setUserId("graft"))
+          .setPlan(proto.Plan.newBuilder().setRoot(
+            proto.Relation.newBuilder().setSql(proto.SQL.newBuilder()
+              .setQuery("SELECT graft_hex60('abc') AS h"))))
+          .build()
+        val it2 = stub.executePlan(req2)
+        var rows2 = 0L
+        while (it2.hasNext) {
+          val resp = it2.next()
+          if (resp.hasArrowBatch) rows2 += resp.getArrowBatch.getRowCount
+        }
+        assert(rows2 === 1L)
       } finally { channel.shutdownNow(); () }
     } finally SparkConnectService.stop(None, None)
   }

@@ -300,4 +300,51 @@ class AdviceFixesSpec extends SparkSpec {
       .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
     assert(msgs.contains("corpus child must be"), msgs)
   }
+
+  // ---- round-9 advice fixes (FrequentItemsAgg hardening) ----
+
+  test("graft_frequent_items rejects a non-string term at ANALYSIS " +
+      "time, not with an executor ClassCastException") {
+    import spark.implicits._
+    val df = Seq(1L, 2L, 2L).toDF("k")
+    val e = intercept[Exception] {
+      df.agg(expr("graft_frequent_items(k, 4)")).queryExecution.analyzed
+    }
+    assert(e.getMessage.contains("STRING") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"), e.getMessage)
+    // and a non-integral capacity is refused the same way
+    val e2 = intercept[Exception] {
+      Seq("a").toDF("t").agg(expr("graft_frequent_items(t, 'x')"))
+        .queryExecution.analyzed
+    }
+    assert(e2.getMessage.contains("integral") ||
+      e2.getMessage.contains("DATATYPE_MISMATCH"), e2.getMessage)
+  }
+
+  test("graft_frequent_items survives terms over 65535 UTF-8 bytes " +
+      "through the serialized-buffer exchange (writeUTF would throw)") {
+    import spark.implicits._
+    val big = "x" * 70000
+    val df = Seq(big, big, "small").toDF("t").repartition(3)
+    val got = df.agg(expr("graft_frequent_items(t, 4)").as("hh"))
+      .selectExpr("explode(hh) AS e").select("e.term", "e.cnt")
+      .collect().map(r => r.getString(0).length -> r.getLong(1)).toMap
+    assert(got === Map(70000 -> 2L, 5 -> 1L))
+  }
+
+  test("graft_frequent_items tie-breaks equal counts in UTF-8 binary " +
+      "order (supplementary plane sorts after BMP, unlike UTF-16)") {
+    import spark.implicits._
+    // U+10000 (surrogate pair 𐀀) vs U+FF5E: UTF-16 code-unit
+    // order puts the surrogate FIRST (0xD800 < 0xFF5E); UTF-8 binary
+    // order (and DuckDB collation) puts it LAST (F0 90... > EF BD...)
+    val supp = new String(Character.toChars(0x10000))
+    val bmp = "～"
+    val df = Seq(supp, bmp).toDF("t")
+    val terms = df.agg(expr("graft_frequent_items(t, 4)").as("hh"))
+      .selectExpr("explode(hh) AS e").select("e.term")
+      .collect().map(_.getString(0)).toSeq
+    assert(terms === Seq(bmp, supp),
+      s"tie-break not UTF-8 binary: ${terms.map(_.codePointAt(0))}")
+  }
 }
