@@ -9,16 +9,18 @@ import graft.functions.TextAnalysis.{hex60, hex60Duck}
 
 /** Multimodal-column plumbing (north star, /root/repo/BASELINE.json):
   * image/audio/video are opaque `binary` columns with typed metadata.
-  * The harness ships no binary table and this container has no media
-  * codecs, so the media payload is a deterministic stand-in
-  * (`CAST(text AS BINARY)` of `documents.text`) and the DECODE step is a
-  * deterministic fake over the raw bytes — but the Spark-side plumbing is
-  * real: schema, typed Dataset + mapPartitions batch shape (the Scala
-  * analog of mapInPandas batch UDFs), partition-parallel feature
-  * extraction, frame sampling via step sequences.
-  *
-  * A production deployment swaps `decodeStub` for a real codec call per
-  * partition-batch; nothing else changes.
+  * The harness ships no binary table, so media payloads are
+  * deterministic stand-ins — and the pipeline covers BOTH honesty
+  * levels: [[mmDecodeFeatures]] keeps the clearly-marked byte-stats
+  * stub (the shape a production job drops an ffmpeg-class codec into),
+  * while [[mmCodecRoundtrip]] runs a REAL image codec end-to-end (JDK
+  * ImageIO PNG encode → decode inside the typed mapPartitions batch
+  * path — present on every executor JVM, no deployment). The remaining
+  * genuinely-absent codecs are video/audio (ffmpeg-class, not in this
+  * container); their ops keep the stub with the real plumbing: schema,
+  * typed Dataset + mapPartitions batch shape (the Scala analog of
+  * mapInPandas batch UDFs), partition-parallel feature extraction,
+  * frame sampling via step sequences.
   */
 object Multimodal {
 
@@ -231,11 +233,113 @@ object Multimodal {
        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
   }
 
+  /** Typed rows for the REAL-codec pipeline below. */
+  case class ImgParams(doc_id: Long, w: Int, h: Int)
+  case class CodecFeat(doc_id: Long, width: Long, height: Long,
+      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image codec round-trip — no stub: each document gets a
+    * deterministic two-band RGB image (doc-derived dimensions and band
+    * colors), which is PNG-ENCODED with the JDK's ImageIO writer and
+    * immediately PNG-DECODED with the ImageIO reader inside the same
+    * mapPartitions pass (javax.imageio ships with every JDK, so unlike
+    * ffmpeg-class codecs it exists on every executor with zero
+    * deployment). Features are the DECODED integer channel sums and
+    * dimensions, so the DuckDB oracle can recompute them analytically
+    * from the generating parameters — a pass proves the full
+    * synthesize → compress → parse → pixel-read chain is lossless, not
+    * that two stubs agree. PNG magic is asserted per row: a
+    * pass-through fake cannot sneak by.
+    *
+    * Scale shape: identical to [[mmDecodeFeatures]] — partition-batched
+    * typed pipeline, codec state amortized per task, features are O(1)
+    * per row however large the payload. The remaining honest stub is
+    * video/audio (ffmpeg-class codecs genuinely absent here); this op
+    * retires the "no image codec" caveat. */
+  val mmCodecRoundtrip: Q = (s, dir) => {
+    implicit val pEnc: org.apache.spark.sql.Encoder[ImgParams] =
+      Encoders.product[ImgParams]
+    implicit val fEnc: org.apache.spark.sql.Encoder[CodecFeat] =
+      Encoders.product[CodecFeat]
+    t(s, dir, "documents")
+      .selectExpr("doc_id",
+        s"CAST(16 + ${hex60("concat('w_', text)")} % 64 AS INT) AS w",
+        s"CAST(16 + ${hex60("concat('h_', text)")} % 48 AS INT) AS h")
+      .as[ImgParams]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no executor tmp spill
+        it.map { p =>
+          val id = p.doc_id
+          val top = Array(((id * 1) % 256).toInt, ((id * 7) % 256).toInt,
+            ((id * 13) % 256).toInt)
+          val bot = Array(((id * 3) % 256).toInt, ((id * 11) % 256).toInt,
+            ((id * 17) % 256).toInt)
+          val img = new java.awt.image.BufferedImage(p.w, p.h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < p.h) {
+            val c = if (y < p.h / 2) top else bot
+            val rgb = (c(0) << 16) | (c(1) << 8) | c(2)
+            var x = 0
+            while (x < p.w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val png = bos.toByteArray
+          // PNG signature — proves a real encoder ran, not a byte copy
+          require(png.length > 8 && (png(0) & 0xff) == 0x89 &&
+            png(1) == 'P' && png(2) == 'N' && png(3) == 'G',
+            s"doc $id: not a PNG stream")
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var yy = 0
+          while (yy < back.getHeight) {
+            var xx = 0
+            while (xx < back.getWidth) {
+              val v = back.getRGB(xx, yy)
+              sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+              xx += 1
+            }
+            yy += 1
+          }
+          CodecFeat(id, back.getWidth.toLong, back.getHeight.toLong,
+            back.getWidth.toLong * back.getHeight, sr, sg, sb)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Analytic recount from the generating parameters: the decoded sums
+    * must equal w · (rows_top·c_top + rows_bot·c_bot) per channel. */
+  val mmCodecRoundtripOracle: String =
+    s"""WITH p AS (
+         SELECT doc_id,
+           16 + ${hex60Duck("concat('w_', text)")} % 64 AS w,
+           16 + ${hex60Duck("concat('h_', text)")} % 48 AS h
+         FROM documents),
+       bands AS (
+         SELECT doc_id, w, h, h // 2 AS rt, h - h // 2 AS rb,
+           doc_id % 256 AS tr, (doc_id * 7) % 256 AS tg,
+           (doc_id * 13) % 256 AS tb,
+           (doc_id * 3) % 256 AS br, (doc_id * 11) % 256 AS bg,
+           (doc_id * 17) % 256 AS bb
+         FROM p)
+       SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         CAST(w * h AS BIGINT) AS n_px,
+         CAST(w * (rt * tr + rb * br) AS BIGINT) AS sum_r,
+         CAST(w * (rt * tg + rb * bg) AS BIGINT) AS sum_g,
+         CAST(w * (rt * tb + rb * bb) AS BIGINT) AS sum_b
+       FROM bands ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "mm_embed_ann" -> mmEmbedAnn,
     "mm_resize_stub" -> mmResizeStub,
     "mm_metadata" -> mmMetadata,
     "mm_decode_features" -> mmDecodeFeatures,
+    "mm_codec_roundtrip" -> mmCodecRoundtrip,
     "mm_frame_sample" -> mmFrameSample)
 
   val oracles: Map[String, String] = Map(
@@ -243,5 +347,6 @@ object Multimodal {
     "mm_resize_stub" -> mmResizeStubOracle,
     "mm_metadata" -> mmMetadataOracle,
     "mm_decode_features" -> mmDecodeFeaturesOracle,
+    "mm_codec_roundtrip" -> mmCodecRoundtripOracle,
     "mm_frame_sample" -> mmFrameSampleOracle)
 }
