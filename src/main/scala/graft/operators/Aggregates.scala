@@ -565,6 +565,41 @@ object Aggregates {
          count(DISTINCT l_linestatus) AS n_partials
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Audience overlap via bitmap intersection (Trino's
+    * `intersection_cardinality(setdigest)` analog, EXACT): build one
+    * persisted user-id bitmap per event-type segment, then answer every
+    * pairwise overlap with a few-MB bitmap AND
+    * (graft_bitmap64_and_count) — the fact table is scanned ONCE for
+    * all O(segments²) pairs; the naive shape re-joins the fact table
+    * per pair. */
+  val bitmapAudienceOverlap: Q = (s, dir) => {
+    val partials = graft.sources.Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(expr("graft_bitmap_build64(user_id)").as("bm"),
+        expr("graft_bitmap_distinct64(user_id)").as("nd"))
+    val a = partials.selectExpr("event_type AS et1", "bm AS bm1",
+      "nd AS nd1")
+    val b = partials.selectExpr("event_type AS et2", "bm AS bm2",
+      "nd AS nd2")
+    a.join(b, col("et1") < col("et2"))
+      .selectExpr("et1", "et2", "nd1", "nd2",
+        "graft_bitmap64_and_count(bm1, bm2) AS n_common")
+      .orderBy("et1", "et2")
+  }
+
+  val bitmapAudienceOverlapOracle: String =
+    """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+       nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
+              FROM s GROUP BY 1)
+       SELECT a.event_type AS et1, b.event_type AS et2,
+         n1.nd AS nd1, n2.nd AS nd2,
+         CAST(count(*) AS BIGINT) AS n_common
+       FROM s a JOIN s b
+         ON a.user_id = b.user_id AND a.event_type < b.event_type
+       JOIN nd n1 ON n1.event_type = a.event_type
+       JOIN nd n2 ON n2.event_type = b.event_type
+       GROUP BY 1, 2, 3, 4 ORDER BY et1, et2"""
+
   /** The reference's ENTIRE pre-ML Kubeflow DAG collapsed into one lazy
     * plan (SURVEY §3.2 — its biggest architectural win): query → dedup
     * latest-per-(user, day) → min-max scale per event type → trailing
@@ -824,6 +859,7 @@ object Aggregates {
     "bitmap_partial_union" -> bitmapPartialUnion,
     "bitmap_exact_distinct64" -> bitmapExactDistinct64,
     "bitmap_partial_union64" -> bitmapPartialUnion64,
+    "bitmap_audience_overlap" -> bitmapAudienceOverlap,
     "groupby_agg" -> groupbyAgg,
     "group_count_distinct" -> groupCountDistinct,
     "rollup_agg" -> rollupAgg,
@@ -857,6 +893,7 @@ object Aggregates {
     "bitmap_partial_union" -> bitmapPartialUnionOracle,
     "bitmap_exact_distinct64" -> bitmapExactDistinct64Oracle,
     "bitmap_partial_union64" -> bitmapPartialUnion64Oracle,
+    "bitmap_audience_overlap" -> bitmapAudienceOverlapOracle,
     "groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -156,6 +156,60 @@ case class Bitmap64Build(
       : Bitmap64Build = copy(child = newChild)
 }
 
+/** `graft_bitmap64_and_count(a, b)` — exact cardinality of the
+  * INTERSECTION of two serialized 64-bit partial bitmaps (Trino's
+  * `intersection_cardinality(setdigest, setdigest)` analog, exact
+  * instead of sketched): the audience-overlap primitive. With
+  * per-segment bitmaps persisted once ([[Bitmap64Build]]), every
+  * pairwise overlap is a few-MB bitmap AND — the fact table is never
+  * rescanned or reshuffled, and the O(segments²) pair matrix costs
+  * segments², not rows². NULL if either side is NULL. */
+case class Bitmap64AndCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bitmap64_and_count"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes two BINARY serialized bitmaps from " +
+          s"graft_bitmap_build64, got ${left.dataType.sql}, " +
+          right.dataType.sql)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Bitmap64AndCount.andCount(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.Bitmap64AndCount.andCount($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Bitmap64AndCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object Bitmap64AndCount {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def andCount(a: Array[Byte], b: Array[Byte]): Long = {
+    def de(bytes: Array[Byte]): Roaring64Bitmap = {
+      val bm = new Roaring64Bitmap()
+      bm.deserialize(new DataInputStream(new ByteArrayInputStream(bytes)))
+      bm
+    }
+    val bm = de(a)
+    bm.and(de(b))
+    bm.getLongCardinality
+  }
+}
+
 /** `graft_bitmap_union_count64(bm)` — OR serialized 64-bit partials and
   * return the exact cardinality of the union. */
 case class Bitmap64UnionCount(

@@ -769,6 +769,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bitmap_union_count64"),
       (exprs: Seq[Expression]) => Bitmap64UnionCount(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("graft_bitmap64_and_count"),
+      new ExpressionInfo(classOf[Bitmap64AndCount].getName,
+        "graft_bitmap64_and_count"),
+      (exprs: Seq[Expression]) => Bitmap64AndCount(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("graft_bloom_build"),
       new ExpressionInfo(classOf[BloomBuild].getName, "graft_bloom_build"),
       (exprs: Seq[Expression]) => BloomBuild(exprs.head)))

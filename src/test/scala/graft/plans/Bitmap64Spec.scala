@@ -77,6 +77,37 @@ class Bitmap64Spec extends SparkSpec {
       .agg(expr("graft_bitmap_distinct64(k)")).head.getLong(0) === 0L)
   }
 
+  test("and_count equals the exact intersection, incl. keys above " +
+      "2^31 and across sign boundaries") {
+    import spark.implicits._
+    val sa = ((0L until 800L).map(i => (i % 5) << 33 | i) :+ -42L).toSet
+    val sb = ((400L until 1200L).map(i => (i % 5) << 33 | i) :+ -42L).toSet
+    val df = sa.toSeq.map(("a", _)).concat(sb.toSeq.map(("b", _)))
+      .toDF("side", "k")
+    val bms = df.groupBy("side")
+      .agg(expr("graft_bitmap_build64(k)").as("bm"))
+    val a = bms.filter(col("side") === "a").selectExpr("bm AS bm1")
+    val got = a.crossJoin(bms.filter(col("side") === "b")
+        .selectExpr("bm AS bm2"))
+      .selectExpr("graft_bitmap64_and_count(bm1, bm2) AS n")
+      .head.getLong(0)
+    assert(got === sa.intersect(sb).size.toLong)
+  }
+
+  test("and_count is NULL-propagating and analysis-checked") {
+    import spark.implicits._
+    val bm = Seq(1L).toDF("k")
+      .agg(expr("graft_bitmap_build64(k)").as("bm")).head.getAs[Array[Byte]](0)
+    val df = Seq((bm, Option.empty[Array[Byte]])).toDF("a", "b")
+    assert(df.selectExpr("graft_bitmap64_and_count(a, b)").head.isNullAt(0))
+    val e = intercept[Exception] {
+      Seq(1L).toDF("k").selectExpr("graft_bitmap64_and_count(k, k)")
+        .queryExecution.analyzed
+    }
+    assert(e.getMessage.contains("BINARY") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("non-integral input fails at analysis, not at executor runtime") {
     import spark.implicits._
     val df = Seq("a").toDF("s")
