@@ -578,6 +578,76 @@ object Dedup {
        SELECT doc_id, min(lab) AS cluster_rep
        FROM reach GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Triangle counting over the near-dup graph via DEGREE-ORDERED
+    * orientation (the MapReduce-era standard: Suri & Vassilvitskii,
+    * "Counting Triangles and the Curse of the Last Reducer", WWW 2011):
+    * every undirected edge is directed from its lower-(degree, id)
+    * endpoint to the higher, so each triangle is generated exactly once
+    * — by its minimum vertex in that total order — and, decisively for
+    * scale, wedge generation fans out from the LOW-degree endpoint:
+    * a hub of degree d contributes O(d) directed edges but almost no
+    * out-wedges, so the curse-of-the-last-reducer O(d²) hub blowup of
+    * naive wedge counting never materializes. Output is one row of
+    * graph invariants: edges, wedges (orientation-independent
+    * Σ C(deg,2)), triangles, and the global clustering coefficient
+    * 3T/W in exact half-up µ-units.
+    *
+    * Near-dup graphs make triangle density meaningful: duplicate
+    * clusters are near-cliques, so T tracks cluster cohesion — a
+    * curation signal next to [[clusters]]' membership labels. The
+    * DuckDB oracle counts by the brute i<j<k three-way join. */
+  val triangleCount: Q = (s, dir) =>
+    triangleStats(verifiedPairs(s, dir).select("d1", "d2"))
+
+  /** Kernel over any canonical (d1 < d2, distinct) edge frame — shared
+    * with the spec's adversarial hub/clique graphs. */
+  private[operators] def triangleStats(e0: DataFrame): DataFrame = {
+    val bi = e0.unionByName(e0.selectExpr("d2 AS d1", "d1 AS d2"))
+    val deg = bi.groupBy(col("d1").as("n")).agg(count(lit(1)).as("deg"))
+    val oriented = e0
+      .join(deg.selectExpr("n AS d1", "deg AS deg1"), "d1")
+      .join(deg.selectExpr("n AS d2", "deg AS deg2"), "d2")
+      .selectExpr(
+        """CASE WHEN deg1 < deg2 OR (deg1 = deg2 AND d1 < d2)
+           THEN d1 ELSE d2 END AS src""",
+        """CASE WHEN deg1 < deg2 OR (deg1 = deg2 AND d1 < d2)
+           THEN d2 ELSE d1 END AS dst""")
+    val wedges = oriented.selectExpr("src", "dst AS v")
+      .join(oriented.selectExpr("src", "dst AS w"), "src")
+      .filter(col("v") < col("w"))
+    val tri = wedges
+      .join(e0.selectExpr("d1 AS v", "d2 AS w"), Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      sum(expr("deg * (deg - 1) div 2")).cast("bigint").as("n_wedges"))
+    e0.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(tri))
+      .selectExpr("n_edges", "n_wedges", "n_triangles",
+        """CAST(CASE WHEN n_wedges = 0 THEN 0
+             ELSE (2 * 3 * n_triangles * 1000000 + n_wedges)
+               div (2 * n_wedges) END AS DOUBLE) / 1000000.0D
+           AS global_cc""")
+  }
+
+  val triangleCountOracle: String =
+    s"""WITH $minhashScoredCte,
+       e AS (SELECT d1, d2 FROM scored WHERE jaccard >= 0.8),
+       bi AS (SELECT d1 AS n FROM e UNION ALL SELECT d2 FROM e),
+       deg AS (SELECT n, count(*) AS deg FROM bi GROUP BY 1),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+             FROM e ab
+             JOIN e ac ON ab.d1 = ac.d1 AND ab.d2 < ac.d2
+             JOIN e bc ON bc.d1 = ab.d2 AND bc.d2 = ac.d2),
+       w AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT)
+               AS n_wedges FROM deg),
+       ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+       SELECT n_edges, n_wedges, n_triangles,
+         CAST(CASE WHEN n_wedges = 0 THEN 0
+           ELSE (2 * 3 * n_triangles * 1000000 + n_wedges)
+             // (2 * n_wedges) END AS DOUBLE) / 1000000.0 AS global_cc
+       FROM ne, w, t"""
+
   /** Edit-distance near-dup verification: block on a 60-bit hash of the
     * normalized 40-char prefix (cheap, deterministic blocking), then
     * verify each candidate pair with exact Levenshtein distance — the
@@ -1007,6 +1077,7 @@ object Dedup {
     "dedup_line_level" -> lineLevel,
     "dedup_edit_distance" -> dedupEditDistance,
     "dedup_clusters" -> clusters,
+    "graph_triangle_count" -> triangleCount,
     "dedup_exact" -> exact,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -1022,6 +1093,7 @@ object Dedup {
     "dedup_line_level" -> lineLevelOracle,
     "dedup_edit_distance" -> dedupEditDistanceOracle,
     "dedup_clusters" -> clustersOracle,
+    "graph_triangle_count" -> triangleCountOracle,
     "dedup_exact" -> exactOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> minhashLshOracle,

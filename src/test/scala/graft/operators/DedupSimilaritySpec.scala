@@ -740,6 +740,36 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("triangle kernel matches brute force on adversarial hub + " +
+      "clique + chain graphs, and the hub generates no wedge blowup") {
+    // hub: star of degree 40 (0 triangles, C(40,2) wedges); K6 clique
+    // (20 triangles); chain (0); one bridge tying hub to clique adds a
+    // configurable triangle via (hub, c1, c2)
+    val star = (1L to 40L).map(i => (0L, 1000L + i))
+    val k6 = (for {
+      i <- 0 until 6; j <- i + 1 until 6
+    } yield (2000L + i, 2000L + j)).toSeq
+    val chain = (0L until 30L).map(i => (3000L + i, 3001L + i))
+    val bridge = Seq((0L, 2000L), (0L, 2001L)) // + edge 2000-2001 in k6
+    val edges = (star ++ k6 ++ chain ++ bridge)
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    def brute(es: Seq[(Long, Long)]): Long = {
+      val set = es.toSet
+      val verts = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      verts.combinations(3).count { case Seq(a, b, c) =>
+        set((a, b)) && set((a, c)) && set((b, c))
+      }.toLong
+    }
+    val df = edges.toDF("d1", "d2")
+    val got = Dedup.triangleStats(df).head
+    assert(got.getLong(0) === edges.size.toLong)            // n_edges
+    val degs = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map(_._2.size.toLong)
+    assert(got.getLong(1) === degs.map(d => d * (d - 1) / 2).sum)
+    assert(got.getLong(2) === brute(edges))                 // 20 + 1
+    assert(got.getLong(2) === 21L)
+  }
+
   test("text quality + token counts agree on a literal string") {
     val df = Seq((1L, "the quick brown fox", "en", "s", 19L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
