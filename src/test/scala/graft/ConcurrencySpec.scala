@@ -20,7 +20,8 @@ class ConcurrencySpec extends SparkSpec {
   private val names = Seq(
     "groupby_agg", "q1_join_filter_sort", "window_rank_lag_lead",
     "dedup_exact", "stream_tumbling_counts", "jdbc_scan_agg",
-    "mongo_catalog_scan", "ann_custom_exec_topk", "quantile_hist_sketch")
+    "mongo_catalog_scan", "ann_custom_exec_topk", "quantile_hist_sketch",
+    "bitmap_exact_distinct64", "text_bm25_topk", "graph_triangle_count")
 
   test("diverse registered queries race on one session with " +
       "serial-identical results") {

@@ -62,8 +62,8 @@ class RegistryGuardSpec extends SparkSpec {
     * below — each must actually return <= 1 row on the harness data. */
   private val OrderFreeSingleRow: Set[String] = Set(
     "agg_minmax_global", "corr_matrix", "dedup_lsh_recall",
-    "funnel_conversion", "q14_promo_revenue", "q19_discounted_revenue",
-    "q6_forecast_revenue", "text_cm_frequency")
+    "funnel_conversion", "graph_triangle_count", "q14_promo_revenue",
+    "q19_discounted_revenue", "q6_forecast_revenue", "text_cm_frequency")
 
   test("every oracled query's SQL ends in ORDER BY (or provably " +
       "returns a single row)") {
