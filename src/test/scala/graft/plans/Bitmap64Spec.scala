@@ -94,6 +94,27 @@ class Bitmap64Spec extends SparkSpec {
     assert(got === sa.intersect(sb).size.toLong)
   }
 
+  test("and_count generated code compiles and evaluates (CODEGEN_ONLY " +
+      "— a silent interpreted fallback would hide a broken doGenCode)") {
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val bms = Seq(("a", 1L), ("a", 1L << 40), ("b", 1L << 40))
+        .toDF("g", "k").groupBy("g")
+        .agg(expr("graft_bitmap_build64(k)").as("bm"))
+      val a = bms.filter(col("g") === "a").selectExpr("bm AS bm1")
+      val b = bms.filter(col("g") === "b").selectExpr("bm AS bm2")
+      val n = a.crossJoin(b)
+        .selectExpr("graft_bitmap64_and_count(bm1, bm2) AS n")
+        .head.getLong(0)
+      assert(n === 1L) // only 1<<40 is shared
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("and_count is NULL-propagating and analysis-checked") {
     import spark.implicits._
     val bm = Seq(1L).toDF("k")
