@@ -600,6 +600,62 @@ object Aggregates {
        JOIN nd n2 ON n2.event_type = b.event_type
        GROUP BY 1, 2, 3, 4 ORDER BY et1, et2"""
 
+  /** Retention cohort matrix — THE product-analytics query, shaped for
+    * 100 TB by the bitmap algebra: cohort(u) = first-seen day; for
+    * every (cohort day, offset ≤ 7) the retained-user count is the AND
+    * of the cohort's user bitmap with the offset day's activity bitmap
+    * (graft_bitmap64_and_count). The fact table is scanned ONCE to
+    * build ~30 cohort bitmaps + ~30 daily activity bitmaps (each a few
+    * KB); the O(days × offsets) matrix is then pure bitmap arithmetic
+    * on broadcast-sized tables — the naive shape re-joins the events
+    * table per (cohort, day) pair. In production the daily bitmaps
+    * persist per partition (the [[bitmapPartialUnion]] pattern) and
+    * each new day appends one bitmap + one row of ANDs. Retention rate
+    * is exact half-up integer µ-units; offset 0 retains the whole
+    * cohort by construction (a built-in sanity row the oracle checks
+    * too). */
+  val retentionCohorts: Q = (s, dir) => {
+    val ev = graft.sources.Tables.events(s, dir)
+      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d")
+    val firstSeen = ev.groupBy("user_id").agg(min("d").as("cohort_d"))
+    val cohortBm = firstSeen.groupBy("cohort_d")
+      .agg(expr("graft_bitmap_build64(user_id)").as("cbm"),
+        expr("graft_bitmap_distinct64(user_id)").as("cohort_n"))
+    val activeBm = ev.groupBy("d")
+      .agg(expr("graft_bitmap_build64(user_id)").as("abm"))
+    cohortBm.join(broadcast(activeBm),
+        col("d") >= col("cohort_d") &&
+          datediff(col("d"), col("cohort_d")) <= 7)
+      .selectExpr("cohort_d",
+        "CAST(datediff(d, cohort_d) AS BIGINT) AS offset_d",
+        "cohort_n",
+        "graft_bitmap64_and_count(cbm, abm) AS n_active")
+      .selectExpr("cohort_d", "offset_d", "cohort_n", "n_active",
+        """CAST((2 * n_active * 1000000 + cohort_n) div (2 * cohort_n)
+           AS DOUBLE) / 1000000.0D AS retention""")
+      .orderBy("cohort_d", "offset_d")
+  }
+
+  val retentionCohortsOracle: String =
+    """WITH ev AS (
+         SELECT DISTINCT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+         FROM events),
+       fs AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY 1),
+       cn AS (SELECT cohort_d, CAST(count(*) AS BIGINT) AS cohort_n
+              FROM fs GROUP BY 1),
+       act AS (
+         SELECT f.cohort_d, e.d, CAST(count(*) AS BIGINT) AS n_active
+         FROM fs f JOIN ev e USING (user_id)
+         WHERE e.d >= f.cohort_d AND e.d - f.cohort_d <= 7
+         GROUP BY 1, 2)
+       SELECT a.cohort_d, CAST(a.d - a.cohort_d AS BIGINT) AS offset_d,
+         cn.cohort_n, a.n_active,
+         CAST((2 * a.n_active * 1000000 + cn.cohort_n)
+           // (2 * cn.cohort_n) AS DOUBLE) / 1000000.0 AS retention
+       FROM act a JOIN cn USING (cohort_d)
+       ORDER BY cohort_d, offset_d"""
+
   /** The reference's ENTIRE pre-ML Kubeflow DAG collapsed into one lazy
     * plan (SURVEY §3.2 — its biggest architectural win): query → dedup
     * latest-per-(user, day) → min-max scale per event type → trailing
@@ -860,6 +916,7 @@ object Aggregates {
     "bitmap_exact_distinct64" -> bitmapExactDistinct64,
     "bitmap_partial_union64" -> bitmapPartialUnion64,
     "bitmap_audience_overlap" -> bitmapAudienceOverlap,
+    "retention_cohorts" -> retentionCohorts,
     "groupby_agg" -> groupbyAgg,
     "group_count_distinct" -> groupCountDistinct,
     "rollup_agg" -> rollupAgg,
@@ -894,6 +951,7 @@ object Aggregates {
     "bitmap_exact_distinct64" -> bitmapExactDistinct64Oracle,
     "bitmap_partial_union64" -> bitmapPartialUnion64Oracle,
     "bitmap_audience_overlap" -> bitmapAudienceOverlapOracle,
+    "retention_cohorts" -> retentionCohortsOracle,
     "groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
