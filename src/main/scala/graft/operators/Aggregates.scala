@@ -604,13 +604,16 @@ object Aggregates {
     * 100 TB by the bitmap algebra: cohort(u) = first-seen day; for
     * every (cohort day, offset ≤ 7) the retained-user count is the AND
     * of the cohort's user bitmap with the offset day's activity bitmap
-    * (graft_bitmap64_and_count). The fact table is scanned ONCE to
-    * build ~30 cohort bitmaps + ~30 daily activity bitmaps (each a few
-    * KB); the O(days × offsets) matrix is then pure bitmap arithmetic
-    * on broadcast-sized tables — the naive shape re-joins the events
-    * table per (cohort, day) pair. In production the daily bitmaps
-    * persist per partition (the [[bitmapPartialUnion]] pattern) and
-    * each new day appends one bitmap + one row of ANDs. Retention rate
+    * (graft_bitmap64_and_count). Two aggregation passes over the fact
+    * table (first-seen per user → cohort bitmaps; user-per-day →
+    * activity bitmaps, ~30 of each at a few KB) and the
+    * O(days × offsets) matrix is then pure bitmap arithmetic on
+    * broadcast-sized tables — the naive shape re-joins the events
+    * table per (cohort, day) pair. In production neither pass recurs:
+    * the daily activity bitmaps persist per ingest partition (the
+    * [[bitmapPartialUnion]] pattern), the first-seen table is an
+    * incrementally-maintained upsert, and each new day appends one
+    * bitmap + one row of ANDs. Retention rate
     * is exact half-up integer µ-units; offset 0 retains the whole
     * cohort by construction (a built-in sanity row the oracle checks
     * too). */
