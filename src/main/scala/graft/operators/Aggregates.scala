@@ -659,6 +659,54 @@ object Aggregates {
        FROM act a JOIN cn USING (cohort_d)
        ORDER BY cohort_d, offset_d"""
 
+  /** Day-over-day churn / new / retained decomposition — retention's
+    * ([[retentionCohorts]]) companion, and the ANDNOT leg of the bitmap
+    * set algebra: per consecutive day pair, retained = |A ∩ B|,
+    * churned = |A \ B|, new = |B \ A|, each a bitmap op over the
+    * persisted per-day bitmaps (one fact aggregation builds them; no
+    * rescan per pair). The three counts tile each day's actives:
+    * |A| = retained + churned, |B| = retained + new — an internal
+    * consistency the oracle re-derives from raw memberships. */
+  val churnDaily: Q = (s, dir) => {
+    val daily = graft.sources.Tables.events(s, dir)
+      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d")
+      .groupBy("d")
+      .agg(expr("graft_bitmap_build64(user_id)").as("bm"),
+        expr("graft_bitmap_distinct64(user_id)").as("n_active"))
+    val prev = daily.selectExpr("d AS d0", "bm AS bm0",
+      "n_active AS n0")
+    val cur = daily.selectExpr("d AS d1", "bm AS bm1", "n_active AS n1")
+    prev.join(broadcast(cur), expr("d1 = d0 + INTERVAL 1 DAY"))
+      .selectExpr("d1 AS day",
+        "n0 AS n_prev", "n1 AS n_cur",
+        "graft_bitmap64_and_count(bm0, bm1) AS n_retained",
+        "graft_bitmap64_andnot_count(bm0, bm1) AS n_churned",
+        "graft_bitmap64_andnot_count(bm1, bm0) AS n_new")
+      .orderBy("day")
+  }
+
+  val churnDailyOracle: String =
+    """WITH ev AS (
+         SELECT DISTINCT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+         FROM events),
+       days AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+       pairs AS (
+         SELECT p.d AS d0, c.d AS d1, p.n AS n_prev, c.n AS n_cur
+         FROM days p JOIN days c ON c.d = p.d + INTERVAL 1 DAY),
+       ret AS (
+         SELECT pr.d1 AS day, CAST(count(*) AS BIGINT) AS n_retained
+         FROM pairs pr
+         JOIN ev a ON a.d = pr.d0
+         JOIN ev b ON b.d = pr.d1 AND b.user_id = a.user_id
+         GROUP BY 1)
+       SELECT pr.d1 AS day, pr.n_prev, pr.n_cur,
+         r.n_retained,
+         pr.n_prev - r.n_retained AS n_churned,
+         pr.n_cur - r.n_retained AS n_new
+       FROM pairs pr JOIN ret r ON r.day = pr.d1
+       ORDER BY day"""
+
   /** The reference's ENTIRE pre-ML Kubeflow DAG collapsed into one lazy
     * plan (SURVEY §3.2 — its biggest architectural win): query → dedup
     * latest-per-(user, day) → min-max scale per event type → trailing
@@ -920,6 +968,7 @@ object Aggregates {
     "bitmap_partial_union64" -> bitmapPartialUnion64,
     "bitmap_audience_overlap" -> bitmapAudienceOverlap,
     "retention_cohorts" -> retentionCohorts,
+    "churn_daily" -> churnDaily,
     "groupby_agg" -> groupbyAgg,
     "group_count_distinct" -> groupCountDistinct,
     "rollup_agg" -> rollupAgg,
@@ -955,6 +1004,7 @@ object Aggregates {
     "bitmap_partial_union64" -> bitmapPartialUnion64Oracle,
     "bitmap_audience_overlap" -> bitmapAudienceOverlapOracle,
     "retention_cohorts" -> retentionCohortsOracle,
+    "churn_daily" -> churnDailyOracle,
     "groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -210,6 +210,59 @@ object Bitmap64AndCount {
   }
 }
 
+/** `graft_bitmap64_andnot_count(a, b)` — exact |A \ B| over two
+  * serialized 64-bit partials: the CHURN direction of the set algebra
+  * ([[Bitmap64AndCount]] is retention's AND; this is "in yesterday's
+  * bitmap but not today's"). Same few-MB-operands posture: with
+  * per-day bitmaps persisted, every day-over-day churn/new/retained
+  * decomposition is three bitmap ops, no fact rescan. NULL if either
+  * side is NULL. */
+case class Bitmap64AndNotCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bitmap64_andnot_count"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName takes two BINARY serialized bitmaps from " +
+          s"graft_bitmap_build64, got ${left.dataType.sql}, " +
+          right.dataType.sql)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Bitmap64AndNotCount.andNotCount(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.Bitmap64AndNotCount.andNotCount($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Bitmap64AndNotCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object Bitmap64AndNotCount {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def andNotCount(a: Array[Byte], b: Array[Byte]): Long = {
+    def de(bytes: Array[Byte]): Roaring64Bitmap = {
+      val bm = new Roaring64Bitmap()
+      bm.deserialize(new DataInputStream(new ByteArrayInputStream(bytes)))
+      bm
+    }
+    val bm = de(a)
+    bm.andNot(de(b))
+    bm.getLongCardinality
+  }
+}
+
 /** `graft_bitmap_union_count64(bm)` — OR serialized 64-bit partials and
   * return the exact cardinality of the union. */
 case class Bitmap64UnionCount(

@@ -774,6 +774,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bitmap64_and_count"),
       (exprs: Seq[Expression]) => Bitmap64AndCount(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("graft_bitmap64_andnot_count"),
+      new ExpressionInfo(classOf[Bitmap64AndNotCount].getName,
+        "graft_bitmap64_andnot_count"),
+      (exprs: Seq[Expression]) => Bitmap64AndNotCount(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("graft_bloom_build"),
       new ExpressionInfo(classOf[BloomBuild].getName, "graft_bloom_build"),
       (exprs: Seq[Expression]) => BloomBuild(exprs.head)))

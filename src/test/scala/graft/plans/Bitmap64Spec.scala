@@ -115,6 +115,28 @@ class Bitmap64Spec extends SparkSpec {
     }
   }
 
+  test("andnot_count equals the exact set difference and tiles with " +
+      "and_count: |A| = |A∩B| + |A\\B|") {
+    import spark.implicits._
+    val sa = ((0L until 500L).map(i => (i % 3) << 34 | i) :+ -7L).toSet
+    val sb = ((250L until 900L).map(i => (i % 3) << 34 | i)).toSet
+    val df = sa.toSeq.map(("a", _)).concat(sb.toSeq.map(("b", _)))
+      .toDF("side", "k")
+    val bms = df.groupBy("side")
+      .agg(expr("graft_bitmap_build64(k)").as("bm"))
+    val r = bms.filter(col("side") === "a").selectExpr("bm AS bm1")
+      .crossJoin(bms.filter(col("side") === "b").selectExpr("bm AS bm2"))
+      .selectExpr("graft_bitmap64_and_count(bm1, bm2) AS nand",
+        "graft_bitmap64_andnot_count(bm1, bm2) AS nanot",
+        "graft_bitmap64_andnot_count(bm2, bm1) AS nbnot")
+      .head
+    assert(r.getLong(0) === sa.intersect(sb).size.toLong)
+    assert(r.getLong(1) === sa.diff(sb).size.toLong)
+    assert(r.getLong(2) === sb.diff(sa).size.toLong)
+    assert(r.getLong(0) + r.getLong(1) === sa.size.toLong)
+    assert(r.getLong(0) + r.getLong(2) === sb.size.toLong)
+  }
+
   test("and_count is NULL-propagating and analysis-checked") {
     import spark.implicits._
     val bm = Seq(1L).toDF("k")
