@@ -65,7 +65,12 @@ object Bench {
       }): Unit
     }
     pool.shutdown()
-    pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES): Unit
+    // if warmup overruns the cap, say so: timed queries would silently
+    // contend with still-running fixture builds on the shared session
+    if (!pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES))
+      System.err.println(
+        "[graft-bench] WARNING: fixture warmup exceeded 10 min; timed " +
+          "loop starts with warmup queries still running (results skewed)")
     spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -523,8 +523,11 @@ object Aggregates {
          count(DISTINCT l_linestatus) AS n_partials
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
-  /** 64-bit twin (graft.plans.Bitmap64Distinct over
-    * Roaring64NavigableMap): same exact+mergeable contract with NO key
+  /** 64-bit twin (graft.plans.Bitmap64Distinct over Roaring64Bitmap,
+    * the ART-backed implementation — NOT Roaring64NavigableMap, which
+    * returns stale cardinalities after cross-sign-boundary merges; see
+    * the caveat in Bitmap64Sketch.scala): same exact+mergeable
+    * contract with NO key
     * ceiling — the 100 TB default, where id spaces exceed 2³¹ and the
     * 32-bit family's Math.toIntExact would (deliberately) throw. The
     * key here is a composite widened past 32 bits

@@ -34,8 +34,9 @@ import org.apache.spark.sql.types._
   *    serialized partials (the re-aggregation level).
   *
   * Input contract: an integral key that fits in 32 bits (harness keys
-  * do; a 64-bit key space would swap in Roaring64NavigableMap, same
-  * shape). Out-of-range keys fail loudly rather than alias. Nulls are
+  * do; the full-BIGINT family in [[Bitmap64Sketch]] swaps in
+  * Roaring64Bitmap, same shape). Out-of-range keys fail loudly rather
+  * than alias. Nulls are
   * ignored, matching COUNT(DISTINCT col).
   *
   * Reference scope: Trino ships the same idea as its qdigest/setdigest

@@ -82,7 +82,16 @@ case class FrequentItemsAgg(
       TypeCheckFailure(
         "graft_frequent_items: capacity must be an integral literal, got " +
           capacityExpr.dataType.sql)
-    else TypeCheckSuccess
+    else capacityExpr.eval() match {
+      // value check at analysis time too: capacity 0 or negative must
+      // fail the query cleanly, not throw from a lazy require during
+      // executor-side update
+      case null => TypeCheckFailure(
+        "graft_frequent_items: capacity must not be NULL")
+      case n: Number if n.longValue() <= 0 => TypeCheckFailure(
+        s"graft_frequent_items: capacity must be > 0, got ${n.longValue()}")
+      case _ => TypeCheckSuccess
+    }
   }
   override def prettyName: String = "graft_frequent_items"
   override def nullable: Boolean = false

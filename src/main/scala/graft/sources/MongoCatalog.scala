@@ -178,8 +178,14 @@ class GraftMongoCatalog extends TableCatalog with SupportsNamespaces {
   * document store. CREATEd collections are also writable
   * ([[GraftMongoBatchWrite]]): one shard file per write task (the
   * parallel-write unit, the analog of inserting through one mongos
-  * router connection per partition), committed atomically via a staged
-  * directory. The demo collection `weatherny` stays read-only. */
+  * router connection per partition), staged per task and moved into
+  * place at commit. Atomicity is PER SHARD FILE (each move is an
+  * atomic rename; a failed job leaves only the staged dir, which abort
+  * removes) — NOT per table: a concurrent reader overlapping an
+  * INSERT OVERWRITE commit can observe the collection between the
+  * truncate and the last shard move, same as a real mongos
+  * multi-document insert without a transaction. The demo collection
+  * `weatherny` stays read-only. */
 class GraftMongoTable(tableName: String, declared: StructType,
     dataDir: String, writable: Boolean)
     extends Table with SupportsRead with SupportsWrite {

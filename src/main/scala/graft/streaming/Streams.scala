@@ -486,7 +486,10 @@ object Streams {
 
   /** EXACT distinct counting INSIDE streaming state via the 64-bit
     * Roaring bitmap aggregate (graft.plans.Bitmap64Distinct): distinct
-    * users per event type over the whole stream. The serialized bitmap
+    * widened (user, event-low-word) composite keys per event type over
+    * the whole stream (user_id·2³² + event_id mod 2³² — deliberately a
+    * composite, so the state exercises high-bit buckets; a per-user
+    * distinct would aggregate plain user_id). The serialized bitmap
     * IS the streaming state between micro-batches — exact like
     * COUNT(DISTINCT) (which streaming aggregation refuses outright:
     * Spark cannot incrementalize the expand-distinct plan), mergeable

@@ -4,7 +4,10 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Pins the 64-bit Roaring bitmap family (Roaring64NavigableMap): the
+/** Pins the 64-bit Roaring bitmap family (Roaring64Bitmap, the
+  * ART-backed class — NOT Roaring64NavigableMap, which returns stale
+  * cardinalities after cross-sign-boundary merges; the reproduction is
+  * documented in Bitmap64Sketch.scala): the
   * whole point is keys ABOVE 2³¹ — where the 32-bit family throws by
   * contract — so every case here drives the high-bit bucket space:
   * exactness vs COUNT(DISTINCT), the build→union re-aggregation

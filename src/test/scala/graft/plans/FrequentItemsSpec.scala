@@ -95,14 +95,20 @@ class FrequentItemsSpec extends SparkSpec {
     }
   }
 
-  test("capacity must be a positive literal") {
+  test("capacity must be a positive literal — rejected at ANALYSIS " +
+      "time, not by an executor-side throw") {
     import spark.implicits._
     val df = Seq("a").toDF("t")
-    val e = intercept[Exception] {
-      df.agg(expr("graft_frequent_items(t, 0)")).head
-    }
     def msgs(t: Throwable): String =
       Option(t).map(x => x.getMessage + msgs(x.getCause)).getOrElse("")
-    assert(msgs(e).contains("capacity"))
+    for (bad <- Seq("0", "-3")) {
+      // analysis alone (no execution) must already fail: value checks
+      // live in checkInputDataTypes, not in a lazy executor require
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.agg(expr(s"graft_frequent_items(t, $bad)"))
+          .queryExecution.analyzed
+      }
+      assert(msgs(e).contains("capacity"), s"capacity $bad: $e")
+    }
   }
 }
