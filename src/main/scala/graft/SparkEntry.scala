@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextAnalysis
-import graft.operators.{Aggregates, Coverage, Dedup, Multimodal, Relational,
-  Similarity, Timeseries}
+import graft.operators.{Aggregates, Coverage, Dedup, Merge, Multimodal,
+  Relational, Similarity, Timeseries}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,6 +22,7 @@ object SparkEntry {
     Relational.queries ++ Aggregates.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Streams.queries ++ Coverage.queries ++ Timeseries.queries ++
+      Merge.queries ++
       graft.sources.Jdbc.queries ++ graft.sources.Mongo.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
     Relational.oracles ++ Aggregates.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       Streams.oracles ++ Coverage.oracles ++ Timeseries.oracles ++
+      Merge.oracles ++
       graft.sources.Jdbc.oracles ++ graft.sources.Mongo.oracles
 }
