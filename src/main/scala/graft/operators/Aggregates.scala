@@ -710,6 +710,99 @@ object Aggregates {
        FROM pairs pr JOIN ret r ON r.day = pr.d1
        ORDER BY day"""
 
+  /** Number of id-range shards for the sharded bitmap variants. Any
+    * value works (the algebra is shard-oblivious because shards
+    * PARTITION the id space); 8 is enough to prove multi-shard
+    * correctness at harness scale — production picks shards so each
+    * per-(day, shard) bitmap stays a few MB. */
+  private val BmShards = 8L
+
+  /** [[retentionCohorts]] WITHOUT the per-day-bitmap broadcast — the
+    * variant that survives multi-billion-user id cardinality. The
+    * broadcast twin ships each whole-day bitmap to every executor
+    * (~120 MB per billion ids even Roaring-compressed — a driver-limit
+    * hazard); here bitmaps are built per (day, shard = pmod(user_id,
+    * S)), the cohort side is EXPANDED to its ≤8 offset days
+    * (`explode(sequence(...))` — 8 rows per (cohort, shard) cell, not
+    * a range join), and the AND runs shard-to-shard through a plain
+    * equi shuffle join on (shard, day): identical algebra, every row
+    * bounded by |ids|/S bits, rows bounded by days × offsets × S.
+    * Because shards partition the id space, per-shard AND counts sum
+    * exactly to the unsharded count. Cells where no cohort member is
+    * active are dropped (n_active = 0 cannot appear — matching the
+    * oracle, whose inner user-join also drops them). */
+  val retentionCohortsSharded: Q = (s, dir) => {
+    val ev = graft.sources.Tables.events(s, dir)
+      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d")
+    val firstSeen = ev.groupBy("user_id").agg(min("d").as("cohort_d"))
+    val cohortShard = firstSeen
+      .withColumn("sh", pmod(col("user_id"), lit(BmShards)))
+      .groupBy("cohort_d", "sh")
+      .agg(expr("graft_bitmap_build64(user_id)").as("cbm"))
+      .withColumn("d", explode(expr(
+        "sequence(cohort_d, cohort_d + INTERVAL 7 DAYS)")))
+      .withColumn("d", col("d").cast("date"))
+    val activeShard = ev
+      .withColumn("sh", pmod(col("user_id"), lit(BmShards)))
+      .groupBy("d", "sh")
+      .agg(expr("graft_bitmap_build64(user_id)").as("abm"))
+    val cohortN = firstSeen.groupBy("cohort_d")
+      .agg(count(lit(1)).as("cohort_n"))
+    cohortShard.join(activeShard, Seq("sh", "d"))
+      .groupBy("cohort_d", "d")
+      .agg(sum(expr("graft_bitmap64_and_count(cbm, abm)")).as("n_active"))
+      .filter(col("n_active") > 0)
+      .join(broadcast(cohortN), "cohort_d")
+      .selectExpr("cohort_d",
+        "CAST(datediff(d, cohort_d) AS BIGINT) AS offset_d",
+        "cohort_n", "n_active",
+        """CAST((2 * n_active * 1000000 + cohort_n) div (2 * cohort_n)
+           AS DOUBLE) / 1000000.0D AS retention""")
+      .orderBy("cohort_d", "offset_d")
+  }
+
+  /** [[churnDaily]] on the same sharded algebra: per-(day, shard)
+    * bitmaps, consecutive days paired shard-to-shard by equi join on
+    * (shard, next day), retained/churned/new summed over shards —
+    * exact because shards partition the id space; no bitmap is ever
+    * broadcast. */
+  val churnDailySharded: Q = (s, dir) => {
+    val daily = graft.sources.Tables.events(s, dir)
+      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d")
+      .withColumn("sh", pmod(col("user_id"), lit(BmShards)))
+      .groupBy("d", "sh")
+      .agg(expr("graft_bitmap_build64(user_id)").as("bm"),
+        expr("graft_bitmap_distinct64(user_id)").as("n"))
+    // day-level pair frame (both days must exist — churnDaily's inner
+    // pairing) with exact totals; tiny: one row per day
+    val dayTotals = daily.groupBy("d").agg(sum("n").as("n_day"))
+    val validPairs = dayTotals
+      .selectExpr("CAST(d + INTERVAL 1 DAY AS DATE) AS day",
+        "n_day AS n_prev")
+      .join(dayTotals.selectExpr("d AS day", "n_day AS n_cur"), "day")
+    // shard-level FULL OUTER: a shard occupied on only one of the two
+    // days still contributes — all its users churned (or are all new)
+    val prev = daily.selectExpr("sh",
+      "CAST(d + INTERVAL 1 DAY AS DATE) AS day", "bm AS bm0", "n AS n0")
+    val cur = daily.selectExpr("sh", "d AS day", "bm AS bm1", "n AS n1")
+    prev.join(cur, Seq("sh", "day"), "full_outer")
+      .groupBy("day")
+      .agg(
+        sum(coalesce(expr("graft_bitmap64_and_count(bm0, bm1)"),
+          lit(0L))).as("n_retained"),
+        sum(when(col("bm1").isNull, col("n0"))
+          .otherwise(expr("graft_bitmap64_andnot_count(bm0, bm1)")))
+          .as("n_churned"),
+        sum(when(col("bm0").isNull, col("n1"))
+          .otherwise(expr("graft_bitmap64_andnot_count(bm1, bm0)")))
+          .as("n_new"))
+      .join(broadcast(validPairs), "day")
+      .selectExpr("day", "n_prev", "n_cur", "n_retained",
+        "coalesce(n_churned, 0) AS n_churned",
+        "coalesce(n_new, 0) AS n_new")
+      .orderBy("day")
+  }
+
   /** The reference's ENTIRE pre-ML Kubeflow DAG collapsed into one lazy
     * plan (SURVEY §3.2 — its biggest architectural win): query → dedup
     * latest-per-(user, day) → min-max scale per event type → trailing
@@ -971,7 +1064,9 @@ object Aggregates {
     "bitmap_partial_union64" -> bitmapPartialUnion64,
     "bitmap_audience_overlap" -> bitmapAudienceOverlap,
     "retention_cohorts" -> retentionCohorts,
+    "retention_cohorts_sharded" -> retentionCohortsSharded,
     "churn_daily" -> churnDaily,
+    "churn_daily_sharded" -> churnDailySharded,
     "groupby_agg" -> groupbyAgg,
     "group_count_distinct" -> groupCountDistinct,
     "rollup_agg" -> rollupAgg,
@@ -1007,7 +1102,9 @@ object Aggregates {
     "bitmap_partial_union64" -> bitmapPartialUnion64Oracle,
     "bitmap_audience_overlap" -> bitmapAudienceOverlapOracle,
     "retention_cohorts" -> retentionCohortsOracle,
+    "retention_cohorts_sharded" -> retentionCohortsOracle,
     "churn_daily" -> churnDailyOracle,
+    "churn_daily_sharded" -> churnDailyOracle,
     "groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

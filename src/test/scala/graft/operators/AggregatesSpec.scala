@@ -333,4 +333,29 @@ class AggregatesSpec extends SparkSpec {
     assert(one.selectExpr("graft_hist_quantile(v, 0.0D, 512.0D, 256, 1.0D)")
       .head.getDouble(0) === 102.0) // upper edge of the containing bucket
   }
+
+  test("sharded bitmap retention/churn equal the broadcast variants " +
+      "row-for-row on >=8 shards, with no bitmap broadcast in the plan") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val retB = Aggregates.retentionCohorts(spark, sf)
+    val retS = Aggregates.retentionCohortsSharded(spark, sf)
+    assert(rows(retS) === rows(retB))
+    val chB = Aggregates.churnDaily(spark, sf)
+    val chS = Aggregates.churnDailySharded(spark, sf)
+    assert(rows(chS) === rows(chB))
+    // the broadcast twins ship whole-day bitmaps through a
+    // BroadcastExchange; the sharded plans must not (their only
+    // broadcast is the per-day scalar totals frame, bitmap-free)
+    for (df <- Seq(retS, chS)) {
+      val plan = df.queryExecution.executedPlan
+      val bcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange
+            .BroadcastExchangeExec => b
+      }
+      assert(bcasts.forall(_.output.forall(a =>
+        a.dataType != org.apache.spark.sql.types.BinaryType)),
+        s"serialized bitmap column crosses a broadcast:\n$plan")
+    }
+  }
 }
