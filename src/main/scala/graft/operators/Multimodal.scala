@@ -14,10 +14,12 @@ import graft.functions.TextAnalysis.{hex60, hex60Duck}
   * levels: [[mmDecodeFeatures]] keeps the clearly-marked byte-stats
   * stub (the shape a production job drops an ffmpeg-class codec into),
   * while [[mmCodecRoundtrip]] runs a REAL image codec end-to-end (JDK
-  * ImageIO PNG encode → decode inside the typed mapPartitions batch
-  * path — present on every executor JVM, no deployment). The remaining
-  * genuinely-absent codecs are video/audio (ffmpeg-class, not in this
-  * container); their ops keep the stub with the real plumbing: schema,
+  * ImageIO PNG encode → decode) and [[mmAudioRoundtrip]] a REAL audio
+  * codec (javax.sound WAV/PCM encode → decode), both inside the typed
+  * mapPartitions batch path — present on every executor JVM, no
+  * deployment. The remaining genuinely-absent codecs are COMPRESSED
+  * audio/video (ffmpeg-class: MP3/AAC/H.264, not in this container);
+  * the frame/resize ops keep the stub with the real plumbing: schema,
   * typed Dataset + mapPartitions batch shape (the Scala analog of
   * mapInPandas batch UDFs), partition-parallel feature extraction,
   * frame sampling via step sequences.
@@ -334,7 +336,121 @@ object Multimodal {
          CAST(w * (rt * tb + rb * bb) AS BIGINT) AS sum_b
        FROM bands ORDER BY doc_id"""
 
+  /** Typed rows for the audio round-trip. */
+  case class AudioParams(doc_id: Long, n_samples: Int, amp: Int,
+      period: Int)
+  case class AudioFeat(doc_id: Long, n_samples: Long, amp: Long,
+      period: Long, sum_s: Long, sum_abs: Long, first_s: Long,
+      last_s: Long)
+
+  /** REAL audio codec round-trip — retires the audio half of the
+    * media-stub caveat the same way [[mmCodecRoundtrip]] retired the
+    * image half: each document gets a deterministic 16-bit mono PCM
+    * square wave (doc-derived length, amplitude and period), which is
+    * WAV-ENCODED with `javax.sound.sampled.AudioSystem.write` and
+    * immediately DECODED with `AudioSystem.getAudioInputStream` inside
+    * the same mapPartitions pass (javax.sound ships in the JDK's
+    * java.desktop module — present on every executor JVM with zero
+    * deployment, no audio hardware needed for file IO). Features are
+    * the DECODED sample statistics, so the DuckDB oracle recomputes
+    * them from the generating parameters — a pass proves the full
+    * synthesize → RIFF-encode → parse → sample-read chain is lossless.
+    * RIFF/WAVE magic is asserted per row: a byte-pass-through fake
+    * cannot sneak by. ffmpeg-class compressed audio/video (MP3, AAC,
+    * H.264) remains genuinely absent in this container; PCM/WAV is the
+    * real uncompressed-codec path those jobs decode INTO. */
+  val mmAudioRoundtrip: Q = (s, dir) => {
+    implicit val pEnc: org.apache.spark.sql.Encoder[AudioParams] =
+      Encoders.product[AudioParams]
+    implicit val fEnc: org.apache.spark.sql.Encoder[AudioFeat] =
+      Encoders.product[AudioFeat]
+    t(s, dir, "documents")
+      .selectExpr("doc_id",
+        "CAST(64 + n_chars % 200 AS INT) AS n_samples",
+        s"CAST(100 + ${hex60("concat('a_', text)")} % 1000 AS INT) AS amp",
+        s"CAST(8 + ${hex60("concat('p_', text)")} % 16 AS INT) AS period")
+      .as[AudioParams]
+      .mapPartitions { it =>
+        import javax.sound.sampled._
+        // 8 kHz 16-bit signed little-endian mono — one format object
+        // per task, amortized like the image codec state
+        val fmt = new AudioFormat(8000f, 16, 1, true, false)
+        it.map { p =>
+          val pcm = new Array[Byte](p.n_samples * 2)
+          var i = 0
+          while (i < p.n_samples) {
+            val v = if ((i / p.period) % 2 == 0) p.amp else -p.amp
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(
+            new AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt,
+              p.n_samples.toLong),
+            AudioFileFormat.Type.WAVE, bos): Unit
+          val wav = bos.toByteArray
+          // RIFF/WAVE magic — proves a real container encoder ran
+          require(wav.length > 44 &&
+            wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' &&
+            wav(3) == 'F' && wav(8) == 'W' && wav(9) == 'A' &&
+            wav(10) == 'V' && wav(11) == 'E',
+            s"doc ${p.doc_id}: not a RIFF/WAVE stream")
+          val in = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav))
+          require(in.getFormat.getSampleSizeInBits == 16 &&
+            in.getFormat.getChannels == 1,
+            s"doc ${p.doc_id}: decoder changed the format")
+          val back = in.readAllBytes()
+          in.close()
+          val n = back.length / 2
+          var (sum, sumAbs) = (0L, 0L)
+          var first = 0L; var last = 0L
+          var j = 0
+          while (j < n) {
+            val v = ((back(2 * j) & 0xff) |
+              (back(2 * j + 1) << 8)).toShort.toLong
+            if (j == 0) first = v
+            if (j == n - 1) last = v
+            sum += v; sumAbs += math.abs(v)
+            j += 1
+          }
+          AudioFeat(p.doc_id, n.toLong, p.amp.toLong, p.period.toLong,
+            sum, sumAbs, first, last)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Analytic recount from the generating parameters via DuckDB list
+    * HOFs: the decoded sample sums must equal the square wave's. */
+  val mmAudioRoundtripOracle: String =
+    s"""WITH p AS (
+         SELECT doc_id,
+           64 + n_chars % 200 AS n_samples,
+           100 + ${hex60Duck("concat('a_', text)")} % 1000 AS amp,
+           8 + ${hex60Duck("concat('p_', text)")} % 16 AS period
+         FROM documents),
+       w AS (
+         SELECT doc_id, n_samples, amp, period,
+           list_transform(range(0, n_samples),
+             i -> CASE WHEN (i // period) % 2 = 0 THEN amp
+                  ELSE -amp END) AS samples
+         FROM p)
+       SELECT doc_id,
+         CAST(n_samples AS BIGINT) AS n_samples,
+         CAST(amp AS BIGINT) AS amp,
+         CAST(period AS BIGINT) AS period,
+         CAST(list_sum(samples) AS BIGINT) AS sum_s,
+         CAST(n_samples * amp AS BIGINT) AS sum_abs,
+         CAST(samples[1] AS BIGINT) AS first_s,
+         CAST(samples[n_samples] AS BIGINT) AS last_s
+       FROM w ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "mm_audio_roundtrip" -> mmAudioRoundtrip,
     "mm_embed_ann" -> mmEmbedAnn,
     "mm_resize_stub" -> mmResizeStub,
     "mm_metadata" -> mmMetadata,
@@ -343,6 +459,7 @@ object Multimodal {
     "mm_frame_sample" -> mmFrameSample)
 
   val oracles: Map[String, String] = Map(
+    "mm_audio_roundtrip" -> mmAudioRoundtripOracle,
     "mm_embed_ann" -> mmEmbedAnnOracle,
     "mm_resize_stub" -> mmResizeStubOracle,
     "mm_metadata" -> mmMetadataOracle,

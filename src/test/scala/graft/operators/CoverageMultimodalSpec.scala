@@ -312,4 +312,31 @@ class CoverageMultimodalSpec extends SparkSpec {
       assert(share <= 1000000L && share > 1000000L - rows.length)
     }
   }
+
+  test("mm_audio_roundtrip: decoded stats satisfy the square-wave " +
+      "invariants, and the WAV parser rejects a corrupted container") {
+    val rows = Multimodal.mmAudioRoundtrip(spark, sf).limit(50).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, amp) = (r.getAs[Long]("n_samples"), r.getAs[Long]("amp"))
+      assert(r.getAs[Long]("sum_abs") === n * amp,
+        s"doc ${r.getAs[Long]("doc_id")}: lossy round-trip")
+      assert(r.getAs[Long]("first_s") === amp) // wave starts high
+      assert(math.abs(r.getAs[Long]("last_s")) === amp)
+    }
+    // honesty probe: a real RIFF parser must refuse a corrupted header
+    // (a byte-pass-through fake would happily "decode" it)
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](64)), fmt, 32L),
+      AudioFileFormat.Type.WAVE, bos): Unit
+    val wav = bos.toByteArray
+    wav(8) = 'X' // clobber the WAVE form-type magic
+    intercept[UnsupportedAudioFileException] {
+      AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+    }
+  }
 }
