@@ -252,12 +252,56 @@ object Jdbc {
        FROM orders WHERE o_orderkey < $KeyBound
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** The WRITE direction of the JDBC catalog — the engine-side analog
+    * of the reference's `fill_postgresql.sql` ingest (CSV → Postgres,
+    * `fill_postgresql.sql:1-12`), completing the Derby catalog to the
+    * same round-trip fidelity the document catalog got
+    * ([[GraftMongoBatchWrite]]): CREATE TABLE and INSERT INTO are both
+    * issued THROUGH the DSv2 catalog (Spark plans the insert as a
+    * v2 AppendData into the remote engine — typed through the Derby
+    * dialect, batched over partition-parallel connections), then the
+    * rows are read back through the same catalog and compared
+    * oracle-exact against the parquet source. DROP + CREATE each run
+    * keeps the query idempotent across invocations in one JVM (the
+    * in-memory database outlives the query).
+    *
+    * VARCHAR(32) is declared explicitly: Spark's Derby dialect maps
+    * unbounded STRING to CLOB, which Derby refuses to compare/sort —
+    * the same wire-type discipline the reference's DDL applies
+    * (`fill_postgresql.sql:3`: quoted typed columns). */
+  val jdbcIngestRoundtrip: Q = (s, dir) => {
+    registerCatalog(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_jdbc.APP.GRAFT_NATION_RT")
+    s.sql(
+      """CREATE TABLE graft_jdbc.APP.GRAFT_NATION_RT (
+         N_NATIONKEY BIGINT, N_NAME VARCHAR(32), N_REGIONKEY BIGINT)""")
+    t(s, dir, "nation")
+      .selectExpr("CAST(n_nationkey AS BIGINT)", "n_name",
+        "CAST(n_regionkey AS BIGINT)")
+      .createOrReplaceTempView("graft_nation_rt_src")
+    s.sql(
+      """INSERT INTO graft_jdbc.APP.GRAFT_NATION_RT
+         SELECT * FROM graft_nation_rt_src""")
+    s.sql(
+      """SELECT N_NATIONKEY AS n_nationkey, N_NAME AS n_name,
+                N_REGIONKEY AS n_regionkey
+         FROM graft_jdbc.APP.GRAFT_NATION_RT
+         ORDER BY n_nationkey""")
+  }
+
+  val jdbcIngestRoundtripOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS BIGINT) AS n_regionkey
+       FROM nation ORDER BY n_nationkey"""
+
   val queries: Map[String, Q] = Map(
     "jdbc_scan_agg" -> jdbcScanAgg,
     "jdbc_agg_pushdown" -> jdbcAggPushdown,
+    "jdbc_ingest_roundtrip" -> jdbcIngestRoundtrip,
     "q1_cross_catalog" -> q1CrossCatalog)
   val oracles: Map[String, String] = Map(
     "jdbc_scan_agg" -> jdbcScanAggOracle,
     "jdbc_agg_pushdown" -> jdbcAggPushdownOracle,
+    "jdbc_ingest_roundtrip" -> jdbcIngestRoundtripOracle,
     "q1_cross_catalog" -> q1CrossCatalogOracle)
 }

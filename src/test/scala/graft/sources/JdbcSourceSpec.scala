@@ -101,4 +101,20 @@ class JdbcSourceSpec extends SparkSpec {
     assert(viaJdbc.length === viaParquet.length && viaJdbc.length > 0)
     viaJdbc.zip(viaParquet).foreach { case (a, b) => assert(a === b) }
   }
+
+  test("catalog CREATE+INSERT ingest is idempotent per run and plans " +
+      "as a v2 append into the remote catalog") {
+    val once = Jdbc.jdbcIngestRoundtrip(spark, sf).collect()
+    val twice = Jdbc.jdbcIngestRoundtrip(spark, sf).collect()
+    assert(once.length === 25 && once.map(_.toSeq).toSeq ===
+      twice.map(_.toSeq).toSeq) // DROP+CREATE each run: no accretion
+    // the INSERT goes through the DSv2 catalog write path (AppendData
+    // into graft_jdbc), not a side-channel raw connection
+    Jdbc.registerCatalog(spark, sf)
+    val insertPlan = spark.sessionState.sqlParser.parsePlan(
+      "INSERT INTO graft_jdbc.APP.GRAFT_NATION_RT " +
+        "SELECT * FROM graft_nation_rt_src")
+    val analyzed = spark.sessionState.analyzer.execute(insertPlan)
+    assert(analyzed.toString.contains("AppendData"), analyzed.toString)
+  }
 }
