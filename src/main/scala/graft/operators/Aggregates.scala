@@ -603,6 +603,64 @@ object Aggregates {
        JOIN nd n2 ON n2.event_type = b.event_type
        GROUP BY 1, 2, 3, 4 ORDER BY et1, et2"""
 
+  /** Candidate-pruned pairing core shared by [[bitmapAudienceOverlapPruned]]
+    * and its spec fixture: segments below the support threshold are
+    * dropped BEFORE the theta self-join (sound because |A∩B| ≤
+    * min(|A|,|B|) — a segment smaller than t cannot reach support t),
+    * bounding the pair blow-up from C(S,2) to C(S',2) where S' counts
+    * only above-threshold segments. `segments` must carry (seg, bm,
+    * nd); `th` is a 1-row (t) frame so the threshold stays in-plan
+    * (broadcast scalar, no driver collect). */
+  private[graft] def overlapPruned(segments: DataFrame,
+      th: DataFrame): DataFrame = {
+    val withT = segments.crossJoin(broadcast(th))
+      .filter(col("nd") >= col("t"))
+    val a = withT.selectExpr("seg AS et1", "bm AS bm1", "nd AS nd1", "t")
+    val b = withT.selectExpr("seg AS et2", "bm AS bm2", "nd AS nd2")
+    a.join(b, col("et1") < col("et2"))
+      .withColumn("n_common", expr("graft_bitmap64_and_count(bm1, bm2)"))
+      .filter(col("n_common") >= col("t"))
+      .selectExpr("et1", "et2", "nd1", "nd2", "n_common")
+      .orderBy("et1", "et2")
+  }
+
+  /** [[bitmapAudienceOverlap]] with SUPPORT-THRESHOLD candidate
+    * pruning — the shape an audience system with thousands of segments
+    * needs: only pairs that can possibly reach the support threshold
+    * (t = max(1, |all users| / 4), derived in-plan) are materialized
+    * and ANDed. Semantics are unchanged versus filtering the full
+    * pairing afterward (the cardinality bound is exact, never lossy) —
+    * the oracle applies the same threshold as a plain HAVING. */
+  val bitmapAudienceOverlapPruned: Q = (s, dir) => {
+    val ev = graft.sources.Tables.events(s, dir)
+    val segments = ev.groupBy("event_type")
+      .agg(expr("graft_bitmap_build64(user_id)").as("bm"),
+        expr("graft_bitmap_distinct64(user_id)").as("nd"))
+      .withColumnRenamed("event_type", "seg")
+    val th = ev.agg(expr("graft_bitmap_distinct64(user_id)").as("ud"))
+      .selectExpr("greatest(CAST(1 AS BIGINT), ud div 4) AS t")
+    overlapPruned(segments, th)
+  }
+
+  val bitmapAudienceOverlapPrunedOracle: String =
+    """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+       nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd
+              FROM s GROUP BY 1),
+       th AS (SELECT greatest(1,
+                CAST(count(DISTINCT user_id) AS BIGINT) // 4) AS t
+              FROM events)
+       SELECT a.event_type AS et1, b.event_type AS et2,
+         n1.nd AS nd1, n2.nd AS nd2,
+         CAST(count(*) AS BIGINT) AS n_common
+       FROM s a JOIN s b
+         ON a.user_id = b.user_id AND a.event_type < b.event_type
+       JOIN nd n1 ON n1.event_type = a.event_type
+       JOIN nd n2 ON n2.event_type = b.event_type
+       CROSS JOIN th
+       GROUP BY 1, 2, 3, 4, th.t
+       HAVING CAST(count(*) AS BIGINT) >= th.t
+       ORDER BY et1, et2"""
+
   /** Retention cohort matrix — THE product-analytics query, shaped for
     * 100 TB by the bitmap algebra: cohort(u) = first-seen day; for
     * every (cohort day, offset ≤ 7) the retained-user count is the AND
@@ -1063,6 +1121,7 @@ object Aggregates {
     "bitmap_exact_distinct64" -> bitmapExactDistinct64,
     "bitmap_partial_union64" -> bitmapPartialUnion64,
     "bitmap_audience_overlap" -> bitmapAudienceOverlap,
+    "bitmap_audience_overlap_pruned" -> bitmapAudienceOverlapPruned,
     "retention_cohorts" -> retentionCohorts,
     "retention_cohorts_sharded" -> retentionCohortsSharded,
     "churn_daily" -> churnDaily,
@@ -1101,6 +1160,7 @@ object Aggregates {
     "bitmap_exact_distinct64" -> bitmapExactDistinct64Oracle,
     "bitmap_partial_union64" -> bitmapPartialUnion64Oracle,
     "bitmap_audience_overlap" -> bitmapAudienceOverlapOracle,
+    "bitmap_audience_overlap_pruned" -> bitmapAudienceOverlapPrunedOracle,
     "retention_cohorts" -> retentionCohortsOracle,
     "retention_cohorts_sharded" -> retentionCohortsOracle,
     "churn_daily" -> churnDailyOracle,

@@ -334,6 +334,36 @@ class AggregatesSpec extends SparkSpec {
       .head.getDouble(0) === 102.0) // upper edge of the containing bucket
   }
 
+  test("audience-overlap candidate pruning: many-segment fixture, " +
+      "pair space bounded, nothing above support lost") {
+    import spark.implicits._
+    // 30 nested segments: s01 ⊂ s02 ⊂ … ⊂ s30, |s_k| = 10k + 1
+    val membership = (1 to 30).flatMap(k =>
+      (0 to 10 * k).map(u => (f"s$k%02d", u.toLong)))
+      .toDF("seg", "user_id")
+    val segments = membership.groupBy("seg")
+      .agg(expr("graft_bitmap_build64(user_id)").as("bm"),
+        expr("graft_bitmap_distinct64(user_id)").as("nd"))
+    val th = Seq(101L).toDF("t")
+    // pruning keeps only the 21 segments with nd >= 101 (k >= 10):
+    // candidate pairs C(21,2) = 210 instead of C(30,2) = 435
+    assert(segments.filter(col("nd") >= 101L).count() === 21)
+    val pruned = Aggregates.overlapPruned(segments, th)
+      .select("et1", "et2", "n_common").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val brute = membership.as("a")
+      .join(membership.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.seg") < col("b.seg"))
+      .groupBy(col("a.seg").as("et1"), col("b.seg").as("et2"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= 101L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(pruned === brute)
+    assert(pruned.size === 210) // all surviving pairs reach support here
+  }
+
   test("sharded bitmap retention/churn equal the broadcast variants " +
       "row-for-row on >=8 shards, with no bitmap broadcast in the plan") {
     def rows(df: org.apache.spark.sql.DataFrame) =
