@@ -119,6 +119,81 @@ class RegistryGuardSpec extends SparkSpec {
           .toSet.size > 1
       }
 
+  /** Queries whose executed plan legitimately contains a
+    * BroadcastNestedLoopJoin: every member pairs a corpus (or a tiny
+    * pair frame) against a BROADCAST side that is small by
+    * construction (centroid/stats/threshold/day-bitmap tables — a few
+    * rows to a few hundred). Membership is enforced: each must
+    * actually contain a BNLJ, so the list cannot rot into a blanket
+    * waiver. */
+  private val BnljByConstruction: Set[String] = Set(
+    // ANN: corpus × broadcast centroid/codebook tables (≤ k rows)
+    "ann_int8_topk", "ann_ivf_centroid_topk", "ann_ivf_multiprobe_recall",
+    "ann_two_stage_rerank", "embedding_kmeans", "embedding_outlier_cells",
+    "embedding_cosine_neardup_cells", "knn_graph_cells",
+    // theta pairing over per-segment/per-day aggregate frames
+    // (segments/days rows, not corpus; sharded twins avoid even this)
+    "bitmap_audience_overlap", "bitmap_audience_overlap_pruned",
+    "retention_cohorts", "merge_retention_cohorts",
+    // broadcast corpus-level stats/vocab scalars into per-row math
+    "graph_triangle_count", "text_bigram_pmi", "text_bm25_topk",
+    "text_lm_perplexity", "text_tfidf_topk", "scalar_subquery",
+    // the explicit cross/theta operators themselves (tiny dims)
+    "join_cross", "join_theta_bnl")
+
+  /** Queries allowed a CartesianProduct: none — even the explicit
+    * cross-join operator broadcasts its small side (BNLJ). */
+  private val CartesianByDesign: Set[String] = Set.empty
+
+  test("plan lint: no CartesianProduct or un-hinted " +
+      "BroadcastNestedLoopJoin outside the by-construction lists") {
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    val stale = scala.collection.mutable.ArrayBuffer[String]()
+    for ((n, df) <- built) {
+      val plan = df.queryExecution.executedPlan.toString
+      val hasCart = plan.contains("CartesianProduct")
+      val hasBnlj = plan.contains("BroadcastNestedLoopJoin")
+      if (hasCart && !CartesianByDesign(n)) offenders += s"$n (cartesian)"
+      if (hasBnlj && !BnljByConstruction(n)) offenders += s"$n (bnlj)"
+      if (CartesianByDesign(n) && !hasCart) stale += s"$n (no cartesian)"
+      if (BnljByConstruction(n) && !hasBnlj) stale += s"$n (no bnlj)"
+    }
+    assert(offenders.isEmpty,
+      s"scale-hazard join shapes outside the exemption lists: " +
+        offenders.mkString(", "))
+    assert(stale.isEmpty,
+      s"exemption list members whose plan no longer needs them " +
+        s"(remove to keep the lists honest): ${stale.mkString(", ")}")
+  }
+
+  test("plan lint: driver-side collect() appears in main source only " +
+      "at the allowlisted metadata/group-discovery sites") {
+    def scalaFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case d if d.isDirectory => scalaFiles(d)
+        case f if f.getName.endsWith(".scala") => Seq(f)
+        case _ => Nil
+      }
+    // file -> substring that must appear on (or within 3 lines above)
+    // the collect() line, pinning WHY that collect is not a data path
+    val allow = Map(
+      "Jdbc.scala" -> "SHOW NAMESPACES",        // catalog-load warmup
+      "MongoCatalog.scala" -> "SHOW NAMESPACES", // catalog-load warmup
+      "Merge.scala" -> "shard")                  // O(shards) group list
+    val offenders = for {
+      f <- scalaFiles(new java.io.File("src/main/scala/graft"))
+      lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
+      (line, i) <- lines.zipWithIndex
+      if line.contains(".collect()")
+      ctx = lines.slice(math.max(0, i - 3), i + 1).mkString("\n")
+      if !allow.get(f.getName).exists(ctx.contains)
+    } yield s"${f.getName}:${i + 1}"
+    assert(offenders.isEmpty,
+      s"new driver-side collect() in main source (distributed " +
+        s"operators must not round-trip rows through the driver): " +
+        offenders.mkString(", "))
+  }
+
   test("ORDER BY keys totally order every oracled result on the " +
       "harness data") {
     val offenders = scala.collection.mutable.ArrayBuffer[String]()
