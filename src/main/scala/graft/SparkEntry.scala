@@ -22,7 +22,7 @@ object SparkEntry {
     Relational.queries ++ Aggregates.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Streams.queries ++ Coverage.queries ++ Timeseries.queries ++
-      Merge.queries ++
+      Merge.queries ++ graft.sources.Lake.queries ++
       graft.sources.Jdbc.queries ++ graft.sources.Mongo.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -32,6 +32,6 @@ object SparkEntry {
     Relational.oracles ++ Aggregates.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       Streams.oracles ++ Coverage.oracles ++ Timeseries.oracles ++
-      Merge.oracles ++
+      Merge.oracles ++ graft.sources.Lake.oracles ++
       graft.sources.Jdbc.oracles ++ graft.sources.Mongo.oracles
 }

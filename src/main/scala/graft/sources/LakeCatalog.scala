@@ -1,0 +1,566 @@
+package graft.sources
+
+import java.util.{Collections, Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.Q
+
+/** SQL `MERGE INTO` / `UPDATE` / `DELETE` as a FIRST-CLASS connector
+  * capability — the DSv2 row-level-operation stack
+  * (`SupportsRowLevelOperations`), implemented the way Iceberg/Delta
+  * implement copy-on-write MERGE and exercised through Spark's own
+  * planner: `RewriteMergeIntoTable` rewrites the statement into a
+  * group-based `ReplaceData` plan, runtime group filtering
+  * (`RowLevelOperationRuntimeGroupFiltering`) prunes the target scan
+  * to the shards that can possibly match via a dynamic IN-subquery on
+  * the `_shard` metadata column, and the connector's commit swaps
+  * exactly the groups that were read (reference scope: stock Trino
+  * ships MERGE; the demo's Postgres ingest `fill_postgresql.sql:12` is
+  * the load-then-upsert direction).
+  *
+  * This complements [[graft.operators.Merge]] (the library-level
+  * partition-pruned upsert): same copy-on-write semantics, but HERE
+  * the user writes literal SQL and Spark's analyzer/optimizer drive
+  * the rewrite — matched rows update, unmatched target rows in
+  * affected groups carry over, inserts append, untouched groups keep
+  * their files (LakeMergeSpec proves both the runtime pruning and the
+  * byte-identical untouched files).
+  *
+  * Storage: one JSON-lines file per shard (`shard-K.jsonl`,
+  * K = floorMod(shard-key, nShards)) under the table directory — the
+  * GROUP of the group-based operation, standing in for a
+  * partition/file of a parquet lakehouse table (the wire format is the
+  * [[GraftMongoTable]] lesson: executor-decodable with zero extra
+  * machinery; the rewrite protocol, not the byte format, is what this
+  * file demonstrates). Scale posture: one task per shard on read, the
+  * replacement shuffle is bounded by the affected groups' rows + the
+  * source batch, and commit moves O(affected shards) files.
+  */
+class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("path")
+    require(root != null,
+      s"catalog $name needs spark.sql.catalog.$name.path (lake root)")
+    new java.io.File(root).mkdirs(): Unit
+  }
+
+  override def name(): String = catalogName
+
+  private val ns = Array("lake")
+  private def isLake(s: Array[String]) = s.sameElements(ns)
+
+  override def listNamespaces(): Array[Array[String]] = Array(ns)
+  override def listNamespaces(parent: Array[String]): Array[Array[String]] =
+    if (parent.isEmpty) Array(ns)
+    else if (isLake(parent)) Array.empty
+    else throw new NoSuchNamespaceException(parent)
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    isLake(namespace)
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): JMap[String, String] =
+    if (isLake(namespace)) Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  private def unsupported = new UnsupportedOperationException(
+    s"catalog $catalogName: unsupported catalog mutation")
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = throw unsupported
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = throw unsupported
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = throw unsupported
+
+  private def descriptorFile(name: String) =
+    new java.io.File(root, s"$name.lake.json")
+  private def tableDir(name: String) = new java.io.File(root, name)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    if (isLake(namespace))
+      Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".lake.json"))
+        .map(_.getName.stripSuffix(".lake.json")).sorted
+        .map(n => Identifier.of(ns, n))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!isLake(ident.namespace()) || !descriptorFile(ident.name()).exists())
+      throw new NoSuchTableException(ident)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val d = om.readTree(java.nio.file.Files.readString(
+      descriptorFile(ident.name()).toPath))
+    new GraftLakeTable(ident.name(),
+      DataType.fromJson(d.get("schema").asText()).asInstanceOf[StructType],
+      tableDir(ident.name()).getPath,
+      d.get("shardKey").asText(), d.get("nShards").asInt())
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String])
+      : Table = {
+    if (!isLake(ident.namespace()))
+      throw new NoSuchNamespaceException(ident.namespace())
+    if (descriptorFile(ident.name()).exists())
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace() :+ ident.name()).toSeq)
+    val shardKey = Option(properties.get("shard_key")).getOrElse(
+      schema.fields.head.name)
+    val nShards = Option(properties.get("n_shards")).map(_.toInt)
+      .getOrElse(8)
+    require(schema.fieldNames.contains(shardKey),
+      s"shard_key $shardKey not in schema")
+    require(schema(shardKey).dataType == LongType ||
+      schema(shardKey).dataType == IntegerType,
+      s"shard_key $shardKey must be integral")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val d = om.createObjectNode()
+    d.put("schema", schema.json): Unit
+    d.put("shardKey", shardKey): Unit
+    d.put("nShards", nShards): Unit
+    tableDir(ident.name()).mkdirs()
+    java.nio.file.Files.writeString(descriptorFile(ident.name()).toPath,
+      om.writeValueAsString(d))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = throw unsupported
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (isLake(ident.namespace()) && descriptorFile(ident.name()).exists()) {
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree))
+        f.delete(): Unit
+      }
+      rmTree(tableDir(ident.name()))
+      descriptorFile(ident.name()).delete()
+    } else false
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = throw unsupported
+}
+
+/** One shard-filed lake table; the row-level-operation entry point. */
+class GraftLakeTable(tableName: String, declared: StructType,
+    dataDir: String, val shardKey: String, val nShards: Int)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  override def name(): String = tableName
+  override def schema(): StructType = declared
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_shard"
+      override def dataType(): DataType = IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "group id: floorMod(shard-key, nShards) = the rewrite unit"
+    })
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLakeScanBuilder(declared, dataDir, shardKey, None)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftLakeWriteBuilder(this, dataDir, info, None)
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftLakeRowLevelOperation(this, dataDir, info)
+}
+
+/** The shared coordination object of one MERGE/UPDATE/DELETE: Spark
+  * asks it for the target SCAN (possibly twice — once for the
+  * candidate-group subquery that feeds runtime filtering, once for the
+  * main group read) and for the replacement WRITE. The commit must
+  * replace exactly the groups the main read planned AFTER runtime
+  * filtering, so each scan records its retained shard set and whether
+  * `filter()` was invoked on it; the write resolves "groups to drop"
+  * as the union of runtime-FILTERED scans' shards when any exist
+  * (pruned read), else every existing shard (unpruned full rewrite —
+  * also the correct fallback when group filtering is disabled). */
+class GraftLakeRowLevelOperation(table: GraftLakeTable, dataDir: String,
+    info: RowLevelOperationInfo) extends RowLevelOperation {
+
+  private[sources] val scans =
+    new java.util.concurrent.CopyOnWriteArrayList[GraftLakeScan]()
+
+  override def command(): RowLevelOperation.Command = info.command()
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLakeScanBuilder(table.schema(), dataDir, table.shardKey,
+      Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftLakeWriteBuilder(table, dataDir, info, Some(this))
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_shard"))
+
+  /** Shards the replacement must drop before appending written rows. */
+  private[sources] def replacedShards: Set[Int] = {
+    val filtered = scans.asScala.filter(_.runtimeFiltered)
+    if (filtered.nonEmpty) filtered.flatMap(_.plannedShards).toSet
+    else GraftLakeIO.existingShards(dataDir)
+  }
+
+  override def description(): String =
+    s"GraftLakeRowLevelOperation(${info.command()}, ${table.name()})"
+}
+
+object GraftLakeIO {
+  def shardFile(dataDir: String, k: Int): java.io.File =
+    new java.io.File(dataDir, s"shard-$k.jsonl")
+  def existingShards(dataDir: String): Set[Int] =
+    Option(new java.io.File(dataDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(f => "shard-(\\d+)\\.jsonl".r
+        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .toSet
+}
+
+class GraftLakeScanBuilder(declared: StructType, dataDir: String,
+    shardKey: String, op: Option[GraftLakeRowLevelOperation])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = declared
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // may include the _shard metadata column; keep requested order out
+    // of paranoia? no — keep (declared ++ _shard) order for stable rows
+    required = StructType(
+      (declared.fields.filter(f =>
+        requiredSchema.fieldNames.contains(f.name)) ++
+        requiredSchema.fields.filter(_.name == "_shard")).toSeq)
+
+  override def build(): Scan = {
+    val scan = new GraftLakeScan(required, dataDir)
+    op.foreach(_.scans.add(scan))
+    scan
+  }
+}
+
+class GraftLakeScan(required: StructType, dataDir: String)
+    extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  @volatile private[sources] var runtimeFiltered = false
+  @volatile private var retained: Option[Set[Int]] = None
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_shard"))
+
+  /** Runtime group filtering delivers `_shard IN (...)` (or `=`) built
+    * from the candidate subquery; unknown predicate shapes are ignored
+    * (scan stays unpruned — always sound). */
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    runtimeFiltered = true
+    val keep = scala.collection.mutable.Set[Int]()
+    var understood = false
+    predicates.foreach { p =>
+      val isShardRef = p.children().headOption.exists {
+        case r: NamedReference => r.fieldNames().sameElements(Array("_shard"))
+        case _ => false
+      }
+      if ((p.name() == "IN" || p.name() == "=") && isShardRef) {
+        val lits = p.children().tail.collect {
+          case l: V2Literal[_] if l.dataType() == IntegerType =>
+            l.value().asInstanceOf[Int]
+        }
+        if (lits.length == p.children().length - 1) {
+          understood = true
+          keep ++= lits
+        }
+      }
+    }
+    if (understood) retained = Some(keep.toSet)
+  }
+
+  private[sources] def plannedShards: Set[Int] = {
+    val existing = GraftLakeIO.existingShards(dataDir)
+    retained.fold(existing)(_.intersect(existing))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedShards.toArray.sorted.map(k =>
+      GraftLakeInputPartition(
+        GraftLakeIO.shardFile(dataDir, k).getPath, k))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLakeReaderFactory(required)
+
+  override def description(): String =
+    s"GraftLakeScan(cols=[${required.fieldNames.mkString(",")}], " +
+      s"runtimeFiltered=$runtimeFiltered)"
+}
+
+case class GraftLakeInputPartition(path: String, shard: Int)
+    extends InputPartition
+
+class GraftLakeReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftLakeInputPartition]
+    new GraftLakePartitionReader(p.path, p.shard, required)
+  }
+}
+
+/** Streams one shard file of JSON-lines rows (Jackson, executor-side —
+  * same wire discipline as [[GraftMongoPartitionReader]]). The
+  * `_shard` metadata column is synthesized from the file, not stored. */
+class GraftLakePartitionReader(path: String, shard: Int,
+    required: StructType) extends PartitionReader[InternalRow] {
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val reader =
+    if (new java.io.File(path).exists())
+      new java.io.BufferedReader(new java.io.InputStreamReader(
+        new java.io.FileInputStream(path), "UTF-8"))
+    else null
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (reader == null) return false
+    val line = reader.readLine()
+    if (line == null) return false
+    val doc = om.readTree(line)
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      val f = required(i)
+      vals(i) =
+        if (f.name == "_shard") shard
+        else {
+          val n = doc.get(f.name)
+          if (n == null || n.isNull) null
+          else f.dataType match {
+            case LongType => n.asLong()
+            case IntegerType | DateType => n.asInt()
+            case DoubleType => n.asDouble()
+            case StringType => UTF8String.fromString(n.asText())
+            case other => throw new IllegalArgumentException(
+              s"unsupported lake type for ${f.name}: $other")
+          }
+        }
+      i += 1
+    }
+    row = new GenericInternalRow(vals)
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = if (reader != null) reader.close()
+}
+
+/** Writes route every row to its group (floorMod of the shard key) in
+  * a query-scoped stage dir; job commit applies the group protocol:
+  * drop replaced groups (row-level op) or all groups (truncate), then
+  * APPEND staged rows into their shard files — the same
+  * delete-read-groups-then-append contract as Spark's reference
+  * group-based connector, so inserts landing in unread groups merge
+  * instead of clobbering. */
+class GraftLakeWriteBuilder(table: GraftLakeTable, dataDir: String,
+    info: LogicalWriteInfo, op: Option[GraftLakeRowLevelOperation])
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftLakeBatchWrite(table, dataDir, info.schema(),
+        truncateFirst, op, info.queryId())
+  }
+}
+
+case class GraftLakeCommit(shard: Int, path: String)
+    extends WriterCommitMessage
+case class GraftLakeTaskCommit(parts: Seq[GraftLakeCommit])
+    extends WriterCommitMessage
+
+class GraftLakeBatchWrite(table: GraftLakeTable, dataDir: String,
+    writeSchema: StructType, truncateFirst: Boolean,
+    op: Option[GraftLakeRowLevelOperation], queryId: String)
+    extends BatchWrite {
+  private def stageDir = new java.io.File(dataDir, s"_stage_$queryId")
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    stageDir.mkdirs()
+    new GraftLakeWriterFactory(stageDir.getPath, writeSchema,
+      table.shardKey, table.nShards)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.flatMap {
+      case GraftLakeTaskCommit(parts) => parts
+    }
+    val dropped: Set[Int] =
+      if (truncateFirst) GraftLakeIO.existingShards(dataDir)
+      else op.fold(Set.empty[Int])(_.replacedShards)
+    dropped.foreach(k => GraftLakeIO.shardFile(dataDir, k).delete(): Unit)
+    staged.groupBy(_.shard).foreach { case (k, parts) =>
+      val out = new java.io.FileOutputStream(
+        GraftLakeIO.shardFile(dataDir, k), /*append=*/ true)
+      try parts.sortBy(_.path).foreach { c =>
+        java.nio.file.Files.copy(new java.io.File(c.path).toPath, out): Unit
+      } finally out.close()
+    }
+    rmTree(stageDir)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    rmTree(stageDir)
+}
+
+class GraftLakeWriterFactory(stagePath: String, writeSchema: StructType,
+    shardKey: String, nShards: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GraftLakeDataWriter(stagePath, writeSchema, shardKey, nShards,
+      partitionId, taskId)
+}
+
+class GraftLakeDataWriter(stagePath: String, writeSchema: StructType,
+    shardKey: String, nShards: Int, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val keyIdx = writeSchema.fieldIndex(shardKey)
+  private val keyIsLong = writeSchema(keyIdx).dataType == LongType
+  private val open = scala.collection.mutable.Map[Int,
+    (java.io.File, java.io.BufferedWriter)]()
+
+  private def writerFor(k: Int): java.io.BufferedWriter =
+    open.getOrElseUpdate(k, {
+      // taskId in the name keeps speculative/retried attempts disjoint
+      val f = new java.io.File(stagePath,
+        s"shard-${k}_p${partitionId}_t$taskId.jsonl")
+      (f, new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(f), "UTF-8")))
+    })._2
+
+  override def write(row: InternalRow): Unit = {
+    val key = if (keyIsLong) row.getLong(keyIdx) else row.getInt(keyIdx).toLong
+    val k = java.lang.Math.floorMod(key, nShards.toLong).toInt
+    val doc = om.createObjectNode()
+    var i = 0
+    while (i < writeSchema.length) {
+      val f = writeSchema(i)
+      if (f.name != "_shard") { // physical routing, never stored
+        if (row.isNullAt(i)) doc.putNull(f.name): Unit
+        else f.dataType match {
+          case LongType => doc.put(f.name, row.getLong(i)): Unit
+          case IntegerType | DateType => doc.put(f.name, row.getInt(i)): Unit
+          case DoubleType => doc.put(f.name, row.getDouble(i)): Unit
+          case StringType =>
+            doc.put(f.name, row.getUTF8String(i).toString): Unit
+          case other => throw new IllegalArgumentException(
+            s"unsupported lake type for ${f.name}: $other")
+        }
+      }
+      i += 1
+    }
+    val w = writerFor(k)
+    w.write(om.writeValueAsString(doc))
+    w.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_._2.close())
+    GraftLakeTaskCommit(open.toSeq.sortBy(_._1).map {
+      case (k, (f, _)) => GraftLakeCommit(k, f.getPath)
+    })
+  }
+
+  override def abort(): Unit = open.values.foreach { case (f, w) =>
+    w.close(); f.delete(): Unit
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Query-facing surface: the first-seen upsert driven by LITERAL SQL
+  * MERGE through the lake catalog. */
+object Lake {
+
+  /** Bind (once per session) and return the catalog name. */
+  def registerCatalog(s: org.apache.spark.sql.SparkSession): Unit = {
+    s.conf.set("spark.sql.catalog.graft_lake",
+      classOf[GraftLakeCatalog].getName)
+    if (s.conf.getOption("spark.sql.catalog.graft_lake.path").isEmpty)
+      s.conf.set("spark.sql.catalog.graft_lake.path",
+        s"${System.getProperty("java.io.tmpdir")}/graft_lake_" +
+          s"${ProcessHandle.current().pid()}")
+  }
+
+  /** [[graft.operators.Merge.mergeUpsertFirstSeen]] expressed as the
+    * SQL the reference's users would actually type: batch 1 INSERTs
+    * the initial first-seen table, batch 2 arrives as `MERGE INTO …
+    * WHEN MATCHED THEN UPDATE SET cohort_d = least(…) WHEN NOT MATCHED
+    * THEN INSERT …`, planned by Spark's group-based row-level rewrite
+    * against [[GraftLakeTable]]. Same oracle as the library operator:
+    * the maintained table must equal the flat min-over-all-events
+    * recompute. */
+  val mergeSqlFirstSeen: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.first_seen_$fp"
+    val ev = Tables.events(s, dir)
+      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d",
+        "dayofmonth(ts) AS dom")
+    ev.filter(col("dom") <= 15).groupBy("user_id")
+      .agg(min("d").as("cohort_d"))
+      .createOrReplaceTempView("graft_lake_b1")
+    ev.filter(col("dom") > 15).groupBy("user_id")
+      .agg(min("d").as("cohort_d"))
+      .createOrReplaceTempView("graft_lake_b2")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, cohort_d DATE)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_b1")
+    s.sql(s"""MERGE INTO $tbl t
+              USING graft_lake_b2 s
+              ON t.user_id = s.user_id
+              WHEN MATCHED THEN
+                UPDATE SET cohort_d = least(t.cohort_d, s.cohort_d)
+              WHEN NOT MATCHED THEN
+                INSERT (user_id, cohort_d) VALUES (s.user_id, s.cohort_d)""")
+    s.sql(s"SELECT user_id, cohort_d FROM $tbl ORDER BY user_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "merge_sql_firstseen" -> mergeSqlFirstSeen)
+
+  val oracles: Map[String, String] = Map(
+    "merge_sql_firstseen" ->
+      graft.operators.Merge.mergeUpsertFirstSeenOracle)
+}

@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.io.File
+
+import graft.SparkSpec
+
+/** Pins the row-level-operation connector ([[GraftLakeTable]]): SQL
+  * MERGE INTO planned by Spark's group-based rewrite must update
+  * matched rows, carry unmatched target rows of affected groups,
+  * insert new rows (including into groups the scan never read — the
+  * append-not-clobber path), and leave untouched groups' shard files
+  * BYTE-IDENTICAL (runtime group filtering pruned them out of the
+  * read, so the commit must not rewrite them). DELETE and UPDATE ride
+  * the same machinery. */
+class LakeMergeSpec extends SparkSpec {
+
+  private def ddl(tbl: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, cohort_d DATE)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4')""")
+    spark.sql(s"""INSERT INTO $tbl VALUES
+      (0, DATE '2024-03-01'), (1, DATE '2024-03-01'),
+      (2, DATE '2024-03-01'), (3, DATE '2024-03-01'),
+      (4, DATE '2024-03-01'), (5, DATE '2024-03-01'),
+      (6, DATE '2024-03-01'), (7, DATE '2024-03-01')""")
+  }
+
+  private def lakeRoot: File = {
+    Lake.registerCatalog(spark)
+    new File(spark.conf.get("spark.sql.catalog.graft_lake.path"))
+  }
+
+  private def snapshot(dir: File): Map[String, (Long, Long)] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("shard-\\d+\\.jsonl"))
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+
+  private def rows(tbl: String): Map[Long, String] =
+    spark.sql(s"SELECT user_id, cohort_d FROM $tbl ORDER BY user_id")
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toString).toMap
+
+  test("MERGE INTO: update keeps min, carry-over intact, inserts land " +
+      "in read AND unread groups, untouched groups byte-identical") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_merge"
+    ddl(tbl)
+    val dir = new File(lakeRoot, "spec_merge")
+    val before = snapshot(dir)
+    assert(before.keySet === Set("shard-0.jsonl", "shard-1.jsonl",
+      "shard-2.jsonl", "shard-3.jsonl"))
+    // source touches shard 1 (keys 1, 5, new 9) and inserts key 10
+    // into shard 2 — whose target rows match nothing, so the group
+    // filter need not read it
+    spark.sql(s"""MERGE INTO $tbl t USING (
+        SELECT * FROM VALUES
+          (1L, DATE '2024-02-15'), (5L, DATE '2024-03-20'),
+          (9L, DATE '2024-03-05'), (10L, DATE '2024-03-06')
+          AS src(user_id, cohort_d)) s
+      ON t.user_id = s.user_id
+      WHEN MATCHED THEN UPDATE SET cohort_d = least(t.cohort_d, s.cohort_d)
+      WHEN NOT MATCHED THEN INSERT (user_id, cohort_d)
+        VALUES (s.user_id, s.cohort_d)""")
+    val after = snapshot(dir)
+    val got = rows(tbl)
+    assert(got(1L) === "2024-02-15") // matched, earlier day won
+    assert(got(5L) === "2024-03-01") // matched, existing min kept
+    assert(got(9L) === "2024-03-05" && got(10L) === "2024-03-06")
+    assert(got.size === 10 &&
+      Seq(0L, 2L, 3L, 4L, 6L, 7L).forall(got(_) == "2024-03-01"))
+    // groups 0 and 3 were neither matched nor inserted into: the
+    // runtime group filter must have kept them out of the rewrite
+    assert(after("shard-0.jsonl") === before("shard-0.jsonl"),
+      "shard 0 was rewritten despite no match/insert")
+    assert(after("shard-3.jsonl") === before("shard-3.jsonl"),
+      "shard 3 was rewritten despite no match/insert")
+    assert(after("shard-1.jsonl") !== before("shard-1.jsonl"))
+    // shard 2 got ONLY an append (key 10 joined carried content — its
+    // original rows 2 and 6 must survive even though the group may
+    // never have been read)
+    assert(got(2L) === "2024-03-01" && got(6L) === "2024-03-01")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("MERGE is idempotent under least(): re-merging the same batch " +
+      "changes nothing") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_idem"
+    ddl(tbl)
+    val m = s"""MERGE INTO $tbl t USING (
+        SELECT * FROM VALUES (1L, DATE '2024-02-15'), (9L, DATE '2024-03-05')
+          AS src(user_id, cohort_d)) s
+      ON t.user_id = s.user_id
+      WHEN MATCHED THEN UPDATE SET cohort_d = least(t.cohort_d, s.cohort_d)
+      WHEN NOT MATCHED THEN INSERT (user_id, cohort_d)
+        VALUES (s.user_id, s.cohort_d)"""
+    spark.sql(m)
+    val once = rows(tbl)
+    spark.sql(m)
+    assert(rows(tbl) === once)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("DELETE and UPDATE ride the same row-level machinery") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_dml"
+    ddl(tbl)
+    spark.sql(s"DELETE FROM $tbl WHERE user_id = 3")
+    assert(!rows(tbl).contains(3L) && rows(tbl).size === 7)
+    spark.sql(
+      s"UPDATE $tbl SET cohort_d = DATE '2024-01-01' WHERE user_id = 0")
+    assert(rows(tbl)(0L) === "2024-01-01")
+    assert(rows(tbl)(4L) === "2024-03-01") // same shard, untouched row
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("merge_sql_firstseen equals the library-operator result on " +
+      "harness events") {
+    val sql = Lake.mergeSqlFirstSeen(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toString).toMap
+    val lib = graft.operators.Merge.mergeUpsertFirstSeen(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toString).toMap
+    assert(sql === lib)
+  }
+}
