@@ -269,7 +269,10 @@ object Jdbc {
     * unbounded STRING to CLOB, which Derby refuses to compare/sort —
     * the same wire-type discipline the reference's DDL applies
     * (`fill_postgresql.sql:3`: quoted typed columns). */
-  val jdbcIngestRoundtrip: Q = (s, dir) => {
+  val jdbcIngestRoundtrip: Q = (s, dir) => Jdbc.synchronized {
+    // synchronized: the query is DROP+CREATE+INSERT on one fixed remote
+    // table, so two concurrent invocations on a shared session would
+    // race DDL against insert (same guard style as Lake.mergeSqlFirstSeen)
     registerCatalog(s, dir)
     s.sql("DROP TABLE IF EXISTS graft_jdbc.APP.GRAFT_NATION_RT")
     s.sql(

@@ -21,7 +21,10 @@ class ConcurrencySpec extends SparkSpec {
     "groupby_agg", "q1_join_filter_sort", "window_rank_lag_lead",
     "dedup_exact", "stream_tumbling_counts", "jdbc_scan_agg",
     "mongo_catalog_scan", "ann_custom_exec_topk", "quantile_hist_sketch",
-    "bitmap_exact_distinct64", "text_bm25_topk", "graph_triangle_count")
+    "bitmap_exact_distinct64", "text_bm25_topk", "graph_triangle_count",
+    // round 10: DDL-bearing writers (lake MERGE, JDBC ingest) racing
+    // the readers — both serialize internally, results must not change
+    "merge_sql_firstseen", "jdbc_ingest_roundtrip")
 
   test("diverse registered queries race on one session with " +
       "serial-identical results") {
