@@ -81,11 +81,17 @@ object Merge {
     // group discovery: O(nShards) scalars cross the driver, never rows
     val affected = src.select("shard").distinct()
       .collect().map(_.getLong(0)).sorted.toSeq
-    // partition-pruned target slice: only affected groups are read
-    val target = s.read
-      .option("basePath", targetRoot.getPath)
-      .parquet(targetRoot.getPath)
-      .filter(col("shard").isin(affected: _*))
+    // partition-pruned target slice: only affected groups are read.
+    // A still-empty target (streaming CDC before the first commit)
+    // reads as the empty frame of the source's shape.
+    val hasData = Option(targetRoot.listFiles())
+      .exists(_.exists(_.getName.startsWith("shard=")))
+    val target =
+      if (hasData)
+        s.read.option("basePath", targetRoot.getPath)
+          .parquet(targetRoot.getPath)
+          .filter(col("shard").isin(affected: _*))
+      else src.filter(lit(false))
     val merged = target.as("t")
       .join(src.as("s"), Seq("shard", key), "full_outer")
       .select(
@@ -100,6 +106,7 @@ object Merge {
     rmTree(stage)
     merged.write.partitionBy("shard").parquet(stage.getPath)
     // swap in ONLY the affected groups; everything else keeps its files
+    targetRoot.mkdirs()
     affected.foreach { k =>
       val from = new File(stage, s"shard=$k")
       val to = new File(targetRoot, s"shard=$k")

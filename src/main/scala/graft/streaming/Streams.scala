@@ -396,6 +396,65 @@ object Streams {
        value
        FROM events ORDER BY event_id"""
 
+  /** Streaming CDC upsert — the foreachBatch + MERGE pattern every
+    * warehouse-bound CDC pipeline runs (stream → per-batch upsert into
+    * a maintained table): the event log replays as FOUR chronological
+    * micro-batches (time-range-chunked staged copy, maxFilesPerTrigger
+    * = 1), and each batch's per-user min-day is MERGEd into the
+    * first-seen table through [[graft.operators.Merge.mergeUpsert]] —
+    * matched users keep `least`, new users insert, and only the shards
+    * the batch touches rewrite. The result read back after the stream
+    * drains must equal the flat batch recompute (same oracle as
+    * `merge_upsert_firstseen`), which only holds if every intermediate
+    * state was upserted, not appended — the duplicate-free contract a
+    * CDC sink actually needs. foreachBatch is exactly where Structured
+    * Streaming hands over idempotent/transactional sinks; the merge's
+    * partition swap makes replaying a failed batch safe (same batch →
+    * same content). */
+  val streamMergeUpsert: Q = (s, dir) => {
+    val ss = streamSession(s)
+    val chunks = chunkedEventsDir(ss, dir)
+    val target = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_stream_merge_${graft.sources.Tables.fingerprint(dir, "events")}" +
+        s"_${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    val q = rawFileStream(ss, chunks,
+        Map("maxFilesPerTrigger" -> "1"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val firstSeen = batch
+          .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS cohort_d")
+          .groupBy("user_id").agg(min("cohort_d").as("cohort_d"))
+        graft.operators.Merge.mergeUpsert(batch.sparkSession, target,
+          firstSeen, "user_id", 8,
+          (t, v) => least(t, v)): Unit
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    graft.operators.Merge.readTarget(s, target)
+      .select(col("user_id"), col("cohort_d"))
+      .orderBy("user_id")
+  }
+
+  /** Time-range-chunked staged copy of the event log (4 parquet files,
+    * one per ts quartile — a chronological arrival log), built once per
+    * corpus fingerprint. */
+  private def chunkedEventsDir(s: SparkSession, dir: String): String = {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_stream_chunks_" +
+        graft.sources.Tables.fingerprint(dir, "events"))
+    Streams.synchronized {
+      if (!new java.io.File(d, "_SUCCESS").exists()) {
+        graft.sources.Tables.timedMemo("chunkedEvents") {
+          graft.sources.Tables.events(s, dir)
+            .repartitionByRange(4, col("ts"))
+            .write.mode("overwrite").parquet(d.getPath)
+        }
+      }
+    }
+    d.getPath
+  }
+
   /** Stream-stream inner join with watermarks on BOTH sides and a
     * time-range condition (the reference's Q2 weather⋈stock join in
     * streaming form — SURVEY §2.3: exactly what Structured Streaming
@@ -656,6 +715,7 @@ object Streams {
     "stream_heavy_hitters" -> streamHeavyHitters,
     "stream_exact_distinct" -> streamExactDistinct,
     "stream_foreach_batch_sink" -> streamForeachBatchSink,
+    "stream_merge_upsert" -> streamMergeUpsert,
     "stream_stateful_latest" -> streamStatefulLatest,
     "stream_dedup_keys" -> streamDedupKeys,
     "stream_tumbling_counts" -> streamTumblingCounts,
@@ -668,6 +728,8 @@ object Streams {
     "stream_tws_running_agg" -> streamTwsRunningAggOracle,
     "stream_stream_join" -> streamStreamJoinOracle,
     "stream_foreach_batch_sink" -> streamForeachBatchSinkOracle,
+    "stream_merge_upsert" ->
+      graft.operators.Merge.mergeUpsertFirstSeenOracle,
     "stream_stateful_latest" -> streamStatefulLatestOracle,
     "stream_dedup_keys" -> streamDedupKeysOracle,
     "stream_tumbling_counts" -> streamTumblingCountsOracle,

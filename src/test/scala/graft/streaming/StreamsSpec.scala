@@ -328,4 +328,24 @@ class StreamsSpec extends SparkSpec {
       .count()
     assert(bad === 0)
   }
+
+  test("stream_merge_upsert: genuinely incremental (4 chronological " +
+      "micro-batches), final table equals the batch recompute with no " +
+      "duplicate keys") {
+    val rows = graft.streaming.Streams
+      .streamMergeUpsert(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toString)
+    // the staged replay is 4 ts-range chunks + maxFilesPerTrigger=1,
+    // so at least 4 merges ran — duplicates would survive if any
+    // batch appended instead of upserting
+    val chunkDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_stream_chunks_" +
+        graft.sources.Tables.fingerprint(sf, "events"))
+    assert(Option(chunkDir.listFiles()).getOrElse(Array.empty)
+      .count(_.getName.endsWith(".parquet")) === 4)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    val flat = graft.operators.Merge.mergeUpsertFirstSeen(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toString)
+    assert(rows.toMap === flat.toMap)
+  }
 }
