@@ -557,10 +557,51 @@ object Lake {
     s.sql(s"SELECT user_id, cohort_d FROM $tbl ORDER BY user_id")
   }
 
+  /** SQL `DELETE FROM` + `UPDATE` through the same group-based
+    * row-level machinery — the rest of Trino's DML surface, oracled:
+    * a per-user summary table is loaded, a DELETE removes every 7th
+    * user, an UPDATE doubles the event count of users ≡ 1 (mod 5),
+    * and the read-back must equal the oracle's CASE/WHERE emulation.
+    * Both statements rewrite only the shards holding matching rows
+    * (runtime group filtering; LakeMergeSpec pins the mechanism). */
+  val lakeDeleteUpdate: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.dml_$fp"
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(min(expr("CAST(to_date(ts) AS DATE)")).as("cohort_d"),
+        count(lit(1)).as("n_events"))
+      .createOrReplaceTempView("graft_lake_dml_src")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl
+              (user_id BIGINT, cohort_d DATE, n_events BIGINT)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_dml_src")
+    s.sql(s"DELETE FROM $tbl WHERE user_id % 7 = 0")
+    s.sql(s"UPDATE $tbl SET n_events = n_events * 2 WHERE user_id % 5 = 1")
+    s.sql(s"""SELECT user_id, cohort_d, n_events FROM $tbl
+              ORDER BY user_id""")
+  }
+
+  val lakeDeleteUpdateOracle: String =
+    """WITH base AS (
+         SELECT user_id,
+           CAST(min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS DATE)
+             AS cohort_d,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY user_id)
+       SELECT user_id, cohort_d,
+         CASE WHEN user_id % 5 = 1 THEN n_events * 2
+              ELSE n_events END AS n_events
+       FROM base WHERE user_id % 7 <> 0 ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
-    "merge_sql_firstseen" -> mergeSqlFirstSeen)
+    "merge_sql_firstseen" -> mergeSqlFirstSeen,
+    "lake_delete_update" -> lakeDeleteUpdate)
 
   val oracles: Map[String, String] = Map(
     "merge_sql_firstseen" ->
-      graft.operators.Merge.mergeUpsertFirstSeenOracle)
+      graft.operators.Merge.mergeUpsertFirstSeenOracle,
+    "lake_delete_update" -> lakeDeleteUpdateOracle)
 }
