@@ -40,15 +40,20 @@ import graft.Q
   * their files (LakeMergeSpec proves both the runtime pruning and the
   * byte-identical untouched files).
   *
-  * Storage: one JSON-lines file per shard (`shard-K.jsonl`,
-  * K = floorMod(shard-key, nShards)) under the table directory — the
-  * GROUP of the group-based operation, standing in for a
-  * partition/file of a parquet lakehouse table (the wire format is the
-  * [[GraftMongoTable]] lesson: executor-decodable with zero extra
-  * machinery; the rewrite protocol, not the byte format, is what this
-  * file demonstrates). Scale posture: one task per shard on read, the
+  * Storage: IMMUTABLE VERSIONED snapshots ([[GraftLakeIO]]): one
+  * JSON-lines file per shard (`v<N>/shard-K.jsonl`,
+  * K = floorMod(shard-key, nShards)) — the shard is the GROUP of the
+  * group-based operation, the version dir the snapshot. Every commit
+  * builds version N+1 completely (unchanged shards hardlinked),
+  * stamps its commit time, and publishes with one atomic pointer
+  * move, so table-level commits are atomic for concurrent readers and
+  * the full history answers `VERSION AS OF` / `TIMESTAMP AS OF`
+  * time travel through the catalog's loadTable overloads — the Delta/
+  * Iceberg snapshot model on the [[GraftMongoTable]] wire format (the
+  * rewrite/commit protocol, not the byte format, is what this file
+  * demonstrates). Scale posture: one task per shard on read, the
   * replacement shuffle is bounded by the affected groups' rows + the
-  * source batch, and commit moves O(affected shards) files.
+  * source batch, and commit links/moves O(shards) files.
   */
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -144,6 +149,30 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** Time travel: `VERSION AS OF n` resolves a pinned read-only
+    * snapshot (0 = the empty pre-insert table). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftLakeTable]
+    val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
+      s"lake version must be an integer, got '$version'"))
+    val latest = GraftLakeIO.latestVersion(tableDir(ident.name()).getPath)
+    require(v >= 0 && v <= latest,
+      s"${ident.name()}: version $v out of range 0..$latest")
+    t.withPinned(v)
+  }
+
+  /** `TIMESTAMP AS OF t` (micros since epoch, Spark's contract): the
+    * newest version committed at or before t. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftLakeTable]
+    val dir = tableDir(ident.name()).getPath
+    val latest = GraftLakeIO.latestVersion(dir)
+    val v = (1 to latest)
+      .filter(GraftLakeIO.commitMicros(dir, _) <= timestamp)
+      .maxOption.getOrElse(0)
+    t.withPinned(v)
+  }
+
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = throw unsupported
 
@@ -161,17 +190,28 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       newIdent: Identifier): Unit = throw unsupported
 }
 
-/** One shard-filed lake table; the row-level-operation entry point. */
+/** One shard-filed lake table; the row-level-operation entry point.
+  * `pinnedVersion` is Some(v) for a time-travel load — read-only,
+  * resolving that snapshot instead of the pointer. */
 class GraftLakeTable(tableName: String, declared: StructType,
-    dataDir: String, val shardKey: String, val nShards: Int)
+    dataDir: String, val shardKey: String, val nShards: Int,
+    val pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
-  override def name(): String = tableName
+  override def name(): String =
+    pinnedVersion.fold(tableName)(v => s"$tableName@v$v")
   override def schema(): StructType = declared
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    if (pinnedVersion.isDefined)
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  private[sources] def withPinned(v: Int): GraftLakeTable =
+    new GraftLakeTable(tableName, declared, dataDir, shardKey, nShards,
+      Some(v))
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -184,14 +224,20 @@ class GraftLakeTable(tableName: String, declared: StructType,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLakeScanBuilder(declared, dataDir, shardKey, None)
+    new GraftLakeScanBuilder(declared, dataDir, pinnedVersion, None)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"$tableName: a time-travel snapshot is read-only")
     new GraftLakeWriteBuilder(this, dataDir, info, None)
+  }
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"$tableName: a time-travel snapshot is read-only")
     () => new GraftLakeRowLevelOperation(this, dataDir, info)
+  }
 }
 
 /** The shared coordination object of one MERGE/UPDATE/DELETE: Spark
@@ -207,6 +253,11 @@ class GraftLakeTable(tableName: String, declared: StructType,
 class GraftLakeRowLevelOperation(table: GraftLakeTable, dataDir: String,
     info: RowLevelOperationInfo) extends RowLevelOperation {
 
+  /** SNAPSHOT ISOLATION for the whole operation: pinned once at
+    * operation creation, so the candidate-group scan, the main group
+    * read, and the commit's carry-forward all see ONE version. */
+  private[sources] val snapshotV = GraftLakeIO.latestVersion(dataDir)
+
   private[sources] val scans =
     new java.util.concurrent.CopyOnWriteArrayList[GraftLakeScan]()
 
@@ -214,7 +265,7 @@ class GraftLakeRowLevelOperation(table: GraftLakeTable, dataDir: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLakeScanBuilder(table.schema(), dataDir, table.shardKey,
+    new GraftLakeScanBuilder(table.schema(), dataDir, Some(snapshotV),
       Some(this))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -227,26 +278,64 @@ class GraftLakeRowLevelOperation(table: GraftLakeTable, dataDir: String,
   private[sources] def replacedShards: Set[Int] = {
     val filtered = scans.asScala.filter(_.runtimeFiltered)
     if (filtered.nonEmpty) filtered.flatMap(_.plannedShards).toSet
-    else GraftLakeIO.existingShards(dataDir)
+    else GraftLakeIO.existingShards(
+      GraftLakeIO.versionDir(dataDir, snapshotV))
   }
 
   override def description(): String =
-    s"GraftLakeRowLevelOperation(${info.command()}, ${table.name()})"
+    s"GraftLakeRowLevelOperation(${info.command()}, ${table.name()}, " +
+      s"snapshot=v$snapshotV)"
 }
 
+/** Versioned, immutable storage layout (the lakehouse snapshot model):
+  * `v<N>/shard-K.jsonl` version directories plus a `_latest` pointer
+  * file. Commits never mutate a published version — a new version dir
+  * is built completely (unchanged shards HARDLINKED from the base
+  * snapshot, changed ones copied/written), its `_commit` timestamp
+  * recorded, and only then does an atomic pointer move publish it. So
+  * table-level commits are ATOMIC for readers (a scan resolves the
+  * pointer once and reads only immutable files — no torn state, the
+  * caveat the document store's in-place commit carries), and every
+  * historical version stays queryable: `VERSION AS OF n` /
+  * `TIMESTAMP AS OF t` resolve through the catalog's time-travel
+  * loadTable overloads. Single-writer-per-table assumed (no
+  * compare-and-swap on the pointer — a real deployment puts a log/CAS
+  * here, exactly where Delta puts its transaction log). */
 object GraftLakeIO {
-  def shardFile(dataDir: String, k: Int): java.io.File =
-    new java.io.File(dataDir, s"shard-$k.jsonl")
-  def existingShards(dataDir: String): Set[Int] =
-    Option(new java.io.File(dataDir).listFiles())
+  def latestVersion(dataDir: String): Int = {
+    val p = new java.io.File(dataDir, "_latest")
+    if (p.exists())
+      java.nio.file.Files.readString(p.toPath).trim.toInt
+    else 0
+  }
+  def versionDir(dataDir: String, v: Int): java.io.File =
+    new java.io.File(dataDir, s"v$v")
+  def shardFile(vdir: java.io.File, k: Int): java.io.File =
+    new java.io.File(vdir, s"shard-$k.jsonl")
+  def existingShards(vdir: java.io.File): Set[Int] =
+    Option(vdir.listFiles())
       .getOrElse(Array.empty[java.io.File])
       .flatMap(f => "shard-(\\d+)\\.jsonl".r
         .findFirstMatchIn(f.getName).map(_.group(1).toInt))
       .toSet
+  def commitMicros(dataDir: String, v: Int): Long = {
+    val f = new java.io.File(versionDir(dataDir, v), "_commit")
+    if (f.exists()) java.nio.file.Files.readString(f.toPath).trim.toLong
+    else Long.MinValue
+  }
+  /** Atomic publish: the pointer move is the commit point. */
+  def publish(dataDir: String, v: Int): Unit = {
+    val tmp = new java.io.File(dataDir, s"_latest.tmp$v")
+    java.nio.file.Files.writeString(tmp.toPath, v.toString)
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dataDir, "_latest").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
 }
 
 class GraftLakeScanBuilder(declared: StructType, dataDir: String,
-    shardKey: String, op: Option[GraftLakeRowLevelOperation])
+    pinned: Option[Int], op: Option[GraftLakeRowLevelOperation])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = declared
 
@@ -259,13 +348,17 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
         requiredSchema.fields.filter(_.name == "_shard")).toSeq)
 
   override def build(): Scan = {
-    val scan = new GraftLakeScan(required, dataDir)
+    // resolve the pointer ONCE here: the scan then touches only the
+    // immutable version dir, so a commit racing this read is invisible
+    val v = pinned.getOrElse(GraftLakeIO.latestVersion(dataDir))
+    val scan = new GraftLakeScan(required,
+      GraftLakeIO.versionDir(dataDir, v))
     op.foreach(_.scans.add(scan))
     scan
   }
 }
 
-class GraftLakeScan(required: StructType, dataDir: String)
+class GraftLakeScan(required: StructType, vdir: java.io.File)
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   @volatile private[sources] var runtimeFiltered = false
@@ -304,20 +397,21 @@ class GraftLakeScan(required: StructType, dataDir: String)
   }
 
   private[sources] def plannedShards: Set[Int] = {
-    val existing = GraftLakeIO.existingShards(dataDir)
+    val existing = GraftLakeIO.existingShards(vdir)
     retained.fold(existing)(_.intersect(existing))
   }
 
   override def planInputPartitions(): Array[InputPartition] =
     plannedShards.toArray.sorted.map(k =>
       GraftLakeInputPartition(
-        GraftLakeIO.shardFile(dataDir, k).getPath, k))
+        GraftLakeIO.shardFile(vdir, k).getPath, k))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLakeReaderFactory(required)
 
   override def description(): String =
-    s"GraftLakeScan(cols=[${required.fieldNames.mkString(",")}], " +
+    s"GraftLakeScan(${vdir.getName}, " +
+      s"cols=[${required.fieldNames.mkString(",")}], " +
       s"runtimeFiltered=$runtimeFiltered)"
 }
 
@@ -420,21 +514,49 @@ class GraftLakeBatchWrite(table: GraftLakeTable, dataDir: String,
       table.shardKey, table.nShards)
   }
 
+  /** Versioned commit: build version N+1 COMPLETELY off to the side
+    * (unchanged shards hardlinked from the base snapshot — zero copy,
+    * and safe because published files are never appended to; shards
+    * receiving rows are copied-then-appended; replaced/truncated
+    * shards simply don't carry over), stamp its commit time, then
+    * publish with one atomic pointer move. A reader that resolved the
+    * pointer before the move keeps reading its snapshot's immutable
+    * files — table-level atomicity, no torn states. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.flatMap {
       case GraftLakeTaskCommit(parts) => parts
-    }
+    }.groupBy(_.shard)
+    val baseV = op.fold(GraftLakeIO.latestVersion(dataDir))(_.snapshotV)
+    val baseDir = GraftLakeIO.versionDir(dataDir, baseV)
+    val newV = GraftLakeIO.latestVersion(dataDir) + 1
+    val newDir = GraftLakeIO.versionDir(dataDir, newV)
+    rmTree(newDir)
+    newDir.mkdirs()
     val dropped: Set[Int] =
-      if (truncateFirst) GraftLakeIO.existingShards(dataDir)
+      if (truncateFirst) GraftLakeIO.existingShards(baseDir)
       else op.fold(Set.empty[Int])(_.replacedShards)
-    dropped.foreach(k => GraftLakeIO.shardFile(dataDir, k).delete(): Unit)
-    staged.groupBy(_.shard).foreach { case (k, parts) =>
+    GraftLakeIO.existingShards(baseDir).diff(dropped).foreach { k =>
+      val src = GraftLakeIO.shardFile(baseDir, k)
+      val dst = GraftLakeIO.shardFile(newDir, k)
+      if (staged.contains(k))
+        java.nio.file.Files.copy(src.toPath, dst.toPath): Unit
+      else
+        try java.nio.file.Files.createLink(dst.toPath, src.toPath): Unit
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(src.toPath, dst.toPath): Unit
+        }
+    }
+    staged.foreach { case (k, parts) =>
       val out = new java.io.FileOutputStream(
-        GraftLakeIO.shardFile(dataDir, k), /*append=*/ true)
+        GraftLakeIO.shardFile(newDir, k), /*append=*/ true)
       try parts.sortBy(_.path).foreach { c =>
         java.nio.file.Files.copy(new java.io.File(c.path).toPath, out): Unit
       } finally out.close()
     }
+    java.nio.file.Files.writeString(
+      new java.io.File(newDir, "_commit").toPath,
+      (System.currentTimeMillis() * 1000L).toString): Unit
+    GraftLakeIO.publish(dataDir, newV)
     rmTree(stageDir)
   }
 
@@ -530,10 +652,11 @@ object Lake {
     * against [[GraftLakeTable]]. Same oracle as the library operator:
     * the maintained table must equal the flat min-over-all-events
     * recompute. */
-  val mergeSqlFirstSeen: Q = (s, dir) => Lake.synchronized {
-    registerCatalog(s)
-    val fp = Tables.fingerprint(dir, "events")
-    val tbl = s"graft_lake.lake.first_seen_$fp"
+  /** DDL + batch-1 INSERT (→ version 1) + batch-2 MERGE (→ version 2)
+    * of the first-seen table; shared by the MERGE and time-travel
+    * queries. Caller holds the Lake lock. */
+  private def setupFirstSeen(s: org.apache.spark.sql.SparkSession,
+      dir: String, tbl: String): Unit = {
     val ev = Tables.events(s, dir)
       .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d",
         "dayofmonth(ts) AS dom")
@@ -554,8 +677,51 @@ object Lake {
                 UPDATE SET cohort_d = least(t.cohort_d, s.cohort_d)
               WHEN NOT MATCHED THEN
                 INSERT (user_id, cohort_d) VALUES (s.user_id, s.cohort_d)""")
+    (): Unit
+  }
+
+  val mergeSqlFirstSeen: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val tbl =
+      s"graft_lake.lake.first_seen_${Tables.fingerprint(dir, "events")}"
+    setupFirstSeen(s, dir, tbl)
     s.sql(s"SELECT user_id, cohort_d FROM $tbl ORDER BY user_id")
   }
+
+  /** Snapshot TIME TRAVEL over the versioned lake table: batch 1's
+    * INSERT commits version 1, the MERGE commits version 2, and ONE
+    * query reads BOTH — `VERSION AS OF 1` must show the pre-merge
+    * state unchanged (published versions are immutable; the merge
+    * hardlinks untouched shards and never appends to a published
+    * file), `VERSION AS OF 2` the merged table. The oracle recomputes
+    * both states from the raw events, so a pass proves the history is
+    * real, not a re-read of the head. */
+  val lakeTimeTravel: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val tbl =
+      s"graft_lake.lake.tt_${Tables.fingerprint(dir, "events")}"
+    setupFirstSeen(s, dir, tbl)
+    s.sql(s"""SELECT CAST(1 AS BIGINT) AS version, user_id, cohort_d
+              FROM $tbl VERSION AS OF 1
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), user_id, cohort_d
+              FROM $tbl VERSION AS OF 2
+              ORDER BY version, user_id""")
+  }
+
+  val lakeTimeTravelOracle: String =
+    """WITH ev AS (
+         SELECT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           day(CAST(ts AS TIMESTAMP)) AS dom
+         FROM events)
+       SELECT CAST(1 AS BIGINT) AS version, user_id,
+         min(d) AS cohort_d
+       FROM ev WHERE dom <= 15 GROUP BY user_id
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), user_id, min(d)
+       FROM ev GROUP BY user_id
+       ORDER BY version, user_id"""
 
   /** SQL `DELETE FROM` + `UPDATE` through the same group-based
     * row-level machinery — the rest of Trino's DML surface, oracled:
@@ -598,10 +764,12 @@ object Lake {
 
   val queries: Map[String, Q] = Map(
     "merge_sql_firstseen" -> mergeSqlFirstSeen,
+    "lake_time_travel" -> lakeTimeTravel,
     "lake_delete_update" -> lakeDeleteUpdate)
 
   val oracles: Map[String, String] = Map(
     "merge_sql_firstseen" ->
       graft.operators.Merge.mergeUpsertFirstSeenOracle,
+    "lake_time_travel" -> lakeTimeTravelOracle,
     "lake_delete_update" -> lakeDeleteUpdateOracle)
 }

@@ -30,10 +30,15 @@ class LakeMergeSpec extends SparkSpec {
     new File(spark.conf.get("spark.sql.catalog.graft_lake.path"))
   }
 
-  private def snapshot(dir: File): Map[String, (Long, Long)] =
-    Option(dir.listFiles()).getOrElse(Array.empty)
+  /** Shard files of the LATEST published version (identity = (length,
+    * mtime): an untouched shard carried by hardlink keeps both). */
+  private def snapshot(dir: File): Map[String, (Long, Long)] = {
+    val vdir = GraftLakeIO.versionDir(dir.getPath,
+      GraftLakeIO.latestVersion(dir.getPath))
+    Option(vdir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("shard-\\d+\\.jsonl"))
       .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+  }
 
   private def rows(tbl: String): Map[Long, String] =
     spark.sql(s"SELECT user_id, cohort_d FROM $tbl ORDER BY user_id")
@@ -110,6 +115,50 @@ class LakeMergeSpec extends SparkSpec {
       s"UPDATE $tbl SET cohort_d = DATE '2024-01-01' WHERE user_id = 0")
     assert(rows(tbl)(0L) === "2024-01-01")
     assert(rows(tbl)(4L) === "2024-03-01") // same shard, untouched row
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("time travel: VERSION AS OF returns immutable history, " +
+      "TIMESTAMP AS OF resolves between commits, v0 is empty") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_tt"
+    ddl(tbl) // version 1 = the 8-row insert
+    val v1 = rows(tbl)
+    spark.sql(s"""MERGE INTO $tbl t USING (
+        SELECT * FROM VALUES (1L, DATE '2024-02-15'), (9L, DATE '2024-03-05')
+          AS src(user_id, cohort_d)) s
+      ON t.user_id = s.user_id
+      WHEN MATCHED THEN UPDATE SET cohort_d = least(t.cohort_d, s.cohort_d)
+      WHEN NOT MATCHED THEN INSERT (user_id, cohort_d)
+        VALUES (s.user_id, s.cohort_d)""") // version 2
+    assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 0").count() === 0)
+    val v1Again = spark.sql(
+      s"SELECT user_id, cohort_d FROM $tbl VERSION AS OF 1")
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toString).toMap
+    assert(v1Again === v1, "published version 1 changed after the merge")
+    val head = rows(tbl)
+    assert(head(1L) === "2024-02-15" && head.contains(9L))
+    // TIMESTAMP AS OF between the two commits resolves version 1
+    val dir = new File(lakeRoot, "spec_tt").getPath
+    val betweenMicros = GraftLakeIO.commitMicros(dir, 1)
+    val ts = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(betweenMicros / 1000000L,
+        (betweenMicros % 1000000L) * 1000L))
+    val byTs = spark.sql(
+      s"SELECT user_id, cohort_d FROM $tbl TIMESTAMP AS OF '$ts'")
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toString).toMap
+    assert(byTs === v1, s"TIMESTAMP AS OF '$ts' did not resolve v1")
+    // a time-travel snapshot is read-only (no write capability, and
+    // the write/row-level entry points refuse outright)
+    val cat = spark.sessionState.catalogManager.catalog("graft_lake")
+      .asInstanceOf[GraftLakeCatalog]
+    val pinned = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("lake"), "spec_tt"), "1")
+    assert(!pinned.capabilities().contains(
+      org.apache.spark.sql.connector.catalog.TableCapability.BATCH_WRITE))
     spark.sql(s"DROP TABLE $tbl")
   }
 
