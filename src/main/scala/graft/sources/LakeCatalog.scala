@@ -158,6 +158,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     val latest = GraftLakeIO.latestVersion(tableDir(ident.name()).getPath)
     require(v >= 0 && v <= latest,
       s"${ident.name()}: version $v out of range 0..$latest")
+    require(v == 0 || GraftLakeIO.versionDir(
+        tableDir(ident.name()).getPath, v).exists(),
+      s"${ident.name()}: version $v has been expired")
     t.withPinned(v)
   }
 
@@ -323,6 +326,24 @@ object GraftLakeIO {
     if (f.exists()) java.nio.file.Files.readString(f.toPath).trim.toLong
     else Long.MinValue
   }
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
+  /** Expire history: drop every snapshot older than the newest `keep`
+    * (the Iceberg `expire_snapshots` maintenance op). Safe against the
+    * hardlink sharing — deleting a version dir unlinks names, never
+    * bytes still reachable from retained versions. Returns the
+    * surviving version ids; expired versions then fail time travel
+    * LOUDLY (loadTable refuses, rather than serving an empty scan). */
+  def expireSnapshots(dataDir: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, "must keep at least the latest snapshot")
+    val latest = latestVersion(dataDir)
+    (1 to latest - keep).foreach(v => rmTree(versionDir(dataDir, v)))
+    (1 to latest).filter(versionDir(dataDir, _).exists())
+  }
+
   /** Atomic publish: the pointer move is the commit point. */
   def publish(dataDir: String, v: Int): Unit = {
     val tmp = new java.io.File(dataDir, s"_latest.tmp$v")

@@ -162,6 +162,32 @@ class LakeMergeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("expire_snapshots drops old versions (hardlink-safe), keeps " +
+      "the head readable, and expired time travel fails loudly") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_expire"
+    ddl(tbl) // v1
+    spark.sql(
+      s"UPDATE $tbl SET cohort_d = DATE '2024-01-01' WHERE user_id = 0") // v2
+    spark.sql(s"DELETE FROM $tbl WHERE user_id = 7") // v3
+    val head = rows(tbl)
+    val dir = new File(lakeRoot, "spec_expire").getPath
+    val remaining = GraftLakeIO.expireSnapshots(dir, keep = 1)
+    assert(remaining === Seq(3))
+    // head still fully readable after expiry — retained version's
+    // hardlinked shards survived the deletion of their old names
+    assert(rows(tbl) === head && head.size === 7)
+    assert(head(0L) === "2024-01-01")
+    // expired versions refuse loudly instead of serving empty scans
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1").collect()
+    }
+    def msgs(t: Throwable): String =
+      Option(t).map(x => x.getMessage + msgs(x.getCause)).getOrElse("")
+    assert(msgs(e).contains("expired"))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("merge_sql_firstseen equals the library-operator result on " +
       "harness events") {
     val sql = Lake.mergeSqlFirstSeen(spark, sf).collect()
