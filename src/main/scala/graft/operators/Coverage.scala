@@ -1139,6 +1139,41 @@ object Coverage {
     * connected-components pass (Dedup.clusters is the DataFrame
     * hook-and-contract version for big graphs; recursion fits when the
     * component diameter is small, as near-dup chains are). */
+  /** Parameterized SQL — the engine-side analog of Trino/JDBC
+    * PREPARE + EXECUTE: one SQL text with NAMED parameter markers
+    * (`:status`, `:lo`, `:hi`), bound at execution via Spark 4's
+    * parameterized `spark.sql(text, args)`. The binding layer (not
+    * string interpolation) is the point: values arrive as Scala
+    * literals, so a malicious status string cannot alter the query
+    * shape — the same injection-safety contract PREPARE gives the
+    * reference's DBAPI clients (`localTrinoTest.ipynb` builds its SQL
+    * by hand; a production client parameterizes). */
+  val sqlParameterized: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_param")
+    s.sql(
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+         FROM orders_param
+         WHERE o_orderstatus = :status
+           AND o_orderdate >= :lo AND o_orderdate < :hi
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+      Map(
+        "status" -> "F",
+        "lo" -> java.sql.Date.valueOf("1994-01-01"),
+        "hi" -> java.sql.Date.valueOf("1996-01-01")))
+  }
+
+  val sqlParameterizedOracle: String =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+       FROM orders
+       WHERE o_orderstatus = 'F'
+         AND CAST(o_orderdate AS DATE) >= DATE '1994-01-01'
+         AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+       GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   val recursiveCte: Q = (s, dir) => {
     // seed from the memoized verified-pairs TABLE (Dedup.verifiedPairs)
     // — the recursion demonstrates reachability SQL, not the minhash
@@ -1633,6 +1668,7 @@ object Coverage {
     "window_fill_forward" -> windowFillForward,
     "join_theta_bnl" -> joinThetaBnl,
     "sql_recursive_cte" -> recursiveCte,
+    "sql_parameterized" -> sqlParameterized,
     "join_lateral_topk" -> lateralJoin,
     "try_funcs_ansi" -> tryFuncsAnsi,
     "join_dpp_prune" -> joinDppPrune,
@@ -1688,6 +1724,7 @@ object Coverage {
     "window_fill_forward" -> windowFillForwardOracle,
     "join_theta_bnl" -> joinThetaBnlOracle,
     "sql_recursive_cte" -> recursiveCteOracle,
+    "sql_parameterized" -> sqlParameterizedOracle,
     "join_lateral_topk" -> lateralJoinOracle,
     "try_funcs_ansi" -> tryFuncsAnsiOracle,
     "join_dpp_prune" -> joinDppPruneOracle,

@@ -313,6 +313,23 @@ class CoverageMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parameterized SQL binds values as literals — an injection " +
+      "payload cannot alter the query shape") {
+    graft.sources.Tables.t(spark, sf, "orders")
+      .createOrReplaceTempView("orders_param_probe")
+    val payload = "F' OR '1'='1"
+    val n = spark.sql(
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM orders_param_probe " +
+        "WHERE o_orderstatus = :status",
+      Map("status" -> payload)).head.getLong(0)
+    assert(n === 0L) // matched as a literal string, not parsed as SQL
+    val legit = spark.sql(
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM orders_param_probe " +
+        "WHERE o_orderstatus = :status",
+      Map("status" -> "F")).head.getLong(0)
+    assert(legit > 0L)
+  }
+
   test("mm_audio_roundtrip: decoded stats satisfy the square-wave " +
       "invariants, and the WAV parser rejects a corrupted container") {
     val rows = Multimodal.mmAudioRoundtrip(spark, sf).limit(50).collect()
