@@ -98,6 +98,39 @@ class MergeSpec extends SparkSpec {
     assert(all.size === 8)
   }
 
+  test("property fuzz: random batch sequences through mergeUpsert " +
+      "equal an in-memory Map fold at every step") {
+    import spark.implicits._
+    for (seed <- Seq(11, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val root = freshRoot(s"fuzz$seed")
+      var model = Map.empty[Long, Int] // key -> min day-offset
+      var first = true
+      for (_ <- 1 to 5) {
+        // skewed keyspace so batches hit matched, unmatched and
+        // unread-shard cases; values as day offsets from one epoch
+        val batch = Seq.fill(1 + rnd.nextInt(12))(
+          (rnd.nextInt(40).toLong, rnd.nextInt(365)))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+        val df = batch.toSeq.toDF("user_id", "off")
+          .selectExpr("user_id",
+            "date_add(DATE '2024-01-01', off) AS cohort_d")
+        if (first) { Merge.initTarget(spark, root, df, "user_id", 4); first = false }
+        else Merge.mergeUpsert(spark, root, df, "user_id", 4,
+          (t, v) => least(t, v)): Unit
+        model = batch.foldLeft(model) { case (m, (k, v)) =>
+          m.updated(k, m.get(k).fold(v)(math.min(v, _)))
+        }
+        val got = Merge.readTarget(spark, root).collect()
+          .map(r => r.getLong(0) ->
+            (r.getDate(1).toLocalDate.toEpochDay -
+              java.time.LocalDate.parse("2024-01-01").toEpochDay).toInt)
+          .toMap
+        assert(got === model, s"seed $seed diverged from the model")
+      }
+    }
+  }
+
   test("merge_upsert_firstseen equals the flat first-seen recompute " +
       "on harness events") {
     val merged = Merge.mergeUpsertFirstSeen(spark, sf).collect()
