@@ -255,9 +255,10 @@ object Multimodal {
     *
     * Scale shape: identical to [[mmDecodeFeatures]] — partition-batched
     * typed pipeline, codec state amortized per task, features are O(1)
-    * per row however large the payload. The remaining honest stub is
-    * video/audio (ffmpeg-class codecs genuinely absent here); this op
-    * retires the "no image codec" caveat. */
+    * per row however large the payload. This op retired the "no image
+    * codec" caveat; [[mmAudioRoundtrip]] retired the audio one (JDK
+    * WAV/PCM) — only ffmpeg-class COMPRESSED codecs remain genuinely
+    * absent here. */
   val mmCodecRoundtrip: Q = (s, dir) => {
     implicit val pEnc: org.apache.spark.sql.Encoder[ImgParams] =
       Encoders.product[ImgParams]
