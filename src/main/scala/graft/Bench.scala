@@ -53,7 +53,9 @@ object Bench {
       "join_bucketed",             // bucketed table bind/write
       "partitioned_write_prune",   // hive-partitioned events copy
       "dedup_lsh_recall",          // exactPairs + verifiedPairs memos
-      "ann_ivf_centroid_topk")     // centroidIndex memo
+      "ann_ivf_centroid_topk",     // centroidIndex memo
+      "merge_upsert_firstseen",    // firstSeen merge-table memo
+      "stream_merge_upsert")       // ts-chunked staged stream copy
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       warmups.size)
     warmups.foreach { name =>

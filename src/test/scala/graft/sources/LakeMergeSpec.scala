@@ -188,6 +188,29 @@ class LakeMergeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("DataFrame-level mergeInto API incl. WHEN NOT MATCHED BY " +
+      "SOURCE DELETE — the full three-branch MERGE") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, least}
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_api"
+    ddl(tbl) // keys 0..7
+    Seq((1L, java.sql.Date.valueOf("2024-02-15")),
+      (9L, java.sql.Date.valueOf("2024-03-05")))
+      .toDF("user_id", "cohort_d").as("s")
+      .mergeInto(tbl, expr("spec_api.user_id = s.user_id"))
+      .whenMatched()
+      .update(Map("cohort_d" ->
+        least(expr("spec_api.cohort_d"), expr("s.cohort_d"))))
+      .whenNotMatched().insertAll()
+      .whenNotMatchedBySource().delete()
+      .merge()
+    // only source keys survive: 1 updated to the earlier day, 9
+    // inserted, every unmatched target row deleted across all shards
+    assert(rows(tbl) === Map(1L -> "2024-02-15", 9L -> "2024-03-05"))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("merge_sql_firstseen equals the library-operator result on " +
       "harness events") {
     val sql = Lake.mergeSqlFirstSeen(spark, sf).collect()
