@@ -178,14 +178,12 @@ class GraftMongoCatalog extends TableCatalog with SupportsNamespaces {
   * document store. CREATEd collections are also writable
   * ([[GraftMongoBatchWrite]]): one shard file per write task (the
   * parallel-write unit, the analog of inserting through one mongos
-  * router connection per partition), staged per task and moved into
-  * place at commit. Atomicity is PER SHARD FILE (each move is an
-  * atomic rename; a failed job leaves only the staged dir, which abort
-  * removes) — NOT per table: a concurrent reader overlapping an
-  * INSERT OVERWRITE commit can observe the collection between the
-  * truncate and the last shard move, same as a real mongos
-  * multi-document insert without a transaction. The demo collection
-  * `weatherny` stays read-only. */
+  * router connection per partition), staged per task and committed
+  * TABLE-ATOMICALLY through the versioned-snapshot protocol (version
+  * dir built complete, then one atomic pointer move — see
+  * [[GraftMongoBatchWrite.commit]]); a concurrent reader never
+  * observes an emptied or half-populated collection. The demo
+  * collection `weatherny` stays read-only (flat legacy layout). */
 class GraftMongoTable(tableName: String, declared: StructType,
     dataDir: String, writable: Boolean)
     extends Table with SupportsRead with SupportsWrite {
@@ -238,6 +236,22 @@ class GraftMongoWriteBuilder(dataDir: String, declared: StructType,
 case class GraftMongoCommit(path: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
+/** Collection shard-file resolution: a collection that has taken a
+  * versioned commit reads through its `_latest` pointer (immutable
+  * snapshot dirs, [[GraftLakeIO]]'s protocol); the pre-seeded demo
+  * fixture (`weatherny`, flat `part-*` files, never written) reads the
+  * legacy flat layout. */
+object GraftMongoIO {
+  def currentDir(dataDir: String): java.io.File =
+    if (new java.io.File(dataDir, "_latest").exists())
+      GraftLakeIO.versionDir(dataDir, GraftLakeIO.latestVersion(dataDir))
+    else new java.io.File(dataDir)
+  def shardFiles(dataDir: String): Array[java.io.File] =
+    Option(currentDir(dataDir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+}
+
 class GraftMongoBatchWrite(dataDir: String, declared: StructType,
     truncateFirst: Boolean, queryId: String)
     extends org.apache.spark.sql.connector.write.BatchWrite {
@@ -252,20 +266,38 @@ class GraftMongoBatchWrite(dataDir: String, declared: StructType,
     stageDir.mkdirs()
     new GraftMongoWriterFactory(stageDir.getPath, declared)
   }
+  /** TABLE-LEVEL-ATOMIC commit via the versioned-snapshot protocol
+    * ([[GraftLakeIO]], proven on the lake catalog): version N+1 is
+    * built completely — prior shards hardlinked unless truncating,
+    * staged shards moved in under commit-unique names — and only then
+    * does one atomic pointer move publish it. A concurrent reader that
+    * resolved the pointer earlier keeps its immutable snapshot; no
+    * emptied or half-populated collection is ever observable (the
+    * round-9 in-place protocol's documented caveat, now closed). */
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
       : Unit = {
-    val dir = new java.io.File(dataDir)
-    if (truncateFirst)
-      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isFile && f.getName.startsWith("part-"))
-        .foreach(f => f.delete(): Unit)
+    val newV = GraftLakeIO.latestVersion(dataDir) + 1
+    val newDir = GraftLakeIO.versionDir(dataDir, newV)
+    rmTree(newDir)
+    newDir.mkdirs()
+    if (!truncateFirst)
+      GraftMongoIO.shardFiles(dataDir).foreach { f =>
+        val dst = new java.io.File(newDir, f.getName)
+        try java.nio.file.Files.createLink(dst.toPath, f.toPath): Unit
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(f.toPath, dst.toPath): Unit
+        }
+      }
     messages.foreach { case GraftMongoCommit(path) =>
       val f = new java.io.File(path)
+      // commit-unique names: carried shards from earlier commits may
+      // share partition/task ids with this query's staged shards
       java.nio.file.Files.move(f.toPath,
-        new java.io.File(dir, f.getName).toPath,
+        new java.io.File(newDir, s"part-v$newV-${f.getName.stripPrefix("part-")}").toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     }
+    GraftLakeIO.publish(dataDir, newV)
     rmTree(stageDir)
   }
   override def abort(
@@ -399,9 +431,9 @@ class GraftMongoScan(required: StructType, dataDir: String,
     s"GraftMongoScan(weatherny, cols=[${required.fieldNames.mkString(",")}]" +
       s", pushed=[${pushed.mkString(",")}])"
   override def planInputPartitions(): Array[InputPartition] = {
-    val shards = Option(new java.io.File(dataDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    // resolve the snapshot pointer ONCE here (versioned collections);
+    // the read then touches only immutable shard files
+    val shards = GraftMongoIO.shardFiles(dataDir)
       .map(_.getAbsolutePath).sorted
     // a freshly CREATEd (writable) collection is legitimately empty;
     // an empty path for the demo collection means a misconfigured root

@@ -147,16 +147,28 @@ class MongoCatalogSpec extends SparkSpec {
          (TIMESTAMP '1996-06-06 00:00:00', 'z', 1, 2.0, false)""")
     val after = spark.table("graft_mongo.weather.spec_rt").collect()
     assert(after.length === 1 && after(0).getString(1) === "z")
-    // wire format on disk: per-task part- shards of extended JSON, no
-    // stage leftovers
+    // wire format on disk: versioned snapshot dirs behind the _latest
+    // pointer, per-task part- shards of extended JSON inside, no stage
+    // leftovers at the root
     val dataDir = new java.io.File(
       spark.conf.get("spark.sql.catalog.graft_mongo.path"), "spec_rt")
-    val files = Option(dataDir.listFiles()).getOrElse(Array.empty)
-    assert(files.forall(f => f.getName.startsWith("part-")),
+    val rootFiles = Option(dataDir.listFiles()).getOrElse(Array.empty)
+    assert(rootFiles.forall(f =>
+      f.getName == "_latest" || f.getName.matches("v\\d+")),
+      rootFiles.map(_.getName).mkString(","))
+    val files = GraftMongoIO.shardFiles(dataDir.getPath)
+    assert(files.nonEmpty && files.forall(_.getName.startsWith("part-")),
       files.map(_.getName).mkString(","))
     val line = scala.io.Source.fromFile(files.head)
     try assert(line.getLines().next().contains("\"$date\""))
     finally line.close()
+    // table-level atomicity evidence: the OVERWRITE published a NEW
+    // snapshot and the prior version's shards are still intact — a
+    // reader that resolved the pointer pre-commit kept a full view
+    val v1 = GraftLakeIO.versionDir(dataDir.getPath, 1)
+    assert(Option(v1.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.startsWith("part-")),
+      "pre-overwrite snapshot was mutated by the commit")
     // DROP removes data dir + descriptor; the table disappears
     spark.sql("DROP TABLE graft_mongo.weather.spec_rt")
     assert(!dataDir.exists())
