@@ -1174,6 +1174,41 @@ object Coverage {
          AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
        GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** ANALYZE + catalog statistics — the Trino `ANALYZE` / `SHOW STATS
+    * FOR` surface: table and column statistics are COMPUTED by the
+    * engine (`ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`), stored
+    * in the catalog, and read back as a relation. Row count, min/max
+    * and null count are exact by construction; the distinct count is
+    * the HLL estimate, exact here because the column holds 3 values —
+    * the oracle recomputes every figure from the raw table, so a pass
+    * proves the stats pipeline measures the data, not a cache. These
+    * are the numbers Catalyst's CBO joins/broadcasts plan from. */
+  val metaAnalyzeStats: Q = (s, dir) => {
+    val tbl = "graft_orders_stats"
+    s.sql(s"""CREATE TABLE IF NOT EXISTS spark_catalog.default.$tbl
+              USING parquet LOCATION '$dir/orders.parquet'""")
+    s.sql(s"""ANALYZE TABLE spark_catalog.default.$tbl
+              COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderstatus""")
+    val st = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some("default")))
+      .stats.getOrElse(sys.error(s"ANALYZE left no stats on $tbl"))
+    val key = st.colStats("o_orderkey")
+    val status = st.colStats("o_orderstatus")
+    import s.implicits._
+    Seq((st.rowCount.get.toLong,
+      key.min.get.toLong, key.max.get.toLong,
+      status.distinctCount.get.toLong,
+      status.nullCount.get.toLong))
+      .toDF("row_count", "min_key", "max_key", "nd_status", "null_status")
+  }
+
+  val metaAnalyzeStatsOracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS row_count,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+       CAST(count(*) - count(o_orderstatus) AS BIGINT) AS null_status
+       FROM orders"""
+
   val recursiveCte: Q = (s, dir) => {
     // seed from the memoized verified-pairs TABLE (Dedup.verifiedPairs)
     // — the recursion demonstrates reachability SQL, not the minhash
@@ -1669,6 +1704,7 @@ object Coverage {
     "join_theta_bnl" -> joinThetaBnl,
     "sql_recursive_cte" -> recursiveCte,
     "sql_parameterized" -> sqlParameterized,
+    "meta_analyze_stats" -> metaAnalyzeStats,
     "join_lateral_topk" -> lateralJoin,
     "try_funcs_ansi" -> tryFuncsAnsi,
     "join_dpp_prune" -> joinDppPrune,
@@ -1725,6 +1761,7 @@ object Coverage {
     "join_theta_bnl" -> joinThetaBnlOracle,
     "sql_recursive_cte" -> recursiveCteOracle,
     "sql_parameterized" -> sqlParameterizedOracle,
+    "meta_analyze_stats" -> metaAnalyzeStatsOracle,
     "join_lateral_topk" -> lateralJoinOracle,
     "try_funcs_ansi" -> tryFuncsAnsiOracle,
     "join_dpp_prune" -> joinDppPruneOracle,
