@@ -449,6 +449,20 @@ object Streams {
           graft.sources.Tables.events(s, dir)
             .repartitionByRange(4, col("ts"))
             .write.mode("overwrite").parquet(d.getPath)
+          // the file stream admits files in MODIFICATION-TIME order,
+          // but the 4 range-partition tasks finish in arbitrary order —
+          // restamp mtimes ascending in part order (= ts-range order)
+          // so the replay is chronological; otherwise an out-of-order
+          // chunk arrives entirely behind the watermark and stateful
+          // consumers (outer joins) drop it as late data
+          val t0 = System.currentTimeMillis() - 1000000L
+          Option(new java.io.File(d.getPath).listFiles())
+            .getOrElse(Array.empty)
+            .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+            .zipWithIndex
+            .foreach { case (f, i) =>
+              f.setLastModified(t0 + i * 1000L): Unit
+            }
         }
       }
     }
@@ -492,6 +506,69 @@ object Streams {
         AND p.ts >= c.ts - INTERVAL 5 MINUTE
         AND p.ts <= c.ts + INTERVAL 5 MINUTE
        ORDER BY click_id, purchase_id"""
+
+  /** Stream-stream LEFT OUTER join — the half of the streaming join
+    * surface the inner variant can't show: an unmatched click's
+    * null-extended row is emitted only when the WATERMARK passes its
+    * join window (state eviction — Spark must prove no matching
+    * purchase can still arrive), so the replay runs over the
+    * ts-chunked 4-file log (maxFilesPerTrigger=1) where the watermark
+    * genuinely advances between micro-batches. Emission at the exact
+    * final-watermark EDGE is engine-timing-defined, so both the query
+    * and the oracle restrict to the deterministic region: clicks older
+    * than min(max click ts, max purchase ts) − (delay 10 m + window
+    * 5 m + 1 m margin) are strictly evicted by end of stream — inside
+    * that region the emitted set provably equals the batch left join.
+    * State is bounded by the watermark on BOTH sides (the join's
+    * 100 TB contract: stale state is dropped, not accumulated). */
+  val streamStreamLeftJoin: Q = (s, dir) => {
+    val ss = streamSession(s)
+    val chunks = chunkedEventsDir(ss, dir)
+    def src() = rawFileStream(ss, chunks,
+      Map("maxFilesPerTrigger" -> "1"))
+    val clicks = src().filter(col("event_type") === "click")
+      .selectExpr("event_id AS click_id", "user_id AS cu", "ts AS ct")
+      .withWatermark("ct", "10 minutes")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .selectExpr("event_id AS purchase_id", "user_id AS pu", "ts AS pt")
+      .withWatermark("pt", "10 minutes")
+    val joined = clicks.join(purchases,
+      expr("""cu = pu AND
+              pt >= ct - INTERVAL 5 MINUTES AND
+              pt <= ct + INTERVAL 5 MINUTES"""),
+      "left_outer")
+    val cutoff = graft.sources.Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type").agg(max("ts").as("mt"))
+      .agg(min("mt").as("min_max_ts"))
+      .selectExpr("min_max_ts - INTERVAL 16 MINUTES AS cutoff")
+    runToTable(joined, "stream_stream_left_join", "append")
+      .crossJoin(broadcast(cutoff))
+      .filter(col("ct").cast(TimestampNTZType) < col("cutoff"))
+      .selectExpr("click_id", "purchase_id", "cu AS user_id",
+        "CAST(ct AS TIMESTAMP_NTZ) AS ct")
+      .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+  }
+
+  val streamStreamLeftJoinOracle: String =
+    """WITH ev AS (
+         SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+         FROM events),
+       c AS (SELECT event_id AS click_id, user_id, ts FROM ev
+             WHERE event_type = 'click'),
+       p AS (SELECT event_id AS purchase_id, user_id, ts FROM ev
+             WHERE event_type = 'purchase'),
+       cut AS (
+         SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+           - INTERVAL 16 MINUTE AS cutoff)
+       SELECT c.click_id, p.purchase_id, c.user_id, c.ts AS ct
+       FROM c
+       LEFT JOIN p ON p.user_id = c.user_id
+         AND p.ts >= c.ts - INTERVAL 5 MINUTE
+         AND p.ts <= c.ts + INTERVAL 5 MINUTE
+       CROSS JOIN cut
+       WHERE c.ts < cut.cutoff
+       ORDER BY click_id, purchase_id NULLS FIRST"""
 
   /** The custom histogram-quantile sketch INSIDE a streaming window
     * aggregation: per-day median of event values. TypedImperativeAggregate
@@ -716,6 +793,7 @@ object Streams {
     "stream_exact_distinct" -> streamExactDistinct,
     "stream_foreach_batch_sink" -> streamForeachBatchSink,
     "stream_merge_upsert" -> streamMergeUpsert,
+    "stream_stream_left_join" -> streamStreamLeftJoin,
     "stream_stateful_latest" -> streamStatefulLatest,
     "stream_dedup_keys" -> streamDedupKeys,
     "stream_tumbling_counts" -> streamTumblingCounts,
@@ -730,6 +808,7 @@ object Streams {
     "stream_foreach_batch_sink" -> streamForeachBatchSinkOracle,
     "stream_merge_upsert" ->
       graft.operators.Merge.mergeUpsertFirstSeenOracle,
+    "stream_stream_left_join" -> streamStreamLeftJoinOracle,
     "stream_stateful_latest" -> streamStatefulLatestOracle,
     "stream_dedup_keys" -> streamDedupKeysOracle,
     "stream_tumbling_counts" -> streamTumblingCountsOracle,
