@@ -51,6 +51,29 @@ object Aggregates {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** ROLLUP with GROUPING_ID — the marker that disambiguates a
+    * subtotal row's NULL from a NULL in the data (the standard-SQL
+    * answer to the "which NULLs are structural" question every
+    * reporting layer hits; Trino ships the same `grouping(...)`).
+    * grouping_id() is the bit-vector over the grouping columns
+    * (0 = detail, 1 = status rolled up, 3 = grand total). */
+  val rollupGroupingId: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val rollupGroupingIdOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*) AS n,
+       CAST(2 * grouping(l_returnflag) + grouping(l_linestatus)
+         AS BIGINT) AS gid
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
   /** CUBE over two dims. */
   val cubeAgg: Q = (s, dir) =>
     t(s, dir, "orders")
@@ -1129,6 +1152,7 @@ object Aggregates {
     "groupby_agg" -> groupbyAgg,
     "group_count_distinct" -> groupCountDistinct,
     "rollup_agg" -> rollupAgg,
+    "rollup_grouping_id" -> rollupGroupingId,
     "cube_agg" -> cubeAgg,
     "distinct_rows" -> distinctRows,
     "dedup_latest_by_key" -> dedupLatestByKey,
@@ -1186,6 +1210,7 @@ object Aggregates {
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
          count(*) AS n_orders
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "rollup_grouping_id" -> rollupGroupingIdOracle,
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
