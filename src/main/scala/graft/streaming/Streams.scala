@@ -570,6 +570,62 @@ object Streams {
        WHERE c.ts < cut.cutoff
        ORDER BY click_id, purchase_id NULLS FIRST"""
 
+  /** Stream-stream FULL OUTER join — both null directions: unmatched
+    * clicks AND unmatched purchases emit on watermark eviction. Same
+    * deterministic-region discipline as [[streamStreamLeftJoin]],
+    * applied to whichever side drives the row (`coalesce(ct, pt)`). */
+  val streamStreamFullJoin: Q = (s, dir) => {
+    val ss = streamSession(s)
+    val chunks = chunkedEventsDir(ss, dir)
+    def src() = rawFileStream(ss, chunks,
+      Map("maxFilesPerTrigger" -> "1"))
+    val clicks = src().filter(col("event_type") === "click")
+      .selectExpr("event_id AS click_id", "user_id AS cu", "ts AS ct")
+      .withWatermark("ct", "10 minutes")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .selectExpr("event_id AS purchase_id", "user_id AS pu", "ts AS pt")
+      .withWatermark("pt", "10 minutes")
+    val joined = clicks.join(purchases,
+      expr("""cu = pu AND
+              pt >= ct - INTERVAL 5 MINUTES AND
+              pt <= ct + INTERVAL 5 MINUTES"""),
+      "full_outer")
+    val cutoff = graft.sources.Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type").agg(max("ts").as("mt"))
+      .agg(min("mt").as("min_max_ts"))
+      .selectExpr("min_max_ts - INTERVAL 16 MINUTES AS cutoff")
+    runToTable(joined, "stream_stream_full_join", "append")
+      .crossJoin(broadcast(cutoff))
+      .filter(coalesce(col("ct"), col("pt")).cast(TimestampNTZType) <
+        col("cutoff"))
+      .selectExpr("click_id", "purchase_id",
+        "coalesce(cu, pu) AS user_id")
+      .orderBy(col("click_id").asc_nulls_first,
+        col("purchase_id").asc_nulls_first)
+  }
+
+  val streamStreamFullJoinOracle: String =
+    """WITH ev AS (
+         SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+         FROM events),
+       c AS (SELECT event_id AS click_id, user_id, ts FROM ev
+             WHERE event_type = 'click'),
+       p AS (SELECT event_id AS purchase_id, user_id, ts FROM ev
+             WHERE event_type = 'purchase'),
+       cut AS (
+         SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+           - INTERVAL 16 MINUTE AS cutoff)
+       SELECT c.click_id, p.purchase_id,
+         coalesce(c.user_id, p.user_id) AS user_id
+       FROM c
+       FULL JOIN p ON p.user_id = c.user_id
+         AND p.ts >= c.ts - INTERVAL 5 MINUTE
+         AND p.ts <= c.ts + INTERVAL 5 MINUTE
+       CROSS JOIN cut
+       WHERE coalesce(c.ts, p.ts) < cut.cutoff
+       ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST"""
+
   /** The custom histogram-quantile sketch INSIDE a streaming window
     * aggregation: per-day median of event values. TypedImperativeAggregate
     * buffers serialize into the state store between micro-batches, so the
@@ -794,6 +850,7 @@ object Streams {
     "stream_foreach_batch_sink" -> streamForeachBatchSink,
     "stream_merge_upsert" -> streamMergeUpsert,
     "stream_stream_left_join" -> streamStreamLeftJoin,
+    "stream_stream_full_join" -> streamStreamFullJoin,
     "stream_stateful_latest" -> streamStatefulLatest,
     "stream_dedup_keys" -> streamDedupKeys,
     "stream_tumbling_counts" -> streamTumblingCounts,
@@ -809,6 +866,7 @@ object Streams {
     "stream_merge_upsert" ->
       graft.operators.Merge.mergeUpsertFirstSeenOracle,
     "stream_stream_left_join" -> streamStreamLeftJoinOracle,
+    "stream_stream_full_join" -> streamStreamFullJoinOracle,
     "stream_stateful_latest" -> streamStatefulLatestOracle,
     "stream_dedup_keys" -> streamDedupKeysOracle,
     "stream_tumbling_counts" -> streamTumblingCountsOracle,
