@@ -139,6 +139,9 @@ class RegistryGuardSpec extends SparkSpec {
     // broadcast corpus-level stats/vocab scalars into per-row math
     "graph_triangle_count", "text_bigram_pmi", "text_bm25_topk",
     "text_lm_perplexity", "text_tfidf_topk", "scalar_subquery",
+    // 1-row deterministic-region cutoff frame crossed into the
+    // materialized stream-join output
+    "stream_stream_left_join", "stream_stream_full_join",
     // the explicit cross/theta operators themselves (tiny dims)
     "join_cross", "join_theta_bnl")
 
