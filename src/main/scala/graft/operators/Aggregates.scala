@@ -597,7 +597,9 @@ object Aggregates {
     * pairwise overlap with a few-MB bitmap AND
     * (graft_bitmap64_and_count) — the fact table is scanned ONCE for
     * all O(segments²) pairs; the naive shape re-joins the fact table
-    * per pair. */
+    * per pair. A thousands-of-segments audience system bounds the
+    * pairing first — [[bitmapAudienceOverlapPruned]] is that
+    * support-threshold variant. */
   val bitmapAudienceOverlap: Q = (s, dir) => {
     val partials = graft.sources.Tables.events(s, dir)
       .groupBy("event_type")
@@ -697,7 +699,13 @@ object Aggregates {
     * the daily activity bitmaps persist per ingest partition (the
     * [[bitmapPartialUnion]] pattern), the first-seen table is an
     * incrementally-maintained upsert, and each new day appends one
-    * bitmap + one row of ANDs. Retention rate
+    * bitmap + one row of ANDs. Both halves of that production story
+    * are now implemented: the incrementally-maintained first-seen
+    * upsert is [[graft.operators.Merge.mergeUpsertFirstSeen]] (and
+    * [[graft.operators.Merge.mergeRetentionCohorts]] re-derives this
+    * matrix from it), and [[retentionCohortsSharded]] removes this
+    * variant's per-day-bitmap broadcast for extreme id cardinality.
+    * Retention rate
     * is exact half-up integer µ-units; offset 0 retains the whole
     * cohort by construction (a built-in sanity row the oracle checks
     * too). */
@@ -750,7 +758,9 @@ object Aggregates {
     * persisted per-day bitmaps (one fact aggregation builds them; no
     * rescan per pair). The three counts tile each day's actives:
     * |A| = retained + churned, |B| = retained + new — an internal
-    * consistency the oracle re-derives from raw memberships. */
+    * consistency the oracle re-derives from raw memberships.
+    * [[churnDailySharded]] is the broadcast-free twin for extreme id
+    * cardinality. */
   val churnDaily: Q = (s, dir) => {
     val daily = graft.sources.Tables.events(s, dir)
       .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d")
