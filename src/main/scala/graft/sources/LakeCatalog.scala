@@ -51,9 +51,12 @@ import graft.Q
   * time travel through the catalog's loadTable overloads — the Delta/
   * Iceberg snapshot model on the [[GraftMongoTable]] wire format (the
   * rewrite/commit protocol, not the byte format, is what this file
-  * demonstrates). Scale posture: one task per shard on read, the
-  * replacement shuffle is bounded by the affected groups' rows + the
-  * source batch, and commit links/moves O(shards) files.
+  * demonstrates); concurrent writers resolve by optimistic
+  * concurrency ([[GraftLakeIO.publishCas]]) — a commit built on a
+  * stale snapshot fails cleanly instead of clobbering. Scale posture:
+  * one task per shard on read, the replacement shuffle is bounded by
+  * the affected groups' rows + the source batch, and commit
+  * links/moves O(shards) files.
   */
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -297,13 +300,18 @@ class GraftLakeRowLevelOperation(table: GraftLakeTable, dataDir: String,
   * snapshot, changed ones copied/written), its `_commit` timestamp
   * recorded, and only then does an atomic pointer move publish it. So
   * table-level commits are ATOMIC for readers (a scan resolves the
-  * pointer once and reads only immutable files — no torn state, the
-  * caveat the document store's in-place commit carries), and every
+  * pointer once and reads only immutable files — no torn state; the
+  * document store adopted the same protocol), and every
   * historical version stays queryable: `VERSION AS OF n` /
   * `TIMESTAMP AS OF t` resolve through the catalog's time-travel
-  * loadTable overloads. Single-writer-per-table assumed (no
-  * compare-and-swap on the pointer — a real deployment puts a log/CAS
-  * here, exactly where Delta puts its transaction log). */
+  * loadTable overloads. Writer-writer races are OPTIMISTICALLY
+  * detected ([[publishCas]]): the pointer only moves if the table is
+  * still at the base snapshot the commit was built against, else the
+  * commit fails with [[GraftLakeCommitConflict]] and the loser
+  * rebuilds from the new head — Iceberg's commit protocol. */
+final class GraftLakeCommitConflict(msg: String)
+    extends RuntimeException(msg)
+
 object GraftLakeIO {
   def latestVersion(dataDir: String): Int = {
     val p = new java.io.File(dataDir, "_latest")
@@ -342,6 +350,39 @@ object GraftLakeIO {
     val latest = latestVersion(dataDir)
     (1 to latest - keep).foreach(v => rmTree(versionDir(dataDir, v)))
     (1 to latest).filter(versionDir(dataDir, _).exists())
+  }
+
+  /** Optimistic compare-and-swap publish: takes a short filesystem
+    * lock (atomic create-new), re-reads the pointer, and only commits
+    * if the table is still at `expectedBase` — a concurrent committer
+    * who won the race surfaces as [[GraftLakeCommitConflict]], never
+    * as silent clobbering. The lock guards only the read-check-move
+    * window (microseconds), not the version build. */
+  def publishCas(dataDir: String, expectedBase: Int, v: Int): Unit = {
+    val lock = new java.io.File(dataDir, "_commit.lock").toPath
+    val deadline = System.nanoTime() + 10000000000L
+    var held = false
+    while (!held) {
+      try { java.nio.file.Files.createFile(lock): Unit; held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          if (System.nanoTime() > deadline)
+            throw new GraftLakeCommitConflict(
+              s"$dataDir: commit lock held for >10s — stale lock or " +
+                "livelocked committer")
+          Thread.sleep(5)
+      }
+    }
+    try {
+      val cur = latestVersion(dataDir)
+      if (cur != expectedBase)
+        throw new GraftLakeCommitConflict(
+          s"$dataDir: optimistic commit failed — built against base " +
+            s"v$expectedBase but the table is at v$cur (a concurrent " +
+            "writer committed first); rebuild from the new snapshot " +
+            "and retry")
+      publish(dataDir, v)
+    } finally java.nio.file.Files.deleteIfExists(lock): Unit
   }
 
   /** Atomic publish: the pointer move is the commit point. */
@@ -549,7 +590,7 @@ class GraftLakeBatchWrite(table: GraftLakeTable, dataDir: String,
     }.groupBy(_.shard)
     val baseV = op.fold(GraftLakeIO.latestVersion(dataDir))(_.snapshotV)
     val baseDir = GraftLakeIO.versionDir(dataDir, baseV)
-    val newV = GraftLakeIO.latestVersion(dataDir) + 1
+    val newV = baseV + 1
     val newDir = GraftLakeIO.versionDir(dataDir, newV)
     rmTree(newDir)
     newDir.mkdirs()
@@ -577,7 +618,7 @@ class GraftLakeBatchWrite(table: GraftLakeTable, dataDir: String,
     java.nio.file.Files.writeString(
       new java.io.File(newDir, "_commit").toPath,
       (System.currentTimeMillis() * 1000L).toString): Unit
-    GraftLakeIO.publish(dataDir, newV)
+    GraftLakeIO.publishCas(dataDir, baseV, newV)
     rmTree(stageDir)
   }
 

@@ -277,7 +277,8 @@ class GraftMongoBatchWrite(dataDir: String, declared: StructType,
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
       : Unit = {
-    val newV = GraftLakeIO.latestVersion(dataDir) + 1
+    val baseV = GraftLakeIO.latestVersion(dataDir)
+    val newV = baseV + 1
     val newDir = GraftLakeIO.versionDir(dataDir, newV)
     rmTree(newDir)
     newDir.mkdirs()
@@ -297,7 +298,7 @@ class GraftMongoBatchWrite(dataDir: String, declared: StructType,
         new java.io.File(newDir, s"part-v$newV-${f.getName.stripPrefix("part-")}").toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     }
-    GraftLakeIO.publish(dataDir, newV)
+    GraftLakeIO.publishCas(dataDir, baseV, newV)
     rmTree(stageDir)
   }
   override def abort(

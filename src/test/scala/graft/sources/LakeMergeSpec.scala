@@ -211,6 +211,33 @@ class LakeMergeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("optimistic concurrency: a commit built on a stale snapshot " +
+      "fails with a conflict instead of clobbering") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_cas"
+    ddl(tbl) // v1
+    val dir = new File(lakeRoot, "spec_cas").getPath
+    assert(GraftLakeIO.latestVersion(dir) === 1)
+    // a "concurrent writer" publishes v2 while our commit (built on
+    // base v1) is still staging
+    val v2 = GraftLakeIO.versionDir(dir, 2)
+    v2.mkdirs()
+    GraftLakeIO.publish(dir, 2)
+    val e = intercept[GraftLakeCommitConflict] {
+      GraftLakeIO.publishCas(dir, expectedBase = 1, v = 2)
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the table still points at the winner's version — nothing clobbered
+    assert(GraftLakeIO.latestVersion(dir) === 2)
+    // and a commit built on the CURRENT head goes through
+    GraftLakeIO.versionDir(dir, 3).mkdirs()
+    GraftLakeIO.publishCas(dir, expectedBase = 2, v = 3)
+    assert(GraftLakeIO.latestVersion(dir) === 3)
+    // the lock is released either way
+    assert(!new File(dir, "_commit.lock").exists())
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("merge_sql_firstseen equals the library-operator result on " +
       "harness events") {
     val sql = Lake.mergeSqlFirstSeen(spark, sf).collect()
