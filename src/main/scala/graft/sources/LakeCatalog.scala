@@ -402,8 +402,8 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
   private var required: StructType = declared
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // may include the _shard metadata column; keep requested order out
-    // of paranoia? no — keep (declared ++ _shard) order for stable rows
+    // may include the _shard metadata column; normalize to
+    // (declared-order data columns ++ _shard) for stable row layout
     required = StructType(
       (declared.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name)) ++
