@@ -154,6 +154,29 @@ class GraftMongoCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  /** Collection TIME TRAVEL (`VERSION AS OF n`): versioned commits
+    * ([[GraftMongoBatchWrite.commit]]) leave every snapshot dir
+    * intact, so a pinned load is simply a READ-ONLY table whose data
+    * dir IS the immutable version dir (its flat part- layout is
+    * exactly what the scan reads). v0 = the empty pre-insert
+    * collection; the demo fixture has no versions to travel to. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    loadTable(ident) match {
+      case t: GraftMongoTable if t.name() != "weatherny" =>
+        val dir = tableDir(ident.name()).getPath
+        val v = version.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"collection version must be an integer, got '$version'"))
+        val latest = GraftLakeIO.latestVersion(dir)
+        require(v >= 0 && v <= latest,
+          s"${ident.name()}: version $v out of range 0..$latest")
+        new GraftMongoTable(s"${ident.name()}@v$v", t.schema(),
+          GraftLakeIO.versionDir(dir, v).getPath, writable = false,
+          allowEmptyRead = true)
+      case _ => throw readOnly // demo fixture: no snapshot history
+    }
+  }
+
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = throw readOnly
 
@@ -185,7 +208,8 @@ class GraftMongoCatalog extends TableCatalog with SupportsNamespaces {
   * observes an emptied or half-populated collection. The demo
   * collection `weatherny` stays read-only (flat legacy layout). */
 class GraftMongoTable(tableName: String, declared: StructType,
-    dataDir: String, writable: Boolean)
+    dataDir: String, writable: Boolean,
+    allowEmptyRead: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = tableName
   override def schema(): StructType = declared
@@ -196,7 +220,8 @@ class GraftMongoTable(tableName: String, declared: StructType,
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftMongoScanBuilder(declared, dataDir, allowEmpty = writable)
+    new GraftMongoScanBuilder(declared, dataDir,
+      allowEmpty = writable || allowEmptyRead)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {

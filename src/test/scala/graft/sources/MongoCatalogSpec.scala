@@ -169,6 +169,21 @@ class MongoCatalogSpec extends SparkSpec {
     assert(Option(v1.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.startsWith("part-")),
       "pre-overwrite snapshot was mutated by the commit")
+    // and the history is queryable: VERSION AS OF 1 shows the
+    // pre-overwrite rows, v0 the empty collection, the demo refuses
+    val travel = spark.sql(
+      "SELECT * FROM graft_mongo.weather.spec_rt VERSION AS OF 1")
+      .collect()
+    assert(travel.length === 2 &&
+      travel.map(_.getString(1)).toSet === Set("a", null))
+    assert(spark.sql(
+      "SELECT * FROM graft_mongo.weather.spec_rt VERSION AS OF 0")
+      .count() === 0)
+    intercept[Exception] {
+      spark.sql(
+        "SELECT * FROM graft_mongo.weather.weatherny VERSION AS OF 1")
+        .collect()
+    }
     // DROP removes data dir + descriptor; the table disappears
     spark.sql("DROP TABLE graft_mongo.weather.spec_rt")
     assert(!dataDir.exists())
