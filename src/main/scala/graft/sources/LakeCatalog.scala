@@ -179,8 +179,54 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     t.withPinned(v)
   }
 
+  /** SCHEMA EVOLUTION — `ALTER TABLE … ADD/DROP COLUMN`, the
+    * metadata-only way (Trino/Iceberg semantics): only the descriptor
+    * changes, NO data file rewrites. The JSON-lines reader projects
+    * through the CURRENT declared schema — a field absent in old
+    * files reads as NULL (add), a field no longer declared is never
+    * parsed (drop) — so history remains readable through every schema
+    * the table has had. The shard key cannot be dropped. Other change
+    * kinds (renames, type changes) are refused, not mangled. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = throw unsupported
+      changes: TableChange*): Table = {
+    val t = loadTable(ident).asInstanceOf[GraftLakeTable]
+    var schema = t.schema()
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "lake schema evolution: nested column adds unsupported")
+        require(a.isNullable,
+          "lake schema evolution: added columns must be nullable " +
+            "(existing rows have no value for them)")
+        schema = schema.add(a.fieldNames()(0), a.dataType(),
+          nullable = true)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "lake schema evolution: nested column drops unsupported")
+        val name = d.fieldNames()(0)
+        require(name != t.shardKey,
+          s"lake schema evolution: cannot drop the shard key $name")
+        require(schema.fieldNames.contains(name),
+          s"no such column $name")
+        schema = StructType(schema.filterNot(_.name == name))
+      case other => throw new UnsupportedOperationException(
+        s"lake schema evolution: unsupported change $other")
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = om.createObjectNode()
+    doc.put("schema", schema.json): Unit
+    doc.put("shardKey", t.shardKey): Unit
+    doc.put("nShards", t.nShards): Unit
+    // atomic descriptor swap: readers see old or new schema, no torn doc
+    val tmp = new java.io.File(root,
+      s"${ident.name()}.lake.json.tmp${ProcessHandle.current().pid()}")
+    java.nio.file.Files.writeString(tmp.toPath, om.writeValueAsString(doc))
+    java.nio.file.Files.move(tmp.toPath,
+      descriptorFile(ident.name()).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     if (isLake(ident.namespace()) && descriptorFile(ident.name()).exists()) {

@@ -238,6 +238,42 @@ class LakeMergeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("schema evolution: ADD/DROP COLUMN are metadata-only — old " +
+      "rows read NULL for added columns, history stays readable") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_evo"
+    ddl(tbl) // 8 rows of (user_id, cohort_d) — version 1
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN (score BIGINT)")
+    // old rows project NULL through the evolved schema, no rewrite:
+    // version 1's files are untouched
+    val evolved = spark.table(tbl).orderBy("user_id").collect()
+    assert(evolved.length === 8 && evolved.forall(_.isNullAt(2)))
+    spark.sql(
+      s"INSERT INTO $tbl VALUES (20, DATE '2024-04-01', 7)") // v2
+    val got = spark.sql(
+      s"SELECT user_id, score FROM $tbl ORDER BY user_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got(20L) === 7L && got(0L) === -1L && got.size === 9)
+    // MERGE works on the evolved schema too (update the new column)
+    spark.sql(s"""MERGE INTO $tbl t USING (
+        SELECT * FROM VALUES (0L, DATE '2024-03-01', 5L)
+          AS src(user_id, cohort_d, score)) s
+      ON t.user_id = s.user_id
+      WHEN MATCHED THEN UPDATE SET score = s.score
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql(
+      s"SELECT score FROM $tbl WHERE user_id = 0").head.getLong(0) === 5L)
+    // DROP COLUMN: metadata-only, data no longer surfaced
+    spark.sql(s"ALTER TABLE $tbl DROP COLUMN score")
+    assert(!spark.table(tbl).columns.contains("score"))
+    // shard key is protected
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $tbl DROP COLUMN user_id")
+    }
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("merge_sql_firstseen equals the library-operator result on " +
       "harness events") {
     val sql = Lake.mergeSqlFirstSeen(spark, sf).collect()
