@@ -838,6 +838,61 @@ object Lake {
     * and the read-back must equal the oracle's CASE/WHERE emulation.
     * Both statements rewrite only the shards holding matching rows
     * (runtime group filtering; LakeMergeSpec pins the mechanism). */
+  /** End-to-end SCHEMA EVOLUTION under load: the first-seen table is
+    * created without a count column, batch 1 INSERTs through the
+    * original schema, `ALTER TABLE ADD COLUMN n_events` evolves it
+    * (metadata-only — batch 1's files are never rewritten), batch 2
+    * INSERTs through the evolved schema, and the read-back projects
+    * batch-1 rows as NULL counts — the oracle recomputes exactly that
+    * split from raw events, so a pass proves old files remain readable
+    * through the new schema with correct NULL semantics. */
+  val lakeSchemaEvolution: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.evo_$fp"
+    val ev = Tables.events(s, dir)
+      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d",
+        "dayofmonth(ts) AS dom")
+    ev.filter(col("dom") <= 15).groupBy("user_id")
+      .agg(min("d").as("cohort_d"))
+      .createOrReplaceTempView("graft_lake_evo_b1")
+    ev.filter(col("dom") > 15).groupBy("user_id")
+      .agg(min("d").as("cohort_d"), count(lit(1)).as("n_events"))
+      .createOrReplaceTempView("graft_lake_evo_b2")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, cohort_d DATE)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_evo_b1")
+    s.sql(s"ALTER TABLE $tbl ADD COLUMN (n_events BIGINT)")
+    // batch 2: only users NOT already present (append-only evolution
+    // demo; upserts are the MERGE queries' business)
+    s.sql(s"""INSERT INTO $tbl
+              SELECT b2.user_id, b2.cohort_d, b2.n_events
+              FROM graft_lake_evo_b2 b2
+              LEFT ANTI JOIN graft_lake_evo_b1 b1
+                ON b1.user_id = b2.user_id""")
+    s.sql(s"""SELECT user_id, cohort_d, n_events FROM $tbl
+              ORDER BY user_id""")
+  }
+
+  val lakeSchemaEvolutionOracle: String =
+    """WITH ev AS (
+         SELECT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           day(CAST(ts AS TIMESTAMP)) AS dom
+         FROM events),
+       b1 AS (SELECT user_id, min(d) AS cohort_d FROM ev
+              WHERE dom <= 15 GROUP BY user_id),
+       b2 AS (SELECT user_id, min(d) AS cohort_d,
+                CAST(count(*) AS BIGINT) AS n_events
+              FROM ev WHERE dom > 15 GROUP BY user_id)
+       SELECT user_id, cohort_d, CAST(NULL AS BIGINT) AS n_events
+       FROM b1
+       UNION ALL
+       SELECT b2.user_id, b2.cohort_d, b2.n_events FROM b2
+       ANTI JOIN b1 ON b1.user_id = b2.user_id
+       ORDER BY user_id"""
+
   val lakeDeleteUpdate: Q = (s, dir) => Lake.synchronized {
     registerCatalog(s)
     val fp = Tables.fingerprint(dir, "events")
@@ -873,11 +928,13 @@ object Lake {
   val queries: Map[String, Q] = Map(
     "merge_sql_firstseen" -> mergeSqlFirstSeen,
     "lake_time_travel" -> lakeTimeTravel,
+    "lake_schema_evolution" -> lakeSchemaEvolution,
     "lake_delete_update" -> lakeDeleteUpdate)
 
   val oracles: Map[String, String] = Map(
     "merge_sql_firstseen" ->
       graft.operators.Merge.mergeUpsertFirstSeenOracle,
     "lake_time_travel" -> lakeTimeTravelOracle,
+    "lake_schema_evolution" -> lakeSchemaEvolutionOracle,
     "lake_delete_update" -> lakeDeleteUpdateOracle)
 }
