@@ -1209,6 +1209,46 @@ object Coverage {
        CAST(count(*) - count(o_orderstatus) AS BIGINT) AS null_status
        FROM orders"""
 
+  /** NOT IN subquery under ANSI three-valued logic — the classic
+    * correctness trap every engine must get right: `x NOT IN (S)` is
+    * the conjunction of `x <> s` over S, so a single NULL in S makes
+    * the predicate UNKNOWN for every non-member and the filter drops
+    * ALL of them. One query pins both sides: the null-free subquery
+    * behaves as an anti join; the same subquery with one NULL injected
+    * returns zero rows. Both engines implement the standard, so the
+    * oracle is the identical SQL. */
+  val subqueryNotInNull: Q = (s, dir) => {
+    t(s, dir, "orders").createOrReplaceTempView("orders_nin")
+    t(s, dir, "customer").createOrReplaceTempView("customer_nin")
+    s.sql(
+      """SELECT 'no_nulls' AS variant, CAST(count(*) AS BIGINT) AS n
+         FROM orders_nin
+         WHERE o_custkey NOT IN
+           (SELECT c_custkey FROM customer_nin WHERE c_custkey % 3 = 0)
+         UNION ALL
+         SELECT 'with_null', CAST(count(*) AS BIGINT)
+         FROM orders_nin
+         WHERE o_custkey NOT IN
+           (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+                   ELSE c_custkey END
+            FROM customer_nin)
+         ORDER BY variant""")
+  }
+
+  val subqueryNotInNullOracle: String =
+    """SELECT 'no_nulls' AS variant, CAST(count(*) AS BIGINT) AS n
+       FROM orders
+       WHERE o_custkey NOT IN
+         (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
+       UNION ALL
+       SELECT 'with_null', CAST(count(*) AS BIGINT)
+       FROM orders
+       WHERE o_custkey NOT IN
+         (SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL
+                 ELSE c_custkey END
+          FROM customer)
+       ORDER BY variant"""
+
   val recursiveCte: Q = (s, dir) => {
     // seed from the memoized verified-pairs TABLE (Dedup.verifiedPairs)
     // — the recursion demonstrates reachability SQL, not the minhash
@@ -1705,6 +1745,7 @@ object Coverage {
     "sql_recursive_cte" -> recursiveCte,
     "sql_parameterized" -> sqlParameterized,
     "meta_analyze_stats" -> metaAnalyzeStats,
+    "subquery_not_in_null" -> subqueryNotInNull,
     "join_lateral_topk" -> lateralJoin,
     "try_funcs_ansi" -> tryFuncsAnsi,
     "join_dpp_prune" -> joinDppPrune,
@@ -1762,6 +1803,7 @@ object Coverage {
     "sql_recursive_cte" -> recursiveCteOracle,
     "sql_parameterized" -> sqlParameterizedOracle,
     "meta_analyze_stats" -> metaAnalyzeStatsOracle,
+    "subquery_not_in_null" -> subqueryNotInNullOracle,
     "join_lateral_topk" -> lateralJoinOracle,
     "try_funcs_ansi" -> tryFuncsAnsiOracle,
     "join_dpp_prune" -> joinDppPruneOracle,
