@@ -168,14 +168,35 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   /** `TIMESTAMP AS OF t` (micros since epoch, Spark's contract): the
-    * newest version committed at or before t. */
+    * newest SURVIVING version committed at or before t. Candidates are
+    * restricted to versions whose dir still exists — an expired
+    * version's commitMicros reads Long.MinValue, which would otherwise
+    * pass the <= filter and resolve to a dir-less snapshot served as
+    * zero rows. If t falls before the oldest surviving commit AND
+    * history has been expired, the state at t is unknowable — fail
+    * LOUDLY, matching the VERSION AS OF overload's contract. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val t = loadTable(ident).asInstanceOf[GraftLakeTable]
     val dir = tableDir(ident.name()).getPath
     val latest = GraftLakeIO.latestVersion(dir)
-    val v = (1 to latest)
+    val surviving = (1 to latest)
+      .filter(GraftLakeIO.versionDir(dir, _).exists())
+    val v = surviving
       .filter(GraftLakeIO.commitMicros(dir, _) <= timestamp)
-      .maxOption.getOrElse(0)
+      .maxOption.getOrElse {
+        // no surviving snapshot at or before t: only the empty v0
+        // pre-insert state qualifies, and only if v1 itself survives
+        // (nothing expired below t)
+        if (latest >= 1 && !GraftLakeIO.versionDir(dir, 1).exists())
+          throw new IllegalArgumentException(
+            s"${ident.name()}: no snapshot at or before timestamp " +
+              s"$timestamp survives — history up to that point has " +
+              "been expired (oldest surviving commit: " +
+              surviving.headOption.map(sv =>
+                s"v$sv at ${GraftLakeIO.commitMicros(dir, sv)}")
+                .getOrElse("none") + ")")
+        0
+      }
     t.withPinned(v)
   }
 
@@ -380,6 +401,17 @@ object GraftLakeIO {
     if (f.exists()) java.nio.file.Files.readString(f.toPath).trim.toLong
     else Long.MinValue
   }
+
+  /** STRICTLY MONOTONIC commit stamp (micros): max(now, base+1).
+    * Two commits landing in the same clock millisecond would otherwise
+    * make `TIMESTAMP AS OF t(v_n)` resolve v_n+1 — time travel demands
+    * commit time order == version order. */
+  def nextCommitStamp(dataDir: String, baseV: Int): Long = {
+    val now = System.currentTimeMillis() * 1000L
+    val base =
+      if (baseV >= 1) commitMicros(dataDir, baseV) else Long.MinValue
+    math.max(now, base + 1)
+  }
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete(): Unit
@@ -398,28 +430,99 @@ object GraftLakeIO {
     (1 to latest).filter(versionDir(dataDir, _).exists())
   }
 
-  /** Optimistic compare-and-swap publish: takes a short filesystem
-    * lock (atomic create-new), re-reads the pointer, and only commits
-    * if the table is still at `expectedBase` — a concurrent committer
-    * who won the race surfaces as [[GraftLakeCommitConflict]], never
-    * as silent clobbering. The lock guards only the read-check-move
-    * window (microseconds), not the version build. */
-  def publishCas(dataDir: String, expectedBase: Int, v: Int): Unit = {
-    val lock = new java.io.File(dataDir, "_commit.lock").toPath
-    val deadline = System.nanoTime() + 10000000000L
-    var held = false
-    while (!held) {
-      try { java.nio.file.Files.createFile(lock): Unit; held = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          if (System.nanoTime() > deadline)
-            throw new GraftLakeCommitConflict(
-              s"$dataDir: commit lock held for >10s — stale lock or " +
-                "livelocked committer")
-          Thread.sleep(5)
-      }
+  // ---- table commit lock ----
+  // Two layers: a per-table JVM monitor (threads of one process — an
+  // OS FileLock would throw OverlappingFileLockException between them)
+  // plus an OS FileLock on `_commit.lock` for cross-process exclusion.
+  // The OS releases a FileLock when its holder dies, so a crashed
+  // committer can never wedge the table the way the old
+  // create-new-file lock could (advisor round 10: a kill between
+  // createFile and the finally made every later commit spin 10s and
+  // fail forever). The lock file itself persists — deleting it after
+  // release would let a new locker create a FRESH inode while a slow
+  // third process still holds a lock on the old one, silently breaking
+  // mutual exclusion.
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  def withCommitLock[T](dataDir: String)(body: => T): T = {
+    val key = new java.io.File(dataDir).getCanonicalPath
+    val mon = jvmLocks.computeIfAbsent(key, _ => new Object)
+    mon.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        new java.io.File(dataDir, "_commit.lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val deadline = System.nanoTime() + 10000000000L
+        var lock: java.nio.channels.FileLock = null
+        while (lock == null) {
+          lock = ch.tryLock()
+          if (lock == null) {
+            if (System.nanoTime() > deadline)
+              throw new GraftLakeCommitConflict(
+                s"$dataDir: commit lock held by another process for " +
+                  ">10s — livelocked or hung committer")
+            Thread.sleep(5)
+          }
+        }
+        try body finally lock.release()
+      } finally ch.close()
     }
-    try {
+  }
+
+  private val buildSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Writer-unique staging dir for one commit's version build. Lives
+    * inside the table dir so the final rename and the shard hardlinks
+    * stay on one filesystem. */
+  def newBuildDir(dataDir: String): java.io.File = {
+    val d = new java.io.File(dataDir,
+      s"_build_${ProcessHandle.current().pid()}_" +
+        s"${buildSeq.incrementAndGet()}")
+    rmTree(d)
+    d.mkdirs()
+    d
+  }
+
+  /** The commit point: under the table lock, verify the pointer is
+    * still at `expectedBase`, atomically RENAME the writer-unique
+    * build dir to v(base+1), and move the pointer. Because every
+    * writer builds in its own dir (advisor round 10: two writers
+    * deriving the SAME v(N+1) path from a shared base could rmTree
+    * each other's just-published files), a losing committer can only
+    * ever delete its OWN build — the winner's published snapshot is
+    * untouchable. Returns the published version. */
+  def commitVersion(dataDir: String, expectedBase: Int,
+      buildDir: java.io.File): Int = withCommitLock(dataDir) {
+    val cur = latestVersion(dataDir)
+    if (cur != expectedBase) {
+      rmTree(buildDir)
+      throw new GraftLakeCommitConflict(
+        s"$dataDir: optimistic commit failed — built against base " +
+          s"v$expectedBase but the table is at v$cur (a concurrent " +
+          "writer committed first); rebuild from the new snapshot " +
+          "and retry")
+    }
+    val newV = expectedBase + 1
+    val dst = versionDir(dataDir, newV)
+    // pointer at expectedBase yet dst exists ⇒ a previous commit
+    // crashed between rename and publish. Unpublished ⇒ unreachable
+    // (readers resolve versions <= pointer) and, under this lock, no
+    // live writer owns it (live builds are in _build_* dirs) — safe to
+    // clear, never a published snapshot.
+    if (dst.exists()) rmTree(dst)
+    java.nio.file.Files.move(buildDir.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    publish(dataDir, newV)
+    newV
+  }
+
+  /** Optimistic compare-and-swap publish of an ALREADY-MATERIALIZED
+    * version dir (spec-level primitive; the write paths go through
+    * [[commitVersion]], which also owns the build-dir rename). */
+  def publishCas(dataDir: String, expectedBase: Int, v: Int): Unit =
+    withCommitLock(dataDir) {
       val cur = latestVersion(dataDir)
       if (cur != expectedBase)
         throw new GraftLakeCommitConflict(
@@ -428,7 +531,40 @@ object GraftLakeIO {
             "writer committed first); rebuild from the new snapshot " +
             "and retry")
       publish(dataDir, v)
-    } finally java.nio.file.Files.deleteIfExists(lock): Unit
+    }
+
+  /** ROLLBACK — recover from a mis-merge by restoring an earlier
+    * snapshot, Delta-RESTORE style: the rollback is itself a NEW
+    * commit (v_latest+1) whose content is a hardlink copy of the
+    * target snapshot, published through the same CAS protocol. History
+    * stays append-only — the abandoned versions remain time-travelable
+    * — and any concurrent commit built on the pre-rollback head fails
+    * with [[GraftLakeCommitConflict]] exactly like any other lost
+    * race. Returns the new head version. */
+  def rollbackToVersion(dataDir: String, target: Int): Int = {
+    val base = latestVersion(dataDir)
+    require(target >= 0 && target <= base,
+      s"$dataDir: rollback target v$target out of range 0..$base")
+    require(target == 0 || versionDir(dataDir, target).exists(),
+      s"$dataDir: rollback target v$target has been expired")
+    val build = newBuildDir(dataDir)
+    if (target > 0) {
+      val tdir = versionDir(dataDir, target)
+      Option(tdir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName != "_commit")
+        .foreach { f =>
+          val dst = new java.io.File(build, f.getName)
+          try java.nio.file.Files.createLink(dst.toPath, f.toPath): Unit
+          catch {
+            case _: UnsupportedOperationException | _: java.io.IOException =>
+              java.nio.file.Files.copy(f.toPath, dst.toPath): Unit
+          }
+        }
+    }
+    java.nio.file.Files.writeString(
+      new java.io.File(build, "_commit").toPath,
+      nextCommitStamp(dataDir, base).toString): Unit
+    commitVersion(dataDir, base, build)
   }
 
   /** Atomic publish: the pointer move is the commit point. */
@@ -537,19 +673,26 @@ class GraftLakeReaderFactory(required: StructType)
 
 /** Streams one shard file of JSON-lines rows (Jackson, executor-side —
   * same wire discipline as [[GraftMongoPartitionReader]]). The
-  * `_shard` metadata column is synthesized from the file, not stored. */
+  * `_shard` metadata column is synthesized from the file, not stored.
+  * A missing file is an ERROR, never an empty shard: partitions are
+  * planned only for shards that existed in the immutable snapshot dir,
+  * so absence at read time means the snapshot was torn (expired
+  * mid-read, dropped, or corrupted) — surfacing it beats silently
+  * serving zero rows (advisor round 10). */
 class GraftLakePartitionReader(path: String, shard: Int,
     required: StructType) extends PartitionReader[InternalRow] {
   private val om = new com.fasterxml.jackson.databind.ObjectMapper()
-  private val reader =
-    if (new java.io.File(path).exists())
-      new java.io.BufferedReader(new java.io.InputStreamReader(
-        new java.io.FileInputStream(path), "UTF-8"))
-    else null
+  private val reader = {
+    if (!new java.io.File(path).exists())
+      throw new java.io.FileNotFoundException(
+        s"lake shard $path vanished after planning — the snapshot " +
+          "was expired or deleted while being read")
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(path), "UTF-8"))
+  }
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    if (reader == null) return false
     val line = reader.readLine()
     if (line == null) return false
     val doc = om.readTree(line)
@@ -578,7 +721,7 @@ class GraftLakePartitionReader(path: String, shard: Int,
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = if (reader != null) reader.close()
+  override def close(): Unit = reader.close()
 }
 
 /** Writes route every row to its group (floorMod of the shard key) in
@@ -622,50 +765,51 @@ class GraftLakeBatchWrite(table: GraftLakeTable, dataDir: String,
       table.shardKey, table.nShards)
   }
 
-  /** Versioned commit: build version N+1 COMPLETELY off to the side
-    * (unchanged shards hardlinked from the base snapshot — zero copy,
-    * and safe because published files are never appended to; shards
-    * receiving rows are copied-then-appended; replaced/truncated
-    * shards simply don't carry over), stamp its commit time, then
-    * publish with one atomic pointer move. A reader that resolved the
-    * pointer before the move keeps reading its snapshot's immutable
-    * files — table-level atomicity, no torn states. */
+  /** Versioned commit: build version N+1 COMPLETELY in a WRITER-UNIQUE
+    * build dir (unchanged shards hardlinked from the base snapshot —
+    * zero copy, and safe because published files are never appended
+    * to; shards receiving rows are copied-then-appended;
+    * replaced/truncated shards simply don't carry over), stamp its
+    * commit time, then let [[GraftLakeIO.commitVersion]] CAS-rename it
+    * to v(N+1) and move the pointer under the table lock. A reader
+    * that resolved the pointer before the move keeps reading its
+    * snapshot's immutable files — table-level atomicity, no torn
+    * states — and a racing writer's build can never touch a published
+    * dir (each loser deletes only its own build). */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.flatMap {
       case GraftLakeTaskCommit(parts) => parts
     }.groupBy(_.shard)
     val baseV = op.fold(GraftLakeIO.latestVersion(dataDir))(_.snapshotV)
     val baseDir = GraftLakeIO.versionDir(dataDir, baseV)
-    val newV = baseV + 1
-    val newDir = GraftLakeIO.versionDir(dataDir, newV)
-    rmTree(newDir)
-    newDir.mkdirs()
-    val dropped: Set[Int] =
-      if (truncateFirst) GraftLakeIO.existingShards(baseDir)
-      else op.fold(Set.empty[Int])(_.replacedShards)
-    GraftLakeIO.existingShards(baseDir).diff(dropped).foreach { k =>
-      val src = GraftLakeIO.shardFile(baseDir, k)
-      val dst = GraftLakeIO.shardFile(newDir, k)
-      if (staged.contains(k))
-        java.nio.file.Files.copy(src.toPath, dst.toPath): Unit
-      else
-        try java.nio.file.Files.createLink(dst.toPath, src.toPath): Unit
-        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+    val build = GraftLakeIO.newBuildDir(dataDir)
+    try {
+      val dropped: Set[Int] =
+        if (truncateFirst) GraftLakeIO.existingShards(baseDir)
+        else op.fold(Set.empty[Int])(_.replacedShards)
+      GraftLakeIO.existingShards(baseDir).diff(dropped).foreach { k =>
+        val src = GraftLakeIO.shardFile(baseDir, k)
+        val dst = GraftLakeIO.shardFile(build, k)
+        if (staged.contains(k))
           java.nio.file.Files.copy(src.toPath, dst.toPath): Unit
-        }
-    }
-    staged.foreach { case (k, parts) =>
-      val out = new java.io.FileOutputStream(
-        GraftLakeIO.shardFile(newDir, k), /*append=*/ true)
-      try parts.sortBy(_.path).foreach { c =>
-        java.nio.file.Files.copy(new java.io.File(c.path).toPath, out): Unit
-      } finally out.close()
-    }
-    java.nio.file.Files.writeString(
-      new java.io.File(newDir, "_commit").toPath,
-      (System.currentTimeMillis() * 1000L).toString): Unit
-    GraftLakeIO.publishCas(dataDir, baseV, newV)
-    rmTree(stageDir)
+        else
+          try java.nio.file.Files.createLink(dst.toPath, src.toPath): Unit
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(src.toPath, dst.toPath): Unit
+          }
+      }
+      staged.foreach { case (k, parts) =>
+        val out = new java.io.FileOutputStream(
+          GraftLakeIO.shardFile(build, k), /*append=*/ true)
+        try parts.sortBy(_.path).foreach { c =>
+          java.nio.file.Files.copy(new java.io.File(c.path).toPath, out): Unit
+        } finally out.close()
+      }
+      java.nio.file.Files.writeString(
+        new java.io.File(build, "_commit").toPath,
+        GraftLakeIO.nextCommitStamp(dataDir, baseV).toString): Unit
+      GraftLakeIO.commitVersion(dataDir, baseV, build): Unit
+    } finally rmTree(stageDir)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -293,38 +293,40 @@ class GraftMongoBatchWrite(dataDir: String, declared: StructType,
   }
   /** TABLE-LEVEL-ATOMIC commit via the versioned-snapshot protocol
     * ([[GraftLakeIO]], proven on the lake catalog): version N+1 is
-    * built completely — prior shards hardlinked unless truncating,
-    * staged shards moved in under commit-unique names — and only then
-    * does one atomic pointer move publish it. A concurrent reader that
-    * resolved the pointer earlier keeps its immutable snapshot; no
-    * emptied or half-populated collection is ever observable (the
-    * round-9 in-place protocol's documented caveat, now closed). */
+    * built completely in a WRITER-UNIQUE build dir — prior shards
+    * hardlinked unless truncating, staged shards moved in under
+    * commit-unique names — and only then does
+    * [[GraftLakeIO.commitVersion]] CAS-rename it into place and move
+    * the pointer under the table lock. A concurrent reader that
+    * resolved the pointer earlier keeps its immutable snapshot; a
+    * concurrent WRITER that loses the race deletes only its own build
+    * dir — it can never rmTree a just-published snapshot (the round-10
+    * shared-newDir flaw, closed here the same way as on the lake). */
   override def commit(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
       : Unit = {
     val baseV = GraftLakeIO.latestVersion(dataDir)
-    val newV = baseV + 1
-    val newDir = GraftLakeIO.versionDir(dataDir, newV)
-    rmTree(newDir)
-    newDir.mkdirs()
-    if (!truncateFirst)
-      GraftMongoIO.shardFiles(dataDir).foreach { f =>
-        val dst = new java.io.File(newDir, f.getName)
-        try java.nio.file.Files.createLink(dst.toPath, f.toPath): Unit
-        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-          java.nio.file.Files.copy(f.toPath, dst.toPath): Unit
+    val build = GraftLakeIO.newBuildDir(dataDir)
+    try {
+      if (!truncateFirst)
+        GraftMongoIO.shardFiles(dataDir).foreach { f =>
+          val dst = new java.io.File(build, f.getName)
+          try java.nio.file.Files.createLink(dst.toPath, f.toPath): Unit
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(f.toPath, dst.toPath): Unit
+          }
         }
+      messages.foreach { case GraftMongoCommit(path) =>
+        val f = new java.io.File(path)
+        // commit-unique names: carried shards from earlier commits may
+        // share partition/task ids with this query's staged shards
+        java.nio.file.Files.move(f.toPath,
+          new java.io.File(build,
+            s"part-v${baseV + 1}-${f.getName.stripPrefix("part-")}").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
       }
-    messages.foreach { case GraftMongoCommit(path) =>
-      val f = new java.io.File(path)
-      // commit-unique names: carried shards from earlier commits may
-      // share partition/task ids with this query's staged shards
-      java.nio.file.Files.move(f.toPath,
-        new java.io.File(newDir, s"part-v$newV-${f.getName.stripPrefix("part-")}").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
-    }
-    GraftLakeIO.publishCas(dataDir, baseV, newV)
-    rmTree(stageDir)
+      GraftLakeIO.commitVersion(dataDir, baseV, build): Unit
+    } finally rmTree(stageDir)
   }
   override def abort(
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])

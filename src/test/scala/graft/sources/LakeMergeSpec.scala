@@ -233,9 +233,120 @@ class LakeMergeSpec extends SparkSpec {
     GraftLakeIO.versionDir(dir, 3).mkdirs()
     GraftLakeIO.publishCas(dir, expectedBase = 2, v = 3)
     assert(GraftLakeIO.latestVersion(dir) === 3)
-    // the lock is released either way
-    assert(!new File(dir, "_commit.lock").exists())
+    // the lock is RELEASED either way (the lock file itself persists —
+    // it's an OS FileLock now, freed on release and on process death;
+    // deleting the file would break cross-process mutual exclusion)
+    GraftLakeIO.withCommitLock(dir) { () } // acquirable ⇒ released
     spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("commit race: two writers from the same base — loser conflicts " +
+      "and can never delete the winner's published snapshot") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_race"
+    ddl(tbl) // v1
+    val dir = new File(lakeRoot, "spec_race").getPath
+    assert(GraftLakeIO.latestVersion(dir) === 1)
+    // both writers build from base v1 in their OWN build dirs
+    val buildA = GraftLakeIO.newBuildDir(dir)
+    val buildB = GraftLakeIO.newBuildDir(dir)
+    assert(buildA.getPath !== buildB.getPath)
+    java.nio.file.Files.writeString(
+      new File(buildA, "shard-0.jsonl").toPath,
+      """{"user_id":100,"cohort_d":19000}""" + "\n")
+    java.nio.file.Files.writeString(
+      new File(buildB, "shard-0.jsonl").toPath,
+      """{"user_id":200,"cohort_d":19001}""" + "\n")
+    // writer A wins: v2 published from buildA
+    assert(GraftLakeIO.commitVersion(dir, expectedBase = 1, buildA) === 2)
+    val v2shard = GraftLakeIO.shardFile(GraftLakeIO.versionDir(dir, 2), 0)
+    val winnerBytes = java.nio.file.Files.readAllBytes(v2shard.toPath)
+    // writer B loses: conflict, and the WINNER'S v2 files are intact
+    // (the round-10 flaw: B would have rmTree'd the shared v2 dir)
+    intercept[GraftLakeCommitConflict] {
+      GraftLakeIO.commitVersion(dir, expectedBase = 1, buildB)
+    }
+    assert(GraftLakeIO.latestVersion(dir) === 2)
+    assert(v2shard.exists())
+    assert(java.nio.file.Files.readAllBytes(v2shard.toPath)
+      .sameElements(winnerBytes))
+    // the loser's build dir was cleaned up, not left as garbage
+    assert(!buildB.exists())
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("rollback: restore-as-new-commit preserves history and fails " +
+      "concurrent commits built on the pre-rollback head") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_rollback"
+    ddl(tbl) // v1: users 0..7
+    spark.sql(s"INSERT INTO $tbl VALUES (8, DATE '2024-05-01')")  // v2
+    spark.sql(s"INSERT INTO $tbl VALUES (9, DATE '2024-06-01')")  // v3
+    val dir = new File(lakeRoot, "spec_rollback").getPath
+    assert(GraftLakeIO.latestVersion(dir) === 3)
+    // a concurrent writer starts building on v3...
+    val straggler = GraftLakeIO.newBuildDir(dir)
+    // ...while the mis-merge recovery rolls back to v1 (publishes v4)
+    assert(GraftLakeIO.rollbackToVersion(dir, 1) === 4)
+    assert(GraftLakeIO.latestVersion(dir) === 4)
+    assert(rows(tbl).keySet === (0L to 7L).toSet) // v1 content restored
+    // the straggler's commit built on v3 now conflicts
+    intercept[GraftLakeCommitConflict] {
+      GraftLakeIO.commitVersion(dir, expectedBase = 3, straggler)
+    }
+    // abandoned versions remain time-travelable (append-only history)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 2")
+      .head.getLong(0) === 9L)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 3")
+      .head.getLong(0) === 10L)
+    // rolling back to an expired target is refused
+    GraftLakeIO.expireSnapshots(dir, keep = 2): Unit // drops v1, v2
+    intercept[IllegalArgumentException] {
+      GraftLakeIO.rollbackToVersion(dir, 1)
+    }
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("TIMESTAMP AS OF refuses expired history instead of serving " +
+      "an empty scan") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_ttexp"
+    ddl(tbl) // v1
+    spark.sql(s"INSERT INTO $tbl VALUES (8, DATE '2024-05-01')") // v2
+    val dir = new File(lakeRoot, "spec_ttexp").getPath
+    val t1 = GraftLakeIO.commitMicros(dir, 1)
+    val t2 = GraftLakeIO.commitMicros(dir, 2)
+    // pre-expiry: t1 resolves v1, t2 resolves v2
+    assert(spark.sql(
+      s"SELECT count(*) FROM $tbl TIMESTAMP AS OF ${microsLit(t1)}")
+      .head.getLong(0) === 8L)
+    GraftLakeIO.expireSnapshots(dir, keep = 1): Unit // v1 gone
+    // a timestamp in v1's validity window must now FAIL, not read v1's
+    // missing dir as zero rows (advisor round 10: commitMicros of an
+    // expired version reads Long.MinValue and won the maxOption)
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT count(*) FROM $tbl TIMESTAMP AS OF ${microsLit(t1)}")
+        .collect()
+    }
+    assert(e.getMessage.contains("expired"),
+      s"expected loud expiry failure, got: ${e.getMessage}")
+    // the surviving head still time-travels fine
+    assert(spark.sql(
+      s"SELECT count(*) FROM $tbl TIMESTAMP AS OF ${microsLit(t2)}")
+      .head.getLong(0) === 9L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  /** Spark parses TIMESTAMP AS OF '<literal>'; render micros as a UTC
+    * timestamp string with microsecond precision. */
+  private def microsLit(micros: Long): String = {
+    val i = java.time.Instant.ofEpochSecond(micros / 1000000L,
+      (micros % 1000000L) * 1000L)
+    val s = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC).format(i)
+    s"'$s'"
   }
 
   test("schema evolution: ADD/DROP COLUMN are metadata-only — old " +

@@ -154,7 +154,8 @@ class MongoCatalogSpec extends SparkSpec {
       spark.conf.get("spark.sql.catalog.graft_mongo.path"), "spec_rt")
     val rootFiles = Option(dataDir.listFiles()).getOrElse(Array.empty)
     assert(rootFiles.forall(f =>
-      f.getName == "_latest" || f.getName.matches("v\\d+")),
+      f.getName == "_latest" || f.getName == "_commit.lock" ||
+        f.getName.matches("v\\d+")),
       rootFiles.map(_.getName).mkString(","))
     val files = GraftMongoIO.shardFiles(dataDir.getPath)
     assert(files.nonEmpty && files.forall(_.getName.startsWith("part-")),
