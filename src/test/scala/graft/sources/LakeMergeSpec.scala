@@ -338,6 +338,98 @@ class LakeMergeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("zone-map skipping: a selective predicate over a range-" +
+      "clustered table plans only intersecting shards, results exact") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_zmap"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, score DOUBLE)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4',
+        'shard_width'='10')""")
+    // keys 0..39 → shards [0,10) [10,20) [20,30) [30,∞)
+    spark.range(40).selectExpr("id AS user_id", "id * 1.5 AS score")
+      .createOrReplaceTempView("spec_zmap_src")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_zmap_src")
+    val vdir = GraftLakeIO.versionDir(
+      new File(lakeRoot, "spec_zmap").getPath, 1)
+    // the commit persisted zone maps for all 4 shards
+    val stats = GraftLakeIO.readStats(vdir)
+    assert(stats.keySet === Set(0, 1, 2, 3))
+    assert(stats(1)("user_id").minL === 10L &&
+      stats(1)("user_id").maxL === 19L)
+    assert(stats(2)("score").minD === 30.0 &&
+      stats(2)("score").maxD === 43.5)
+    // selective range read: shards 0, 2, 3 provably miss — skipped
+    GraftLakeScanMetrics.reset()
+    val got = spark.sql(
+      s"SELECT user_id FROM $tbl WHERE user_id BETWEEN 12 AND 17 " +
+        "ORDER BY user_id").collect().map(_.getLong(0))
+    assert(got === (12L to 17L).toArray)
+    assert(GraftLakeScanMetrics.skippedByStats.get() === 3L,
+      s"skipped=${GraftLakeScanMetrics.skippedByStats.get()} " +
+        s"planned=${GraftLakeScanMetrics.planned.get()}")
+    assert(GraftLakeScanMetrics.planned.get() === 1L)
+    // DOUBLE-column predicate skips too (non-key zone map)
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(
+      s"SELECT count(*) FROM $tbl WHERE score >= 45.0")
+      .head.getLong(0) === 10L)
+    assert(GraftLakeScanMetrics.skippedByStats.get() === 3L)
+    // a predicate zone maps can't decide (string/unsupported shape)
+    // skips nothing and stays correct
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(
+      s"SELECT count(*) FROM $tbl WHERE user_id % 2 = 0")
+      .head.getLong(0) === 20L)
+    assert(GraftLakeScanMetrics.skippedByStats.get() === 0L)
+    // hash-sharded tables (no shard_width): ranges overlap, no skip,
+    // same answers — the stats layer is purely an optimization
+    val tblH = "graft_lake.lake.spec_zmap_hash"
+    spark.sql(s"DROP TABLE IF EXISTS $tblH")
+    spark.sql(s"""CREATE TABLE $tblH (user_id BIGINT, score DOUBLE)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4')""")
+    spark.sql(s"INSERT INTO $tblH SELECT * FROM spec_zmap_src")
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(
+      s"SELECT count(*) FROM $tblH WHERE user_id BETWEEN 12 AND 17")
+      .head.getLong(0) === 6L)
+    assert(GraftLakeScanMetrics.skippedByStats.get() === 0L)
+    spark.sql(s"DROP TABLE $tbl")
+    spark.sql(s"DROP TABLE $tblH")
+  }
+
+  test("zone maps survive append commits and stay sound after " +
+      "schema evolution") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_zmap_evo"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4',
+        'shard_width'='10')""")
+    spark.sql(s"INSERT INTO $tbl VALUES (5), (15)")        // v1
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN (score DOUBLE)")
+    spark.sql(s"INSERT INTO $tbl VALUES (6, 9.0), (35, 2.0)") // v2
+    val dir = new File(lakeRoot, "spec_zmap_evo").getPath
+    val stats = GraftLakeIO.readStats(GraftLakeIO.versionDir(dir, 2))
+    // shard 0 appended: key range merged 5..6; score range covers only
+    // the non-null half — sound because old rows read NULL
+    assert(stats(0)("user_id").minL === 5L &&
+      stats(0)("user_id").maxL === 6L)
+    assert(stats(0)("score").minD === 9.0)
+    // shard 1 carried by hardlink: v1 stats carried verbatim, no score
+    assert(stats(1)("user_id").minL === 15L &&
+      !stats(1).contains("score"))
+    // score predicate: shard 1 (no score entry) must NOT be skipped
+    // blindly — it has no entry, so it's read and contributes nothing
+    GraftLakeScanMetrics.reset()
+    val n = spark.sql(
+      s"SELECT count(*) FROM $tbl WHERE score > 5.0").head.getLong(0)
+    assert(n === 1L)
+    // shard 3 (score=2.0) provably misses score>5 → skipped
+    assert(GraftLakeScanMetrics.skippedByStats.get() === 1L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   /** Spark parses TIMESTAMP AS OF '<literal>'; render micros as a UTC
     * timestamp string with microsecond precision. */
   private def microsLit(micros: Long): String = {
