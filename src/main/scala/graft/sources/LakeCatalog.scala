@@ -1335,6 +1335,214 @@ object Lake {
               ELSE n_events END AS n_events
        FROM base WHERE user_id % 7 <> 0 ORDER BY user_id"""
 
+  /** CHANGE DATA FEED — the `table_changes(v_from, v_to)` read
+    * (Delta CDF / Iceberg changelog semantics) derived from the
+    * immutable snapshot history the lake already keeps: one FULL OUTER
+    * join of the two pinned snapshots on the table's key produces
+    * `insert` rows (key only in v_to), `delete` rows (key only in
+    * v_from) and `update_preimage`/`update_postimage` pairs (key in
+    * both, any non-key column differing under null-safe equality).
+    * Changes are VALUE-level: a MERGE that rewrote a row with an
+    * identical value emits nothing. One keyed shuffle join, arrays of
+    * at most two structs per key, exploded — no driver-side state, so
+    * the diff scales with the two snapshots like any other join.
+    * Columns are aligned to v_to's schema; columns added since v_from
+    * read as NULL on the pre side (the metadata-only evolution
+    * contract). */
+  def tableChanges(s: org.apache.spark.sql.SparkSession, tbl: String,
+      key: String, vFrom: Int, vTo: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val post = s.sql(s"SELECT * FROM $tbl VERSION AS OF $vTo")
+    val preRaw = s.sql(s"SELECT * FROM $tbl VERSION AS OF $vFrom")
+    val cols = post.columns.toSeq
+    val pre = preRaw.select(cols.map(c =>
+      if (preRaw.columns.contains(c)) col(c)
+      else lit(null).cast(post.schema(c).dataType).as(c)): _*)
+    val a = pre.select(cols.map(c => col(c).as(s"a_$c")): _*)
+    val b = post.select(cols.map(c => col(c).as(s"b_$c")): _*)
+    val j = a.join(b, col(s"a_$key") <=> col(s"b_$key"), "full_outer")
+    val changed = cols.filterNot(_ == key)
+      .map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def img(tag: String, prefix: String) =
+      struct(lit(tag).as("_change_type") +:
+        cols.map(c => col(s"${prefix}_$c").as(c)): _*)
+    val rows =
+      when(col(s"b_$key").isNull, array(img("delete", "a")))
+        .when(col(s"a_$key").isNull, array(img("insert", "b")))
+        .when(changed,
+          array(img("update_preimage", "a"), img("update_postimage", "b")))
+        .otherwise(array())
+    j.select(explode(rows).as("c"))
+      .select(col("c._change_type") +: cols.map(c => col(s"c.$c")): _*)
+  }
+
+  /** DDL + three-commit history of a per-user event-count table —
+    * the CDC fixture (the first-seen/min-date history is change-FREE
+    * by construction: a later batch can never lower a min, so its
+    * MERGE rewrites every matched row to the same value and the
+    * value-level feed is empty). Here every commit changes values:
+    * v1 INSERTs first-half-of-month counts, v2 MERGE-ADDs the second
+    * half (updates most users, inserts second-half-only ones), v3
+    * DELETEs every 7th user. Caller holds the Lake lock. */
+  private def setupCountsHistory(s: org.apache.spark.sql.SparkSession,
+      dir: String, tbl: String): Unit = {
+    val ev = Tables.events(s, dir)
+      .selectExpr("user_id", "dayofmonth(ts) AS dom")
+    ev.filter(col("dom") <= 15).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .createOrReplaceTempView("graft_lake_cnt_b1")
+    ev.filter(col("dom") > 15).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .createOrReplaceTempView("graft_lake_cnt_b2")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_cnt_b1")
+    s.sql(s"""MERGE INTO $tbl t USING graft_lake_cnt_b2 s
+              ON t.user_id = s.user_id
+              WHEN MATCHED THEN
+                UPDATE SET n_events = t.n_events + s.n_events
+              WHEN NOT MATCHED THEN
+                INSERT (user_id, n_events) VALUES (s.user_id, s.n_events)""")
+    s.sql(s"DELETE FROM $tbl WHERE user_id % 7 = 0")
+    (): Unit
+  }
+
+  /** CDF over the count-table history: `table_changes(1, 3)` spans the
+    * MERGE and the DELETE in one diff — users deleted by v3 surface as
+    * `delete` rows with their v1 image, second-half-only users as
+    * `insert`, and users whose count the MERGE actually grew as
+    * pre/post image pairs. The oracle recomputes v1's and v3's states
+    * from raw events and diffs them in SQL, so a pass proves the feed
+    * derives from real history, not from the head. */
+  val lakeTableChanges: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val tbl =
+      s"graft_lake.lake.cdf_${Tables.fingerprint(dir, "events")}"
+    setupCountsHistory(s, dir, tbl)
+    tableChanges(s, tbl, "user_id", 1, 3)
+      .orderBy("user_id", "_change_type")
+  }
+
+  val lakeTableChangesOracle: String =
+    """WITH ev AS (
+         SELECT user_id, day(CAST(ts AS TIMESTAMP)) AS dom FROM events),
+       b1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+              FROM ev WHERE dom <= 15 GROUP BY user_id),
+       tot AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+               FROM ev GROUP BY user_id),
+       s3 AS (SELECT * FROM tot WHERE user_id % 7 <> 0)
+       SELECT 'delete' AS _change_type, user_id, n_events
+       FROM b1 WHERE user_id % 7 = 0
+       UNION ALL
+       SELECT 'insert', s3.user_id, s3.n_events
+       FROM s3 ANTI JOIN b1 ON b1.user_id = s3.user_id
+       UNION ALL
+       SELECT 'update_preimage', b1.user_id, b1.n_events
+       FROM b1 JOIN s3 ON b1.user_id = s3.user_id
+       WHERE s3.n_events <> b1.n_events
+       UNION ALL
+       SELECT 'update_postimage', s3.user_id, s3.n_events
+       FROM b1 JOIN s3 ON b1.user_id = s3.user_id
+       WHERE s3.n_events <> b1.n_events
+       ORDER BY user_id, _change_type"""
+
+  /** STREAMING READ OF THE LAKE — the read direction of
+    * `stream_merge_upsert`, closing the CDC loop end-to-end: every
+    * commit in the table's history is rendered as its
+    * [[tableChanges]] batch (v-1 → v), staged as one file per commit
+    * in commit order (mtimes restamped ascending — the file source
+    * admits by modification time), and REPLAYED through a file stream
+    * with `maxFilesPerTrigger=1`, so each micro-batch carries exactly
+    * one commit's changes. `foreachBatch` applies each batch to a
+    * maintained downstream table (anti-join out the touched keys,
+    * union in the inserts/postimages — deletes simply don't come
+    * back). After the stream drains, the downstream copy must equal
+    * the lake head — which only holds if every intermediate commit
+    * was applied in order with upsert-not-append semantics, the
+    * contract a warehouse-bound CDC consumer needs. The oracle is the
+    * flat batch recompute (same as the MERGE that produced the
+    * history). */
+  val streamLakeChanges: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.cdfs_$fp"
+    setupCountsHistory(s, dir, tbl) // v1 INSERT, v2 MERGE, v3 DELETE
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(): Unit
+    }
+    val dataDir = new java.io.File(
+      s.conf.get("spark.sql.catalog.graft_lake.path"), s"cdfs_$fp")
+      .getPath
+    val latest = GraftLakeIO.latestVersion(dataDir)
+    val stage = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_lake_cdf_replay_${fp}_" +
+        s"${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    // one change-batch FILE per commit, admitted in commit order
+    val t0 = System.currentTimeMillis() - 1000000L
+    (1 to latest).foreach { v =>
+      val sub = new java.io.File(stage, s"b$v")
+      tableChanges(s, tbl, "user_id", v - 1, v)
+        .coalesce(1).write.mode("overwrite").parquet(sub.getPath)
+      val part = Option(sub.listFiles()).getOrElse(Array.empty)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no change file staged for v$v"))
+      val dst = new java.io.File(stage, f"batch-$v%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath): Unit
+      dst.setLastModified(t0 + v * 1000L): Unit
+      rmTree(sub)
+    }
+    val changeSchema = StructType(Seq(
+      StructField("_change_type", StringType),
+      StructField("user_id", LongType),
+      StructField("n_events", LongType)))
+    // downstream copy maintained per batch: alternating parquet dirs
+    // (foreachBatch runs sequentially on the driver)
+    var curPath: Option[String] = None
+    var nextId = 0
+    val q = s.readStream.schema(changeSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.getPath)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val b = batch.cache()
+          val upserts = b.filter(col("_change_type")
+            .isin("insert", "update_postimage"))
+            .select("user_id", "n_events")
+          val touched = b.select("user_id").distinct()
+          val next = curPath match {
+            case Some(p) => ss.read.parquet(p)
+              .join(touched, Seq("user_id"), "left_anti")
+              .unionByName(upserts)
+            case None => upserts
+          }
+          nextId += 1
+          val p = new java.io.File(stage, s"state_$nextId").getPath
+          next.write.mode("overwrite").parquet(p)
+          curPath = Some(p)
+          b.unpersist(): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(curPath.getOrElse(
+        sys.error("stream applied no change batches")))
+      .orderBy("user_id")
+  }
+
+  /** The lake head after the three-commit history: total counts minus
+    * the deleted users — what the downstream CDC copy must converge
+    * to. */
+  val streamLakeChangesOracle: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+       FROM events WHERE user_id % 7 <> 0
+       GROUP BY user_id ORDER BY user_id"""
+
   /** ZONE-MAP FILE SKIPPING over a range-clustered lake table — the
     * Iceberg/Delta data-skipping pattern end-to-end: the table is
     * created with `shard_width` RANGE clustering (shard k holds keys
@@ -1380,7 +1588,9 @@ object Lake {
     "lake_time_travel" -> lakeTimeTravel,
     "lake_schema_evolution" -> lakeSchemaEvolution,
     "lake_delete_update" -> lakeDeleteUpdate,
-    "lake_stats_skipping" -> lakeStatsSkipping)
+    "lake_stats_skipping" -> lakeStatsSkipping,
+    "lake_table_changes" -> lakeTableChanges,
+    "stream_lake_changes" -> streamLakeChanges)
 
   val oracles: Map[String, String] = Map(
     "merge_sql_firstseen" ->
@@ -1388,5 +1598,7 @@ object Lake {
     "lake_time_travel" -> lakeTimeTravelOracle,
     "lake_schema_evolution" -> lakeSchemaEvolutionOracle,
     "lake_delete_update" -> lakeDeleteUpdateOracle,
-    "lake_stats_skipping" -> lakeStatsSkippingOracle)
+    "lake_stats_skipping" -> lakeStatsSkippingOracle,
+    "lake_table_changes" -> lakeTableChangesOracle,
+    "stream_lake_changes" -> streamLakeChangesOracle)
 }

@@ -430,6 +430,47 @@ class LakeMergeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("table_changes: version-diff CDC feed — inserts, deletes, " +
+      "update pre/post pairs, value-identical rewrites silent") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_cdf"
+    ddl(tbl) // v1: users 0..7 @ 2024-03-01
+    // v2: update 1 (real change), rewrite 2 with the SAME value
+    // (must be silent), insert 9, delete 3
+    spark.sql(s"""MERGE INTO $tbl t USING (
+        SELECT * FROM VALUES
+          (1L, DATE '2024-04-01'), (2L, DATE '2024-03-01'),
+          (9L, DATE '2024-05-01')
+          AS src(user_id, cohort_d)) s
+      ON t.user_id = s.user_id
+      WHEN MATCHED THEN UPDATE SET cohort_d = s.cohort_d
+      WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql(s"DELETE FROM $tbl WHERE user_id = 3")
+    def changes(f: Int, t: Int): Set[(String, Long, String)] =
+      Lake.tableChanges(spark, tbl, "user_id", f, t).collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDate(2).toString)).toSet
+    assert(changes(1, 2) === Set(
+      ("update_preimage", 1L, "2024-03-01"),
+      ("update_postimage", 1L, "2024-04-01"),
+      ("insert", 9L, "2024-05-01")))
+    assert(changes(2, 3) === Set(("delete", 3L, "2024-03-01")))
+    // spanning diff composes; reversed endpoints invert the feed
+    assert(changes(1, 3) === Set(
+      ("update_preimage", 1L, "2024-03-01"),
+      ("update_postimage", 1L, "2024-04-01"),
+      ("insert", 9L, "2024-05-01"),
+      ("delete", 3L, "2024-03-01")))
+    assert(changes(2, 1) === Set(
+      ("update_preimage", 1L, "2024-04-01"),
+      ("update_postimage", 1L, "2024-03-01"),
+      ("delete", 9L, "2024-05-01")))
+    // v0 → v1: pure insert feed of the initial load
+    assert(changes(0, 1).map(_._1) === Set("insert") &&
+      changes(0, 1).size === 8)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   /** Spark parses TIMESTAMP AS OF '<literal>'; render micros as a UTC
     * timestamp string with microsecond precision. */
   private def microsLit(micros: Long): String = {
