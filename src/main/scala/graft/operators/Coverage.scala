@@ -1184,7 +1184,11 @@ object Coverage {
     * proves the stats pipeline measures the data, not a cache. These
     * are the numbers Catalyst's CBO joins/broadcasts plan from. */
   val metaAnalyzeStats: Q = (s, dir) => {
-    val tbl = "graft_orders_stats"
+    // corpus fingerprint in the name: a metastore surviving across
+    // data dirs (sf0.1 then sf1) must never serve a table whose baked
+    // LOCATION points at the PREVIOUS corpus (advisor round 10)
+    val tbl =
+      s"graft_orders_stats_${graft.sources.Tables.fingerprint(dir, "orders")}"
     s.sql(s"""CREATE TABLE IF NOT EXISTS spark_catalog.default.$tbl
               USING parquet LOCATION '$dir/orders.parquet'""")
     s.sql(s"""ANALYZE TABLE spark_catalog.default.$tbl
@@ -1208,6 +1212,55 @@ object Coverage {
        CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
        CAST(count(*) - count(o_orderstatus) AS BIGINT) AS null_status
        FROM orders"""
+
+  /** The ANALYZE stats actually DRIVING a plan — the Trino-CBO loop
+    * closed: both sides of a fact⋈fact join are registered as catalog
+    * tables, `ANALYZE TABLE … FOR COLUMNS` computes row counts and
+    * column min/max/ndv, and the session's cost-based optimizer
+    * ([[graft.sources.Tables.sessionConf]] `spark.sql.cbo.enabled`)
+    * estimates the DATE filter's selectivity from the o_orderdate
+    * range — shrinking the filtered orders side far below the
+    * broadcast threshold that its 281 KB file-size estimate exceeds,
+    * so the join plans as a broadcast hash join instead of shuffling
+    * both sides (PlanSpec pins the stats-off SMJ vs stats-on BHJ plan
+    * difference with a controlled threshold; this query RUNS on the
+    * stats-on plan and oracle-checks its result). */
+  val cboStatsJoin: Q = (s, dir) => {
+    val ot = s"graft_cbo_orders_" +
+      graft.sources.Tables.fingerprint(dir, "orders")
+    val lt = s"graft_cbo_lineitem_" +
+      graft.sources.Tables.fingerprint(dir, "lineitem")
+    s.sql(s"""CREATE TABLE IF NOT EXISTS spark_catalog.default.$ot
+              USING parquet LOCATION '$dir/orders.parquet'""")
+    s.sql(s"""CREATE TABLE IF NOT EXISTS spark_catalog.default.$lt
+              USING parquet LOCATION '$dir/lineitem.parquet'""")
+    // stats on the BIGINT key + priority only: Spark 4.1's
+    // FilterEstimation throws MatchError estimating over an analyzed
+    // TimestampNTZ column (PlanSpec reproduces it) — NTZ columns must
+    // stay stats-less under CBO
+    s.sql(s"""ANALYZE TABLE spark_catalog.default.$ot
+              COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderpriority""")
+    s.sql(s"""ANALYZE TABLE spark_catalog.default.$lt
+              COMPUTE STATISTICS FOR COLUMNS l_orderkey""")
+    s.sql(s"""SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS revenue
+              FROM spark_catalog.default.$lt l
+              JOIN spark_catalog.default.$ot o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey < 1000
+              GROUP BY o.o_orderpriority
+              ORDER BY o.o_orderpriority""")
+  }
+
+  val cboStatsJoinOracle: String =
+    """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderkey < 1000
+       GROUP BY o.o_orderpriority
+       ORDER BY o.o_orderpriority"""
 
   /** NOT IN subquery under ANSI three-valued logic — the classic
     * correctness trap every engine must get right: `x NOT IN (S)` is
@@ -1745,6 +1798,7 @@ object Coverage {
     "sql_recursive_cte" -> recursiveCte,
     "sql_parameterized" -> sqlParameterized,
     "meta_analyze_stats" -> metaAnalyzeStats,
+    "cbo_stats_join" -> cboStatsJoin,
     "subquery_not_in_null" -> subqueryNotInNull,
     "join_lateral_topk" -> lateralJoin,
     "try_funcs_ansi" -> tryFuncsAnsi,
@@ -1803,6 +1857,7 @@ object Coverage {
     "sql_recursive_cte" -> recursiveCteOracle,
     "sql_parameterized" -> sqlParameterizedOracle,
     "meta_analyze_stats" -> metaAnalyzeStatsOracle,
+    "cbo_stats_join" -> cboStatsJoinOracle,
     "subquery_not_in_null" -> subqueryNotInNullOracle,
     "join_lateral_topk" -> lateralJoinOracle,
     "try_funcs_ansi" -> tryFuncsAnsiOracle,

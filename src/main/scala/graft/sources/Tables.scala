@@ -130,6 +130,13 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
+    // cost-based optimization consumes the row-count/min-max/ndv stats
+    // ANALYZE TABLE writes into the catalog (Filter/Join estimation +
+    // stats-driven join reordering). Inert for plain parquet reads —
+    // only catalog tables with computed stats plan differently
+    // (PlanSpec pins the ANALYZE-flips-to-broadcast behavior).
+    "spark.sql.cbo.enabled" -> "true",
+    "spark.sql.cbo.joinReorder.enabled" -> "true",
     "spark.sql.extensions" -> "graft.plans.GraftExtensions",
     // per-process warehouse: the in-memory catalog dies with the JVM but
     // managed-table locations would survive and collide on the next run
