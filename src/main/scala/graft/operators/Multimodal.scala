@@ -14,15 +14,16 @@ import graft.functions.TextAnalysis.{hex60, hex60Duck}
   * levels: [[mmDecodeFeatures]] keeps the clearly-marked byte-stats
   * stub (the shape a production job drops an ffmpeg-class codec into),
   * while [[mmCodecRoundtrip]] runs a REAL image codec end-to-end (JDK
-  * ImageIO PNG encode → decode) and [[mmAudioRoundtrip]] a REAL audio
-  * codec (javax.sound WAV/PCM encode → decode), both inside the typed
-  * mapPartitions batch path — present on every executor JVM, no
-  * deployment. The remaining genuinely-absent codecs are COMPRESSED
-  * audio/video (ffmpeg-class: MP3/AAC/H.264, not in this container);
-  * the frame/resize ops keep the stub with the real plumbing: schema,
-  * typed Dataset + mapPartitions batch shape (the Scala analog of
-  * mapInPandas batch UDFs), partition-parallel feature extraction,
-  * frame sampling via step sequences.
+  * ImageIO PNG encode → decode), [[mmAudioRoundtrip]] a REAL audio
+  * codec (javax.sound WAV/PCM), [[mmResizeReal]] a REAL resize chain
+  * (PNG decode → AffineTransformOp resample → PNG re-encode), and
+  * [[mmFrameDecode]] a REAL multi-frame container (JDK GIF sequence
+  * writer/reader, every-4th-frame skip-decode) — all inside the typed
+  * mapPartitions batch path, present on every executor JVM with zero
+  * deployment. The only genuinely-absent codecs are COMPRESSED
+  * audio/video (ffmpeg-class: MP3/AAC/H.264, not in this container —
+  * BASELINE.md permanent bounds); [[decodeStub]] remains solely as the
+  * documented SHAPE example a production job drops such a codec into.
   */
 object Multimodal {
 
@@ -108,50 +109,244 @@ object Multimodal {
          len(list_filter(bytes, v -> v // 64 = 3)) AS b3
        FROM b ORDER BY doc_id"""
 
-  /** Frame sampling: the media is chunked into 32-byte "frames"; every
-    * 4th frame is sampled and fingerprinted (the video-keyframe access
-    * pattern — pure pushdown-friendly projection + generator, no UDF). */
-  val mmFrameSample: Q = (s, dir) =>
+  /** Typed rows for the REAL multi-frame decode. */
+  case class GifParams(doc_id: Long, w: Int, h: Int, n_frames: Int)
+  case class FrameFeat(doc_id: Long, frame_idx: Long, n_frames: Long,
+      width: Long, height: Long, r: Long, g: Long, b: Long)
+
+  /** REAL multi-frame decode — the video-keyframe access pattern on an
+    * actual container codec, retiring the text-chunk stand-in: each
+    * document gets an N-frame animated GIF (doc-derived dims, frame
+    * count, and per-frame solid palette colors) built with the JDK's
+    * GIF sequence writer (`prepareWriteSequence`/`writeToSequence` —
+    * palette-indexed, so colors survive the codec losslessly), then
+    * the reader counts the container's frames (`getNumImages`) and
+    * DECODES ONLY every 4th frame — the skip-decode half of frame
+    * sampling, where the win at scale lives (decode cost ∝ sampled
+    * frames, not stored frames). Per-frame features are the decoded
+    * RGB (verified uniform across the frame), analytically recomputed
+    * by the oracle from the generating parameters; GIF magic is
+    * asserted per row so a byte-pass-through fake cannot sneak by. */
+  val mmFrameDecode: Q = (s, dir) => {
+    implicit val pEnc: org.apache.spark.sql.Encoder[GifParams] =
+      Encoders.product[GifParams]
+    implicit val fEnc: org.apache.spark.sql.Encoder[FrameFeat] =
+      Encoders.product[FrameFeat]
     t(s, dir, "documents")
-      .selectExpr("doc_id", "text",
-        "sequence(0, greatest(CAST(ceil(length(text) / 32.0) AS INT) - 1, 0), 4) AS frame_ids")
-      .selectExpr("doc_id", "explode(frame_ids) AS frame_idx", "text")
-      .selectExpr("doc_id", "CAST(frame_idx AS BIGINT) AS frame_idx",
-        "md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_digest")
+      .selectExpr("doc_id",
+        "CAST(8 + doc_id % 8 AS INT) AS w",
+        "CAST(4 + doc_id % 4 AS INT) AS h",
+        "CAST(2 + n_chars % 5 AS INT) AS n_frames")
+      .as[GifParams]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { p =>
+          val id = p.doc_id
+          def frameColor(f: Int): (Int, Int, Int) =
+            (((id * 5 + f * 11) % 256).toInt,
+              ((id * 7 + f * 3) % 256).toInt,
+              ((id * 13 + f * 19) % 256).toInt)
+          // ---- encode: N solid frames, per-frame 2-entry palettes ----
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          (0 until p.n_frames).foreach { f =>
+            val (r, g, b) = frameColor(f)
+            val icm = new java.awt.image.IndexColorModel(8, 2,
+              Array(r.toByte, 0.toByte), Array(g.toByte, 0.toByte),
+              Array(b.toByte, 0.toByte))
+            // raster defaults to index 0 → the whole frame is (r,g,b)
+            val img = new java.awt.image.BufferedImage(p.w, p.h,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence()
+          ios.close()
+          writer.dispose()
+          val gif = bos.toByteArray
+          // GIF87a/89a magic — proves a real container encoder ran
+          require(gif.length > 6 && gif(0) == 'G' && gif(1) == 'I' &&
+            gif(2) == 'F' && gif(3) == '8',
+            s"doc $id: not a GIF stream")
+          // ---- decode: count frames, read ONLY every 4th ----
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("gif").next()
+          reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(gif)))
+          val n = reader.getNumImages(true)
+          require(n == p.n_frames,
+            s"doc $id: container frame count $n != ${p.n_frames}")
+          val out = (0 until n by 4).map { f =>
+            val frame = reader.read(f)
+            require(frame.getWidth == p.w && frame.getHeight == p.h,
+              s"doc $id frame $f: decoded dims changed")
+            val rgb = frame.getRGB(0, 0)
+            // a solid frame must decode uniformly — every pixel checked
+            var y = 0
+            while (y < p.h) {
+              var x = 0
+              while (x < p.w) {
+                require(frame.getRGB(x, y) == rgb,
+                  s"doc $id frame $f: non-uniform decode at ($x,$y)")
+                x += 1
+              }
+              y += 1
+            }
+            FrameFeat(id, f.toLong, n.toLong, p.w.toLong, p.h.toLong,
+              (rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          }
+          reader.dispose()
+          out
+        }
+      }
+      .toDF()
       .orderBy("doc_id", "frame_idx")
+  }
 
-  val mmFrameSampleOracle: String =
-    """SELECT doc_id, frame_idx,
-       md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_digest
-       FROM (
-         SELECT doc_id, text,
-           unnest(range(0, greatest(CAST(ceil(length(text) / 32.0) AS INT), 1), 4)) AS frame_idx
-         FROM documents)
-       ORDER BY doc_id, frame_idx"""
+  /** Analytic recount: decoded frame colors must equal the generating
+    * palette formula for exactly the sampled indices 0, 4, … */
+  val mmFrameDecodeOracle: String =
+    """WITH p AS (
+         SELECT doc_id, 8 + doc_id % 8 AS w, 4 + doc_id % 4 AS h,
+           2 + n_chars % 5 AS n_frames
+         FROM documents),
+       f AS (
+         SELECT doc_id, w, h, n_frames,
+           unnest(range(0, n_frames, 4)) AS frame_idx
+         FROM p)
+       SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         CAST(n_frames AS BIGINT) AS n_frames,
+         CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         (doc_id * 5 + frame_idx * 11) % 256 AS r,
+         (doc_id * 7 + frame_idx * 3) % 256 AS g,
+         (doc_id * 13 + frame_idx * 19) % 256 AS b
+       FROM f ORDER BY doc_id, frame_idx"""
 
-  /** Resize stub: the derived-asset projection (thumbnail dims + digest
-    * of the leading bytes standing in for the re-encoded payload). A real
-    * resize swaps the digest expression for a codec call in the
-    * mapPartitions pipeline above; the catalog shape is what matters. */
-  val mmResizeStub: Q = (s, dir) =>
+  /** Typed rows for the REAL resize pipeline. */
+  case class ResizeParams(doc_id: Long, w: Int, h: Int)
+  case class ResizeFeat(doc_id: Long, width: Long, height: Long,
+      thumb_w: Long, thumb_h: Long, sum_r: Long, sum_g: Long,
+      sum_b: Long)
+
+  /** REAL image resize — encode → decode → SCALE → re-encode → decode,
+    * no digests: each document gets a deterministic two-band RGB image
+    * (w even, h ≡ 0 mod 4), PNG-encoded and decoded via ImageIO, then
+    * HALVED with `AffineTransformOp` (nearest-neighbor — the JDK's
+    * geometric resample; with even dims and band heights divisible by
+    * 4 the band split of the thumbnail is exactly h/4 + h/4 rows
+    * whatever inverse-mapping rounding the op uses, so the channel
+    * sums are analytically determined), the THUMBNAIL re-encoded as
+    * PNG (magic asserted — a real derived asset, not a crop of the
+    * original bytes) and decoded once more. Features are the final
+    * decode's dims + integer channel sums, so the DuckDB oracle
+    * recomputes the whole chain from the generating parameters: a
+    * pass proves synthesize → compress → parse → resample → compress
+    * → parse is lossless end-to-end. Same partition-batched
+    * mapPartitions shape as every media op here — codec state
+    * amortized per task, O(1) features per row. */
+  val mmResizeReal: Q = (s, dir) => {
+    implicit val pEnc: org.apache.spark.sql.Encoder[ResizeParams] =
+      Encoders.product[ResizeParams]
+    implicit val fEnc: org.apache.spark.sql.Encoder[ResizeFeat] =
+      Encoders.product[ResizeFeat]
     t(s, dir, "documents")
-      .selectExpr("doc_id", "text",
-        s"16 + ${hex60("concat('w_', text)")} % 240 AS width",
-        s"16 + ${hex60("concat('h_', text)")} % 120 AS height")
-      .selectExpr("doc_id", "width", "height",
-        "width div 2 AS thumb_w",
-        "height div 2 AS thumb_h",
-        "md5(substring(text, 1, 64)) AS thumb_digest")
+      .selectExpr("doc_id",
+        s"CAST(16 + 2 * (${hex60("concat('w_', text)")} % 24) AS INT) AS w",
+        s"CAST(16 + 4 * (${hex60("concat('h_', text)")} % 12) AS INT) AS h")
+      .as[ResizeParams]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { p =>
+          val id = p.doc_id
+          val top = Array(((id * 1) % 256).toInt, ((id * 7) % 256).toInt,
+            ((id * 13) % 256).toInt)
+          val bot = Array(((id * 3) % 256).toInt, ((id * 11) % 256).toInt,
+            ((id * 17) % 256).toInt)
+          val img = new java.awt.image.BufferedImage(p.w, p.h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < p.h) {
+            val c = if (y < p.h / 2) top else bot
+            val rgb = (c(0) << 16) | (c(1) << 8) | c(2)
+            var x = 0
+            while (x < p.w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          // original asset: PNG encode → decode (magic asserted)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos): Unit
+          val png = bos.toByteArray
+          require(png.length > 8 && (png(0) & 0xff) == 0x89 &&
+            png(1) == 'P' && png(2) == 'N' && png(3) == 'G',
+            s"doc $id: source not a PNG stream")
+          val src = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          // REAL resample: 0.5× nearest-neighbor affine
+          val op = new java.awt.image.AffineTransformOp(
+            java.awt.geom.AffineTransform.getScaleInstance(0.5, 0.5),
+            java.awt.image.AffineTransformOp.TYPE_NEAREST_NEIGHBOR)
+          val thumb = op.filter(src, null)
+          require(thumb.getWidth == p.w / 2 &&
+            thumb.getHeight == p.h / 2,
+            s"doc $id: resample dims ${thumb.getWidth}x" +
+              s"${thumb.getHeight} != ${p.w / 2}x${p.h / 2}")
+          // derived asset: the THUMBNAIL re-encoded and re-decoded
+          val bos2 = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(thumb, "png", bos2): Unit
+          val png2 = bos2.toByteArray
+          require(png2.length > 8 && (png2(0) & 0xff) == 0x89 &&
+            png2(1) == 'P' && png2(2) == 'N' && png2(3) == 'G',
+            s"doc $id: thumbnail not a PNG stream")
+          val back = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png2))
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var yy = 0
+          while (yy < back.getHeight) {
+            var xx = 0
+            while (xx < back.getWidth) {
+              val v = back.getRGB(xx, yy)
+              sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+              xx += 1
+            }
+            yy += 1
+          }
+          ResizeFeat(id, p.w.toLong, p.h.toLong, back.getWidth.toLong,
+            back.getHeight.toLong, sr, sg, sb)
+        }
+      }
+      .toDF()
       .orderBy("doc_id")
+  }
 
-  val mmResizeStubOracle: String =
-    s"""SELECT doc_id,
-       16 + ${hex60Duck("concat('w_', text)")} % 240 AS width,
-       16 + ${hex60Duck("concat('h_', text)")} % 120 AS height,
-       (16 + ${hex60Duck("concat('w_', text)")} % 240) // 2 AS thumb_w,
-       (16 + ${hex60Duck("concat('h_', text)")} % 120) // 2 AS thumb_h,
-       md5(substring(text, 1, 64)) AS thumb_digest
-       FROM documents ORDER BY doc_id"""
+  /** Analytic recount: the h≡0 (mod 4) construction makes the
+    * thumbnail's band split exactly h/4 + h/4 rows regardless of the
+    * resampler's rounding, so per channel
+    * sum = (w/2) · (h/4 · c_top + h/4 · c_bot). */
+  val mmResizeRealOracle: String =
+    s"""WITH p AS (
+         SELECT doc_id,
+           16 + 2 * (${hex60Duck("concat('w_', text)")} % 24) AS w,
+           16 + 4 * (${hex60Duck("concat('h_', text)")} % 12) AS h
+         FROM documents),
+       bands AS (
+         SELECT doc_id, w, h, h // 4 AS rows_per_band,
+           doc_id % 256 AS tr, (doc_id * 7) % 256 AS tg,
+           (doc_id * 13) % 256 AS tb,
+           (doc_id * 3) % 256 AS br, (doc_id * 11) % 256 AS bg,
+           (doc_id * 17) % 256 AS bb
+         FROM p)
+       SELECT doc_id, CAST(w AS BIGINT) AS width,
+         CAST(h AS BIGINT) AS height,
+         CAST(w // 2 AS BIGINT) AS thumb_w,
+         CAST(h // 2 AS BIGINT) AS thumb_h,
+         CAST((w // 2) * rows_per_band * (tr + br) AS BIGINT) AS sum_r,
+         CAST((w // 2) * rows_per_band * (tg + bg) AS BIGINT) AS sum_g,
+         CAST((w // 2) * rows_per_band * (tb + bb) AS BIGINT) AS sum_b
+       FROM bands ORDER BY doc_id"""
 
   /** Typed row for the media→embedding stage. */
   case class MediaHist(doc_id: Long, emb: Array[Float])
@@ -453,18 +648,18 @@ object Multimodal {
   val queries: Map[String, Q] = Map(
     "mm_audio_roundtrip" -> mmAudioRoundtrip,
     "mm_embed_ann" -> mmEmbedAnn,
-    "mm_resize_stub" -> mmResizeStub,
+    "mm_resize_real" -> mmResizeReal,
     "mm_metadata" -> mmMetadata,
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_codec_roundtrip" -> mmCodecRoundtrip,
-    "mm_frame_sample" -> mmFrameSample)
+    "mm_frame_decode" -> mmFrameDecode)
 
   val oracles: Map[String, String] = Map(
     "mm_audio_roundtrip" -> mmAudioRoundtripOracle,
     "mm_embed_ann" -> mmEmbedAnnOracle,
-    "mm_resize_stub" -> mmResizeStubOracle,
+    "mm_resize_real" -> mmResizeRealOracle,
     "mm_metadata" -> mmMetadataOracle,
     "mm_decode_features" -> mmDecodeFeaturesOracle,
     "mm_codec_roundtrip" -> mmCodecRoundtripOracle,
-    "mm_frame_sample" -> mmFrameSampleOracle)
+    "mm_frame_decode" -> mmFrameDecodeOracle)
 }

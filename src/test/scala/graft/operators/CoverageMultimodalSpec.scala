@@ -196,10 +196,19 @@ class CoverageMultimodalSpec extends SparkSpec {
     }
   }
 
-  test("mm_frame_sample digests only every 4th frame") {
-    val out = Multimodal.mmFrameSample(spark, sf)
-    assert(out.filter(col("frame_idx") % 4 =!= 0).count() === 0)
-    assert(out.count() > 0)
+  test("mm_frame_decode reads only every 4th frame of a real GIF " +
+      "container and the decoded colors match the palette formula") {
+    val out = Multimodal.mmFrameDecode(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(1) % 4 === 0), "non-sampled frame read")
+    // docs with >= 5 frames must yield a second sampled frame
+    assert(out.exists(_.getLong(1) === 4L))
+    out.foreach { r =>
+      val (id, f) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(5) === (id * 5 + f * 11) % 256)
+      assert(r.getLong(6) === (id * 7 + f * 3) % 256)
+      assert(r.getLong(7) === (id * 13 + f * 19) % 256)
+    }
   }
 
   test("join_salted equals the plain join") {
@@ -247,11 +256,21 @@ class CoverageMultimodalSpec extends SparkSpec {
     assert(exceptN + intersectN === fN)
   }
 
-  test("mm_resize_stub halves dimensions") {
-    val bad = Multimodal.mmResizeStub(spark, sf)
-      .filter(col("thumb_w") =!= expr("width div 2") ||
-        col("thumb_h") =!= expr("height div 2"))
-    assert(bad.count() === 0)
+  test("mm_resize_real halves dimensions through a real decode → " +
+      "resample → re-encode chain with analytically exact sums") {
+    val rows = Multimodal.mmResizeReal(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) === w / 2 && r.getLong(4) === h / 2)
+      val band = h / 4
+      assert(r.getLong(5) ===
+        (w / 2) * band * ((id % 256) + (id * 3 % 256)))
+      assert(r.getLong(6) ===
+        (w / 2) * band * ((id * 7 % 256) + (id * 11 % 256)))
+      assert(r.getLong(7) ===
+        (w / 2) * band * ((id * 13 % 256) + (id * 17 % 256)))
+    }
   }
 
   test("csv ingest round-trips the projection exactly") {
