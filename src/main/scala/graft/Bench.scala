@@ -46,6 +46,11 @@ object Bench {
     val warmups = Seq(
       "q1_join_filter_sort",       // JIT: scan→join→sort
       "dedup_minhash_lsh",         // JIT: kernels + band join (5.3→2.0 s)
+      "ann_int8_topk",             // JIT: SQ8 integer-MAC kernel (6.1→0.6 s
+                                   // cold→warm measured round 11 — the r10
+                                   // 0.5→2.96 s excursion was this
+                                   // first-touch cost landing in the timed
+                                   // slot, not a plan change)
       "stream_dedup_keys",         // staged stream dir + state store
       "jdbc_scan_agg",             // derbyMirror
       "maintenance_compact_files", // fragment + compacted layouts

@@ -15,9 +15,13 @@ object RunOne {
     val reps = if (args.length > 2) args(2).toInt else 3
     val q = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query $name"))
+    // SPARK_GRAFT_SHUFFLE: scaled-parallelism sampling (BASELINE.md sf1
+    // table) — on a cluster partitions scale with data; this knob is
+    // how the fixed-local contract simulates that.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
     val builder = SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
     graft.sources.Tables.sessionConf.foreach { case (k, v) =>
       builder.config(k, v)
