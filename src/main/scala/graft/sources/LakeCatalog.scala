@@ -407,11 +407,34 @@ object GraftLakeIO {
       .flatMap(f => "shard-(\\d+)\\.jsonl".r
         .findFirstMatchIn(f.getName).map(_.group(1).toInt))
       .toSet
+  // `_commit` file format: "<micros>" (pre-round-11) or
+  // "<micros> <operation>" — the operation label feeds the DESCRIBE
+  // HISTORY surface; parsing takes the first token so old snapshots
+  // stay readable.
   def commitMicros(dataDir: String, v: Int): Long = {
     val f = new java.io.File(versionDir(dataDir, v), "_commit")
-    if (f.exists()) java.nio.file.Files.readString(f.toPath).trim.toLong
+    if (f.exists())
+      java.nio.file.Files.readString(f.toPath).trim
+        .split("\\s+")(0).toLong
     else Long.MinValue
   }
+
+  /** Operation label of one commit ("append", "overwrite", "merge",
+    * "update", "delete", "rollback"); "unknown" for pre-label
+    * history. */
+  def commitOperation(dataDir: String, v: Int): String = {
+    val f = new java.io.File(versionDir(dataDir, v), "_commit")
+    if (!f.exists()) return "expired"
+    val toks = java.nio.file.Files.readString(f.toPath).trim
+      .split("\\s+")
+    if (toks.length > 1) toks(1) else "unknown"
+  }
+
+  def writeCommitMeta(build: java.io.File, micros: Long,
+      operation: String): Unit =
+    java.nio.file.Files.writeString(
+      new java.io.File(build, "_commit").toPath,
+      s"$micros $operation"): Unit
 
   // ---- per-shard zone-map statistics (`_stats.json` per version) ----
   // Min/max of every integral (LONG/INT/DATE) and DOUBLE column per
@@ -678,9 +701,7 @@ object GraftLakeIO {
           }
         }
     }
-    java.nio.file.Files.writeString(
-      new java.io.File(build, "_commit").toPath,
-      nextCommitStamp(dataDir, base).toString): Unit
+    writeCommitMeta(build, nextCommitStamp(dataDir, base), "rollback")
     commitVersion(dataDir, base, build)
   }
 
@@ -1035,9 +1056,11 @@ class GraftLakeBatchWrite(table: GraftLakeTable, dataDir: String,
         }
       }.toMap
       if (statsOut.nonEmpty) GraftLakeIO.writeStats(build, statsOut)
-      java.nio.file.Files.writeString(
-        new java.io.File(build, "_commit").toPath,
-        GraftLakeIO.nextCommitStamp(dataDir, baseV).toString): Unit
+      val operation = op.map(_.command().name().toLowerCase(
+          java.util.Locale.ROOT))
+        .getOrElse(if (truncateFirst) "overwrite" else "append")
+      GraftLakeIO.writeCommitMeta(build,
+        GraftLakeIO.nextCommitStamp(dataDir, baseV), operation)
       GraftLakeIO.commitVersion(dataDir, baseV, build): Unit
     } finally rmTree(stageDir)
   }
@@ -1543,6 +1566,65 @@ object Lake {
        FROM events WHERE user_id % 7 <> 0
        GROUP BY user_id ORDER BY user_id"""
 
+  /** DESCRIBE HISTORY — the Delta/Iceberg table-history surface over
+    * the lake's commit log: one row per version with the OPERATION
+    * LABEL the commit recorded (append / merge / delete / overwrite /
+    * rollback), the snapshot's shard-file count, and its row count
+    * (each read through `VERSION AS OF` — counts come from the
+    * immutable snapshots, so a pass proves the log describes real
+    * history). Commit timestamps are intentionally NOT emitted —
+    * they're wall-clock — which is what keeps this introspection
+    * query oracle-checkable. */
+  def history(s: org.apache.spark.sql.SparkSession, tbl: String,
+      dataDir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val latest = GraftLakeIO.latestVersion(dataDir)
+    (0 to latest).map { v =>
+      val op =
+        if (v == 0) "create" else GraftLakeIO.commitOperation(dataDir, v)
+      val nShards =
+        if (v == 0) 0L
+        else GraftLakeIO.existingShards(
+          GraftLakeIO.versionDir(dataDir, v)).size.toLong
+      val nRows = s.sql(
+        s"SELECT count(*) FROM $tbl VERSION AS OF $v").head.getLong(0)
+      (v.toLong, op, nRows, nShards)
+    }.toDF("version", "operation", "n_rows", "n_shards")
+      .orderBy("version")
+  }
+
+  /** History of the three-commit CDC fixture: INSERT → MERGE → DELETE
+    * must read back as exactly [create, append, merge, delete] with
+    * the per-version row counts the oracle recomputes from raw
+    * events. */
+  val lakeHistory: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.hist_$fp"
+    setupCountsHistory(s, dir, tbl)
+    val dataDir = new java.io.File(
+      s.conf.get("spark.sql.catalog.graft_lake.path"), s"hist_$fp")
+      .getPath
+    history(s, tbl, dataDir)
+  }
+
+  val lakeHistoryOracle: String =
+    """WITH ev AS (
+         SELECT user_id, day(CAST(ts AS TIMESTAMP)) AS dom FROM events),
+       b1 AS (SELECT DISTINCT user_id FROM ev WHERE dom <= 15),
+       tot AS (SELECT DISTINCT user_id FROM ev)
+       SELECT * FROM (
+         SELECT CAST(0 AS BIGINT) AS version, 'create' AS operation,
+           CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_shards
+         UNION ALL
+         SELECT 1, 'append', (SELECT count(*) FROM b1), 8
+         UNION ALL
+         SELECT 2, 'merge', (SELECT count(*) FROM tot), 8
+         UNION ALL
+         SELECT 3, 'delete',
+           (SELECT count(*) FROM tot WHERE user_id % 7 <> 0), 8)
+       ORDER BY version"""
+
   /** ZONE-MAP FILE SKIPPING over a range-clustered lake table — the
     * Iceberg/Delta data-skipping pattern end-to-end: the table is
     * created with `shard_width` RANGE clustering (shard k holds keys
@@ -1590,7 +1672,8 @@ object Lake {
     "lake_delete_update" -> lakeDeleteUpdate,
     "lake_stats_skipping" -> lakeStatsSkipping,
     "lake_table_changes" -> lakeTableChanges,
-    "stream_lake_changes" -> streamLakeChanges)
+    "stream_lake_changes" -> streamLakeChanges,
+    "lake_history" -> lakeHistory)
 
   val oracles: Map[String, String] = Map(
     "merge_sql_firstseen" ->
@@ -1600,5 +1683,6 @@ object Lake {
     "lake_delete_update" -> lakeDeleteUpdateOracle,
     "lake_stats_skipping" -> lakeStatsSkippingOracle,
     "lake_table_changes" -> lakeTableChangesOracle,
-    "stream_lake_changes" -> streamLakeChangesOracle)
+    "stream_lake_changes" -> streamLakeChangesOracle,
+    "lake_history" -> lakeHistoryOracle)
 }
