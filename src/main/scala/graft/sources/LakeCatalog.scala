@@ -1432,6 +1432,29 @@ object Lake {
     (): Unit
   }
 
+  // one shared three-commit fixture per (JVM, corpus): the CDC feed,
+  // its streaming replay, and the history query all read the SAME
+  // immutable v1..v3 — rebuilding per query would triple the
+  // DDL+INSERT+MERGE+DELETE cost in a bench pass for no coverage gain
+  // (the lake root is per-process, so the memo can't go stale across
+  // runs; callers hold the Lake lock)
+  private val builtHistories =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def countsHistoryTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.cdfhist_$fp"
+    if (!builtHistories.contains(tbl)) {
+      setupCountsHistory(s, dir, tbl)
+      builtHistories.add(tbl): Unit
+    }
+    val dataDir = new java.io.File(
+      s.conf.get("spark.sql.catalog.graft_lake.path"), s"cdfhist_$fp")
+      .getPath
+    (tbl, dataDir)
+  }
+
   /** CDF over the count-table history: `table_changes(1, 3)` spans the
     * MERGE and the DELETE in one diff — users deleted by v3 surface as
     * `delete` rows with their v1 image, second-half-only users as
@@ -1441,9 +1464,7 @@ object Lake {
     * derives from real history, not from the head. */
   val lakeTableChanges: Q = (s, dir) => Lake.synchronized {
     registerCatalog(s)
-    val tbl =
-      s"graft_lake.lake.cdf_${Tables.fingerprint(dir, "events")}"
-    setupCountsHistory(s, dir, tbl)
+    val (tbl, _) = countsHistoryTable(s, dir)
     tableChanges(s, tbl, "user_id", 1, 3)
       .orderBy("user_id", "_change_type")
   }
@@ -1490,15 +1511,11 @@ object Lake {
   val streamLakeChanges: Q = (s, dir) => Lake.synchronized {
     registerCatalog(s)
     val fp = Tables.fingerprint(dir, "events")
-    val tbl = s"graft_lake.lake.cdfs_$fp"
-    setupCountsHistory(s, dir, tbl) // v1 INSERT, v2 MERGE, v3 DELETE
+    val (tbl, dataDir) = countsHistoryTable(s, dir) // v1..v3
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmTree))
       f.delete(): Unit
     }
-    val dataDir = new java.io.File(
-      s.conf.get("spark.sql.catalog.graft_lake.path"), s"cdfs_$fp")
-      .getPath
     val latest = GraftLakeIO.latestVersion(dataDir)
     val stage = new java.io.File(
       System.getProperty("java.io.tmpdir"),
@@ -1599,12 +1616,7 @@ object Lake {
     * events. */
   val lakeHistory: Q = (s, dir) => Lake.synchronized {
     registerCatalog(s)
-    val fp = Tables.fingerprint(dir, "events")
-    val tbl = s"graft_lake.lake.hist_$fp"
-    setupCountsHistory(s, dir, tbl)
-    val dataDir = new java.io.File(
-      s.conf.get("spark.sql.catalog.graft_lake.path"), s"hist_$fp")
-      .getPath
+    val (tbl, dataDir) = countsHistoryTable(s, dir)
     history(s, tbl, dataDir)
   }
 
