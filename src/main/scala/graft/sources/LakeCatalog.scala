@@ -221,7 +221,17 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       changes: TableChange*): Table = {
     val t = loadTable(ident).asInstanceOf[GraftLakeTable]
     var schema = t.schema()
+    var shardWidth = t.shardWidth
     changes.foreach {
+      // `ALTER TABLE … SET TBLPROPERTIES ('shard_width'='…')` switches
+      // the ROUTING of future writes (hash ↔ range clustering) without
+      // touching data: existing shard files keep their layout, and the
+      // zone maps stay sound either way because they record OBSERVED
+      // ranges, never routing-derived ones. A follow-up self
+      // `INSERT OVERWRITE` rewrites the table under the new clustering
+      // (the OPTIMIZE/CLUSTER BY migration — lake_recluster_skip).
+      case p: TableChange.SetProperty if p.property() == "shard_width" =>
+        shardWidth = p.value().toLong
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "lake schema evolution: nested column adds unsupported")
@@ -247,7 +257,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     doc.put("schema", schema.json): Unit
     doc.put("shardKey", t.shardKey): Unit
     doc.put("nShards", t.nShards): Unit
-    doc.put("shardWidth", t.shardWidth): Unit
+    doc.put("shardWidth", shardWidth): Unit
     // atomic descriptor swap: readers see old or new schema, no torn doc
     val tmp = new java.io.File(root,
       s"${ident.name()}.lake.json.tmp${ProcessHandle.current().pid()}")
@@ -1677,7 +1687,42 @@ object Lake {
        WHERE user_id BETWEEN 40 AND 79
        GROUP BY user_id ORDER BY user_id"""
 
+  /** OPTIMIZE/CLUSTER-BY migration — re-clustering an EXISTING
+    * hash-sharded table so zone maps activate: `ALTER TABLE … SET
+    * TBLPROPERTIES ('shard_width')` flips the routing metadata-only,
+    * then a SELF `INSERT OVERWRITE` rewrites the data under the new
+    * clustering — safe precisely because of the snapshot model (the
+    * source scan pins the immutable vN files before the write commits
+    * vN+1; no torn self-read). After the rewrite the same selective
+    * BETWEEN read plans 2 of 8 shards (LakeMergeSpec asserts the
+    * before/after skip counts); this is Iceberg's
+    * `rewrite_data_files` + sort-order story as one DDL + one DML. */
+  val lakeReclusterSkip: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.reclust_$fp"
+    if (!builtHistories.contains(tbl)) {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(min(expr("CAST(to_date(ts) AS DATE)")).as("cohort_d"),
+          count(lit(1)).as("n_events"))
+        .createOrReplaceTempView("graft_lake_reclust_src")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl
+                (user_id BIGINT, cohort_d DATE, n_events BIGINT)
+                TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_reclust_src")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('shard_width'='20')")
+      s.sql(s"INSERT OVERWRITE $tbl SELECT * FROM $tbl")
+      builtHistories.add(tbl): Unit
+    }
+    s.sql(s"""SELECT user_id, cohort_d, n_events FROM $tbl
+              WHERE user_id BETWEEN 40 AND 79
+              ORDER BY user_id""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "lake_recluster_skip" -> lakeReclusterSkip,
     "merge_sql_firstseen" -> mergeSqlFirstSeen,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_schema_evolution" -> lakeSchemaEvolution,
@@ -1688,6 +1733,7 @@ object Lake {
     "lake_history" -> lakeHistory)
 
   val oracles: Map[String, String] = Map(
+    "lake_recluster_skip" -> lakeStatsSkippingOracle,
     "merge_sql_firstseen" ->
       graft.operators.Merge.mergeUpsertFirstSeenOracle,
     "lake_time_travel" -> lakeTimeTravelOracle,

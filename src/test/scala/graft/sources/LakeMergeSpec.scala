@@ -471,6 +471,40 @@ class LakeMergeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("recluster migration: SET shard_width + self INSERT OVERWRITE " +
+      "activates zone-map skipping on an existing hash table") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_reclust"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, score DOUBLE)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4')""")
+    spark.range(40).selectExpr("id AS user_id", "id * 1.5 AS score")
+      .createOrReplaceTempView("spec_reclust_src")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_reclust_src")
+    def readRange(): Array[Long] = spark.sql(
+      s"SELECT user_id FROM $tbl WHERE user_id BETWEEN 12 AND 17 " +
+        "ORDER BY user_id").collect().map(_.getLong(0))
+    // hash layout: every shard spans the key range — nothing skips
+    GraftLakeScanMetrics.reset()
+    assert(readRange() === (12L to 17L).toArray)
+    assert(GraftLakeScanMetrics.skippedByStats.get() === 0L)
+    // migrate: metadata-only routing flip + self-overwrite rewrite
+    // (the source scan pins v1's immutable files; the write commits v2)
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('shard_width'='10')")
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT * FROM $tbl")
+    GraftLakeScanMetrics.reset()
+    assert(readRange() === (12L to 17L).toArray) // same answer
+    assert(GraftLakeScanMetrics.skippedByStats.get() === 3L,
+      s"skipped=${GraftLakeScanMetrics.skippedByStats.get()}")
+    assert(GraftLakeScanMetrics.planned.get() === 1L)
+    // the migration is honest history: create → append → overwrite
+    val dir = new File(lakeRoot, "spec_reclust").getPath
+    assert((1 to GraftLakeIO.latestVersion(dir))
+      .map(GraftLakeIO.commitOperation(dir, _)) ===
+      Seq("append", "overwrite"))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   /** Spark parses TIMESTAMP AS OF '<literal>'; render micros as a UTC
     * timestamp string with microsecond precision. */
   private def microsLit(micros: Long): String = {
