@@ -1343,6 +1343,58 @@ object TextAnalysis {
              FROM documents)
        ORDER BY ord"""
 
+  /** SEQUENCE PACKING — the concat-then-chunk step every causal-LM
+    * pretraining pipeline runs between curation and batching: the
+    * corpus is laid out as ONE deterministic token stream (doc_id
+    * order) and cut into fixed-budget training bins (B = 2048 tokens);
+    * each document reports its global start offset and the first/last
+    * bin it lands in (`bin_first != bin_last` ⇔ the doc spans a chunk
+    * boundary — the rows a loss-masking loader treats specially).
+    * The global prefix sum uses the same two-level shape as
+    * [[corpusShuffle]] — per-range-bucket window cumsum + a broadcast
+    * exclusive-offset table — so NO single-partition window over the
+    * corpus exists (512-doc buckets; a production job sizes the bucket
+    * width from the id range the same way). */
+  val corpusPackSequences: Q = (s, dir) => {
+    val B = 2048L
+    val toks = t(s, dir, "documents")
+      .selectExpr("doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
+      .withColumn("pid", expr("shiftright(doc_id, 9)"))
+    val offsets = toks.groupBy("pid")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+      .withColumn("offset",
+        coalesce(sum("bucket_tokens").over(
+          Window.orderBy("pid").rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "offset")
+    val wIn = Window.partitionBy("pid").orderBy("doc_id")
+    toks
+      .withColumn("cum", sum("n_tokens").over(wIn))
+      .join(broadcast(offsets), "pid")
+      .selectExpr("doc_id", "n_tokens",
+        "offset + cum - n_tokens AS start_offset")
+      .selectExpr("doc_id", "n_tokens", "start_offset",
+        s"start_offset div $B AS bin_first",
+        s"(start_offset + n_tokens - 1) div $B AS bin_last")
+      .orderBy("doc_id")
+  }
+
+  val corpusPackSequencesOracle: String =
+    """WITH t AS (
+         SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+       c AS (
+         SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens
+             AS BIGINT) AS start_offset
+         FROM t)
+       SELECT doc_id, n_tokens, start_offset,
+         start_offset // 2048 AS bin_first,
+         (start_offset + n_tokens - 1) // 2048 AS bin_last
+       FROM c ORDER BY doc_id"""
+
   val corpusSplitAssign: Q = (s, dir) =>
     t(s, dir, "documents")
       .selectExpr("doc_id", "source",
@@ -1462,6 +1514,7 @@ object TextAnalysis {
     "text_scrub" -> textScrub,
     "doc_length_histogram" -> docLengthHistogram,
     "text_token_count" -> tokenCount,
+    "corpus_pack_sequences" -> corpusPackSequences,
     "text_quality_score" -> qualityScore,
     "text_quality_classifier" -> qualityClassifier,
     "text_lang_id" -> langId,
@@ -1498,6 +1551,7 @@ object TextAnalysis {
     "text_scrub" -> textScrubOracle,
     "doc_length_histogram" -> docLengthHistogramOracle,
     "text_token_count" -> tokenCountOracle,
+    "corpus_pack_sequences" -> corpusPackSequencesOracle,
     "text_quality_score" -> qualityScoreOracle,
     "text_quality_classifier" -> qualityClassifierOracle,
     "text_lang_id" -> langIdOracle,

@@ -19,6 +19,28 @@ class CoverageMultimodalSpec extends SparkSpec {
     assert(byKey === (0L until n.toLong))
   }
 
+  test("corpus_pack_sequences: offsets tile the token stream " +
+      "contiguously and bins are 2048-token chunks") {
+    val rows = graft.functions.TextAnalysis
+      .corpusPackSequences(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // start offsets are the exclusive prefix sum in doc_id order:
+    // each doc starts exactly where the previous one ended
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) === a.getLong(2) + a.getLong(1))
+      case _ =>
+    }
+    assert(rows.head.getLong(2) === 0L)
+    rows.foreach { r =>
+      val (n, start) = (r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) === start / 2048)
+      assert(r.getLong(4) === (start + n - 1) / 2048)
+    }
+    // some doc must span a bin boundary (2048 is not a doc multiple)
+    assert(rows.exists(r => r.getLong(3) != r.getLong(4)))
+  }
+
   test("maintenance_compact_files: 16 fragments collapse to 2 files, " +
       "content preserved") {
     Coverage.maintenanceCompactFiles(spark, sf).collect() // forces writes
