@@ -505,6 +505,63 @@ class LakeMergeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("plain concurrent INSERT INTO (no library lock): losers " +
+      "conflict and retry, every row lands, history is linear") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_conc_insert"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, cohort_d DATE)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4')""")
+    val nThreads = 4
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger()
+    def isConflict(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(_.isInstanceOf[GraftLakeCommitConflict])
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val futures = (0 until nThreads).map { k =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = {
+          val values = (0 until 5)
+            .map(i => s"(${k * 100 + i}, DATE '2024-03-01')")
+            .mkString(", ")
+          var done = false
+          var attempts = 0
+          while (!done) {
+            try { spark.sql(s"INSERT INTO $tbl VALUES $values"); done = true }
+            catch {
+              case e: Throwable if isConflict(e) =>
+                conflicts.incrementAndGet()
+                attempts += 1
+                require(attempts < 50, "livelock")
+                Thread.sleep(10L * attempts)
+            }
+          }
+        }
+      })
+    }
+    pool.shutdown()
+    futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    // every thread's rows landed exactly once — no lost updates, no
+    // clobbered snapshots (the round-10 shared-build-dir flaw would
+    // have silently emptied shards here)
+    val got = spark.sql(s"SELECT user_id FROM $tbl").collect()
+      .map(_.getLong(0)).sorted
+    val want = (0 until nThreads)
+      .flatMap(k => (0 until 5).map(i => (k * 100 + i).toLong)).sorted
+    assert(got.toSeq === want)
+    // linear history: one version per successful commit, all readable
+    val dir = new File(lakeRoot, "spec_conc_insert").getPath
+    assert(GraftLakeIO.latestVersion(dir) === nThreads)
+    (1 to nThreads).foreach { v =>
+      assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF $v")
+        .head.getLong(0) === 5L * v)
+    }
+    // note: with the JVM-level table monitor serializing commitVersion,
+    // same-process writers may serialize enough to see few conflicts —
+    // the assertion is zero data loss, not a conflict count
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   /** Spark parses TIMESTAMP AS OF '<literal>'; render micros as a UTC
     * timestamp string with microsecond precision. */
   private def microsLit(micros: Long): String = {
