@@ -683,6 +683,31 @@ object GraftLakeIO {
       publish(dataDir, v)
     }
 
+  /** VACUUM — clear the two artifact classes a crashed writer can
+    * leave: stale `_build_*` staging dirs (crash mid-build) and
+    * unpublished version dirs above the pointer (crash between rename
+    * and publish — [[commitVersion]] also self-heals these lazily).
+    * Runs under the table lock, so no live committer's build is ever
+    * touched if `olderThanMs` exceeds any plausible build time; both
+    * classes are unreachable by readers by construction (scans resolve
+    * only published versions), so vacuum never affects query results.
+    * Returns the removed names. */
+  def vacuumOrphans(dataDir: String,
+      olderThanMs: Long = 600000L): Seq[String] =
+    withCommitLock(dataDir) {
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val latest = latestVersion(dataDir)
+      val victims = Option(new java.io.File(dataDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter { f =>
+          (f.getName.startsWith("_build_") && f.lastModified() < cutoff) ||
+            "v(\\d+)".r.findFirstMatchIn(f.getName)
+              .exists(_.group(1).toInt > latest)
+        }
+      victims.foreach(rmTree)
+      victims.map(_.getName).toSeq.sorted
+    }
+
   /** ROLLBACK — recover from a mis-merge by restoring an earlier
     * snapshot, Delta-RESTORE style: the rollback is itself a NEW
     * commit (v_latest+1) whose content is a hardlink copy of the

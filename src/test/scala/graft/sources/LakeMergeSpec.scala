@@ -562,6 +562,45 @@ class LakeMergeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("crash recovery: an unpublished orphan version dir neither " +
+      "blocks nor corrupts the next commit; vacuum clears crash debris") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_crash"
+    ddl(tbl) // v1
+    val dir = new File(lakeRoot, "spec_crash").getPath
+    // simulate a writer that crashed BETWEEN rename and publish:
+    // v2 exists on disk, pointer still at 1
+    val orphan = GraftLakeIO.versionDir(dir, 2)
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(
+      new File(orphan, "shard-0.jsonl").toPath,
+      """{"user_id":999,"cohort_d":19000}""" + "\n")
+    assert(GraftLakeIO.latestVersion(dir) === 1)
+    // the orphan is unreachable: reads and time travel see only v1
+    assert(rows(tbl).keySet === (0L to 7L).toSet)
+    // the next commit self-heals: clears the orphan under the lock and
+    // publishes ITS v2 (the crashed writer's half-commit never leaks)
+    spark.sql(s"INSERT INTO $tbl VALUES (8, DATE '2024-05-01')")
+    assert(GraftLakeIO.latestVersion(dir) === 2)
+    assert(rows(tbl).keySet === (0L to 8L).toSet)
+    assert(!rows(tbl).contains(999L))
+    // vacuum clears remaining debris classes: stale build dirs and
+    // above-pointer orphans; live versions untouched
+    val staleBuild = new File(dir, "_build_dead_1")
+    staleBuild.mkdirs()
+    staleBuild.setLastModified(
+      System.currentTimeMillis() - 3600000L): Unit
+    GraftLakeIO.versionDir(dir, 7).mkdirs() // another crash artifact
+    val freshBuild = GraftLakeIO.newBuildDir(dir) // a LIVE build
+    val removed = GraftLakeIO.vacuumOrphans(dir, olderThanMs = 600000L)
+    assert(removed === Seq("_build_dead_1", "v7"))
+    assert(!staleBuild.exists() &&
+      !GraftLakeIO.versionDir(dir, 7).exists())
+    assert(freshBuild.exists(), "vacuum must not touch a live build")
+    assert(rows(tbl).keySet === (0L to 8L).toSet)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   /** Spark parses TIMESTAMP AS OF '<literal>'; render micros as a UTC
     * timestamp string with microsecond precision. */
   private def microsLit(micros: Long): String = {
