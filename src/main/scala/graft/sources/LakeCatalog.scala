@@ -809,8 +809,17 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** Advertise `_shard` for runtime filtering ONLY when the read
+    * schema actually carries it (row-level operations force it in via
+    * requiredMetadataAttributes). A plain read prunes `_shard` out,
+    * and Spark's PartitionPruning resolves filterAttributes against
+    * the scan OUTPUT — advertising an absent column there throws
+    * `Unable to resolve _shard` the moment DPP inspects a lake-side
+    * join (surfaced by lake_incremental_mv's aggregate-join shape). */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("_shard"))
+    if (required.fieldNames.contains("_shard"))
+      Array(Expressions.column("_shard"))
+    else Array.empty
 
   /** Runtime group filtering delivers `_shard IN (...)` (or `=`) built
     * from the candidate subquery; unknown predicate shapes are ignored
@@ -1618,6 +1627,55 @@ object Lake {
        FROM events WHERE user_id % 7 <> 0
        GROUP BY user_id ORDER BY user_id"""
 
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — what a change feed
+    * is FOR: an aggregate over the table (`SUM(n_events) GROUP BY
+    * user_id % 10`) is materialized at v1, then advanced to v3 by
+    * applying ONLY the change feed as signed deltas (insert → +post,
+    * delete → −pre, update → post − pre; the pre/post image pairs make
+    * the update delta exact), never rescanning the base table. The
+    * emitted view must equal the direct v3 recompute — the oracle IS
+    * that recompute from raw events, so a pass proves
+    * delta-maintenance correctness end-to-end. Work scales with
+    * |changes|, not |table|: the incremental-view contract that makes
+    * hourly refreshes of 100 TB-fact aggregates feasible. */
+  val lakeIncrementalMv: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val (tbl, _) = countsHistoryTable(s, dir) // v1 INSERT, v2 MERGE, v3 DELETE
+    val mvV1 = s.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+      .groupBy(expr("user_id % 10").as("user_mod"))
+      .agg(sum("n_events").as("total_events"),
+        count(lit(1)).as("n_users"))
+    val deltas = tableChanges(s, tbl, "user_id", 1, 3)
+      .selectExpr("user_id % 10 AS user_mod",
+        """CASE _change_type
+             WHEN 'insert' THEN n_events
+             WHEN 'update_postimage' THEN n_events
+             WHEN 'delete' THEN -n_events
+             WHEN 'update_preimage' THEN -n_events
+           END AS d_events""",
+        """CASE _change_type
+             WHEN 'insert' THEN 1 WHEN 'delete' THEN -1 ELSE 0
+           END AS d_users""")
+      .groupBy("user_mod")
+      .agg(sum("d_events").as("d_events"), sum("d_users").as("d_users"))
+    mvV1.join(deltas, Seq("user_mod"), "full_outer")
+      .selectExpr("user_mod",
+        "coalesce(total_events, 0) + coalesce(d_events, 0) AS total_events",
+        "coalesce(n_users, 0) + coalesce(d_users, 0) AS n_users")
+      .filter(col("n_users") > 0)
+      .orderBy("user_mod")
+  }
+
+  /** Direct recompute of the v3 state's aggregate from raw events. */
+  val lakeIncrementalMvOracle: String =
+    """WITH base AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+         FROM events WHERE user_id % 7 <> 0 GROUP BY user_id)
+       SELECT user_id % 10 AS user_mod,
+         CAST(sum(n_events) AS BIGINT) AS total_events,
+         CAST(count(*) AS BIGINT) AS n_users
+       FROM base GROUP BY user_id % 10 ORDER BY user_mod"""
+
   /** DESCRIBE HISTORY — the Delta/Iceberg table-history surface over
     * the lake's commit log: one row per version with the OPERATION
     * LABEL the commit recorded (append / merge / delete / overwrite /
@@ -1755,7 +1813,8 @@ object Lake {
     "lake_stats_skipping" -> lakeStatsSkipping,
     "lake_table_changes" -> lakeTableChanges,
     "stream_lake_changes" -> streamLakeChanges,
-    "lake_history" -> lakeHistory)
+    "lake_history" -> lakeHistory,
+    "lake_incremental_mv" -> lakeIncrementalMv)
 
   val oracles: Map[String, String] = Map(
     "lake_recluster_skip" -> lakeStatsSkippingOracle,
@@ -1767,5 +1826,6 @@ object Lake {
     "lake_stats_skipping" -> lakeStatsSkippingOracle,
     "lake_table_changes" -> lakeTableChangesOracle,
     "stream_lake_changes" -> streamLakeChangesOracle,
-    "lake_history" -> lakeHistoryOracle)
+    "lake_history" -> lakeHistoryOracle,
+    "lake_incremental_mv" -> lakeIncrementalMvOracle)
 }
