@@ -1517,6 +1517,14 @@ object Coverage {
   val metaShowCatalogs: Q = (s, dir) => {
     graft.sources.Jdbc.registerCatalog(s, dir)
     graft.sources.Mongo.registerCatalog(s, dir)
+    // register AND force-load the lake too: SHOW CATALOGS lists only
+    // catalogs the CatalogManager has instantiated, and registry
+    // iteration order decides whether a lake query ran first in a
+    // shared session — loading all four HERE makes the listing
+    // deterministic (surfaced round 11 when new lake keys shifted the
+    // Map order)
+    graft.sources.Lake.registerCatalog(s)
+    s.sql("SHOW NAMESPACES IN graft_lake").collect(): Unit
     val before = s.catalog.currentDatabase
     s.sql("CREATE DATABASE IF NOT EXISTS graft_meta")
     s.sql("USE graft_meta")
@@ -1531,6 +1539,8 @@ object Coverage {
   val metaShowCatalogsOracle: String =
     """SELECT * FROM (
          SELECT 'graft_jdbc' AS catalog_name, 'graft_meta' AS used_schema
+         UNION ALL
+         SELECT 'graft_lake', 'graft_meta'
          UNION ALL
          SELECT 'graft_mongo', 'graft_meta'
          UNION ALL

@@ -183,6 +183,7 @@ class RegistryGuardSpec extends SparkSpec {
     val allow = Map(
       "Jdbc.scala" -> "SHOW NAMESPACES",        // catalog-load warmup
       "MongoCatalog.scala" -> "SHOW NAMESPACES", // catalog-load warmup
+      "Coverage.scala" -> "SHOW NAMESPACES",     // catalog-load warmup
       "Merge.scala" -> "shard")                  // O(shards) group list
     val offenders = for {
       f <- scalaFiles(new java.io.File("src/main/scala/graft"))
