@@ -1536,6 +1536,38 @@ object Coverage {
       .orderBy("catalog_name")
   }
 
+  /** VIEW surface — Trino's CREATE [OR REPLACE] VIEW workflow (§2.11):
+    * a PERSISTENT session-catalog view over the parquet source (name
+    * fingerprinted — the stored definition must track the corpus, the
+    * same staleness discipline as the stats fixtures), a TEMPORARY
+    * view NESTED over it (aggregation over the view's projection), and
+    * the read through the nested pair. Views are definitions, not
+    * data: Catalyst inlines both at analysis, so the final plan is the
+    * same pushdown-pruned scan+agg the written-out query gets —
+    * asserted implicitly by the oracle recomputing from raw orders. */
+  val metaViewRoundtrip: Q = (s, dir) => {
+    val pv = "spark_catalog.default.graft_pview_" +
+      graft.sources.Tables.fingerprint(dir, "orders")
+    s.sql(s"""CREATE OR REPLACE VIEW $pv AS
+              SELECT o_custkey, o_orderstatus,
+                CAST(o_totalprice AS DECIMAL(18,2)) AS price
+              FROM parquet.`$dir/orders.parquet`""")
+    s.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_tview AS
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+                sum(price) AS total
+              FROM $pv WHERE o_orderstatus = 'F'
+              GROUP BY o_custkey""")
+    s.sql("""SELECT o_custkey, n, CAST(total AS DOUBLE) AS total
+             FROM graft_tview ORDER BY o_custkey""")
+  }
+
+  val metaViewRoundtripOracle: String =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total
+       FROM orders WHERE o_orderstatus = 'F'
+       GROUP BY o_custkey ORDER BY o_custkey"""
+
   val metaShowCatalogsOracle: String =
     """SELECT * FROM (
          SELECT 'graft_jdbc' AS catalog_name, 'graft_meta' AS used_schema
@@ -1801,6 +1833,7 @@ object Coverage {
     "dq_constraint_report" -> dqConstraintReport,
     "event_transitions" -> eventTransitions,
     "meta_show_catalogs" -> metaShowCatalogs,
+    "meta_view_roundtrip" -> metaViewRoundtrip,
     "decimal_halfup_overflow" -> decimalHalfUp,
     "profile_column_stats" -> profileColumnStats,
     "window_fill_forward" -> windowFillForward,
@@ -1860,6 +1893,7 @@ object Coverage {
     "dq_constraint_report" -> dqConstraintReportOracle,
     "event_transitions" -> eventTransitionsOracle,
     "meta_show_catalogs" -> metaShowCatalogsOracle,
+    "meta_view_roundtrip" -> metaViewRoundtripOracle,
     "decimal_halfup_overflow" -> decimalHalfUpOracle,
     "profile_column_stats" -> profileColumnStatsOracle,
     "window_fill_forward" -> windowFillForwardOracle,
