@@ -112,6 +112,15 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     else throw new NoSuchNamespaceException(namespace)
 
   override def loadTable(ident: Identifier): Table = {
+    // `<name>$changes` resolves the CHANGE-FEED metadata table of the
+    // base table (Iceberg's `db.tbl.changes` idiom): same descriptor,
+    // derived schema, batch + micro-batch streaming reads
+    if (isLake(ident.namespace()) && ident.name().endsWith("$changes")) {
+      val base = loadTable(Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$changes")))
+        .asInstanceOf[GraftLakeTable]
+      return new GraftLakeChangesTable(base)
+    }
     if (!isLake(ident.namespace()) || !descriptorFile(ident.name()).exists())
       throw new NoSuchTableException(ident)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -286,8 +295,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
 /** One shard-filed lake table; the row-level-operation entry point.
   * `pinnedVersion` is Some(v) for a time-travel load — read-only,
   * resolving that snapshot instead of the pointer. */
-class GraftLakeTable(tableName: String, declared: StructType,
-    dataDir: String, val shardKey: String, val nShards: Int,
+class GraftLakeTable(private[sources] val tableName: String,
+    private[sources] val declared: StructType,
+    private[sources] val dataDir: String,
+    val shardKey: String, val nShards: Int,
     val shardWidth: Long = 0L,
     val pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
@@ -977,6 +988,267 @@ class GraftLakePartitionReader(path: String, shard: Int,
 
   override def get(): InternalRow = row
   override def close(): Unit = reader.close()
+}
+
+/** The `<table>$changes` CHANGE-FEED metadata table — the connector
+  * form of [[Lake.tableChanges]] (Iceberg's `db.tbl.changes` /
+  * Delta's `readChangeFeed` idiom), schema
+  * `(_change_type, _commit_version, <data columns>)`:
+  *
+  *  - BATCH read: the full history — every commit v emits its diff
+  *    against v−1 (insert / delete / update_preimage /
+  *    update_postimage), stamped with `_commit_version = v`.
+  *  - MICRO-BATCH STREAMING read (`spark.readStream.table`): offsets
+  *    are VERSION NUMBERS; admission control advances ONE COMMIT per
+  *    micro-batch, so a drained AvailableNow run replays the history
+  *    as chronological per-commit batches and a live stream follows
+  *    new commits — the engine-native replacement for the staged-file
+  *    replay in `stream_lake_changes`.
+  *
+  * Scale posture: one input partition per (version, CHANGED shard) —
+  * unchanged shards are carried by HARDLINK at commit, so
+  * `Files.isSameFile(pre, post)` proves them diff-free WITHOUT opening
+  * them and they are never planned. Each reader diffs one shard pair
+  * with a key-indexed map of the pre side (bounded by shard size — the
+  * build side of a shard-local hash join); the table's shard key must
+  * be unique per shard for image pairing, asserted loudly. */
+class GraftLakeChangesTable(base: GraftLakeTable)
+    extends Table with SupportsRead {
+
+  private[sources] def changeSchema: StructType = StructType(
+    StructField("_change_type", StringType, nullable = false) +:
+      StructField("_commit_version", LongType, nullable = false) +:
+      base.declared.fields.toSeq)
+
+  override def name(): String = s"${base.tableName}$$changes"
+  override def schema(): StructType = changeSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftLakeChangesScan(base, changeSchema)
+}
+
+class GraftLakeChangesScan(base: GraftLakeTable,
+    out: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+
+  /** (version, shard) partitions for versions in (vFrom, vTo] whose
+    * shard pair actually differs — hardlink-carried shards are proven
+    * identical by file identity and never planned. */
+  private[sources] def diffPartitions(vFrom: Int,
+      vTo: Int): Array[InputPartition] =
+    (vFrom + 1 to vTo).flatMap { v =>
+      val preDir = GraftLakeIO.versionDir(base.dataDir, v - 1)
+      val postDir = GraftLakeIO.versionDir(base.dataDir, v)
+      val shards = GraftLakeIO.existingShards(preDir) ++
+        GraftLakeIO.existingShards(postDir)
+      shards.toSeq.sorted.flatMap { k =>
+        val pre = GraftLakeIO.shardFile(preDir, k)
+        val post = GraftLakeIO.shardFile(postDir, k)
+        val same = pre.exists() && post.exists() &&
+          java.nio.file.Files.isSameFile(pre.toPath, post.toPath)
+        if (same) None
+        else Some(GraftLakeChangesPartition(
+          if (pre.exists()) pre.getPath else null,
+          if (post.exists()) post.getPath else null,
+          k, v): InputPartition)
+      }
+    }.toArray
+
+  override def planInputPartitions(): Array[InputPartition] =
+    diffPartitions(0, GraftLakeIO.latestVersion(base.dataDir))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLakeChangesReaderFactory(out, base.declared, base.shardKey)
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read
+      .streaming.MicroBatchStream =
+    new GraftLakeChangesStream(base, out, this)
+
+  override def description(): String =
+    s"GraftLakeChangesScan(${base.tableName})"
+}
+
+/** Micro-batch CDF stream: offsets are committed VERSION numbers;
+  * admission control ([[latestOffset(Offset, ReadLimit)]]) advances
+  * exactly one commit per micro-batch. */
+class GraftLakeChangesStream(base: GraftLakeTable, out: StructType,
+    scan: GraftLakeChangesScan)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset,
+    ReadLimit}
+
+  private case class VOffset(v: Int) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  // AvailableNow contract: the head is PINNED when the trigger starts,
+  // so the run drains to a fixed target even while new commits land
+  @volatile private var availableNowTarget: Int = -1
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = GraftLakeIO.latestVersion(base.dataDir)
+
+  private def head: Int =
+    if (availableNowTarget >= 0) availableNowTarget
+    else GraftLakeIO.latestVersion(base.dataDir)
+
+  override def initialOffset(): Offset = VOffset(0)
+  override def deserializeOffset(json: String): Offset =
+    VOffset(json.trim.toInt)
+
+  override def latestOffset(): Offset = VOffset(head)
+
+  /** One commit per micro-batch: the replay is chronological and each
+    * batch carries exactly one version's diff. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = start.asInstanceOf[VOffset].v
+    VOffset(math.min(cur + 1, head))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] =
+    scan.diffPartitions(start.asInstanceOf[VOffset].v,
+      end.asInstanceOf[VOffset].v)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLakeChangesReaderFactory(out, base.declared, base.shardKey)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class GraftLakeChangesPartition(prePath: String, postPath: String,
+    shard: Int, version: Int) extends InputPartition
+
+class GraftLakeChangesReaderFactory(out: StructType,
+    dataSchema: StructType, shardKey: String)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftLakeChangesPartition]
+    new GraftLakeChangesReader(p, out, dataSchema, shardKey)
+  }
+}
+
+/** Diffs ONE shard pair: the pre side is indexed by the shard key (a
+  * shard-local hash-join build side), the post side streams through —
+  * matching keys with differing values emit an image pair, post-only
+  * keys emit `insert`, then unmatched pre keys emit `delete`. Change
+  * detection compares the PARSED typed values (not raw JSON text), so
+  * re-serialization noise can never fake a change. */
+class GraftLakeChangesReader(p: GraftLakeChangesPartition,
+    out: StructType, dataSchema: StructType, shardKey: String)
+    extends PartitionReader[InternalRow] {
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val keyIdx = dataSchema.fieldIndex(shardKey)
+
+  private def decode(line: String): Array[Any] = {
+    val doc = om.readTree(line)
+    val vals = new Array[Any](dataSchema.length)
+    var i = 0
+    while (i < dataSchema.length) {
+      val f = dataSchema(i)
+      val n = doc.get(f.name)
+      vals(i) =
+        if (n == null || n.isNull) null
+        else f.dataType match {
+          case LongType => n.asLong()
+          case IntegerType | DateType => n.asInt()
+          case DoubleType => n.asDouble()
+          case StringType => UTF8String.fromString(n.asText())
+          case other => throw new IllegalArgumentException(
+            s"unsupported lake type for ${f.name}: $other")
+        }
+      i += 1
+    }
+    vals
+  }
+
+  private def readAll(path: String): Seq[Array[Any]] =
+    if (path == null) Nil
+    else {
+      val src = scala.io.Source.fromFile(path, "UTF-8")
+      try src.getLines().map(decode).toVector finally src.close()
+    }
+
+  private def sameVals(a: Array[Any], b: Array[Any]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val eq = (a(i), b(i)) match {
+        case (null, null) => true
+        case (null, _) | (_, null) => false
+        case (x, y) => x == y
+      }
+      if (!eq) return false
+      i += 1
+    }
+    true
+  }
+
+  private val rows: Iterator[InternalRow] = {
+    val pre = readAll(p.prePath)
+    val post = readAll(p.postPath)
+    def keyOf(vals: Array[Any]): Long = vals(keyIdx) match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case other => throw new IllegalStateException(
+        s"non-integral shard key $other")
+    }
+    val preByKey = scala.collection.mutable.LinkedHashMap[Long,
+      Array[Any]]()
+    pre.foreach { v =>
+      val k = keyOf(v)
+      require(!preByKey.contains(k),
+        s"shard ${p.shard} v${p.version - 1}: duplicate key $k — the " +
+          "change feed requires a unique shard key per shard")
+      preByKey.update(k, v)
+    }
+    def mk(tag: String, vals: Array[Any]): InternalRow =
+      new GenericInternalRow(
+        (UTF8String.fromString(tag): Any) +: (p.version.toLong: Any) +:
+          vals)
+    val matchedPre = scala.collection.mutable.Set[Long]()
+    val seenPost = scala.collection.mutable.Set[Long]()
+    val fromPost = post.iterator.flatMap { v =>
+      val k = keyOf(v)
+      require(!seenPost.contains(k),
+        s"shard ${p.shard} v${p.version}: duplicate key $k — the " +
+          "change feed requires a unique shard key per shard")
+      seenPost.add(k): Unit
+      preByKey.get(k) match {
+        case Some(old) =>
+          matchedPre.add(k): Unit
+          if (sameVals(old, v)) Nil
+          else Seq(mk("update_preimage", old), mk("update_postimage", v))
+        case None => Seq(mk("insert", v))
+      }
+    }
+    // deletes AFTER the post pass (matchedPre is complete by then)
+    val deletes = () => preByKey.iterator.collect {
+      case (k, old) if !matchedPre.contains(k) => mk("delete", old)
+    }
+    fromPost ++ new Iterator[InternalRow] {
+      private lazy val it = deletes()
+      override def hasNext: Boolean = it.hasNext
+      override def next(): InternalRow = it.next()
+    }
+  }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { cur = rows.next(); true } else false
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
 }
 
 /** Writes route every row to its group (floorMod of the shard key) in
@@ -1676,6 +1948,85 @@ object Lake {
          CAST(count(*) AS BIGINT) AS n_users
        FROM base GROUP BY user_id % 10 ORDER BY user_mod"""
 
+  /** The `$changes` metadata table, BATCH direction: one statement
+    * reads the table's whole change history — every commit's diff
+    * stamped with `_commit_version` — through the connector
+    * ([[GraftLakeChangesTable]]): no joins in the user query, the
+    * per-(version, changed-shard) diff readers do the work, and
+    * hardlink-carried shards are proven unchanged without being
+    * opened. The oracle recomputes all three commits' diffs from raw
+    * events. */
+  val lakeChangesTable: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val (tbl, _) = countsHistoryTable(s, dir)
+    val changesName = tbl.split('.').toSeq match {
+      case init :+ last => (init :+ s"`$last$$changes`").mkString(".")
+      case _ => sys.error("unreachable")
+    }
+    s.sql(s"""SELECT _change_type, _commit_version, user_id, n_events
+              FROM $changesName
+              ORDER BY _commit_version, user_id, _change_type""")
+  }
+
+  val lakeChangesTableOracle: String =
+    """WITH ev AS (
+         SELECT user_id, day(CAST(ts AS TIMESTAMP)) AS dom FROM events),
+       b1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM ev
+              WHERE dom <= 15 GROUP BY user_id),
+       b2 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM ev
+              WHERE dom > 15 GROUP BY user_id),
+       tot AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM ev
+               GROUP BY user_id)
+       SELECT * FROM (
+         SELECT 'insert' AS _change_type,
+           CAST(1 AS BIGINT) AS _commit_version, user_id,
+           n AS n_events
+         FROM b1
+         UNION ALL
+         SELECT 'insert', 2, b2.user_id, b2.n
+         FROM b2 ANTI JOIN b1 ON b1.user_id = b2.user_id
+         UNION ALL
+         SELECT 'update_preimage', 2, b1.user_id, b1.n
+         FROM b1 JOIN b2 ON b1.user_id = b2.user_id
+         UNION ALL
+         SELECT 'update_postimage', 2, t.user_id, t.n
+         FROM tot t JOIN b1 ON b1.user_id = t.user_id
+         JOIN b2 ON b2.user_id = t.user_id
+         UNION ALL
+         SELECT 'delete', 3, t.user_id, t.n
+         FROM tot t WHERE t.user_id % 7 = 0)
+       ORDER BY _commit_version, user_id, _change_type"""
+
+  /** The `$changes` table, STREAMING direction — the engine-native CDF
+    * source (`spark.readStream.table`): version-number offsets,
+    * admission control advancing ONE COMMIT per micro-batch, the
+    * AvailableNow head pinned at trigger start. The drained
+    * accumulation must equal the batch read of the same metadata table
+    * (same oracle) — and LakeMergeSpec asserts the per-batch shape:
+    * exactly one `_commit_version` per micro-batch, in order. */
+  val streamLakeCdfSource: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val (tbl, _) = countsHistoryTable(s, dir)
+    val changesName = tbl.split('.').toSeq match {
+      case init :+ last => (init :+ s"`$last$$changes`").mkString(".")
+      case _ => sys.error("unreachable")
+    }
+    val accum = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_cdf_src_${Tables.fingerprint(dir, "events")}_" +
+        s"${ProcessHandle.current().pid()}_${System.nanoTime()}")
+    val q = s.readStream.table(changesName)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(accum.getPath)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(accum.getPath)
+      .orderBy("_commit_version", "user_id", "_change_type")
+  }
+
   /** DESCRIBE HISTORY — the Delta/Iceberg table-history surface over
     * the lake's commit log: one row per version with the OPERATION
     * LABEL the commit recorded (append / merge / delete / overwrite /
@@ -1814,7 +2165,9 @@ object Lake {
     "lake_table_changes" -> lakeTableChanges,
     "stream_lake_changes" -> streamLakeChanges,
     "lake_history" -> lakeHistory,
-    "lake_incremental_mv" -> lakeIncrementalMv)
+    "lake_incremental_mv" -> lakeIncrementalMv,
+    "lake_changes_table" -> lakeChangesTable,
+    "stream_lake_cdf_source" -> streamLakeCdfSource)
 
   val oracles: Map[String, String] = Map(
     "lake_recluster_skip" -> lakeStatsSkippingOracle,
@@ -1827,5 +2180,7 @@ object Lake {
     "lake_table_changes" -> lakeTableChangesOracle,
     "stream_lake_changes" -> streamLakeChangesOracle,
     "lake_history" -> lakeHistoryOracle,
-    "lake_incremental_mv" -> lakeIncrementalMvOracle)
+    "lake_incremental_mv" -> lakeIncrementalMvOracle,
+    "lake_changes_table" -> lakeChangesTableOracle,
+    "stream_lake_cdf_source" -> lakeChangesTableOracle)
 }

@@ -601,6 +601,59 @@ class LakeMergeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("$changes metadata table: batch reads the full stamped " +
+      "history; streaming advances one commit per micro-batch; only " +
+      "changed shards are planned") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_cdfsrc"
+    ddl(tbl) // v1: users 0..7 (4 shards)
+    // v2 touches ONLY shard 1 (update user 1, insert user 9)
+    spark.sql(s"""MERGE INTO $tbl t USING (
+        SELECT * FROM VALUES (1L, DATE '2024-04-01'),
+          (9L, DATE '2024-05-01') AS src(user_id, cohort_d)) s
+      ON t.user_id = s.user_id
+      WHEN MATCHED THEN UPDATE SET cohort_d = s.cohort_d
+      WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql(s"DELETE FROM $tbl WHERE user_id = 2") // v3: shard 2 only
+    // batch read: full history, one partition per (version, CHANGED
+    // shard) — hardlink-carried shards are never planned
+    val changes = spark.table(s"graft_lake.lake.`spec_cdfsrc$$changes`")
+    val scan = changes.queryExecution.executedPlan.collectLeaves()
+      .head.asInstanceOf[org.apache.spark.sql.execution.datasources
+        .v2.BatchScanExec]
+    val parts = scan.inputPartitions
+      .map(_.asInstanceOf[GraftLakeChangesPartition])
+    assert(parts.map(p => (p.version, p.shard)).toSet ===
+      Set((1, 0), (1, 1), (1, 2), (1, 3), // initial load: all shards
+        (2, 1),                           // merge touched shard 1 only
+        (3, 2)))                          // delete touched shard 2 only
+    val got = changes.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.count(_._2 == 1L) === 8)
+    assert(got.filter(_._2 == 2L).map(t => (t._1, t._3)) ===
+      Set(("update_preimage", 1L), ("update_postimage", 1L),
+        ("insert", 9L)))
+    assert(got.filter(_._2 == 3L).map(t => (t._1, t._3)) ===
+      Set(("delete", 2L)))
+    // streaming read: one micro-batch per commit, chronological
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream
+      .table(s"graft_lake.lake.`spec_cdfsrc$$changes`")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen += b.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).toSeq.sorted
+        }: Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.toSeq === Seq(Seq(1L), Seq(2L), Seq(3L)),
+      s"micro-batches carried versions: $seen")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   /** Spark parses TIMESTAMP AS OF '<literal>'; render micros as a UTC
     * timestamp string with microsecond precision. */
   private def microsLit(micros: Long): String = {
