@@ -1181,6 +1181,24 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
       try src.getLines().map(decode).toVector finally src.close()
     }
 
+  // the POST side STREAMS (only the pre side needs indexing — the
+  // asymmetry of a hash join): peak memory is one shard map + one row,
+  // not two shard copies
+  private val postReader: java.io.BufferedReader =
+    if (p.postPath == null) null
+    else new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(p.postPath), "UTF-8"))
+
+  private def postLines: Iterator[Array[Any]] =
+    if (postReader == null) Iterator.empty
+    else new Iterator[Array[Any]] {
+      private var line = postReader.readLine()
+      override def hasNext: Boolean = line != null
+      override def next(): Array[Any] = {
+        val v = decode(line); line = postReader.readLine(); v
+      }
+    }
+
   private def sameVals(a: Array[Any], b: Array[Any]): Boolean = {
     var i = 0
     while (i < a.length) {
@@ -1196,8 +1214,6 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
   }
 
   private val rows: Iterator[InternalRow] = {
-    val pre = readAll(p.prePath)
-    val post = readAll(p.postPath)
     def keyOf(vals: Array[Any]): Long = vals(keyIdx) match {
       case l: java.lang.Long => l.longValue()
       case i: java.lang.Integer => i.longValue()
@@ -1206,7 +1222,7 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
     }
     val preByKey = scala.collection.mutable.LinkedHashMap[Long,
       Array[Any]]()
-    pre.foreach { v =>
+    readAll(p.prePath).foreach { v =>
       val k = keyOf(v)
       require(!preByKey.contains(k),
         s"shard ${p.shard} v${p.version - 1}: duplicate key $k — the " +
@@ -1219,7 +1235,7 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
           vals)
     val matchedPre = scala.collection.mutable.Set[Long]()
     val seenPost = scala.collection.mutable.Set[Long]()
-    val fromPost = post.iterator.flatMap { v =>
+    val fromPost = postLines.flatMap { v =>
       val k = keyOf(v)
       require(!seenPost.contains(k),
         s"shard ${p.shard} v${p.version}: duplicate key $k — the " +
@@ -1248,7 +1264,7 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
   override def next(): Boolean =
     if (rows.hasNext) { cur = rows.next(); true } else false
   override def get(): InternalRow = cur
-  override def close(): Unit = ()
+  override def close(): Unit = if (postReader != null) postReader.close()
 }
 
 /** Writes route every row to its group (floorMod of the shard key) in
