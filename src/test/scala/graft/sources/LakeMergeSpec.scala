@@ -654,6 +654,64 @@ class LakeMergeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("fuzz: connector $changes equals the DataFrame-level diff for " +
+      "every commit of seeded random MERGE/DELETE histories " +
+      "(incl. NULLs and silent identical rewrites)") {
+    Lake.registerCatalog(spark)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val tbl = s"graft_lake.lake.spec_cdf_fuzz$seed"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, score BIGINT)
+        TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4')""")
+      val nCommits = 3 + rnd.nextInt(3)
+      (1 to nCommits).foreach { _ =>
+        if (rnd.nextInt(4) == 0) {
+          val m = 2 + rnd.nextInt(4)
+          spark.sql(s"DELETE FROM $tbl WHERE user_id % $m = " +
+            s"${rnd.nextInt(m)}")
+        } else {
+          // upsert keeps keys unique per shard (the CDF contract);
+          // ~1/5 values NULL, and re-upserting an unchanged value
+          // exercises the silent-rewrite path
+          val vals = (0 until 1 + rnd.nextInt(6)).map { _ =>
+            val k = rnd.nextInt(20)
+            val v = if (rnd.nextInt(5) == 0) "CAST(NULL AS BIGINT)"
+              else rnd.nextInt(8).toString
+            s"(${k}L, $v)"
+          }.distinct.groupBy(_.split(",")(0)).map(_._2.head)
+            .mkString(", ")
+          spark.sql(s"""MERGE INTO $tbl t USING (
+              SELECT * FROM VALUES $vals AS src(user_id, score)) s
+            ON t.user_id = s.user_id
+            WHEN MATCHED THEN UPDATE SET score = s.score
+            WHEN NOT MATCHED THEN INSERT *""")
+        }
+      }
+      val dir = new File(lakeRoot, s"spec_cdf_fuzz$seed").getPath
+      val latest = GraftLakeIO.latestVersion(dir)
+      assert(latest === nCommits)
+      def tuple(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      val connector = spark.table(
+        s"graft_lake.lake.`spec_cdf_fuzz$seed$$changes`")
+      (1 to latest).foreach { v =>
+        val got = connector
+          .filter(org.apache.spark.sql.functions
+            .col("_commit_version") === v)
+          .select("_change_type", "user_id", "score")
+          .collect().map(tuple(_)).toSet
+        val want = Lake.tableChanges(spark, tbl, "user_id", v - 1, v)
+          .select("_change_type", "user_id", "score")
+          .collect().map(tuple(_)).toSet
+        assert(got === want,
+          s"seed=$seed v=$v connector=$got reference=$want")
+      }
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   /** Spark parses TIMESTAMP AS OF '<literal>'; render micros as a UTC
     * timestamp string with microsecond precision. */
   private def microsLit(micros: Long): String = {
