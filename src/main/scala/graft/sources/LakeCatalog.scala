@@ -329,7 +329,8 @@ class GraftLakeTable(private[sources] val tableName: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLakeScanBuilder(declared, dataDir, pinnedVersion, None)
+    new GraftLakeScanBuilder(declared, dataDir, pinnedVersion, None,
+      shardKey)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -371,7 +372,7 @@ class GraftLakeRowLevelOperation(table: GraftLakeTable, dataDir: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(table.schema(), dataDir, Some(snapshotV),
-      Some(this))
+      Some(this), table.shardKey)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftLakeWriteBuilder(table, dataDir, info, Some(this))
@@ -521,6 +522,57 @@ object GraftLakeIO {
     }
     out.result()
   }
+
+  // ---- per-shard ROUTING PROVENANCE (`_routing.json` per version) ----
+  // Zone maps prune RANGE predicates on clustered layouts; EQUALITY /
+  // IN probes on the shard key of a HASH-sharded table need the
+  // routing function instead (shard = floorMod(key, n) pins the one
+  // file a key can live in). But routing is only a WRITE-TIME intent —
+  // after `ALTER … shard_width` old files keep their old placement —
+  // so pruning by the CURRENT routing would be unsound. Each commit
+  // therefore records, per shard file, the routing its rows were
+  // written under: a carried shard keeps its recorded tag, an
+  // append-merged shard keeps it only if it matches the current
+  // routing (else degrades to "mixed" = never pruned), a fresh shard
+  // takes the current tag. Tags: "hash:<n>" | "range:<w>:<n>" |
+  // "mixed".
+
+  def routingFile(vdir: java.io.File): java.io.File =
+    new java.io.File(vdir, "_routing.json")
+
+  def writeRouting(vdir: java.io.File, m: Map[Int, String]): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (k, tag) =>
+      root.put(k.toString, tag): Unit
+    }
+    java.nio.file.Files.writeString(routingFile(vdir).toPath,
+      om.writeValueAsString(root)): Unit
+  }
+
+  def readRouting(vdir: java.io.File): Map[Int, String] = {
+    val f = routingFile(vdir)
+    if (!f.exists()) return Map.empty
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readString(f.toPath))
+    val out = Map.newBuilder[Int, String]
+    root.properties().forEach(e =>
+      out += e.getKey.toInt -> e.getValue.asText())
+    out.result()
+  }
+
+  /** Which shard does `key` route to under `tag`? None for "mixed" /
+    * unparseable tags (caller must not prune). */
+  def routeUnder(tag: String, key: Long): Option[Int] =
+    tag.split(':') match {
+      case Array("hash", n) =>
+        Some(java.lang.Math.floorMod(key, n.toLong).toInt)
+      case Array("range", w, n) =>
+        Some(math.min(
+          math.max(java.lang.Math.floorDiv(key, w.toLong), 0L),
+          (n.toInt - 1).toLong).toInt)
+      case _ => None
+    }
 
   /** Can `col op literal` possibly hold for a value inside [min,max]?
     * Comparisons happen in Long for integral ranges vs integral
@@ -772,7 +824,8 @@ object GraftLakeScanMetrics {
 }
 
 class GraftLakeScanBuilder(declared: StructType, dataDir: String,
-    pinned: Option[Int], op: Option[GraftLakeRowLevelOperation])
+    pinned: Option[Int], op: Option[GraftLakeRowLevelOperation],
+    shardKey: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters {
   private var required: StructType = declared
@@ -804,14 +857,15 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
     // immutable version dir, so a commit racing this read is invisible
     val v = pinned.getOrElse(GraftLakeIO.latestVersion(dataDir))
     val scan = new GraftLakeScan(required,
-      GraftLakeIO.versionDir(dataDir, v), zonePreds)
+      GraftLakeIO.versionDir(dataDir, v), zonePreds, shardKey)
     op.foreach(_.scans.add(scan))
     scan
   }
 }
 
 class GraftLakeScan(required: StructType, vdir: java.io.File,
-    zonePreds: Array[V2Predicate] = Array.empty)
+    zonePreds: Array[V2Predicate] = Array.empty,
+    shardKey: String = "")
     extends Scan with Batch with SupportsRuntimeV2Filtering {
 
   @volatile private[sources] var runtimeFiltered = false
@@ -892,13 +946,14 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
   private def computePartitions(): Array[InputPartition] = {
     val candidates = plannedShards.toArray.sorted
     val stats = GraftLakeIO.readStats(vdir)
+    val routing = GraftLakeIO.readRouting(vdir)
     val kept = candidates.filter { k =>
       stats.get(k).forall { cols =>
         zoneConjuncts.forall { case (name, op, lit) =>
           cols.get(name)
             .forall(r => GraftLakeIO.rangeMayMatch(r, op, lit))
         }
-      }
+      } && probeSurvives(k, routing)
     }
     GraftLakeScanMetrics.planned.addAndGet(kept.length.toLong): Unit
     GraftLakeScanMetrics.skippedByStats
@@ -907,6 +962,53 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
       GraftLakeInputPartition(
         GraftLakeIO.shardFile(vdir, k).getPath, k))
   }
+
+  /** Equality/IN probe conjuncts on the SHARD KEY — per conjunct, the
+    * probed literal values. Used with each shard's recorded routing
+    * provenance: shard k survives a conjunct iff its tag is
+    * "mixed"/absent/unparseable (never prune blind) or some probed
+    * value routes to k under THAT SHARD'S tag. */
+  private lazy val keyProbeConjuncts: Seq[Seq[Long]] = {
+    def longLit(x: Any): Option[Long] = x match {
+      case l: V2Literal[_] => l.value() match {
+        case i: java.lang.Integer => Some(i.longValue())
+        case l2: java.lang.Long => Some(l2.longValue())
+        case s: java.lang.Short => Some(s.longValue())
+        case _ => None
+      }
+      case _ => None
+    }
+    def isKey(x: Any): Boolean = x match {
+      case r: NamedReference =>
+        r.fieldNames().sameElements(Array(shardKey))
+      case _ => false
+    }
+    if (shardKey.isEmpty) Nil
+    else zonePreds.toSeq.flatMap { p =>
+      val ch = p.children().toSeq
+      p.name() match {
+        case "=" if ch.length == 2 && isKey(ch(0)) =>
+          longLit(ch(1)).map(Seq(_))
+        case "=" if ch.length == 2 && isKey(ch(1)) =>
+          longLit(ch(0)).map(Seq(_))
+        case "IN" if ch.length >= 2 && isKey(ch.head) =>
+          val lits = ch.tail.flatMap(longLit)
+          if (lits.length == ch.length - 1) Some(lits) else None
+        case _ => None
+      }
+    }
+  }
+
+  private def probeSurvives(k: Int,
+      routing: Map[Int, String]): Boolean =
+    keyProbeConjuncts.forall { lits =>
+      routing.get(k) match {
+        case Some(tag) if tag != "mixed" =>
+          lits.exists(l =>
+            GraftLakeIO.routeUnder(tag, l).forall(_ == k))
+        case _ => true
+      }
+    }
 
   override def planInputPartitions(): Array[InputPartition] =
     synchronized {
@@ -1388,6 +1490,29 @@ class GraftLakeBatchWrite(table: GraftLakeTable, dataDir: String,
         }
       }.toMap
       if (statsOut.nonEmpty) GraftLakeIO.writeStats(build, statsOut)
+      // routing provenance per shard file (point-lookup pruning):
+      // carried keeps its recorded tag, append-merged keeps it only
+      // if it matches the CURRENT routing (else "mixed" — never
+      // pruned), fresh takes the current tag; pre-provenance history
+      // degrades to "mixed"
+      val currentTag =
+        if (table.shardWidth > 0L)
+          s"range:${table.shardWidth}:${table.nShards}"
+        else s"hash:${table.nShards}"
+      val baseRouting = GraftLakeIO.readRouting(baseDir)
+      val routingOut = GraftLakeIO.existingShards(build).map { k =>
+        k -> ((carried.contains(k), staged.contains(k)) match {
+          case (true, false) => baseRouting.getOrElse(k, "mixed")
+          case (false, true) => currentTag
+          case (true, true) =>
+            if (baseRouting.getOrElse(k, "mixed") == currentTag)
+              currentTag
+            else "mixed"
+          case _ => "mixed"
+        })
+      }.toMap
+      if (routingOut.nonEmpty)
+        GraftLakeIO.writeRouting(build, routingOut)
       val operation = op.map(_.command().name().toLowerCase(
           java.util.Locale.ROOT))
         .getOrElse(if (truncateFirst) "overwrite" else "append")
@@ -2043,6 +2168,31 @@ object Lake {
       .orderBy("_commit_version", "user_id", "_change_type")
   }
 
+  /** POINT-LOOKUP SHARD PRUNING — what zone maps CANNOT do on a
+    * hash-sharded table (every shard spans the full key range): an
+    * `=` / `IN` probe on the shard key prunes by each shard's recorded
+    * ROUTING PROVENANCE instead (shard = floorMod(key, n) pins the one
+    * file a key can live in — IF that shard's rows were written under
+    * that routing; shards appended to after an `ALTER … shard_width`
+    * are recorded "mixed" and never pruned, keeping the optimization
+    * sound across layout migrations). Here: two probed users on the
+    * 8-shard hash table read 2 of 8 shard files (LakeMergeSpec asserts
+    * the planned/skipped counts). At 100 TB this is the key-value
+    * access path: one key, one file. */
+  val lakePointLookup: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val (tbl, _) = countsHistoryTable(s, dir)
+    s.sql(s"""SELECT user_id, n_events FROM $tbl
+              WHERE user_id IN (43, 87)
+              ORDER BY user_id""")
+  }
+
+  val lakePointLookupOracle: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+       FROM events
+       WHERE user_id % 7 <> 0 AND user_id IN (43, 87)
+       GROUP BY user_id ORDER BY user_id"""
+
   /** DESCRIBE HISTORY — the Delta/Iceberg table-history surface over
     * the lake's commit log: one row per version with the OPERATION
     * LABEL the commit recorded (append / merge / delete / overwrite /
@@ -2183,7 +2333,8 @@ object Lake {
     "lake_history" -> lakeHistory,
     "lake_incremental_mv" -> lakeIncrementalMv,
     "lake_changes_table" -> lakeChangesTable,
-    "stream_lake_cdf_source" -> streamLakeCdfSource)
+    "stream_lake_cdf_source" -> streamLakeCdfSource,
+    "lake_point_lookup" -> lakePointLookup)
 
   val oracles: Map[String, String] = Map(
     "lake_recluster_skip" -> lakeStatsSkippingOracle,
@@ -2198,5 +2349,6 @@ object Lake {
     "lake_history" -> lakeHistoryOracle,
     "lake_incremental_mv" -> lakeIncrementalMvOracle,
     "lake_changes_table" -> lakeChangesTableOracle,
-    "stream_lake_cdf_source" -> lakeChangesTableOracle)
+    "stream_lake_cdf_source" -> lakeChangesTableOracle,
+    "lake_point_lookup" -> lakePointLookupOracle)
 }

@@ -712,6 +712,54 @@ class LakeMergeSpec extends SparkSpec {
     }
   }
 
+  test("point-lookup pruning: =/IN on the shard key reads one shard " +
+      "per probed value on a hash table; mixed-provenance shards are " +
+      "never pruned after a routing change") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_probe"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, score BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4')""")
+    spark.sql(s"INSERT INTO $tbl VALUES " +
+      (0L to 7L).map(k => s"($k, ${k * 10})").mkString(", ")) // v1 hash:4
+    // equality probe: user 6 lives only in shard 2 (6 mod 4)
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(s"SELECT score FROM $tbl WHERE user_id = 6")
+      .head.getLong(0) === 60L)
+    assert(GraftLakeScanMetrics.planned.get() === 1L &&
+      GraftLakeScanMetrics.skippedByStats.get() === 3L)
+    // IN probe: users 1 and 6 → shards 1 and 2
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(
+      s"SELECT count(*) FROM $tbl WHERE user_id IN (1, 6)")
+      .head.getLong(0) === 2L)
+    assert(GraftLakeScanMetrics.planned.get() === 2L &&
+      GraftLakeScanMetrics.skippedByStats.get() === 2L)
+    // routing change WITHOUT rewrite: key 100 routes to shard 3 under
+    // the NEW range routing but would hash to shard 0 under the old —
+    // shard 3 records "mixed" (append across routings) and must never
+    // be pruned; the lookup stays correct
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('shard_width'='10')")
+    spark.sql(s"INSERT INTO $tbl VALUES (100, 1000)") // v2
+    val dir = new File(lakeRoot, "spec_probe").getPath
+    val routing = GraftLakeIO.readRouting(GraftLakeIO.versionDir(dir, 2))
+    assert(routing(3) === "mixed")      // old hash rows + new range row
+    assert(routing(0) === "hash:4")     // carried untouched
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(s"SELECT score FROM $tbl WHERE user_id = 100")
+      .head.getLong(0) === 1000L)
+    // the two layers COMPOSE: shards 1/2 pruned by routing (hash:4
+    // says 100 can't be there), shard 0 pruned by its ZONE MAP
+    // (max user_id 4 < 100 — routing alone would have kept it), and
+    // only the mixed shard 3 is read
+    assert(GraftLakeScanMetrics.planned.get() === 1L &&
+      GraftLakeScanMetrics.skippedByStats.get() === 3L,
+      s"planned=${GraftLakeScanMetrics.planned.get()} " +
+        s"skipped=${GraftLakeScanMetrics.skippedByStats.get()} " +
+        s"routing=$routing")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   /** Spark parses TIMESTAMP AS OF '<literal>'; render micros as a UTC
     * timestamp string with microsecond precision. */
   private def microsLit(micros: Long): String = {
