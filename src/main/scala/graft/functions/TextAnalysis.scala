@@ -1395,6 +1395,49 @@ object TextAnalysis {
          (start_offset + n_tokens - 1) // 2048 AS bin_last
        FROM c ORDER BY doc_id"""
 
+  /** PII SCRUBBING — the redaction stage every pre-training curation
+    * pipeline runs before anything leaves the raw zone: emails and
+    * phone-shaped strings are counted and replaced with typed
+    * placeholders in one projection (codegen'd regexp_* — no UDF).
+    * The harness corpus is synthetic prose, so each document gets a
+    * DETERMINISTIC injected email + phone (doc-derived) on top of
+    * whatever the text already matches — the redactor must find and
+    * scrub BOTH, and the oracle recomputes counts and the digest of
+    * the scrubbed text with the same patterns (DuckDB regexp_replace
+    * needs the 'g' flag to match Spark's replace-all semantics). */
+  val piiRedact: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id",
+        """concat(text, ' contact user', CAST(doc_id AS STRING),
+           '@example.com or 555-',
+           lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) AS aug""")
+      .selectExpr("doc_id",
+        "CAST(size(regexp_extract_all(aug, " +
+          "'[a-z0-9._]+@[a-z0-9.]+\\\\.[a-z]+', 0)) AS BIGINT) AS n_emails",
+        "CAST(size(regexp_extract_all(aug, " +
+          "'[0-9]{3}-[0-9]{4}', 0)) AS BIGINT) AS n_phones",
+        "md5(regexp_replace(regexp_replace(aug, " +
+          "'[a-z0-9._]+@[a-z0-9.]+\\\\.[a-z]+', '<EMAIL>'), " +
+          "'[0-9]{3}-[0-9]{4}', '<PHONE>')) AS clean_digest")
+      .orderBy("doc_id")
+
+  val piiRedactOracle: String =
+    """WITH a AS (
+         SELECT doc_id,
+           concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+             '@example.com or 555-',
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS aug
+         FROM documents)
+       SELECT doc_id,
+         CAST(len(regexp_extract_all(aug,
+           '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(aug,
+           '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+         md5(regexp_replace(regexp_replace(aug,
+           '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS clean_digest
+       FROM a ORDER BY doc_id"""
+
   val corpusSplitAssign: Q = (s, dir) =>
     t(s, dir, "documents")
       .selectExpr("doc_id", "source",
@@ -1515,6 +1558,7 @@ object TextAnalysis {
     "doc_length_histogram" -> docLengthHistogram,
     "text_token_count" -> tokenCount,
     "corpus_pack_sequences" -> corpusPackSequences,
+    "text_pii_redact" -> piiRedact,
     "text_quality_score" -> qualityScore,
     "text_quality_classifier" -> qualityClassifier,
     "text_lang_id" -> langId,
@@ -1552,6 +1596,7 @@ object TextAnalysis {
     "doc_length_histogram" -> docLengthHistogramOracle,
     "text_token_count" -> tokenCountOracle,
     "corpus_pack_sequences" -> corpusPackSequencesOracle,
+    "text_pii_redact" -> piiRedactOracle,
     "text_quality_score" -> qualityScoreOracle,
     "text_quality_classifier" -> qualityClassifierOracle,
     "text_lang_id" -> langIdOracle,
