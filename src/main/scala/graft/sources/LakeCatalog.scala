@@ -478,6 +478,15 @@ object GraftLakeIO {
         math.min(minD, o.minD), math.max(maxD, o.maxD))
   }
 
+  /** True when a stats range is unusable for skipping. A NaN bound
+    * would make every ordered comparison in [[rangeMayMatch]] false
+    * and silently prune a shard that holds real rows — writers must
+    * never observe NaN (Parquet/Iceberg likewise drop NaN from
+    * min/max), and readers treat a NaN-poisoned entry from an old
+    * table as "no stats" (never skip). */
+  def rangeUnusable(r: ColRange): Boolean =
+    r.isFloat && (r.minD.isNaN || r.maxD.isNaN)
+
   def statsFile(vdir: java.io.File): java.io.File =
     new java.io.File(vdir, "_stats.json")
 
@@ -578,6 +587,7 @@ object GraftLakeIO {
     * Comparisons happen in Long for integral ranges vs integral
     * literals (exactness above 2^53) and in Double otherwise. */
   def rangeMayMatch(r: ColRange, op: String, lit: Any): Boolean = {
+    if (rangeUnusable(r)) return true // NaN-poisoned stats: never skip
     val litD = lit match {
       case i: java.lang.Integer => i.toDouble
       case l: java.lang.Long => l.toDouble
@@ -586,6 +596,9 @@ object GraftLakeIO {
       case s: java.lang.Short => s.toDouble
       case _ => return true // unknown literal type: never skip
     }
+    // a NaN literal is invisible to min/max ranges (writers skip NaN);
+    // every ordered comparison with it is false, so never skip on it
+    if (litD.isNaN) return true
     val (lo, hi) = lit match {
       case _: java.lang.Integer | _: java.lang.Long | _: java.lang.Short
           if !r.isFloat =>
@@ -764,7 +777,10 @@ object GraftLakeIO {
         .getOrElse(Array.empty[java.io.File])
         .filter { f =>
           (f.getName.startsWith("_build_") && f.lastModified() < cutoff) ||
-            "v(\\d+)".r.findFirstMatchIn(f.getName)
+            // anchored: only real version dirs (`v<digits>` exactly)
+            // are candidates — a future artifact merely CONTAINING
+            // v<digits> (e.g. "schema_v9.json") must never be removed
+            "^v(\\d+)$".r.findFirstMatchIn(f.getName)
               .exists(_.group(1).toInt > latest)
         }
       victims.foreach(rmTree)
@@ -1130,20 +1146,40 @@ class GraftLakeChangesTable(base: GraftLakeTable)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftLakeChangesScan(base, changeSchema)
+    // head pinned at scan-build time: Spark may call
+    // planInputPartitions more than once per query, and a commit
+    // racing planning must not yield inconsistent partition sets
+    // (the main GraftLakeScanBuilder pins in build() for the same
+    // reason)
+    () => new GraftLakeChangesScan(base, changeSchema,
+      GraftLakeIO.latestVersion(base.dataDir))
 }
 
 class GraftLakeChangesScan(base: GraftLakeTable,
-    out: StructType) extends Scan with Batch {
+    out: StructType, pinnedHead: Int) extends Scan with Batch {
 
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
 
   /** (version, shard) partitions for versions in (vFrom, vTo] whose
     * shard pair actually differs — hardlink-carried shards are proven
-    * identical by file identity and never planned. */
+    * identical by file identity and never planned. Every version in
+    * the range — and the diff base vFrom when > 0 — must still EXIST:
+    * a missing (expired) dir would silently read as an empty shard
+    * set, fabricating inserts for every surviving row and losing
+    * deletes/updates, so the replay fails loudly instead (mirrors the
+    * TIMESTAMP/VERSION AS OF expiry discipline). */
   private[sources] def diffPartitions(vFrom: Int,
-      vTo: Int): Array[InputPartition] =
+      vTo: Int): Array[InputPartition] = {
+    val need = (if (vFrom > 0) Seq(vFrom) else Nil) ++ (vFrom + 1 to vTo)
+    need.foreach { v =>
+      if (!GraftLakeIO.versionDir(base.dataDir, v).exists())
+        throw new IllegalStateException(
+          s"${base.tableName}$$changes: cannot replay versions " +
+            s"($vFrom, $vTo] — version $v has been expired; a diff " +
+            "over expired history would fabricate inserts and lose " +
+            "deletes/updates")
+    }
     (vFrom + 1 to vTo).flatMap { v =>
       val preDir = GraftLakeIO.versionDir(base.dataDir, v - 1)
       val postDir = GraftLakeIO.versionDir(base.dataDir, v)
@@ -1161,9 +1197,10 @@ class GraftLakeChangesScan(base: GraftLakeTable,
           k, v): InputPartition)
       }
     }.toArray
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
-    diffPartitions(0, GraftLakeIO.latestVersion(base.dataDir))
+    diffPartitions(0, pinnedHead)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLakeChangesReaderFactory(out, base.declared, base.shardKey)
@@ -1307,6 +1344,13 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
       val eq = (a(i), b(i)) match {
         case (null, null) => true
         case (null, _) | (_, null) => false
+        // boxed-Double universal == has NaN != NaN, which would emit a
+        // spurious update image pair for an unchanged NaN row; match
+        // Spark SQL's <=> (the DataFrame-level tableChanges'
+        // comparator): NaN equals NaN, and -0.0 equals 0.0
+        case (x: java.lang.Double, y: java.lang.Double) =>
+          x.doubleValue() == y.doubleValue() ||
+            (x.doubleValue().isNaN && y.doubleValue().isNaN)
         case (x, y) => x == y
       }
       if (!eq) return false
@@ -1596,8 +1640,15 @@ class GraftLakeDataWriter(stagePath: String, writeSchema: StructType,
           case DoubleType =>
             val v = row.getDouble(i)
             doc.put(f.name, v): Unit
-            observe(k, f.name,
-              GraftLakeIO.ColRange(isFloat = true, 0L, 0L, v, v))
+            // NaN never enters the zone map: math.min/max propagate
+            // NaN, and one poisoned bound would make every range
+            // comparison false — pruning shards that hold real rows.
+            // Skipping is sound like skipping null: the skippable
+            // predicate shapes are ordered comparisons, which no NaN
+            // row can satisfy anyway (Parquet/Iceberg do the same).
+            if (!v.isNaN)
+              observe(k, f.name,
+                GraftLakeIO.ColRange(isFloat = true, 0L, 0L, v, v))
           case StringType =>
             doc.put(f.name, row.getUTF8String(i).toString): Unit
           case other => throw new IllegalArgumentException(

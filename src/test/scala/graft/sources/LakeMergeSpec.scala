@@ -662,7 +662,8 @@ class LakeMergeSpec extends SparkSpec {
       val rnd = new scala.util.Random(seed)
       val tbl = s"graft_lake.lake.spec_cdf_fuzz$seed"
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, score BIGINT)
+      spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, score BIGINT,
+          weight DOUBLE)
         TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4')""")
       val nCommits = 3 + rnd.nextInt(3)
       (1 to nCommits).foreach { _ =>
@@ -673,18 +674,28 @@ class LakeMergeSpec extends SparkSpec {
         } else {
           // upsert keeps keys unique per shard (the CDF contract);
           // ~1/5 values NULL, and re-upserting an unchanged value
-          // exercises the silent-rewrite path
+          // exercises the silent-rewrite path. The DOUBLE column draws
+          // from a 3-value set INCLUDING NaN so unchanged-NaN rewrites
+          // (boxed == would fake an update) and NaN<->value updates
+          // both occur across seeds.
           val vals = (0 until 1 + rnd.nextInt(6)).map { _ =>
             val k = rnd.nextInt(20)
             val v = if (rnd.nextInt(5) == 0) "CAST(NULL AS BIGINT)"
               else rnd.nextInt(8).toString
-            s"(${k}L, $v)"
+            val w = rnd.nextInt(3) match {
+              case 0 => "CAST('NaN' AS DOUBLE)"
+              case 1 => "CAST(NULL AS DOUBLE)"
+              case _ => s"CAST(${rnd.nextInt(2)}.5 AS DOUBLE)"
+            }
+            s"(${k}L, $v, $w)"
           }.distinct.groupBy(_.split(",")(0)).map(_._2.head)
             .mkString(", ")
           spark.sql(s"""MERGE INTO $tbl t USING (
-              SELECT * FROM VALUES $vals AS src(user_id, score)) s
+              SELECT * FROM VALUES $vals
+                AS src(user_id, score, weight)) s
             ON t.user_id = s.user_id
-            WHEN MATCHED THEN UPDATE SET score = s.score
+            WHEN MATCHED THEN UPDATE SET score = s.score,
+              weight = s.weight
             WHEN NOT MATCHED THEN INSERT *""")
         }
       }
@@ -693,23 +704,116 @@ class LakeMergeSpec extends SparkSpec {
       assert(latest === nCommits)
       def tuple(r: org.apache.spark.sql.Row) =
         (r.getString(0), r.getLong(1),
-          if (r.isNullAt(2)) None else Some(r.getLong(2)))
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          // bit pattern: NaN-safe, deterministic set membership
+          if (r.isNullAt(3)) None
+          else Some(java.lang.Double.doubleToLongBits(r.getDouble(3))))
       val connector = spark.table(
         s"graft_lake.lake.`spec_cdf_fuzz$seed$$changes`")
       (1 to latest).foreach { v =>
         val got = connector
           .filter(org.apache.spark.sql.functions
             .col("_commit_version") === v)
-          .select("_change_type", "user_id", "score")
+          .select("_change_type", "user_id", "score", "weight")
           .collect().map(tuple(_)).toSet
         val want = Lake.tableChanges(spark, tbl, "user_id", v - 1, v)
-          .select("_change_type", "user_id", "score")
+          .select("_change_type", "user_id", "score", "weight")
           .collect().map(tuple(_)).toSet
         assert(got === want,
           s"seed=$seed v=$v connector=$got reference=$want")
       }
       spark.sql(s"DROP TABLE $tbl")
     }
+  }
+
+  test("NaN discipline: zone maps never observe NaN (no poisoned " +
+      "pruning), a NaN literal never skips, and $changes treats an " +
+      "unchanged NaN row as unchanged (<=> semantics)") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_nan"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, score DOUBLE)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='3',
+        'shard_width'='10')""")
+    // shard 0: scores {1.0, NaN}; shard 1: {5.0}; shard 2: {100.0}
+    spark.sql(s"""INSERT INTO $tbl VALUES
+      (1, 1.0), (2, CAST('NaN' AS DOUBLE)), (11, 5.0), (21, 100.0)""")
+    val dir = new File(lakeRoot, "spec_nan").getPath
+    val stats = GraftLakeIO.readStats(GraftLakeIO.versionDir(dir, 1))
+    // the writer skipped the NaN: shard 0's range is the real 1.0,
+    // not min=max=NaN (which would prune the shard on every range)
+    assert(stats(0)("score").minD === 1.0 &&
+      stats(0)("score").maxD === 1.0)
+    GraftLakeScanMetrics.reset()
+    val low = spark.sql(s"SELECT user_id FROM $tbl WHERE score <= 2.0")
+      .collect().map(_.getLong(0)).toSet
+    assert(low === Set(1L))
+    assert(GraftLakeScanMetrics.planned.get() === 1L,
+      "shard 0 must be planned despite holding a NaN row")
+    assert(GraftLakeScanMetrics.skippedByStats.get() === 2L)
+    // `= NaN` (true for the NaN row under Spark SQL's NaN semantics):
+    // min/max never contain NaN, so ranges can't prove absence —
+    // no shard may be skipped on a NaN literal
+    GraftLakeScanMetrics.reset()
+    val nan = spark.sql(
+      s"SELECT user_id FROM $tbl WHERE score = CAST('NaN' AS DOUBLE)")
+      .collect().map(_.getLong(0)).toSet
+    assert(nan === Set(2L))
+    assert(GraftLakeScanMetrics.skippedByStats.get() === 0L)
+    // hardening for PRE-fix tables: a persisted poisoned range is
+    // treated as "no stats", never as a skip license
+    assert(GraftLakeIO.rangeMayMatch(
+      GraftLakeIO.ColRange(isFloat = true, 0L, 0L, Double.NaN,
+        Double.NaN), "<=", java.lang.Double.valueOf(2.0)))
+    // $changes: re-upserting the SAME NaN is a silent identical
+    // rewrite (boxed-== would call NaN changed and fake an update
+    // pair); NaN -> 1.5 is a real update
+    spark.sql(s"""MERGE INTO $tbl t USING (
+        SELECT 2L AS user_id, CAST('NaN' AS DOUBLE) AS score) s
+      ON t.user_id = s.user_id
+      WHEN MATCHED THEN UPDATE SET score = s.score""") // v2: no-op
+    spark.sql(s"""MERGE INTO $tbl t USING (
+        SELECT 2L AS user_id, CAST(1.5 AS DOUBLE) AS score) s
+      ON t.user_id = s.user_id
+      WHEN MATCHED THEN UPDATE SET score = s.score""") // v3: update
+    val ch = spark.table(s"graft_lake.lake.`spec_nan$$changes`")
+      .filter("_commit_version >= 2")
+      .select("_commit_version", "_change_type", "user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(ch === Set((3L, "update_preimage", 2L),
+      (3L, "update_postimage", 2L)),
+      s"v2's unchanged-NaN rewrite must emit nothing; got $ch")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("$changes refuses expired history instead of fabricating " +
+      "inserts; vacuum never touches non-version-dir artifacts") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_chexp"
+    ddl(tbl) // v1
+    spark.sql(s"DELETE FROM $tbl WHERE user_id = 2") // v2
+    spark.sql(s"UPDATE $tbl SET cohort_d = DATE '2024-06-01' " +
+      "WHERE user_id = 1") // v3
+    val dir = new File(lakeRoot, "spec_chexp").getPath
+    // a future metadata artifact whose name merely CONTAINS v<digits>
+    // above the pointer must survive vacuum (anchored version match)
+    val decoy = new File(dir, "schema_v9.json")
+    java.nio.file.Files.writeString(decoy.toPath, "{}"): Unit
+    val removed = GraftLakeIO.vacuumOrphans(dir, olderThanMs = 0L)
+    assert(decoy.exists(), s"vacuum removed the decoy: $removed")
+    assert(decoy.delete())
+    GraftLakeIO.expireSnapshots(dir, keep = 1): Unit
+    // batch $changes always spans (0, latest]; with v1/v2 expired the
+    // diff is unknowable — an empty-dir read would emit every
+    // surviving row as 'insert' and lose the delete/update
+    def msgs(t: Throwable): String =
+      Option(t).map(x => x.getMessage + msgs(x.getCause)).getOrElse("")
+    val e = intercept[Exception] {
+      spark.table(s"graft_lake.lake.`spec_chexp$$changes`").collect()
+    }
+    assert(msgs(e).contains("expired"))
+    spark.sql(s"DROP TABLE $tbl")
   }
 
   test("point-lookup pruning: =/IN on the shard key reads one shard " +
