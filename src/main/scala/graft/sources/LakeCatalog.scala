@@ -41,7 +41,7 @@ import graft.Q
   * byte-identical untouched files).
   *
   * Storage: IMMUTABLE VERSIONED snapshots ([[GraftLakeIO]]): one
-  * JSON-lines file per shard (`v<N>/shard-K.jsonl`,
+  * COLUMNAR parquet file per shard (`v<N>/shard-K.parquet`,
   * K = floorMod(shard-key, nShards)) — the shard is the GROUP of the
   * group-based operation, the version dir the snapshot. Every commit
   * builds version N+1 completely (unchanged shards hardlinked),
@@ -394,7 +394,7 @@ class GraftLakeRowLevelOperation(table: GraftLakeTable, dataDir: String,
 }
 
 /** Versioned, immutable storage layout (the lakehouse snapshot model):
-  * `v<N>/shard-K.jsonl` version directories plus a `_latest` pointer
+  * `v<N>/shard-K.parquet` version directories plus a `_latest` pointer
   * file. Commits never mutate a published version — a new version dir
   * is built completely (unchanged shards HARDLINKED from the base
   * snapshot, changed ones copied/written), its `_commit` timestamp
@@ -422,11 +422,11 @@ object GraftLakeIO {
   def versionDir(dataDir: String, v: Int): java.io.File =
     new java.io.File(dataDir, s"v$v")
   def shardFile(vdir: java.io.File, k: Int): java.io.File =
-    new java.io.File(vdir, s"shard-$k.jsonl")
+    new java.io.File(vdir, s"shard-$k.parquet")
   def existingShards(vdir: java.io.File): Set[Int] =
     Option(vdir.listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .flatMap(f => "shard-(\\d+)\\.jsonl".r
+      .flatMap(f => "^shard-(\\d+)\\.parquet$".r
         .findFirstMatchIn(f.getName).map(_.group(1).toInt))
       .toSet
   // `_commit` file format: "<micros>" (pre-round-11) or
@@ -836,7 +836,15 @@ object GraftLakeIO {
 object GraftLakeScanMetrics {
   val planned = new java.util.concurrent.atomic.AtomicLong()
   val skippedByStats = new java.util.concurrent.atomic.AtomicLong()
-  def reset(): Unit = { planned.set(0); skippedByStats.set(0) }
+  // read-side columnar honesty (local-mode observable): how many
+  // parquet columns each shard reader actually decoded, and how many
+  // reads were served purely from footer metadata (zero data pages)
+  val decodedColumns = new java.util.concurrent.atomic.AtomicLong()
+  val metadataOnlyReads = new java.util.concurrent.atomic.AtomicLong()
+  def reset(): Unit = {
+    planned.set(0); skippedByStats.set(0)
+    decodedColumns.set(0); metadataOnlyReads.set(0)
+  }
 }
 
 class GraftLakeScanBuilder(declared: StructType, dataDir: String,
@@ -1055,9 +1063,14 @@ class GraftLakeReaderFactory(required: StructType)
   }
 }
 
-/** Streams one shard file of JSON-lines rows (Jackson, executor-side —
-  * same wire discipline as [[GraftMongoPartitionReader]]). The
-  * `_shard` metadata column is synthesized from the file, not stored.
+/** Streams one COLUMNAR shard file ([[GraftShardCodec]], executor-
+  * side). Only the requested columns' parquet pages are decoded —
+  * the projection is intersected with the file footer's own schema,
+  * so columns ADDed after the shard was written are served as NULL
+  * without touching the file body, and a projection-empty read
+  * (`count(*)`, or a `_shard`-only probe) is served ENTIRELY from
+  * footer row counts — zero data pages. The `_shard` metadata column
+  * is synthesized from the file, not stored.
   * A missing file is an ERROR, never an empty shard: partitions are
   * planned only for shards that existed in the immutable snapshot dir,
   * so absence at read time means the snapshot was torn (expired
@@ -1065,47 +1078,62 @@ class GraftLakeReaderFactory(required: StructType)
   * serving zero rows (advisor round 10). */
 class GraftLakePartitionReader(path: String, shard: Int,
     required: StructType) extends PartitionReader[InternalRow] {
-  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
-  private val reader = {
-    if (!new java.io.File(path).exists())
-      throw new java.io.FileNotFoundException(
-        s"lake shard $path vanished after planning — the snapshot " +
-          "was expired or deleted while being read")
-    new java.io.BufferedReader(new java.io.InputStreamReader(
-      new java.io.FileInputStream(path), "UTF-8"))
+  if (!new java.io.File(path).exists())
+    throw new java.io.FileNotFoundException(
+      s"lake shard $path vanished after planning — the snapshot " +
+        "was expired or deleted while being read")
+
+  private val dataNames =
+    required.fields.iterator.map(_.name).filter(_ != "_shard").toSeq
+  private val (fileSchema, totalRows) =
+    GraftShardCodec.footer(new java.io.File(path))
+  private val projection =
+    GraftShardCodec.projectionFor(fileSchema, dataNames)
+  // required index -> projection field index (-1 = serve NULL or the
+  // synthesized shard id)
+  private val projIdx: Array[Int] = required.fields.map { f =>
+    if (f.name != "_shard" && projection.containsField(f.name))
+      projection.getFieldIndex(f.name)
+    else -1
   }
+  private val metadataOnly = projection.getFieldCount == 0
+  GraftLakeScanMetrics.decodedColumns
+    .addAndGet(projection.getFieldCount.toLong): Unit
+  if (metadataOnly)
+    GraftLakeScanMetrics.metadataOnlyReads.incrementAndGet(): Unit
+  private val reader =
+    if (metadataOnly) null
+    else GraftShardCodec.openReader(new java.io.File(path), projection)
+
+  private var remaining: Long = totalRows
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    val line = reader.readLine()
-    if (line == null) return false
-    val doc = om.readTree(line)
+    if (remaining <= 0L) return false
+    val g: org.apache.parquet.example.data.Group =
+      if (metadataOnly) null
+      else {
+        val r = reader.read()
+        if (r == null) return false
+        r
+      }
     val vals = new Array[Any](required.length)
     var i = 0
     while (i < required.length) {
       val f = required(i)
       vals(i) =
         if (f.name == "_shard") shard
-        else {
-          val n = doc.get(f.name)
-          if (n == null || n.isNull) null
-          else f.dataType match {
-            case LongType => n.asLong()
-            case IntegerType | DateType => n.asInt()
-            case DoubleType => n.asDouble()
-            case StringType => UTF8String.fromString(n.asText())
-            case other => throw new IllegalArgumentException(
-              s"unsupported lake type for ${f.name}: $other")
-          }
-        }
+        else if (projIdx(i) < 0) null
+        else GraftShardCodec.value(g, projIdx(i), f.dataType)
       i += 1
     }
     row = new GenericInternalRow(vals)
+    remaining -= 1L
     true
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = reader.close()
+  override def close(): Unit = if (reader != null) reader.close()
 }
 
 /** The `<table>$changes` CHANGE-FEED metadata table — the connector
@@ -1283,60 +1311,25 @@ class GraftLakeChangesReaderFactory(out: StructType,
   * shard-local hash-join build side), the post side streams through —
   * matching keys with differing values emit an image pair, post-only
   * keys emit `insert`, then unmatched pre keys emit `delete`. Change
-  * detection compares the PARSED typed values (not raw JSON text), so
-  * re-serialization noise can never fake a change. */
+  * detection compares the DECODED typed values (not file bytes), so
+  * re-encoding noise can never fake a change. */
 class GraftLakeChangesReader(p: GraftLakeChangesPartition,
     out: StructType, dataSchema: StructType, shardKey: String)
     extends PartitionReader[InternalRow] {
-  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
   private val keyIdx = dataSchema.fieldIndex(shardKey)
-
-  private def decode(line: String): Array[Any] = {
-    val doc = om.readTree(line)
-    val vals = new Array[Any](dataSchema.length)
-    var i = 0
-    while (i < dataSchema.length) {
-      val f = dataSchema(i)
-      val n = doc.get(f.name)
-      vals(i) =
-        if (n == null || n.isNull) null
-        else f.dataType match {
-          case LongType => n.asLong()
-          case IntegerType | DateType => n.asInt()
-          case DoubleType => n.asDouble()
-          case StringType => UTF8String.fromString(n.asText())
-          case other => throw new IllegalArgumentException(
-            s"unsupported lake type for ${f.name}: $other")
-        }
-      i += 1
-    }
-    vals
-  }
 
   private def readAll(path: String): Seq[Array[Any]] =
     if (path == null) Nil
-    else {
-      val src = scala.io.Source.fromFile(path, "UTF-8")
-      try src.getLines().map(decode).toVector finally src.close()
-    }
+    else GraftShardCodec
+      .readRows(new java.io.File(path), dataSchema).toVector
 
   // the POST side STREAMS (only the pre side needs indexing — the
   // asymmetry of a hash join): peak memory is one shard map + one row,
   // not two shard copies
-  private val postReader: java.io.BufferedReader =
-    if (p.postPath == null) null
-    else new java.io.BufferedReader(new java.io.InputStreamReader(
-      new java.io.FileInputStream(p.postPath), "UTF-8"))
-
   private def postLines: Iterator[Array[Any]] =
-    if (postReader == null) Iterator.empty
-    else new Iterator[Array[Any]] {
-      private var line = postReader.readLine()
-      override def hasNext: Boolean = line != null
-      override def next(): Array[Any] = {
-        val v = decode(line); line = postReader.readLine(); v
-      }
-    }
+    if (p.postPath == null) Iterator.empty
+    else GraftShardCodec.readRows(new java.io.File(p.postPath),
+      dataSchema)
 
   private def sameVals(a: Array[Any], b: Array[Any]): Boolean = {
     var i = 0
@@ -1410,7 +1403,7 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
   override def next(): Boolean =
     if (rows.hasNext) { cur = rows.next(); true } else false
   override def get(): InternalRow = cur
-  override def close(): Unit = if (postReader != null) postReader.close()
+  override def close(): Unit = ()
 }
 
 /** Writes route every row to its group (floorMod of the shard key) in
@@ -1477,23 +1470,38 @@ class GraftLakeBatchWrite(table: GraftLakeTable, dataDir: String,
       val dropped: Set[Int] =
         if (truncateFirst) GraftLakeIO.existingShards(baseDir)
         else op.fold(Set.empty[Int])(_.replacedShards)
-      GraftLakeIO.existingShards(baseDir).diff(dropped).foreach { k =>
+      val carriedBase = GraftLakeIO.existingShards(baseDir).diff(dropped)
+      carriedBase.diff(staged.keySet).foreach { k =>
+        // untouched shard: hardlink carry — zero copy, and the link
+        // identity is what proves the shard diff-free for $changes
         val src = GraftLakeIO.shardFile(baseDir, k)
         val dst = GraftLakeIO.shardFile(build, k)
-        if (staged.contains(k))
+        try java.nio.file.Files.createLink(dst.toPath, src.toPath): Unit
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
           java.nio.file.Files.copy(src.toPath, dst.toPath): Unit
-        else
-          try java.nio.file.Files.createLink(dst.toPath, src.toPath): Unit
-          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-            java.nio.file.Files.copy(src.toPath, dst.toPath): Unit
-          }
+        }
       }
+      val targetType = GraftShardCodec.messageType(writeSchema)
       staged.foreach { case (k, parts) =>
-        val out = new java.io.FileOutputStream(
-          GraftLakeIO.shardFile(build, k), /*append=*/ true)
-        try parts.sortBy(_.path).foreach { c =>
-          java.nio.file.Files.copy(new java.io.File(c.path).toPath, out): Unit
-        } finally out.close()
+        val dst = GraftLakeIO.shardFile(build, k)
+        val srcs =
+          (if (carriedBase.contains(k))
+            Seq(GraftLakeIO.shardFile(baseDir, k)) else Nil) ++
+            parts.sortBy(_.path).map(c => new java.io.File(c.path))
+        if (srcs.lengthCompare(1) == 0 && !carriedBase.contains(k))
+          // brand-new shard from a single task: adopt the staged file
+          // directly (the stage dir is unlinked after commit, the
+          // build's link keeps the bytes)
+          try java.nio.file.Files.createLink(dst.toPath,
+            srcs.head.toPath): Unit
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(srcs.head.toPath, dst.toPath): Unit
+          }
+        else
+          // appended shard: raw row-group concatenation (no decode)
+          // when schemas match; Group re-encode only for
+          // schema-evolved bases
+          GraftShardCodec.mergeShardFiles(dst, targetType, srcs)
       }
       // zone maps for the new snapshot: carried shards keep the base
       // version's ranges verbatim; appended shards merge base + staged;
@@ -1583,23 +1591,29 @@ class GraftLakeDataWriter(stagePath: String, writeSchema: StructType,
     shardKey: String, nShards: Int, shardWidth: Long,
     partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
   private val keyIdx = writeSchema.fieldIndex(shardKey)
   private val keyIsLong = writeSchema(keyIdx).dataType == LongType
+  // parquet payload: one columnar staged file per shard this task
+  // routes rows to ([[GraftShardCodec]] bounds each writer's row-group
+  // buffer)
+  private val msgType = GraftShardCodec.messageType(writeSchema)
+  private val groupFac = GraftShardCodec.groupFactory(msgType)
   private val open = scala.collection.mutable.Map[Int,
-    (java.io.File, java.io.BufferedWriter)]()
+    (java.io.File,
+      org.apache.parquet.hadoop.ParquetWriter[
+        org.apache.parquet.example.data.Group])]()
   // zone-map accumulation: per shard, per stat-able column, the
   // running min/max over the NON-NULL values this writer routed there
   private val ranges = scala.collection.mutable.Map[Int,
     scala.collection.mutable.Map[String, GraftLakeIO.ColRange]]()
 
-  private def writerFor(k: Int): java.io.BufferedWriter =
+  private def writerFor(k: Int): org.apache.parquet.hadoop
+      .ParquetWriter[org.apache.parquet.example.data.Group] =
     open.getOrElseUpdate(k, {
       // taskId in the name keeps speculative/retried attempts disjoint
       val f = new java.io.File(stagePath,
-        s"shard-${k}_p${partitionId}_t$taskId.jsonl")
-      (f, new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-        new java.io.FileOutputStream(f), "UTF-8")))
+        s"shard-${k}_p${partitionId}_t$taskId.parquet")
+      (f, GraftShardCodec.openWriter(f, msgType))
     })._2
 
   private def observe(k: Int, name: String, r: GraftLakeIO.ColRange)
@@ -1618,28 +1632,29 @@ class GraftLakeDataWriter(stagePath: String, writeSchema: StructType,
         math.min(math.max(java.lang.Math.floorDiv(key, shardWidth), 0L),
           (nShards - 1).toLong).toInt
       else java.lang.Math.floorMod(key, nShards.toLong).toInt
-    val doc = om.createObjectNode()
+    val g = groupFac.newGroup()
     var i = 0
     while (i < writeSchema.length) {
       val f = writeSchema(i)
-      if (f.name != "_shard") { // physical routing, never stored
-        if (row.isNullAt(i)) doc.putNull(f.name): Unit
-        else f.dataType match {
+      if (f.name != "_shard" && !row.isNullAt(i)) {
+        // physical routing (`_shard`) is never stored; nulls are
+        // simply absent from the group
+        f.dataType match {
           case LongType =>
             val v = row.getLong(i)
-            doc.put(f.name, v): Unit
+            g.add(f.name, v)
             observe(k, f.name,
               GraftLakeIO.ColRange(isFloat = false, v, v, v.toDouble,
                 v.toDouble))
           case IntegerType | DateType =>
             val v = row.getInt(i)
-            doc.put(f.name, v): Unit
+            g.add(f.name, v)
             observe(k, f.name,
               GraftLakeIO.ColRange(isFloat = false, v.toLong, v.toLong,
                 v.toDouble, v.toDouble))
           case DoubleType =>
             val v = row.getDouble(i)
-            doc.put(f.name, v): Unit
+            g.add(f.name, v)
             // NaN never enters the zone map: math.min/max propagate
             // NaN, and one poisoned bound would make every range
             // comparison false — pruning shards that hold real rows.
@@ -1650,16 +1665,15 @@ class GraftLakeDataWriter(stagePath: String, writeSchema: StructType,
               observe(k, f.name,
                 GraftLakeIO.ColRange(isFloat = true, 0L, 0L, v, v))
           case StringType =>
-            doc.put(f.name, row.getUTF8String(i).toString): Unit
+            g.add(f.name, org.apache.parquet.io.api.Binary
+              .fromConstantByteArray(row.getUTF8String(i).getBytes))
           case other => throw new IllegalArgumentException(
             s"unsupported lake type for ${f.name}: $other")
         }
       }
       i += 1
     }
-    val w = writerFor(k)
-    w.write(om.writeValueAsString(doc))
-    w.newLine()
+    writerFor(k).write(g)
   }
 
   override def commit(): WriterCommitMessage = {

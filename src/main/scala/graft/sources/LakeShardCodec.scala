@@ -1,0 +1,272 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter,
+  GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter,
+  ParquetReader, ParquetWriter}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.io.{LocalInputFile, LocalOutputFile}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType,
+  Types}
+
+/** COLUMNAR shard payloads for the lake catalog: each
+  * `v<N>/shard-K.parquet` is a real parquet file written and read
+  * executor-side through the public parquet-hadoop Group API — no
+  * Spark job, no Hadoop FileSystem (`LocalInputFile`/`LocalOutputFile`,
+  * so no `.crc` sidecar noise in version dirs), no full-text parse.
+  *
+  * Why this matters at 100 TB (the reference ingests into real
+  * engine storage — `fill_postgresql.sql:1-10`'s tables are heap
+  * pages, not text): the previous JSON-lines payload forced a full
+  * parse of every byte of every row on every read. Parquet gives
+  *
+  *  - COLUMN PRUNING: a pruned scan decodes only the requested
+  *    columns' pages ([[projectionFor]] intersects the request with
+  *    the file footer's schema, so schema-evolved old shards serve
+  *    missing columns as NULL without decoding anything extra);
+  *  - COUNT FROM METADATA: a projection-empty read (`count(*)`, or a
+  *    `_shard`-only probe) is served from footer row counts without
+  *    touching a single data page ([[rowCount]]);
+  *  - ENCODED + COMPRESSED pages (dictionary + snappy) instead of
+  *    decimal-rendered text;
+  *  - APPEND WITHOUT RE-ENCODE: commit-time shard merging copies raw
+  *    row groups ([[ParquetFileWriter.appendFile]]) when schemas
+  *    match — I/O-bound byte movement, the same cost class as the old
+  *    text concatenation — and falls back to a Group-level re-encode
+  *    only for schema-evolved bases ([[mergeShardFiles]]).
+  *
+  * The commit protocol above this layer (CAS publish, hardlink
+  * carrying, zone-map sidecars, routing provenance) is
+  * format-agnostic and unchanged; `Files.isSameFile` hardlink
+  * identity keeps proving unchanged shards diff-free for `$changes`
+  * without opening them.
+  *
+  * Types are the lake's declared SQL surface (BIGINT, INT, DATE,
+  * DOUBLE, STRING) mapped to canonical parquet physical+logical
+  * types, so external tools could read the shards as ordinary
+  * parquet. */
+object GraftShardCodec {
+
+  /** Canonical parquet schema of a shard file: every declared column
+    * except the `_shard` metadata column (physical routing is carried
+    * by the FILE NAME, never stored). All fields optional — the lake
+    * surface is nullable throughout. */
+  def messageType(schema: StructType): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.iterator.filter(_.name != "_shard").foreach { f =>
+      f.dataType match {
+        case LongType =>
+          b.addField(Types.optional(PrimitiveTypeName.INT64)
+            .named(f.name)): Unit
+        case IntegerType =>
+          b.addField(Types.optional(PrimitiveTypeName.INT32)
+            .named(f.name)): Unit
+        case DateType =>
+          b.addField(Types.optional(PrimitiveTypeName.INT32)
+            .as(LogicalTypeAnnotation.dateType()).named(f.name)): Unit
+        case DoubleType =>
+          b.addField(Types.optional(PrimitiveTypeName.DOUBLE)
+            .named(f.name)): Unit
+        case StringType =>
+          b.addField(Types.optional(PrimitiveTypeName.BINARY)
+            .as(LogicalTypeAnnotation.stringType()).named(f.name)): Unit
+        case other => throw new IllegalArgumentException(
+          s"unsupported lake type for ${f.name}: $other")
+      }
+    }
+    b.named("graft_lake_shard")
+  }
+
+  /** Row-group target kept small relative to parquet's 128 MB default:
+    * a data writer holds one open ParquetWriter PER SHARD it routes
+    * rows to, and each buffers up to a row group — 16 MB bounds task
+    * memory at (shards touched × 16 MB). A production deployment
+    * would additionally request a task-level clustering on the shard
+    * key (DSv2 RequiresDistributionAndOrdering) so each task touches
+    * few shards; at the demo scale the bound alone is plenty. */
+  val RowGroupBytes: Long = 16L * 1024 * 1024
+
+  def openWriter(file: java.io.File,
+      schema: MessageType): ParquetWriter[Group] =
+    ExampleParquetWriter.builder(new LocalOutputFile(file.toPath))
+      .withType(schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withRowGroupSize(RowGroupBytes)
+      .build()
+
+  def groupFactory(schema: MessageType): SimpleGroupFactory =
+    new SimpleGroupFactory(schema)
+
+  /** Footer-only metadata of a shard file: (schema, total row count).
+    * One small tail read — never touches data pages. */
+  def footer(file: java.io.File): (MessageType, Long) = {
+    val r = ParquetFileReader.open(new LocalInputFile(file.toPath))
+    try {
+      val md = r.getFooter
+      val n = md.getBlocks.stream().mapToLong(_.getRowCount).sum()
+      (md.getFileMetaData.getSchema, n)
+    } finally r.close()
+  }
+
+  /** The projection actually readable from `file`: the requested
+    * column names that exist in the file's own schema, carrying the
+    * FILE's field types (strict projection checking requires it).
+    * Names absent from the file (columns ADDed after the shard was
+    * written) are the caller's to serve as NULL. Field order follows
+    * `names`. */
+  def projectionFor(fileSchema: MessageType,
+      names: Seq[String]): MessageType = {
+    val present = names.filter(fileSchema.containsField)
+    val b = Types.buildMessage()
+    present.foreach(n =>
+      b.addField(fileSchema.getType(fileSchema.getFieldIndex(n))): Unit)
+    b.named(fileSchema.getName)
+  }
+
+  def openReader(file: java.io.File,
+      projection: MessageType): ParquetReader[Group] = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport
+      .PARQUET_READ_SCHEMA, projection.toString)
+    ParquetReader
+      .builder(new GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(file.getPath))
+      .withConf(conf)
+      .build()
+  }
+
+  /** One field of a Group as the JVM value the lake's InternalRows
+    * carry (java.lang boxes + UTF8String); null when unset. `idx` is
+    * the field's position in the READ projection. */
+  def value(g: Group, idx: Int, dt: DataType): Any = {
+    if (g.getFieldRepetitionCount(idx) == 0) return null
+    dt match {
+      case LongType => g.getLong(idx, 0)
+      case IntegerType | DateType => g.getInteger(idx, 0)
+      case DoubleType => g.getDouble(idx, 0)
+      case StringType => org.apache.spark.unsafe.types.UTF8String
+        .fromBytes(g.getBinary(idx, 0).getBytes)
+      case other => throw new IllegalArgumentException(
+        s"unsupported lake type: $other")
+    }
+  }
+
+  /** Append one JVM value (the same representation [[value]] reads)
+    * to a group under `name`; nulls are simply not added. */
+  def add(g: Group, name: String, v: Any): Unit = v match {
+    case null => ()
+    case l: java.lang.Long => g.add(name, l.longValue())
+    case i: java.lang.Integer => g.add(name, i.intValue())
+    case d: java.lang.Double => g.add(name, d.doubleValue())
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      g.add(name, Binary.fromConstantByteArray(s.getBytes))
+    case other => throw new IllegalArgumentException(
+      s"unsupported lake value $other (${other.getClass})")
+  }
+
+  /** Read a whole shard file into JVM-typed rows laid out as
+    * `schema` (missing columns NULL) — the $changes differ and spec
+    * helpers use this; scans stream instead. */
+  def readRows(file: java.io.File,
+      schema: StructType): Iterator[Array[Any]] = {
+    val names = schema.fields.iterator.map(_.name).toSeq
+    val (fileSchema, _) = footer(file)
+    val proj = projectionFor(fileSchema, names)
+    val projIdx: Array[Int] = schema.fields.map(f =>
+      if (proj.containsField(f.name)) proj.getFieldIndex(f.name)
+      else -1)
+    val reader = openReader(file, proj)
+    new Iterator[Array[Any]] {
+      private var g: Group = reader.read()
+      private var closed = false
+      override def hasNext: Boolean = {
+        if (g == null && !closed) { closed = true; reader.close() }
+        g != null
+      }
+      override def next(): Array[Any] = {
+        val vals = new Array[Any](schema.length)
+        var i = 0
+        while (i < schema.length) {
+          vals(i) =
+            if (projIdx(i) < 0) null
+            else value(g, projIdx(i), schema(i).dataType)
+          i += 1
+        }
+        g = reader.read()
+        vals
+      }
+    }
+  }
+
+  /** Materialize `target` as the concatenation of `sources` (in
+    * order) under `targetSchema`. Sources whose file schema EQUALS the
+    * target schema are appended as raw row groups — no decode, no
+    * re-encode, pure I/O (the commit-time cost class of the old text
+    * concatenation). A schema-evolved source (columns since ADDed /
+    * DROPped) takes the Group re-encode fallback: rows are read under
+    * its own schema and rewritten under the target's, missing columns
+    * NULL, dropped columns gone. */
+  def mergeShardFiles(target: java.io.File, targetSchema: MessageType,
+      sources: Seq[java.io.File]): Unit = {
+    val metas = sources.map(f => f -> footer(f)._1)
+    if (metas.forall(_._2 == targetSchema)) {
+      val w = new ParquetFileWriter(
+        new LocalOutputFile(target.toPath), targetSchema,
+        ParquetFileWriter.Mode.CREATE, RowGroupBytes,
+        /* maxPaddingSize = parquet's default */ 8388608)
+      w.start()
+      sources.foreach(f =>
+        w.appendFile(new LocalInputFile(f.toPath)))
+      w.end(java.util.Collections.emptyMap[String, String]())
+    } else {
+      val kinds: Seq[(String, PrimitiveTypeName, Boolean)] =
+        (0 until targetSchema.getFieldCount).map { i =>
+          val t = targetSchema.getType(i).asPrimitiveType()
+          (t.getName, t.getPrimitiveTypeName,
+            t.getLogicalTypeAnnotation ==
+              LogicalTypeAnnotation.stringType())
+        }
+      val names = kinds.map(_._1)
+      val w = openWriter(target, targetSchema)
+      try {
+        val fac = groupFactory(targetSchema)
+        metas.foreach { case (f, fileSchema) =>
+          val proj = projectionFor(fileSchema, names)
+          val r = openReader(f, proj)
+          try {
+            var g = r.read()
+            while (g != null) {
+              val out = fac.newGroup()
+              kinds.foreach { case (n, ptn, isStr) =>
+                if (proj.containsField(n)) {
+                  val i = proj.getFieldIndex(n)
+                  if (g.getFieldRepetitionCount(i) > 0) ptn match {
+                    case PrimitiveTypeName.INT64 =>
+                      out.add(n, g.getLong(i, 0))
+                    case PrimitiveTypeName.INT32 =>
+                      out.add(n, g.getInteger(i, 0))
+                    case PrimitiveTypeName.DOUBLE =>
+                      out.add(n, g.getDouble(i, 0))
+                    case PrimitiveTypeName.BINARY if isStr =>
+                      out.add(n, g.getBinary(i, 0))
+                    case other =>
+                      throw new IllegalArgumentException(
+                        s"unsupported shard column $n: $other")
+                  }
+                }
+              }
+              w.write(out)
+              g = r.read()
+            }
+          } finally r.close()
+        }
+      } finally w.close()
+    }
+  }
+}

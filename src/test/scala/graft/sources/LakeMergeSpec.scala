@@ -36,7 +36,7 @@ class LakeMergeSpec extends SparkSpec {
     val vdir = GraftLakeIO.versionDir(dir.getPath,
       GraftLakeIO.latestVersion(dir.getPath))
     Option(vdir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("shard-\\d+\\.jsonl"))
+      .filter(_.getName.matches("shard-\\d+\\.parquet"))
       .map(f => f.getName -> (f.length(), f.lastModified())).toMap
   }
 
@@ -51,8 +51,8 @@ class LakeMergeSpec extends SparkSpec {
     ddl(tbl)
     val dir = new File(lakeRoot, "spec_merge")
     val before = snapshot(dir)
-    assert(before.keySet === Set("shard-0.jsonl", "shard-1.jsonl",
-      "shard-2.jsonl", "shard-3.jsonl"))
+    assert(before.keySet === Set("shard-0.parquet", "shard-1.parquet",
+      "shard-2.parquet", "shard-3.parquet"))
     // source touches shard 1 (keys 1, 5, new 9) and inserts key 10
     // into shard 2 — whose target rows match nothing, so the group
     // filter need not read it
@@ -74,11 +74,11 @@ class LakeMergeSpec extends SparkSpec {
       Seq(0L, 2L, 3L, 4L, 6L, 7L).forall(got(_) == "2024-03-01"))
     // groups 0 and 3 were neither matched nor inserted into: the
     // runtime group filter must have kept them out of the rewrite
-    assert(after("shard-0.jsonl") === before("shard-0.jsonl"),
+    assert(after("shard-0.parquet") === before("shard-0.parquet"),
       "shard 0 was rewritten despite no match/insert")
-    assert(after("shard-3.jsonl") === before("shard-3.jsonl"),
+    assert(after("shard-3.parquet") === before("shard-3.parquet"),
       "shard 3 was rewritten despite no match/insert")
-    assert(after("shard-1.jsonl") !== before("shard-1.jsonl"))
+    assert(after("shard-1.parquet") !== before("shard-1.parquet"))
     // shard 2 got ONLY an append (key 10 joined carried content — its
     // original rows 2 and 6 must survive even though the group may
     // never have been read)
@@ -252,10 +252,10 @@ class LakeMergeSpec extends SparkSpec {
     val buildB = GraftLakeIO.newBuildDir(dir)
     assert(buildA.getPath !== buildB.getPath)
     java.nio.file.Files.writeString(
-      new File(buildA, "shard-0.jsonl").toPath,
+      new File(buildA, "shard-0.parquet").toPath,
       """{"user_id":100,"cohort_d":19000}""" + "\n")
     java.nio.file.Files.writeString(
-      new File(buildB, "shard-0.jsonl").toPath,
+      new File(buildB, "shard-0.parquet").toPath,
       """{"user_id":200,"cohort_d":19001}""" + "\n")
     // writer A wins: v2 published from buildA
     assert(GraftLakeIO.commitVersion(dir, expectedBase = 1, buildA) === 2)
@@ -573,7 +573,7 @@ class LakeMergeSpec extends SparkSpec {
     val orphan = GraftLakeIO.versionDir(dir, 2)
     orphan.mkdirs()
     java.nio.file.Files.writeString(
-      new File(orphan, "shard-0.jsonl").toPath,
+      new File(orphan, "shard-0.parquet").toPath,
       """{"user_id":999,"cohort_d":19000}""" + "\n")
     assert(GraftLakeIO.latestVersion(dir) === 1)
     // the orphan is unreachable: reads and time travel see only v1
@@ -724,6 +724,46 @@ class LakeMergeSpec extends SparkSpec {
       }
       spark.sql(s"DROP TABLE $tbl")
     }
+  }
+
+  test("columnar shard payloads: a pruned read decodes ONLY the " +
+      "requested columns, count(*) is served from footer metadata, " +
+      "and schema-evolved old shards serve added columns as NULL " +
+      "without decoding anything extra") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_columnar"
+    ddl(tbl) // v1: (user_id BIGINT, cohort_d DATE) × 8 rows, 4 shards
+    // shards are REAL parquet (readable by any parquet tool)
+    val dir = new File(lakeRoot, "spec_columnar").getPath
+    val shard0 = GraftLakeIO.shardFile(GraftLakeIO.versionDir(dir, 1), 0)
+    val (fschema, n0) = GraftShardCodec.footer(shard0)
+    assert(fschema.containsField("user_id") &&
+      fschema.containsField("cohort_d") && n0 === 2L)
+    // 1-of-2-column projection: each of the 4 shard readers decodes
+    // exactly ONE parquet column — the dropped column's pages are
+    // never deserialized
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(s"SELECT user_id FROM $tbl").collect().length === 8)
+    assert(GraftLakeScanMetrics.decodedColumns.get() === 4L,
+      s"expected 4 shards x 1 column, got " +
+        s"${GraftLakeScanMetrics.decodedColumns.get()}")
+    // count(*): projection-empty — served from footer row counts,
+    // ZERO data pages decoded
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 8L)
+    assert(GraftLakeScanMetrics.decodedColumns.get() === 0L &&
+      GraftLakeScanMetrics.metadataOnlyReads.get() === 4L)
+    // evolution: ADD COLUMN then read it — old shards lack the field
+    // in their file schema, so the readers serve NULL while decoding
+    // only the columns that exist
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN (score DOUBLE)")
+    GraftLakeScanMetrics.reset()
+    val sc = spark.sql(s"SELECT score FROM $tbl").collect()
+    assert(sc.length === 8 && sc.forall(_.isNullAt(0)))
+    assert(GraftLakeScanMetrics.decodedColumns.get() === 0L,
+      "reading a column absent from every shard file must decode " +
+        "nothing")
+    spark.sql(s"DROP TABLE $tbl")
   }
 
   test("NaN discipline: zone maps never observe NaN (no poisoned " +
