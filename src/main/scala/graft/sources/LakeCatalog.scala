@@ -452,11 +452,33 @@ object GraftLakeIO {
     if (toks.length > 1) toks(1) else "unknown"
   }
 
+  /** Stamp a fully-materialized build dir's `_commit` file:
+    * `<micros> <operation> <n_rows> <n_shards>`. The snapshot-level
+    * row/shard counts are taken HERE, once, from the build's parquet
+    * footers (O(shards) footer tail-reads, no data pages) — DESCRIBE
+    * HISTORY then serves every version from this one line instead of
+    * recounting the table per version (which is O(versions x
+    * table-scan) at a 1000-commit history). */
   def writeCommitMeta(build: java.io.File, micros: Long,
-      operation: String): Unit =
+      operation: String): Unit = {
+    val shards = existingShards(build)
+    val nRows = shards.iterator.map(k =>
+      GraftShardCodec.footer(shardFile(build, k))._2).sum
     java.nio.file.Files.writeString(
       new java.io.File(build, "_commit").toPath,
-      s"$micros $operation"): Unit
+      s"$micros $operation $nRows ${shards.size}"): Unit
+  }
+
+  /** (n_rows, n_shards) recorded at commit time; None for pre-count
+    * history (old snapshots keep working — callers recount). */
+  def commitCounts(dataDir: String, v: Int): Option[(Long, Long)] = {
+    val f = new java.io.File(versionDir(dataDir, v), "_commit")
+    if (!f.exists()) return None
+    val toks = java.nio.file.Files.readString(f.toPath).trim
+      .split("\\s+")
+    if (toks.length >= 4) Some((toks(2).toLong, toks(3).toLong))
+    else None
+  }
 
   // ---- per-shard zone-map statistics (`_stats.json` per version) ----
   // Min/max of every integral (LONG/INT/DATE) and DOUBLE column per
@@ -890,13 +912,36 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
 class GraftLakeScan(required: StructType, vdir: java.io.File,
     zonePreds: Array[V2Predicate] = Array.empty,
     shardKey: String = "")
-    extends Scan with Batch with SupportsRuntimeV2Filtering {
+    extends Scan with Batch with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   @volatile private[sources] var runtimeFiltered = false
   @volatile private var retained: Option[Set[Int]] = None
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** DSv2 statistics for the optimizer (the connector-feeds-the-CBO
+    * contract the reference relies on — `trinodemo.properties`' store
+    * reports table stats to Trino's join planner). Computed from the
+    * PLANNED shards only — file byte lengths plus parquet-footer row
+    * counts, no data pages — so a zone-map- or point-lookup-pruned
+    * scan reports the small post-pruning size and a lake dimension
+    * under the broadcast threshold flips SMJ -> BHJ exactly like a
+    * stats-bearing session-catalog table (PlanSpec pins the flip). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val files = plannedShards.toSeq.sorted
+      .map(k => GraftLakeIO.shardFile(vdir, k))
+    val bytes = files.map(_.length()).sum
+    val rows = files.map(f => GraftShardCodec.footer(f)._2).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   /** Advertise `_shard` for runtime filtering ONLY when the read
     * schema actually carries it (row-level operations force it in via
@@ -2274,12 +2319,20 @@ object Lake {
     (0 to latest).map { v =>
       val op =
         if (v == 0) "create" else GraftLakeIO.commitOperation(dataDir, v)
-      val nShards =
-        if (v == 0) 0L
-        else GraftLakeIO.existingShards(
-          GraftLakeIO.versionDir(dataDir, v)).size.toLong
-      val nRows = s.sql(
-        s"SELECT count(*) FROM $tbl VERSION AS OF $v").head.getLong(0)
+      // METADATA-ONLY: counts were stamped into `_commit` when the
+      // snapshot was built — DESCRIBE HISTORY is one tiny read per
+      // version, independent of table size. The per-version recount
+      // (one Spark job per version, O(versions x table) at scale)
+      // survives only as the fallback for pre-count history and as
+      // the LakeMergeSpec cross-check that the log describes reality.
+      val (nRows, nShards) =
+        if (v == 0) (0L, 0L)
+        else GraftLakeIO.commitCounts(dataDir, v).getOrElse {
+          (s.sql(s"SELECT count(*) FROM $tbl VERSION AS OF $v")
+            .head.getLong(0),
+            GraftLakeIO.existingShards(
+              GraftLakeIO.versionDir(dataDir, v)).size.toLong)
+        }
       (v.toLong, op, nRows, nShards)
     }.toDF("version", "operation", "n_rows", "n_shards")
       .orderBy("version")

@@ -426,4 +426,49 @@ class PlanSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS spark_catalog.default.$lt")
     }
   }
+
+  test("lake scan reports DSv2 statistics: a small lake dimension " +
+      "joined to parquet plans a broadcast of the lake side (without " +
+      "stats a DSv2 relation defaults to 'huge' and shuffles both)") {
+    graft.sources.Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_stats_dim"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, cohort_d DATE)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4')""")
+    spark.sql(s"""INSERT INTO $tbl
+      SELECT DISTINCT user_id, DATE '2024-03-01'
+      FROM parquet.`$sf/events.parquet`""")
+    // static planner decision (AQE would rescue from runtime sizes —
+    // on a cluster that's a wasted materialized shuffle already)
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.sql(
+        s"""SELECT e.user_id, count(*) AS n
+           FROM parquet.`$sf/events.parquet` e
+           JOIN $tbl d ON e.user_id = d.user_id
+           GROUP BY e.user_id""")
+      val p = plan(joined)
+      assert(p.contains("BroadcastHashJoin"),
+        s"lake-side stats did not drive a broadcast decision:\n$p")
+      // the estimate itself: bytes from file lengths, rows from
+      // parquet footers — exact at this scale
+      val scan = joined.queryExecution.executedPlan.collectLeaves()
+        .collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec if b.scan.isInstanceOf[
+              graft.sources.GraftLakeScan] =>
+            b.scan.asInstanceOf[graft.sources.GraftLakeScan]
+        }
+      assert(scan.isDefined, "no lake scan in the executed plan")
+      val st = scan.get.estimateStatistics()
+      assert(st.numRows().getAsLong ===
+        spark.table(tbl).count())
+      assert(st.sizeInBytes().getAsLong > 0L &&
+        st.sizeInBytes().getAsLong < 10L * 1024 * 1024)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", saved)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
 }

@@ -726,6 +726,33 @@ class LakeMergeSpec extends SparkSpec {
     }
   }
 
+  test("DESCRIBE HISTORY serves counts from commit metadata — and " +
+      "the metadata describes reality (recount cross-check)") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_histmeta"
+    ddl(tbl) // v1: 8 rows
+    spark.sql(s"INSERT INTO $tbl VALUES (8, DATE '2024-05-01')") // v2: 9
+    spark.sql(s"DELETE FROM $tbl WHERE user_id < 2") // v3: 7
+    val dir = new File(lakeRoot, "spec_histmeta").getPath
+    // every commit carries stamped counts: DESCRIBE HISTORY needs no
+    // table scan (O(versions x table) recount is the scale killer)
+    (1 to 3).foreach { v =>
+      val meta = GraftLakeIO.commitCounts(dir, v)
+      assert(meta.isDefined, s"v$v missing stamped counts")
+      val recount = spark.sql(
+        s"SELECT count(*) FROM $tbl VERSION AS OF $v").head.getLong(0)
+      assert(meta.get._1 === recount,
+        s"v$v stamped ${meta.get._1} rows but the table has $recount")
+      assert(meta.get._2 === GraftLakeIO.existingShards(
+        GraftLakeIO.versionDir(dir, v)).size.toLong)
+    }
+    val hist = Lake.history(spark, tbl, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(hist.toSeq === Seq((0L, "create", 0L), (1L, "append", 8L),
+      (2L, "append", 9L), (3L, "delete", 7L)))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("columnar shard payloads: a pruned read decodes ONLY the " +
       "requested columns, count(*) is served from footer metadata, " +
       "and schema-evolved old shards serve added columns as NULL " +
