@@ -312,7 +312,8 @@ class GraftLakeTable(private[sources] val tableName: String,
       java.util.EnumSet.of(TableCapability.BATCH_READ)
     else
       java.util.EnumSet.of(TableCapability.BATCH_READ,
-        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.STREAMING_WRITE)
 
   private[sources] def withPinned(v: Int): GraftLakeTable =
     new GraftLakeTable(tableName, declared, dataDir, shardKey, nShards,
@@ -567,6 +568,45 @@ object GraftLakeIO {
   // routing (else degrades to "mixed" = never pruned), a fresh shard
   // takes the current tag. Tags: "hash:<n>" | "range:<w>:<n>" |
   // "mixed".
+
+  // ---- streaming transaction watermarks (`_txns.json` per version) --
+  // Delta's SetTransaction idiom: each snapshot CARRIES the map of
+  // streaming-query id -> highest committed epoch as snapshot state,
+  // so the exactly-once dedup check is one tiny read of the LATEST
+  // version (always present — expiry can never drop it) and is atomic
+  // with the commit that recorded it (same rename+publish).
+
+  def txnsFile(vdir: java.io.File): java.io.File =
+    new java.io.File(vdir, "_txns.json")
+
+  def writeTxns(vdir: java.io.File, m: Map[String, Long]): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (q, e) =>
+      root.put(q, e): Unit
+    }
+    java.nio.file.Files.writeString(txnsFile(vdir).toPath,
+      om.writeValueAsString(root)): Unit
+  }
+
+  def readTxns(vdir: java.io.File): Map[String, Long] = {
+    val f = txnsFile(vdir)
+    if (!f.exists()) return Map.empty
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readString(f.toPath))
+    val out = Map.newBuilder[String, Long]
+    root.properties().forEach(e =>
+      out += e.getKey -> e.getValue.asLong())
+    out.result()
+  }
+
+  /** Highest epoch the given streaming query has committed into this
+    * table, from the latest snapshot's carried txn map; -1 if none. */
+  def committedEpoch(dataDir: String, queryId: String): Long = {
+    val latest = latestVersion(dataDir)
+    if (latest == 0) -1L
+    else readTxns(versionDir(dataDir, latest)).getOrElse(queryId, -1L)
+  }
 
   def routingFile(vdir: java.io.File): java.io.File =
     new java.io.File(vdir, "_routing.json")
@@ -1467,6 +1507,84 @@ class GraftLakeWriteBuilder(table: GraftLakeTable, dataDir: String,
     override def toBatch: BatchWrite =
       new GraftLakeBatchWrite(table, dataDir, info.schema(),
         truncateFirst, op, info.queryId())
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftLakeStreamingWrite(table, dataDir, info.schema(),
+        info.queryId())
+  }
+}
+
+/** EXACTLY-ONCE micro-batch sink into the lake: every epoch is one
+  * ordinary CAS commit (operation label "streaming") that ALSO
+  * records `queryId -> epochId` in the snapshot's carried txn map
+  * ([[GraftLakeIO.readTxns]]). A replayed epoch — Structured
+  * Streaming re-runs the last epoch after a restart from checkpoint —
+  * finds its id already at-or-below the recorded watermark and
+  * commits NOTHING, so the table converges to the batch answer no
+  * matter where the stream was killed (Delta's txn/SetTransaction
+  * idempotent-sink design). A CAS loss against a concurrent writer
+  * rebuilds from the new head and retries — the staged epoch files
+  * stay put until the commit lands. */
+class GraftLakeStreamingWrite(table: GraftLakeTable, dataDir: String,
+    writeSchema: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def stageDir(epochId: Long) =
+    new java.io.File(dataDir, s"_stage_${queryId}_e$epochId")
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write
+      .streaming.StreamingDataWriterFactory =
+    GraftLakeStreamingWriterFactory(dataDir, queryId, writeSchema,
+      table.shardKey, table.nShards, table.shardWidth)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    try {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        if (GraftLakeIO.committedEpoch(dataDir, queryId) >= epochId)
+          done = true // replayed epoch after restart: idempotent no-op
+        else
+          try {
+            GraftLakeCommitter.commitStaged(table, dataDir, writeSchema,
+              truncateFirst = false, op = None,
+              messages.flatMap {
+                case GraftLakeTaskCommit(parts) => parts
+              }.groupBy(_.shard).view.mapValues(_.toSeq).toMap,
+              operationOverride = Some("streaming"),
+              txnUpdate = Some(queryId -> epochId))
+            done = true
+          } catch {
+            case _: GraftLakeCommitConflict if attempts < 5 =>
+              attempts += 1 // lost the CAS race: rebuild on new head
+          }
+      }
+    } finally rmTree(stageDir(epochId))
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    rmTree(stageDir(epochId))
+}
+
+/** Ships to executors (the driver-side [[GraftLakeStreamingWrite]]
+  * holds table state and is not serializable by design): stages each
+  * epoch's rows under `_stage_<query>_e<epoch>`. */
+case class GraftLakeStreamingWriterFactory(dataDir: String,
+    queryId: String, writeSchema: StructType, shardKey: String,
+    nShards: Int, shardWidth: Long)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = {
+    val d = new java.io.File(dataDir, s"_stage_${queryId}_e$epochId")
+    d.mkdirs()
+    new GraftLakeDataWriter(d.getPath, writeSchema, shardKey, nShards,
+      shardWidth, partitionId, taskId)
   }
 }
 
@@ -1504,10 +1622,29 @@ class GraftLakeBatchWrite(table: GraftLakeTable, dataDir: String,
     * snapshot's immutable files — table-level atomicity, no torn
     * states — and a racing writer's build can never touch a published
     * dir (each loser deletes only its own build). */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.flatMap {
-      case GraftLakeTaskCommit(parts) => parts
-    }.groupBy(_.shard)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    try GraftLakeCommitter.commitStaged(table, dataDir, writeSchema,
+      truncateFirst, op,
+      messages.flatMap { case GraftLakeTaskCommit(parts) => parts }
+        .groupBy(_.shard).view.mapValues(_.toSeq).toMap,
+      operationOverride = None, txnUpdate = None)
+    finally rmTree(stageDir)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    rmTree(stageDir)
+}
+
+/** The shared snapshot-building commit core: batch writes, row-level
+  * operations, and streaming epochs all build version N+1 the same
+  * way and differ only in their operation label and (for streaming)
+  * the txn watermark they record. */
+private[sources] object GraftLakeCommitter {
+  def commitStaged(table: GraftLakeTable, dataDir: String,
+      writeSchema: StructType, truncateFirst: Boolean,
+      op: Option[GraftLakeRowLevelOperation],
+      staged: Map[Int, Seq[GraftLakeCommit]],
+      operationOverride: Option[String],
+      txnUpdate: Option[(String, Long)]): Unit = {
     val baseV = op.fold(GraftLakeIO.latestVersion(dataDir))(_.snapshotV)
     val baseDir = GraftLakeIO.versionDir(dataDir, baseV)
     val build = GraftLakeIO.newBuildDir(dataDir)
@@ -1610,17 +1747,33 @@ class GraftLakeBatchWrite(table: GraftLakeTable, dataDir: String,
       }.toMap
       if (routingOut.nonEmpty)
         GraftLakeIO.writeRouting(build, routingOut)
-      val operation = op.map(_.command().name().toLowerCase(
-          java.util.Locale.ROOT))
+      // streaming txn watermarks are SNAPSHOT STATE: carried from the
+      // base and updated atomically with the commit that records them
+      val txns = txnUpdate.foldLeft(GraftLakeIO.readTxns(baseDir)) {
+        case (m, (q, e)) => m.updated(q, e)
+      }
+      if (txns.nonEmpty) GraftLakeIO.writeTxns(build, txns)
+      val operation = operationOverride
+        .orElse(op.map(_.command().name().toLowerCase(
+          java.util.Locale.ROOT)))
         .getOrElse(if (truncateFirst) "overwrite" else "append")
       GraftLakeIO.writeCommitMeta(build,
         GraftLakeIO.nextCommitStamp(dataDir, baseV), operation)
       GraftLakeIO.commitVersion(dataDir, baseV, build): Unit
-    } finally rmTree(stageDir)
+    } catch {
+      case e: Throwable =>
+        // commitVersion cleans the build on CAS conflict; every other
+        // failure path must not leave the half-built dir behind
+        if (build.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(build)
+        }
+        throw e
+    }
   }
-
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    rmTree(stageDir)
 }
 
 class GraftLakeWriterFactory(stagePath: String, writeSchema: StructType,

@@ -436,6 +436,60 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Streaming EXACTLY-ONCE sink INTO the lake — the write direction
+    * of the CDF loop (`stream_lake_cdf_source` reads commits out;
+    * this replays the ts-chunked event log IN through `writeStream
+    * .toTable` against [[graft.sources.GraftLakeTable]]'s
+    * STREAMING_WRITE). Every micro-batch epoch lands as one ordinary
+    * CAS commit that atomically records `queryId -> epochId` in the
+    * snapshot's carried txn map, so a replayed epoch (restart from
+    * checkpoint) commits nothing — [[graft.sources
+    * .GraftLakeStreamingWrite]]. The table read back after the drain
+    * must equal the flat batch projection of the log (oracle-exact):
+    * that holds only if each of the 4 chunks committed EXACTLY once —
+    * a dropped epoch loses rows, a doubled replay duplicates
+    * event_ids into the same shards. Monetary values ride as BIGINT
+    * cents (the lake's exact-type discipline; no float-sum drift in
+    * the cross-check aggregate). */
+  val streamLakeSink: Q = (s, dir) => {
+    val ss = streamSession(s)
+    graft.sources.Lake.registerCatalog(ss)
+    val chunks = chunkedEventsDir(ss, dir)
+    val tag = s"${graft.sources.Tables.fingerprint(dir, "events")}" +
+      s"_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val tbl = s"graft_lake.lake.stream_sink_$tag"
+    ss.sql(s"""CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT,
+        d DATE, cents BIGINT)
+      TBLPROPERTIES ('shard_key'='event_id', 'n_shards'='8')""")
+    val cp = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_sink_cp_$tag").getPath
+    val q = rawFileStream(ss, chunks, Map("maxFilesPerTrigger" -> "1"))
+      .selectExpr("event_id", "user_id", "CAST(ts AS DATE) AS d",
+        "CAST(round(coalesce(value, CAST(0 AS DOUBLE)) * 100) " +
+          "AS BIGINT) AS cents")
+      .writeStream
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .toTable(tbl)
+    q.awaitTermination()
+    val out = ss.table(tbl)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("cents").as("sum_cents"),
+        min("d").as("first_d"),
+        max("event_id").as("max_event_id"))
+      .orderBy("user_id")
+    out
+  }
+
+  val streamLakeSinkOracle: String =
+    """SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(round(coalesce(value, 0) * 100) AS BIGINT))
+           AS BIGINT) AS sum_cents,
+         min(CAST(ts AS DATE)) AS first_d,
+         max(event_id) AS max_event_id
+       FROM events GROUP BY 1 ORDER BY user_id"""
+
   /** Time-range-chunked staged copy of the event log (4 parquet files,
     * one per ts quartile — a chronological arrival log), built once per
     * corpus fingerprint. */
@@ -849,6 +903,7 @@ object Streams {
     "stream_exact_distinct" -> streamExactDistinct,
     "stream_foreach_batch_sink" -> streamForeachBatchSink,
     "stream_merge_upsert" -> streamMergeUpsert,
+    "stream_lake_sink" -> streamLakeSink,
     "stream_stream_left_join" -> streamStreamLeftJoin,
     "stream_stream_full_join" -> streamStreamFullJoin,
     "stream_stateful_latest" -> streamStatefulLatest,
@@ -865,6 +920,7 @@ object Streams {
     "stream_foreach_batch_sink" -> streamForeachBatchSinkOracle,
     "stream_merge_upsert" ->
       graft.operators.Merge.mergeUpsertFirstSeenOracle,
+    "stream_lake_sink" -> streamLakeSinkOracle,
     "stream_stream_left_join" -> streamStreamLeftJoinOracle,
     "stream_stream_full_join" -> streamStreamFullJoinOracle,
     "stream_stateful_latest" -> streamStatefulLatestOracle,

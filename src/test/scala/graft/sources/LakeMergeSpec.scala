@@ -726,6 +726,85 @@ class LakeMergeSpec extends SparkSpec {
     }
   }
 
+  test("streaming sink into the lake is exactly-once: a FORCED epoch " +
+      "replay (checkpoint commit marker deleted) re-runs the epoch " +
+      "and the txn watermark commits nothing twice") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_stream_sink"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT)
+      TBLPROPERTIES ('shard_key'='event_id', 'n_shards'='4')""")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lake_sink_").toString
+    val srcDir = s"$base/src"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(srcDir)): Unit
+    val ckpt = s"$base/ckpt"
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType)))
+    def publish(ids: Range, name: String): Unit =
+      spark.range(ids.head, ids.last + 1)
+        .selectExpr("id AS event_id", "id % 7 AS user_id")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      // the checkpoint's active-query slot frees asynchronously after
+      // awaitTermination returns — retry the start briefly
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try {
+          val q = ss.readStream.schema(sch).parquet(srcDir)
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable(tbl)
+          q.awaitTermination()
+          done = true
+        } catch {
+          case e: Exception
+              if e.getMessage != null &&
+                e.getMessage.contains("concurrently using") &&
+                attempts < 20 =>
+            attempts += 1; Thread.sleep(250)
+        }
+      }
+    }
+    publish(0 until 50, "a")
+    runOnce() // epoch 0: rows 0..49
+    assert(spark.table(tbl).count() === 50L)
+    val dir = new File(lakeRoot, "spec_stream_sink").getPath
+    val v1 = GraftLakeIO.latestVersion(dir)
+    assert(GraftLakeIO.commitOperation(dir, v1) === "streaming")
+    // FORCE a replay: drop the checkpoint's completion marker for the
+    // last batch — on restart Spark re-runs epoch 0 with the same
+    // data and the same epoch id; only the sink-side txn watermark
+    // stands between that and duplicated rows
+    val lastCommit = new File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.matches("\\d+")).maxBy(_.getName.toInt)
+    assert(lastCommit.delete())
+    publish(50 until 80, "b")
+    runOnce() // replays epoch 0 (no-op) then commits epoch 1
+    assert(spark.table(tbl).count() === 80L,
+      "epoch replay duplicated or dropped rows")
+    assert(spark.table(tbl).select("event_id").distinct().count()
+      === 80L)
+    // exactly one extra commit landed (the replayed epoch 0 committed
+    // NOTHING — no empty version, no duplicate version)
+    assert(GraftLakeIO.latestVersion(dir) === v1 + 1)
+    // watermark carried as snapshot state, visible at the head
+    val txns = GraftLakeIO.readTxns(
+      GraftLakeIO.versionDir(dir, v1 + 1))
+    assert(txns.size === 1 && txns.head._2 === 1L,
+      s"expected epoch watermark 1, got $txns")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("DESCRIBE HISTORY serves counts from commit metadata — and " +
       "the metadata describes reality (recount cross-check)") {
     Lake.registerCatalog(spark)
