@@ -76,6 +76,14 @@ object GraftShardCodec {
         case StringType =>
           b.addField(Types.optional(PrimitiveTypeName.BINARY)
             .as(LogicalTypeAnnotation.stringType()).named(f.name)): Unit
+        case TimestampType =>
+          b.addField(Types.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.timestampType(true,
+              LogicalTypeAnnotation.TimeUnit.MICROS))
+            .named(f.name)): Unit
+        case BooleanType =>
+          b.addField(Types.optional(PrimitiveTypeName.BOOLEAN)
+            .named(f.name)): Unit
         case other => throw new IllegalArgumentException(
           s"unsupported lake type for ${f.name}: $other")
       }
@@ -147,11 +155,12 @@ object GraftShardCodec {
   def value(g: Group, idx: Int, dt: DataType): Any = {
     if (g.getFieldRepetitionCount(idx) == 0) return null
     dt match {
-      case LongType => g.getLong(idx, 0)
+      case LongType | TimestampType => g.getLong(idx, 0)
       case IntegerType | DateType => g.getInteger(idx, 0)
       case DoubleType => g.getDouble(idx, 0)
       case StringType => org.apache.spark.unsafe.types.UTF8String
         .fromBytes(g.getBinary(idx, 0).getBytes)
+      case BooleanType => g.getBoolean(idx, 0)
       case other => throw new IllegalArgumentException(
         s"unsupported lake type: $other")
     }

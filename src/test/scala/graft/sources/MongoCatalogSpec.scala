@@ -147,9 +147,11 @@ class MongoCatalogSpec extends SparkSpec {
          (TIMESTAMP '1996-06-06 00:00:00', 'z', 1, 2.0, false)""")
     val after = spark.table("graft_mongo.weather.spec_rt").collect()
     assert(after.length === 1 && after(0).getString(1) === "z")
-    // wire format on disk: versioned snapshot dirs behind the _latest
-    // pointer, per-task part- shards of extended JSON inside, no stage
-    // leftovers at the root
+    // storage layout: versioned snapshot dirs behind the _latest
+    // pointer, per-task part- shards inside, no stage leftovers at
+    // the root. Extended JSON is the WIRE format (the demo fixture
+    // and ingest), but connector-written shards persist COLUMNAR
+    // parquet — the wire/page split a real document store makes
     val dataDir = new java.io.File(
       spark.conf.get("spark.sql.catalog.graft_mongo.path"), "spec_rt")
     val rootFiles = Option(dataDir.listFiles()).getOrElse(Array.empty)
@@ -158,9 +160,19 @@ class MongoCatalogSpec extends SparkSpec {
         f.getName.matches("v\\d+")),
       rootFiles.map(_.getName).mkString(","))
     val files = GraftMongoIO.shardFiles(dataDir.getPath)
-    assert(files.nonEmpty && files.forall(_.getName.startsWith("part-")),
+    assert(files.nonEmpty && files.forall(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet")),
       files.map(_.getName).mkString(","))
-    val line = scala.io.Source.fromFile(files.head)
+    // the shard really is parquet, with _id as annotated INT64 micros
+    // (the decoded form of the wire `$date`)
+    val (fsch, _) = GraftShardCodec.footer(files.head)
+    assert(fsch.containsField("_id") && fsch.containsField("label"))
+    // while the DEMO fixture stays extended-JSON text on disk (the
+    // wire dump the reference's fillMongoDB.ipynb stages)
+    val demo = GraftMongoIO.shardFiles(new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft_mongo.path"),
+      "weatherny").getPath)
+    val line = scala.io.Source.fromFile(demo.head)
     try assert(line.getLines().next().contains("\"$date\""))
     finally line.close()
     // table-level atomicity evidence: the OVERWRITE published a NEW
@@ -190,6 +202,52 @@ class MongoCatalogSpec extends SparkSpec {
     assert(!dataDir.exists())
     assert(!spark.sql("SHOW TABLES IN graft_mongo.weather").collect()
       .map(_.getString(1)).contains("spec_rt"))
+  }
+
+  test("columnar collection reads decode only the requested columns; " +
+      "count(*) is footer-metadata-only; pushed _id bounds apply " +
+      "before measures materialize") {
+    Mongo.registerCatalog(spark, sf)
+    spark.sql("DROP TABLE IF EXISTS graft_mongo.weather.spec_prune")
+    spark.sql(
+      """CREATE TABLE graft_mongo.weather.spec_prune
+         (_id TIMESTAMP, a BIGINT, b DOUBLE, c STRING)""")
+    spark.sql(
+      """INSERT INTO graft_mongo.weather.spec_prune VALUES
+         (TIMESTAMP '1995-01-02 00:00:00', 1, 1.5, 'x'),
+         (TIMESTAMP '1995-01-03 00:00:00', 2, 2.5, 'y'),
+         (TIMESTAMP '1995-01-04 00:00:00', 3, 3.5, 'z')""")
+    val nShards = GraftMongoIO.shardFiles(new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft_mongo.path"),
+      "spec_prune").getPath).length
+    // 1-of-4-column projection: one decoded column per shard
+    GraftMongoScanMetrics.reset()
+    assert(spark.sql(
+      "SELECT a FROM graft_mongo.weather.spec_prune").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(GraftMongoScanMetrics.decodedColumns.get() ===
+      nShards.toLong,
+      s"expected $nShards x 1 column, got " +
+        s"${GraftMongoScanMetrics.decodedColumns.get()}")
+    // count(*): zero columns decoded, footer counts only
+    GraftMongoScanMetrics.reset()
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_mongo.weather.spec_prune")
+      .head.getLong(0) === 3L)
+    assert(GraftMongoScanMetrics.decodedColumns.get() === 0L &&
+      GraftMongoScanMetrics.metadataOnlyReads.get() ===
+        nShards.toLong)
+    // pushed _id bounds: only _id + the requested column decode, and
+    // the bound filters exactly
+    GraftMongoScanMetrics.reset()
+    val r = spark.sql(
+      """SELECT a FROM graft_mongo.weather.spec_prune
+         WHERE _id >= TIMESTAMP '1995-01-03 00:00:00'
+           AND _id < TIMESTAMP '1995-01-05 00:00:00'""").collect()
+    assert(r.map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    assert(GraftMongoScanMetrics.decodedColumns.get() ===
+      2L * nShards, "expected _id + a per shard")
+    spark.sql("DROP TABLE graft_mongo.weather.spec_prune")
   }
 
   test("tri-catalog cross-type join (timestamp _id = DATE) lands rows") {
