@@ -2046,6 +2046,106 @@ object Lake {
        ANTI JOIN b1 ON b1.user_id = b2.user_id
        ORDER BY user_id"""
 
+  /** MULTI-STATEMENT SNAPSHOT ISOLATION (the Trino-on-Iceberg
+    * repeatable-read story): a reader plans against `VERSION AS OF 1`,
+    * then THREE separate writes commit (INSERT a sentinel user,
+    * UPDATE a date, DELETE a user — v2..v4), and only then does the
+    * pinned reader execute. It must see exactly the v1 content:
+    * none of the committed writes, no torn mixture. Works because a
+    * pinned load resolves immutable snapshot files and published
+    * versions are never mutated ([[GraftLakeIO]]); the oracle is the
+    * batch-1 recompute, which can only match if isolation held (the
+    * sentinel user would otherwise appear). */
+  val lakeSnapshotIsolation: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.snapiso_$fp"
+    val ev = Tables.events(s, dir)
+      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d")
+    ev.groupBy("user_id").agg(min("d").as("cohort_d"))
+      .createOrReplaceTempView("graft_lake_snapiso_b1")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, cohort_d DATE)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_snapiso_b1") // v1
+    // the reader pins BEFORE the writes land
+    val pinned = s.sql(
+      s"SELECT user_id, cohort_d FROM $tbl VERSION AS OF 1")
+    s.sql(s"INSERT INTO $tbl VALUES (999999, DATE '2030-01-01')") // v2
+    s.sql(s"UPDATE $tbl SET cohort_d = DATE '2031-01-01' " +
+      "WHERE user_id = (SELECT min(user_id) FROM " +
+      "graft_lake_snapiso_b1)") // v3
+    s.sql(s"DELETE FROM $tbl WHERE user_id = " +
+      "(SELECT max(user_id) FROM graft_lake_snapiso_b1)") // v4
+    // executed only NOW, after three commits moved the head
+    pinned.orderBy("user_id")
+  }
+
+  val lakeSnapshotIsolationOracle: String =
+    """SELECT user_id,
+         min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+           AS cohort_d
+       FROM events GROUP BY user_id ORDER BY user_id"""
+
+  /** MERGE over an EVOLVED schema (Iceberg's write-time schema
+    * evolution): batch 2 carries `n_events`, a column ADDed after the
+    * table was created and after batch 1 landed. Matched users update
+    * through the new column (their pre-evolution rows read NULL for
+    * it and get the batch-2 value), new users insert full evolved
+    * rows, and untouched shards stay physically old-schema behind
+    * hardlinks — the group-based MERGE rewrite, the columnar
+    * missing-column-as-NULL read, and the commit-time old+new-schema
+    * shard merge (Group re-encode fallback) all compose in one
+    * statement. */
+  val lakeMergeEvolved: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.mergevo_$fp"
+    val ev = Tables.events(s, dir)
+      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d",
+        "dayofmonth(ts) AS dom")
+    ev.filter(col("dom") <= 15).groupBy("user_id")
+      .agg(min("d").as("cohort_d"))
+      .createOrReplaceTempView("graft_lake_mergevo_b1")
+    ev.filter(col("dom") > 15).groupBy("user_id")
+      .agg(min("d").as("cohort_d"), count(lit(1)).as("n_events"))
+      .createOrReplaceTempView("graft_lake_mergevo_b2")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, cohort_d DATE)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_mergevo_b1")
+    s.sql(s"ALTER TABLE $tbl ADD COLUMN (n_events BIGINT)")
+    s.sql(s"""MERGE INTO $tbl t
+              USING graft_lake_mergevo_b2 s
+              ON t.user_id = s.user_id
+              WHEN MATCHED THEN UPDATE SET
+                cohort_d = least(t.cohort_d, s.cohort_d),
+                n_events = s.n_events
+              WHEN NOT MATCHED THEN INSERT *""")
+    s.sql(s"""SELECT user_id, cohort_d, n_events FROM $tbl
+              ORDER BY user_id""")
+  }
+
+  val lakeMergeEvolvedOracle: String =
+    """WITH ev AS (
+         SELECT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           day(CAST(ts AS TIMESTAMP)) AS dom
+         FROM events),
+       b1 AS (SELECT user_id, min(d) AS cohort_d FROM ev
+              WHERE dom <= 15 GROUP BY user_id),
+       b2 AS (SELECT user_id, min(d) AS cohort_d,
+                CAST(count(*) AS BIGINT) AS n_events
+              FROM ev WHERE dom > 15 GROUP BY user_id)
+       SELECT coalesce(b1.user_id, b2.user_id) AS user_id,
+         CASE WHEN b1.user_id IS NOT NULL AND b2.user_id IS NOT NULL
+                THEN least(b1.cohort_d, b2.cohort_d)
+              WHEN b1.user_id IS NOT NULL THEN b1.cohort_d
+              ELSE b2.cohort_d END AS cohort_d,
+         b2.n_events
+       FROM b1 FULL JOIN b2 ON b1.user_id = b2.user_id
+       ORDER BY user_id"""
+
   val lakeDeleteUpdate: Q = (s, dir) => Lake.synchronized {
     registerCatalog(s)
     val fp = Tables.fingerprint(dir, "events")
@@ -2597,6 +2697,8 @@ object Lake {
     "merge_sql_firstseen" -> mergeSqlFirstSeen,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_schema_evolution" -> lakeSchemaEvolution,
+    "lake_merge_evolved" -> lakeMergeEvolved,
+    "lake_snapshot_isolation" -> lakeSnapshotIsolation,
     "lake_delete_update" -> lakeDeleteUpdate,
     "lake_stats_skipping" -> lakeStatsSkipping,
     "lake_table_changes" -> lakeTableChanges,
@@ -2613,6 +2715,8 @@ object Lake {
       graft.operators.Merge.mergeUpsertFirstSeenOracle,
     "lake_time_travel" -> lakeTimeTravelOracle,
     "lake_schema_evolution" -> lakeSchemaEvolutionOracle,
+    "lake_merge_evolved" -> lakeMergeEvolvedOracle,
+    "lake_snapshot_isolation" -> lakeSnapshotIsolationOracle,
     "lake_delete_update" -> lakeDeleteUpdateOracle,
     "lake_stats_skipping" -> lakeStatsSkippingOracle,
     "lake_table_changes" -> lakeTableChangesOracle,

@@ -43,4 +43,60 @@ class ConcurrencySpec extends SparkSpec {
       assert(results(n).nonEmpty, s"$n returned nothing")
     }
   }
+
+  test("snapshot isolation under a LIVE write race: a reader pinned " +
+      "mid-sequence repeatedly re-executes while 3 writers commit, " +
+      "and never sees a torn or post-pin state") {
+    graft.sources.Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_snapiso_race"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, cohort_d DATE)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
+    spark.sql(s"""INSERT INTO $tbl
+      SELECT id AS user_id, DATE '2024-03-01' AS cohort_d
+      FROM range(0, 64)""") // v1
+    val pinned = spark.sql(
+      s"SELECT user_id, cohort_d FROM $tbl VERSION AS OF 1")
+    val want = pinned.collect().map(_.toString).sorted.toSeq
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4))
+    // three writers commit while the pinned reader re-executes in a
+    // loop — every execution must return exactly the v1 rows. Writers
+    // retry lost CAS races like any real client (rerunning replans
+    // from the new head; each statement is idempotent by content)
+    def retrying(sql: String): Unit = {
+      def isConflict(t: Throwable): Boolean =
+        t != null && (t.isInstanceOf[
+          graft.sources.GraftLakeCommitConflict] ||
+          isConflict(t.getCause))
+      var done = false
+      while (!done)
+        try { spark.sql(sql): Unit; done = true }
+        catch { case e: Exception if isConflict(e) => }
+    }
+    val writers = Future.sequence(Seq(
+      Future(retrying(
+        s"INSERT INTO $tbl VALUES (999999, DATE '2030-01-01')")),
+      Future(retrying(
+        s"UPDATE $tbl SET cohort_d = DATE '2031-01-01' " +
+          "WHERE user_id = 0")),
+      Future(retrying(s"DELETE FROM $tbl WHERE user_id = 63"))))
+    val reader = Future {
+      (1 to 10).map { i =>
+        val got = pinned.collect().map(_.toString).sorted.toSeq
+        assert(got === want, s"pinned read $i saw a foreign state")
+        got.length
+      }
+    }
+    Await.result(writers, 2.minutes): Unit
+    Await.result(reader, 2.minutes): Unit
+    // after the dust settles the head shows all three writes...
+    val head = spark.table(tbl).collect()
+      .map(r => r.getLong(0) -> r.getDate(1).toString).toMap
+    assert(head.contains(999999L) && !head.contains(63L) &&
+      head(0L) === "2031-01-01")
+    // ...and the pinned reader STILL serves v1
+    assert(pinned.collect().map(_.toString).sorted.toSeq === want)
+    spark.sql(s"DROP TABLE $tbl")
+  }
 }
