@@ -645,7 +645,46 @@ object Multimodal {
          CAST(samples[n_samples] AS BIGINT) AS last_s
        FROM w ORDER BY doc_id"""
 
+  /** RUNTIME codec capability probe — the multimodal surface degrades
+    * LOUDLY, not by documentation: every codec the pipeline could
+    * bind is probed against what this JVM/host actually provides
+    * (ImageIO reader registry, the javax.sound sampled-audio SPI, an
+    * ffmpeg binary on PATH) and surfaced as a metadata table
+    * `(codec, kind, available, binding)`. A caller scheduling a
+    * decode stage checks this first and gets the truthful answer for
+    * THIS environment — in this sandbox: PNG/GIF/BMP/JPEG + WAV real,
+    * MP3/AAC/H.264/VP9 absent (no ffmpeg-class decoder on the JVM or
+    * system path, BASELINE.md "environment bounds"). Engine-specific
+    * by nature → rows-only registered query; the spec pins the
+    * sandbox's actual availability set. */
+  val mmCodecCapabilities: Q = (s, _) => {
+    import s.implicits._
+    val imageio = javax.imageio.ImageIO.getReaderFormatNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val audio = javax.sound.sampled.AudioSystem.getAudioFileTypes
+      .map(_.getExtension.toLowerCase(java.util.Locale.ROOT)).toSet
+    val ffmpeg = sys.env.getOrElse("PATH", "").split(':').exists(p =>
+      new java.io.File(p, "ffmpeg").canExecute)
+    def img(c: String) =
+      if (imageio.contains(c)) (true, "jdk:javax.imageio")
+      else if (ffmpeg) (true, "system:ffmpeg") else (false, "unbound")
+    def aud(c: String) =
+      if (audio.contains(c)) (true, "jdk:javax.sound.sampled")
+      else if (ffmpeg) (true, "system:ffmpeg") else (false, "unbound")
+    def video(_c: String) =
+      if (ffmpeg) (true, "system:ffmpeg") else (false, "unbound")
+    val rows =
+      Seq("png", "gif", "bmp", "jpeg").map(c => (c, "image", img(c))) ++
+        Seq("wav").map(c => (c, "audio", aud(c))) ++
+        Seq("mp3", "aac").map(c => (c, "audio", aud(c))) ++
+        Seq("h264", "vp9").map(c => (c, "video", video(c)))
+    rows.map { case (c, k, (ok, b)) => (c, k, ok, b) }
+      .toDF("codec", "kind", "available", "binding")
+      .orderBy("kind", "codec")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_codec_capabilities" -> mmCodecCapabilities,
     "mm_audio_roundtrip" -> mmAudioRoundtrip,
     "mm_embed_ann" -> mmEmbedAnn,
     "mm_resize_real" -> mmResizeReal,

@@ -397,4 +397,22 @@ class CoverageMultimodalSpec extends SparkSpec {
         new java.io.ByteArrayInputStream(wav))
     }
   }
+
+  test("mm_codec_capabilities reports this sandbox truthfully: " +
+      "JDK codecs available and bound, ffmpeg-class codecs unbound") {
+    val caps = graft.operators.Multimodal
+      .mmCodecCapabilities(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(2), r.getString(3)))).toMap
+    // uncompressed/JDK paths are REAL here (mm_codec_roundtrip etc.)
+    Seq("png", "gif", "bmp", "jpeg").foreach { c =>
+      assert(caps(c) === ((true, "jdk:javax.imageio")), s"$c: ${caps(c)}")
+    }
+    assert(caps("wav") === ((true, "jdk:javax.sound.sampled")))
+    // compressed codecs: no ffmpeg-class decoder on the JVM or system
+    // path in this sandbox — the surface must say so, not pretend
+    Seq("mp3", "aac", "h264", "vp9").foreach { c =>
+      assert(caps(c) === ((false, "unbound")), s"$c: ${caps(c)}")
+    }
+  }
 }
