@@ -969,12 +969,20 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
     * scan reports the small post-pruning size and a lake dimension
     * under the broadcast threshold flips SMJ -> BHJ exactly like a
     * stats-bearing session-catalog table (PlanSpec pins the flip). */
+  // memoized per runtime-filter state (the planner asks repeatedly;
+  // footer tail-reads are cheap but O(shards) per call)
+  private var statsCache: (Option[Set[Int]], (Long, Long)) = null
+
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val files = plannedShards.toSeq.sorted
-      .map(k => GraftLakeIO.shardFile(vdir, k))
-    val bytes = files.map(_.length()).sum
-    val rows = files.map(f => GraftShardCodec.footer(f)._2).sum
+    val key = retained
+    if (statsCache == null || statsCache._1 != key) {
+      val files = plannedShards.toSeq.sorted
+        .map(k => GraftLakeIO.shardFile(vdir, k))
+      statsCache = (key, (files.map(_.length()).sum,
+        files.map(f => GraftShardCodec.footer(f)._2).sum))
+    }
+    val (bytes, rows) = statsCache._2
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
