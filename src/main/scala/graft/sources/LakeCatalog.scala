@@ -1672,7 +1672,10 @@ private[sources] object GraftLakeCommitter {
         }
       }
       val targetType = GraftShardCodec.messageType(writeSchema)
-      staged.foreach { case (k, parts) =>
+      // shard merges are independent — run them across a bounded pool
+      // (a wide ingest staging hundreds of shards would otherwise
+      // serialize its commit I/O on one thread)
+      val merges = staged.toSeq.map { case (k, parts) => () =>
         val dst = GraftLakeIO.shardFile(build, k)
         val srcs =
           (if (carriedBase.contains(k))
@@ -1692,6 +1695,19 @@ private[sources] object GraftLakeCommitter {
           // when schemas match; Group re-encode only for
           // schema-evolved bases
           GraftShardCodec.mergeShardFiles(dst, targetType, srcs)
+      }
+      if (merges.lengthCompare(2) < 0) merges.foreach(_())
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(merges.length,
+            Runtime.getRuntime.availableProcessors()))
+        try {
+          val futures = merges.map(m =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit = m()
+            }))
+          futures.foreach(_.get()) // propagate the first failure
+        } finally pool.shutdown()
       }
       // zone maps for the new snapshot: carried shards keep the base
       // version's ranges verbatim; appended shards merge base + staged;
