@@ -821,10 +821,12 @@ object GraftLakeIO {
       publish(dataDir, v)
     }
 
-  /** VACUUM — clear the two artifact classes a crashed writer can
-    * leave: stale `_build_*` staging dirs (crash mid-build) and
-    * unpublished version dirs above the pointer (crash between rename
-    * and publish — [[commitVersion]] also self-heals these lazily).
+  /** VACUUM — clear the three artifact classes a crashed writer can
+    * leave: stale `_build_*` build dirs (crash mid-build), stale
+    * `_stage_*` task-output dirs (crash mid-write or mid-epoch,
+    * before the commit's cleanup ran), and unpublished version dirs
+    * above the pointer (crash between rename and publish —
+    * [[commitVersion]] also self-heals these lazily).
     * Runs under the table lock, so no live committer's build is ever
     * touched if `olderThanMs` exceeds any plausible build time; both
     * classes are unreachable by readers by construction (scans resolve
@@ -838,7 +840,9 @@ object GraftLakeIO {
       val victims = Option(new java.io.File(dataDir).listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter { f =>
-          (f.getName.startsWith("_build_") && f.lastModified() < cutoff) ||
+          ((f.getName.startsWith("_build_") ||
+            f.getName.startsWith("_stage_")) &&
+            f.lastModified() < cutoff) ||
             // anchored: only real version dirs (`v<digits>` exactly)
             // are candidates — a future artifact merely CONTAINING
             // v<digits> (e.g. "schema_v9.json") must never be removed

@@ -590,10 +590,15 @@ class LakeMergeSpec extends SparkSpec {
     staleBuild.mkdirs()
     staleBuild.setLastModified(
       System.currentTimeMillis() - 3600000L): Unit
+    val staleStage = new File(dir, "_stage_dead_q_e3")
+    staleStage.mkdirs()
+    staleStage.setLastModified(
+      System.currentTimeMillis() - 3600000L): Unit
     GraftLakeIO.versionDir(dir, 7).mkdirs() // another crash artifact
     val freshBuild = GraftLakeIO.newBuildDir(dir) // a LIVE build
     val removed = GraftLakeIO.vacuumOrphans(dir, olderThanMs = 600000L)
-    assert(removed === Seq("_build_dead_1", "v7"))
+    assert(removed === Seq("_build_dead_1", "_stage_dead_q_e3", "v7"))
+    assert(!staleStage.exists())
     assert(!staleBuild.exists() &&
       !GraftLakeIO.versionDir(dir, 7).exists())
     assert(freshBuild.exists(), "vacuum must not touch a live build")
