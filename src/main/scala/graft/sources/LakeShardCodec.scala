@@ -175,6 +175,7 @@ object GraftShardCodec {
     case d: java.lang.Double => g.add(name, d.doubleValue())
     case s: org.apache.spark.unsafe.types.UTF8String =>
       g.add(name, Binary.fromConstantByteArray(s.getBytes))
+    case b: java.lang.Boolean => g.add(name, b.booleanValue())
     case other => throw new IllegalArgumentException(
       s"unsupported lake value $other (${other.getClass})")
   }
@@ -262,6 +263,8 @@ object GraftShardCodec {
                       out.add(n, g.getInteger(i, 0))
                     case PrimitiveTypeName.DOUBLE =>
                       out.add(n, g.getDouble(i, 0))
+                    case PrimitiveTypeName.BOOLEAN =>
+                      out.add(n, g.getBoolean(i, 0))
                     case PrimitiveTypeName.BINARY if isStr =>
                       out.add(n, g.getBinary(i, 0))
                     case other =>
