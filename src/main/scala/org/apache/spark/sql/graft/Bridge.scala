@@ -61,4 +61,14 @@ object Bridge extends org.apache.spark.internal.Logging {
     }
     CDataset.ofRows(cs, plan)
   }
+
+  /** Set a key in the CONTEXT SparkConf (private[spark]; no public
+    * runtime accessor). Deployment-level bindings — catalog
+    * definitions a server's fresh per-connection sessions must
+    * inherit — live here, exactly where spark-defaults.conf entries
+    * land; the ThriftServerSpec uses this to model that deployment
+    * without restarting the shared test JVM's context. */
+  def setContextConf(spark: SparkSession, key: String,
+      value: String): Unit =
+    spark.sparkContext.conf.set(key, value): Unit
 }

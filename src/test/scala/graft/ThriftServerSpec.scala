@@ -20,6 +20,18 @@ class ThriftServerSpec extends SparkSpec {
     // get their own session; global temp views span them)
     val df = SparkEntry.queries("q1_join_filter_sort")(spark, sf)
     df.createOrReplaceGlobalTempView("graft_q1_wire")
+    // bind the lake catalog at the CONTEXT conf level BEFORE the
+    // server starts: thrift connections open FRESH sessions that do
+    // NOT inherit runtime session conf — the binding a server
+    // deployment puts in spark-defaults.conf is the one they fall
+    // back to (Bridge.setContextConf models exactly that)
+    graft.sources.Lake.registerCatalog(spark)
+    org.apache.spark.sql.graft.Bridge.setContextConf(spark,
+      "spark.sql.catalog.graft_lake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    org.apache.spark.sql.graft.Bridge.setContextConf(spark,
+      "spark.sql.catalog.graft_lake.path",
+      spark.conf.get("spark.sql.catalog.graft_lake.path"))
     val expectRows = df.count()
     val expectSum = df.selectExpr("sum(o_orderkey)").head().getLong(0)
 
@@ -48,7 +60,41 @@ class ThriftServerSpec extends SparkSpec {
         assert(rs.next())
         assert(rs.getLong("n") === expectRows)
         assert(rs.getLong("key_sum") === expectSum)
-        rs.close(); st.close()
+        rs.close()
+
+        // the LAKEHOUSE over the same wire: a beeline-class client
+        // drives CREATE / INSERT / MERGE / time travel against the
+        // DSv2 lake catalog through its own server-side session
+        // (catalog binding rides the session conf the server cloned)
+        val tbl = "graft_lake.lake.spec_wire_lake"
+        st.execute(s"DROP TABLE IF EXISTS $tbl"): Unit
+        st.execute(s"""CREATE TABLE $tbl (user_id BIGINT, cohort_d
+          DATE) TBLPROPERTIES ('shard_key'='user_id',
+          'n_shards'='4')"""): Unit
+        st.execute(s"""INSERT INTO $tbl VALUES
+          (1, DATE '2024-03-01'), (2, DATE '2024-03-02')"""): Unit
+        st.execute(s"""MERGE INTO $tbl t USING (
+            SELECT * FROM VALUES (1L, DATE '2024-02-01'),
+              (3L, DATE '2024-03-03') AS s(user_id, cohort_d)) s
+          ON t.user_id = s.user_id
+          WHEN MATCHED THEN UPDATE SET
+            cohort_d = least(t.cohort_d, s.cohort_d)
+          WHEN NOT MATCHED THEN INSERT *"""): Unit
+        val head = st.executeQuery(
+          s"SELECT user_id, cohort_d FROM $tbl ORDER BY user_id")
+        val got = Iterator.continually(head)
+          .takeWhile(_.next())
+          .map(r => r.getLong(1) -> r.getDate(2).toString).toSeq
+        assert(got === Seq(1L -> "2024-02-01", 2L -> "2024-03-02",
+          3L -> "2024-03-03"))
+        head.close()
+        // time travel through the wire: v1 predates the merge
+        val tt = st.executeQuery(
+          s"SELECT count(*) AS n FROM $tbl VERSION AS OF 1")
+        assert(tt.next() && tt.getLong("n") === 2L)
+        tt.close()
+        st.execute(s"DROP TABLE $tbl"): Unit
+        st.close()
       } finally conn.close()
     } finally server.stop()
   }
