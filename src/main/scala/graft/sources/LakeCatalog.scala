@@ -907,9 +907,12 @@ object GraftLakeScanMetrics {
   // reads were served purely from footer metadata (zero data pages)
   val decodedColumns = new java.util.concurrent.atomic.AtomicLong()
   val metadataOnlyReads = new java.util.concurrent.atomic.AtomicLong()
+  // write-side: LRU writer evictions (staged-part rotations)
+  val writerRotations = new java.util.concurrent.atomic.AtomicLong()
   def reset(): Unit = {
     planned.set(0); skippedByStats.set(0)
     decodedColumns.set(0); metadataOnlyReads.set(0)
+    writerRotations.set(0)
   }
 }
 
@@ -1824,23 +1827,49 @@ class GraftLakeDataWriter(stagePath: String, writeSchema: StructType,
   // buffer)
   private val msgType = GraftShardCodec.messageType(writeSchema)
   private val groupFac = GraftShardCodec.groupFactory(msgType)
-  private val open = scala.collection.mutable.Map[Int,
+  // LRU-bounded open writers: each ParquetWriter buffers up to a row
+  // group, so a task spraying rows across many shards (hash routing
+  // under an unclustered input) would otherwise hold
+  // shards x RowGroupBytes of heap. Past the cap the least-recently-
+  // written shard's writer is CLOSED and the shard ROTATES to a fresh
+  // staged part on its next row — the commit core already merges
+  // multi-part shards, so rotation is invisible downstream. Task
+  // memory is thereby bounded at MaxOpenWriters x 16 MB regardless of
+  // shard count.
+  private val open = new java.util.LinkedHashMap[Int,
     (java.io.File,
       org.apache.parquet.hadoop.ParquetWriter[
-        org.apache.parquet.example.data.Group])]()
+        org.apache.parquet.example.data.Group])](16, 0.75f,
+    /* accessOrder = */ true)
+  // rotated-out staged files, still part of this task's commit
+  private val closed =
+    scala.collection.mutable.Buffer[(Int, java.io.File)]()
+  private var rotation = 0
   // zone-map accumulation: per shard, per stat-able column, the
   // running min/max over the NON-NULL values this writer routed there
   private val ranges = scala.collection.mutable.Map[Int,
     scala.collection.mutable.Map[String, GraftLakeIO.ColRange]]()
 
   private def writerFor(k: Int): org.apache.parquet.hadoop
-      .ParquetWriter[org.apache.parquet.example.data.Group] =
-    open.getOrElseUpdate(k, {
-      // taskId in the name keeps speculative/retried attempts disjoint
-      val f = new java.io.File(stagePath,
-        s"shard-${k}_p${partitionId}_t$taskId.parquet")
-      (f, GraftShardCodec.openWriter(f, msgType))
-    })._2
+      .ParquetWriter[org.apache.parquet.example.data.Group] = {
+    val cur = open.get(k)
+    if (cur != null) return cur._2
+    if (open.size() >= GraftLakeDataWriter.MaxOpenWriters) {
+      val lru = open.entrySet().iterator().next()
+      lru.getValue._2.close()
+      closed += lru.getKey -> lru.getValue._1
+      GraftLakeScanMetrics.writerRotations.incrementAndGet(): Unit
+      open.remove(lru.getKey): Unit
+    }
+    // taskId in the name keeps speculative/retried attempts disjoint;
+    // the rotation counter keeps a re-opened shard's parts disjoint
+    val f = new java.io.File(stagePath,
+      s"shard-${k}_p${partitionId}_t${taskId}_r$rotation.parquet")
+    rotation += 1
+    val w = GraftShardCodec.openWriter(f, msgType)
+    open.put(k, (f, w)): Unit
+    w
+  }
 
   private def observe(k: Int, name: String, r: GraftLakeIO.ColRange)
       : Unit = {
@@ -1903,20 +1932,35 @@ class GraftLakeDataWriter(stagePath: String, writeSchema: StructType,
   }
 
   override def commit(): WriterCommitMessage = {
-    open.values.foreach(_._2.close())
-    GraftLakeTaskCommit(open.toSeq.sortBy(_._1).map {
-      case (k, (f, _)) =>
+    open.values().forEach(_._2.close())
+    val parts = closed.toSeq ++ {
+      val b = scala.collection.mutable.Buffer[(Int, java.io.File)]()
+      open.forEach((k, v) => b += k -> v._1)
+      b.toSeq
+    }
+    // a rotated shard reports several parts; the shard's FULL range
+    // map rides on each (min/max merge is idempotent, so the
+    // commit-side reduce lands the same sound ranges either way)
+    GraftLakeTaskCommit(parts.sortBy(p => (p._1, p._2.getName)).map {
+      case (k, f) =>
         GraftLakeCommit(k, f.getPath,
           ranges.get(k).fold(Map.empty[String, GraftLakeIO.ColRange])(
             _.toMap))
     })
   }
 
-  override def abort(): Unit = open.values.foreach { case (f, w) =>
-    w.close(); f.delete(): Unit
+  override def abort(): Unit = {
+    open.values().forEach { case (f, w) => w.close(); f.delete(): Unit }
+    closed.foreach { case (_, f) => f.delete(): Unit }
   }
 
   override def close(): Unit = ()
+}
+
+object GraftLakeDataWriter {
+  /** Cap on concurrently open per-shard parquet writers per task —
+    * bounds task heap at MaxOpenWriters x RowGroupBytes (16 MB). */
+  val MaxOpenWriters = 16
 }
 
 /** Query-facing surface: the first-seen upsert driven by LITERAL SQL

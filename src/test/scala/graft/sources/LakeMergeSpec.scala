@@ -731,6 +731,41 @@ class LakeMergeSpec extends SparkSpec {
     }
   }
 
+  test("LRU writer rotation: one task spraying 24 shards stays under " +
+      "the open-writer cap, rotated parts merge back value-exactly") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_rotation"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, v BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='24')""")
+    // 96 keys round-robin over 24 shards from a SINGLE task: shard
+    // k is revisited after 23 others, so with cap 16 every revisit
+    // lands on an evicted writer — forced rotation on most shards
+    GraftLakeScanMetrics.reset()
+    spark.range(96).coalesce(1)
+      .selectExpr("id AS user_id", "id * 7 AS v")
+      .createOrReplaceTempView("spec_rotation_src")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_rotation_src")
+    assert(GraftLakeScanMetrics.writerRotations.get() > 0L,
+      "24 shards from one task must exceed the 16-writer cap")
+    // merged shards serve every row exactly once, values intact
+    val got = spark.table(tbl).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 96 &&
+      (0L until 96L).forall(i => got(i) === i * 7))
+    // zone maps survived rotation: each shard still has its exact key
+    // range (the full range map rides every rotated part — idempotent
+    // min/max merge)
+    val dir = new File(lakeRoot, "spec_rotation").getPath
+    val stats = GraftLakeIO.readStats(GraftLakeIO.versionDir(dir, 1))
+    assert(stats.size === 24)
+    (0 until 24).foreach { k =>
+      assert(stats(k)("user_id").minL === k.toLong &&
+        stats(k)("user_id").maxL === (72 + k).toLong, s"shard $k")
+    }
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("streaming sink into the lake is exactly-once: a FORCED epoch " +
       "replay (checkpoint commit marker deleted) re-runs the epoch " +
       "and the txn watermark commits nothing twice") {
