@@ -1425,11 +1425,17 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
 
   // the POST side STREAMS (only the pre side needs indexing — the
   // asymmetry of a hash join): peak memory is one shard map + one row,
-  // not two shard copies
+  // not two shard copies. The handle is kept so close() releases the
+  // file even when the consumer stops early (a LIMITed CDC read).
+  private var postCloser: AutoCloseable = null
   private def postLines: Iterator[Array[Any]] =
     if (p.postPath == null) Iterator.empty
-    else GraftShardCodec.readRows(new java.io.File(p.postPath),
-      dataSchema)
+    else {
+      val (it, c) = GraftShardCodec.readRowsCloseable(
+        new java.io.File(p.postPath), dataSchema)
+      postCloser = c
+      it
+    }
 
   private def sameVals(a: Array[Any], b: Array[Any]): Boolean = {
     var i = 0
@@ -1503,7 +1509,8 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
   override def next(): Boolean =
     if (rows.hasNext) { cur = rows.next(); true } else false
   override def get(): InternalRow = cur
-  override def close(): Unit = ()
+  override def close(): Unit =
+    if (postCloser != null) postCloser.close()
 }
 
 /** Writes route every row to its group (floorMod of the shard key) in

@@ -184,7 +184,15 @@ object GraftShardCodec {
     * `schema` (missing columns NULL) — the $changes differ and spec
     * helpers use this; scans stream instead. */
   def readRows(file: java.io.File,
-      schema: StructType): Iterator[Array[Any]] = {
+      schema: StructType): Iterator[Array[Any]] =
+    readRowsCloseable(file, schema)._1
+
+  /** [[readRows]] plus the underlying reader handle, for callers that
+    * may stop consuming early (a LIMITed scan) and must still release
+    * the file. The iterator also self-closes on exhaustion; closing
+    * twice is safe. */
+  def readRowsCloseable(file: java.io.File,
+      schema: StructType): (Iterator[Array[Any]], AutoCloseable) = {
     val names = schema.fields.iterator.map(_.name).toSeq
     val (fileSchema, _) = footer(file)
     val proj = projectionFor(fileSchema, names)
@@ -192,11 +200,15 @@ object GraftShardCodec {
       if (proj.containsField(f.name)) proj.getFieldIndex(f.name)
       else -1)
     val reader = openReader(file, proj)
-    new Iterator[Array[Any]] {
+    var closed = false
+    val closer = new AutoCloseable {
+      override def close(): Unit =
+        if (!closed) { closed = true; reader.close() }
+    }
+    val it = new Iterator[Array[Any]] {
       private var g: Group = reader.read()
-      private var closed = false
       override def hasNext: Boolean = {
-        if (g == null && !closed) { closed = true; reader.close() }
+        if (g == null) closer.close()
         g != null
       }
       override def next(): Array[Any] = {
@@ -212,6 +224,7 @@ object GraftShardCodec {
         vals
       }
     }
+    (it, closer)
   }
 
   /** Materialize `target` as the concatenation of `sources` (in
