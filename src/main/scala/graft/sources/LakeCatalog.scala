@@ -493,12 +493,50 @@ object GraftLakeIO {
 
   /** One column's range; `isFloat` keys the JSON round-trip. Long
     * ranges stay in Long (a BIGINT key above 2^53 would corrupt in a
-    * double). */
+    * double). STRING columns ride the same entry via `minS`/`maxS`
+    * (UTF-8 BINARY order — the order Spark's UTF8String comparisons
+    * and parquet string min/max use): `minS != null` marks a string
+    * range, and a string range with `maxS == null` is the STICKY
+    * INVALID marker — a writer observed a string above the stats
+    * length bound, so the shard can never be skipped on this column.
+    * Stickiness matters at commit: task-stats absence means "only
+    * NULLs here" (safe to keep the other half's range), so
+    * invalidation must travel as a value, not as absence. */
   case class ColRange(isFloat: Boolean, minL: Long, maxL: Long,
-      minD: Double, maxD: Double) {
+      minD: Double, maxD: Double,
+      minS: String = null, maxS: String = null) {
+    def isString: Boolean = minS != null
     def merge(o: ColRange): ColRange =
-      ColRange(isFloat, math.min(minL, o.minL), math.max(maxL, o.maxL),
-        math.min(minD, o.minD), math.max(maxD, o.maxD))
+      if (isString || o.isString) {
+        if (maxS == null || o.maxS == null)
+          ColRange.stringInvalid // sticky
+        else {
+          def lt(a: String, b: String) =
+            org.apache.spark.unsafe.types.UTF8String.fromString(a)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String
+                .fromString(b)) < 0
+          ColRange(isFloat = false, 0L, 0L, 0.0, 0.0,
+            if (lt(minS, o.minS)) minS else o.minS,
+            if (lt(maxS, o.maxS)) o.maxS else maxS)
+        }
+      } else
+        ColRange(isFloat, math.min(minL, o.minL),
+          math.max(maxL, o.maxL),
+          math.min(minD, o.minD), math.max(maxD, o.maxD))
+  }
+
+  object ColRange {
+    /** Stats length bound for strings (Iceberg truncates at 16; we
+      * record exactly-or-nothing at 64 — no successor-increment
+      * subtleties, and over-long outliers poison only their shard's
+      * entry). */
+    val MaxStatsStringLen = 64
+    val stringInvalid: ColRange =
+      ColRange(isFloat = false, 0L, 0L, 0.0, 0.0, minS = "",
+        maxS = null)
+    def ofString(s: String): ColRange =
+      if (s.length > MaxStatsStringLen) stringInvalid
+      else ColRange(isFloat = false, 0L, 0L, 0.0, 0.0, s, s)
   }
 
   /** True when a stats range is unusable for skipping. A NaN bound
@@ -506,9 +544,11 @@ object GraftLakeIO {
     * and silently prune a shard that holds real rows — writers must
     * never observe NaN (Parquet/Iceberg likewise drop NaN from
     * min/max), and readers treat a NaN-poisoned entry from an old
-    * table as "no stats" (never skip). */
+    * table as "no stats" (never skip). A string range invalidated by
+    * an over-length value is likewise never a skip license. */
   def rangeUnusable(r: ColRange): Boolean =
-    r.isFloat && (r.minD.isNaN || r.maxD.isNaN)
+    (r.isFloat && (r.minD.isNaN || r.maxD.isNaN)) ||
+      (r.isString && r.maxS == null)
 
   def statsFile(vdir: java.io.File): java.io.File =
     new java.io.File(vdir, "_stats.json")
@@ -521,9 +561,15 @@ object GraftLakeIO {
       val s = root.putObject(shard.toString)
       cols.toSeq.sortBy(_._1).foreach { case (name, r) =>
         val c = s.putObject(name)
-        c.put("f", r.isFloat): Unit
-        if (r.isFloat) { c.put("min", r.minD): Unit; c.put("max", r.maxD): Unit }
-        else { c.put("min", r.minL): Unit; c.put("max", r.maxL): Unit }
+        if (r.isString) {
+          c.put("smin", r.minS): Unit
+          if (r.maxS != null) c.put("smax", r.maxS): Unit
+          // smax absent = the sticky invalid marker
+        } else {
+          c.put("f", r.isFloat): Unit
+          if (r.isFloat) { c.put("min", r.minD): Unit; c.put("max", r.maxD): Unit }
+          else { c.put("min", r.minL): Unit; c.put("max", r.maxL): Unit }
+        }
       }
     }
     java.nio.file.Files.writeString(statsFile(vdir).toPath,
@@ -540,9 +586,13 @@ object GraftLakeIO {
       val cols = Map.newBuilder[String, ColRange]
       e.getValue.properties().forEach { c =>
         val n = c.getValue
-        val isFloat = n.get("f").asBoolean()
         cols += c.getKey -> (
-          if (isFloat)
+          if (n.has("smin")) {
+            if (n.has("smax"))
+              ColRange(isFloat = false, 0L, 0L, 0.0, 0.0,
+                n.get("smin").asText(), n.get("smax").asText())
+            else ColRange.stringInvalid
+          } else if (n.get("f").asBoolean())
             ColRange(isFloat = true, 0L, 0L,
               n.get("min").asDouble(), n.get("max").asDouble())
           else {
@@ -649,7 +699,27 @@ object GraftLakeIO {
     * Comparisons happen in Long for integral ranges vs integral
     * literals (exactness above 2^53) and in Double otherwise. */
   def rangeMayMatch(r: ColRange, op: String, lit: Any): Boolean = {
-    if (rangeUnusable(r)) return true // NaN-poisoned stats: never skip
+    if (rangeUnusable(r)) return true // poisoned stats: never skip
+    if (r.isString) {
+      val s = lit match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u
+        case str: String =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(str)
+        case _ => return true // non-string literal on a string range
+      }
+      val lo = org.apache.spark.unsafe.types.UTF8String
+        .fromString(r.minS)
+      val hi = org.apache.spark.unsafe.types.UTF8String
+        .fromString(r.maxS)
+      return op match {
+        case "=" => s.compareTo(lo) >= 0 && s.compareTo(hi) <= 0
+        case "<" => lo.compareTo(s) < 0
+        case "<=" => lo.compareTo(s) <= 0
+        case ">" => hi.compareTo(s) > 0
+        case ">=" => hi.compareTo(s) >= 0
+        case _ => true
+      }
+    }
     val litD = lit match {
       case i: java.lang.Integer => i.toDouble
       case l: java.lang.Long => l.toDouble
@@ -1927,8 +1997,13 @@ class GraftLakeDataWriter(stagePath: String, writeSchema: StructType,
               observe(k, f.name,
                 GraftLakeIO.ColRange(isFloat = true, 0L, 0L, v, v))
           case StringType =>
+            val u = row.getUTF8String(i)
             g.add(f.name, org.apache.parquet.io.api.Binary
-              .fromConstantByteArray(row.getUTF8String(i).getBytes))
+              .fromConstantByteArray(u.getBytes))
+            // string zone map: exact value at-or-under the length
+            // bound, sticky-invalid past it (never a wrong skip)
+            observe(k, f.name, GraftLakeIO.ColRange.ofString(
+              u.toString))
           case other => throw new IllegalArgumentException(
             s"unsupported lake type for ${f.name}: $other")
         }

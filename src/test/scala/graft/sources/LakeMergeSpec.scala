@@ -912,6 +912,53 @@ class LakeMergeSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("STRING zone maps: selective string predicates skip shards " +
+      "(UTF-8 binary order), over-long values poison only their " +
+      "shard's entry (sticky-invalid, never a wrong skip)") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_zstr"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, tag STRING)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='3',
+        'shard_width'='10')""")
+    // key-correlated tags: shard 0 = a*, shard 1 = m*, shard 2 = z*;
+    // one OVER-LONG tag (> 64 chars) lands in shard 1
+    spark.sql(s"""INSERT INTO $tbl VALUES
+      (1, 'alpha'), (2, 'apple'),
+      (11, 'mango'), (12, concat('m', repeat('x', 80))),
+      (21, 'zebra'), (22, 'zulu')""")
+    val dir = new File(lakeRoot, "spec_zstr").getPath
+    val stats = GraftLakeIO.readStats(GraftLakeIO.versionDir(dir, 1))
+    assert(stats(0)("tag").minS === "alpha" &&
+      stats(0)("tag").maxS === "apple")
+    // shard 1 saw an over-length value: sticky invalid, never skipped
+    assert(GraftLakeIO.rangeUnusable(stats(1)("tag")))
+    assert(stats(2)("tag").minS === "zebra" &&
+      stats(2)("tag").maxS === "zulu")
+    // `tag >= 'z'`: shard 0 provably misses, shard 1 unskippable
+    // (invalid), shard 2 matches → plan 2 of 3
+    GraftLakeScanMetrics.reset()
+    val hi = spark.sql(
+      s"SELECT user_id FROM $tbl WHERE tag >= 'z' ORDER BY user_id")
+      .collect().map(_.getLong(0))
+    assert(hi.toSeq === Seq(21L, 22L))
+    assert(GraftLakeScanMetrics.skippedByStats.get() === 1L &&
+      GraftLakeScanMetrics.planned.get() === 2L)
+    // equality probe: 'mango' can only live in shards whose range
+    // admits it — shard 0 and 2 skip, shard 1 (invalid) reads
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(
+      s"SELECT count(*) FROM $tbl WHERE tag = 'mango'")
+      .head.getLong(0) === 1L)
+    assert(GraftLakeScanMetrics.skippedByStats.get() === 2L)
+    // the over-long row itself is served correctly despite being
+    // invisible to stats
+    assert(spark.sql(
+      s"SELECT count(*) FROM $tbl WHERE tag > 'mw'")
+      .head.getLong(0) === 3L) // mxxx... , zebra, zulu
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("NaN discipline: zone maps never observe NaN (no poisoned " +
       "pruning), a NaN literal never skips, and $changes treats an " +
       "unchanged NaN row as unchanged (<=> semantics)") {
