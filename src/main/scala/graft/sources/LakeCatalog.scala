@@ -2822,6 +2822,36 @@ object Lake {
     * BETWEEN read plans 2 of 8 shards (LakeMergeSpec asserts the
     * before/after skip counts); this is Iceberg's
     * `rewrite_data_files` + sort-order story as one DDL + one DML. */
+  /** STRING zone-map skipping through the oracle gate: the documents
+    * corpus lands in a lake table whose `lang` values correlate with
+    * the `doc_id` range clustering (per-shard string min/max becomes
+    * selective), then a string range predicate reads back — shards
+    * whose [minS, maxS] provably miss never open (LakeMergeSpec pins
+    * the skip counts; this query pins the VALUES against DuckDB). */
+  val lakeStringSkipping: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "documents")
+    val tbl = s"graft_lake.lake.zstr_$fp"
+    Tables.t(s, dir, "documents")
+      .selectExpr("doc_id", "lang", "n_chars")
+      .createOrReplaceTempView("graft_lake_zstr_src")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl
+              (doc_id BIGINT, lang STRING, n_chars BIGINT)
+              TBLPROPERTIES ('shard_key'='doc_id', 'n_shards'='8',
+                'shard_width'='64')""")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_zstr_src")
+    s.sql(s"""SELECT lang, count(*) AS n, sum(n_chars) AS chars
+              FROM $tbl WHERE lang >= 'es'
+              GROUP BY lang ORDER BY lang""")
+  }
+
+  val lakeStringSkippingOracle: String =
+    """SELECT lang, count(*) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+       FROM documents WHERE lang >= 'es'
+       GROUP BY lang ORDER BY lang"""
+
   val lakeReclusterSkip: Q = (s, dir) => Lake.synchronized {
     registerCatalog(s)
     val fp = Tables.fingerprint(dir, "events")
@@ -2855,6 +2885,7 @@ object Lake {
     "lake_snapshot_isolation" -> lakeSnapshotIsolation,
     "lake_delete_update" -> lakeDeleteUpdate,
     "lake_stats_skipping" -> lakeStatsSkipping,
+    "lake_string_skipping" -> lakeStringSkipping,
     "lake_table_changes" -> lakeTableChanges,
     "stream_lake_changes" -> streamLakeChanges,
     "lake_history" -> lakeHistory,
@@ -2873,6 +2904,7 @@ object Lake {
     "lake_snapshot_isolation" -> lakeSnapshotIsolationOracle,
     "lake_delete_update" -> lakeDeleteUpdateOracle,
     "lake_stats_skipping" -> lakeStatsSkippingOracle,
+    "lake_string_skipping" -> lakeStringSkippingOracle,
     "lake_table_changes" -> lakeTableChangesOracle,
     "stream_lake_changes" -> streamLakeChangesOracle,
     "lake_history" -> lakeHistoryOracle,
