@@ -979,10 +979,12 @@ object GraftLakeScanMetrics {
   val metadataOnlyReads = new java.util.concurrent.atomic.AtomicLong()
   // write-side: LRU writer evictions (staged-part rotations)
   val writerRotations = new java.util.concurrent.atomic.AtomicLong()
+  // whole-aggregate answers served purely from footers + zone maps
+  val aggPushdowns = new java.util.concurrent.atomic.AtomicLong()
   def reset(): Unit = {
     planned.set(0); skippedByStats.set(0)
     decodedColumns.set(0); metadataOnlyReads.set(0)
-    writerRotations.set(0)
+    writerRotations.set(0); aggPushdowns.set(0)
   }
 }
 
@@ -990,7 +992,8 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
     pinned: Option[Int], op: Option[GraftLakeRowLevelOperation],
     shardKey: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownV2Filters {
+    with SupportsPushDownV2Filters
+    with SupportsPushDownAggregates {
   private var required: StructType = declared
   private var zonePreds: Array[V2Predicate] = Array.empty
 
@@ -1015,14 +1018,192 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
   }
   override def pushedPredicates(): Array[V2Predicate] = Array.empty
 
-  override def build(): Scan = {
-    // resolve the pointer ONCE here: the scan then touches only the
-    // immutable version dir, so a commit racing this read is invisible
+  /** WHOLE-AGGREGATE pushdown served purely from snapshot METADATA —
+    * parquet footers (row + null counts) and the commit's zone-map
+    * sidecar (min/max) — the Trino-connector idiom where
+    * `count(*)`/`min`/`max` never touch table data. Only claimed when
+    * every term is provably answerable from the pinned snapshot:
+    *
+    *  - `COUNT(*)`  = Σ footer row counts (always answerable);
+    *  - `COUNT(c)`  = Σ (rows − footer null count) over files whose
+    *    own schema carries `c` (post-ADD files; older files serve the
+    *    column as NULL and contribute 0) — refused if any chunk lacks
+    *    a recorded null count;
+    *  - `MIN/MAX(c)` from merged zone-map ranges — refused unless
+    *    EVERY shard has a stats entry (entry-less = pre-stats history,
+    *    unknowable), every recorded range is usable (no sticky-invalid
+    *    strings), and the column is integral/date/string. DOUBLE is
+    *    refused outright: writers drop NaN from zone maps (they must,
+    *    for skipping soundness) while Spark orders NaN above every
+    *    double, so a NaN-holding table would answer MAX wrong.
+    *
+    * Spark only attempts aggregate pushdown when no filter remains
+    * between the aggregate and this scan; since this builder reports
+    * every predicate as unhandled (zone maps prune, never filter),
+    * pushdown arrives only for filterless aggregates — exactly the
+    * shapes metadata can answer. The snapshot version is resolved ONCE
+    * here and pinned into the scan, so the answered values and the
+    * scanned version can never diverge. GROUP BY and DISTINCT refuse.
+    */
+  private var aggAnswer: Option[(Int, StructType, Array[Any])] = None
+  private var aggProbe: (org.apache.spark.sql.connector.expressions
+    .aggregate.Aggregation, Option[(Int, StructType, Array[Any])]) = null
+
+  private def tryAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(Int, StructType, Array[Any])] = {
+    if (aggProbe != null && (aggProbe._1 eq agg)) return aggProbe._2
+    val r = computeAnswer(agg)
+    aggProbe = (agg, r)
+    r
+  }
+
+  private def computeAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(Int, StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions().nonEmpty || zonePreds.nonEmpty ||
+      op.nonEmpty) return None
     val v = pinned.getOrElse(GraftLakeIO.latestVersion(dataDir))
-    val scan = new GraftLakeScan(required,
-      GraftLakeIO.versionDir(dataDir, v), zonePreds, shardKey)
-    op.foreach(_.scans.add(scan))
-    scan
+    val vdir = GraftLakeIO.versionDir(dataDir, v)
+    val shards = GraftLakeIO.existingShards(vdir).toSeq.sorted
+    lazy val stats = GraftLakeIO.readStats(vdir)
+    // one footer read per shard, shared by every COUNT term
+    lazy val footers: Seq[(org.apache.parquet.schema.MessageType, Long,
+      Map[String, Option[Long]])] =
+      shards.map(k =>
+        GraftShardCodec.footerWithNulls(GraftLakeIO.shardFile(vdir, k)))
+    def singleCol(e: org.apache.spark.sql.connector.expressions
+        .Expression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def minMax(name: String, wantMin: Boolean)
+        : Option[(DataType, Any)] = {
+      val dt = declared.fields.find(_.name == name).map(_.dataType)
+        .getOrElse(return None)
+      if (dt != LongType && dt != IntegerType && dt != DateType &&
+        dt != StringType) return None
+      val ranges = shards.map { k =>
+        stats.get(k) match {
+          case None => return None // pre-stats shard: unknowable
+          case Some(cols) => cols.get(name) // absent = all-NULL there
+        }
+      }.flatten
+      if (ranges.exists(GraftLakeIO.rangeUnusable)) return None
+      if (ranges.isEmpty) return Some((dt, null)) // column all NULL
+      val merged = ranges.reduce(_.merge(_))
+      if (GraftLakeIO.rangeUnusable(merged)) return None
+      Some((dt, dt match {
+        case LongType =>
+          java.lang.Long.valueOf(if (wantMin) merged.minL else merged.maxL)
+        case IntegerType | DateType => java.lang.Integer.valueOf(
+          (if (wantMin) merged.minL else merged.maxL).toInt)
+        case StringType => if (wantMin) merged.minS else merged.maxS
+        case _ => return None
+      }))
+    }
+    val terms: Seq[(DataType, Any)] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          (LongType, java.lang.Long.valueOf(footers.map(_._2).sum))
+        case c: Count if !c.isDistinct =>
+          val name = singleCol(c.column()).getOrElse(return None)
+          val n = footers.map { case (schema, rows, nulls) =>
+            if (!schema.containsField(name)) 0L // pre-ADD file: NULLs
+            else rows - nulls.getOrElse(name, None)
+              .getOrElse(return None)
+          }.sum
+          (LongType, java.lang.Long.valueOf(n))
+        case m: Min =>
+          minMax(singleCol(m.column()).getOrElse(return None),
+            wantMin = true).getOrElse(return None)
+        case m: Max =>
+          minMax(singleCol(m.column()).getOrElse(return None),
+            wantMin = false).getOrElse(return None)
+        case _ => return None
+      }
+    val schema = StructType(terms.zipWithIndex.map { case ((dt, _), i) =>
+      StructField(s"agg_$i", dt, nullable = true)
+    })
+    Some((v, schema, terms.map(_._2).toArray))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = tryAnswer(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    val r = tryAnswer(agg)
+    if (r.isDefined) aggAnswer = r
+    r.isDefined
+  }
+
+  override def build(): Scan = {
+    aggAnswer match {
+      case Some((v, schema, values)) =>
+        new GraftLakeAggScan(GraftLakeIO.versionDir(dataDir, v),
+          schema, values)
+      case None =>
+        // resolve the pointer ONCE here: the scan then touches only the
+        // immutable version dir, so a commit racing this read is
+        // invisible
+        val v = pinned.getOrElse(GraftLakeIO.latestVersion(dataDir))
+        val scan = new GraftLakeScan(required,
+          GraftLakeIO.versionDir(dataDir, v), zonePreds, shardKey)
+        op.foreach(_.scans.add(scan))
+        scan
+    }
+  }
+}
+
+/** The scan a completely-pushed aggregate compiles to: ONE partition
+  * emitting ONE pre-computed row. The values were resolved from the
+  * pinned snapshot's footers + zone maps at pushdown time — no data
+  * page is ever read, no per-shard task is ever launched, and the plan
+  * carries no aggregate node at all (strings travel to the executor as
+  * JVM Strings; the reader re-wraps them as UTF8String). */
+class GraftLakeAggScan(vdir: java.io.File, out: StructType,
+    values: Array[Any]) extends Scan with Batch {
+  // Spark plans partitions more than once per query (planning estimate
+  // + RDD creation); the metrics hook must count each pushed scan once
+  private val counted = new java.util.concurrent.atomic.AtomicBoolean()
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (counted.compareAndSet(false, true))
+      GraftLakeScanMetrics.aggPushdowns.incrementAndGet(): Unit
+    Array(GraftLakeAggPartition(values))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLakeAggReaderFactory(out)
+  override def description(): String =
+    s"GraftLakeAggScan(${vdir.getName}, " +
+      s"terms=[${out.fieldNames.mkString(",")}], metadata-only)"
+}
+
+case class GraftLakeAggPartition(values: Array[Any])
+    extends InputPartition
+
+class GraftLakeAggReaderFactory(out: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val vals = partition.asInstanceOf[GraftLakeAggPartition].values
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(
+        vals.map {
+          case s: String => UTF8String.fromString(s)
+          case x => x
+        })
+      override def close(): Unit = ()
+    }
   }
 }
 
@@ -2200,6 +2381,71 @@ object Lake {
        ANTI JOIN b1 ON b1.user_id = b2.user_id
        ORDER BY user_id"""
 
+  /** WHOLE-AGGREGATE PUSHDOWN answered from snapshot metadata only —
+    * the Trino-connector `count/min/max` idiom
+    * ([[GraftLakeScanBuilder]] `SupportsPushDownAggregates`): over the
+    * schema-EVOLVED first-seen table (so pre-ADD shards genuinely
+    * serve `n_events` as NULL), one filterless aggregate asks for row
+    * counts, a null-aware column count, and integral/date min/max.
+    * Every term is served from parquet footers (rows + null counts)
+    * and the commit's zone-map sidecar — the physical plan carries NO
+    * aggregate node and reads ZERO data pages (LakeAggPushdownSpec
+    * pins both); the DuckDB oracle recomputes the same numbers from
+    * the raw events, so a pass proves the metadata answers are the
+    * true answers, at any table size. */
+  val lakeAggPushdown: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.aggpd_$fp"
+    val ev = Tables.events(s, dir)
+      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d",
+        "dayofmonth(ts) AS dom")
+    ev.filter(col("dom") <= 15).groupBy("user_id")
+      .agg(min("d").as("cohort_d"))
+      .createOrReplaceTempView("graft_lake_aggpd_b1")
+    ev.filter(col("dom") > 15).groupBy("user_id")
+      .agg(min("d").as("cohort_d"), count(lit(1)).as("n_events"))
+      .createOrReplaceTempView("graft_lake_aggpd_b2")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, cohort_d DATE)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_aggpd_b1")
+    s.sql(s"ALTER TABLE $tbl ADD COLUMN (n_events BIGINT)")
+    s.sql(s"""INSERT INTO $tbl
+              SELECT b2.user_id, b2.cohort_d, b2.n_events
+              FROM graft_lake_aggpd_b2 b2
+              LEFT ANTI JOIN graft_lake_aggpd_b1 b1
+                ON b1.user_id = b2.user_id""")
+    s.sql(s"""SELECT count(*) AS n_rows, count(n_events) AS n_counted,
+              min(user_id) AS min_user, max(user_id) AS max_user,
+              min(cohort_d) AS min_d, max(cohort_d) AS max_d,
+              min(n_events) AS min_ev, max(n_events) AS max_ev
+              FROM $tbl""")
+  }
+
+  val lakeAggPushdownOracle: String =
+    """WITH ev AS (
+         SELECT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           day(CAST(ts AS TIMESTAMP)) AS dom
+         FROM events),
+       b1 AS (SELECT user_id, min(d) AS cohort_d FROM ev
+              WHERE dom <= 15 GROUP BY user_id),
+       b2 AS (SELECT user_id, min(d) AS cohort_d,
+                CAST(count(*) AS BIGINT) AS n_events
+              FROM ev WHERE dom > 15 GROUP BY user_id),
+       t AS (
+         SELECT user_id, cohort_d, CAST(NULL AS BIGINT) AS n_events
+         FROM b1
+         UNION ALL
+         SELECT b2.user_id, b2.cohort_d, b2.n_events FROM b2
+         ANTI JOIN b1 ON b1.user_id = b2.user_id)
+       SELECT count(*) AS n_rows, count(n_events) AS n_counted,
+         min(user_id) AS min_user, max(user_id) AS max_user,
+         min(cohort_d) AS min_d, max(cohort_d) AS max_d,
+         min(n_events) AS min_ev, max(n_events) AS max_ev
+       FROM t"""
+
   /** MULTI-STATEMENT SNAPSHOT ISOLATION (the Trino-on-Iceberg
     * repeatable-read story): a reader plans against `VERSION AS OF 1`,
     * then THREE separate writes commit (INSERT a sentinel user,
@@ -2881,6 +3127,7 @@ object Lake {
     "merge_sql_firstseen" -> mergeSqlFirstSeen,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_schema_evolution" -> lakeSchemaEvolution,
+    "lake_agg_pushdown" -> lakeAggPushdown,
     "lake_merge_evolved" -> lakeMergeEvolved,
     "lake_snapshot_isolation" -> lakeSnapshotIsolation,
     "lake_delete_update" -> lakeDeleteUpdate,
@@ -2900,6 +3147,7 @@ object Lake {
       graft.operators.Merge.mergeUpsertFirstSeenOracle,
     "lake_time_travel" -> lakeTimeTravelOracle,
     "lake_schema_evolution" -> lakeSchemaEvolutionOracle,
+    "lake_agg_pushdown" -> lakeAggPushdownOracle,
     "lake_merge_evolved" -> lakeMergeEvolvedOracle,
     "lake_snapshot_isolation" -> lakeSnapshotIsolationOracle,
     "lake_delete_update" -> lakeDeleteUpdateOracle,

@@ -122,6 +122,40 @@ object GraftShardCodec {
     } finally r.close()
   }
 
+  /** Footer-only metadata PLUS per-column null counts summed across
+    * row groups: (schema, total rows, column name -> Some(nulls) when
+    * every chunk of that column carries a null count in its
+    * statistics, None otherwise). parquet-mr stamps chunk statistics
+    * (min/max/nulls) at write time, so `None` only appears for files
+    * produced by stats-suppressing writers — callers must then fall
+    * back to reading pages. One small tail read, no data pages. */
+  def footerWithNulls(file: java.io.File)
+      : (MessageType, Long, Map[String, Option[Long]]) = {
+    val r = ParquetFileReader.open(new LocalInputFile(file.toPath))
+    try {
+      val md = r.getFooter
+      val schema = md.getFileMetaData.getSchema
+      var rows = 0L
+      val nulls = scala.collection.mutable.Map[String, Option[Long]]()
+      md.getBlocks.forEach { b =>
+        rows += b.getRowCount
+        b.getColumns.forEach { c =>
+          val name = c.getPath.toDotString
+          val st = c.getStatistics
+          val chunk =
+            if (st != null && st.isNumNullsSet) Some(st.getNumNulls)
+            else None
+          nulls.update(name, (nulls.getOrElse(name, Some(0L)), chunk)
+            match {
+              case (Some(a), Some(b2)) => Some(a + b2)
+              case _ => None
+            })
+        }
+      }
+      (schema, rows, nulls.toMap)
+    } finally r.close()
+  }
+
   /** The projection actually readable from `file`: the requested
     * column names that exist in the file's own schema, carrying the
     * FILE's field types (strict projection checking requires it).

@@ -893,10 +893,18 @@ class LakeMergeSpec extends SparkSpec {
     assert(GraftLakeScanMetrics.decodedColumns.get() === 4L,
       s"expected 4 shards x 1 column, got " +
         s"${GraftLakeScanMetrics.decodedColumns.get()}")
-    // count(*): projection-empty — served from footer row counts,
-    // ZERO data pages decoded
+    // count(*): the filterless aggregate pushes down COMPLETELY — one
+    // metadata answer, no per-shard readers at all (see the dedicated
+    // aggregate-pushdown test)
     GraftLakeScanMetrics.reset()
     assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) === 8L)
+    assert(GraftLakeScanMetrics.decodedColumns.get() === 0L &&
+      GraftLakeScanMetrics.aggPushdowns.get() === 1L)
+    // a projection-EMPTY non-aggregate read (constant projection over
+    // the table) still exercises the reader's footer-count path: four
+    // per-shard readers, zero data pages
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(s"SELECT 1 AS one FROM $tbl").collect().length === 8)
     assert(GraftLakeScanMetrics.decodedColumns.get() === 0L &&
       GraftLakeScanMetrics.metadataOnlyReads.get() === 4L)
     // evolution: ADD COLUMN then read it — old shards lack the field
@@ -1106,6 +1114,84 @@ class LakeMergeSpec extends SparkSpec {
       .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
       .withZone(java.time.ZoneOffset.UTC).format(i)
     s"'$s'"
+  }
+
+  test("aggregate pushdown: filterless count/min/max answered from " +
+      "footers + zone maps — no aggregate node, zero data pages; " +
+      "filters, doubles, and strings-past-the-stats-bound refuse") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_aggpd"
+    ddl(tbl) // v1: users 0..7, all cohort 2024-03-01
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN (n_events BIGINT)")
+    spark.sql(s"""INSERT INTO $tbl VALUES
+      (8, DATE '2024-04-01', 3), (9, DATE '2024-02-01', 7)""")
+    GraftLakeScanMetrics.reset()
+    val df = spark.sql(s"""SELECT count(*) AS c, count(n_events) AS cn,
+      min(user_id) AS mn, max(user_id) AS mx,
+      min(cohort_d) AS mnd, max(cohort_d) AS mxd FROM $tbl""")
+    val r = df.head()
+    assert(r.getLong(0) === 10L, "count(*) from footer rows")
+    assert(r.getLong(1) === 2L,
+      "count(col) honors footer null counts AND pre-ADD files that " +
+        "lack the column entirely")
+    assert(r.getLong(2) === 0L && r.getLong(3) === 9L)
+    assert(r.getDate(4).toString === "2024-02-01" &&
+      r.getDate(5).toString === "2024-04-01")
+    assert(GraftLakeScanMetrics.aggPushdowns.get() === 1L)
+    assert(GraftLakeScanMetrics.decodedColumns.get() === 0L &&
+      GraftLakeScanMetrics.metadataOnlyReads.get() === 0L,
+      "a completely-pushed aggregate launches no shard readers at all")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") &&
+      !plan.contains("SortAggregate"),
+      s"complete pushdown must erase the aggregate node:\n$plan")
+    // a FILTERED aggregate must NOT push (zone maps prune shards but
+    // never claim row-exact filtering, so Spark keeps the Filter and
+    // the aggregate above the scan)
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE user_id > 3")
+      .head.getLong(0) === 6L)
+    assert(GraftLakeScanMetrics.aggPushdowns.get() === 0L)
+    // DOUBLE min/max refuses: zone maps drop NaN (they must, for
+    // skipping soundness) while Spark orders NaN ABOVE every double —
+    // the row-exact plan is the only one that can answer this
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN (score DOUBLE)")
+    spark.sql(s"""INSERT INTO $tbl VALUES
+      (10, DATE '2024-05-01', 1, CAST('NaN' AS DOUBLE)),
+      (11, DATE '2024-05-01', 1, 4.5)""")
+    GraftLakeScanMetrics.reset()
+    val mx = spark.sql(s"SELECT max(score) AS m FROM $tbl").head
+    assert(mx.getDouble(0).isNaN, "Spark max() treats NaN as largest")
+    assert(GraftLakeScanMetrics.aggPushdowns.get() === 0L)
+    spark.sql(s"DROP TABLE $tbl")
+    // empty table: count 0 / min NULL, still metadata-answered
+    val empty = "graft_lake.lake.spec_aggpd_empty"
+    spark.sql(s"DROP TABLE IF EXISTS $empty")
+    spark.sql(s"""CREATE TABLE $empty (user_id BIGINT, cohort_d DATE)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4')""")
+    GraftLakeScanMetrics.reset()
+    val er = spark.sql(
+      s"SELECT count(*) AS c, min(user_id) AS m FROM $empty").head
+    assert(er.getLong(0) === 0L && er.isNullAt(1))
+    assert(GraftLakeScanMetrics.aggPushdowns.get() === 1L)
+    spark.sql(s"DROP TABLE $empty")
+    // a string column past the 64-char stats bound poisons its shard
+    // entry (sticky invalid) — min/max on it must refuse, row-exact
+    // answer still correct
+    val st = "graft_lake.lake.spec_aggpd_str"
+    spark.sql(s"DROP TABLE IF EXISTS $st")
+    spark.sql(s"""CREATE TABLE $st (user_id BIGINT, tag STRING)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='2')""")
+    val long = "z" * 80
+    spark.sql(s"""INSERT INTO $st VALUES
+      (1, 'apple'), (2, 'mango'), (3, '$long')""")
+    GraftLakeScanMetrics.reset()
+    val sr = spark.sql(
+      s"SELECT min(tag) AS mn, max(tag) AS mx FROM $st").head
+    assert(sr.getString(0) === "apple" && sr.getString(1) === long)
+    assert(GraftLakeScanMetrics.aggPushdowns.get() === 0L,
+      "an invalidated string zone-map entry is never an answer")
+    spark.sql(s"DROP TABLE $st")
   }
 
   test("schema evolution: ADD/DROP COLUMN are metadata-only — old " +
