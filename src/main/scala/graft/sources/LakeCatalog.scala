@@ -130,7 +130,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       DataType.fromJson(d.get("schema").asText()).asInstanceOf[StructType],
       tableDir(ident.name()).getPath,
       d.get("shardKey").asText(), d.get("nShards").asInt(),
-      Option(d.get("shardWidth")).map(_.asLong()).getOrElse(0L))
+      Option(d.get("shardWidth")).map(_.asLong()).getOrElse(0L),
+      pinnedVersion = None,
+      deleteMode = Option(d.get("deleteMode")).map(_.asText())
+        .getOrElse("copy-on-write"))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -158,12 +161,22 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     require(schema(shardKey).dataType == LongType ||
       schema(shardKey).dataType == IntegerType,
       s"shard_key $shardKey must be integral")
+    // DELETE strategy (the Iceberg/Delta `write.delete.mode` table
+    // property): copy-on-write rewrites affected shards;
+    // merge-on-read records deletion vectors and never rewrites
+    val deleteMode = Option(properties.get("delete_mode"))
+      .getOrElse("copy-on-write")
+    require(deleteMode == "copy-on-write" ||
+      deleteMode == "merge-on-read",
+      s"delete_mode must be copy-on-write or merge-on-read, " +
+        s"got $deleteMode")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val d = om.createObjectNode()
     d.put("schema", schema.json): Unit
     d.put("shardKey", shardKey): Unit
     d.put("nShards", nShards): Unit
     d.put("shardWidth", shardWidth): Unit
+    d.put("deleteMode", deleteMode): Unit
     tableDir(ident.name()).mkdirs()
     java.nio.file.Files.writeString(descriptorFile(ident.name()).toPath,
       om.writeValueAsString(d))
@@ -267,6 +280,7 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     doc.put("shardKey", t.shardKey): Unit
     doc.put("nShards", t.nShards): Unit
     doc.put("shardWidth", shardWidth): Unit
+    doc.put("deleteMode", t.deleteMode): Unit
     // atomic descriptor swap: readers see old or new schema, no torn doc
     val tmp = new java.io.File(root,
       s"${ident.name()}.lake.json.tmp${ProcessHandle.current().pid()}")
@@ -300,7 +314,8 @@ class GraftLakeTable(private[sources] val tableName: String,
     private[sources] val dataDir: String,
     val shardKey: String, val nShards: Int,
     val shardWidth: Long = 0L,
-    val pinnedVersion: Option[Int] = None)
+    val pinnedVersion: Option[Int] = None,
+    val deleteMode: String = "copy-on-write")
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -317,7 +332,7 @@ class GraftLakeTable(private[sources] val tableName: String,
 
   private[sources] def withPinned(v: Int): GraftLakeTable =
     new GraftLakeTable(tableName, declared, dataDir, shardKey, nShards,
-      shardWidth, Some(v))
+      shardWidth, Some(v), deleteMode)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -326,6 +341,14 @@ class GraftLakeTable(private[sources] val tableName: String,
       override def isNullable: Boolean = false
       override def comment(): String =
         "group id: floorMod(shard-key, nShards) = the rewrite unit"
+    }, new MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "row ordinal within the shard's parquet file — stable across " +
+          "appends and deletion-vector commits; the merge-on-read " +
+          "DELETE row id"
     })
 
   override def newScanBuilder(
@@ -343,7 +366,15 @@ class GraftLakeTable(private[sources] val tableName: String,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"$tableName: a time-travel snapshot is read-only")
-    () => new GraftLakeRowLevelOperation(this, dataDir, info)
+    // DELETE on a merge-on-read table takes the DELTA path (position
+    // deletes into a deletion-vector sidecar — no shard rewrite);
+    // everything else, and all copy-on-write tables, keep the
+    // group-based rewrite
+    if (deleteMode == "merge-on-read" &&
+      info.command() == RowLevelOperation.Command.DELETE)
+      () => new GraftLakeDeltaDeleteOperation(this, dataDir, info)
+    else
+      () => new GraftLakeRowLevelOperation(this, dataDir, info)
   }
 }
 
@@ -463,8 +494,13 @@ object GraftLakeIO {
   def writeCommitMeta(build: java.io.File, micros: Long,
       operation: String): Unit = {
     val shards = existingShards(build)
+    // LIVE rows: footer totals minus the snapshot's deletion-vector
+    // cardinalities (the build's `_dv.json` must be in place before
+    // the commit stamp — every committer writes sidecars first)
+    val dv = readDv(build)
     val nRows = shards.iterator.map(k =>
-      GraftShardCodec.footer(shardFile(build, k))._2).sum
+      GraftShardCodec.footer(shardFile(build, k))._2 -
+        dv.get(k).map(_.getCardinality.toLong).getOrElse(0L)).sum
     java.nio.file.Files.writeString(
       new java.io.File(build, "_commit").toPath,
       s"$micros $operation $nRows ${shards.size}"): Unit
@@ -604,6 +640,74 @@ object GraftLakeIO {
     }
     out.result()
   }
+
+  // ---- DELETION VECTORS (`_dv.json` per version) ----
+  // Merge-on-read DELETE (Iceberg v3 / Delta deletion-vector design):
+  // instead of rewriting a whole shard to drop a few rows, a delete
+  // commit records the deleted ROW POSITIONS (ordinals within the
+  // shard's parquet file) in a per-shard roaring bitmap sidecar and
+  // HARDLINK-carries every data file untouched. Readers mask the
+  // positions at scan time. Position stability is guaranteed by the
+  // layout: published files are never mutated, appends place new rows
+  // AFTER the base file's rows (raw row-group append and the Group
+  // re-encode both preserve base order), and any rewrite of a shard
+  // (UPDATE/MERGE/OVERWRITE) clears its entry. A shard file is bounded
+  // well under 2^31 rows (16 MB row groups), so 32-bit bitmaps carry
+  // the positions; serialized as base64 in `_dv.json`.
+
+  def dvFile(vdir: java.io.File): java.io.File =
+    new java.io.File(vdir, "_dv.json")
+
+  def writeDv(vdir: java.io.File,
+      m: Map[Int, org.roaringbitmap.RoaringBitmap]): Unit = {
+    val live = m.filter(_._2.getCardinality > 0)
+    if (live.isEmpty) { dvFile(vdir).delete(): Unit; return }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    live.toSeq.sortBy(_._1).foreach { case (shard, bm) =>
+      bm.runOptimize()
+      val buf = new Array[Byte](bm.serializedSizeInBytes())
+      bm.serialize(java.nio.ByteBuffer.wrap(buf))
+      root.put(shard.toString,
+        java.util.Base64.getEncoder.encodeToString(buf)): Unit
+    }
+    java.nio.file.Files.writeString(dvFile(vdir).toPath,
+      om.writeValueAsString(root)): Unit
+  }
+
+  def readDv(vdir: java.io.File)
+      : Map[Int, org.roaringbitmap.RoaringBitmap] = {
+    val f = dvFile(vdir)
+    if (!f.exists()) return Map.empty
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readString(f.toPath))
+    val out = Map.newBuilder[Int, org.roaringbitmap.RoaringBitmap]
+    root.properties().forEach { e =>
+      val bytes = java.util.Base64.getDecoder.decode(e.getValue.asText())
+      val bm = new org.roaringbitmap.RoaringBitmap()
+      bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+      out += e.getKey.toInt -> bm
+    }
+    out.result()
+  }
+
+  /** Serialized DV of one shard (for shipping inside an
+    * InputPartition), null when the shard has none. */
+  def dvBytes(m: Map[Int, org.roaringbitmap.RoaringBitmap],
+      shard: Int): Array[Byte] =
+    m.get(shard).map { bm =>
+      val buf = new Array[Byte](bm.serializedSizeInBytes())
+      bm.serialize(java.nio.ByteBuffer.wrap(buf))
+      buf
+    }.orNull
+
+  def dvOf(bytes: Array[Byte]): org.roaringbitmap.RoaringBitmap =
+    if (bytes == null) new org.roaringbitmap.RoaringBitmap()
+    else {
+      val bm = new org.roaringbitmap.RoaringBitmap()
+      bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+      bm
+    }
 
   // ---- per-shard ROUTING PROVENANCE (`_routing.json` per version) ----
   // Zone maps prune RANGE predicates on clustered layouts; EQUALITY /
@@ -998,12 +1102,13 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
   private var zonePreds: Array[V2Predicate] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // may include the _shard metadata column; normalize to
-    // (declared-order data columns ++ _shard) for stable row layout
+    // may include the _shard/_pos metadata columns; normalize to
+    // (declared-order data columns ++ metadata) for stable row layout
     required = StructType(
       (declared.fields.filter(f =>
         requiredSchema.fieldNames.contains(f.name)) ++
-        requiredSchema.fields.filter(_.name == "_shard")).toSeq)
+        requiredSchema.fields.filter(f =>
+          f.name == "_shard" || f.name == "_pos")).toSeq)
 
   /** ALL predicates are reported back as unhandled — Spark keeps the
     * Filter and re-evaluates row-exactly — but the simple comparison
@@ -1068,6 +1173,11 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
     val vdir = GraftLakeIO.versionDir(dataDir, v)
     val shards = GraftLakeIO.existingShards(vdir).toSeq.sorted
     lazy val stats = GraftLakeIO.readStats(vdir)
+    // deletion vectors make footer/zone-map metadata an OVER-statement
+    // of the live rows: counts subtract the DV cardinality; MIN/MAX
+    // and null-aware counts refuse on DV-carrying shards (a deleted
+    // row may have held the extreme / the nulls are unattributed)
+    lazy val dv = GraftLakeIO.readDv(vdir)
     // one footer read per shard, shared by every COUNT term
     lazy val footers: Seq[(org.apache.parquet.schema.MessageType, Long,
       Map[String, Option[Long]])] =
@@ -1081,6 +1191,7 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
     }
     def minMax(name: String, wantMin: Boolean)
         : Option[(DataType, Any)] = {
+      if (dv.nonEmpty) return None
       val dt = declared.fields.find(_.name == name).map(_.dataType)
         .getOrElse(return None)
       if (dt != LongType && dt != IntegerType && dt != DateType &&
@@ -1107,8 +1218,10 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
     val terms: Seq[(DataType, Any)] =
       agg.aggregateExpressions().toSeq.map {
         case _: CountStar =>
-          (LongType, java.lang.Long.valueOf(footers.map(_._2).sum))
+          (LongType, java.lang.Long.valueOf(footers.map(_._2).sum -
+            dv.valuesIterator.map(_.getCardinality.toLong).sum))
         case c: Count if !c.isDistinct =>
+          if (dv.nonEmpty) return None
           val name = singleCol(c.column()).getOrElse(return None)
           val n = footers.map { case (schema, rows, nulls) =>
             if (!schema.containsField(name)) 0L // pre-ADD file: NULLs
@@ -1235,10 +1348,14 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
       : org.apache.spark.sql.connector.read.Statistics = {
     val key = retained
     if (statsCache == null || statsCache._1 != key) {
-      val files = plannedShards.toSeq.sorted
-        .map(k => GraftLakeIO.shardFile(vdir, k))
+      val ks = plannedShards.toSeq.sorted
+      val files = ks.map(k => GraftLakeIO.shardFile(vdir, k))
+      // LIVE rows: deletion-vector positions are masked at read time,
+      // so the planner must not count them either
       statsCache = (key, (files.map(_.length()).sum,
-        files.map(f => GraftShardCodec.footer(f)._2).sum))
+        files.map(f => GraftShardCodec.footer(f)._2).sum -
+          ks.map(k => dvMap.get(k).map(_.getCardinality.toLong)
+            .getOrElse(0L)).sum))
     }
     val (bytes, rows) = statsCache._2
     new org.apache.spark.sql.connector.read.Statistics {
@@ -1292,6 +1409,11 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
     retained.fold(existing)(_.intersect(existing))
   }
 
+  /** This snapshot's deletion vectors (merge-on-read DELETE): readers
+    * mask the recorded positions, so every consumer of this scan sees
+    * live rows only. */
+  private lazy val dvMap = GraftLakeIO.readDv(vdir)
+
   /** `(column, op, literal)` conjuncts usable against the zone maps;
     * reversed literal-first children are normalized (`5 < x` → `x > 5`). */
   private lazy val zoneConjuncts: Seq[(String, String, Any)] = {
@@ -1335,7 +1457,8 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
       .addAndGet((candidates.length - kept.length).toLong): Unit
     kept.map(k =>
       GraftLakeInputPartition(
-        GraftLakeIO.shardFile(vdir, k).getPath, k))
+        GraftLakeIO.shardFile(vdir, k).getPath, k,
+        GraftLakeIO.dvBytes(dvMap, k)))
   }
 
   /** Equality/IN probe conjuncts on the SHARD KEY — per conjunct, the
@@ -1402,7 +1525,8 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
       s"zonePreds=${zoneConjuncts.size})"
 }
 
-case class GraftLakeInputPartition(path: String, shard: Int)
+case class GraftLakeInputPartition(path: String, shard: Int,
+    dv: Array[Byte] = null)
     extends InputPartition
 
 class GraftLakeReaderFactory(required: StructType)
@@ -1410,7 +1534,7 @@ class GraftLakeReaderFactory(required: StructType)
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftLakeInputPartition]
-    new GraftLakePartitionReader(p.path, p.shard, required)
+    new GraftLakePartitionReader(p.path, p.shard, required, p.dv)
   }
 }
 
@@ -1428,22 +1552,25 @@ class GraftLakeReaderFactory(required: StructType)
   * mid-read, dropped, or corrupted) — surfacing it beats silently
   * serving zero rows (advisor round 10). */
 class GraftLakePartitionReader(path: String, shard: Int,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, dvBytes: Array[Byte] = null)
+    extends PartitionReader[InternalRow] {
   if (!new java.io.File(path).exists())
     throw new java.io.FileNotFoundException(
       s"lake shard $path vanished after planning — the snapshot " +
         "was expired or deleted while being read")
 
   private val dataNames =
-    required.fields.iterator.map(_.name).filter(_ != "_shard").toSeq
+    required.fields.iterator.map(_.name)
+      .filter(n => n != "_shard" && n != "_pos").toSeq
   private val (fileSchema, totalRows) =
     GraftShardCodec.footer(new java.io.File(path))
   private val projection =
     GraftShardCodec.projectionFor(fileSchema, dataNames)
-  // required index -> projection field index (-1 = serve NULL or the
-  // synthesized shard id)
+  // required index -> projection field index (-1 = serve NULL or a
+  // synthesized metadata value)
   private val projIdx: Array[Int] = required.fields.map { f =>
-    if (f.name != "_shard" && projection.containsField(f.name))
+    if (f.name != "_shard" && f.name != "_pos" &&
+      projection.containsField(f.name))
       projection.getFieldIndex(f.name)
     else -1
   }
@@ -1455,32 +1582,44 @@ class GraftLakePartitionReader(path: String, shard: Int,
   private val reader =
     if (metadataOnly) null
     else GraftShardCodec.openReader(new java.io.File(path), projection)
+  // this snapshot's deletion vector for the shard: positions are file
+  // ordinals, masked here so every consumer sees live rows only; `_pos`
+  // reports the PRE-mask ordinal (the stable row id)
+  private val dv = GraftLakeIO.dvOf(dvBytes)
 
-  private var remaining: Long = totalRows
+  private var ord: Long = -1L
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    if (remaining <= 0L) return false
-    val g: org.apache.parquet.example.data.Group =
-      if (metadataOnly) null
-      else {
-        val r = reader.read()
-        if (r == null) return false
-        r
+    while (true) {
+      ord += 1L
+      if (ord >= totalRows) return false
+      val g: org.apache.parquet.example.data.Group =
+        if (metadataOnly) null
+        else {
+          val r = reader.read()
+          if (r == null) return false
+          r
+        }
+      // a deleted position still advances the file reader (the bytes
+      // are there; the row is dead) — it just never becomes a row
+      if (ord > Int.MaxValue || !dv.contains(ord.toInt)) {
+        val vals = new Array[Any](required.length)
+        var i = 0
+        while (i < required.length) {
+          val f = required(i)
+          vals(i) =
+            if (f.name == "_shard") shard
+            else if (f.name == "_pos") ord
+            else if (projIdx(i) < 0) null
+            else GraftShardCodec.value(g, projIdx(i), f.dataType)
+          i += 1
+        }
+        row = new GenericInternalRow(vals)
+        return true
       }
-    val vals = new Array[Any](required.length)
-    var i = 0
-    while (i < required.length) {
-      val f = required(i)
-      vals(i) =
-        if (f.name == "_shard") shard
-        else if (projIdx(i) < 0) null
-        else GraftShardCodec.value(g, projIdx(i), f.dataType)
-      i += 1
     }
-    row = new GenericInternalRow(vals)
-    remaining -= 1L
-    true
+    false // unreachable
   }
 
   override def get(): InternalRow = row
@@ -1562,18 +1701,26 @@ class GraftLakeChangesScan(base: GraftLakeTable,
     (vFrom + 1 to vTo).flatMap { v =>
       val preDir = GraftLakeIO.versionDir(base.dataDir, v - 1)
       val postDir = GraftLakeIO.versionDir(base.dataDir, v)
+      // deletion vectors change the LIVE row set without touching the
+      // file: a hardlink-identical shard pair only proves diff-free
+      // when both sides also carry the same DV entry, and the differ
+      // masks each side's positions before comparing
+      val preDv = GraftLakeIO.readDv(preDir)
+      val postDv = GraftLakeIO.readDv(postDir)
       val shards = GraftLakeIO.existingShards(preDir) ++
         GraftLakeIO.existingShards(postDir)
       shards.toSeq.sorted.flatMap { k =>
         val pre = GraftLakeIO.shardFile(preDir, k)
         val post = GraftLakeIO.shardFile(postDir, k)
         val same = pre.exists() && post.exists() &&
-          java.nio.file.Files.isSameFile(pre.toPath, post.toPath)
+          java.nio.file.Files.isSameFile(pre.toPath, post.toPath) &&
+          preDv.get(k) == postDv.get(k)
         if (same) None
         else Some(GraftLakeChangesPartition(
           if (pre.exists()) pre.getPath else null,
           if (post.exists()) post.getPath else null,
-          k, v): InputPartition)
+          k, v, GraftLakeIO.dvBytes(preDv, k),
+          GraftLakeIO.dvBytes(postDv, k)): InputPartition)
       }
     }.toArray
   }
@@ -1646,7 +1793,8 @@ class GraftLakeChangesStream(base: GraftLakeTable, out: StructType,
 }
 
 case class GraftLakeChangesPartition(prePath: String, postPath: String,
-    shard: Int, version: Int) extends InputPartition
+    shard: Int, version: Int, preDv: Array[Byte] = null,
+    postDv: Array[Byte] = null) extends InputPartition
 
 class GraftLakeChangesReaderFactory(out: StructType,
     dataSchema: StructType, shardKey: String)
@@ -1669,10 +1817,17 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
     extends PartitionReader[InternalRow] {
   private val keyIdx = dataSchema.fieldIndex(shardKey)
 
-  private def readAll(path: String): Seq[Array[Any]] =
+  // each side is masked by ITS OWN version's deletion vector before
+  // diffing: a row whose position entered the post DV reads as absent
+  // there and emits a `delete`, exactly like a physical removal
+  private def readAll(path: String, dvB: Array[Byte]): Seq[Array[Any]] =
     if (path == null) Nil
-    else GraftShardCodec
-      .readRows(new java.io.File(path), dataSchema).toVector
+    else {
+      val dv = GraftLakeIO.dvOf(dvB)
+      GraftShardCodec.readRows(new java.io.File(path), dataSchema)
+        .zipWithIndex
+        .collect { case (r, i) if !dv.contains(i) => r }.toVector
+    }
 
   // the POST side STREAMS (only the pre side needs indexing — the
   // asymmetry of a hash join): peak memory is one shard map + one row,
@@ -1685,7 +1840,8 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
       val (it, c) = GraftShardCodec.readRowsCloseable(
         new java.io.File(p.postPath), dataSchema)
       postCloser = c
-      it
+      val dv = GraftLakeIO.dvOf(p.postDv)
+      it.zipWithIndex.collect { case (r, i) if !dv.contains(i) => r }
     }
 
   private def sameVals(a: Array[Any], b: Array[Any]): Boolean = {
@@ -1718,7 +1874,7 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
     }
     val preByKey = scala.collection.mutable.LinkedHashMap[Long,
       Array[Any]]()
-    readAll(p.prePath).foreach { v =>
+    readAll(p.prePath, p.preDv).foreach { v =>
       val k = keyOf(v)
       require(!preByKey.contains(k),
         s"shard ${p.shard} v${p.version - 1}: duplicate key $k — the " +
@@ -2042,6 +2198,15 @@ private[sources] object GraftLakeCommitter {
         case (m, (q, e)) => m.updated(q, e)
       }
       if (txns.nonEmpty) GraftLakeIO.writeTxns(build, txns)
+      // deletion vectors are snapshot state like stats: dropped /
+      // rewritten shards lose their entry (their replacement files
+      // were rebuilt from live rows), carried shards keep it, and
+      // append-merged shards keep it too — both merge paths place the
+      // base file's rows FIRST, so recorded ordinals stay valid.
+      // Must land before writeCommitMeta (live-row counts read it).
+      val dvOut = GraftLakeIO.readDv(baseDir)
+        .filter { case (k, _) => carriedBase.contains(k) }
+      GraftLakeIO.writeDv(build, dvOut)
       val operation = operationOverride
         .orElse(op.map(_.command().name().toLowerCase(
           java.util.Locale.ROOT)))
@@ -2445,6 +2610,47 @@ object Lake {
          min(cohort_d) AS min_d, max(cohort_d) AS max_d,
          min(n_events) AS min_ev, max(n_events) AS max_ev
        FROM t"""
+
+  /** MERGE-ON-READ DELETE through DELETION VECTORS
+    * ([[GraftLakeDeltaDeleteOperation]]): the per-user event summary
+    * is loaded into a `delete_mode=merge-on-read` table, then TWO
+    * `DELETE FROM` statements land as position-bitmap commits — no
+    * shard file is rewritten (LakeDeleteVectorSpec pins the hardlink
+    * identity), the second delete UNIONs into the first's vectors,
+    * and the read-back masks the positions at scan time. The oracle
+    * recomputes the surviving rows flat from the raw events, so a
+    * pass proves the masked view is exactly the copy-on-write
+    * answer. */
+  val lakeDeleteVectors: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.dv_$fp"
+    Tables.events(s, dir)
+      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), min("d").as("cohort_d"))
+      .createOrReplaceTempView("graft_lake_dv_b1")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl
+              (user_id BIGINT, n_events BIGINT, cohort_d DATE)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+                'delete_mode'='merge-on-read')""")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_dv_b1") // v1
+    s.sql(s"DELETE FROM $tbl WHERE user_id % 7 = 0") // v2: DV commit
+    s.sql(s"DELETE FROM $tbl WHERE n_events > 60") // v3: DV union
+    s.sql(s"""SELECT user_id, n_events, cohort_d FROM $tbl
+              ORDER BY user_id""")
+  }
+
+  val lakeDeleteVectorsOracle: String =
+    """WITH b1 AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+             AS cohort_d
+         FROM events GROUP BY user_id)
+       SELECT user_id, n_events, cohort_d FROM b1
+       WHERE NOT (user_id % 7 = 0) AND NOT (n_events > 60)
+       ORDER BY user_id"""
 
   /** MULTI-STATEMENT SNAPSHOT ISOLATION (the Trino-on-Iceberg
     * repeatable-read story): a reader plans against `VERSION AS OF 1`,
@@ -3131,6 +3337,7 @@ object Lake {
     "lake_merge_evolved" -> lakeMergeEvolved,
     "lake_snapshot_isolation" -> lakeSnapshotIsolation,
     "lake_delete_update" -> lakeDeleteUpdate,
+    "lake_delete_vectors" -> lakeDeleteVectors,
     "lake_stats_skipping" -> lakeStatsSkipping,
     "lake_string_skipping" -> lakeStringSkipping,
     "lake_table_changes" -> lakeTableChanges,
@@ -3151,6 +3358,7 @@ object Lake {
     "lake_merge_evolved" -> lakeMergeEvolvedOracle,
     "lake_snapshot_isolation" -> lakeSnapshotIsolationOracle,
     "lake_delete_update" -> lakeDeleteUpdateOracle,
+    "lake_delete_vectors" -> lakeDeleteVectorsOracle,
     "lake_stats_skipping" -> lakeStatsSkippingOracle,
     "lake_string_skipping" -> lakeStringSkippingOracle,
     "lake_table_changes" -> lakeTableChangesOracle,

@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.io.File
+
+import graft.SparkSpec
+
+/** Merge-on-read DELETE via deletion vectors
+  * ([[GraftLakeDeltaDeleteOperation]]): position bitmaps instead of
+  * shard rewrites, masked at scan time, compacted away by the next
+  * rewrite of the shard. */
+class LakeDeleteVectorSpec extends SparkSpec {
+
+  private def lakeRoot: File = {
+    Lake.registerCatalog(spark)
+    new File(spark.conf.get("spark.sql.catalog.graft_lake.path"))
+  }
+
+  private def ddlMor(tbl: String, rows: Int = 16): Unit = {
+    Lake.registerCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, score BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4',
+        'delete_mode'='merge-on-read')""")
+    val values = (0 until rows)
+      .map(i => s"($i, ${i * 10})").mkString(", ")
+    spark.sql(s"INSERT INTO $tbl VALUES $values") // v1
+  }
+
+  private def shardIdentity(dir: String, v: Int): Map[Int, Object] =
+    GraftLakeIO.existingShards(GraftLakeIO.versionDir(dir, v)).map { k =>
+      k -> java.nio.file.Files.readAttributes(
+        GraftLakeIO.shardFile(GraftLakeIO.versionDir(dir, v), k).toPath,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    }.toMap
+
+  test("merge-on-read DELETE writes a deletion vector and rewrites " +
+      "NO shard file; reads, counts, and time travel stay exact") {
+    val tbl = "graft_lake.lake.spec_dv"
+    ddlMor(tbl) // users 0..15 over 4 hash shards
+    val dir = new File(lakeRoot, "spec_dv").getPath
+    val v1Files = shardIdentity(dir, 1)
+    spark.sql(s"DELETE FROM $tbl WHERE user_id IN (1, 2, 5, 11)") // v2
+    assert(GraftLakeIO.latestVersion(dir) === 2)
+    // every v2 shard file IS the v1 file — hardlink identity, zero
+    // rewrite (the whole point of merge-on-read)
+    val v2Files = shardIdentity(dir, 2)
+    assert(v2Files === v1Files,
+      "a deletion-vector commit must not touch any data file")
+    // the sidecar records exactly the deleted positions
+    val dv = GraftLakeIO.readDv(GraftLakeIO.versionDir(dir, 2))
+    assert(dv.values.map(_.getCardinality).sum === 4)
+    // live reads mask the positions
+    val live = spark.sql(s"SELECT user_id FROM $tbl ORDER BY user_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(live === (0L to 15L).filterNot(Set(1L, 2L, 5L, 11L)))
+    // count(*) pushes down WITH the DV subtraction
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0)
+      === 12L)
+    assert(GraftLakeScanMetrics.aggPushdowns.get() === 1L)
+    // min/max REFUSES under DVs (a deleted row may have held the
+    // extreme) — row-exact answer still correct
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(s"SELECT min(user_id) FROM $tbl").head.getLong(0)
+      === 0L)
+    assert(GraftLakeScanMetrics.aggPushdowns.get() === 0L)
+    // time travel: v1 still shows every row (DV is v2 state)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 1")
+      .head.getLong(0) === 16L)
+    // history stamps LIVE rows for the delete commit
+    assert(GraftLakeIO.commitCounts(dir, 2) === Some((12L, 4L)))
+    assert(GraftLakeIO.commitOperation(dir, 2) === "delete")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("a second DELETE unions into the existing vectors; an append " +
+      "after deletes keeps positions stable; a rewrite compacts the " +
+      "shard's deletes away") {
+    val tbl = "graft_lake.lake.spec_dv_life"
+    ddlMor(tbl) // v1: users 0..15
+    val dir = new File(lakeRoot, "spec_dv_life").getPath
+    spark.sql(s"DELETE FROM $tbl WHERE user_id = 4") // v2
+    spark.sql(s"DELETE FROM $tbl WHERE user_id = 8") // v3: same shard 0
+    val dv3 = GraftLakeIO.readDv(GraftLakeIO.versionDir(dir, 3))
+    assert(dv3(0).getCardinality === 2, "deletes union per shard")
+    // append INTO a DV-carrying shard: base ordinals stay valid (the
+    // merge places base rows first), so the old deletes still bind
+    spark.sql(s"INSERT INTO $tbl VALUES (16, 160)") // v4, shard 0
+    val got = spark.sql(s"SELECT user_id FROM $tbl ORDER BY user_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === (0L to 16L).filterNot(Set(4L, 8L)))
+    assert(GraftLakeIO.readDv(GraftLakeIO.versionDir(dir, 4))(0)
+      .getCardinality === 2, "appends carry the vectors forward")
+    // UPDATE rides the group-based rewrite and COMPACTS: the rewritten
+    // shard's entry disappears, its file holds live rows only
+    spark.sql(s"UPDATE $tbl SET score = -1 WHERE user_id = 12") // v5
+    val dv5 = GraftLakeIO.readDv(GraftLakeIO.versionDir(dir, 5))
+    assert(!dv5.contains(0),
+      "a rewrite of the shard must clear its deletion vector")
+    val after = spark.sql(
+      s"SELECT user_id, score FROM $tbl ORDER BY user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.keySet === (0L to 16L).filterNot(Set(4L, 8L)).toSet)
+    assert(after(12L) === -1L && after(16L) === 160L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("$changes sees DV deletes: a hardlink-identical shard with a " +
+      "changed vector plans a diff partition and emits `delete` rows; " +
+      "untouched shards are still skipped by identity") {
+    val tbl = "graft_lake.lake.spec_dv_cdc"
+    ddlMor(tbl) // v1
+    spark.sql(s"DELETE FROM $tbl WHERE user_id IN (3, 6)") // v2
+    val changes = spark.sql(
+      s"""SELECT _change_type, _commit_version, user_id
+          FROM `graft_lake`.`lake`.`spec_dv_cdc$$changes`
+          WHERE _commit_version = 2
+          ORDER BY user_id""").collect()
+    assert(changes.map(r =>
+      (r.getString(0), r.getLong(2))).toSeq ===
+      Seq(("delete", 3L), ("delete", 6L)))
+    // planning honesty: only the two DV'd shards (3%4=3, 6%4=2) diff
+    val table = new GraftLakeCatalog {
+      initialize("graft_lake", new org.apache.spark.sql.util
+        .CaseInsensitiveStringMap(java.util.Map.of("path",
+          lakeRoot.getPath)))
+    }.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("lake"), "spec_dv_cdc")).asInstanceOf[GraftLakeTable]
+    val scan = new GraftLakeChangesScan(table,
+      new GraftLakeChangesTable(table).changeSchema, 2)
+    val parts = scan.diffPartitions(1, 2)
+    assert(parts.length === 2,
+      s"expected 2 changed shards, got ${parts.length}")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("commit validation: position deletes against a snapshot whose " +
+      "shard was since rewritten conflict instead of deleting the " +
+      "wrong rows") {
+    val tbl = "graft_lake.lake.spec_dv_conflict"
+    ddlMor(tbl) // v1
+    val dir = new File(lakeRoot, "spec_dv_conflict").getPath
+    // fabricate a delta commit pinned at v1 touching shard 0...
+    val bm = new org.roaringbitmap.RoaringBitmap()
+    bm.add(0)
+    val buf = new Array[Byte](bm.serializedSizeInBytes())
+    bm.serialize(java.nio.ByteBuffer.wrap(buf))
+    val stale = new GraftLakeDvBatchWrite(dir, 1, null)
+    // ...then land a REWRITE of shard 0 first (UPDATE via group path)
+    spark.sql(s"UPDATE $tbl SET score = 0 WHERE user_id = 0") // v2
+    val e = intercept[GraftLakeCommitConflict] {
+      stale.commit(Array(GraftLakeDvCommit(Map(0 -> buf))))
+    }
+    assert(e.getMessage.contains("no longer bind"))
+    // the disjoint-shard race is FINE: shard 1 was not rewritten
+    val stale2 = new GraftLakeDvBatchWrite(dir, 1, null)
+    stale2.commit(Array(GraftLakeDvCommit(Map(1 -> buf)))) // v3
+    assert(GraftLakeIO.readDv(GraftLakeIO.versionDir(dir, 3))(1)
+      .getCardinality === 1)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+}
