@@ -133,6 +133,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
       Option(d.get("shardWidth")).map(_.asLong()).getOrElse(0L),
       pinnedVersion = None,
       deleteMode = Option(d.get("deleteMode")).map(_.asText())
+        .getOrElse("copy-on-write"),
+      updateMode = Option(d.get("updateMode")).map(_.asText())
+        .getOrElse("copy-on-write"),
+      mergeMode = Option(d.get("mergeMode")).map(_.asText())
         .getOrElse("copy-on-write"))
   }
 
@@ -161,15 +165,20 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     require(schema(shardKey).dataType == LongType ||
       schema(shardKey).dataType == IntegerType,
       s"shard_key $shardKey must be integral")
-    // DELETE strategy (the Iceberg/Delta `write.delete.mode` table
-    // property): copy-on-write rewrites affected shards;
-    // merge-on-read records deletion vectors and never rewrites
-    val deleteMode = Option(properties.get("delete_mode"))
-      .getOrElse("copy-on-write")
-    require(deleteMode == "copy-on-write" ||
-      deleteMode == "merge-on-read",
-      s"delete_mode must be copy-on-write or merge-on-read, " +
-        s"got $deleteMode")
+    // Per-command row-level strategy (the Iceberg `write.delete.mode`
+    // / `write.update.mode` / `write.merge.mode` table properties):
+    // copy-on-write rewrites affected shards; merge-on-read records
+    // deletion vectors (+ appends the replacement rows) and never
+    // rewrites unmatched data
+    def modeProp(p: String): String = {
+      val m = Option(properties.get(p)).getOrElse("copy-on-write")
+      require(m == "copy-on-write" || m == "merge-on-read",
+        s"$p must be copy-on-write or merge-on-read, got $m")
+      m
+    }
+    val deleteMode = modeProp("delete_mode")
+    val updateMode = modeProp("update_mode")
+    val mergeMode = modeProp("merge_mode")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val d = om.createObjectNode()
     d.put("schema", schema.json): Unit
@@ -177,6 +186,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     d.put("nShards", nShards): Unit
     d.put("shardWidth", shardWidth): Unit
     d.put("deleteMode", deleteMode): Unit
+    d.put("updateMode", updateMode): Unit
+    d.put("mergeMode", mergeMode): Unit
     tableDir(ident.name()).mkdirs()
     java.nio.file.Files.writeString(descriptorFile(ident.name()).toPath,
       om.writeValueAsString(d))
@@ -281,6 +292,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
     doc.put("nShards", t.nShards): Unit
     doc.put("shardWidth", shardWidth): Unit
     doc.put("deleteMode", t.deleteMode): Unit
+    doc.put("updateMode", t.updateMode): Unit
+    doc.put("mergeMode", t.mergeMode): Unit
     // atomic descriptor swap: readers see old or new schema, no torn doc
     val tmp = new java.io.File(root,
       s"${ident.name()}.lake.json.tmp${ProcessHandle.current().pid()}")
@@ -315,7 +328,9 @@ class GraftLakeTable(private[sources] val tableName: String,
     val shardKey: String, val nShards: Int,
     val shardWidth: Long = 0L,
     val pinnedVersion: Option[Int] = None,
-    val deleteMode: String = "copy-on-write")
+    val deleteMode: String = "copy-on-write",
+    val updateMode: String = "copy-on-write",
+    val mergeMode: String = "copy-on-write")
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -332,7 +347,7 @@ class GraftLakeTable(private[sources] val tableName: String,
 
   private[sources] def withPinned(v: Int): GraftLakeTable =
     new GraftLakeTable(tableName, declared, dataDir, shardKey, nShards,
-      shardWidth, Some(v), deleteMode)
+      shardWidth, Some(v), deleteMode, updateMode, mergeMode)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -366,13 +381,18 @@ class GraftLakeTable(private[sources] val tableName: String,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"$tableName: a time-travel snapshot is read-only")
-    // DELETE on a merge-on-read table takes the DELTA path (position
-    // deletes into a deletion-vector sidecar — no shard rewrite);
-    // everything else, and all copy-on-write tables, keep the
-    // group-based rewrite
-    if (deleteMode == "merge-on-read" &&
-      info.command() == RowLevelOperation.Command.DELETE)
-      () => new GraftLakeDeltaDeleteOperation(this, dataDir, info)
+    // a command whose configured mode is merge-on-read takes the
+    // DELTA path (position deletes into a deletion-vector sidecar +
+    // replacement-row appends — unmatched data never rewrites);
+    // copy-on-write commands keep the group-based rewrite
+    val mode = info.command() match {
+      case RowLevelOperation.Command.DELETE => deleteMode
+      case RowLevelOperation.Command.UPDATE => updateMode
+      case RowLevelOperation.Command.MERGE => mergeMode
+      case _ => "copy-on-write"
+    }
+    if (mode == "merge-on-read")
+      () => new GraftLakeDeltaOperation(this, dataDir, info)
     else
       () => new GraftLakeRowLevelOperation(this, dataDir, info)
   }
@@ -2073,8 +2093,16 @@ private[sources] object GraftLakeCommitter {
       op: Option[GraftLakeRowLevelOperation],
       staged: Map[Int, Seq[GraftLakeCommit]],
       operationOverride: Option[String],
-      txnUpdate: Option[(String, Long)]): Unit = {
-    val baseV = op.fold(GraftLakeIO.latestVersion(dataDir))(_.snapshotV)
+      txnUpdate: Option[(String, Long)],
+      extraDeletes: Map[Int, org.roaringbitmap.RoaringBitmap] =
+        Map.empty,
+      baseVOverride: Option[Int] = None): Unit = {
+    // baseVOverride pins the base the caller VALIDATED against (the
+    // delta path's position-validity check) — any commit landing after
+    // that validation then fails the CAS instead of publishing deletes
+    // whose ordinals no longer bind
+    val baseV = baseVOverride.getOrElse(
+      op.fold(GraftLakeIO.latestVersion(dataDir))(_.snapshotV))
     val baseDir = GraftLakeIO.versionDir(dataDir, baseV)
     val build = GraftLakeIO.newBuildDir(dataDir)
     try {
@@ -2202,10 +2230,19 @@ private[sources] object GraftLakeCommitter {
       // rewritten shards lose their entry (their replacement files
       // were rebuilt from live rows), carried shards keep it, and
       // append-merged shards keep it too — both merge paths place the
-      // base file's rows FIRST, so recorded ordinals stay valid.
-      // Must land before writeCommitMeta (live-row counts read it).
-      val dvOut = GraftLakeIO.readDv(baseDir)
+      // base file's rows FIRST, so recorded ordinals stay valid. The
+      // delta path's freshly-recorded position deletes (extraDeletes)
+      // UNION in on top. Must land before writeCommitMeta (live-row
+      // counts read it).
+      val dvCarried = GraftLakeIO.readDv(baseDir)
         .filter { case (k, _) => carriedBase.contains(k) }
+      val dvOut = extraDeletes.foldLeft(dvCarried) {
+        case (acc, (k, bm)) => acc.get(k) match {
+          case Some(prev) =>
+            val u = prev.clone(); u.or(bm); acc.updated(k, u)
+          case None => acc.updated(k, bm)
+        }
+      }
       GraftLakeIO.writeDv(build, dvOut)
       val operation = operationOverride
         .orElse(op.map(_.command().name().toLowerCase(
@@ -2650,6 +2687,112 @@ object Lake {
          FROM events GROUP BY user_id)
        SELECT user_id, n_events, cohort_d FROM b1
        WHERE NOT (user_id % 7 = 0) AND NOT (n_events > 60)
+       ORDER BY user_id"""
+
+  /** MERGE-ON-READ UPDATE through the split delete+reinsert delta
+    * path ([[GraftLakeDeltaOperation]]): `update_mode=merge-on-read`
+    * makes `UPDATE` record the old positions in the deletion vector
+    * and stage ONLY the replacement rows — unmatched rows never pass
+    * through the engine (LakeDeleteVectorSpec pins untouched shards
+    * hardlink-identical). Two UPDATEs layer: a score rescale on heavy
+    * users, then a SHARD-KEY update that must migrate the affected
+    * rows to their new hash shard. The oracle recomputes the final
+    * state flat, so a pass proves masked-base + appended-replacement
+    * reads equal the copy-on-write answer. */
+  val lakeUpdateVectors: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.dvu_$fp"
+    Tables.events(s, dir)
+      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), min("d").as("cohort_d"))
+      .createOrReplaceTempView("graft_lake_dvu_b1")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl
+              (user_id BIGINT, n_events BIGINT, cohort_d DATE)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+                'update_mode'='merge-on-read')""")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_dvu_b1") // v1
+    s.sql(s"UPDATE $tbl SET n_events = n_events * 100 " +
+      "WHERE n_events > 60") // v2: delta commit (DV + appends)
+    s.sql(s"UPDATE $tbl SET user_id = user_id + 1000000 " +
+      "WHERE user_id % 97 = 0") // v3: shard-key update migrates rows
+    s.sql(s"""SELECT user_id, n_events, cohort_d FROM $tbl
+              ORDER BY user_id""")
+  }
+
+  val lakeUpdateVectorsOracle: String =
+    """WITH b1 AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+             AS cohort_d
+         FROM events GROUP BY user_id),
+       u1 AS (
+         SELECT user_id,
+           CASE WHEN n_events > 60 THEN n_events * 100
+                ELSE n_events END AS n_events, cohort_d
+         FROM b1)
+       SELECT CASE WHEN user_id % 97 = 0 THEN user_id + 1000000
+                   ELSE user_id END AS user_id,
+              n_events, cohort_d
+       FROM u1
+       ORDER BY user_id"""
+
+  /** MERGE-ON-READ MERGE — the full three-branch upsert through the
+    * delta path: `merge_mode=merge-on-read` plans matched-delete as a
+    * position-only bitmap entry, matched-update as delete+reinsert,
+    * and not-matched-insert as a staged append, all in ONE snapshot
+    * commit. Batch 2 carries additive counts, the MERGE deletes
+    * light users, re-accumulates the rest, and inserts newcomers; the
+    * oracle recomputes the surviving accumulated state flat from the
+    * raw events. */
+  val lakeMergeMor: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.dvm_$fp"
+    val ev = Tables.events(s, dir)
+      .selectExpr("user_id", "dayofmonth(ts) AS dom")
+    ev.filter(col("dom") <= 15).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .createOrReplaceTempView("graft_lake_dvm_b1")
+    ev.filter(col("dom") > 15).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .createOrReplaceTempView("graft_lake_dvm_b2")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+                'merge_mode'='merge-on-read')""")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_dvm_b1") // v1
+    s.sql(s"""MERGE INTO $tbl t
+              USING graft_lake_dvm_b2 s
+              ON t.user_id = s.user_id
+              WHEN MATCHED AND t.n_events + s.n_events < 5 THEN DELETE
+              WHEN MATCHED THEN
+                UPDATE SET n_events = t.n_events + s.n_events
+              WHEN NOT MATCHED THEN
+                INSERT (user_id, n_events)
+                VALUES (s.user_id, s.n_events)""") // v2: delta commit
+    s.sql(s"""SELECT user_id, n_events FROM $tbl
+              ORDER BY user_id""")
+  }
+
+  val lakeMergeMorOracle: String =
+    """WITH ev AS (
+         SELECT user_id, day(CAST(ts AS TIMESTAMP)) AS dom
+         FROM events),
+       b1 AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+         FROM ev WHERE dom <= 15 GROUP BY user_id),
+       b2 AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+         FROM ev WHERE dom > 15 GROUP BY user_id)
+       SELECT coalesce(b1.user_id, b2.user_id) AS user_id,
+              coalesce(b1.n_events, 0) + coalesce(b2.n_events, 0)
+                AS n_events
+       FROM b1 FULL OUTER JOIN b2 ON b1.user_id = b2.user_id
+       WHERE NOT (b1.user_id IS NOT NULL AND b2.user_id IS NOT NULL
+                  AND b1.n_events + b2.n_events < 5)
        ORDER BY user_id"""
 
   /** MULTI-STATEMENT SNAPSHOT ISOLATION (the Trino-on-Iceberg
@@ -3338,6 +3481,8 @@ object Lake {
     "lake_snapshot_isolation" -> lakeSnapshotIsolation,
     "lake_delete_update" -> lakeDeleteUpdate,
     "lake_delete_vectors" -> lakeDeleteVectors,
+    "lake_update_vectors" -> lakeUpdateVectors,
+    "lake_merge_mor" -> lakeMergeMor,
     "lake_stats_skipping" -> lakeStatsSkipping,
     "lake_string_skipping" -> lakeStringSkipping,
     "lake_table_changes" -> lakeTableChanges,
@@ -3359,6 +3504,8 @@ object Lake {
     "lake_snapshot_isolation" -> lakeSnapshotIsolationOracle,
     "lake_delete_update" -> lakeDeleteUpdateOracle,
     "lake_delete_vectors" -> lakeDeleteVectorsOracle,
+    "lake_update_vectors" -> lakeUpdateVectorsOracle,
+    "lake_merge_mor" -> lakeMergeMorOracle,
     "lake_stats_skipping" -> lakeStatsSkippingOracle,
     "lake_string_skipping" -> lakeStringSkippingOracle,
     "lake_table_changes" -> lakeTableChangesOracle,

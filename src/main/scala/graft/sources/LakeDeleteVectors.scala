@@ -10,38 +10,55 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import org.roaringbitmap.RoaringBitmap
 
-/** MERGE-ON-READ `DELETE` — deletion vectors through Spark's DELTA
-  * row-level-operation stack (`SupportsDelta`), the Iceberg v3 /
+/** MERGE-ON-READ row-level DML — deletion vectors through Spark's
+  * DELTA row-level-operation stack (`SupportsDelta`), the Iceberg v3 /
   * Delta deletion-vector design (reference scope: Trino-on-Iceberg
-  * serves `DELETE` as position deletes when the table's
-  * `write.delete.mode` is merge-on-read).
+  * serves `DELETE`/`UPDATE`/`MERGE` as position deletes + data files
+  * when the table's `write.<command>.mode` is merge-on-read).
   *
   * Why this exists at 100 TB: the group-based path
   * ([[GraftLakeRowLevelOperation]]) rewrites every shard that holds a
-  * matching row — deleting 0.1% of rows from a shard rewrites all of
-  * it. Here Spark's `RewriteDeleteFromTable` plans a `WriteDelta`
-  * instead: the target scan emits each matching row's ROW ID — the
-  * `(_shard, _pos)` metadata pair, where `_pos` is the row's ordinal
-  * in its shard's parquet file — and the commit records those
-  * positions in per-shard roaring bitmaps (`_dv.json`,
-  * [[GraftLakeIO.writeDv]]) while HARDLINK-carrying every data file
-  * untouched. Readers mask the positions at scan time
+  * matching row — updating 0.1% of rows in a shard re-reads and
+  * re-encodes ALL of it through a full Spark job. Here Spark's
+  * rewrite rules plan a `WriteDelta` instead: the target scan emits
+  * each matching row's ROW ID — the `(_shard, _pos)` metadata pair,
+  * where `_pos` is the row's ordinal in its shard's parquet file —
+  * and only the MATCHED rows flow through the plan:
+  *
+  *  - `DELETE` records the positions in per-shard roaring bitmaps
+  *    (`_dv.json`, [[GraftLakeIO.writeDv]]) while HARDLINK-carrying
+  *    every data file untouched — zero data I/O.
+  *  - `UPDATE` is split delete+reinsert
+  *    ([[GraftLakeDeltaOperation.representUpdateAsDeleteAndInsert]]):
+  *    the old position enters the bitmap, the replacement row stages
+  *    like an ordinary append (routed by the CURRENT shard key — key
+  *    updates migrate rows across shards correctly). Untouched shards
+  *    hardlink; touched shards merge base+staged by raw row-group
+  *    append (byte copy, no decode) — the unmatched rows never pass
+  *    through the engine.
+  *  - `MERGE` uses all three writer verbs: matched-update =
+  *    delete+reinsert, matched-delete = position only, not-matched
+  *    insert = staged append.
+  *
+  * Readers mask the positions at scan time
   * ([[GraftLakePartitionReader]]), so queries, time travel, CDC
   * diffs, statistics, and DESCRIBE HISTORY all see live rows only.
-  * A later rewrite of a shard (UPDATE/MERGE/OVERWRITE/recluster)
-  * compacts its deletes away and clears the entry
-  * ([[GraftLakeCommitter]]).
+  * A later group-based rewrite of a shard (copy-on-write
+  * UPDATE/MERGE/OVERWRITE/recluster) compacts its deletes away and
+  * clears the entry ([[GraftLakeCommitter]]).
   *
   * Commit safety: positions are computed against the operation's
   * pinned snapshot, so the commit validates — per touched shard —
   * that the current head still carries the SAME file (hardlink
-  * identity) before publishing; any concurrent rewrite of a touched
-  * shard raises [[GraftLakeCommitConflict]] instead of deleting the
-  * wrong rows (Iceberg's position-delete conflict rule). Concurrent
-  * APPENDS to a touched shard produce a new merged file and likewise
-  * conflict — strictness over cleverness; the loser re-runs its
-  * DELETE against the new head. */
-class GraftLakeDeltaDeleteOperation(table: GraftLakeTable,
+  * identity) before publishing; any concurrent rewrite or append of a
+  * DV-touched shard raises [[GraftLakeCommitConflict]] instead of
+  * deleting the wrong rows (Iceberg's position-delete conflict rule).
+  * The validated head is then pinned as the commit's CAS base
+  * (`baseVOverride`), closing the validate→publish window — a racing
+  * commit in between fails the CAS and this commit revalidates
+  * against the new head. Concurrent delta commits on DISJOINT shards
+  * both land. */
+class GraftLakeDeltaOperation(table: GraftLakeTable,
     dataDir: String, info: RowLevelOperationInfo)
     extends RowLevelOperation with SupportsDelta {
 
@@ -60,6 +77,12 @@ class GraftLakeDeltaDeleteOperation(table: GraftLakeTable,
   override def rowId(): Array[NamedReference] =
     Array(Expressions.column("_shard"), Expressions.column("_pos"))
 
+  /** Updates arrive as delete(id) + reinsert(row): the replacement
+    * row re-routes through the shard key like any insert, so key
+    * updates migrate rows to their new shard instead of corrupting
+    * the old one. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array.empty
 
@@ -69,32 +92,45 @@ class GraftLakeDeltaDeleteOperation(table: GraftLakeTable,
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
         override def toBatch: DeltaBatchWrite =
-          new GraftLakeDvBatchWrite(dataDir, snapshotV, li)
+          new GraftLakeDvBatchWrite(table, dataDir, snapshotV,
+            command().name().toLowerCase(java.util.Locale.ROOT),
+            Some(li))
       }
     }
   }
 
   override def description(): String =
-    s"GraftLakeDeltaDeleteOperation(${table.name()}, " +
+    s"GraftLakeDeltaOperation(${command()}, ${table.name()}, " +
       s"snapshot=v$snapshotV, merge-on-read)"
 }
 
-/** One task's position deletes: shard -> serialized roaring bitmap. */
-case class GraftLakeDvCommit(dvs: Map[Int, Array[Byte]])
+/** One task's delta: shard -> serialized deleted-position bitmap,
+  * plus the staged parquet parts its inserted rows landed in. */
+case class GraftLakeDvCommit(dvs: Map[Int, Array[Byte]],
+    parts: Seq[GraftLakeCommit] = Nil)
     extends WriterCommitMessage
 
-case class GraftLakeDvWriterFactory(shardIdx: Int, posIdx: Int)
+case class GraftLakeDvWriterFactory(shardIdx: Int, posIdx: Int,
+    stagePath: String, writeSchema: StructType, shardKey: String,
+    nShards: Int, shardWidth: Long)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
-    new GraftLakeDvWriter(shardIdx, posIdx)
+    new GraftLakeDvWriter(shardIdx, posIdx, stagePath, writeSchema,
+      shardKey, nShards, shardWidth, partitionId, taskId)
 }
 
 /** Accumulates deleted positions per shard — O(live bitmap) memory,
-  * no row payloads ever buffered or shuffled. */
-class GraftLakeDvWriter(shardIdx: Int, posIdx: Int)
+  * no deleted-row payloads ever buffered or shuffled — and stages
+  * inserted/replacement rows through the ordinary shard-routed
+  * parquet writer (only created if a row actually arrives: a pure
+  * DELETE stages nothing). */
+class GraftLakeDvWriter(shardIdx: Int, posIdx: Int,
+    stagePath: String, writeSchema: StructType, shardKey: String,
+    nShards: Int, shardWidth: Long, partitionId: Int, taskId: Long)
     extends DeltaWriter[InternalRow] {
   private val dvs = scala.collection.mutable.Map[Int, RoaringBitmap]()
+  private var dataWriter: GraftLakeDataWriter = null
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     val shard = id.getInt(shardIdx)
@@ -104,133 +140,147 @@ class GraftLakeDvWriter(shardIdx: Int, posIdx: Int)
     dvs.getOrElseUpdate(shard, new RoaringBitmap()).add(pos.toInt)
   }
 
+  override def insert(row: InternalRow): Unit = {
+    if (dataWriter == null) {
+      new java.io.File(stagePath).mkdirs()
+      dataWriter = new GraftLakeDataWriter(stagePath, writeSchema,
+        shardKey, nShards, shardWidth, partitionId, taskId)
+    }
+    dataWriter.write(row)
+  }
+
+  /** Split-update second half: the replacement row is an insert. */
+  override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
+    insert(row)
+
   override def update(metadata: InternalRow, id: InternalRow,
       row: InternalRow): Unit =
     throw new UnsupportedOperationException(
-      "merge-on-read delta write handles DELETE only")
+      "updates are represented as delete + reinsert")
 
-  override def insert(row: InternalRow): Unit =
-    throw new UnsupportedOperationException(
-      "merge-on-read delta write handles DELETE only")
-
-  override def commit(): WriterCommitMessage =
+  override def commit(): WriterCommitMessage = {
+    val staged =
+      if (dataWriter == null) Nil
+      else dataWriter.commit() match {
+        case GraftLakeTaskCommit(parts) => parts
+        case other => throw new IllegalStateException(
+          s"unexpected data-writer commit $other")
+      }
     GraftLakeDvCommit(dvs.view.mapValues { bm =>
       bm.runOptimize()
       val buf = new Array[Byte](bm.serializedSizeInBytes())
       bm.serialize(java.nio.ByteBuffer.wrap(buf))
       buf
-    }.toMap)
+    }.toMap, staged)
+  }
 
-  override def abort(): Unit = ()
-  override def close(): Unit = ()
+  override def abort(): Unit =
+    if (dataWriter != null) dataWriter.abort()
+  override def close(): Unit =
+    if (dataWriter != null) dataWriter.close()
 }
 
-class GraftLakeDvBatchWrite(dataDir: String, snapshotV: Int,
-    info: LogicalWriteInfo) extends DeltaBatchWrite {
+/** The delta commit: position bitmaps + staged replacement rows land
+  * as ONE snapshot through the shared commit core
+  * ([[GraftLakeCommitter.commitStaged]] with `extraDeletes`). `info`
+  * is None only in spec-level direct constructions. */
+class GraftLakeDvBatchWrite(table: GraftLakeTable, dataDir: String,
+    snapshotV: Int, operation: String,
+    info: Option[LogicalWriteInfo]) extends DeltaBatchWrite {
+
+  private val queryId =
+    info.map(_.queryId()).getOrElse(
+      java.util.UUID.randomUUID().toString)
+  private def stageDir =
+    new java.io.File(dataDir, s"_stage_${queryId}_delta")
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
 
   override def createBatchWriterFactory(
       physical: PhysicalWriteInfo): DeltaWriterFactory = {
     // field positions of the row id columns as Spark will deliver
     // them (rowIdSchema when present; the declared order otherwise)
     val idSchema: StructType = {
-      val opt = info.rowIdSchema()
-      if (opt.isPresent) opt.get()
+      val opt = info.map(_.rowIdSchema())
+      if (opt.exists(_.isPresent)) opt.get.get()
       else StructType(Seq(
         org.apache.spark.sql.types.StructField("_shard",
           org.apache.spark.sql.types.IntegerType),
         org.apache.spark.sql.types.StructField("_pos",
           org.apache.spark.sql.types.LongType)))
     }
+    // inserted/replacement rows arrive in the logical write schema's
+    // field order — the stage writer maps them by that layout
+    val rowSchema = info.map(_.schema()).getOrElse(table.schema())
     GraftLakeDvWriterFactory(idSchema.fieldIndex("_shard"),
-      idSchema.fieldIndex("_pos"))
+      idSchema.fieldIndex("_pos"), stageDir.getPath, rowSchema,
+      table.shardKey, table.nShards, table.shardWidth)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val newDeletes = scala.collection.mutable.Map[Int, RoaringBitmap]()
-    messages.foreach {
-      case GraftLakeDvCommit(dvs) => dvs.foreach { case (k, bytes) =>
-        val bm = new RoaringBitmap()
-        bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
-        newDeletes.get(k) match {
-          case Some(acc) => acc.or(bm)
-          case None => newDeletes.update(k, bm)
-        }
-      }
-      case other => throw new IllegalStateException(
-        s"unexpected commit message $other")
-    }
-    if (newDeletes.isEmpty) return // DELETE matched nothing: no commit
-    val snapDir = GraftLakeIO.versionDir(dataDir, snapshotV)
-    var attempts = 0
-    while (true) {
-      val headV = GraftLakeIO.latestVersion(dataDir)
-      val headDir = GraftLakeIO.versionDir(dataDir, headV)
-      // position validity: a touched shard's head file must still BE
-      // the snapshot's file (hardlink identity) — a concurrent
-      // rewrite/append produced a different file and the recorded
-      // ordinals may name the wrong rows there
-      newDeletes.keys.foreach { k =>
-        val snap = GraftLakeIO.shardFile(snapDir, k)
-        val head = GraftLakeIO.shardFile(headDir, k)
-        if (!snap.exists() || !head.exists() ||
-          !java.nio.file.Files.isSameFile(snap.toPath, head.toPath))
-          throw new GraftLakeCommitConflict(
-            s"$dataDir: shard $k changed between snapshot " +
-              s"v$snapshotV and head v$headV — the position deletes " +
-              "no longer bind; re-run the DELETE against the new head")
-      }
-      val build = GraftLakeIO.newBuildDir(dataDir)
-      try {
-        // hardlink-carry EVERY head file: data shards untouched,
-        // stats/routing/txn sidecars verbatim (zone maps become
-        // over-approximate for DV'd shards — may fail to skip, never
-        // wrong). Only _dv.json and _commit are written fresh.
-        Option(headDir.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isFile && f.getName != "_commit" &&
-            f.getName != GraftLakeIO.dvFile(headDir).getName)
-          .foreach { f =>
-            val dst = new java.io.File(build, f.getName)
-            try java.nio.file.Files.createLink(dst.toPath, f.toPath): Unit
-            catch {
-              case _: UnsupportedOperationException |
-                  _: java.io.IOException =>
-                java.nio.file.Files.copy(f.toPath, dst.toPath): Unit
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    try {
+      val newDeletes =
+        scala.collection.mutable.Map[Int, RoaringBitmap]()
+      val stagedParts = Seq.newBuilder[GraftLakeCommit]
+      messages.foreach {
+        case GraftLakeDvCommit(dvs, parts) =>
+          dvs.foreach { case (k, bytes) =>
+            val bm = new RoaringBitmap()
+            bm.deserialize(java.nio.ByteBuffer.wrap(bytes))
+            newDeletes.get(k) match {
+              case Some(acc) => acc.or(bm)
+              case None => newDeletes.update(k, bm)
             }
           }
-        // merged vectors: the head's surviving deletes UNION this
-        // operation's — commutative, so two DELETEs racing on
-        // DISJOINT shards both land (the validation above only
-        // conflicts on same-shard file changes)
-        val merged = GraftLakeIO.readDv(headDir).foldLeft(
-          newDeletes.toMap) { case (acc, (k, bm)) =>
-          acc.get(k) match {
-            case Some(mine) =>
-              val u = mine.clone()
-              u.or(bm)
-              acc.updated(k, u)
-            case None => acc.updated(k, bm)
-          }
-        }
-        GraftLakeIO.writeDv(build, merged)
-        GraftLakeIO.writeCommitMeta(build,
-          GraftLakeIO.nextCommitStamp(dataDir, headV), "delete")
-        GraftLakeIO.commitVersion(dataDir, headV, build): Unit
-        return
-      } catch {
-        case _: GraftLakeCommitConflict if attempts < 5 =>
-          // commitVersion cleans the build on CAS loss; revalidate
-          // against the new head and retry
-          attempts += 1
-        case e: Throwable =>
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(): Unit
-          }
-          if (build.exists()) rm(build)
-          throw e
+          stagedParts ++= parts
+        case other => throw new IllegalStateException(
+          s"unexpected commit message $other")
       }
-    }
-  }
+      val staged = stagedParts.result().groupBy(_.shard)
+      if (newDeletes.isEmpty && staged.isEmpty)
+        return // DML matched nothing and inserted nothing: no commit
+      val snapDir = GraftLakeIO.versionDir(dataDir, snapshotV)
+      var attempts = 0
+      while (true) {
+        val headV = GraftLakeIO.latestVersion(dataDir)
+        val headDir = GraftLakeIO.versionDir(dataDir, headV)
+        // position validity: a DV-touched shard's head file must
+        // still BE the snapshot's file (hardlink identity) — a
+        // concurrent rewrite/append produced a different file and the
+        // recorded ordinals may name the wrong rows there
+        newDeletes.keys.foreach { k =>
+          val snap = GraftLakeIO.shardFile(snapDir, k)
+          val head = GraftLakeIO.shardFile(headDir, k)
+          if (!snap.exists() || !head.exists() ||
+            !java.nio.file.Files.isSameFile(snap.toPath, head.toPath))
+            throw new GraftLakeCommitConflict(
+              s"$dataDir: shard $k changed between snapshot " +
+                s"v$snapshotV and head v$headV — the position " +
+                "deletes no longer bind; re-run the statement " +
+                "against the new head")
+        }
+        try {
+          // the shared commit core does the rest: hardlink-carry of
+          // untouched shards, raw row-group append of staged parts,
+          // zone-map/routing/txn carry, DV carry ∪ newDeletes, and
+          // the CAS pinned at the JUST-VALIDATED head
+          GraftLakeCommitter.commitStaged(table, dataDir,
+            table.schema(), truncateFirst = false, op = None, staged,
+            operationOverride = Some(operation), txnUpdate = None,
+            extraDeletes = newDeletes.toMap,
+            baseVOverride = Some(headV))
+          return
+        } catch {
+          case _: GraftLakeCommitConflict if attempts < 5 =>
+            // CAS loss (commitStaged cleans its build): revalidate
+            // against the new head and retry
+            attempts += 1
+        }
+      }
+    } finally rmTree(stageDir)
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    rmTree(stageDir)
 }

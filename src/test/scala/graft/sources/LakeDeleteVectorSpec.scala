@@ -26,6 +26,14 @@ class LakeDeleteVectorSpec extends SparkSpec {
     spark.sql(s"INSERT INTO $tbl VALUES $values") // v1
   }
 
+  private def lakeTable(name: String): GraftLakeTable =
+    new GraftLakeCatalog {
+      initialize("graft_lake", new org.apache.spark.sql.util
+        .CaseInsensitiveStringMap(java.util.Map.of("path",
+          lakeRoot.getPath)))
+    }.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("lake"), name)).asInstanceOf[GraftLakeTable]
+
   private def shardIdentity(dir: String, v: Int): Map[Int, Object] =
     GraftLakeIO.existingShards(GraftLakeIO.versionDir(dir, v)).map { k =>
       k -> java.nio.file.Files.readAttributes(
@@ -120,17 +128,108 @@ class LakeDeleteVectorSpec extends SparkSpec {
       (r.getString(0), r.getLong(2))).toSeq ===
       Seq(("delete", 3L), ("delete", 6L)))
     // planning honesty: only the two DV'd shards (3%4=3, 6%4=2) diff
-    val table = new GraftLakeCatalog {
-      initialize("graft_lake", new org.apache.spark.sql.util
-        .CaseInsensitiveStringMap(java.util.Map.of("path",
-          lakeRoot.getPath)))
-    }.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
-      Array("lake"), "spec_dv_cdc")).asInstanceOf[GraftLakeTable]
+    val table = lakeTable("spec_dv_cdc")
     val scan = new GraftLakeChangesScan(table,
       new GraftLakeChangesTable(table).changeSchema, 2)
     val parts = scan.diffPartitions(1, 2)
     assert(parts.length === 2,
       s"expected 2 changed shards, got ${parts.length}")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("merge-on-read UPDATE stages only the replacement rows: " +
+      "untouched shards hardlink, touched shards append, the old " +
+      "positions enter the vector; a shard-key update migrates the " +
+      "row to its new shard") {
+    val tbl = "graft_lake.lake.spec_dv_upd"
+    Lake.registerCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, score BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4',
+        'update_mode'='merge-on-read')""")
+    spark.sql(s"INSERT INTO $tbl VALUES " +
+      (0 until 16).map(i => s"($i, ${i * 10})").mkString(", ")) // v1
+    val dir = new File(lakeRoot, "spec_dv_upd").getPath
+    val v1Files = shardIdentity(dir, 1)
+    spark.sql(
+      s"UPDATE $tbl SET score = score + 1 WHERE user_id IN (2, 7)") // v2
+    assert(GraftLakeIO.latestVersion(dir) === 2)
+    assert(GraftLakeIO.commitOperation(dir, 2) === "update")
+    // only the shards holding users 2 (shard 2) and 7 (shard 3) may
+    // change; shards 0 and 1 must be the v1 files by hardlink identity
+    val v2Files = shardIdentity(dir, 2)
+    Seq(0, 1).foreach(k => assert(v2Files(k) === v1Files(k),
+      s"untouched shard $k must hardlink-carry"))
+    Seq(2, 3).foreach(k => assert(v2Files(k) !== v1Files(k),
+      s"updated shard $k must carry the appended replacement row"))
+    // old positions are dead, replacements appended AFTER base rows
+    val dv2 = GraftLakeIO.readDv(GraftLakeIO.versionDir(dir, 2))
+    assert(dv2(2).getCardinality === 1 && dv2(3).getCardinality === 1)
+    val after = spark.sql(
+      s"SELECT user_id, score FROM $tbl ORDER BY user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === (0 until 16).map(i =>
+      i.toLong -> (if (i == 2 || i == 7) i * 10 + 1L else i * 10L))
+      .toMap)
+    // time travel: v1 still shows the pre-update scores
+    assert(spark.sql(
+      s"SELECT score FROM $tbl VERSION AS OF 1 WHERE user_id = 2")
+      .head.getLong(0) === 20L)
+    // UPDATING THE SHARD KEY migrates the row: delete in shard 3
+    // (19 % 4 would be wrong — user 3 lives in shard 3), insert
+    // routed to shard 0 (20 % 4)
+    spark.sql(s"UPDATE $tbl SET user_id = 20 WHERE user_id = 3") // v3
+    val got = spark.sql(s"SELECT user_id, score FROM $tbl " +
+      "ORDER BY user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!got.contains(3L) && got(20L) === 30L)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0)
+      === 16L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("merge-on-read MERGE: matched-delete, matched-update, and " +
+      "not-matched-insert land as one delta commit; shards outside " +
+      "the source's key set hardlink-carry") {
+    val tbl = "graft_lake.lake.spec_dv_mrg"
+    Lake.registerCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, score BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+        'merge_mode'='merge-on-read')""")
+    spark.sql(s"INSERT INTO $tbl VALUES " +
+      (0 until 16).map(i => s"($i, ${i * 10})").mkString(", ")) // v1
+    val dir = new File(lakeRoot, "spec_dv_mrg").getPath
+    val v1Files = shardIdentity(dir, 1)
+    // source keys 12 (matched→delete), 13 (matched→update), 20 (not
+    // matched→insert): touches shards 4 (12, 20) and 5 (13) only
+    spark.sql("SELECT * FROM VALUES (12L, -1L), (13L, 999L), " +
+      "(20L, 777L) AS src(user_id, score)")
+      .createOrReplaceTempView("spec_dv_mrg_src")
+    spark.sql(s"""MERGE INTO $tbl t USING spec_dv_mrg_src s
+      ON t.user_id = s.user_id
+      WHEN MATCHED AND s.user_id = 12 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET score = s.score
+      WHEN NOT MATCHED THEN
+        INSERT (user_id, score) VALUES (s.user_id, s.score)""") // v2
+    assert(GraftLakeIO.latestVersion(dir) === 2)
+    assert(GraftLakeIO.commitOperation(dir, 2) === "merge")
+    val v2Files = shardIdentity(dir, 2)
+    (0 until 8).filterNot(k => k == 4 || k == 5).foreach(k =>
+      assert(v2Files(k) === v1Files(k),
+        s"shard $k outside the source key set must hardlink-carry"))
+    val dv2 = GraftLakeIO.readDv(GraftLakeIO.versionDir(dir, 2))
+    assert(dv2(4).getCardinality === 1, "matched-delete position")
+    assert(dv2(5).getCardinality === 1, "matched-update old position")
+    val after = spark.sql(
+      s"SELECT user_id, score FROM $tbl ORDER BY user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (0 until 16).filterNot(_ == 12).map(i =>
+      i.toLong -> (if (i == 13) 999L else i * 10L)).toMap +
+      (20L -> 777L)
+    assert(after === expect)
+    // live-row count stamped into the commit: 15 survivors + 1 insert
+    assert(GraftLakeIO.commitCounts(dir, 2).map(_._1) === Some(16L))
     spark.sql(s"DROP TABLE $tbl")
   }
 
@@ -145,7 +244,8 @@ class LakeDeleteVectorSpec extends SparkSpec {
     bm.add(0)
     val buf = new Array[Byte](bm.serializedSizeInBytes())
     bm.serialize(java.nio.ByteBuffer.wrap(buf))
-    val stale = new GraftLakeDvBatchWrite(dir, 1, null)
+    val t = lakeTable("spec_dv_conflict")
+    val stale = new GraftLakeDvBatchWrite(t, dir, 1, "delete", None)
     // ...then land a REWRITE of shard 0 first (UPDATE via group path)
     spark.sql(s"UPDATE $tbl SET score = 0 WHERE user_id = 0") // v2
     val e = intercept[GraftLakeCommitConflict] {
@@ -153,7 +253,7 @@ class LakeDeleteVectorSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no longer bind"))
     // the disjoint-shard race is FINE: shard 1 was not rewritten
-    val stale2 = new GraftLakeDvBatchWrite(dir, 1, null)
+    val stale2 = new GraftLakeDvBatchWrite(t, dir, 1, "delete", None)
     stale2.commit(Array(GraftLakeDvCommit(Map(1 -> buf)))) // v3
     assert(GraftLakeIO.readDv(GraftLakeIO.versionDir(dir, 3))(1)
       .getCardinality === 1)
