@@ -2739,6 +2739,54 @@ object Lake {
        FROM u1
        ORDER BY user_id"""
 
+  /** DELETION-VECTOR COMPACTION — the `OPTIMIZE` maintenance op
+    * ([[GraftLakeMaintenance.compactDeletionVectors]]): a heavy
+    * merge-on-read DELETE leaves every shard carrying a vector, the
+    * compaction rewrites the shards past the deleted-fraction
+    * threshold live-rows-only and clears their entries, and the
+    * read-back must be IDENTICAL to the pre-compaction view — the
+    * oracle recomputes the surviving rows flat, and the query itself
+    * asserts the vectors actually cleared (so a silently-skipped
+    * compaction fails loudly, not invisibly). */
+  val lakeDvCompaction: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.dvo_$fp"
+    Tables.events(s, dir)
+      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), min("d").as("cohort_d"))
+      .createOrReplaceTempView("graft_lake_dvo_b1")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl
+              (user_id BIGINT, n_events BIGINT, cohort_d DATE)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+                'delete_mode'='merge-on-read')""")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_dvo_b1") // v1
+    s.sql(s"DELETE FROM $tbl WHERE user_id % 3 = 0") // v2: ~33% DV'd
+    val dataDir = new java.io.File(
+      s.conf.get("spark.sql.catalog.graft_lake.path"),
+      s"dvo_$fp").getPath
+    val compacted =
+      GraftLakeMaintenance.compactDeletionVectors(dataDir, 0.05) // v3
+    require(compacted.nonEmpty, "compaction must rewrite DV'd shards")
+    require(GraftLakeIO.readDv(GraftLakeIO.versionDir(dataDir,
+      GraftLakeIO.latestVersion(dataDir))).isEmpty,
+      "every vector must compact away at this threshold")
+    s.sql(s"""SELECT user_id, n_events, cohort_d FROM $tbl
+              ORDER BY user_id""")
+  }
+
+  val lakeDvCompactionOracle: String =
+    """WITH b1 AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+             AS cohort_d
+         FROM events GROUP BY user_id)
+       SELECT user_id, n_events, cohort_d FROM b1
+       WHERE NOT (user_id % 3 = 0)
+       ORDER BY user_id"""
+
   /** MERGE-ON-READ MERGE — the full three-branch upsert through the
     * delta path: `merge_mode=merge-on-read` plans matched-delete as a
     * position-only bitmap entry, matched-update as delete+reinsert,
@@ -3483,6 +3531,7 @@ object Lake {
     "lake_delete_vectors" -> lakeDeleteVectors,
     "lake_update_vectors" -> lakeUpdateVectors,
     "lake_merge_mor" -> lakeMergeMor,
+    "lake_dv_compaction" -> lakeDvCompaction,
     "lake_stats_skipping" -> lakeStatsSkipping,
     "lake_string_skipping" -> lakeStringSkipping,
     "lake_table_changes" -> lakeTableChanges,
@@ -3506,6 +3555,7 @@ object Lake {
     "lake_delete_vectors" -> lakeDeleteVectorsOracle,
     "lake_update_vectors" -> lakeUpdateVectorsOracle,
     "lake_merge_mor" -> lakeMergeMorOracle,
+    "lake_dv_compaction" -> lakeDvCompactionOracle,
     "lake_stats_skipping" -> lakeStatsSkippingOracle,
     "lake_string_skipping" -> lakeStringSkippingOracle,
     "lake_table_changes" -> lakeTableChangesOracle,

@@ -284,3 +284,112 @@ class GraftLakeDvBatchWrite(table: GraftLakeTable, dataDir: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     rmTree(stageDir)
 }
+
+/** Table-maintenance operations over the deletion-vector state — the
+  * `OPTIMIZE` / Iceberg `rewrite_data_files`-with-delete-threshold
+  * story. Merge-on-read trades write cost for a per-read masking tax
+  * that grows with the deleted fraction; compaction pays the rewrite
+  * back once the tax is worth it. */
+object GraftLakeMaintenance {
+
+  /** Rewrite every shard whose DELETED FRACTION (vector cardinality /
+    * file rows) is at least `threshold`, dropping the dead positions
+    * and clearing the shard's vector entry; shards under the
+    * threshold hardlink-carry WITH their vectors. The rewrite is a
+    * straight Group copy under the FILE's own schema — no value
+    * conversion, schema-evolution state preserved verbatim — run
+    * across a bounded pool. Sidecars carry verbatim: base zone-map
+    * ranges bound a superset of the surviving rows, so they stay
+    * sound (just over-approximate until the shard's next real
+    * rewrite); routing provenance and txn watermarks are untouched.
+    * Commits as operation `optimize` with CAS retry; returns the
+    * compacted shard ids (empty when nothing crossed the
+    * threshold, in which case NO commit happens). */
+  def compactDeletionVectors(dataDir: String,
+      threshold: Double = 0.1): Seq[Int] = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0,1], got $threshold")
+    var attempts = 0
+    while (true) {
+      val headV = GraftLakeIO.latestVersion(dataDir)
+      val headDir = GraftLakeIO.versionDir(dataDir, headV)
+      val dv = GraftLakeIO.readDv(headDir)
+      val targets = dv.toSeq.collect {
+        case (k, bm) if {
+          val f = GraftLakeIO.shardFile(headDir, k)
+          f.exists() && {
+            val rows = GraftShardCodec.footer(f)._2
+            rows > 0L && bm.getCardinality.toDouble / rows >= threshold
+          }
+        } => k
+      }.sorted
+      if (targets.isEmpty) return Nil
+      val build = GraftLakeIO.newBuildDir(dataDir)
+      try {
+        val targetSet = targets.toSet
+        Option(headDir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter { f =>
+            f.isFile && f.getName != "_commit" &&
+              f.getName != GraftLakeIO.dvFile(headDir).getName &&
+              !targetSet.exists(k =>
+                f.getName == GraftLakeIO.shardFile(headDir, k).getName)
+          }
+          .foreach { f =>
+            val dst = new java.io.File(build, f.getName)
+            try java.nio.file.Files.createLink(dst.toPath, f.toPath): Unit
+            catch {
+              case _: UnsupportedOperationException |
+                  _: java.io.IOException =>
+                java.nio.file.Files.copy(f.toPath, dst.toPath): Unit
+            }
+          }
+        val rewrites = targets.map { k => () =>
+          val src = GraftLakeIO.shardFile(headDir, k)
+          val (fileSchema, _) = GraftShardCodec.footer(src)
+          val mask = dv(k)
+          val reader = GraftShardCodec.openReader(src, fileSchema)
+          val writer = GraftShardCodec.openWriter(
+            GraftLakeIO.shardFile(build, k), fileSchema)
+          try {
+            var ord = 0
+            var g = reader.read()
+            while (g != null) {
+              if (!mask.contains(ord)) writer.write(g)
+              ord += 1
+              g = reader.read()
+            }
+          } finally { reader.close(); writer.close() }
+        }
+        if (rewrites.lengthCompare(2) < 0) rewrites.foreach(_())
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(rewrites.length,
+              Runtime.getRuntime.availableProcessors()))
+          try {
+            val futures = rewrites.map(r =>
+              pool.submit(new java.util.concurrent.Callable[Unit] {
+                override def call(): Unit = r()
+              }))
+            futures.foreach(_.get())
+          } finally pool.shutdown()
+        }
+        GraftLakeIO.writeDv(build, dv -- targets)
+        GraftLakeIO.writeCommitMeta(build,
+          GraftLakeIO.nextCommitStamp(dataDir, headV), "optimize")
+        GraftLakeIO.commitVersion(dataDir, headV, build): Unit
+        return targets
+      } catch {
+        case _: GraftLakeCommitConflict if attempts < 5 =>
+          attempts += 1 // lost the CAS race: re-plan on the new head
+        case e: Throwable =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          if (build.exists()) rm(build)
+          throw e
+      }
+    }
+    Nil // unreachable
+  }
+}

@@ -233,6 +233,44 @@ class LakeDeleteVectorSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("OPTIMIZE compaction: only shards past the deleted-fraction " +
+      "threshold rewrite (vectors cleared, dead rows dropped); " +
+      "under-threshold shards hardlink-carry WITH their vectors; " +
+      "results unchanged; a no-op compaction commits nothing") {
+    val tbl = "graft_lake.lake.spec_dv_opt"
+    ddlMor(tbl) // v1: users 0..15, shard k holds {k, k+4, k+8, k+12}
+    val dir = new File(lakeRoot, "spec_dv_opt").getPath
+    spark.sql(s"DELETE FROM $tbl WHERE user_id IN (0, 4, 8)") // v2
+    spark.sql(s"DELETE FROM $tbl WHERE user_id = 1") // v3
+    // shard 0 is 3/4 dead, shard 1 is 1/4 dead
+    val v3Files = shardIdentity(dir, 3)
+    val compacted =
+      GraftLakeMaintenance.compactDeletionVectors(dir, 0.5) // v4
+    assert(compacted === Seq(0))
+    assert(GraftLakeIO.latestVersion(dir) === 4)
+    assert(GraftLakeIO.commitOperation(dir, 4) === "optimize")
+    val v4dir = GraftLakeIO.versionDir(dir, 4)
+    val dv4 = GraftLakeIO.readDv(v4dir)
+    assert(!dv4.contains(0), "compacted shard's vector must clear")
+    assert(dv4(1).getCardinality === 1,
+      "under-threshold shard keeps its vector")
+    val v4Files = shardIdentity(dir, 4)
+    Seq(1, 2, 3).foreach(k => assert(v4Files(k) === v3Files(k),
+      s"under-threshold shard $k must hardlink-carry"))
+    assert(v4Files(0) !== v3Files(0))
+    // the rewritten file holds ONLY the live row (user 12)
+    assert(GraftShardCodec.footer(
+      GraftLakeIO.shardFile(v4dir, 0))._2 === 1L)
+    val live = spark.sql(s"SELECT user_id FROM $tbl ORDER BY user_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(live === (0L to 15L).filterNot(Set(0L, 1L, 4L, 8L)))
+    // nothing left over the threshold: no commit at all
+    assert(GraftLakeMaintenance.compactDeletionVectors(dir, 0.5)
+      === Nil)
+    assert(GraftLakeIO.latestVersion(dir) === 4)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("commit validation: position deletes against a snapshot whose " +
       "shard was since rewritten conflict instead of deleting the " +
       "wrong rows") {
