@@ -473,14 +473,62 @@ object GraftLakeIO {
   }
   def versionDir(dataDir: String, v: Int): java.io.File =
     new java.io.File(dataDir, s"v$v")
+  // ---- MULTI-PART SHARDS ----
+  // A shard is an ORDERED LIST of immutable parquet part files:
+  // `shard-K.parquet` (part 0) then `shard-K.p<seq>.parquet` for
+  // seq >= 1, read as one concatenated row sequence in ascending seq
+  // order. An APPEND commit hardlinks the existing parts and adds the
+  // staged rows as ONE NEW PART — O(new data), never O(shard): at
+  // 100 TB, trickling rows into a multi-GB shard must not byte-copy
+  // the shard per commit (the Iceberg/Delta accumulate-files model).
+  // Row ordinals (`_pos`, deletion vectors, CDC diffs) are
+  // concatenation ordinals, which appends by construction never
+  // disturb — new parts only ever land AFTER all existing rows. Each
+  // part keeps the schema it was written under; the reader projects
+  // per part, so schema evolution needs no re-encode anywhere.
+  // Seq numbers may go SPARSE (compaction drops emptied parts) —
+  // order is numeric, not positional.
   def shardFile(vdir: java.io.File, k: Int): java.io.File =
     new java.io.File(vdir, s"shard-$k.parquet")
+  def shardPartFile(vdir: java.io.File, k: Int,
+      seq: Int): java.io.File =
+    if (seq == 0) shardFile(vdir, k)
+    else new java.io.File(vdir, s"shard-$k.p$seq.parquet")
+  private val partRe = "^shard-(\\d+)(?:\\.p(\\d+))?\\.parquet$".r
+  /** The shard's parts in read order (empty = shard absent). */
+  def shardParts(vdir: java.io.File, k: Int): Seq[java.io.File] =
+    Option(vdir.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(f => partRe.findFirstMatchIn(f.getName).collect {
+        case m if m.group(1).toInt == k =>
+          (Option(m.group(2)).fold(0)(_.toInt), f)
+      })
+      .sortBy(_._1).map(_._2).toSeq
+  /** All shards' parts in one directory listing (planning-time bulk
+    * form of [[shardParts]] — one listFiles, not one per shard). */
+  def allShardParts(vdir: java.io.File)
+      : Map[Int, Seq[java.io.File]] =
+    Option(vdir.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(f => partRe.findFirstMatchIn(f.getName).map(m =>
+        (m.group(1).toInt, Option(m.group(2)).fold(0)(_.toInt), f)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
   def existingShards(vdir: java.io.File): Set[Int] =
     Option(vdir.listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .flatMap(f => "^shard-(\\d+)\\.parquet$".r
-        .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      .flatMap(f => partRe.findFirstMatchIn(f.getName)
+        .map(_.group(1).toInt))
       .toSet
+  /** Seq number the NEXT appended part of shard `k` takes. */
+  def nextPartSeq(vdir: java.io.File, k: Int): Int =
+    Option(vdir.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(f => partRe.findFirstMatchIn(f.getName).collect {
+        case m if m.group(1).toInt == k =>
+          Option(m.group(2)).fold(0)(_.toInt)
+      })
+      .foldLeft(-1)(math.max) + 1
   // `_commit` file format: "<micros>" (pre-round-11) or
   // "<micros> <operation>" — the operation label feeds the DESCRIBE
   // HISTORY surface; parsing takes the first token so old snapshots
@@ -519,7 +567,8 @@ object GraftLakeIO {
     // the commit stamp — every committer writes sidecars first)
     val dv = readDv(build)
     val nRows = shards.iterator.map(k =>
-      GraftShardCodec.footer(shardFile(build, k))._2 -
+      shardParts(build, k).iterator
+        .map(f => GraftShardCodec.footer(f)._2).sum -
         dv.get(k).map(_.getCardinality.toLong).getOrElse(0L)).sum
     java.nio.file.Files.writeString(
       new java.io.File(build, "_commit").toPath,
@@ -1198,11 +1247,11 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
     // and null-aware counts refuse on DV-carrying shards (a deleted
     // row may have held the extreme / the nulls are unattributed)
     lazy val dv = GraftLakeIO.readDv(vdir)
-    // one footer read per shard, shared by every COUNT term
+    // one footer read per shard PART, shared by every COUNT term
     lazy val footers: Seq[(org.apache.parquet.schema.MessageType, Long,
       Map[String, Option[Long]])] =
-      shards.map(k =>
-        GraftShardCodec.footerWithNulls(GraftLakeIO.shardFile(vdir, k)))
+      shards.flatMap(k => GraftLakeIO.shardParts(vdir, k))
+        .map(GraftShardCodec.footerWithNulls)
     def singleCol(e: org.apache.spark.sql.connector.expressions
         .Expression): Option[String] = e match {
       case r: NamedReference if r.fieldNames().length == 1 =>
@@ -1369,7 +1418,7 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
     val key = retained
     if (statsCache == null || statsCache._1 != key) {
       val ks = plannedShards.toSeq.sorted
-      val files = ks.map(k => GraftLakeIO.shardFile(vdir, k))
+      val files = ks.flatMap(k => GraftLakeIO.shardParts(vdir, k))
       // LIVE rows: deletion-vector positions are masked at read time,
       // so the planner must not count them either
       statsCache = (key, (files.map(_.length()).sum,
@@ -1475,9 +1524,10 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
     GraftLakeScanMetrics.planned.addAndGet(kept.length.toLong): Unit
     GraftLakeScanMetrics.skippedByStats
       .addAndGet((candidates.length - kept.length).toLong): Unit
+    val parts = GraftLakeIO.allShardParts(vdir)
     kept.map(k =>
       GraftLakeInputPartition(
-        GraftLakeIO.shardFile(vdir, k).getPath, k,
+        parts.getOrElse(k, Nil).map(_.getPath), k,
         GraftLakeIO.dvBytes(dvMap, k)))
   }
 
@@ -1545,7 +1595,7 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
       s"zonePreds=${zoneConjuncts.size})"
 }
 
-case class GraftLakeInputPartition(path: String, shard: Int,
+case class GraftLakeInputPartition(paths: Seq[String], shard: Int,
     dv: Array[Byte] = null)
     extends InputPartition
 
@@ -1554,89 +1604,113 @@ class GraftLakeReaderFactory(required: StructType)
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftLakeInputPartition]
-    new GraftLakePartitionReader(p.path, p.shard, required, p.dv)
+    new GraftLakePartitionReader(p.paths, p.shard, required, p.dv)
   }
 }
 
-/** Streams one COLUMNAR shard file ([[GraftShardCodec]], executor-
-  * side). Only the requested columns' parquet pages are decoded —
-  * the projection is intersected with the file footer's own schema,
-  * so columns ADDed after the shard was written are served as NULL
-  * without touching the file body, and a projection-empty read
-  * (`count(*)`, or a `_shard`-only probe) is served ENTIRELY from
-  * footer row counts — zero data pages. The `_shard` metadata column
-  * is synthesized from the file, not stored.
-  * A missing file is an ERROR, never an empty shard: partitions are
-  * planned only for shards that existed in the immutable snapshot dir,
-  * so absence at read time means the snapshot was torn (expired
-  * mid-read, dropped, or corrupted) — surfacing it beats silently
-  * serving zero rows (advisor round 10). */
-class GraftLakePartitionReader(path: String, shard: Int,
+/** Streams one shard's ORDERED PART LIST as a single columnar row
+  * sequence ([[GraftShardCodec]], executor-side). Only the requested
+  * columns' parquet pages are decoded — the projection is intersected
+  * with EACH part footer's own schema (parts written before an
+  * `ALTER TABLE ADD COLUMN` serve the new column as NULL without any
+  * rewrite — per-part projection IS the schema-evolution mechanism),
+  * and a projection-empty read (`count(*)`, or a `_shard`-only probe)
+  * is served ENTIRELY from footer row counts — zero data pages. The
+  * `_shard` metadata column is synthesized, not stored; `_pos` is the
+  * CONCATENATION ordinal across parts in seq order — stable under
+  * appends because new parts only land after all existing rows.
+  * A missing part file is an ERROR, never an empty shard: partitions
+  * are planned only from the immutable snapshot dir, so absence at
+  * read time means the snapshot was torn (expired mid-read, dropped,
+  * or corrupted) — surfacing it beats silently serving zero rows
+  * (advisor round 10). */
+class GraftLakePartitionReader(paths: Seq[String], shard: Int,
     required: StructType, dvBytes: Array[Byte] = null)
     extends PartitionReader[InternalRow] {
-  if (!new java.io.File(path).exists())
-    throw new java.io.FileNotFoundException(
-      s"lake shard $path vanished after planning — the snapshot " +
-        "was expired or deleted while being read")
+  paths.foreach { p =>
+    if (!new java.io.File(p).exists())
+      throw new java.io.FileNotFoundException(
+        s"lake shard part $p vanished after planning — the snapshot " +
+          "was expired or deleted while being read")
+  }
 
   private val dataNames =
     required.fields.iterator.map(_.name)
       .filter(n => n != "_shard" && n != "_pos").toSeq
-  private val (fileSchema, totalRows) =
-    GraftShardCodec.footer(new java.io.File(path))
-  private val projection =
-    GraftShardCodec.projectionFor(fileSchema, dataNames)
-  // required index -> projection field index (-1 = serve NULL or a
-  // synthesized metadata value)
-  private val projIdx: Array[Int] = required.fields.map { f =>
-    if (f.name != "_shard" && f.name != "_pos" &&
-      projection.containsField(f.name))
-      projection.getFieldIndex(f.name)
-    else -1
-  }
-  private val metadataOnly = projection.getFieldCount == 0
-  GraftLakeScanMetrics.decodedColumns
-    .addAndGet(projection.getFieldCount.toLong): Unit
-  if (metadataOnly)
-    GraftLakeScanMetrics.metadataOnlyReads.incrementAndGet(): Unit
-  private val reader =
-    if (metadataOnly) null
-    else GraftShardCodec.openReader(new java.io.File(path), projection)
-  // this snapshot's deletion vector for the shard: positions are file
-  // ordinals, masked here so every consumer sees live rows only; `_pos`
-  // reports the PRE-mask ordinal (the stable row id)
+  // this snapshot's deletion vector for the shard: positions are
+  // concatenation ordinals, masked here so every consumer sees live
+  // rows only; `_pos` reports the PRE-mask ordinal (the stable row id)
   private val dv = GraftLakeIO.dvOf(dvBytes)
 
-  private var ord: Long = -1L
+  // per-part decode state, advanced lazily part by part
+  private var partIdx = -1
+  private var partRows = 0L        // rows of the current part
+  private var partOrd = 0L         // next ordinal within current part
+  private var projIdx: Array[Int] = null
+  private var metadataOnly = true
+  private var reader: org.apache.parquet.hadoop
+    .ParquetReader[org.apache.parquet.example.data.Group] = null
+  private var ordBase = 0L         // concat ordinal of current part's row 0
+
+  /** Open the next part; false when all parts are exhausted. */
+  private def advancePart(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    ordBase += partRows
+    partIdx += 1
+    if (partIdx >= paths.length) return false
+    val f = new java.io.File(paths(partIdx))
+    val (fileSchema, rows) = GraftShardCodec.footer(f)
+    val projection = GraftShardCodec.projectionFor(fileSchema, dataNames)
+    partRows = rows
+    partOrd = 0L
+    projIdx = required.fields.map { fd =>
+      if (fd.name != "_shard" && fd.name != "_pos" &&
+        projection.containsField(fd.name))
+        projection.getFieldIndex(fd.name)
+      else -1
+    }
+    metadataOnly = projection.getFieldCount == 0
+    GraftLakeScanMetrics.decodedColumns
+      .addAndGet(projection.getFieldCount.toLong): Unit
+    if (metadataOnly)
+      GraftLakeScanMetrics.metadataOnlyReads.incrementAndGet(): Unit
+    else reader = GraftShardCodec.openReader(f, projection)
+    true
+  }
+
   private var row: InternalRow = _
 
   override def next(): Boolean = {
     while (true) {
-      ord += 1L
-      if (ord >= totalRows) return false
-      val g: org.apache.parquet.example.data.Group =
-        if (metadataOnly) null
-        else {
-          val r = reader.read()
-          if (r == null) return false
-          r
+      if (partIdx < 0 || partOrd >= partRows) {
+        if (!advancePart()) return false
+      } else {
+        val ord = ordBase + partOrd
+        partOrd += 1L
+        val g: org.apache.parquet.example.data.Group =
+          if (metadataOnly) null
+          else {
+            val r = reader.read()
+            if (r == null) return false
+            r
+          }
+        // a deleted position still advances the file reader (the bytes
+        // are there; the row is dead) — it just never becomes a row
+        if (ord > Int.MaxValue || !dv.contains(ord.toInt)) {
+          val vals = new Array[Any](required.length)
+          var i = 0
+          while (i < required.length) {
+            val f = required(i)
+            vals(i) =
+              if (f.name == "_shard") shard
+              else if (f.name == "_pos") ord
+              else if (projIdx(i) < 0) null
+              else GraftShardCodec.value(g, projIdx(i), f.dataType)
+            i += 1
+          }
+          row = new GenericInternalRow(vals)
+          return true
         }
-      // a deleted position still advances the file reader (the bytes
-      // are there; the row is dead) — it just never becomes a row
-      if (ord > Int.MaxValue || !dv.contains(ord.toInt)) {
-        val vals = new Array[Any](required.length)
-        var i = 0
-        while (i < required.length) {
-          val f = required(i)
-          vals(i) =
-            if (f.name == "_shard") shard
-            else if (f.name == "_pos") ord
-            else if (projIdx(i) < 0) null
-            else GraftShardCodec.value(g, projIdx(i), f.dataType)
-          i += 1
-        }
-        row = new GenericInternalRow(vals)
-        return true
       }
     }
     false // unreachable
@@ -1721,24 +1795,36 @@ class GraftLakeChangesScan(base: GraftLakeTable,
     (vFrom + 1 to vTo).flatMap { v =>
       val preDir = GraftLakeIO.versionDir(base.dataDir, v - 1)
       val postDir = GraftLakeIO.versionDir(base.dataDir, v)
-      // deletion vectors change the LIVE row set without touching the
-      // file: a hardlink-identical shard pair only proves diff-free
+      // deletion vectors change the LIVE row set without touching any
+      // file: an identical part list only proves the shard diff-free
       // when both sides also carry the same DV entry, and the differ
       // masks each side's positions before comparing
       val preDv = GraftLakeIO.readDv(preDir)
       val postDv = GraftLakeIO.readDv(postDir)
-      val shards = GraftLakeIO.existingShards(preDir) ++
-        GraftLakeIO.existingShards(postDir)
-      shards.toSeq.sorted.flatMap { k =>
-        val pre = GraftLakeIO.shardFile(preDir, k)
-        val post = GraftLakeIO.shardFile(postDir, k)
-        val same = pre.exists() && post.exists() &&
-          java.nio.file.Files.isSameFile(pre.toPath, post.toPath) &&
-          preDv.get(k) == postDv.get(k)
-        if (same) None
+      val preParts = GraftLakeIO.allShardParts(preDir)
+      val postParts = GraftLakeIO.allShardParts(postDir)
+      def sameFile(a: java.io.File, b: java.io.File): Boolean =
+        java.nio.file.Files.isSameFile(a.toPath, b.toPath)
+      (preParts.keySet ++ postParts.keySet).toSeq.sorted.flatMap { k =>
+        val pre = preParts.getOrElse(k, Nil)
+        val post = postParts.getOrElse(k, Nil)
+        val sameDv = preDv.get(k) == postDv.get(k)
+        val prefixLen = pre.zip(post).takeWhile((sameFile _).tupled)
+          .length
+        if (prefixLen == pre.length && pre.length == post.length &&
+          sameDv)
+          None // identical part list + identical vector: diff-free
+        else if (prefixLen == pre.length && sameDv)
+          // APPEND-ONLY commit: the pre parts are an identity prefix
+          // of the post parts and the vector is unchanged — the diff
+          // is exactly the appended parts' rows as inserts, and the
+          // existing rows are never read (no DV applies: the carried
+          // vector's positions all fall inside the identical prefix)
+          Some(GraftLakeChangesPartition(Nil,
+            post.drop(pre.length).map(_.getPath), k, v, null,
+            null): InputPartition)
         else Some(GraftLakeChangesPartition(
-          if (pre.exists()) pre.getPath else null,
-          if (post.exists()) post.getPath else null,
+          pre.map(_.getPath), post.map(_.getPath),
           k, v, GraftLakeIO.dvBytes(preDv, k),
           GraftLakeIO.dvBytes(postDv, k)): InputPartition)
       }
@@ -1812,9 +1898,10 @@ class GraftLakeChangesStream(base: GraftLakeTable, out: StructType,
   override def stop(): Unit = ()
 }
 
-case class GraftLakeChangesPartition(prePath: String, postPath: String,
-    shard: Int, version: Int, preDv: Array[Byte] = null,
-    postDv: Array[Byte] = null) extends InputPartition
+case class GraftLakeChangesPartition(prePaths: Seq[String],
+    postPaths: Seq[String], shard: Int, version: Int,
+    preDv: Array[Byte] = null, postDv: Array[Byte] = null)
+    extends InputPartition
 
 class GraftLakeChangesReaderFactory(out: StructType,
     dataSchema: StructType, shardKey: String)
@@ -1838,30 +1925,37 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
   private val keyIdx = dataSchema.fieldIndex(shardKey)
 
   // each side is masked by ITS OWN version's deletion vector before
-  // diffing: a row whose position entered the post DV reads as absent
+  // diffing (positions are CONCATENATION ordinals across the part
+  // list): a row whose position entered the post DV reads as absent
   // there and emits a `delete`, exactly like a physical removal
-  private def readAll(path: String, dvB: Array[Byte]): Seq[Array[Any]] =
-    if (path == null) Nil
+  private def readAll(paths: Seq[String],
+      dvB: Array[Byte]): Seq[Array[Any]] =
+    if (paths.isEmpty) Nil
     else {
       val dv = GraftLakeIO.dvOf(dvB)
-      GraftShardCodec.readRows(new java.io.File(path), dataSchema)
+      paths.iterator.flatMap(p =>
+        GraftShardCodec.readRows(new java.io.File(p), dataSchema))
         .zipWithIndex
         .collect { case (r, i) if !dv.contains(i) => r }.toVector
     }
 
   // the POST side STREAMS (only the pre side needs indexing — the
   // asymmetry of a hash join): peak memory is one shard map + one row,
-  // not two shard copies. The handle is kept so close() releases the
-  // file even when the consumer stops early (a LIMITed CDC read).
-  private var postCloser: AutoCloseable = null
+  // not two shard copies. The handles are kept so close() releases
+  // every opened part even when the consumer stops early (a LIMITed
+  // CDC read).
+  private val postClosers =
+    scala.collection.mutable.Buffer[AutoCloseable]()
   private def postLines: Iterator[Array[Any]] =
-    if (p.postPath == null) Iterator.empty
+    if (p.postPaths.isEmpty) Iterator.empty
     else {
-      val (it, c) = GraftShardCodec.readRowsCloseable(
-        new java.io.File(p.postPath), dataSchema)
-      postCloser = c
       val dv = GraftLakeIO.dvOf(p.postDv)
-      it.zipWithIndex.collect { case (r, i) if !dv.contains(i) => r }
+      p.postPaths.iterator.flatMap { path =>
+        val (it, c) = GraftShardCodec.readRowsCloseable(
+          new java.io.File(path), dataSchema)
+        postClosers += c
+        it
+      }.zipWithIndex.collect { case (r, i) if !dv.contains(i) => r }
     }
 
   private def sameVals(a: Array[Any], b: Array[Any]): Boolean = {
@@ -1894,7 +1988,7 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
     }
     val preByKey = scala.collection.mutable.LinkedHashMap[Long,
       Array[Any]]()
-    readAll(p.prePath, p.preDv).foreach { v =>
+    readAll(p.prePaths, p.preDv).foreach { v =>
       val k = keyOf(v)
       require(!preByKey.contains(k),
         s"shard ${p.shard} v${p.version - 1}: duplicate key $k — the " +
@@ -1936,8 +2030,7 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
   override def next(): Boolean =
     if (rows.hasNext) { cur = rows.next(); true } else false
   override def get(): InternalRow = cur
-  override def close(): Unit =
-    if (postCloser != null) postCloser.close()
+  override def close(): Unit = postClosers.foreach(_.close())
 }
 
 /** Writes route every row to its group (floorMod of the shard key) in
@@ -2110,39 +2203,41 @@ private[sources] object GraftLakeCommitter {
         if (truncateFirst) GraftLakeIO.existingShards(baseDir)
         else op.fold(Set.empty[Int])(_.replacedShards)
       val carriedBase = GraftLakeIO.existingShards(baseDir).diff(dropped)
-      carriedBase.diff(staged.keySet).foreach { k =>
-        // untouched shard: hardlink carry — zero copy, and the link
-        // identity is what proves the shard diff-free for $changes
-        val src = GraftLakeIO.shardFile(baseDir, k)
-        val dst = GraftLakeIO.shardFile(build, k)
+      def link(src: java.io.File, dst: java.io.File): Unit =
         try java.nio.file.Files.createLink(dst.toPath, src.toPath): Unit
         catch { case _: UnsupportedOperationException | _: java.io.IOException =>
           java.nio.file.Files.copy(src.toPath, dst.toPath): Unit
         }
+      val baseParts = GraftLakeIO.allShardParts(baseDir)
+      // every carried shard — untouched OR appended-to — hardlinks its
+      // existing parts verbatim: published parts are immutable, so an
+      // append is O(new data), never a byte-copy of the shard. The
+      // per-part link identity is also what proves parts diff-free
+      // for $changes and position-valid for stale delta commits.
+      carriedBase.foreach { k =>
+        baseParts.getOrElse(k, Nil).foreach(f =>
+          link(f, new java.io.File(build, f.getName)))
       }
       val targetType = GraftShardCodec.messageType(writeSchema)
-      // shard merges are independent — run them across a bounded pool
-      // (a wide ingest staging hundreds of shards would otherwise
+      // shard part-writes are independent — run them across a bounded
+      // pool (a wide ingest staging hundreds of shards would otherwise
       // serialize its commit I/O on one thread)
       val merges = staged.toSeq.map { case (k, parts) => () =>
-        val dst = GraftLakeIO.shardFile(build, k)
-        val srcs =
-          (if (carriedBase.contains(k))
-            Seq(GraftLakeIO.shardFile(baseDir, k)) else Nil) ++
-            parts.sortBy(_.path).map(c => new java.io.File(c.path))
-        if (srcs.lengthCompare(1) == 0 && !carriedBase.contains(k))
-          // brand-new shard from a single task: adopt the staged file
-          // directly (the stage dir is unlinked after commit, the
-          // build's link keeps the bytes)
-          try java.nio.file.Files.createLink(dst.toPath,
-            srcs.head.toPath): Unit
-          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-            java.nio.file.Files.copy(srcs.head.toPath, dst.toPath): Unit
-          }
+        // staged rows land as ONE NEW PART after the carried parts
+        // (ordinals of existing rows never move); multiple tasks'
+        // staged files concatenate by raw row-group append — staged
+        // bytes only, the base parts are never read
+        val nextSeq =
+          if (carriedBase.contains(k))
+            GraftLakeIO.nextPartSeq(baseDir, k)
+          else 0
+        val dst = GraftLakeIO.shardPartFile(build, k, nextSeq)
+        val srcs = parts.sortBy(_.path).map(c => new java.io.File(c.path))
+        if (srcs.lengthCompare(1) == 0)
+          // single staged file: adopt it directly (the stage dir is
+          // unlinked after commit, the build's link keeps the bytes)
+          link(srcs.head, dst)
         else
-          // appended shard: raw row-group concatenation (no decode)
-          // when schemas match; Group re-encode only for
-          // schema-evolved bases
           GraftShardCodec.mergeShardFiles(dst, targetType, srcs)
       }
       if (merges.lengthCompare(2) < 0) merges.foreach(_())

@@ -246,17 +246,23 @@ class GraftLakeDvBatchWrite(table: GraftLakeTable, dataDir: String,
       while (true) {
         val headV = GraftLakeIO.latestVersion(dataDir)
         val headDir = GraftLakeIO.versionDir(dataDir, headV)
-        // position validity: a DV-touched shard's head file must
-        // still BE the snapshot's file (hardlink identity) — a
-        // concurrent rewrite/append produced a different file and the
-        // recorded ordinals may name the wrong rows there
+        // position validity: a DV-touched shard's snapshot parts must
+        // still be an identity PREFIX of the head's parts — positions
+        // are concatenation ordinals, so a concurrent APPEND (new
+        // parts after the prefix) leaves every recorded ordinal
+        // binding the same row and COMMUTES with this commit, while a
+        // rewrite/compaction (prefix broken) means the ordinals may
+        // name the wrong rows and must conflict
         newDeletes.keys.foreach { k =>
-          val snap = GraftLakeIO.shardFile(snapDir, k)
-          val head = GraftLakeIO.shardFile(headDir, k)
-          if (!snap.exists() || !head.exists() ||
-            !java.nio.file.Files.isSameFile(snap.toPath, head.toPath))
+          val snap = GraftLakeIO.shardParts(snapDir, k)
+          val head = GraftLakeIO.shardParts(headDir, k)
+          val prefixOk = snap.nonEmpty && head.length >= snap.length &&
+            snap.zip(head).forall { case (a, b) =>
+              java.nio.file.Files.isSameFile(a.toPath, b.toPath)
+            }
+          if (!prefixOk)
             throw new GraftLakeCommitConflict(
-              s"$dataDir: shard $k changed between snapshot " +
+              s"$dataDir: shard $k was rewritten between snapshot " +
                 s"v$snapshotV and head v$headV — the position " +
                 "deletes no longer bind; re-run the statement " +
                 "against the new head")
@@ -314,25 +320,25 @@ object GraftLakeMaintenance {
       val headV = GraftLakeIO.latestVersion(dataDir)
       val headDir = GraftLakeIO.versionDir(dataDir, headV)
       val dv = GraftLakeIO.readDv(headDir)
+      val headParts = GraftLakeIO.allShardParts(headDir)
       val targets = dv.toSeq.collect {
         case (k, bm) if {
-          val f = GraftLakeIO.shardFile(headDir, k)
-          f.exists() && {
-            val rows = GraftShardCodec.footer(f)._2
-            rows > 0L && bm.getCardinality.toDouble / rows >= threshold
-          }
+          val rows = headParts.getOrElse(k, Nil).iterator
+            .map(f => GraftShardCodec.footer(f)._2).sum
+          rows > 0L && bm.getCardinality.toDouble / rows >= threshold
         } => k
       }.sorted
       if (targets.isEmpty) return Nil
       val build = GraftLakeIO.newBuildDir(dataDir)
       try {
-        val targetSet = targets.toSet
+        val targetFiles = targets
+          .flatMap(k => headParts.getOrElse(k, Nil))
+          .map(_.getName).toSet
         Option(headDir.listFiles()).getOrElse(Array.empty[java.io.File])
           .filter { f =>
             f.isFile && f.getName != "_commit" &&
               f.getName != GraftLakeIO.dvFile(headDir).getName &&
-              !targetSet.exists(k =>
-                f.getName == GraftLakeIO.shardFile(headDir, k).getName)
+              !targetFiles.contains(f.getName)
           }
           .foreach { f =>
             val dst = new java.io.File(build, f.getName)
@@ -343,22 +349,36 @@ object GraftLakeMaintenance {
                 java.nio.file.Files.copy(f.toPath, dst.toPath): Unit
             }
           }
+        // each PART rewrites under its OWN schema (no value
+        // conversion, evolution state preserved): the shard's vector
+        // positions are concatenation ordinals, sliced per part by
+        // the running ordinal base; a part left with zero live rows
+        // is dropped entirely (seq numbers legitimately go sparse)
         val rewrites = targets.map { k => () =>
-          val src = GraftLakeIO.shardFile(headDir, k)
-          val (fileSchema, _) = GraftShardCodec.footer(src)
           val mask = dv(k)
-          val reader = GraftShardCodec.openReader(src, fileSchema)
-          val writer = GraftShardCodec.openWriter(
-            GraftLakeIO.shardFile(build, k), fileSchema)
-          try {
-            var ord = 0
-            var g = reader.read()
-            while (g != null) {
-              if (!mask.contains(ord)) writer.write(g)
-              ord += 1
-              g = reader.read()
+          var ordBase = 0L
+          GraftLakeIO.shardParts(headDir, k).foreach { src =>
+            val (fileSchema, rows) = GraftShardCodec.footer(src)
+            val live = (0L until rows).count(o =>
+              ordBase + o > Int.MaxValue ||
+                !mask.contains((ordBase + o).toInt))
+            if (live > 0) {
+              val reader = GraftShardCodec.openReader(src, fileSchema)
+              val writer = GraftShardCodec.openWriter(
+                new java.io.File(build, src.getName), fileSchema)
+              try {
+                var ord = ordBase
+                var g = reader.read()
+                while (g != null) {
+                  if (ord > Int.MaxValue || !mask.contains(ord.toInt))
+                    writer.write(g)
+                  ord += 1
+                  g = reader.read()
+                }
+              } finally { reader.close(); writer.close() }
             }
-          } finally { reader.close(); writer.close() }
+            ordBase += rows
+          }
         }
         if (rewrites.lengthCompare(2) < 0) rewrites.foreach(_())
         else {

@@ -155,13 +155,20 @@ class LakeDeleteVectorSpec extends SparkSpec {
       s"UPDATE $tbl SET score = score + 1 WHERE user_id IN (2, 7)") // v2
     assert(GraftLakeIO.latestVersion(dir) === 2)
     assert(GraftLakeIO.commitOperation(dir, 2) === "update")
-    // only the shards holding users 2 (shard 2) and 7 (shard 3) may
-    // change; shards 0 and 1 must be the v1 files by hardlink identity
+    // EVERY base part hardlink-carries — even the touched shards'
+    // (multi-part layout: the replacement rows land as NEW parts
+    // after the base, so no published byte is ever copied)
     val v2Files = shardIdentity(dir, 2)
-    Seq(0, 1).foreach(k => assert(v2Files(k) === v1Files(k),
-      s"untouched shard $k must hardlink-carry"))
-    Seq(2, 3).foreach(k => assert(v2Files(k) !== v1Files(k),
-      s"updated shard $k must carry the appended replacement row"))
+    (0 to 3).foreach(k => assert(v2Files(k) === v1Files(k),
+      s"shard $k's base part must hardlink-carry"))
+    Seq(2, 3).foreach { k =>
+      val parts = GraftLakeIO.shardParts(
+        GraftLakeIO.versionDir(dir, 2), k)
+      assert(parts.length === 2,
+        s"updated shard $k must carry its replacement as a new part")
+    }
+    Seq(0, 1).foreach(k => assert(GraftLakeIO.shardParts(
+      GraftLakeIO.versionDir(dir, 2), k).length === 1))
     // old positions are dead, replacements appended AFTER base rows
     val dv2 = GraftLakeIO.readDv(GraftLakeIO.versionDir(dir, 2))
     assert(dv2(2).getCardinality === 1 && dv2(3).getCardinality === 1)
