@@ -111,14 +111,43 @@ object GraftShardCodec {
   def groupFactory(schema: MessageType): SimpleGroupFactory =
     new SimpleGroupFactory(schema)
 
+  /** Published shard parts are IMMUTABLE (commits only ever hardlink
+    * or create files), so footer metadata is memoized on the file's
+    * identity — (fileKey = device+inode, size, mtime) — across paths,
+    * versions, and queries. Without this, every commit's live-row
+    * stamp and every scan's statistics estimate would re-open O(total
+    * parts) footers: measured super-linear append-commit cost as
+    * parts accumulate (BenchDml). Bounded LRU; hardlinked copies of
+    * one part share the entry (same inode). The mtime term guards the
+    * rare inode-reuse-after-delete case. */
+  private val footerMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(Object, Long, Long),
+      (MessageType, Long)](256, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Object, Long, Long),
+            (MessageType, Long)]): Boolean = size() > 8192
+    })
+
+  private def identityKey(file: java.io.File): (Object, Long, Long) = {
+    val a = java.nio.file.Files.readAttributes(file.toPath,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    (a.fileKey(), a.size(), a.lastModifiedTime().toMillis)
+  }
+
   /** Footer-only metadata of a shard file: (schema, total row count).
-    * One small tail read — never touches data pages. */
+    * At most one small tail read per immutable part — memoized on
+    * file identity, never touches data pages. */
   def footer(file: java.io.File): (MessageType, Long) = {
+    val key = identityKey(file)
+    val hit = footerMemo.get(key)
+    if (hit != null) return hit
     val r = ParquetFileReader.open(new LocalInputFile(file.toPath))
     try {
       val md = r.getFooter
       val n = md.getBlocks.stream().mapToLong(_.getRowCount).sum()
-      (md.getFileMetaData.getSchema, n)
+      val v = (md.getFileMetaData.getSchema, n)
+      footerMemo.put(key, v): Unit
+      v
     } finally r.close()
   }
 
