@@ -58,10 +58,29 @@ import graft.Q
   * the affected groups' rows + the source batch, and commit
   * links/moves O(shards) files.
   */
-class GraftLakeCatalog extends TableCatalog with SupportsNamespaces {
+class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+
+  /** Maintenance stored procedures (`CALL graft_lake.system.…`) —
+    * see [[GraftLakeProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"no such procedure namespace: " +
+        ident.namespace().mkString("."))
+    GraftLakeProcedures.load(root, ident.name())
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftLakeProcedures.Names
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -2882,6 +2901,66 @@ object Lake {
        WHERE NOT (user_id % 3 = 0)
        ORDER BY user_id"""
 
+  /** The SQL MAINTENANCE surface end-to-end — `CALL graft_lake
+    * .system.optimize(...)` ([[GraftLakeProcedures]], Spark 4 DSv2
+    * stored procedures; the Trino-on-Iceberg `ALTER TABLE EXECUTE
+    * optimize` verb): a merge-on-read table accumulates append parts
+    * AND deletion vectors, ONE literal SQL CALL compacts both phases,
+    * the query itself asserts the procedure reported real work and
+    * the sidecars actually cleared, and the read-back must equal the
+    * oracle's flat recompute — maintenance is value-invisible or it
+    * is broken. */
+  val lakeCallOptimize: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val name = s"dvc_$fp"
+    val tbl = s"graft_lake.lake.$name"
+    Tables.events(s, dir)
+      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), min("d").as("cohort_d"))
+      .createOrReplaceTempView("graft_lake_dvc_b")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl
+              (user_id BIGINT, n_events BIGINT, cohort_d DATE)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+                'delete_mode'='merge-on-read')""")
+    // two appends (key-parity split: every shard receives both
+    // batches -> two parts per shard) + one MoR delete (-> DVs)
+    s.sql(s"""INSERT INTO $tbl SELECT user_id, n_events, cohort_d
+              FROM graft_lake_dvc_b WHERE user_id % 16 < 8""") // v1
+    s.sql(s"""INSERT INTO $tbl SELECT user_id, n_events, cohort_d
+              FROM graft_lake_dvc_b WHERE user_id % 16 >= 8""") // v2
+    s.sql(s"DELETE FROM $tbl WHERE user_id % 5 = 0") // v3
+    val res = s.sql(
+      s"""CALL graft_lake.system.optimize(table => '$name',
+          dv_threshold => 0.01, max_parts => 1)""").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    require(res("deletion_vectors") > 0 && res("part_files") > 0,
+      s"CALL optimize must report both phases compacting, got $res")
+    val dataDir = new java.io.File(
+      s.conf.get("spark.sql.catalog.graft_lake.path"), name).getPath
+    val headDir = GraftLakeIO.versionDir(dataDir,
+      GraftLakeIO.latestVersion(dataDir))
+    require(GraftLakeIO.readDv(headDir).isEmpty,
+      "optimize must clear every deletion vector at this threshold")
+    require(GraftLakeIO.existingShards(headDir).forall(k =>
+      GraftLakeIO.shardParts(headDir, k).lengthCompare(1) == 0),
+      "optimize must merge every shard to one part")
+    s.sql(s"""SELECT user_id, n_events, cohort_d FROM $tbl
+              ORDER BY user_id""")
+  }
+
+  val lakeCallOptimizeOracle: String =
+    """WITH b AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+             AS cohort_d
+         FROM events GROUP BY user_id)
+       SELECT user_id, n_events, cohort_d FROM b
+       WHERE NOT (user_id % 5 = 0)
+       ORDER BY user_id"""
+
   /** MERGE-ON-READ MERGE — the full three-branch upsert through the
     * delta path: `merge_mode=merge-on-read` plans matched-delete as a
     * position-only bitmap entry, matched-update as delete+reinsert,
@@ -3627,6 +3706,7 @@ object Lake {
     "lake_update_vectors" -> lakeUpdateVectors,
     "lake_merge_mor" -> lakeMergeMor,
     "lake_dv_compaction" -> lakeDvCompaction,
+    "lake_call_optimize" -> lakeCallOptimize,
     "lake_stats_skipping" -> lakeStatsSkipping,
     "lake_string_skipping" -> lakeStringSkipping,
     "lake_table_changes" -> lakeTableChanges,
@@ -3651,6 +3731,7 @@ object Lake {
     "lake_update_vectors" -> lakeUpdateVectorsOracle,
     "lake_merge_mor" -> lakeMergeMorOracle,
     "lake_dv_compaction" -> lakeDvCompactionOracle,
+    "lake_call_optimize" -> lakeCallOptimizeOracle,
     "lake_stats_skipping" -> lakeStatsSkippingOracle,
     "lake_string_skipping" -> lakeStringSkippingOracle,
     "lake_table_changes" -> lakeTableChangesOracle,

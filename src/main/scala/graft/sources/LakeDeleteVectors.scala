@@ -412,4 +412,106 @@ object GraftLakeMaintenance {
     }
     Nil // unreachable
   }
+
+  /** PART-COUNT compaction — the file-compaction half of `OPTIMIZE`
+    * (Iceberg `rewrite_data_files` bin-packing): shards that
+    * accumulated more than `maxParts` part files from append commits
+    * merge ADJACENT runs of identical-schema parts into one file by
+    * raw row-group concatenation (`ParquetFileWriter.appendFile` —
+    * byte movement, zero decode); schema boundaries stay part
+    * boundaries (evolution state preserved, still no re-encode
+    * anywhere). Raw append preserves row order, so the shard's
+    * CONCATENATION sequence — and with it `_pos` row ids and every
+    * deletion-vector position — is untouched: the `_dv.json` sidecar
+    * carries verbatim. A merged run takes its FIRST part's seq (the
+    * numeric order, and thus the read order, is preserved; seq
+    * numbers go sparse). Commits as `optimize` with CAS retry;
+    * returns the compacted shard ids. */
+  def compactParts(dataDir: String, maxParts: Int = 4): Seq[Int] = {
+    require(maxParts >= 1, s"maxParts must be >= 1, got $maxParts")
+    var attempts = 0
+    while (true) {
+      val headV = GraftLakeIO.latestVersion(dataDir)
+      val headDir = GraftLakeIO.versionDir(dataDir, headV)
+      val partsAll = GraftLakeIO.allShardParts(headDir)
+      val targets = partsAll.collect {
+        case (k, parts) if parts.lengthCompare(maxParts) > 0 => k
+      }.toSeq.sorted
+      if (targets.isEmpty) return Nil
+      val build = GraftLakeIO.newBuildDir(dataDir)
+      try {
+        val targetFiles = targets
+          .flatMap(k => partsAll.getOrElse(k, Nil))
+          .map(_.getName).toSet
+        Option(headDir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName != "_commit" &&
+            !targetFiles.contains(f.getName))
+          .foreach { f =>
+            val dst = new java.io.File(build, f.getName)
+            try java.nio.file.Files.createLink(dst.toPath, f.toPath): Unit
+            catch {
+              case _: UnsupportedOperationException |
+                  _: java.io.IOException =>
+                java.nio.file.Files.copy(f.toPath, dst.toPath): Unit
+            }
+          }
+        val merges = targets.map { k => () =>
+          val parts = partsAll(k)
+          // adjacent identical-schema runs (footer schema equality)
+          val runs = parts.foldLeft(
+            List.empty[List[(java.io.File,
+              org.apache.parquet.schema.MessageType)]]) { (acc, f) =>
+            val s = GraftShardCodec.footer(f)._1
+            acc match {
+              case run :: rest if run.head._2 == s =>
+                (run :+ (f -> s)) :: rest
+              case _ => List(f -> s) :: acc
+            }
+          }.reverse
+          runs.foreach { run =>
+            val dst = new java.io.File(build, run.head._1.getName)
+            if (run.lengthCompare(1) == 0)
+              try java.nio.file.Files.createLink(dst.toPath,
+                run.head._1.toPath): Unit
+              catch {
+                case _: UnsupportedOperationException |
+                    _: java.io.IOException =>
+                  java.nio.file.Files.copy(run.head._1.toPath,
+                    dst.toPath): Unit
+              }
+            else GraftShardCodec.mergeShardFiles(dst, run.head._2,
+              run.map(_._1))
+          }
+        }
+        if (merges.lengthCompare(2) < 0) merges.foreach(_())
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(merges.length,
+              Runtime.getRuntime.availableProcessors()))
+          try {
+            val futures = merges.map(m =>
+              pool.submit(new java.util.concurrent.Callable[Unit] {
+                override def call(): Unit = m()
+              }))
+            futures.foreach(_.get())
+          } finally pool.shutdown()
+        }
+        GraftLakeIO.writeCommitMeta(build,
+          GraftLakeIO.nextCommitStamp(dataDir, headV), "optimize")
+        GraftLakeIO.commitVersion(dataDir, headV, build): Unit
+        return targets
+      } catch {
+        case _: GraftLakeCommitConflict if attempts < 5 =>
+          attempts += 1 // lost the CAS race: re-plan on the new head
+        case e: Throwable =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          if (build.exists()) rm(build)
+          throw e
+      }
+    }
+    Nil // unreachable
+  }
 }

@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+  ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Table-maintenance STORED PROCEDURES — `CALL graft_lake.system.…`
+  * through Spark 4's DSv2 `ProcedureCatalog` stack, the SQL surface
+  * Trino-on-Iceberg exposes as `ALTER TABLE … EXECUTE optimize` /
+  * `CALL system.expire_snapshots` / `rollback_to_snapshot` /
+  * `remove_orphan_files` (reference scope: the demo's tables live in
+  * engine-managed storage, and these are the engine-managed-storage
+  * maintenance verbs). Spark binds and coerces the arguments
+  * (positional or named, with declared defaults), the procedure runs
+  * driver-side against the CAS commit protocol, and the result comes
+  * back as ordinary rows via a [[LocalScan]].
+  *
+  *  - `optimize(table, dv_threshold, max_parts)` — deletion-vector
+  *    compaction then part-count compaction
+  *    ([[GraftLakeMaintenance]]); one result row per phase.
+  *  - `expire_snapshots(table, keep)` — drop history older than the
+  *    newest `keep` versions; one row per surviving version.
+  *  - `rollback_to_version(table, version)` — restore-as-new-commit;
+  *    returns the new head.
+  *  - `vacuum(table, older_than_ms)` — remove crash debris (stale
+  *    `_build_`/`_stage_` dirs, above-pointer orphan versions); one
+  *    row per removed artifact. */
+object GraftLakeProcedures {
+
+  val Names: Seq[String] =
+    Seq("optimize", "expire_snapshots", "rollback_to_version", "vacuum")
+
+  /** Resolve the `table` argument ("tbl" or "lake.tbl") to its data
+    * dir under the catalog root, refusing unknown tables loudly. */
+  private def dataDir(root: String, table: String): String = {
+    val bare = table.stripPrefix("lake.")
+    require(new java.io.File(root, s"$bare.lake.json").exists(),
+      s"no such lake table: $table")
+    new java.io.File(root, bare).getPath
+  }
+
+  private def str(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def proc(pname: String, doc: String,
+      params: Seq[ProcedureParameter], out: StructType)(
+      body: InternalRow => Seq[InternalRow]): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = pname
+      override def description(): String = doc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = pname
+          override def description(): String = doc
+          override def parameters(): Array[ProcedureParameter] =
+            params.toArray
+          // maintenance mutates table state — never cacheable
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] = {
+            val resultRows = body(input).toArray
+            java.util.List.of[Scan](new LocalScan {
+              override def rows(): Array[InternalRow] = resultRows
+              override def readSchema(): StructType = out
+              override def description(): String = s"CALL $pname"
+            }).iterator()
+          }
+        }
+    }
+
+  def load(root: String, name: String): UnboundProcedure = name match {
+    case "optimize" => proc("optimize",
+      "deletion-vector compaction + part-count compaction",
+      Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("dv_threshold", DoubleType)
+          .defaultValue("0.1").build(),
+        ProcedureParameter.in("max_parts", IntegerType)
+          .defaultValue("4").build()),
+      StructType(Seq(
+        StructField("phase", StringType, nullable = false),
+        StructField("n_shards_compacted", IntegerType,
+          nullable = false),
+        StructField("shards", StringType, nullable = false)))) { in =>
+      val dir = dataDir(root, in.getUTF8String(0).toString)
+      val dv = GraftLakeMaintenance
+        .compactDeletionVectors(dir, in.getDouble(1))
+      val parts = GraftLakeMaintenance.compactParts(dir, in.getInt(2))
+      Seq(
+        new GenericInternalRow(Array[Any](str("deletion_vectors"),
+          dv.length, str(dv.mkString(",")))),
+        new GenericInternalRow(Array[Any](str("part_files"),
+          parts.length, str(parts.mkString(",")))))
+    }
+
+    case "expire_snapshots" => proc("expire_snapshots",
+      "drop history older than the newest `keep` versions",
+      Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("keep", IntegerType)
+          .defaultValue("1").build()),
+      StructType(Seq(
+        StructField("surviving_version", IntegerType,
+          nullable = false)))) { in =>
+      val dir = dataDir(root, in.getUTF8String(0).toString)
+      GraftLakeIO.expireSnapshots(dir, in.getInt(1))
+        .map(v => new GenericInternalRow(Array[Any](v)))
+    }
+
+    case "rollback_to_version" => proc("rollback_to_version",
+      "restore an earlier snapshot as a NEW commit (history intact)",
+      Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("version", IntegerType).build()),
+      StructType(Seq(
+        StructField("new_head", IntegerType, nullable = false)))) { in =>
+      val dir = dataDir(root, in.getUTF8String(0).toString)
+      val head = GraftLakeIO.rollbackToVersion(dir, in.getInt(1))
+      Seq(new GenericInternalRow(Array[Any](head)))
+    }
+
+    case "vacuum" => proc("vacuum",
+      "remove crash debris: stale _build_/_stage_ dirs, orphan versions",
+      Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("older_than_ms", LongType)
+          .defaultValue("600000").build()),
+      StructType(Seq(
+        StructField("removed", StringType, nullable = false)))) { in =>
+      val dir = dataDir(root, in.getUTF8String(0).toString)
+      GraftLakeIO.vacuumOrphans(dir, in.getLong(1))
+        .map(n => new GenericInternalRow(Array[Any](str(n))))
+    }
+
+    case other => throw new IllegalArgumentException(
+      s"no such procedure: system.$other (have: " +
+        s"${Names.mkString(", ")})")
+  }
+}
