@@ -217,8 +217,15 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     * snapshot (0 = the empty pre-insert table). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = loadTable(ident).asInstanceOf[GraftLakeTable]
-    val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
-      s"lake version must be an integer, got '$version'"))
+    // `VERSION AS OF` accepts a version id or a NAMED TAG (Iceberg
+    // tags / Trino `FOR VERSION AS OF 'name'`): non-numeric strings
+    // resolve through the table's `_refs.json`
+    val v = version.toIntOption.getOrElse {
+      GraftLakeIO.readRefs(tableDir(ident.name()).getPath)
+        .getOrElse(version, throw new IllegalArgumentException(
+          s"${ident.name()}: '$version' is neither a version id " +
+            "nor a known tag"))
+    }
     val latest = GraftLakeIO.latestVersion(tableDir(ident.name()).getPath)
     require(v >= 0 && v <= latest,
       s"${ident.name()}: version $v out of range 0..$latest")
@@ -967,8 +974,67 @@ object GraftLakeIO {
     f.delete(): Unit
   }
 
+  // ---- NAMED SNAPSHOT TAGS (`_refs.json` at the table root) ----
+  // Iceberg tags / Trino `FOR VERSION AS OF 'name'`: a tag is a named
+  // pointer to a committed version. Tagged snapshots are RETAINED by
+  // expire_snapshots (the whole point of tagging — pin an audited
+  // state while history around it ages out). Mutations run under the
+  // table commit lock; the file swaps atomically.
+
+  def refsFile(dataDir: String): java.io.File =
+    new java.io.File(dataDir, "_refs.json")
+
+  def readRefs(dataDir: String): Map[String, Int] = {
+    val f = refsFile(dataDir)
+    if (!f.exists()) return Map.empty
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readString(f.toPath))
+    val out = Map.newBuilder[String, Int]
+    root.properties().forEach(e => out += e.getKey -> e.getValue.asInt())
+    out.result()
+  }
+
+  private def writeRefs(dataDir: String, m: Map[String, Int]): Unit = {
+    val f = refsFile(dataDir)
+    if (m.isEmpty) { f.delete(): Unit; return }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (tag, v) =>
+      root.put(tag, v): Unit
+    }
+    val tmp = new java.io.File(dataDir,
+      s"_refs.json.tmp${ProcessHandle.current().pid()}")
+    java.nio.file.Files.writeString(tmp.toPath,
+      om.writeValueAsString(root))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  def createTag(dataDir: String, tag: String, version: Int): Unit =
+    withCommitLock(dataDir) {
+      require(tag.nonEmpty && tag.toIntOption.isEmpty,
+        s"tag name '$tag' must be non-empty and non-numeric " +
+          "(numeric strings resolve as version ids)")
+      val refs = readRefs(dataDir)
+      require(!refs.contains(tag),
+        s"$dataDir: tag '$tag' already exists (at v${refs(tag)})")
+      require(version >= 1 && version <= latestVersion(dataDir) &&
+        versionDir(dataDir, version).exists(),
+        s"$dataDir: cannot tag v$version — not a surviving snapshot")
+      writeRefs(dataDir, refs.updated(tag, version))
+    }
+
+  def dropTag(dataDir: String, tag: String): Boolean =
+    withCommitLock(dataDir) {
+      val refs = readRefs(dataDir)
+      if (!refs.contains(tag)) false
+      else { writeRefs(dataDir, refs - tag); true }
+    }
+
   /** Expire history: drop every snapshot older than the newest `keep`
-    * (the Iceberg `expire_snapshots` maintenance op). Safe against the
+    * (the Iceberg `expire_snapshots` maintenance op) — EXCEPT tagged
+    * snapshots, which a tag pins until dropped. Safe against the
     * hardlink sharing — deleting a version dir unlinks names, never
     * bytes still reachable from retained versions. Returns the
     * surviving version ids; expired versions then fail time travel
@@ -976,7 +1042,9 @@ object GraftLakeIO {
   def expireSnapshots(dataDir: String, keep: Int): Seq[Int] = {
     require(keep >= 1, "must keep at least the latest snapshot")
     val latest = latestVersion(dataDir)
-    (1 to latest - keep).foreach(v => rmTree(versionDir(dataDir, v)))
+    val pinned = readRefs(dataDir).values.toSet
+    (1 to latest - keep).filterNot(pinned)
+      .foreach(v => rmTree(versionDir(dataDir, v)))
     (1 to latest).filter(versionDir(dataDir, _).exists())
   }
 
@@ -2635,6 +2703,47 @@ object Lake {
        FROM ev GROUP BY user_id
        ORDER BY version, user_id"""
 
+  /** NAMED SNAPSHOT TAGS surviving retention (Iceberg tags / Trino
+    * `FOR VERSION AS OF 'name'`): the pre-merge state is tagged, an
+    * `expire_snapshots(keep => 1)` then ages out everything untagged
+    * below the head — and the tagged snapshot must STILL read back
+    * exactly, resolved by name through `VERSION AS OF 'pre_merge'`.
+    * The oracle recomputes both the pinned pre-merge state and the
+    * head from raw events, so a pass proves the tag pins real
+    * immutable history, not a name for whatever survives. */
+  val lakeTagTravel: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val name = s"tag_$fp"
+    val tbl = s"graft_lake.lake.$name"
+    setupFirstSeen(s, dir, tbl) // v1 INSERT, v2 MERGE
+    s.sql(s"""CALL graft_lake.system.create_tag('$name', 'pre_merge',
+        version => 1)""").collect()
+    // keep=1 would drop v1 — the tag must retain it
+    val surviving = s.sql(s"""CALL graft_lake.system.expire_snapshots(
+        '$name', keep => 1)""").collect().map(_.getInt(0)).toSeq
+    require(surviving == Seq(1, 2),
+      s"tagged v1 must survive expiry, got $surviving")
+    s.sql(s"""SELECT 'head' AS ref, user_id, cohort_d FROM $tbl
+              UNION ALL
+              SELECT 'pre_merge', user_id, cohort_d
+              FROM $tbl VERSION AS OF 'pre_merge'
+              ORDER BY ref, user_id""")
+  }
+
+  val lakeTagTravelOracle: String =
+    """WITH ev AS (
+         SELECT user_id,
+           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+           day(CAST(ts AS TIMESTAMP)) AS dom
+         FROM events)
+       SELECT 'head' AS ref, user_id, min(d) AS cohort_d
+       FROM ev GROUP BY user_id
+       UNION ALL
+       SELECT 'pre_merge', user_id, min(d)
+       FROM ev WHERE dom <= 15 GROUP BY user_id
+       ORDER BY ref, user_id"""
+
   /** SQL `DELETE FROM` + `UPDATE` through the same group-based
     * row-level machinery — the rest of Trino's DML surface, oracled:
     * a per-user summary table is loaded, a DELETE removes every 7th
@@ -3707,6 +3816,7 @@ object Lake {
     "lake_merge_mor" -> lakeMergeMor,
     "lake_dv_compaction" -> lakeDvCompaction,
     "lake_call_optimize" -> lakeCallOptimize,
+    "lake_tag_travel" -> lakeTagTravel,
     "lake_stats_skipping" -> lakeStatsSkipping,
     "lake_string_skipping" -> lakeStringSkipping,
     "lake_table_changes" -> lakeTableChanges,
@@ -3732,6 +3842,7 @@ object Lake {
     "lake_merge_mor" -> lakeMergeMorOracle,
     "lake_dv_compaction" -> lakeDvCompactionOracle,
     "lake_call_optimize" -> lakeCallOptimizeOracle,
+    "lake_tag_travel" -> lakeTagTravelOracle,
     "lake_stats_skipping" -> lakeStatsSkippingOracle,
     "lake_string_skipping" -> lakeStringSkippingOracle,
     "lake_table_changes" -> lakeTableChangesOracle,

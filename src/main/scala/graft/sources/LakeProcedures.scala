@@ -32,7 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftLakeProcedures {
 
   val Names: Seq[String] =
-    Seq("optimize", "expire_snapshots", "rollback_to_version", "vacuum")
+    Seq("optimize", "expire_snapshots", "rollback_to_version",
+      "vacuum", "create_tag", "drop_tag")
 
   /** Resolve the `table` argument ("tbl" or "lake.tbl") to its data
     * dir under the catalog root, refusing unknown tables loudly. */
@@ -133,6 +134,39 @@ object GraftLakeProcedures {
       val dir = dataDir(root, in.getUTF8String(0).toString)
       GraftLakeIO.vacuumOrphans(dir, in.getLong(1))
         .map(n => new GenericInternalRow(Array[Any](str(n))))
+    }
+
+    case "create_tag" => proc("create_tag",
+      "pin a named tag to a snapshot (tagged snapshots survive " +
+        "expire_snapshots; read back via VERSION AS OF 'tag')",
+      Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("tag", StringType).build(),
+        ProcedureParameter.in("version", IntegerType)
+          .defaultValue("-1").build()), // -1 = current head
+      StructType(Seq(
+        StructField("tag", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false)))) { in =>
+      val dir = dataDir(root, in.getUTF8String(0).toString)
+      val tag = in.getUTF8String(1).toString
+      val v = in.getInt(2) match {
+        case -1 => GraftLakeIO.latestVersion(dir)
+        case x => x
+      }
+      GraftLakeIO.createTag(dir, tag, v)
+      Seq(new GenericInternalRow(Array[Any](str(tag), v)))
+    }
+
+    case "drop_tag" => proc("drop_tag",
+      "drop a named tag (its snapshot becomes expirable again)",
+      Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("tag", StringType).build()),
+      StructType(Seq(
+        StructField("dropped", BooleanType, nullable = false)))) { in =>
+      val dir = dataDir(root, in.getUTF8String(0).toString)
+      val ok = GraftLakeIO.dropTag(dir, in.getUTF8String(1).toString)
+      Seq(new GenericInternalRow(Array[Any](ok)))
     }
 
     case other => throw new IllegalArgumentException(

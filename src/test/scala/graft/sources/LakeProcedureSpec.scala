@@ -85,6 +85,51 @@ class LakeProcedureSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("tags: VERSION AS OF 'name' resolves through _refs.json, " +
+      "expire_snapshots RETAINS tagged snapshots, drop_tag makes " +
+      "them expirable again") {
+    val tbl = "graft_lake.lake.spec_call_tag"
+    Lake.registerCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, score BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='2')""")
+    spark.sql(s"INSERT INTO $tbl VALUES (0, 0)") // v1
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 1)") // v2
+    spark.sql(s"INSERT INTO $tbl VALUES (2, 2)") // v3
+    val r = spark.sql(s"""CALL graft_lake.system.create_tag(
+        'spec_call_tag', 'audit', version => 1)""").head
+    assert((r.getString(0), r.getInt(1)) === ("audit", 1))
+    // default version pins the current head
+    assert(spark.sql(s"""CALL graft_lake.system.create_tag(
+        'spec_call_tag', 'latest_good')""").head.getInt(1) === 3)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $tbl VERSION AS OF 'audit'")
+      .head.getLong(0) === 1L)
+    // expiry keeps the newest 1 AND every tagged snapshot
+    val surviving = spark.sql(s"""CALL graft_lake.system
+        .expire_snapshots('spec_call_tag', keep => 1)""").collect()
+      .map(_.getInt(0)).toSeq
+    assert(surviving === Seq(1, 3), "v2 expired, tagged v1 retained")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $tbl VERSION AS OF 'audit'")
+      .head.getLong(0) === 1L)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 2").collect()
+    }
+    // dropping the tag releases the pin
+    assert(spark.sql(s"""CALL graft_lake.system.drop_tag(
+        'spec_call_tag', 'audit')""").head.getBoolean(0))
+    val surviving2 = spark.sql(s"""CALL graft_lake.system
+        .expire_snapshots('spec_call_tag', keep => 1)""").collect()
+      .map(_.getInt(0)).toSeq
+    assert(surviving2 === Seq(3))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 'audit'").collect()
+    }
+    assert(e.getMessage.contains("neither a version id nor a known"))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("CALL expire_snapshots / rollback_to_version / vacuum round " +
       "the maintenance surface; SHOW PROCEDURES lists them") {
     val tbl = "graft_lake.lake.spec_call_life"
