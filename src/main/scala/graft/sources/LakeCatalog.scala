@@ -140,6 +140,61 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         .asInstanceOf[GraftLakeTable]
       return new GraftLakeChangesTable(base)
     }
+    // `<name>$files` / `<name>$refs` — the storage/observability
+    // metadata tables (Trino-on-Iceberg's `table$files` / `table$refs`
+    // idiom): the head snapshot's part-file inventory (footer metadata
+    // only, no data pages) and the named-tag registry. Driver-built
+    // rows through a LocalScan — O(parts)/O(tags) metadata, never a
+    // data path.
+    if (isLake(ident.namespace()) && ident.name().endsWith("$files")) {
+      val base = loadTable(Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("$files")))
+        .asInstanceOf[GraftLakeTable]
+      val out = StructType(Seq(
+        StructField("shard", IntegerType, nullable = false),
+        StructField("seq", IntegerType, nullable = false),
+        StructField("file", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("bytes", LongType, nullable = false),
+        StructField("n_deleted", LongType, nullable = false)))
+      return new GraftLakeLocalTable(s"${base.tableName}$$files", out,
+        () => {
+          val vdir = GraftLakeIO.versionDir(base.dataDir,
+            GraftLakeIO.latestVersion(base.dataDir))
+          val dv = GraftLakeIO.readDv(vdir)
+          GraftLakeIO.allShardParts(vdir).toSeq.sortBy(_._1)
+            .flatMap { case (k, parts) =>
+              parts.zipWithIndex.map { case (f, i) =>
+                val seq = "\\.p(\\d+)\\.parquet$".r
+                  .findFirstMatchIn(f.getName)
+                  .map(_.group(1).toInt).getOrElse(0)
+                // the shard-level deletion count rides on the first
+                // part row (vector positions span the concatenation)
+                val del = if (i == 0)
+                  dv.get(k).map(_.getCardinality.toLong).getOrElse(0L)
+                else 0L
+                new GenericInternalRow(Array[Any](k, seq,
+                  UTF8String.fromString(f.getName),
+                  GraftShardCodec.footer(f)._2, f.length(), del))
+                  : InternalRow
+              }
+            }.toArray
+        })
+    }
+    if (isLake(ident.namespace()) && ident.name().endsWith("$refs")) {
+      val name = ident.name().stripSuffix("$refs")
+      if (!descriptorFile(name).exists())
+        throw new NoSuchTableException(ident)
+      val out = StructType(Seq(
+        StructField("tag", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false)))
+      return new GraftLakeLocalTable(s"$name$$refs", out,
+        () => GraftLakeIO.readRefs(tableDir(name).getPath)
+          .toSeq.sortBy(_._1).map { case (tag, v) =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(tag), v)): InternalRow
+          }.toArray)
+    }
     if (!isLake(ident.namespace()) || !descriptorFile(ident.name()).exists())
       throw new NoSuchTableException(ident)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1807,6 +1862,26 @@ class GraftLakePartitionReader(paths: Seq[String], shard: Int,
   override def close(): Unit = if (reader != null) reader.close()
 }
 
+/** Driver-computed metadata table: rows are (re)built at scan time
+  * and served through Spark's [[org.apache.spark.sql.connector.read
+  * .LocalScan]] fast path (LocalTableScanExec — no tasks, no
+  * partitions). Powers `$files` and `$refs`. */
+class GraftLakeLocalTable(tname: String, out: StructType,
+    build: () => Array[InternalRow]) extends Table with SupportsRead {
+  override def name(): String = tname
+  override def schema(): StructType = out
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      private val built = build()
+      override def rows(): Array[InternalRow] = built
+      override def readSchema(): StructType = out
+      override def description(): String = tname
+    }
+}
+
 /** The `<table>$changes` CHANGE-FEED metadata table — the connector
   * form of [[Lake.tableChanges]] (Iceberg's `db.tbl.changes` /
   * Delta's `readChangeFeed` idiom), schema
@@ -2702,6 +2777,45 @@ object Lake {
        SELECT CAST(2 AS BIGINT), user_id, min(d)
        FROM ev GROUP BY user_id
        ORDER BY version, user_id"""
+
+  /** The `$files` STORAGE-INVENTORY metadata table (Trino-on-Iceberg
+    * `table$files`): per part file — shard, seq, row count (footer
+    * metadata), bytes, deletion count. The query aggregates the
+    * PHYSICAL inventory per shard and the oracle recomputes the
+    * LOGICAL partition of the same data from raw events — rows per
+    * hash shard AND files per shard (= how many of the two
+    * key-parity insert batches actually route users into that
+    * shard) — so a pass proves the reported storage layout is exactly
+    * the layout the routing implies, not bookkeeping fiction. */
+  val lakeFilesTable: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val name = s"files_$fp"
+    val tbl = s"graft_lake.lake.$name"
+    Tables.events(s, dir)
+      .selectExpr("user_id").groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .createOrReplaceTempView("graft_lake_files_b")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
+    s.sql(s"""INSERT INTO $tbl SELECT * FROM graft_lake_files_b
+              WHERE user_id % 16 < 8""") // v1: part 0 per shard
+    s.sql(s"""INSERT INTO $tbl SELECT * FROM graft_lake_files_b
+              WHERE user_id % 16 >= 8""") // v2: part 1 per shard
+    s.sql(s"""SELECT shard, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                CAST(count(*) AS BIGINT) AS n_files
+              FROM `graft_lake`.`lake`.`$name$$files`
+              GROUP BY shard ORDER BY shard""")
+  }
+
+  val lakeFilesTableOracle: String =
+    """SELECT CAST(user_id % 8 AS INT) AS shard,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT CASE WHEN user_id % 16 < 8 THEN 0
+                                  ELSE 1 END) AS BIGINT) AS n_files
+       FROM (SELECT DISTINCT user_id FROM events)
+       GROUP BY 1 ORDER BY 1"""
 
   /** NAMED SNAPSHOT TAGS surviving retention (Iceberg tags / Trino
     * `FOR VERSION AS OF 'name'`): the pre-merge state is tagged, an
@@ -3817,6 +3931,7 @@ object Lake {
     "lake_dv_compaction" -> lakeDvCompaction,
     "lake_call_optimize" -> lakeCallOptimize,
     "lake_tag_travel" -> lakeTagTravel,
+    "lake_files_table" -> lakeFilesTable,
     "lake_stats_skipping" -> lakeStatsSkipping,
     "lake_string_skipping" -> lakeStringSkipping,
     "lake_table_changes" -> lakeTableChanges,
@@ -3843,6 +3958,7 @@ object Lake {
     "lake_dv_compaction" -> lakeDvCompactionOracle,
     "lake_call_optimize" -> lakeCallOptimizeOracle,
     "lake_tag_travel" -> lakeTagTravelOracle,
+    "lake_files_table" -> lakeFilesTableOracle,
     "lake_stats_skipping" -> lakeStatsSkippingOracle,
     "lake_string_skipping" -> lakeStringSkippingOracle,
     "lake_table_changes" -> lakeTableChangesOracle,

@@ -105,6 +105,12 @@ class LakeProcedureSpec extends SparkSpec {
     assert(spark.sql(
       s"SELECT count(*) FROM $tbl VERSION AS OF 'audit'")
       .head.getLong(0) === 1L)
+    // the $refs metadata table lists the registry
+    assert(spark.sql(
+      "SELECT tag, version FROM " +
+        "`graft_lake`.`lake`.`spec_call_tag$refs` ORDER BY tag")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toSeq ===
+      Seq("audit" -> 1, "latest_good" -> 3))
     // expiry keeps the newest 1 AND every tagged snapshot
     val surviving = spark.sql(s"""CALL graft_lake.system
         .expire_snapshots('spec_call_tag', keep => 1)""").collect()
