@@ -413,7 +413,8 @@ class GraftLakeTable(private[sources] val tableName: String,
     val updateMode: String = "copy-on-write",
     val mergeMode: String = "copy-on-write")
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with SupportsDeleteV2 {
 
   override def name(): String =
     pinnedVersion.fold(tableName)(v => s"$tableName@v$v")
@@ -456,6 +457,200 @@ class GraftLakeTable(private[sources] val tableName: String,
     require(pinnedVersion.isEmpty,
       s"$tableName: a time-travel snapshot is read-only")
     new GraftLakeWriteBuilder(this, dataDir, info, None)
+  }
+
+  // ---- METADATA-ONLY DELETE (SupportsDeleteV2) ----
+  // Trino's partition-drop semantics: when a DELETE's predicates
+  // provably split every shard into FULLY-MATCHING or ZERO-MATCHING
+  // (shard-key zone maps + parquet-footer null counts — metadata
+  // only), Spark's OptimizeMetadataOnlyDeleteFromTable skips the
+  // rewrite job entirely and the commit just DROPS the matching
+  // shards' files. No scan, no write tasks, no data I/O — deleting an
+  // aligned key range from a range-clustered 100 TB table is one
+  // snapshot commit of hardlinks. Any shard the metadata can't prove
+  // whole makes canDeleteWhere return false and the statement falls
+  // back to the row-level path (group rewrite or deletion vectors).
+
+  /** Conjuncts usable for whole-shard classification: `(op, lit)` on
+    * the SHARD KEY, literal-first forms normalized. None = a shape we
+    * can't prove, so no metadata delete. */
+  private def keyConjuncts(
+      predicates: Array[V2Predicate]): Option[Seq[(String, Long)]] = {
+    val flip = Map("<" -> ">", "<=" -> ">=", ">" -> "<", ">=" -> "<=",
+      "=" -> "=")
+    def lit(x: Any): Option[Long] = x match {
+      case l: V2Literal[_] => l.value() match {
+        case i: java.lang.Integer => Some(i.longValue())
+        case l2: java.lang.Long => Some(l2.longValue())
+        case s: java.lang.Short => Some(s.longValue())
+        case _ => None
+      }
+      case _ => None
+    }
+    def isKey(x: Any): Boolean = x match {
+      case r: NamedReference =>
+        r.fieldNames().sameElements(Array(shardKey))
+      case _ => false
+    }
+    val out = predicates.toSeq.map { p =>
+      if (!flip.contains(p.name()) || p.children().length != 2)
+        return None
+      (p.children()(0), p.children()(1)) match {
+        case (k, v) if isKey(k) =>
+          lit(v).map(l => (p.name(), l)).getOrElse(return None)
+        case (v, k) if isKey(k) =>
+          lit(v).map(l => (flip(p.name()), l)).getOrElse(return None)
+        case _ => return None
+      }
+    }
+    Some(out)
+  }
+
+  /** Per shard: Some(true) = every row provably matches the whole
+    * conjunction, Some(false) = provably none does, None = unknowable
+    * from metadata. Sound under deletion vectors (zone maps bound a
+    * superset of the live rows) and under NULL keys (a footer-counted
+    * NULL key row satisfies no conjunct, so a shard carrying one can
+    * never be "all match"). */
+  private def classifyShards(conjuncts: Seq[(String, Long)],
+      vdir: java.io.File): Option[Map[Int, Boolean]] = {
+    val stats = GraftLakeIO.readStats(vdir)
+    val partsAll = GraftLakeIO.allShardParts(vdir)
+    val out = Map.newBuilder[Int, Boolean]
+    partsAll.foreach { case (k, parts) =>
+      val r = stats.get(k).flatMap(_.get(shardKey))
+        .getOrElse(return None) // pre-stats shard: unknowable
+      if (GraftLakeIO.rangeUnusable(r)) return None
+      val keyNulls = parts.iterator.map { f =>
+        val (schema, rows, nulls) = GraftShardCodec.footerWithNulls(f)
+        if (!schema.containsField(shardKey)) rows
+        else nulls.getOrElse(shardKey, None).getOrElse(return None)
+      }.sum
+      val verdicts = conjuncts.map { case (op, b) =>
+        val (lo, hi) = (r.minL, r.maxL)
+        op match {
+          case "<" =>
+            if (hi < b && keyNulls == 0L) Some(true)
+            else if (lo >= b) Some(false) else None
+          case "<=" =>
+            if (hi <= b && keyNulls == 0L) Some(true)
+            else if (lo > b) Some(false) else None
+          case ">" =>
+            if (lo > b && keyNulls == 0L) Some(true)
+            else if (hi <= b) Some(false) else None
+          case ">=" =>
+            if (lo >= b && keyNulls == 0L) Some(true)
+            else if (hi < b) Some(false) else None
+          case "=" =>
+            if (lo == b && hi == b && keyNulls == 0L) Some(true)
+            else if (b < lo || b > hi) Some(false) else None
+          case _ => None
+        }
+      }
+      if (verdicts.contains(Some(false))) out += k -> false
+      else if (verdicts.forall(_ == Some(true))) out += k -> true
+      else return None
+    }
+    Some(out.result())
+  }
+
+  override def canDeleteWhere(
+      predicates: Array[V2Predicate]): Boolean =
+    pinnedVersion.isEmpty && predicates.nonEmpty &&
+      keyConjuncts(predicates).exists { cs =>
+        val vdir = GraftLakeIO.versionDir(dataDir,
+          GraftLakeIO.latestVersion(dataDir))
+        classifyShards(cs, vdir).isDefined
+      }
+
+  override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
+    val cs = keyConjuncts(predicates).getOrElse(
+      throw new IllegalStateException(
+        "deleteWhere called with unprovable predicates"))
+    var attempts = 0
+    while (true) {
+      val headV = GraftLakeIO.latestVersion(dataDir)
+      val headDir = GraftLakeIO.versionDir(dataDir, headV)
+      // re-classify against THIS head: a concurrent commit may have
+      // added rows that break the whole-shard alignment
+      val cls = classifyShards(cs, headDir).getOrElse(
+        throw new GraftLakeCommitConflict(
+          s"$dataDir: a concurrent write made the metadata delete " +
+            "unprovable — re-run the DELETE"))
+      val dropped = cls.collect { case (k, true) => k }.toSet
+      if (dropped.isEmpty) return // nothing matches: no commit
+      val droppedFiles = dropped
+        .flatMap(k => GraftLakeIO.shardParts(headDir, k))
+        .map(_.getName)
+      val build = GraftLakeIO.newBuildDir(dataDir)
+      try {
+        Option(headDir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName != "_commit" &&
+            f.getName != GraftLakeIO.dvFile(headDir).getName &&
+            !droppedFiles.contains(f.getName))
+          .foreach { f =>
+            val dst = new java.io.File(build, f.getName)
+            try java.nio.file.Files.createLink(dst.toPath, f.toPath): Unit
+            catch {
+              case _: UnsupportedOperationException |
+                  _: java.io.IOException =>
+                java.nio.file.Files.copy(f.toPath, dst.toPath): Unit
+            }
+          }
+        GraftLakeIO.writeDv(build,
+          GraftLakeIO.readDv(headDir) -- dropped)
+        GraftLakeIO.writeCommitMeta(build,
+          GraftLakeIO.nextCommitStamp(dataDir, headV), "delete")
+        GraftLakeIO.commitVersion(dataDir, headV, build): Unit
+        return
+      } catch {
+        case _: GraftLakeCommitConflict if attempts < 5 =>
+          attempts += 1 // lost the CAS race: re-classify on new head
+        case e: Throwable =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          if (build.exists()) rm(build)
+          throw e
+      }
+    }
+  }
+
+  /** `TRUNCATE TABLE` — trivially metadata-only: a fresh empty
+    * snapshot carrying just the streaming txn watermarks (sink
+    * idempotence state survives truncation, Delta's SetTransaction
+    * rule). The default SupportsDeleteV2 implementation would route
+    * an always-true predicate through the shard prover, which
+    * rightly refuses shapes it can't attribute to the shard key. */
+  override def truncateTable(): Boolean = {
+    require(pinnedVersion.isEmpty,
+      s"$tableName: a time-travel snapshot is read-only")
+    var attempts = 0
+    while (true) {
+      val headV = GraftLakeIO.latestVersion(dataDir)
+      val build = GraftLakeIO.newBuildDir(dataDir)
+      try {
+        val txns = GraftLakeIO.readTxns(
+          GraftLakeIO.versionDir(dataDir, headV))
+        if (txns.nonEmpty) GraftLakeIO.writeTxns(build, txns)
+        GraftLakeIO.writeCommitMeta(build,
+          GraftLakeIO.nextCommitStamp(dataDir, headV), "truncate")
+        GraftLakeIO.commitVersion(dataDir, headV, build): Unit
+        return true
+      } catch {
+        case _: GraftLakeCommitConflict if attempts < 5 =>
+          attempts += 1
+        case e: Throwable =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          if (build.exists()) rm(build)
+          throw e
+      }
+    }
+    false // unreachable
   }
 
   override def newRowLevelOperationBuilder(
@@ -2778,6 +2973,39 @@ object Lake {
        FROM ev GROUP BY user_id
        ORDER BY version, user_id"""
 
+  /** METADATA-ONLY DELETE (SupportsDeleteV2 — Trino's partition-drop
+    * semantics): on a range-clustered table, `DELETE WHERE user_id <
+    * 32` aligns with shard 0's key range exactly, so Spark's
+    * OptimizeMetadataOnlyDeleteFromTable skips the rewrite job and
+    * the commit just drops the shard's files — the query asserts NO
+    * scan was planned for the delete (zero data I/O), and the oracle
+    * proves the surviving table is exactly the flat recompute. */
+  val lakeMetadataDelete: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.mdel_$fp"
+    Tables.events(s, dir)
+      .selectExpr("user_id").groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .createOrReplaceTempView("graft_lake_mdel_b")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+                'shard_width'='32')""")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_mdel_b") // v1
+    GraftLakeScanMetrics.reset()
+    s.sql(s"DELETE FROM $tbl WHERE user_id < 32") // v2: drops shard 0
+    require(GraftLakeScanMetrics.planned.get() == 0L,
+      "a shard-aligned DELETE must be metadata-only (no scan planned)")
+    s.sql(s"""SELECT user_id, n_events FROM $tbl ORDER BY user_id""")
+  }
+
+  val lakeMetadataDeleteOracle: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+       FROM events GROUP BY user_id
+       HAVING user_id >= 32
+       ORDER BY user_id"""
+
   /** The `$files` STORAGE-INVENTORY metadata table (Trino-on-Iceberg
     * `table$files`): per part file — shard, seq, row count (footer
     * metadata), bytes, deletion count. The query aggregates the
@@ -3932,6 +4160,7 @@ object Lake {
     "lake_call_optimize" -> lakeCallOptimize,
     "lake_tag_travel" -> lakeTagTravel,
     "lake_files_table" -> lakeFilesTable,
+    "lake_metadata_delete" -> lakeMetadataDelete,
     "lake_stats_skipping" -> lakeStatsSkipping,
     "lake_string_skipping" -> lakeStringSkipping,
     "lake_table_changes" -> lakeTableChanges,
@@ -3959,6 +4188,7 @@ object Lake {
     "lake_call_optimize" -> lakeCallOptimizeOracle,
     "lake_tag_travel" -> lakeTagTravelOracle,
     "lake_files_table" -> lakeFilesTableOracle,
+    "lake_metadata_delete" -> lakeMetadataDeleteOracle,
     "lake_stats_skipping" -> lakeStatsSkippingOracle,
     "lake_string_skipping" -> lakeStringSkippingOracle,
     "lake_table_changes" -> lakeTableChangesOracle,

@@ -143,6 +143,51 @@ class LakeMultiPartSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("metadata-only DELETE: a shard-aligned key predicate drops " +
+      "whole shard files with no scan and no rewrite; a misaligned " +
+      "predicate falls back to the row-level path; TRUNCATE commits " +
+      "an empty snapshot") {
+    val tbl = "graft_lake.lake.spec_meta_del"
+    Lake.registerCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, score BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+        'shard_width'='20')""") // range-clustered: shard k = [20k, 20k+20)
+    val dir = new File(lakeRoot, "spec_meta_del").getPath
+    spark.sql(s"INSERT INTO $tbl SELECT id, id * 10 FROM range(160)")
+    val v1Files = (2 to 7).map(k => k -> fileKey(
+      GraftLakeIO.shardFile(GraftLakeIO.versionDir(dir, 1), k))).toMap
+    GraftLakeScanMetrics.reset()
+    spark.sql(s"DELETE FROM $tbl WHERE user_id < 40") // v2: shards 0,1
+    assert(GraftLakeScanMetrics.planned.get() === 0L,
+      "a metadata delete must not plan any scan")
+    assert(GraftLakeIO.commitOperation(dir, 2) === "delete")
+    val v2dir = GraftLakeIO.versionDir(dir, 2)
+    assert(GraftLakeIO.existingShards(v2dir) === (2 to 7).toSet)
+    (2 to 7).foreach(k => assert(fileKey(
+      GraftLakeIO.shardFile(v2dir, k)) === v1Files(k),
+      s"carried shard $k must hardlink"))
+    assert(GraftLakeIO.commitCounts(dir, 2) === Some((120L, 6L)))
+    assert(spark.sql(s"SELECT min(user_id) FROM $tbl").head.getLong(0)
+      === 40L)
+    // misaligned bound (50 splits shard 2) -> row-level fallback scans
+    GraftLakeScanMetrics.reset()
+    spark.sql(s"DELETE FROM $tbl WHERE user_id < 50") // v3
+    assert(GraftLakeScanMetrics.planned.get() > 0L,
+      "a partial-shard delete must take the row-level path")
+    assert(spark.sql(s"SELECT min(user_id) FROM $tbl").head.getLong(0)
+      === 50L)
+    // TRUNCATE: metadata-only empty snapshot
+    spark.sql(s"TRUNCATE TABLE $tbl") // v4
+    assert(GraftLakeIO.commitOperation(dir, 4) === "truncate")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0)
+      === 0L)
+    // time travel still serves the pre-truncate state
+    assert(spark.sql(s"SELECT count(*) FROM $tbl VERSION AS OF 2")
+      .head.getLong(0) === 120L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("compaction rewrites each part under its own schema and drops " +
       "emptied parts; seq numbers go sparse without breaking reads") {
     val tbl = "graft_lake.lake.spec_mp_opt"
