@@ -675,6 +675,12 @@ object CharNgramHashes {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => GraftStrategies)
+    // lake-catalog VIEW SQL (vanilla Spark doesn't wire DSv2 views —
+    // the extension supplies the parser + resolution, Iceberg-style)
+    e.injectParser((_, delegate) =>
+      new graft.sources.GraftViewSqlParser(delegate))
+    e.injectResolutionRule(s =>
+      graft.sources.ResolveGraftLakeViews(s))
     e.injectOptimizerRule(_ => RewriteRankOneToMaxBy)
     e.injectOptimizerRule(_ => RewriteCosineTopK)
     e.injectFunction((

@@ -59,10 +59,63 @@ import graft.Q
   * links/moves O(shards) files.
   */
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var root: String = _
+
+  // ---- catalog-persisted SQL views ([[GraftLakeViews]]) ----
+  override def listViews(namespace: String*): Array[Identifier] =
+    if (isLake(namespace.toArray))
+      GraftLakeViews.list(root).map(n => Identifier.of(ns, n)).toArray
+    else throw new NoSuchNamespaceException(namespace.toArray)
+
+  override def loadView(ident: Identifier): View = {
+    if (!isLake(ident.namespace()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    GraftLakeViews.read(root, ident)
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    isLake(ident.namespace()) &&
+      GraftLakeViews.viewFile(root, ident.name()).exists()
+
+  override def createView(info: ViewInfo): View = {
+    require(isLake(info.ident().namespace()),
+      s"views live in the lake namespace, got " +
+        info.ident().namespace().mkString("."))
+    if (viewExists(info.ident()))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(info.ident())
+    require(!descriptorFile(info.ident().name()).exists(),
+      s"${info.ident().name()} already exists as a table")
+    GraftLakeViews.write(root, info)
+    GraftLakeViews.read(root, info.ident())
+  }
+
+  override def alterView(ident: Identifier,
+      changes: ViewChange*): View = {
+    GraftLakeViews.applyChanges(root, ident, changes)
+    GraftLakeViews.read(root, ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    isLake(ident.namespace()) &&
+      GraftLakeViews.viewFile(root, ident.name()).delete()
+
+  override def renameView(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    java.nio.file.Files.move(
+      GraftLakeViews.viewFile(root, oldIdent.name()).toPath,
+      GraftLakeViews.viewFile(root, newIdent.name()).toPath): Unit
+  }
 
   /** Maintenance stored procedures (`CALL graft_lake.system.…`) —
     * see [[GraftLakeProcedures]]. */
@@ -2973,6 +3026,35 @@ object Lake {
        FROM ev GROUP BY user_id
        ORDER BY version, user_id"""
 
+  /** CATALOG-PERSISTED SQL VIEWS over lake tables ([[LakeViewSql]] +
+    * [[GraftLakeViews]], the Trino connector-view model): the view is
+    * CREATEd through literal SQL against the lake catalog, its
+    * definition persists as a catalog descriptor (not session state),
+    * and the SELECT re-resolves the stored text against the table's
+    * CURRENT snapshot — which by construction includes the MERGE that
+    * committed after batch 1. The oracle recomputes the view's
+    * content flat from raw events. */
+  val lakeViewSql: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.vb_$fp"
+    setupFirstSeen(s, dir, tbl) // v1 INSERT, v2 MERGE
+    s.sql(s"DROP VIEW IF EXISTS graft_lake.lake.vw_$fp")
+    s.sql(s"""CREATE VIEW graft_lake.lake.vw_$fp AS
+              SELECT user_id, cohort_d FROM $tbl
+              WHERE user_id % 2 = 0""")
+    s.sql(s"""SELECT user_id, cohort_d FROM graft_lake.lake.vw_$fp
+              ORDER BY user_id""")
+  }
+
+  val lakeViewSqlOracle: String =
+    """SELECT user_id,
+         min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+           AS cohort_d
+       FROM events GROUP BY user_id
+       HAVING user_id % 2 = 0
+       ORDER BY user_id"""
+
   /** METADATA-ONLY DELETE (SupportsDeleteV2 — Trino's partition-drop
     * semantics): on a range-clustered table, `DELETE WHERE user_id <
     * 32` aligns with shard 0's key range exactly, so Spark's
@@ -4161,6 +4243,7 @@ object Lake {
     "lake_tag_travel" -> lakeTagTravel,
     "lake_files_table" -> lakeFilesTable,
     "lake_metadata_delete" -> lakeMetadataDelete,
+    "lake_view_sql" -> lakeViewSql,
     "lake_stats_skipping" -> lakeStatsSkipping,
     "lake_string_skipping" -> lakeStringSkipping,
     "lake_table_changes" -> lakeTableChanges,
@@ -4189,6 +4272,7 @@ object Lake {
     "lake_tag_travel" -> lakeTagTravelOracle,
     "lake_files_table" -> lakeFilesTableOracle,
     "lake_metadata_delete" -> lakeMetadataDeleteOracle,
+    "lake_view_sql" -> lakeViewSqlOracle,
     "lake_stats_skipping" -> lakeStatsSkippingOracle,
     "lake_string_skipping" -> lakeStringSkippingOracle,
     "lake_table_changes" -> lakeTableChangesOracle,

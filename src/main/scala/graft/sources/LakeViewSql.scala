@@ -1,0 +1,178 @@
+package graft.sources
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier,
+  TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute,
+  AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException,
+  ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan,
+  SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+
+/** SQL surface for the lake catalog's views — `CREATE [OR REPLACE]
+  * VIEW` / `DROP VIEW` / `SHOW VIEWS` / `SELECT`, the way Iceberg's
+  * Spark extensions wire connector views: vanilla Spark 4.1 ships the
+  * DSv2 `ViewCatalog` API but `ResolveSessionCatalog` still throws
+  * "does not support views" for every non-session catalog, so the
+  * extension layer supplies the missing wiring itself —
+  *
+  *  - [[GraftViewSqlParser]] intercepts the three DDL shapes when
+  *    they explicitly target `graft_lake.lake.<name>` (everything
+  *    else delegates verbatim to Spark's parser);
+  *  - [[ResolveGraftLakeViews]] substitutes a referenced lake view's
+  *    STORED SQL into the plan during resolution (definer-text
+  *    semantics, re-resolved against the table's CURRENT snapshot —
+  *    the Trino connector-view model);
+  *  - the storage is [[GraftLakeViews]]' descriptor, shared with the
+  *    programmatic [[GraftLakeCatalog]] `ViewCatalog` implementation,
+  *    so API-created and SQL-created views are the same objects.
+  *
+  * Registered from [[graft.plans.GraftExtensions]]. */
+object LakeViewSql {
+
+  private[sources] def lakeRoot(session: SparkSession): String = {
+    val r = session.conf.getOption("spark.sql.catalog.graft_lake.path")
+    require(r.isDefined,
+      "lake views need spark.sql.catalog.graft_lake.path")
+    r.get
+  }
+
+  /** The three intercepted shapes. Backticks optional, case
+    * insensitive, dotall for multi-line view bodies. */
+  private[sources] val CreateV =
+    """(?is)\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+`?graft_lake`?\s*\.\s*`?lake`?\s*\.\s*`?(\w+)`?\s+AS\s+(.+)""".r
+  private[sources] val DropV =
+    """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?`?graft_lake`?\s*\.\s*`?lake`?\s*\.\s*`?(\w+)`?\s*;?\s*""".r
+  private[sources] val ShowV =
+    """(?is)\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+`?graft_lake`?\s*\.\s*`?lake`?\s*;?\s*""".r
+}
+
+class GraftViewSqlParser(delegate: ParserInterface)
+    extends ParserInterface {
+  import LakeViewSql._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    sqlText match {
+      case CreateV(orReplace, name, body) =>
+        CreateLakeViewCommand(name, body.trim.stripSuffix(";"),
+          replace = orReplace != null)
+      case DropV(ifExists, name) =>
+        DropLakeViewCommand(name, ifExists = ifExists != null)
+      case ShowV() => ShowLakeViewsCommand()
+      case _ => delegate.parsePlan(sqlText)
+    }
+
+  /** `spark.sql(text, args)` routes here, not parsePlan — the
+    * parameter bindings live in the delegate's handling, so anything
+    * that isn't our DDL must delegate THIS method (inheriting the
+    * interface default would drop the bindings and every
+    * parameterized query would fail UNBOUND_SQL_PARAMETER). */
+  override def parsePlanWithParameters(sqlText: String,
+      context: org.apache.spark.sql.catalyst.parser.ParameterContext)
+      : LogicalPlan =
+    sqlText match {
+      case CreateV(_, _, _) | DropV(_, _) | ShowV() =>
+        parsePlan(sqlText)
+      case _ => delegate.parsePlanWithParameters(sqlText, context)
+    }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(
+      sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(
+      sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** `CREATE [OR REPLACE] VIEW graft_lake.lake.<name> AS <sql>`: the
+  * body is analyzed NOW (catching bad SQL and capturing the
+  * creation-time schema for the descriptor), stored as TEXT, and
+  * re-resolved on every read. */
+case class CreateLakeViewCommand(name: String, sql: String,
+    replace: Boolean) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = LakeViewSql.lakeRoot(session)
+    require(!new java.io.File(root, s"$name.lake.json").exists(),
+      s"$name already exists as a lake table")
+    if (!replace)
+      require(!GraftLakeViews.viewFile(root, name).exists(),
+        s"view graft_lake.lake.$name already exists " +
+          "(use CREATE OR REPLACE VIEW)")
+    val schema = org.apache.spark.sql.graft.Bridge
+      .ofRows(session, session.sessionState.sqlParser.parsePlan(sql))
+      .schema
+    GraftLakeViews.write(root, new ViewInfo(
+      Identifier.of(Array("lake"), name), sql,
+      session.catalog.currentCatalog(),
+      Array(session.catalog.currentDatabase), schema,
+      schema.fieldNames, Array.empty, Array.empty,
+      java.util.Map.of()))
+    Nil
+  }
+}
+
+case class DropLakeViewCommand(name: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val f = GraftLakeViews.viewFile(LakeViewSql.lakeRoot(session), name)
+    if (!f.exists() && !ifExists)
+      throw new IllegalArgumentException(
+        s"view graft_lake.lake.$name does not exist")
+    f.delete(): Unit
+    Nil
+  }
+}
+
+case class ShowLakeViewsCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("namespace", StringType, nullable = false)(),
+    AttributeReference("viewName", StringType, nullable = false)(),
+    AttributeReference("isTemporary",
+      org.apache.spark.sql.types.BooleanType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftLakeViews.list(LakeViewSql.lakeRoot(session))
+      .map(n => Row("lake", n, false))
+}
+
+/** Resolution: `graft_lake.lake.<name>` referencing a stored view
+  * substitutes the view's parsed SQL text under a SubqueryAlias; the
+  * fixpoint analyzer then resolves the substituted body (including
+  * nested views) like any inlined subquery. */
+case class ResolveGraftLakeViews(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 3 &&
+            u.multipartIdentifier(0).equalsIgnoreCase("graft_lake") &&
+            u.multipartIdentifier(1).equalsIgnoreCase("lake") &&
+            session.conf
+              .getOption("spark.sql.catalog.graft_lake.path")
+              .exists(r => GraftLakeViews
+                .viewFile(r, u.multipartIdentifier(2)).exists()) =>
+        val name = u.multipartIdentifier(2)
+        val view = GraftLakeViews.read(
+          LakeViewSql.lakeRoot(session),
+          Identifier.of(Array("lake"), name))
+        SubqueryAlias(name,
+          session.sessionState.sqlParser.parsePlan(view.query()))
+    }
+}
