@@ -2167,18 +2167,31 @@ class GraftLakeChangesTable(base: GraftLakeTable)
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
     // head pinned at scan-build time: Spark may call
     // planInputPartitions more than once per query, and a commit
     // racing planning must not yield inconsistent partition sets
     // (the main GraftLakeScanBuilder pins in build() for the same
-    // reason)
-    () => new GraftLakeChangesScan(base, changeSchema,
-      GraftLakeIO.latestVersion(base.dataDir))
+    // reason). `startingVersion`/`endingVersion` read options bound
+    // the replay (Delta's CDF option names): the batch emits diffs
+    // for commits in (startingVersion, endingVersion] — an
+    // incremental consumer resumes from its last-seen version
+    // without replaying history.
+    val head = GraftLakeIO.latestVersion(base.dataDir)
+    val from = Option(options.get("startingVersion"))
+      .map(_.trim.toInt).getOrElse(0)
+    val to = Option(options.get("endingVersion"))
+      .map(_.trim.toInt).getOrElse(head)
+    require(from >= 0 && to <= head && from <= to,
+      s"${base.tableName}$$changes: version bounds ($from, $to] out " +
+        s"of committed range [0, $head]")
+    () => new GraftLakeChangesScan(base, changeSchema, to, from)
+  }
 }
 
 class GraftLakeChangesScan(base: GraftLakeTable,
-    out: StructType, pinnedHead: Int) extends Scan with Batch {
+    out: StructType, pinnedHead: Int, val startVersion: Int = 0)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
@@ -2242,7 +2255,7 @@ class GraftLakeChangesScan(base: GraftLakeTable,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    diffPartitions(0, pinnedHead)
+    diffPartitions(startVersion, pinnedHead)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLakeChangesReaderFactory(out, base.declared, base.shardKey)
@@ -2282,7 +2295,7 @@ class GraftLakeChangesStream(base: GraftLakeTable, out: StructType,
     if (availableNowTarget >= 0) availableNowTarget
     else GraftLakeIO.latestVersion(base.dataDir)
 
-  override def initialOffset(): Offset = VOffset(0)
+  override def initialOffset(): Offset = VOffset(scan.startVersion)
   override def deserializeOffset(json: String): Offset =
     VOffset(json.trim.toInt)
 
@@ -3976,6 +3989,37 @@ object Lake {
               ORDER BY _commit_version, user_id, _change_type""")
   }
 
+  /** VERSION-BOUNDED CDF read (Delta's `startingVersion` /
+    * `endingVersion` read options on the `$changes` table): the
+    * incremental-consumer resume pattern — a reader that already
+    * processed through v2 asks for `(2, head]` only and must receive
+    * EXACTLY commit 3's diff (the deletes), with commits 1–2 never
+    * read (the option bounds the replay at PLANNING, not by
+    * post-filtering). The oracle recomputes commit 3's diff alone. */
+  val lakeChangesBounded: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val (tbl, _) = countsHistoryTable(s, dir)
+    val changesName = tbl.split('.').toSeq match {
+      case init :+ last => (init :+ s"`$last$$changes`").mkString(".")
+      case _ => sys.error("unreachable")
+    }
+    s.read.option("startingVersion", "2").table(changesName)
+      .selectExpr("_change_type", "_commit_version", "user_id",
+        "n_events")
+      .orderBy("user_id")
+  }
+
+  val lakeChangesBoundedOracle: String =
+    """WITH ev AS (
+         SELECT user_id, day(CAST(ts AS TIMESTAMP)) AS dom FROM events),
+       tot AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM ev
+               GROUP BY user_id)
+       SELECT 'delete' AS _change_type,
+         CAST(3 AS BIGINT) AS _commit_version, user_id,
+         n AS n_events
+       FROM tot WHERE user_id % 7 = 0
+       ORDER BY user_id"""
+
   val lakeChangesTableOracle: String =
     """WITH ev AS (
          SELECT user_id, day(CAST(ts AS TIMESTAMP)) AS dom FROM events),
@@ -4251,6 +4295,7 @@ object Lake {
     "lake_history" -> lakeHistory,
     "lake_incremental_mv" -> lakeIncrementalMv,
     "lake_changes_table" -> lakeChangesTable,
+    "lake_changes_bounded" -> lakeChangesBounded,
     "stream_lake_cdf_source" -> streamLakeCdfSource,
     "lake_point_lookup" -> lakePointLookup)
 
@@ -4280,6 +4325,7 @@ object Lake {
     "lake_history" -> lakeHistoryOracle,
     "lake_incremental_mv" -> lakeIncrementalMvOracle,
     "lake_changes_table" -> lakeChangesTableOracle,
+    "lake_changes_bounded" -> lakeChangesBoundedOracle,
     "stream_lake_cdf_source" -> lakeChangesTableOracle,
     "lake_point_lookup" -> lakePointLookupOracle)
 }

@@ -93,6 +93,30 @@ class ThriftServerSpec extends SparkSpec {
           s"SELECT count(*) AS n FROM $tbl VERSION AS OF 1")
         assert(tt.next() && tt.getLong("n") === 2L)
         tt.close()
+        // round-12 maintenance + view surfaces over the SAME wire:
+        // CALL procedures, named tags, catalog views — a beeline
+        // client gets the full Trino-style verbs
+        val tag = st.executeQuery("""CALL graft_lake.system
+          .create_tag('spec_wire_lake', 'audited', version => 2)""")
+        assert(tag.next() && tag.getString(1) === "audited" &&
+          tag.getInt(2) === 2)
+        tag.close()
+        val tagRead = st.executeQuery(
+          s"SELECT count(*) AS n FROM $tbl VERSION AS OF 'audited'")
+        assert(tagRead.next() && tagRead.getLong("n") === 3L)
+        tagRead.close()
+        val opt = st.executeQuery("""CALL graft_lake.system
+          .optimize('spec_wire_lake', max_parts => 1)""")
+        assert(opt.next(), "optimize must report its phases")
+        opt.close()
+        st.execute("""CREATE VIEW graft_lake.lake.spec_wire_view AS
+          SELECT user_id FROM graft_lake.lake.spec_wire_lake
+          WHERE user_id <= 2"""): Unit
+        val vr = st.executeQuery("SELECT count(*) AS n " +
+          "FROM graft_lake.lake.spec_wire_view")
+        assert(vr.next() && vr.getLong("n") === 2L)
+        vr.close()
+        st.execute("DROP VIEW graft_lake.lake.spec_wire_view"): Unit
         st.execute(s"DROP TABLE $tbl"): Unit
         st.close()
       } finally conn.close()

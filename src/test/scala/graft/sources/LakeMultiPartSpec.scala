@@ -99,6 +99,16 @@ class LakeMultiPartSpec extends SparkSpec {
     assert(parts3.length === 1)
     val p3 = parts3.head.asInstanceOf[GraftLakeChangesPartition]
     assert(p3.prePaths.nonEmpty && p3.postPaths.nonEmpty)
+    // startingVersion read option bounds the replay AT PLANNING: a
+    // scan built with startingVersion=2 plans only commit 3's diff
+    val bounded = new GraftLakeChangesTable(table).newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("startingVersion", "2"))).build()
+      .asInstanceOf[GraftLakeChangesScan]
+    val boundedParts = bounded.planInputPartitions()
+    assert(boundedParts.nonEmpty && boundedParts.forall(
+      _.asInstanceOf[GraftLakeChangesPartition].version === 3),
+      "earlier commits must never be planned under startingVersion")
     spark.sql(s"DROP TABLE $tbl")
   }
 
