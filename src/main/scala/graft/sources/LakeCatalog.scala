@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read._
@@ -59,7 +60,23 @@ import graft.Q
   * links/moves O(shards) files.
   */
 class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with ViewCatalog {
+    with ProcedureCatalog with ViewCatalog with FunctionCatalog {
+
+  // ---- catalog functions (storage-partitioned-join handshake) ----
+  // Publishing the routing function under the catalog is what lets
+  // V2ScanPartitioningAndOrdering resolve a lake scan's reported
+  // `bucket(n, key)` transform: it loads `bucket` from THIS catalog
+  // and compares the bound canonicalName across join sides.
+  override def listFunctions(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || isLake(namespace))
+      Array(Identifier.of(namespace, "bucket"))
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var root: String = _
@@ -264,7 +281,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       updateMode = Option(d.get("updateMode")).map(_.asText())
         .getOrElse("copy-on-write"),
       mergeMode = Option(d.get("mergeMode")).map(_.asText())
-        .getOrElse("copy-on-write"))
+        .getOrElse("copy-on-write"),
+      bloomCols = Option(d.get("bloomColumns")).map(_.asText())
+        .filter(_.nonEmpty).fold(Seq.empty[String])(_.split(",").toSeq))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -306,6 +325,21 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     val deleteMode = modeProp("delete_mode")
     val updateMode = modeProp("update_mode")
     val mergeMode = modeProp("merge_mode")
+    // `bloom_columns`: per-shard bloom sidecars for equality/IN file
+    // skipping ([[GraftLakeBloom]]); integral/date/string columns only
+    // (float equality would trip over NaN/-0.0 — same refusal as the
+    // zone maps' NaN discipline)
+    val bloomCols = Option(properties.get("bloom_columns"))
+      .filter(_.nonEmpty).fold(Seq.empty[String])(_.split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty))
+    bloomCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"bloom_columns: no such column $c")
+      require(Seq(LongType, IntegerType, ShortType, DateType,
+        StringType).contains(schema(c).dataType),
+        s"bloom_columns: $c must be integral/date/string, got " +
+          schema(c).dataType.sql)
+    }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val d = om.createObjectNode()
     d.put("schema", schema.json): Unit
@@ -315,6 +349,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     d.put("deleteMode", deleteMode): Unit
     d.put("updateMode", updateMode): Unit
     d.put("mergeMode", mergeMode): Unit
+    if (bloomCols.nonEmpty)
+      d.put("bloomColumns", bloomCols.mkString(",")): Unit
     tableDir(ident.name()).mkdirs()
     java.nio.file.Files.writeString(descriptorFile(ident.name()).toPath,
       om.writeValueAsString(d))
@@ -389,7 +425,16 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     val t = loadTable(ident).asInstanceOf[GraftLakeTable]
     var schema = t.schema()
     var shardWidth = t.shardWidth
+    var bloomCols = t.bloomCols
     changes.foreach {
+      // enabling bloom filters LATER is safe by the commit-side
+      // intersection rule: shards written before the change stay
+      // entry-less (never skipped) until fully rewritten
+      case p: TableChange.SetProperty
+          if p.property() == "bloom_columns" =>
+        bloomCols = Option(p.value()).filter(_.nonEmpty)
+          .fold(Seq.empty[String])(_.split(",").toSeq
+            .map(_.trim).filter(_.nonEmpty))
       // `ALTER TABLE … SET TBLPROPERTIES ('shard_width'='…')` switches
       // the ROUTING of future writes (hash ↔ range clustering) without
       // touching data: existing shard files keep their layout, and the
@@ -428,6 +473,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     doc.put("deleteMode", t.deleteMode): Unit
     doc.put("updateMode", t.updateMode): Unit
     doc.put("mergeMode", t.mergeMode): Unit
+    if (bloomCols.nonEmpty)
+      doc.put("bloomColumns", bloomCols.mkString(",")): Unit
     // atomic descriptor swap: readers see old or new schema, no torn doc
     val tmp = new java.io.File(root,
       s"${ident.name()}.lake.json.tmp${ProcessHandle.current().pid()}")
@@ -464,7 +511,8 @@ class GraftLakeTable(private[sources] val tableName: String,
     val pinnedVersion: Option[Int] = None,
     val deleteMode: String = "copy-on-write",
     val updateMode: String = "copy-on-write",
-    val mergeMode: String = "copy-on-write")
+    val mergeMode: String = "copy-on-write",
+    val bloomCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with SupportsDeleteV2 {
@@ -482,7 +530,8 @@ class GraftLakeTable(private[sources] val tableName: String,
 
   private[sources] def withPinned(v: Int): GraftLakeTable =
     new GraftLakeTable(tableName, declared, dataDir, shardKey, nShards,
-      shardWidth, Some(v), deleteMode, updateMode, mergeMode)
+      shardWidth, Some(v), deleteMode, updateMode, mergeMode,
+      bloomCols)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -504,7 +553,7 @@ class GraftLakeTable(private[sources] val tableName: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(declared, dataDir, pinnedVersion, None,
-      shardKey)
+      shardKey, nShards)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -753,7 +802,7 @@ class GraftLakeRowLevelOperation(table: GraftLakeTable, dataDir: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(table.schema(), dataDir, Some(snapshotV),
-      Some(this), table.shardKey)
+      Some(this), table.shardKey, table.nShards)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftLakeWriteBuilder(table, dataDir, info, Some(this))
@@ -1553,7 +1602,7 @@ object GraftLakeScanMetrics {
 
 class GraftLakeScanBuilder(declared: StructType, dataDir: String,
     pinned: Option[Int], op: Option[GraftLakeRowLevelOperation],
-    shardKey: String)
+    shardKey: String, nShards: Int = 0)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters
     with SupportsPushDownAggregates {
@@ -1725,7 +1774,8 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
         // invisible
         val v = pinned.getOrElse(GraftLakeIO.latestVersion(dataDir))
         val scan = new GraftLakeScan(required,
-          GraftLakeIO.versionDir(dataDir, v), zonePreds, shardKey)
+          GraftLakeIO.versionDir(dataDir, v), zonePreds, shardKey,
+          nShards)
         op.foreach(_.scans.add(scan))
         scan
     }
@@ -1781,9 +1831,10 @@ class GraftLakeAggReaderFactory(out: StructType)
 
 class GraftLakeScan(required: StructType, vdir: java.io.File,
     zonePreds: Array[V2Predicate] = Array.empty,
-    shardKey: String = "")
+    shardKey: String = "", nShards: Int = 0)
     extends Scan with Batch with SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   @volatile private[sources] var runtimeFiltered = false
   @volatile private var retained: Option[Set[Int]] = None
@@ -1975,6 +2026,45 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
       cached._2
     }
 
+  /** STORAGE-PARTITIONED JOIN (SPARK-37375): a hash-sharded snapshot
+    * reports its physical layout as `KeyGroupedPartitioning(
+    * bucket(nShards, shardKey))`, so a join of two lake tables
+    * sharded the same way is planned with NO exchange on EITHER side
+    * — Spark matches the two scans' transforms (via
+    * [[GraftBucketFunction]] loaded from this catalog), aligns
+    * partitions by the reported [[HasPartitionKey]] shard ids, and
+    * elides both shuffles. At 100 TB a key-key join of co-sharded
+    * fact tables goes from 2×full-shuffle to zero network.
+    *
+    * Soundness gate — report the layout only when it is PROVEN, not
+    * intended: every planned shard's recorded routing provenance
+    * (`_routing.json`, written per commit) must be exactly
+    * `hash:<nShards>`. Range-clustered layouts (`shard_width`),
+    * shards written under an older routing after `ALTER`, and
+    * "mixed" merge results all fail the check and degrade to
+    * `UnknownPartitioning` — a plain shuffled join, never a wrong
+    * co-partitioning claim. Zone-map/runtime pruning only SHRINKS
+    * the reported partition set; missing shards on one join side are
+    * Spark's to align (`v2.bucketing.pushPartValues`). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val parts = planInputPartitions()
+    val provenGroupLayout = shardKey.nonEmpty && nShards > 0 &&
+      parts.nonEmpty && required.fieldNames.contains(shardKey) && {
+        val routing = GraftLakeIO.readRouting(vdir)
+        parts.forall(p => routing
+          .get(p.asInstanceOf[GraftLakeInputPartition].shard)
+          .contains(s"hash:$nShards"))
+      }
+    if (provenGroupLayout)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(Expressions.bucket(nShards, shardKey)), parts.length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(parts.length)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLakeReaderFactory(required)
 
@@ -1988,6 +2078,16 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
 case class GraftLakeInputPartition(paths: Seq[String], shard: Int,
     dv: Array[Byte] = null)
     extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  /** The value of `bucket(nShards, shardKey)` for every row in this
+    * partition — the shard id itself. Spark groups and aligns SPJ
+    * partitions by this row; it is only consulted when the scan
+    * reported a [[org.apache.spark.sql.connector.read.partitioning
+    * .KeyGroupedPartitioning]], i.e. when the routing provenance
+    * proved the claim. */
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](shard))
+}
 
 class GraftLakeReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -2554,7 +2654,8 @@ case class GraftLakeStreamingWriterFactory(dataDir: String,
 }
 
 case class GraftLakeCommit(shard: Int, path: String,
-    stats: Map[String, GraftLakeIO.ColRange] = Map.empty)
+    stats: Map[String, GraftLakeIO.ColRange] = Map.empty,
+    blooms: Map[String, Array[Byte]] = Map.empty)
     extends WriterCommitMessage
 case class GraftLakeTaskCommit(parts: Seq[GraftLakeCommit])
     extends WriterCommitMessage
@@ -2786,18 +2887,27 @@ private[sources] object GraftLakeCommitter {
 }
 
 class GraftLakeWriterFactory(stagePath: String, writeSchema: StructType,
-    shardKey: String, nShards: Int, shardWidth: Long)
+    shardKey: String, nShards: Int, shardWidth: Long,
+    bloomCols: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new GraftLakeDataWriter(stagePath, writeSchema, shardKey, nShards,
-      shardWidth, partitionId, taskId)
+      shardWidth, partitionId, taskId, bloomCols)
 }
 
 class GraftLakeDataWriter(stagePath: String, writeSchema: StructType,
     shardKey: String, nShards: Int, shardWidth: Long,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long, bloomCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
+  private val bloomSet = bloomCols.toSet
+  // per-(shard, bloom column) filter bits this task observed
+  private val blooms = scala.collection.mutable.Map[Int,
+    scala.collection.mutable.Map[String, Array[Long]]]()
+  private def bloomBuf(k: Int, name: String): Array[Long] =
+    blooms.getOrElseUpdate(k,
+        scala.collection.mutable.Map[String, Array[Long]]())
+      .getOrElseUpdate(name, GraftLakeBloom.empty())
   private val keyIdx = writeSchema.fieldIndex(shardKey)
   private val keyIsLong = writeSchema(keyIdx).dataType == LongType
   // parquet payload: one columnar staged file per shard this task
@@ -2954,6 +3064,12 @@ object Lake {
   def registerCatalog(s: org.apache.spark.sql.SparkSession): Unit = {
     s.conf.set("spark.sql.catalog.graft_lake",
       classOf[GraftLakeCatalog].getName)
+    // storage-partitioned joins: honor the KeyGroupedPartitioning the
+    // lake scan reports (off by default in Spark); pushPartValues
+    // aligns sides whose surviving shard sets differ after pruning
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "true")
     if (s.conf.getOption("spark.sql.catalog.graft_lake.path").isEmpty)
       s.conf.set("spark.sql.catalog.graft_lake.path",
         s"${System.getProperty("java.io.tmpdir")}/graft_lake_" +
@@ -4270,7 +4386,56 @@ object Lake {
               ORDER BY user_id""")
   }
 
+  /** STORAGE-PARTITIONED JOIN through the oracle gate: two lake
+    * tables hash-sharded identically on `user_id` (per-user event
+    * counts ⋈ per-user first-seen dates) join WITHOUT shuffling
+    * either side — both scans report `KeyGroupedPartitioning(
+    * bucket(8, user_id))`, proven by their routing provenance, and
+    * Spark aligns them shard-by-shard (LakeSpjSpec pins the
+    * exchange-free plan; this query pins the VALUES against DuckDB).
+    * The Trino-on-Iceberg co-located join story: at 100 TB the
+    * network cost of a fact-fact key join drops to zero. */
+  val lakeSpjJoin: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val ta = s"graft_lake.lake.spjn_$fp"
+    val tb = s"graft_lake.lake.spjd_$fp"
+    val ev = Tables.events(s, dir)
+    ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .createOrReplaceTempView("graft_lake_spj_n")
+    ev.groupBy("user_id")
+      .agg(min(expr("CAST(to_date(ts) AS DATE)")).as("cohort_d"))
+      .createOrReplaceTempView("graft_lake_spj_d")
+    s.sql(s"DROP TABLE IF EXISTS $ta")
+    s.sql(s"""CREATE TABLE $ta (user_id BIGINT, n_events BIGINT)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
+    s.sql(s"INSERT INTO $ta SELECT * FROM graft_lake_spj_n")
+    s.sql(s"DROP TABLE IF EXISTS $tb")
+    s.sql(s"""CREATE TABLE $tb (user_id BIGINT, cohort_d DATE)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
+    s.sql(s"INSERT INTO $tb SELECT * FROM graft_lake_spj_d")
+    s.sql(s"""SELECT a.user_id, b.cohort_d, a.n_events
+              FROM $ta a JOIN $tb b ON a.user_id = b.user_id
+              WHERE a.n_events >= 3
+              ORDER BY a.user_id""")
+  }
+
+  val lakeSpjJoinOracle: String =
+    """WITH n AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY user_id),
+       d AS (
+         SELECT user_id,
+           CAST(min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS DATE)
+             AS cohort_d
+         FROM events GROUP BY user_id)
+       SELECT n.user_id, d.cohort_d, n.n_events
+       FROM n JOIN d ON n.user_id = d.user_id
+       WHERE n.n_events >= 3
+       ORDER BY n.user_id"""
+
   val queries: Map[String, Q] = Map(
+    "lake_spj_join" -> lakeSpjJoin,
     "lake_recluster_skip" -> lakeReclusterSkip,
     "merge_sql_firstseen" -> mergeSqlFirstSeen,
     "lake_time_travel" -> lakeTimeTravel,
@@ -4300,6 +4465,7 @@ object Lake {
     "lake_point_lookup" -> lakePointLookup)
 
   val oracles: Map[String, String] = Map(
+    "lake_spj_join" -> lakeSpjJoinOracle,
     "lake_recluster_skip" -> lakeStatsSkippingOracle,
     "merge_sql_firstseen" ->
       graft.operators.Merge.mergeUpsertFirstSeenOracle,

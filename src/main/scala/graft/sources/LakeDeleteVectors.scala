@@ -71,7 +71,7 @@ class GraftLakeDeltaOperation(table: GraftLakeTable,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(table.schema(), dataDir, Some(snapshotV),
-      None, table.shardKey)
+      None, table.shardKey, table.nShards)
 
   /** The row id IS the physical position: shard file + ordinal. */
   override def rowId(): Array[NamedReference] =

@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Storage-partitioned joins over the lake catalog (SPARK-37375): two
+  * tables hash-sharded the same way join with ZERO exchanges — Spark
+  * matches the scans' reported `bucket(nShards, shardKey)` transforms
+  * through [[GraftBucketFunction]] and aligns partitions by shard id.
+  * The negative twins pin the soundness gate: a different shard
+  * count, or a side whose routing provenance is not pure
+  * `hash:<nShards>` (range clustering), must fall back to a shuffled
+  * plan with identical results — never a wrong co-partitioning
+  * claim. */
+class LakeSpjSpec extends SparkSpec {
+
+  private def mk(tbl: String, props: String, hi: Long): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, v BIGINT)
+      TBLPROPERTIES ($props)""")
+    spark.sql(s"""INSERT INTO $tbl
+      SELECT id AS user_id, id * 10 AS v FROM range(0, $hi)""")
+  }
+
+  /** Executed plan string AFTER an action, so AQE has finalized it. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect(): Unit
+    df.queryExecution.executedPlan.toString
+  }
+
+  // no ORDER BY: a global sort adds its own (legitimate) range
+  // exchange, and the assertion must isolate the JOIN's exchanges
+  private def joined(a: String, b: String): DataFrame =
+    spark.sql(s"""SELECT a.user_id, a.v AS va, b.v AS vb
+      FROM $a a JOIN $b b ON a.user_id = b.user_id""")
+
+  private def expect(df: DataFrame, n: Int): Unit = {
+    val rows = df.collect()
+    assert(rows.length === n)
+    assert(rows.map(_.getLong(0)).sorted.toSeq ===
+      (0L until n.toLong))
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) * 10)
+      assert(r.getLong(2) === r.getLong(0) * 10)
+    }
+  }
+
+  test("co-sharded lake tables join with no exchange on either side " +
+      "(storage-partitioned join), result row-exact") {
+    Lake.registerCatalog(spark)
+    val a = "graft_lake.lake.spj_a"
+    val b = "graft_lake.lake.spj_b"
+    mk(a, "'shard_key'='user_id', 'n_shards'='8'", 64)
+    mk(b, "'shard_key'='user_id', 'n_shards'='8'", 64)
+    // lake scans report DSv2 stats, so tiny sides would broadcast —
+    // force the shuffle-or-SPJ decision to show
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = joined(a, b)
+      val p = finalPlan(df)
+      assert(!p.contains("Exchange"),
+        s"expected a storage-partitioned join (no Exchange) in:\n$p")
+      expect(df, 64)
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("SPJ survives shard pruning on one side: a point-lookup IN " +
+      "filter prunes shards, pushPartValues aligns the sides, still " +
+      "no exchange") {
+    Lake.registerCatalog(spark)
+    val a = "graft_lake.lake.spj_pa"
+    val b = "graft_lake.lake.spj_pb"
+    mk(a, "'shard_key'='user_id', 'n_shards'='8'", 64)
+    mk(b, "'shard_key'='user_id', 'n_shards'='8'", 64)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(s"""SELECT a.user_id, a.v AS va, b.v AS vb
+        FROM $a a JOIN $b b ON a.user_id = b.user_id
+        WHERE a.user_id IN (3, 11)""")
+      val p = finalPlan(df)
+      assert(!p.contains("Exchange"),
+        s"expected pruned SPJ (no Exchange) in:\n$p")
+      val rows = df.collect()
+      assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(3L, 11L))
+      rows.foreach(r => assert(r.getLong(1) === r.getLong(0) * 10 &&
+        r.getLong(2) === r.getLong(0) * 10))
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("different shard counts do NOT claim co-partitioning: the " +
+      "join shuffles and the result is identical") {
+    Lake.registerCatalog(spark)
+    val a = "graft_lake.lake.spj_m8"
+    val b = "graft_lake.lake.spj_m4"
+    mk(a, "'shard_key'='user_id', 'n_shards'='8'", 64)
+    mk(b, "'shard_key'='user_id', 'n_shards'='4'", 64)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = joined(a, b)
+      val p = finalPlan(df)
+      assert(p.contains("Exchange"),
+        s"mismatched bucket counts must shuffle:\n$p")
+      expect(df, 64)
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("range-clustered routing provenance refuses the hash claim: " +
+      "scan reports UnknownPartitioning, join shuffles, result " +
+      "identical") {
+    Lake.registerCatalog(spark)
+    val a = "graft_lake.lake.spj_r"
+    val b = "graft_lake.lake.spj_h"
+    // same n_shards, but `a` routes by RANGE (shard_width): its
+    // shards are NOT bucket(8, key) groups, so claiming so would
+    // co-locate wrong rows — the routing tag gate must refuse
+    mk(a, "'shard_key'='user_id', 'n_shards'='8', 'shard_width'='8'",
+      64)
+    mk(b, "'shard_key'='user_id', 'n_shards'='8'", 64)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = joined(a, b)
+      val p = finalPlan(df)
+      assert(p.contains("Exchange"),
+        s"range-clustered side must not claim bucket layout:\n$p")
+      expect(df, 64)
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
