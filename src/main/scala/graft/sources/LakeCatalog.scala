@@ -814,6 +814,18 @@ class GraftLakeRowLevelOperation(table: GraftLakeTable, dataDir: String,
   private[sources] def replacedShards: Set[Int] = {
     val filtered = scans.asScala.filter(_.runtimeFiltered)
     if (filtered.nonEmpty) filtered.flatMap(_.plannedShards).toSet
+    else if (!scans.isEmpty)
+      // No runtime group filter arrived (disabled by conf, or the
+      // dynamic predicate didn't convert). The command's condition IS
+      // still pushed statically into every op scan, and static
+      // pruning is predicate-faithful, so: every shard that may hold
+      // a matching row is in EVERY scan's planned set (required ⊆
+      // intersection), and the intersection is a subset of the main
+      // read's planned set (carry rows of every replaced shard were
+      // actually read). The old fallback — ALL existing shards —
+      // silently dropped statically-pruned shards' rows whenever the
+      // runtime filter failed to fire.
+      scans.asScala.map(_.plannedShards).reduce(_ intersect _)
     else GraftLakeIO.existingShards(
       GraftLakeIO.versionDir(dataDir, snapshotV))
   }
@@ -1593,10 +1605,16 @@ object GraftLakeScanMetrics {
   val writerRotations = new java.util.concurrent.atomic.AtomicLong()
   // whole-aggregate answers served purely from footers + zone maps
   val aggPushdowns = new java.util.concurrent.atomic.AtomicLong()
+  // shards skipped by the bloom sidecar (equality/IN probes zone
+  // maps could not refuse)
+  val skippedByBloom = new java.util.concurrent.atomic.AtomicLong()
+  // parts skipped INSIDE planned shards via parquet footer statistics
+  val skippedParts = new java.util.concurrent.atomic.AtomicLong()
   def reset(): Unit = {
     planned.set(0); skippedByStats.set(0)
     decodedColumns.set(0); metadataOnlyReads.set(0)
     writerRotations.set(0); aggPushdowns.set(0)
+    skippedByBloom.set(0); skippedParts.set(0)
   }
 }
 
@@ -1882,36 +1900,86 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
     * and Spark's PartitionPruning resolves filterAttributes against
     * the scan OUTPUT — advertising an absent column there throws
     * `Unable to resolve _shard` the moment DPP inspects a lake-side
-    * join (surfaced by lake_incremental_mv's aggregate-join shape). */
+    * join (surfaced by lake_incremental_mv's aggregate-join shape).
+    *
+    * The SHARD KEY is additionally advertised (when in the output):
+    * Spark's dynamic partition pruning then delivers the build side's
+    * key set as a runtime `IN` and the scan keeps only the shards
+    * some key ROUTES to under that shard's recorded provenance tag —
+    * a lake fact ⋈ filtered dim reads the dim-matching shards only
+    * (Trino-on-Iceberg dynamic filtering). */
   override def filterAttributes(): Array[NamedReference] =
     if (required.fieldNames.contains("_shard"))
+      // row-level reads advertise ONLY `_shard`: the group-filter
+      // rule projects ALL advertised attributes into one dynamic
+      // IN-subquery, and a multi-key IN does not convert to a V2
+      // predicate — filter() would never fire and the op would lose
+      // its runtime narrowing (observed as a replaced-set blowup)
       Array(Expressions.column("_shard"))
+    else if (shardKey.nonEmpty &&
+      required.fieldNames.contains(shardKey))
+      // plain reads advertise the shard key for DPP: a selective dim
+      // join delivers its key set and the scan keeps only the shards
+      // those keys route to
+      Array(Expressions.column(shardKey))
     else Array.empty
 
-  /** Runtime group filtering delivers `_shard IN (...)` (or `=`) built
-    * from the candidate subquery; unknown predicate shapes are ignored
-    * (scan stays unpruned — always sound). */
+  /** Runtime filtering, two producers: the row-level rewrite's group
+    * filter delivers `_shard IN (...)` (or `=`), and dynamic
+    * partition pruning delivers `<shardKey> IN (...)` from the join's
+    * build side — each understood predicate contributes a surviving
+    * shard set and the sets INTERSECT. Key probes survive per shard
+    * iff the shard's recorded routing tag is "mixed"/absent (never
+    * prune blind) or some probed key routes to it under THAT tag —
+    * the same provenance discipline as the static point-lookup path.
+    * Unknown shapes are ignored (scan stays unpruned — always
+    * sound). */
   override def filter(predicates: Array[V2Predicate]): Unit = {
     runtimeFiltered = true
-    val keep = scala.collection.mutable.Set[Int]()
-    var understood = false
-    predicates.foreach { p =>
-      val isShardRef = p.children().headOption.exists {
-        case r: NamedReference => r.fieldNames().sameElements(Array("_shard"))
-        case _ => false
+    lazy val routing = GraftLakeIO.readRouting(vdir)
+    lazy val existing = GraftLakeIO.existingShards(vdir)
+    def keyLits(xs: Seq[Any]): Option[Seq[Long]] = {
+      val ls = xs.flatMap {
+        case l: V2Literal[_] => l.value() match {
+          case i: java.lang.Integer => Some(i.longValue())
+          case l2: java.lang.Long => Some(l2.longValue())
+          case s: java.lang.Short => Some(s.longValue())
+          case _ => None
+        }
+        case _ => None
       }
-      if ((p.name() == "IN" || p.name() == "=") && isShardRef) {
-        val lits = p.children().tail.collect {
-          case l: V2Literal[_] if l.dataType() == IntegerType =>
-            l.value().asInstanceOf[Int]
-        }
-        if (lits.length == p.children().length - 1) {
-          understood = true
-          keep ++= lits
-        }
+      if (ls.length == xs.length) Some(ls) else None
+    }
+    val sets = predicates.toSeq.flatMap { p =>
+      val ref = p.children().headOption.collect {
+        case r: NamedReference if r.fieldNames().length == 1 =>
+          r.fieldNames()(0)
+      }
+      if (p.name() != "IN" && p.name() != "=") None
+      else ref match {
+        case Some("_shard") =>
+          val lits = p.children().tail.collect {
+            case l: V2Literal[_] if l.dataType() == IntegerType =>
+              l.value().asInstanceOf[Int]
+          }
+          if (lits.length == p.children().length - 1)
+            Some(lits.toSet)
+          else None
+        case Some(c) if shardKey.nonEmpty && c == shardKey =>
+          keyLits(p.children().toSeq.tail.toSeq).map { ks =>
+            existing.filter { k =>
+              routing.get(k) match {
+                case Some(tag) if tag != "mixed" =>
+                  ks.exists(l =>
+                    GraftLakeIO.routeUnder(tag, l).forall(_ == k))
+                case _ => true // unknown provenance: never prune
+              }
+            }
+          }
+        case _ => None
       }
     }
-    if (understood) retained = Some(keep.toSet)
+    if (sets.nonEmpty) retained = Some(sets.reduce(_ intersect _))
   }
 
   private[sources] def plannedShards: Set[Int] = {
@@ -1954,7 +2022,7 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
     val candidates = plannedShards.toArray.sorted
     val stats = GraftLakeIO.readStats(vdir)
     val routing = GraftLakeIO.readRouting(vdir)
-    val kept = candidates.filter { k =>
+    val zoneKept = candidates.filter { k =>
       stats.get(k).forall { cols =>
         zoneConjuncts.forall { case (name, op, lit) =>
           cols.get(name)
@@ -1962,14 +2030,77 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
         }
       } && probeSurvives(k, routing)
     }
+    val kept = zoneKept.filter(bloomSurvives)
     GraftLakeScanMetrics.planned.addAndGet(kept.length.toLong): Unit
     GraftLakeScanMetrics.skippedByStats
-      .addAndGet((candidates.length - kept.length).toLong): Unit
+      .addAndGet((candidates.length - zoneKept.length).toLong): Unit
+    GraftLakeScanMetrics.skippedByBloom
+      .addAndGet((zoneKept.length - kept.length).toLong): Unit
     val parts = GraftLakeIO.allShardParts(vdir)
-    kept.map(k =>
-      GraftLakeInputPartition(
-        parts.getOrElse(k, Nil).map(_.getPath), k,
-        GraftLakeIO.dvBytes(dvMap, k)))
+    // PART pruning is forbidden for row-level-operation reads (their
+    // output carries the `_shard`/`_pos` row-id metadata): the group
+    // rewrite replaces WHOLE shards and Spark pushes the command's
+    // condition into the main group read, so dropping a
+    // condition-missing part inside a replaced shard would lose its
+    // carry-over rows. Shard-level pruning stays consistent there
+    // because the candidate and main scans prune shards identically —
+    // a pruned shard is never in the replaced set. Plain reads have
+    // no cross-scan recombination contract, so they prune freely.
+    val rowLevelRead = required.fieldNames.contains("_shard") ||
+      required.fieldNames.contains("_pos")
+    kept.map { k =>
+      val all = parts.getOrElse(k, Nil)
+      val (keep, bases) =
+        if (rowLevelRead) (all, Nil)
+        else prunedParts(all)
+      GraftLakeScanMetrics.skippedParts
+        .addAndGet((all.length - keep.length).toLong): Unit
+      GraftLakeInputPartition(keep.map(_.getPath), k,
+        GraftLakeIO.dvBytes(dvMap, k), bases)
+    }
+  }
+
+  /** PART-LEVEL pruning inside a planned shard: the shard-level zone
+    * map is the MERGE of every part's values, so an append-heavy
+    * shard goes range-wide even when each individual part is narrow
+    * (the time-correlated ingest shape — each appended part covers a
+    * recent ts band). Here each part's own parquet-footer column
+    * statistics ([[GraftShardCodec.footerRanges]]) are checked
+    * against the same conjuncts: a part that provably holds no
+    * matching row — range-missed, the column ALL-NULL, or the column
+    * absent from the part's schema entirely (pre-ADD history, reads
+    * as NULL) — is not read at all. Null-rejecting shapes only, so no
+    * NULL row can be lost; predicate-faithfulness makes this sound
+    * for EVERY consumer of the scan (plain reads, group rewrites,
+    * delta row-id scans): a pruned part contributes no rows to THIS
+    * scan's result under its pushed predicates by construction.
+    *
+    * Survivors keep their CONCATENATION ordinal bases (computed from
+    * every part's footer row count, skipped or not), so `_pos` row
+    * ids and deletion-vector masking stay exact. */
+  private def prunedParts(all: Seq[java.io.File])
+      : (Seq[java.io.File], Seq[Long]) = {
+    var base = 0L
+    val keep = Seq.newBuilder[java.io.File]
+    val bases = Seq.newBuilder[Long]
+    val metaCols = Set("_shard", "_pos")
+    all.foreach { f =>
+      val (schema, rows) = GraftShardCodec.footer(f)
+      val conjuncts = zoneConjuncts.filterNot(c => metaCols(c._1))
+      val mayMatch = conjuncts.isEmpty || {
+        lazy val (ranges, allNull) = GraftShardCodec.footerRanges(f)
+        conjuncts.forall { case (name, op, lit) =>
+          if (!schema.containsField(name)) false // reads as NULL
+          else ranges.get(name) match {
+            case Some(rg) => GraftLakeIO.rangeMayMatch(rg, op, lit)
+            case None => !allNull.contains(name) // no stats: never skip
+          }
+        }
+      }
+      if (mayMatch) { keep += f; bases += base }
+      base += rows
+    }
+    (keep.result(), bases.result())
   }
 
   /** Equality/IN probe conjuncts on the SHARD KEY — per conjunct, the
@@ -2007,6 +2138,66 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
       }
     }
   }
+
+  /** Equality/IN conjuncts probe the `_bloom.json` sidecar
+    * ([[GraftLakeBloom]]): shard k is skipped when, for some
+    * conjunct, EVERY probed value is provably absent from k's
+    * recorded filter. Entry-less shards/columns never skip; values
+    * of an unprobeable type (float, etc.) disable the conjunct. */
+  private lazy val bloomMap = GraftLakeBloom.read(vdir)
+
+  /** `(column, probed values)` — values normalized to Long (integral/
+    * date literals, matching the writer's widened hashing) or
+    * UTF8String. */
+  private lazy val bloomConjuncts: Seq[(String, Seq[Any])] = {
+    def norm(x: Any): Option[Any] = x match {
+      case l: V2Literal[_] => l.value() match {
+        case i: java.lang.Integer => Some(i.longValue())
+        case l2: java.lang.Long => Some(l2.longValue())
+        case s: java.lang.Short => Some(s.longValue())
+        case u: UTF8String => Some(u)
+        case s: String => Some(UTF8String.fromString(s))
+        case _ => None
+      }
+      case _ => None
+    }
+    def colOf(x: Any): Option[String] = x match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    zonePreds.toSeq.flatMap { p =>
+      val ch = p.children().toSeq
+      p.name() match {
+        case "=" if ch.length == 2 =>
+          (colOf(ch(0)), norm(ch(1)), colOf(ch(1)), norm(ch(0))) match {
+            case (Some(c), Some(v), _, _) => Some((c, Seq(v)))
+            case (_, _, Some(c), Some(v)) => Some((c, Seq(v)))
+            case _ => None
+          }
+        case "IN" if ch.length >= 2 =>
+          colOf(ch.head).flatMap { c =>
+            val vs = ch.tail.flatMap(norm)
+            if (vs.length == ch.length - 1) Some((c, vs)) else None
+          }
+        case _ => None
+      }
+    }
+  }
+
+  private def bloomSurvives(k: Int): Boolean =
+    bloomConjuncts.isEmpty || {
+      val entry = bloomMap.getOrElse(k, Map.empty)
+      bloomConjuncts.forall { case (c, vs) =>
+        entry.get(c).forall(bits => vs.exists {
+          case l: java.lang.Long =>
+            GraftLakeBloom.mightContainLong(bits, l.longValue())
+          case u: UTF8String =>
+            GraftLakeBloom.mightContainUtf8(bits, u)
+          case _ => true
+        })
+      }
+    }
 
   private def probeSurvives(k: Int,
       routing: Map[Int, String]): Boolean =
@@ -2076,7 +2267,12 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
 }
 
 case class GraftLakeInputPartition(paths: Seq[String], shard: Int,
-    dv: Array[Byte] = null)
+    dv: Array[Byte] = null,
+    // concatenation ordinal of each path's row 0 — explicit because
+    // part pruning can drop parts from the MIDDLE of the list and
+    // `_pos`/deletion-vector ordinals must not shift (empty = dense,
+    // reader accumulates)
+    ordBases: Seq[Long] = Nil)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** The value of `bucket(nShards, shardKey)` for every row in this
@@ -2094,7 +2290,8 @@ class GraftLakeReaderFactory(required: StructType)
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftLakeInputPartition]
-    new GraftLakePartitionReader(p.paths, p.shard, required, p.dv)
+    new GraftLakePartitionReader(p.paths, p.shard, required, p.dv,
+      p.ordBases)
   }
 }
 
@@ -2115,7 +2312,8 @@ class GraftLakeReaderFactory(required: StructType)
   * or corrupted) — surfacing it beats silently serving zero rows
   * (advisor round 10). */
 class GraftLakePartitionReader(paths: Seq[String], shard: Int,
-    required: StructType, dvBytes: Array[Byte] = null)
+    required: StructType, dvBytes: Array[Byte] = null,
+    ordBases: Seq[Long] = Nil)
     extends PartitionReader[InternalRow] {
   paths.foreach { p =>
     if (!new java.io.File(p).exists())
@@ -2148,6 +2346,9 @@ class GraftLakePartitionReader(paths: Seq[String], shard: Int,
     ordBase += partRows
     partIdx += 1
     if (partIdx >= paths.length) return false
+    // planner-supplied concatenation bases (part pruning drops parts
+    // from the middle; ordinals of the survivors must not shift)
+    if (ordBases.nonEmpty) ordBase = ordBases(partIdx)
     val f = new java.io.File(paths(partIdx))
     val (fileSchema, rows) = GraftShardCodec.footer(f)
     val projection = GraftShardCodec.projectionFor(fileSchema, dataNames)
@@ -2604,7 +2805,8 @@ class GraftLakeStreamingWrite(table: GraftLakeTable, dataDir: String,
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write
       .streaming.StreamingDataWriterFactory =
     GraftLakeStreamingWriterFactory(dataDir, queryId, writeSchema,
-      table.shardKey, table.nShards, table.shardWidth)
+      table.shardKey, table.nShards, table.shardWidth,
+      table.bloomCols)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -2641,7 +2843,7 @@ class GraftLakeStreamingWrite(table: GraftLakeTable, dataDir: String,
   * epoch's rows under `_stage_<query>_e<epoch>`. */
 case class GraftLakeStreamingWriterFactory(dataDir: String,
     queryId: String, writeSchema: StructType, shardKey: String,
-    nShards: Int, shardWidth: Long)
+    nShards: Int, shardWidth: Long, bloomCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
@@ -2649,7 +2851,7 @@ case class GraftLakeStreamingWriterFactory(dataDir: String,
     val d = new java.io.File(dataDir, s"_stage_${queryId}_e$epochId")
     d.mkdirs()
     new GraftLakeDataWriter(d.getPath, writeSchema, shardKey, nShards,
-      shardWidth, partitionId, taskId)
+      shardWidth, partitionId, taskId, bloomCols)
   }
 }
 
@@ -2674,7 +2876,8 @@ class GraftLakeBatchWrite(table: GraftLakeTable, dataDir: String,
       info: PhysicalWriteInfo): DataWriterFactory = {
     stageDir.mkdirs()
     new GraftLakeWriterFactory(stageDir.getPath, writeSchema,
-      table.shardKey, table.nShards, table.shardWidth)
+      table.shardKey, table.nShards, table.shardWidth,
+      table.bloomCols)
   }
 
   /** Versioned commit: build version N+1 COMPLETELY in a WRITER-UNIQUE
@@ -2816,6 +3019,48 @@ private[sources] object GraftLakeCommitter {
         }
       }.toMap
       if (statsOut.nonEmpty) GraftLakeIO.writeStats(build, statsOut)
+      // bloom sidecars ride the same carry/merge shape as the zone
+      // maps, with ONE deliberate difference: an appended shard keeps
+      // only columns present in BOTH halves (intersection). The
+      // single-half rule the ranges use is sound for them because a
+      // missing half always means "only NULLs there" — but a bloom
+      // half can ALSO be missing because `bloom_columns` was enabled
+      // after the base files were written, and those old rows hold
+      // real values no filter covers. The intersection can't tell the
+      // two apart, so it refuses both; coverage resumes when the
+      // shard is fully rewritten.
+      val baseBloom = GraftLakeBloom.read(baseDir)
+      val bloomOut = GraftLakeIO.existingShards(build).flatMap { k =>
+        val base = if (carried.contains(k)) baseBloom.get(k) else None
+        val fresh = staged.get(k)
+          .map(_.map(_.blooms.view
+            .mapValues(GraftLakeBloom.fromBytes).toMap)
+            .reduce((a, b) => (a.keySet ++ b.keySet).map(n =>
+              n -> ((a.get(n), b.get(n)) match {
+                case (Some(x), Some(y)) => GraftLakeBloom.or(x, y)
+                case (Some(x), None) => x
+                case (None, Some(y)) => y
+                case _ => sys.error("unreachable")
+              })).toMap))
+          .filter(_.nonEmpty)
+        val merged = (base, fresh) match {
+          case (None, _) if carried.contains(k) => None
+          case (Some(b), Some(f)) =>
+            val cols = b.keySet.intersect(f.keySet)
+            if (cols.isEmpty) None
+            else Some(cols.map(n =>
+              n -> GraftLakeBloom.or(b(n), f(n))).toMap)
+          // carried AND staged but the staged half observed nothing
+          // (bloom_columns currently disabled): the new rows are
+          // uncovered, so the base entry must drop, not carry
+          case (Some(b), None) =>
+            if (staged.contains(k)) None else Some(b)
+          case (None, Some(f)) => Some(f)
+          case _ => None
+        }
+        merged.map(k -> _)
+      }.toMap
+      if (bloomOut.nonEmpty) GraftLakeBloom.write(build, bloomOut)
       // routing provenance per shard file (point-lookup pruning):
       // carried keeps its recorded tag, append-merged keeps it only
       // if it matches the CURRENT routing (else "mixed" — never
@@ -2989,12 +3234,16 @@ class GraftLakeDataWriter(stagePath: String, writeSchema: StructType,
             observe(k, f.name,
               GraftLakeIO.ColRange(isFloat = false, v, v, v.toDouble,
                 v.toDouble))
+            if (bloomSet.contains(f.name))
+              GraftLakeBloom.addLong(bloomBuf(k, f.name), v)
           case IntegerType | DateType =>
             val v = row.getInt(i)
             g.add(f.name, v)
             observe(k, f.name,
               GraftLakeIO.ColRange(isFloat = false, v.toLong, v.toLong,
                 v.toDouble, v.toDouble))
+            if (bloomSet.contains(f.name))
+              GraftLakeBloom.addLong(bloomBuf(k, f.name), v.toLong)
           case DoubleType =>
             val v = row.getDouble(i)
             g.add(f.name, v)
@@ -3015,6 +3264,8 @@ class GraftLakeDataWriter(stagePath: String, writeSchema: StructType,
             // bound, sticky-invalid past it (never a wrong skip)
             observe(k, f.name, GraftLakeIO.ColRange.ofString(
               u.toString))
+            if (bloomSet.contains(f.name))
+              GraftLakeBloom.addUtf8(bloomBuf(k, f.name), u)
           case other => throw new IllegalArgumentException(
             s"unsupported lake type for ${f.name}: $other")
         }
@@ -3038,7 +3289,11 @@ class GraftLakeDataWriter(stagePath: String, writeSchema: StructType,
       case (k, f) =>
         GraftLakeCommit(k, f.getPath,
           ranges.get(k).fold(Map.empty[String, GraftLakeIO.ColRange])(
-            _.toMap))
+            _.toMap),
+          // like the ranges: the shard's FULL bloom rides each part
+          // (OR-merge is idempotent)
+          blooms.get(k).fold(Map.empty[String, Array[Byte]])(
+            _.view.mapValues(GraftLakeBloom.toBytes).toMap))
     })
   }
 
@@ -3069,6 +3324,12 @@ object Lake {
     // aligns sides whose surviving shard sets differ after pruning
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "true")
+    // one-sided SPJ: a non-lake join side may be shuffled WITH the
+    // lake's own bucket function (GraftBucketFunction.produceResult
+    // is the real floorMod routing), so the lake side still moves
+    // zero bytes — only the small side shuffles
+    s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled",
       "true")
     if (s.conf.getOption("spark.sql.catalog.graft_lake.path").isEmpty)
       s.conf.set("spark.sql.catalog.graft_lake.path",
@@ -4386,6 +4647,136 @@ object Lake {
               ORDER BY user_id""")
   }
 
+  /** DYNAMIC PARTITION PRUNING through the oracle gate — Trino's
+    * dynamic filtering on the lake connector: the fact side is a
+    * hash-sharded lake table, the dim side a small filtered frame,
+    * and at RUNTIME the join's build-side key set arrives at the
+    * lake scan (`SupportsRuntimeV2Filtering` on the shard key) which
+    * keeps only the shards those keys ROUTE to under each shard's
+    * recorded provenance tag (LakeSpjSpec pins the runtime filter
+    * firing; this query pins the VALUES against DuckDB). At 100 TB:
+    * a fact ⋈ filtered-dim reads the dim-matching shard files only,
+    * decided after the dim is materialized, not at plan time. */
+  val lakeDppJoin: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.dppf_$fp"
+    if (!builtHistories.contains(tbl)) {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .createOrReplaceTempView("graft_lake_dpp_src")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT)
+                TBLPROPERTIES ('shard_key'='user_id',
+                  'n_shards'='8')""")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_dpp_src")
+      builtHistories.add(tbl): Unit
+    }
+    Tables.events(s, dir).select("user_id").distinct()
+      .selectExpr("user_id", "user_id % 10 AS segment")
+      .createOrReplaceTempView("graft_lake_dpp_dim")
+    s.sql(s"""SELECT f.user_id, f.n_events
+              FROM $tbl f JOIN graft_lake_dpp_dim d
+                ON f.user_id = d.user_id AND d.segment = 3
+              ORDER BY f.user_id""")
+  }
+
+  val lakeDppJoinOracle: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+       FROM events
+       WHERE user_id % 10 = 3
+       GROUP BY user_id ORDER BY user_id"""
+
+  /** PART-LEVEL PRUNING through the oracle gate — the
+    * time-correlated-ingest shape: three append commits land the
+    * events corpus as three ts-band PARTS per shard (dom 1–10,
+    * 11–20, 21–31), the shard-level zone maps merge to the full
+    * month (no shard skips), but each part's own parquet-footer
+    * statistics stay narrow, so the "recent band" read
+    * (`dom >= 21`) opens exactly one part per shard and the cold
+    * parts never open (LakePartPruneSpec pins the skip counts and
+    * the `_pos`/deletion-vector ordinal stability; this query pins
+    * the VALUES against DuckDB). At 100 TB of streaming appends this
+    * is the recency query reading only the recent files. */
+  val lakePartPrune: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.ppart_$fp"
+    if (!builtHistories.contains(tbl)) {
+      Tables.events(s, dir)
+        .selectExpr("user_id",
+          "CAST(dayofmonth(ts) AS BIGINT) AS dom")
+        .groupBy("user_id", "dom")
+        .agg(count(lit(1)).as("n_events"))
+        .createOrReplaceTempView("graft_lake_ppart_src")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl
+                (user_id BIGINT, dom BIGINT, n_events BIGINT)
+                TBLPROPERTIES ('shard_key'='user_id',
+                  'n_shards'='8')""")
+      Seq("dom <= 10", "dom BETWEEN 11 AND 20", "dom >= 21")
+        .foreach { band =>
+          s.sql(s"""INSERT INTO $tbl
+                    SELECT * FROM graft_lake_ppart_src
+                    WHERE $band""")
+        }
+      builtHistories.add(tbl): Unit
+    }
+    s.sql(s"""SELECT user_id, dom, n_events FROM $tbl
+              WHERE dom >= 21
+              ORDER BY user_id, dom""")
+  }
+
+  val lakePartPruneOracle: String =
+    """SELECT user_id,
+         CAST(day(CAST(ts AS TIMESTAMP)) AS BIGINT) AS dom,
+         CAST(count(*) AS BIGINT) AS n_events
+       FROM events
+       WHERE day(CAST(ts AS TIMESTAMP)) >= 21
+       GROUP BY 1, 2 ORDER BY user_id, dom"""
+
+  /** BLOOM-SIDECAR FILE SKIPPING through the oracle gate: a
+    * hash-sharded per-user table declares `bloom_columns` on a
+    * NON-key string column whose values spread over the whole domain
+    * in every shard — zone maps provably cannot prune (each shard's
+    * [minS, maxS] spans), but the per-shard 8 KB bloom filters
+    * ([[GraftLakeBloom]]) prove absence for the probed IN values and
+    * the scan plans only the 2 shards that can hold them
+    * (LakeBloomSpec pins the skip counts and the no-false-negative
+    * sweep; this query pins the VALUES against DuckDB). Parquet
+    * column bloom filters / Iceberg puffin at the lake's pruning
+    * granularity — at 100 TB an equality probe on a secondary column
+    * reads 2 files, not a table. */
+  val lakeBloomSkip: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.bloom_$fp"
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .selectExpr("user_id",
+        "concat('u', CAST(user_id AS STRING)) AS tag", "n_events")
+      .createOrReplaceTempView("graft_lake_bloom_src")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl
+              (user_id BIGINT, tag STRING, n_events BIGINT)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+                'bloom_columns'='tag')""")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_bloom_src")
+    s.sql(s"""SELECT user_id, tag, n_events FROM $tbl
+              WHERE tag IN ('u43', 'u87')
+              ORDER BY user_id""")
+  }
+
+  val lakeBloomSkipOracle: String =
+    """SELECT user_id,
+         'u' || CAST(user_id AS VARCHAR) AS tag,
+         CAST(count(*) AS BIGINT) AS n_events
+       FROM events
+       WHERE 'u' || CAST(user_id AS VARCHAR) IN ('u43', 'u87')
+       GROUP BY user_id ORDER BY user_id"""
+
   /** STORAGE-PARTITIONED JOIN through the oracle gate: two lake
     * tables hash-sharded identically on `user_id` (per-user event
     * counts ⋈ per-user first-seen dates) join WITHOUT shuffling
@@ -4435,6 +4826,9 @@ object Lake {
        ORDER BY n.user_id"""
 
   val queries: Map[String, Q] = Map(
+    "lake_dpp_join" -> lakeDppJoin,
+    "lake_part_prune" -> lakePartPrune,
+    "lake_bloom_skip" -> lakeBloomSkip,
     "lake_spj_join" -> lakeSpjJoin,
     "lake_recluster_skip" -> lakeReclusterSkip,
     "merge_sql_firstseen" -> mergeSqlFirstSeen,
@@ -4465,6 +4859,9 @@ object Lake {
     "lake_point_lookup" -> lakePointLookup)
 
   val oracles: Map[String, String] = Map(
+    "lake_dpp_join" -> lakeDppJoinOracle,
+    "lake_part_prune" -> lakePartPruneOracle,
+    "lake_bloom_skip" -> lakeBloomSkipOracle,
     "lake_spj_join" -> lakeSpjJoinOracle,
     "lake_recluster_skip" -> lakeStatsSkippingOracle,
     "merge_sql_firstseen" ->

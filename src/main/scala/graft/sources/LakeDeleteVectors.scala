@@ -112,12 +112,12 @@ case class GraftLakeDvCommit(dvs: Map[Int, Array[Byte]],
 
 case class GraftLakeDvWriterFactory(shardIdx: Int, posIdx: Int,
     stagePath: String, writeSchema: StructType, shardKey: String,
-    nShards: Int, shardWidth: Long)
+    nShards: Int, shardWidth: Long, bloomCols: Seq[String] = Nil)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new GraftLakeDvWriter(shardIdx, posIdx, stagePath, writeSchema,
-      shardKey, nShards, shardWidth, partitionId, taskId)
+      shardKey, nShards, shardWidth, partitionId, taskId, bloomCols)
 }
 
 /** Accumulates deleted positions per shard — O(live bitmap) memory,
@@ -127,7 +127,8 @@ case class GraftLakeDvWriterFactory(shardIdx: Int, posIdx: Int,
   * DELETE stages nothing). */
 class GraftLakeDvWriter(shardIdx: Int, posIdx: Int,
     stagePath: String, writeSchema: StructType, shardKey: String,
-    nShards: Int, shardWidth: Long, partitionId: Int, taskId: Long)
+    nShards: Int, shardWidth: Long, partitionId: Int, taskId: Long,
+    bloomCols: Seq[String] = Nil)
     extends DeltaWriter[InternalRow] {
   private val dvs = scala.collection.mutable.Map[Int, RoaringBitmap]()
   private var dataWriter: GraftLakeDataWriter = null
@@ -144,7 +145,7 @@ class GraftLakeDvWriter(shardIdx: Int, posIdx: Int,
     if (dataWriter == null) {
       new java.io.File(stagePath).mkdirs()
       dataWriter = new GraftLakeDataWriter(stagePath, writeSchema,
-        shardKey, nShards, shardWidth, partitionId, taskId)
+        shardKey, nShards, shardWidth, partitionId, taskId, bloomCols)
     }
     dataWriter.write(row)
   }
@@ -216,7 +217,8 @@ class GraftLakeDvBatchWrite(table: GraftLakeTable, dataDir: String,
     val rowSchema = info.map(_.schema()).getOrElse(table.schema())
     GraftLakeDvWriterFactory(idSchema.fieldIndex("_shard"),
       idSchema.fieldIndex("_pos"), stageDir.getPath, rowSchema,
-      table.shardKey, table.nShards, table.shardWidth)
+      table.shardKey, table.nShards, table.shardWidth,
+      table.bloomCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =

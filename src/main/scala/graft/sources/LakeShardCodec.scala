@@ -185,6 +185,116 @@ object GraftShardCodec {
     } finally r.close()
   }
 
+  private val rangesMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(Object, Long, Long),
+      (Map[String, GraftLakeIO.ColRange], Set[String])](256, 0.75f,
+      /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Object, Long, Long),
+            (Map[String, GraftLakeIO.ColRange], Set[String])])
+          : Boolean = size() > 8192
+    })
+
+  /** PER-PART zone ranges from the parquet footer's OWN column-chunk
+    * statistics (parquet-mr stamps min/max/nulls at write time):
+    * `(column -> merged range across row groups, columns that are
+    * ALL-NULL in this file)`. The shard-level `_stats.json` merges
+    * every part's values, so an append-heavy shard's ranges go wide;
+    * these per-part ranges are what lets a scan skip the COLD PARTS
+    * of a planned shard (a time-correlated append stream leaves each
+    * part covering a narrow ts band). Memoized on file identity like
+    * [[footer]] — one small tail read per immutable part, ever.
+    *
+    * Conservatism ledger (a part skip must never lose rows):
+    *  - a column is in the map ONLY when every row group's chunk has
+    *    usable stats — any statless/foreign chunk drops it (never
+    *    skip);
+    *  - DOUBLE/FLOAT never enter (parquet writers' NaN-in-stats
+    *    behavior is not uniformly trustworthy — same refusal as the
+    *    shard zone maps' NaN discipline);
+    *  - string min/max past [[GraftLakeIO.ColRange.MaxStatsStringLen]]
+    *    drop the column (mirror the sidecar's exactly-or-nothing
+    *    rule);
+    *  - all-NULL columns are reported separately: a null-rejecting
+    *    conjunct on one proves the part row-free for that scan. */
+  def footerRanges(file: java.io.File)
+      : (Map[String, GraftLakeIO.ColRange], Set[String]) = {
+    val key = identityKey(file)
+    val hit = rangesMemo.get(key)
+    if (hit != null) return hit
+    val r = ParquetFileReader.open(new LocalInputFile(file.toPath))
+    try {
+      // per column: (unusable, merged range or null, any non-null
+      // chunk seen)
+      val acc = scala.collection.mutable.LinkedHashMap[String,
+        (Boolean, GraftLakeIO.ColRange, Boolean)]()
+      r.getFooter.getBlocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          val name = c.getPath.toDotString
+          val st = c.getStatistics
+          val prev = acc.getOrElse(name, (false, null, false))
+          val next =
+            if (prev._1 || st == null) (true, null, false)
+            else if (st.hasNonNullValue) {
+              val tn = c.getPrimitiveType.getPrimitiveTypeName
+              val isStr = c.getPrimitiveType
+                .getLogicalTypeAnnotation != null &&
+                c.getPrimitiveType.getLogicalTypeAnnotation.toString
+                  .toLowerCase(java.util.Locale.ROOT)
+                  .startsWith("string")
+              val chunk: GraftLakeIO.ColRange = tn match {
+                case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT64 =>
+                  val lo = st.genericGetMin
+                    .asInstanceOf[java.lang.Long].longValue()
+                  val hi = st.genericGetMax
+                    .asInstanceOf[java.lang.Long].longValue()
+                  GraftLakeIO.ColRange(isFloat = false, lo, hi,
+                    lo.toDouble, hi.toDouble)
+                case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.INT32 =>
+                  val lo = st.genericGetMin
+                    .asInstanceOf[java.lang.Integer].longValue()
+                  val hi = st.genericGetMax
+                    .asInstanceOf[java.lang.Integer].longValue()
+                  GraftLakeIO.ColRange(isFloat = false, lo, hi,
+                    lo.toDouble, hi.toDouble)
+                case org.apache.parquet.schema.PrimitiveType
+                    .PrimitiveTypeName.BINARY if isStr =>
+                  GraftLakeIO.ColRange.ofString(st.genericGetMin
+                      .asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .toStringUsingUTF8)
+                    .merge(GraftLakeIO.ColRange.ofString(st
+                      .genericGetMax
+                      .asInstanceOf[org.apache.parquet.io.api.Binary]
+                      .toStringUsingUTF8))
+                case _ => null // DOUBLE/FLOAT/other: never skip
+              }
+              if (chunk == null || GraftLakeIO.rangeUnusable(chunk))
+                (true, null, false)
+              else (false,
+                if (prev._2 == null) chunk else prev._2.merge(chunk),
+                true)
+            } else if (st.isNumNullsSet &&
+              st.getNumNulls == b.getRowCount)
+              prev // all-null chunk: contributes nothing, stays sound
+            else (true, null, false)
+          acc.update(name, next)
+        }
+      }
+      val ranges = acc.collect {
+        case (n, (false, rg, true)) if rg != null &&
+          !GraftLakeIO.rangeUnusable(rg) => n -> rg
+      }.toMap
+      val allNull = acc.collect {
+        case (n, (false, null, false)) => n
+      }.toSet
+      val v = (ranges, allNull)
+      rangesMemo.put(key, v): Unit
+      v
+    } finally r.close()
+  }
+
   /** The projection actually readable from `file`: the requested
     * column names that exist in the file's own schema, carrying the
     * FILE's field types (strict projection checking requires it).

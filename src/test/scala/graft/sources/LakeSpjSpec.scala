@@ -108,6 +108,64 @@ class LakeSpjSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("one-sided SPJ: a plain in-memory side is shuffled WITH the " +
+      "lake's bucket function while the lake side stays " +
+      "exchange-free") {
+    Lake.registerCatalog(spark)
+    val a = "graft_lake.lake.spj_one"
+    mk(a, "'shard_key'='user_id', 'n_shards'='8'", 64)
+    spark.range(0, 64).selectExpr("id AS user_id", "id * 7 AS w")
+      .createOrReplaceTempView("spj_plain_side")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(s"""SELECT a.user_id, a.v, p.w
+        FROM $a a JOIN spj_plain_side p ON a.user_id = p.user_id""")
+      // AdaptiveSparkPlan.toString prints Final AND Initial sections;
+      // count exchanges in the FINAL plan only
+      val p = finalPlan(df).split("== Initial Plan ==")(0)
+      // exactly ONE exchange — the plain side's — and it hashes with
+      // the catalog function (KeyGroupedPartitioning over the bucket
+      // transform), not Spark's generic hashpartitioning
+      assert("Exchange".r.findAllIn(p).length === 1,
+        s"expected exactly one exchange (plain side only) in:\n$p")
+      assert(p.contains("keygroupedpartitioning"),
+        s"the shuffle must target the lake's reported partitioning:" +
+          s"\n$p")
+      assert(!p.contains("hashpartitioning"),
+        s"the shuffle must use the lake's bucket function, not " +
+          s"generic hash:\n$p")
+      val rows = df.collect()
+      assert(rows.length === 64)
+      rows.foreach(r => assert(r.getLong(1) === r.getLong(0) * 10 &&
+        r.getLong(2) === r.getLong(0) * 7))
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("dynamic partition pruning on the shard key: a broadcast dim " +
+      "filtered to two keys runtime-prunes the lake fact to the " +
+      "shards those keys route to") {
+    Lake.registerCatalog(spark)
+    val a = "graft_lake.lake.spj_dpp"
+    mk(a, "'shard_key'='user_id', 'n_shards'='8'", 64)
+    spark.range(0, 64)
+      .selectExpr("id AS user_id",
+        "CASE WHEN id IN (5, 12) THEN 'hot' ELSE 'cold' END AS t")
+      .createOrReplaceTempView("spj_dpp_dim")
+    val df = spark.sql(s"""SELECT a.user_id, a.v
+      FROM $a a JOIN spj_dpp_dim p
+        ON a.user_id = p.user_id AND p.t = 'hot'""")
+    val p = finalPlan(df)
+    assert(p.contains("dynamicpruning") ||
+      p.contains("RuntimeFilters: [user_id"),
+      s"expected a runtime filter on the lake scan in:\n$p")
+    assert(p.contains("runtimeFiltered=true"),
+      s"the lake scan must have applied the runtime filter:\n$p")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(5L, 12L))
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(0) * 10))
+  }
+
   test("range-clustered routing provenance refuses the hash claim: " +
       "scan reports UnknownPartitioning, join shuffles, result " +
       "identical") {
