@@ -78,4 +78,17 @@ final class GraftBoundBucket(keyType: DataType)
     }
     Integer.valueOf(java.lang.Math.floorMod(key, n.toLong).toInt)
   }
+
+  // ScalarFunction MAGIC METHODS: Spark compiles an Invoke call to
+  // these instead of the boxed produceResult row path — this is what
+  // keeps a clustered-write (or one-sided-SPJ) shuffle's hash
+  // computation inside whole-stage codegen
+  def invoke(numBuckets: Int, key: Long): Int =
+    java.lang.Math.floorMod(key, numBuckets.toLong).toInt
+  def invoke(numBuckets: Int, key: Int): Int =
+    java.lang.Math.floorMod(key.toLong, numBuckets.toLong).toInt
+  def invoke(numBuckets: Int, key: Short): Int =
+    java.lang.Math.floorMod(key.toLong, numBuckets.toLong).toInt
+  def invoke(numBuckets: Int, key: Byte): Int =
+    java.lang.Math.floorMod(key.toLong, numBuckets.toLong).toInt
 }

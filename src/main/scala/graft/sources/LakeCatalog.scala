@@ -283,7 +283,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       mergeMode = Option(d.get("mergeMode")).map(_.asText())
         .getOrElse("copy-on-write"),
       bloomCols = Option(d.get("bloomColumns")).map(_.asText())
-        .filter(_.nonEmpty).fold(Seq.empty[String])(_.split(",").toSeq))
+        .filter(_.nonEmpty).fold(Seq.empty[String])(_.split(",").toSeq),
+      writeDistribution = Option(d.get("writeDistribution"))
+        .map(_.asText()).getOrElse("none"))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -332,6 +334,21 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     val bloomCols = Option(properties.get("bloom_columns"))
       .filter(_.nonEmpty).fold(Seq.empty[String])(_.split(",").toSeq
         .map(_.trim).filter(_.nonEmpty))
+    // `write_distribution = clustered`: batch writes DECLARE
+    // `Distributions.clustered(bucket(n, key))` so Spark shuffles the
+    // input with the catalog's own routing function before the write
+    // — every shard's rows arrive at one task (Iceberg's
+    // write.distribution-mode=hash). Hash-routed tables only: range
+    // clustering has no catalog-function equivalent.
+    val writeDistribution =
+      Option(properties.get("write_distribution")).getOrElse("none")
+    require(writeDistribution == "none" ||
+      writeDistribution == "clustered",
+      s"write_distribution must be none or clustered, " +
+        s"got $writeDistribution")
+    require(writeDistribution == "none" || shardWidth == 0L,
+      "write_distribution=clustered requires hash routing " +
+        "(no shard_width)")
     bloomCols.foreach { c =>
       require(schema.fieldNames.contains(c),
         s"bloom_columns: no such column $c")
@@ -351,6 +368,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     d.put("mergeMode", mergeMode): Unit
     if (bloomCols.nonEmpty)
       d.put("bloomColumns", bloomCols.mkString(",")): Unit
+    if (writeDistribution != "none")
+      d.put("writeDistribution", writeDistribution): Unit
     tableDir(ident.name()).mkdirs()
     java.nio.file.Files.writeString(descriptorFile(ident.name()).toPath,
       om.writeValueAsString(d))
@@ -426,7 +445,14 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     var schema = t.schema()
     var shardWidth = t.shardWidth
     var bloomCols = t.bloomCols
+    var writeDistribution = t.writeDistribution
     changes.foreach {
+      case p: TableChange.SetProperty
+          if p.property() == "write_distribution" =>
+        require(p.value() == "none" || p.value() == "clustered",
+          s"write_distribution must be none or clustered, " +
+            s"got ${p.value()}")
+        writeDistribution = p.value()
       // enabling bloom filters LATER is safe by the commit-side
       // intersection rule: shards written before the change stay
       // entry-less (never skipped) until fully rewritten
@@ -475,6 +501,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     doc.put("mergeMode", t.mergeMode): Unit
     if (bloomCols.nonEmpty)
       doc.put("bloomColumns", bloomCols.mkString(",")): Unit
+    if (writeDistribution != "none")
+      doc.put("writeDistribution", writeDistribution): Unit
     // atomic descriptor swap: readers see old or new schema, no torn doc
     val tmp = new java.io.File(root,
       s"${ident.name()}.lake.json.tmp${ProcessHandle.current().pid()}")
@@ -512,7 +540,8 @@ class GraftLakeTable(private[sources] val tableName: String,
     val deleteMode: String = "copy-on-write",
     val updateMode: String = "copy-on-write",
     val mergeMode: String = "copy-on-write",
-    val bloomCols: Seq[String] = Nil)
+    val bloomCols: Seq[String] = Nil,
+    val writeDistribution: String = "none")
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with SupportsDeleteV2 {
@@ -531,7 +560,7 @@ class GraftLakeTable(private[sources] val tableName: String,
   private[sources] def withPinned(v: Int): GraftLakeTable =
     new GraftLakeTable(tableName, declared, dataDir, shardKey, nShards,
       shardWidth, Some(v), deleteMode, updateMode, mergeMode,
-      bloomCols)
+      bloomCols, writeDistribution)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -1610,11 +1639,17 @@ object GraftLakeScanMetrics {
   val skippedByBloom = new java.util.concurrent.atomic.AtomicLong()
   // parts skipped INSIDE planned shards via parquet footer statistics
   val skippedParts = new java.util.concurrent.atomic.AtomicLong()
+  // commit-time shard assembly: staged files ADOPTED by hardlink
+  // (single writer task per shard — the clustered-write fast path)
+  // vs MERGED from multiple task fragments
+  val adoptedParts = new java.util.concurrent.atomic.AtomicLong()
+  val mergedParts = new java.util.concurrent.atomic.AtomicLong()
   def reset(): Unit = {
     planned.set(0); skippedByStats.set(0)
     decodedColumns.set(0); metadataOnlyReads.set(0)
     writerRotations.set(0); aggPushdowns.set(0)
     skippedByBloom.set(0); skippedParts.set(0)
+    adoptedParts.set(0); mergedParts.set(0)
   }
 }
 
@@ -2769,7 +2804,39 @@ class GraftLakeWriteBuilder(table: GraftLakeTable, dataDir: String,
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new Write {
+
+  /** `write_distribution = clustered`: the write DECLARES
+    * `clustered(bucket(nShards, shardKey))` and Spark shuffles the
+    * input with [[GraftBucketFunction]] (resolved through the
+    * catalog, codegen'd via its magic `invoke`) into exactly
+    * `nShards` tasks — every shard's rows arrive at ONE task, so the
+    * commit adopts each shard's single staged file by hardlink
+    * instead of merging task fragments, open-writer pressure drops
+    * to O(shards/tasks), and row groups reach full size. Iceberg's
+    * `write.distribution-mode = hash` contract, expressed through
+    * DSv2 `RequiresDistributionAndOrdering`. Declared only when the
+    * shard key is actually in the write schema (row-level
+    * replacement writes carry it too, so they cluster as well). */
+  override def build(): Write = new Write
+      with RequiresDistributionAndOrdering {
+    private def clustered: Boolean =
+      table.writeDistribution == "clustered" &&
+        table.shardWidth == 0L &&
+        info.schema().fieldNames.contains(table.shardKey)
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      if (clustered)
+        org.apache.spark.sql.connector.distributions.Distributions
+          .clustered(Array(
+            Expressions.bucket(table.nShards, table.shardKey)))
+      else
+        org.apache.spark.sql.connector.distributions.Distributions
+          .unspecified()
+    override def requiredNumPartitions(): Int =
+      if (clustered) table.nShards else 0
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty
     override def toBatch: BatchWrite =
       new GraftLakeBatchWrite(table, dataDir, info.schema(),
         truncateFirst, op, info.queryId())
@@ -2960,12 +3027,15 @@ private[sources] object GraftLakeCommitter {
           else 0
         val dst = GraftLakeIO.shardPartFile(build, k, nextSeq)
         val srcs = parts.sortBy(_.path).map(c => new java.io.File(c.path))
-        if (srcs.lengthCompare(1) == 0)
+        if (srcs.lengthCompare(1) == 0) {
           // single staged file: adopt it directly (the stage dir is
           // unlinked after commit, the build's link keeps the bytes)
           link(srcs.head, dst)
-        else
+          GraftLakeScanMetrics.adoptedParts.incrementAndGet(): Unit
+        } else {
           GraftShardCodec.mergeShardFiles(dst, targetType, srcs)
+          GraftLakeScanMetrics.mergedParts.incrementAndGet(): Unit
+        }
       }
       if (merges.lengthCompare(2) < 0) merges.foreach(_())
       else {
@@ -4647,6 +4717,42 @@ object Lake {
               ORDER BY user_id""")
   }
 
+  /** CLUSTERED WRITE through the oracle gate — Iceberg's
+    * `write.distribution-mode = hash` as a DSv2
+    * `RequiresDistributionAndOrdering` contract: the INSERT's input
+    * (deliberately scattered over 32 partitions) is shuffled by
+    * Spark WITH the catalog's own bucket function into one task per
+    * shard, the commit adopts each shard's single staged file by
+    * hardlink (LakeClusteredWriteSpec pins adopted=8/merged=0 and
+    * the unclustered twin's merge counts), and the read back is
+    * value-checked against DuckDB. At 100 TB ingest this is the
+    * difference between tasks×shards small fragments and exactly
+    * `shards` full-row-group files per commit. */
+  val lakeClusteredWrite: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.clw_$fp"
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .repartition(32) // deliberately scattered input
+      .createOrReplaceTempView("graft_lake_clw_src")
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT)
+              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+                'write_distribution'='clustered')""")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_clw_src")
+    s.sql(s"""SELECT user_id, n_events FROM $tbl
+              WHERE user_id % 5 = 0
+              ORDER BY user_id""")
+  }
+
+  val lakeClusteredWriteOracle: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+       FROM events
+       WHERE user_id % 5 = 0
+       GROUP BY user_id ORDER BY user_id"""
+
   /** DYNAMIC PARTITION PRUNING through the oracle gate — Trino's
     * dynamic filtering on the lake connector: the fact side is a
     * hash-sharded lake table, the dim side a small filtered frame,
@@ -4826,6 +4932,7 @@ object Lake {
        ORDER BY n.user_id"""
 
   val queries: Map[String, Q] = Map(
+    "lake_clustered_write" -> lakeClusteredWrite,
     "lake_dpp_join" -> lakeDppJoin,
     "lake_part_prune" -> lakePartPrune,
     "lake_bloom_skip" -> lakeBloomSkip,
@@ -4859,6 +4966,7 @@ object Lake {
     "lake_point_lookup" -> lakePointLookup)
 
   val oracles: Map[String, String] = Map(
+    "lake_clustered_write" -> lakeClusteredWriteOracle,
     "lake_dpp_join" -> lakeDppJoinOracle,
     "lake_part_prune" -> lakePartPruneOracle,
     "lake_bloom_skip" -> lakeBloomSkipOracle,
