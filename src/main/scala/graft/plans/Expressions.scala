@@ -481,6 +481,71 @@ case class IntDot(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** `graft_zvalue(a, b)` — 64-bit Morton/Z-value of two cell indices:
+  * the bits of `a` occupy the even positions, `b` the odd ones, so
+  * ordering by the result interleaves the two dimensions and any
+  * CONTIGUOUS Z-range covers a bounded rectangle set in (a, b) space.
+  * That is the whole multi-dimensional-clustering trick (Delta
+  * `OPTIMIZE ZORDER BY`, Iceberg sort-order z-order): route/cluster a
+  * lake table by `graft_zvalue(floorDiv(x, wx), floorDiv(y, wy))` and
+  * every shard holds a narrow range of BOTH `x` and `y` — the
+  * per-shard zone maps on the ORIGINAL columns become selective, so
+  * range predicates on either dimension skip files. Inputs are cell
+  * indices (callers pre-scale); values are clamped to [0, 2^32): a
+  * negative cell clamps to 0, an oversized one to the top cell —
+  * clamping only loosens locality at the grid edge, never
+  * correctness (placement is arbitrary as far as zone maps care).
+  * Codegen'd; NULL-propagating. */
+case class ZValue(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"graft_zvalue expects (BIGINT, BIGINT), got " +
+            s"(${left.dataType.sql}, ${right.dataType.sql})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_zvalue"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ZValue.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.ZValue.interleave($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+object ZValue {
+  private def clamp(v: Long): Long =
+    if (v < 0L) 0L
+    else if (v > 0xFFFFFFFFL) 0xFFFFFFFFL
+    else v
+
+  /** Spread the low 32 bits of `v` into the even bit positions of a
+    * long (the classic Morton magic-mask cascade). */
+  def spread(v: Long): Long = {
+    var x = v & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  def interleave(a: Long, b: Long): Long =
+    spread(clamp(a)) | (spread(clamp(b)) << 1)
+}
+
 /** 60-bit md5-prefix hash of a string — the engine's portable content
   * hash (shared with the DuckDB oracle via the hex-prefix definition). */
 case class Md5Prefix60(child: Expression)
@@ -691,6 +756,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_hex60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "graft_hex60"),
       (exprs: Seq[Expression]) => Md5Prefix60(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(classOf[ZValue].getName, "graft_zvalue"),
+      (exprs: Seq[Expression]) => ZValue(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_sq8"),
       new ExpressionInfo(classOf[Sq8Quantize].getName, "graft_sq8"),

@@ -4717,6 +4717,51 @@ object Lake {
               ORDER BY user_id""")
   }
 
+  /** Z-ORDER CLUSTERING through the oracle gate — Delta
+    * `OPTIMIZE ZORDER BY` / Iceberg z-order sort as a layout the
+    * engine's own machinery serves end-to-end: the events corpus is
+    * bucketed to a (user-band, day) grid, routed by
+    * `graft_zvalue(xb, yb)` (the codegen'd Morton interleave) under
+    * RANGE clustering, and a rectangle predicate on the ORIGINAL
+    * columns skips every shard whose Z-range misses it — both
+    * dimensions' zone maps are selective at once, which no 1-D
+    * layout can do (LakeZOrderSpec pins 1-of-8 planned vs the hash
+    * twin's 0 skips; this query pins the VALUES against DuckDB). */
+  val lakeZorderSkip: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.zord_$fp"
+    if (!builtHistories.contains(tbl)) {
+      Tables.events(s, dir)
+        .selectExpr("user_id % 32 AS xb",
+          "CAST(dayofmonth(ts) AS BIGINT) AS yb")
+        .groupBy("xb", "yb")
+        .agg(count(lit(1)).as("n_events"))
+        .selectExpr("graft_zvalue(xb, yb) AS zkey", "xb", "yb",
+          "n_events")
+        .createOrReplaceTempView("graft_lake_zord_src")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl
+                (zkey BIGINT, xb BIGINT, yb BIGINT, n_events BIGINT)
+                TBLPROPERTIES ('shard_key'='zkey', 'n_shards'='8',
+                  'shard_width'='128')""")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_zord_src")
+      builtHistories.add(tbl): Unit
+    }
+    s.sql(s"""SELECT xb, yb, n_events FROM $tbl
+              WHERE xb BETWEEN 4 AND 7 AND yb BETWEEN 8 AND 11
+              ORDER BY xb, yb""")
+  }
+
+  val lakeZorderSkipOracle: String =
+    """SELECT user_id % 32 AS xb,
+         CAST(day(CAST(ts AS TIMESTAMP)) AS BIGINT) AS yb,
+         CAST(count(*) AS BIGINT) AS n_events
+       FROM events
+       WHERE user_id % 32 BETWEEN 4 AND 7
+         AND day(CAST(ts AS TIMESTAMP)) BETWEEN 8 AND 11
+       GROUP BY 1, 2 ORDER BY xb, yb"""
+
   /** CLUSTERED WRITE through the oracle gate — Iceberg's
     * `write.distribution-mode = hash` as a DSv2
     * `RequiresDistributionAndOrdering` contract: the INSERT's input
@@ -4932,6 +4977,7 @@ object Lake {
        ORDER BY n.user_id"""
 
   val queries: Map[String, Q] = Map(
+    "lake_zorder_skip" -> lakeZorderSkip,
     "lake_clustered_write" -> lakeClusteredWrite,
     "lake_dpp_join" -> lakeDppJoin,
     "lake_part_prune" -> lakePartPrune,
@@ -4966,6 +5012,7 @@ object Lake {
     "lake_point_lookup" -> lakePointLookup)
 
   val oracles: Map[String, String] = Map(
+    "lake_zorder_skip" -> lakeZorderSkipOracle,
     "lake_clustered_write" -> lakeClusteredWriteOracle,
     "lake_dpp_join" -> lakeDppJoinOracle,
     "lake_part_prune" -> lakePartPruneOracle,
