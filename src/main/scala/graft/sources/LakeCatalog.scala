@@ -1658,9 +1658,23 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
     shardKey: String, nShards: Int = 0)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var required: StructType = declared
   private var zonePreds: Array[V2Predicate] = Array.empty
+  private var limit: Int = -1
+
+  /** PARTIAL limit pushdown: each partition reader stops after
+    * emitting `limit` live rows — a `LIMIT k` over a 100 TB table
+    * decodes at most k rows per shard instead of the shard
+    * (parquet row groups beyond the cutoff are never read). Partial
+    * because partitions are independent: Spark keeps its own
+    * Local/GlobalLimit for the final cut. Never claimed for
+    * row-level operation scans (their consumers need every matched
+    * row). */
+  override def pushLimit(n: Int): Boolean =
+    if (op.isEmpty && n >= 0) { limit = n; true } else false
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // may include the _shard/_pos metadata columns; normalize to
@@ -1828,7 +1842,7 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
         val v = pinned.getOrElse(GraftLakeIO.latestVersion(dataDir))
         val scan = new GraftLakeScan(required,
           GraftLakeIO.versionDir(dataDir, v), zonePreds, shardKey,
-          nShards)
+          nShards, limit)
         op.foreach(_.scans.add(scan))
         scan
     }
@@ -1884,7 +1898,7 @@ class GraftLakeAggReaderFactory(out: StructType)
 
 class GraftLakeScan(required: StructType, vdir: java.io.File,
     zonePreds: Array[V2Predicate] = Array.empty,
-    shardKey: String = "", nShards: Int = 0)
+    shardKey: String = "", nShards: Int = 0, limit: Int = -1)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -2292,13 +2306,14 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLakeReaderFactory(required)
+    new GraftLakeReaderFactory(required, limit)
 
   override def description(): String =
     s"GraftLakeScan(${vdir.getName}, " +
       s"cols=[${required.fieldNames.mkString(",")}], " +
       s"runtimeFiltered=$runtimeFiltered, " +
-      s"zonePreds=${zoneConjuncts.size})"
+      s"zonePreds=${zoneConjuncts.size}" +
+      (if (limit >= 0) s", pushedLimit=$limit" else "") + ")"
 }
 
 case class GraftLakeInputPartition(paths: Seq[String], shard: Int,
@@ -2320,13 +2335,13 @@ case class GraftLakeInputPartition(paths: Seq[String], shard: Int,
     new GenericInternalRow(Array[Any](shard))
 }
 
-class GraftLakeReaderFactory(required: StructType)
+class GraftLakeReaderFactory(required: StructType, limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftLakeInputPartition]
     new GraftLakePartitionReader(p.paths, p.shard, required, p.dv,
-      p.ordBases)
+      p.ordBases, limit)
   }
 }
 
@@ -2348,8 +2363,10 @@ class GraftLakeReaderFactory(required: StructType)
   * (advisor round 10). */
 class GraftLakePartitionReader(paths: Seq[String], shard: Int,
     required: StructType, dvBytes: Array[Byte] = null,
-    ordBases: Seq[Long] = Nil)
+    ordBases: Seq[Long] = Nil, limit: Int = -1)
     extends PartitionReader[InternalRow] {
+  // pushed partial LIMIT: live rows emitted by THIS partition
+  private var emitted = 0L
   paths.foreach { p =>
     if (!new java.io.File(p).exists())
       throw new java.io.FileNotFoundException(
@@ -2407,6 +2424,7 @@ class GraftLakePartitionReader(paths: Seq[String], shard: Int,
   private var row: InternalRow = _
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (true) {
       if (partIdx < 0 || partOrd >= partRows) {
         if (!advancePart()) return false
@@ -2435,6 +2453,7 @@ class GraftLakePartitionReader(paths: Seq[String], shard: Int,
             i += 1
           }
           row = new GenericInternalRow(vals)
+          emitted += 1L
           return true
         }
       }
@@ -4717,6 +4736,38 @@ object Lake {
               ORDER BY user_id""")
   }
 
+  /** PARTIAL LIMIT PUSHDOWN through the oracle gate: `LIMIT k` over
+    * a lake table reaches the scan (`SupportsPushDownLimit`) and
+    * each partition reader stops after k live rows — row groups past
+    * the cutoff are never decoded (the spec pins `pushedLimit` in
+    * the plan and DML immunity). The count-of-limited shape keeps
+    * the result deterministic for the oracle while the limit itself
+    * is exercised for real. */
+  val lakeLimitPushdown: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.lim_$fp"
+    if (!builtHistories.contains(tbl)) {
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .createOrReplaceTempView("graft_lake_lim_src")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT)
+                TBLPROPERTIES ('shard_key'='user_id',
+                  'n_shards'='8')""")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_lim_src")
+      builtHistories.add(tbl): Unit
+    }
+    s.sql(s"""SELECT CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT user_id FROM $tbl LIMIT 40)""")
+  }
+
+  val lakeLimitPushdownOracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT user_id FROM
+         (SELECT DISTINCT user_id FROM events) LIMIT 40)"""
+
   /** Z-ORDER CLUSTERING through the oracle gate — Delta
     * `OPTIMIZE ZORDER BY` / Iceberg z-order sort as a layout the
     * engine's own machinery serves end-to-end: the events corpus is
@@ -4977,6 +5028,7 @@ object Lake {
        ORDER BY n.user_id"""
 
   val queries: Map[String, Q] = Map(
+    "lake_limit_pushdown" -> lakeLimitPushdown,
     "lake_zorder_skip" -> lakeZorderSkip,
     "lake_clustered_write" -> lakeClusteredWrite,
     "lake_dpp_join" -> lakeDppJoin,
@@ -5012,6 +5064,7 @@ object Lake {
     "lake_point_lookup" -> lakePointLookup)
 
   val oracles: Map[String, String] = Map(
+    "lake_limit_pushdown" -> lakeLimitPushdownOracle,
     "lake_zorder_skip" -> lakeZorderSkipOracle,
     "lake_clustered_write" -> lakeClusteredWriteOracle,
     "lake_dpp_join" -> lakeDppJoinOracle,

@@ -62,7 +62,7 @@ class RegistryGuardSpec extends SparkSpec {
     * below — each must actually return <= 1 row on the harness data. */
   private val OrderFreeSingleRow: Set[String] = Set(
     "agg_minmax_global", "corr_matrix", "dedup_lsh_recall",
-    "lake_agg_pushdown", "meta_analyze_stats",
+    "lake_agg_pushdown", "lake_limit_pushdown", "meta_analyze_stats",
     "funnel_conversion", "graph_triangle_count", "q14_promo_revenue",
     "q19_discounted_revenue", "q6_forecast_revenue", "text_cm_frequency")
 

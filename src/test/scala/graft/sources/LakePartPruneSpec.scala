@@ -88,6 +88,32 @@ class LakePartPruneSpec extends SparkSpec {
       === 100L)
   }
 
+  test("partial LIMIT pushdown: each partition reader stops after " +
+      "the pushed row count; results and totals stay exact") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_limit"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, v BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4')""")
+    spark.sql(s"""INSERT INTO $tbl
+      SELECT id, id * 2 FROM range(0, 4000)""")
+    val df = spark.sql(s"SELECT user_id, v FROM $tbl LIMIT 5")
+    val rows = df.collect()
+    assert(rows.length === 5)
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(0) * 2))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pushedLimit=5"),
+      s"limit must reach the scan:\n$p")
+    // a DML rewrite must NEVER see a pushed limit (every matched and
+    // carried row is required) — UPDATE after the limited read stays
+    // row-exact over all 4000 rows
+    spark.sql(s"UPDATE $tbl SET v = -1 WHERE user_id = 7")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0)
+      === 4000L)
+    assert(spark.sql(s"SELECT v FROM $tbl WHERE user_id = 7")
+      .head.getLong(0) === -1L)
+  }
+
   test("a column ADDed after early parts prunes those parts on a " +
       "null-rejecting conjunct (absent-from-schema = reads as NULL)") {
     Lake.registerCatalog(spark)
