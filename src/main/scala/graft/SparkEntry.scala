@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.TextAnalysis
 import graft.operators.{Aggregates, Coverage, Dedup, Merge, Multimodal,
-  Relational, Similarity, Timeseries}
+  Relational, Similarity, Timeseries, Tpch}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,7 +23,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       Streams.queries ++ Coverage.queries ++ Timeseries.queries ++
       Merge.queries ++ graft.sources.Lake.queries ++
-      graft.sources.Jdbc.queries ++ graft.sources.Mongo.queries
+      graft.sources.Jdbc.queries ++ graft.sources.Mongo.queries ++
+      Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (engine-specific sketches)
@@ -33,5 +34,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
       Streams.oracles ++ Coverage.oracles ++ Timeseries.oracles ++
       Merge.oracles ++ graft.sources.Lake.oracles ++
-      graft.sources.Jdbc.oracles ++ graft.sources.Mongo.oracles
+      graft.sources.Jdbc.oracles ++ graft.sources.Mongo.oracles ++
+      Tpch.oracles
 }

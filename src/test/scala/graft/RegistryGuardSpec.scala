@@ -64,7 +64,8 @@ class RegistryGuardSpec extends SparkSpec {
     "agg_minmax_global", "corr_matrix", "dedup_lsh_recall",
     "lake_agg_pushdown", "lake_limit_pushdown", "meta_analyze_stats",
     "funnel_conversion", "graph_triangle_count", "q14_promo_revenue",
-    "q19_discounted_revenue", "q6_forecast_revenue", "text_cm_frequency")
+    "q17_small_qty_revenue", "q19_discounted_revenue",
+    "q6_forecast_revenue", "text_cm_frequency")
 
   test("every oracled query's SQL ends in ORDER BY (or provably " +
       "returns a single row)") {
@@ -139,6 +140,11 @@ class RegistryGuardSpec extends SparkSpec {
     // broadcast corpus-level stats/vocab scalars into per-row math
     "graph_triangle_count", "text_bigram_pmi", "text_bm25_topk",
     "text_lm_perplexity", "text_tfidf_topk", "scalar_subquery",
+    // TPC-H scalar-subquery decorrelations: a 1-row aggregate
+    // (0.1%-of-total threshold / positive-balance average) broadcast
+    // into the filter — the textbook RewriteCorrelatedScalarSubquery
+    // output shape
+    "q11_important_parts", "q22_inactive_customers",
     // 1-row deterministic-region cutoff frame crossed into the
     // materialized stream-join output
     "stream_stream_left_join", "stream_stream_full_join",
