@@ -490,6 +490,18 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"lake schema evolution: unsupported change $other")
     }
+    // same loud DDL refusal as createTable: a typo'd or float column
+    // set via ALTER must fail here, not silently never build filters.
+    // Validated against the FINAL schema so ADD COLUMN + SET property
+    // in one ALTER composes.
+    bloomCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"bloom_columns: no such column $c")
+      require(Seq(LongType, IntegerType, ShortType, DateType,
+        StringType).contains(schema(c).dataType),
+        s"bloom_columns: $c must be integral/date/string, got " +
+          schema(c).dataType.sql)
+    }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val doc = om.createObjectNode()
     doc.put("schema", schema.json): Unit
@@ -1911,12 +1923,15 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
 
   /** DSv2 statistics for the optimizer (the connector-feeds-the-CBO
     * contract the reference relies on — `trinodemo.properties`' store
-    * reports table stats to Trino's join planner). Computed from the
-    * PLANNED shards only — file byte lengths plus parquet-footer row
-    * counts, no data pages — so a zone-map- or point-lookup-pruned
-    * scan reports the small post-pruning size and a lake dimension
-    * under the broadcast threshold flips SMJ -> BHJ exactly like a
-    * stats-bearing session-catalog table (PlanSpec pins the flip). */
+    * reports table stats to Trino's join planner). Derived from the
+    * SAME pruned partition set the scan will execute — zone maps,
+    * bloom sidecars, point-lookup provenance, and part-level footer
+    * pruning all applied (shared via the memoized
+    * [[planInputPartitions]]) — file byte lengths plus parquet-footer
+    * row counts, no data pages — so a pruned scan reports the small
+    * post-pruning size and a lake dimension under the broadcast
+    * threshold flips SMJ -> BHJ exactly like a stats-bearing
+    * session-catalog table (PlanSpec pins the flip). */
   // memoized per runtime-filter state (the planner asks repeatedly;
   // footer tail-reads are cheap but O(shards) per call)
   private var statsCache: (Option[Set[Int]], (Long, Long)) = null
@@ -1925,14 +1940,18 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
       : org.apache.spark.sql.connector.read.Statistics = {
     val key = retained
     if (statsCache == null || statsCache._1 != key) {
-      val ks = plannedShards.toSeq.sorted
-      val files = ks.flatMap(k => GraftLakeIO.shardParts(vdir, k))
+      val parts = planInputPartitions()
+        .map(_.asInstanceOf[GraftLakeInputPartition])
+      val files = parts.toSeq.flatMap(_.paths).map(new java.io.File(_))
       // LIVE rows: deletion-vector positions are masked at read time,
-      // so the planner must not count them either
+      // so the planner must not count them either (floor at 0 — a
+      // part-pruned shard can carry a DV counting rows in skipped
+      // parts)
       statsCache = (key, (files.map(_.length()).sum,
-        files.map(f => GraftShardCodec.footer(f)._2).sum -
-          ks.map(k => dvMap.get(k).map(_.getCardinality.toLong)
-            .getOrElse(0L)).sum))
+        math.max(0L,
+          files.map(f => GraftShardCodec.footer(f)._2).sum -
+            parts.toSeq.map(p => dvMap.get(p.shard)
+              .map(_.getCardinality.toLong).getOrElse(0L)).sum)))
     }
     val (bytes, rows) = statsCache._2
     new org.apache.spark.sql.connector.read.Statistics {
@@ -2061,11 +2080,31 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
   }
 
   // memoized per runtime-filter state (Spark calls planInputPartitions
-  // more than once per query — planning estimate + RDD creation — and
+  // more than once per query — planning estimate + RDD creation, plus
+  // outputPartitioning/estimateStatistics both delegate here — and
   // the metrics hook must count each scan once; but a runtime
   // `filter()` arriving between calls legitimately changes the answer,
   // so the cache keys on the retained set, not call order)
   private var cached: (Option[Set[Int]], Array[InputPartition]) = null
+
+  // spec-pinned observability counters already recorded by THIS scan
+  // (planned, skippedByStats, skippedByBloom, skippedParts): a
+  // recompute after a runtime filter() adjusts the globals by the
+  // DIFFERENCE, so every scan contributes its FINAL state exactly once
+  // however many times Spark re-plans it
+  private var recorded = (0L, 0L, 0L, 0L)
+
+  private def record(planned: Long, skipStats: Long, skipBloom: Long,
+      skipParts: Long): Unit = {
+    GraftLakeScanMetrics.planned.addAndGet(planned - recorded._1): Unit
+    GraftLakeScanMetrics.skippedByStats
+      .addAndGet(skipStats - recorded._2): Unit
+    GraftLakeScanMetrics.skippedByBloom
+      .addAndGet(skipBloom - recorded._3): Unit
+    GraftLakeScanMetrics.skippedParts
+      .addAndGet(skipParts - recorded._4): Unit
+    recorded = (planned, skipStats, skipBloom, skipParts)
+  }
 
   private def computePartitions(): Array[InputPartition] = {
     val candidates = plannedShards.toArray.sorted
@@ -2080,11 +2119,6 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
       } && probeSurvives(k, routing)
     }
     val kept = zoneKept.filter(bloomSurvives)
-    GraftLakeScanMetrics.planned.addAndGet(kept.length.toLong): Unit
-    GraftLakeScanMetrics.skippedByStats
-      .addAndGet((candidates.length - zoneKept.length).toLong): Unit
-    GraftLakeScanMetrics.skippedByBloom
-      .addAndGet((zoneKept.length - kept.length).toLong): Unit
     val parts = GraftLakeIO.allShardParts(vdir)
     // PART pruning is forbidden for row-level-operation reads (their
     // output carries the `_shard`/`_pos` row-id metadata): the group
@@ -2097,16 +2131,20 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
     // no cross-scan recombination contract, so they prune freely.
     val rowLevelRead = required.fieldNames.contains("_shard") ||
       required.fieldNames.contains("_pos")
-    kept.map { k =>
+    var skippedParts = 0L
+    val result: Array[InputPartition] = kept.map { k =>
       val all = parts.getOrElse(k, Nil)
       val (keep, bases) =
         if (rowLevelRead) (all, Nil)
         else prunedParts(all)
-      GraftLakeScanMetrics.skippedParts
-        .addAndGet((all.length - keep.length).toLong): Unit
+      skippedParts += (all.length - keep.length).toLong
       GraftLakeInputPartition(keep.map(_.getPath), k,
         GraftLakeIO.dvBytes(dvMap, k), bases)
     }
+    record(kept.length.toLong,
+      (candidates.length - zoneKept.length).toLong,
+      (zoneKept.length - kept.length).toLong, skippedParts)
+    result
   }
 
   /** PART-LEVEL pruning inside a planned shard: the shard-level zone

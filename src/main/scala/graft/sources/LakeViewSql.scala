@@ -155,9 +155,36 @@ case class ShowLakeViewsCommand() extends LeafRunnableCommand {
 /** Resolution: `graft_lake.lake.<name>` referencing a stored view
   * substitutes the view's parsed SQL text under a SubqueryAlias; the
   * fixpoint analyzer then resolves the substituted body (including
-  * nested views) like any inlined subquery. */
+  * nested views) like any inlined subquery.
+  *
+  * DEFINER CONTEXT (the Trino connector-view model): unqualified and
+  * catalog-less relations inside the stored body are qualified with the
+  * `currentCatalog`/`currentNamespace` captured at CREATE VIEW before
+  * substitution, so the body resolves the same way in EVERY reading
+  * session — a reader sitting in a different current catalog cannot
+  * silently rebind the view to its own tables. Names the body itself
+  * defines as CTEs are exempt (they must keep binding to the CTE). */
 case class ResolveGraftLakeViews(session: SparkSession)
     extends Rule[LogicalPlan] {
+
+  private def qualify(body: LogicalPlan,
+      cat: String, ns: Seq[String]): LogicalPlan = {
+    // the analyzer's Substitution batch already ran before this rule
+    // fires, so the freshly-parsed body's CTEs must be substituted
+    // here (the Iceberg ResolveViews idiom) — afterwards every CTE
+    // reference is a CTERelationRef and any UnresolvedRelation left is
+    // genuinely external, safe to qualify
+    val substituted =
+      org.apache.spark.sql.catalyst.analysis.CTESubstitution(body)
+    substituted.resolveOperatorsUp {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
+        r.copy(multipartIdentifier =
+          (cat +: ns) :+ r.multipartIdentifier.head)
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 2 =>
+        r.copy(multipartIdentifier = cat +: r.multipartIdentifier)
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation
@@ -172,7 +199,8 @@ case class ResolveGraftLakeViews(session: SparkSession)
         val view = GraftLakeViews.read(
           LakeViewSql.lakeRoot(session),
           Identifier.of(Array("lake"), name))
-        SubqueryAlias(name,
-          session.sessionState.sqlParser.parsePlan(view.query()))
+        SubqueryAlias(name, qualify(
+          session.sessionState.sqlParser.parsePlan(view.query()),
+          view.currentCatalog(), view.currentNamespace().toSeq))
     }
 }

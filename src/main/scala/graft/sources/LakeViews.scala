@@ -104,7 +104,13 @@ object GraftLakeViews {
       case other => throw new UnsupportedOperationException(
         s"view change $other")
     }
-    java.nio.file.Files.writeString(f.toPath,
-      om.writeValueAsString(d)): Unit
+    // stage + ATOMIC_MOVE like write(): an in-place rewrite could show
+    // a concurrent reader a torn descriptor mid-ALTER
+    val tmp = new java.io.File(root,
+      s"${ident.name()}.view.json.tmp" + ProcessHandle.current().pid())
+    java.nio.file.Files.writeString(tmp.toPath, om.writeValueAsString(d))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 }

@@ -471,4 +471,40 @@ class PlanSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }
   }
+
+  test("estimateStatistics reflects zone-map shard pruning: a pruned " +
+      "scan reports the post-pruning bytes/rows (the CBO sees the " +
+      "small side it will actually read, not the whole table)") {
+    graft.sources.Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_stats_pruned"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // range clustering: 8 disjoint user_id bands of width 100
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, v BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+        'shard_width'='100')""")
+    spark.sql(s"""INSERT INTO $tbl
+      SELECT id AS user_id, id * 2 AS v FROM range(0, 800)""")
+    try {
+      def lakeScan(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collectLeaves().collectFirst {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec if b.scan.isInstanceOf[
+              graft.sources.GraftLakeScan] =>
+            b.scan.asInstanceOf[graft.sources.GraftLakeScan]
+        }.get
+      val full = lakeScan(spark.sql(s"SELECT * FROM $tbl"))
+        .estimateStatistics()
+      val pruned = lakeScan(spark.sql(
+        s"SELECT * FROM $tbl WHERE user_id < 100"))
+        .estimateStatistics()
+      assert(full.numRows().getAsLong === 800L)
+      assert(pruned.numRows().getAsLong === 100L,
+        "stats must be computed AFTER zone-map pruning")
+      assert(pruned.sizeInBytes().getAsLong <
+        full.sizeInBytes().getAsLong / 4,
+        "pruned byte estimate must shrink with the planned shard set")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
 }

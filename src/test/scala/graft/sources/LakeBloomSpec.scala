@@ -140,4 +140,30 @@ class LakeBloomSpec extends SparkSpec {
     assert(GraftLakeScanMetrics.planned.get() === 1L,
       "the reinserted value must be covered AND selective")
   }
+
+  test("ALTER TABLE SET ('bloom_columns') enforces the same column-" +
+      "existence and type validation as CREATE: a typo'd or DOUBLE " +
+      "column fails the DDL loudly instead of never building filters") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_bloom_alter"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, score DOUBLE)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='2')""")
+    val typo = intercept[Exception] {
+      spark.sql(
+        s"ALTER TABLE $tbl SET TBLPROPERTIES ('bloom_columns'='tagg')")
+    }
+    assert(typo.getMessage.contains("no such column"),
+      s"expected the createTable refusal, got: ${typo.getMessage}")
+    val float = intercept[Exception] {
+      spark.sql(
+        s"ALTER TABLE $tbl SET TBLPROPERTIES ('bloom_columns'='score')")
+    }
+    assert(float.getMessage.contains("integral/date/string"),
+      s"expected the type refusal, got: ${float.getMessage}")
+    // a valid column still goes through
+    spark.sql(
+      s"ALTER TABLE $tbl SET TBLPROPERTIES ('bloom_columns'='user_id')")
+    spark.sql(s"DROP TABLE $tbl")
+  }
 }

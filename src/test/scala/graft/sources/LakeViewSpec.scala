@@ -108,4 +108,60 @@ class LakeViewSpec extends SparkSpec {
     assert(cat.dropView(ident) && !cat.viewExists(ident))
     spark.sql(s"DROP TABLE $tbl")
   }
+
+  test("definer context: an UNQUALIFIED relation in a stored view body " +
+      "resolves against the catalog/namespace captured at CREATE, not " +
+      "the reading session's current catalog") {
+    val tbl = "graft_lake.lake.spec_view_defctx_base"
+    Lake.registerCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql("DROP VIEW IF EXISTS graft_lake.lake.spec_view_defctx")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, score BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='2')""")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 11), (2, 22)")
+    val cat = new GraftLakeCatalog {
+      initialize("graft_lake", new org.apache.spark.sql.util
+        .CaseInsensitiveStringMap(java.util.Map.of("path",
+          lakeRoot.getPath)))
+    }
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("lake"), "spec_view_defctx")
+    // the stored body references the base table by BARE name; the
+    // descriptor carries the definer's catalog+namespace
+    cat.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
+      ident, "SELECT score FROM spec_view_defctx_base WHERE score > 15",
+      "graft_lake", Array("lake"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.LongType))),
+      Array("score"), Array.empty, Array.empty, java.util.Map.of()))
+    // the reading session's current catalog is spark_catalog — bare
+    // `spec_view_defctx_base` does NOT exist there; only the stored
+    // definer context can resolve it
+    assert(spark.catalog.currentCatalog() == "spark_catalog")
+    assert(spark.sql(
+      "SELECT score FROM graft_lake.lake.spec_view_defctx")
+      .collect().map(_.getLong(0)).toSeq === Seq(22L))
+    // a CTE name inside the body keeps binding to the CTE, never the
+    // definer namespace
+    assert(cat.dropView(ident))
+    cat.createView(viewInfo(ident,
+      """WITH spec_view_defctx_base AS (SELECT 99 AS score)
+         SELECT score FROM spec_view_defctx_base"""))
+    assert(spark.sql(
+      "SELECT score FROM graft_lake.lake.spec_view_defctx")
+      .head.getInt(0) === 99)
+    assert(cat.dropView(ident))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  private def viewInfo(
+      ident: org.apache.spark.sql.connector.catalog.Identifier,
+      sql: String) =
+    new org.apache.spark.sql.connector.catalog.ViewInfo(
+      ident, sql, "graft_lake", Array("lake"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.IntegerType))),
+      Array("score"), Array.empty, Array.empty, java.util.Map.of())
 }
