@@ -551,7 +551,9 @@ object Dedup {
     roundsOut.foreach(_.set(iter))
     // observability twin of [graft-memo]: PLANS.md round-count evidence
     // comes from these lines, not hand counts
-    System.err.println(
+    // stdout, not stderr: batch harnesses tag stderr lines [error]
+    // and a progress line must not read as a failure
+    System.out.println(
       s"[graft-cc] contraction converged in $iter rounds " +
         s"(sparse=$sparse)")
     // Contraction halves the live-root count every round, so 25 covers

@@ -36,7 +36,7 @@ object Similarity {
     s"graft_dot($a, $b)"
 
   /** DuckDB: the same fold, same order. */
-  private def dotD(a: String, b: String): String =
+  private[graft] def dotD(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
         list_transform(range(1, len($a) + 1), i ->
           CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
@@ -1026,7 +1026,7 @@ object Similarity {
     * expansion ‖x‖² − 2·x·c + ‖c‖² — all three terms are [[dotS]]
     * left-to-right folds, so the doubles are bit-identical across
     * engines; ties break on the centroid id. */
-  private def kmAssignSpark(v: DataFrame, cents: DataFrame,
+  private[graft] def kmAssignSpark(v: DataFrame, cents: DataFrame,
       byJ: Boolean): DataFrame = {
     val c = cents.selectExpr(
       (if (byJ) Seq("j") else Nil) ++ Seq("cid", "centroid",
@@ -1046,7 +1046,7 @@ object Similarity {
 
   /** DuckDB twin of [[kmAssignSpark]] (same expansion, same fold, same
     * tiebreak). */
-  private def kmAssignDuck(vSrc: String, cSrc: String,
+  private[graft] def kmAssignDuck(vSrc: String, cSrc: String,
       byJ: Boolean): String = {
     val jSel = if (byJ) "j, " else ""
     val jQual = if (byJ) "v.j, " else ""
@@ -1069,7 +1069,7 @@ object Similarity {
     * O(1)-state-per-cell aggregation as [[centroids]] (no per-cell
     * vector list is ever buffered — scale posture for cells of millions
     * of members). Empty cells simply drop out; both engines agree. */
-  private def kmUpdateSpark(assigned: DataFrame,
+  private[graft] def kmUpdateSpark(assigned: DataFrame,
       keys: Seq[String]): DataFrame = {
     val k1 = (keys :+ "pos").map(col)
     assigned
@@ -1090,7 +1090,7 @@ object Similarity {
   }
 
   /** DuckDB twin of [[kmUpdateSpark]]. */
-  private def kmUpdateDuck(aSrc: String, keys: Seq[String],
+  private[graft] def kmUpdateDuck(aSrc: String, keys: Seq[String],
       dim: Int): String = {
     val ks = keys.mkString(", ")
     s"""SELECT $ks, list_transform(ms, m -> CAST(

@@ -1,0 +1,182 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** PERSISTED ANN INDEX as incrementally-maintained lake tables — the
+  * engine-side replacement for the reference's client-side model/feature
+  * loop (`KubeflowStockPricePrediction.ipynb` cell-13/21: the notebook
+  * pulls features out and trains/serves outside the engine; here the
+  * trained structure LIVES IN the lake and advances with the data).
+  *
+  * `CALL graft_lake.system.build_ann_index(table, index_table, k, iters)`
+  * trains the IVF coarse quantizer (the deterministic Lloyd kernel shared
+  * with `embedding_kmeans` — µ-grid decimal means, vec_id<k seeding) over
+  * the source snapshot pinned at `VERSION AS OF`, then persists THREE
+  * lake tables:
+  *
+  *  - `<ix>_centroids (cell, centroid, n)` — k rows, the quantizer;
+  *  - `<ix>          (cell, vec_id, emb)` — every corpus vector assigned
+  *    to its nearest centroid, SHARDED BY CELL, so a probe of cell c is
+  *    a point-lookup-pruned scan of the shards c routes to (the FAISS
+  *    IVF inverted-list layout, expressed as lake shard routing);
+  *  - `<ix>_meta (source, k, last_version)` — the index cursor: which
+  *    source snapshot the index reflects (append-only; head = max).
+  *
+  * `CALL graft_lake.system.refresh_ann_index(index_table)` advances the
+  * index from the source's `$changes` feed, O(delta) by construction:
+  * the version-bounded CDF read plans only the commits PAST the cursor
+  * (never a corpus rescan — the same startingVersion machinery as
+  * `lake_changes_bounded`), removed rows MERGE-delete out of the
+  * assignment lists, new rows assign to their nearest EXISTING centroid
+  * (standard IVF append semantics — the quantizer is stable between
+  * retrains) and append. Readers see index versions transactionally:
+  * a probe planned mid-refresh reads the pinned snapshot (lake snapshot
+  * isolation), never a half-advanced list.
+  *
+  * Embeddings travel as µ-quantized CSV strings (the repo-wide exact
+  * serialization contract — round(x·1e6) BIGINTs — so the DuckDB oracle
+  * can reproduce every value bit-for-bit from the raw corpus; the lake
+  * codec is scalar-typed by design, LakeShardCodec.scala:60-88).
+  *
+  * 100 TB shape: build is T·(broadcast-assign + O(k·d)-state aggregate)
+  * like `embedding_kmeans`, with ONE corpus materialization for the
+  * parsed vectors; refresh touches only the delta's shards on both the
+  * read (CDF planning) and write (hash-routed append) sides; probes read
+  * only the probed cells' shards.
+  */
+object GraftLakeAnnIndex {
+
+  private def q(name: String) = s"graft_lake.lake.$name"
+
+  private def dataDir(root: String, table: String): String = {
+    val bare = table.stripPrefix("lake.")
+    require(new java.io.File(root, s"$bare.lake.json").exists(),
+      s"no such lake table: $table")
+    new java.io.File(root, bare).getPath
+  }
+
+  /** µ-CSV string → array<double> on the exact 1e-6 grid. */
+  private val parseSv =
+    "transform(split(emb, ','), t -> CAST(t AS DOUBLE) / 1000000.0D)"
+
+  private def parsed(df: DataFrame): DataFrame = df
+    .selectExpr("vec_id", "emb", s"$parseSv AS sv")
+    .selectExpr("vec_id", "emb", "sv", "graft_dot(sv, sv) AS xx")
+
+  /** Serialize a µ-grid array<double> column back to the CSV contract. */
+  private def muCsv(col: String): String =
+    s"""concat_ws(',', transform($col,
+        x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS STRING)))"""
+
+  private def centroidFrame(s: SparkSession, ix: String): DataFrame =
+    s.table(q(s"${ix}_centroids"))
+      .selectExpr("cell AS cid",
+        s"""transform(split(centroid, ','),
+            t -> CAST(t AS DOUBLE) / 1000000.0D) AS centroid""")
+
+  /** Train + persist. Returns (centroids, vectors, sourceVersion). */
+  def build(root: String, table: String, ix: String, k: Int,
+      iters: Int): (Int, Long, Int) = {
+    val s = SparkSession.active
+    val src = table.stripPrefix("lake.")
+    // pin the snapshot FIRST: a concurrent commit between the version
+    // stamp and the read would otherwise desync cursor and content
+    val v = GraftLakeIO.latestVersion(dataDir(root, src))
+    val corpus = parsed(s.sql(
+      s"SELECT vec_id, emb FROM ${q(src)} VERSION AS OF $v"))
+      // ONE materialization of the parsed vectors: every Lloyd pass
+      // reads arrays, never re-parses strings (HOF parse is per-element
+      // interpreted — fine once, wrong k·iters times)
+      .localCheckpoint()
+    var cents = corpus.filter(col("vec_id") < k)
+      .selectExpr("vec_id AS cid", "sv AS centroid")
+    for (_ <- 1 to iters)
+      cents = Similarity.kmUpdateSpark(
+        Similarity.kmAssignSpark(corpus, cents, byJ = false), Seq("cid"))
+        .localCheckpoint()
+    val assigned = Similarity
+      .kmAssignSpark(corpus, cents, byJ = false)
+      .selectExpr("cid AS cell", "vec_id", "emb")
+      .localCheckpoint() // one pass feeds both the insert and the counts
+    Seq(s"${ix}_centroids", ix, s"${ix}_meta")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${q(t)}"))
+    s.sql(s"""CREATE TABLE ${q(s"${ix}_centroids")}
+              (cell BIGINT, centroid STRING, n BIGINT)
+              TBLPROPERTIES ('shard_key'='cell', 'n_shards'='1')""")
+    s.sql(s"""CREATE TABLE ${q(ix)}
+              (cell BIGINT, vec_id BIGINT, emb STRING)
+              TBLPROPERTIES ('shard_key'='cell', 'n_shards'='8')""")
+    s.sql(s"""CREATE TABLE ${q(s"${ix}_meta")}
+              (source STRING, k BIGINT, last_version BIGINT)
+              TBLPROPERTIES ('shard_key'='last_version',
+                'n_shards'='1')""")
+    cents
+      .join(assigned.groupBy("cell").agg(count(lit(1)).as("n")),
+        col("cid") === col("cell"), "left_outer")
+      .selectExpr("cid AS cell", s"${muCsv("centroid")} AS centroid",
+        "coalesce(n, 0L) AS n")
+      .createOrReplaceTempView("graft_annix_centroids_src")
+    s.sql(s"""INSERT INTO ${q(s"${ix}_centroids")}
+              SELECT * FROM graft_annix_centroids_src""")
+    assigned.createOrReplaceTempView("graft_annix_cells_src")
+    s.sql(s"""INSERT INTO ${q(ix)}
+              SELECT * FROM graft_annix_cells_src""")
+    s.sql(s"""INSERT INTO ${q(s"${ix}_meta")}
+              VALUES ('$src', ${k}L, ${v}L)""")
+    val nCents = s.table(q(s"${ix}_centroids")).count().toInt
+    val nVecs = s.table(q(ix)).count()
+    (nCents, nVecs, v)
+  }
+
+  /** Advance from `$changes`. Returns (from, to, added, removed). */
+  def refresh(root: String, ix: String): (Long, Long, Long, Long) = {
+    val s = SparkSession.active
+    val meta = s.table(q(s"${ix}_meta"))
+      .orderBy(col("last_version").desc).limit(1)
+      .selectExpr("source", "last_version").head()
+    val src = meta.getString(0)
+    val last = meta.getLong(1)
+    val head = GraftLakeIO.latestVersion(dataDir(root, src)).toLong
+    if (head <= last) return (last, head, 0L, 0L)
+    // startingVersion is EXCLUSIVE by this lake's contract ("already
+    // processed through v" — lake_changes_bounded pins it), so the
+    // cursor value itself is the right lower bound for (last, head]
+    val changes = s.read
+      .option("startingVersion", last.toString)
+      .option("endingVersion", head.toString)
+      .table(s"graft_lake.lake.`$src$$changes`")
+    // removals FIRST: an updated vector is update_preimage (delete the
+    // stale assignment) + update_postimage (re-assign) — inserting
+    // before deleting would let the MERGE remove the fresh row.
+    // DataFrame-level MERGE/append, not temp-view SQL: a temp view
+    // over a v2 relation becomes a V2TableReference, and the bounded
+    // `$changes` read does not survive that re-resolution
+    val dels = changes
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .selectExpr("vec_id AS del_vec_id")
+    val removed = dels.count()
+    if (removed > 0)
+      dels.as("d")
+        .mergeInto(q(ix), expr(s"$ix.vec_id = d.del_vec_id"))
+        .whenMatched().delete()
+        .merge()
+    val adds = parsed(changes
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select("vec_id", "emb"))
+    // nearest EXISTING centroid — the quantizer does not move on
+    // refresh, so old and new vectors rank in one consistent space
+    val assigned = Similarity
+      .kmAssignSpark(adds, centroidFrame(s, ix), byJ = false)
+      .selectExpr("cid AS cell", "vec_id", "emb")
+    val added = assigned.count()
+    if (added > 0)
+      assigned.writeTo(q(ix)).append()
+    s.sql(s"""INSERT INTO ${q(s"${ix}_meta")}
+              SELECT source, k, ${head}L FROM ${q(s"${ix}_meta")}
+              ORDER BY last_version DESC LIMIT 1""")
+    (last, head, added, removed)
+  }
+}

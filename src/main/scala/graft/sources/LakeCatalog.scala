@@ -5065,7 +5065,132 @@ object Lake {
        WHERE n.n_events >= 3
        ORDER BY n.user_id"""
 
+  // ---- persisted ANN index (GraftLakeAnnIndex) ----
+
+  /** µ-grid parse/serialize twins for the index's CSV embedding
+    * contract (exact by construction: round(x·1e6) BIGINTs). */
+  private def svParse(emb: String): String =
+    // the D suffix matters: BIGINT / 1000000.0 is a DECIMAL division
+    // (yields array<decimal>, which the native dot kernel cannot read)
+    s"transform(split($emb, ','), t -> CAST(t AS DOUBLE) / 1000000.0D)"
+  private val muQuant =
+    """transform(embedding, x ->
+       CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) / 1000000.0D)"""
+
+  /** ANN top-5 served FROM THE PERSISTED INDEX — the production IVF
+    * read path the per-query-retrain `ann_ivf_centroid_topk` lacks:
+    * the quantizer and the cell-sharded assignment lists are lake
+    * tables built once by `CALL graft_lake.system.build_ann_index`
+    * (and advanced by `refresh_ann_index` — LakeAnnIndexSpec pins the
+    * O(delta) advance), so a query costs ONE broadcast of k centroid
+    * rows + a scan of the probed cells' shards + a 10-row top-k
+    * window. Probe metric is the quantizer's own d² (assignment
+    * consistency); scoring is exact cosine over the µ-grid vectors.
+    * The DuckDB oracle replays the IDENTICAL deterministic pipeline —
+    * quantize, Lloyd train, assign, probe, rank — from the raw
+    * parquet corpus, pinning that the persisted tables hold exactly
+    * the index the math defines. */
+  val annIndexedTopk: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "embeddings")
+    val src = s"annsrc_$fp"
+    val ix = s"annix_$fp"
+    if (!builtHistories.contains(src)) {
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id",
+          """concat_ws(',', transform(embedding, x ->
+             CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             AS STRING))) AS emb""")
+        .createOrReplaceTempView("graft_annix_corpus_src")
+      s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$src")
+      s.sql(s"""CREATE TABLE graft_lake.lake.$src
+                (vec_id BIGINT, emb STRING)
+                TBLPROPERTIES ('shard_key'='vec_id', 'n_shards'='4')""")
+      s.sql(s"""INSERT INTO graft_lake.lake.$src
+                SELECT * FROM graft_annix_corpus_src""")
+      s.sql(s"""CALL graft_lake.system.build_ann_index(
+                table => '$src', index_table => '$ix')""")
+      builtHistories.add(src): Unit
+    }
+    val q = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", s"$muQuant AS q_sv")
+      .selectExpr("q_id", "q_sv", "graft_dot(q_sv, q_sv) AS q_xx")
+    val cents = s.table(s"graft_lake.lake.${ix}_centroids")
+      .selectExpr("cell", s"${svParse("centroid")} AS c_sv")
+      .selectExpr("cell", "c_sv", "graft_dot(c_sv, c_sv) AS cc")
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d2").asc, col("cell").asc)
+    val probe = q.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        expr("q_xx - 2 * graft_dot(q_sv, c_sv) + cc"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") === 1)
+      .select("q_id", "q_sv", "q_xx", "cell")
+    val cands = s.table(s"graft_lake.lake.$ix")
+      .selectExpr("cell", "vec_id AS c_id", s"${svParse("emb")} AS c_sv")
+      .selectExpr("cell", "c_id", "c_sv",
+        "graft_dot(c_sv, c_sv) AS c_xx")
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id").asc)
+    cands.join(broadcast(probe), "cell")
+      .selectExpr("q_id", "c_id",
+        "graft_dot(q_sv, c_sv) / (sqrt(q_xx) * sqrt(c_xx)) AS cos_sim")
+      .withColumn("rank", row_number().over(wTop).cast(LongType))
+      .filter(col("rank") <= 5)
+      .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  val annIndexedTopkOracle: String = {
+    import graft.operators.Similarity.{kmAssignDuck, kmUpdateDuck, dotD}
+    val v0 =
+      """SELECT vec_id, list_transform(embedding, x ->
+           CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                AS DOUBLE) / 1000000.0) AS sv
+         FROM embeddings"""
+    val v = s"""SELECT vec_id, sv, ${dotD("sv", "sv")} AS xx
+                FROM ($v0)"""
+    var cents = s"""SELECT vec_id AS cid, sv AS centroid FROM ($v)
+                    WHERE vec_id < 8"""
+    for (_ <- 1 to 3)
+      cents = kmUpdateDuck(kmAssignDuck(v, cents, byJ = false),
+        Seq("cid"), 64)
+    val assigned =
+      s"""SELECT cid AS cell, vec_id
+         FROM (${kmAssignDuck(v, cents, byJ = false)})"""
+    val probe =
+      s"""SELECT q_id, q_sv, q_xx, cell FROM (
+           SELECT q.vec_id AS q_id, q.sv AS q_sv, q.xx AS q_xx,
+             c.cid AS cell,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               q.xx - 2 * ${dotD("q.sv", "c.centroid")} + c.cc ASC,
+               c.cid ASC) AS prn
+           FROM (SELECT * FROM ($v) WHERE vec_id < 10) q
+           CROSS JOIN (SELECT cid, centroid,
+             ${dotD("centroid", "centroid")} AS cc FROM ($cents)) c)
+         WHERE prn = 1"""
+    s"""WITH cands AS (
+         SELECT a.cell, a.vec_id AS c_id, w.sv AS c_sv, w.xx AS c_xx
+         FROM ($assigned) a JOIN ($v) w ON a.vec_id = w.vec_id),
+       scored AS (
+         SELECT p.q_id, c.c_id,
+           ${dotD("p.q_sv", "c.c_sv")} / (sqrt(p.q_xx) * sqrt(c.c_xx))
+             AS cos_sim
+         FROM ($probe) p JOIN cands c ON p.cell = c.cell),
+       ranked AS (
+         SELECT q_id, c_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY cos_sim DESC, c_id ASC) AS rank
+         FROM scored)
+       SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id,
+         round(cos_sim, 6) AS cos_sim
+       FROM ranked WHERE rank <= 5
+       ORDER BY q_id, rank"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "ann_indexed_topk" -> annIndexedTopk,
     "lake_limit_pushdown" -> lakeLimitPushdown,
     "lake_zorder_skip" -> lakeZorderSkip,
     "lake_clustered_write" -> lakeClusteredWrite,
@@ -5102,6 +5227,7 @@ object Lake {
     "lake_point_lookup" -> lakePointLookup)
 
   val oracles: Map[String, String] = Map(
+    "ann_indexed_topk" -> annIndexedTopkOracle,
     "lake_limit_pushdown" -> lakeLimitPushdownOracle,
     "lake_zorder_skip" -> lakeZorderSkipOracle,
     "lake_clustered_write" -> lakeClusteredWriteOracle,

@@ -33,7 +33,8 @@ object GraftLakeProcedures {
 
   val Names: Seq[String] =
     Seq("optimize", "expire_snapshots", "rollback_to_version",
-      "vacuum", "create_tag", "drop_tag")
+      "vacuum", "create_tag", "drop_tag",
+      "build_ann_index", "refresh_ann_index")
 
   /** Resolve the `table` argument ("tbl" or "lake.tbl") to its data
     * dir under the catalog root, refusing unknown tables loudly. */
@@ -167,6 +168,45 @@ object GraftLakeProcedures {
       val dir = dataDir(root, in.getUTF8String(0).toString)
       val ok = GraftLakeIO.dropTag(dir, in.getUTF8String(1).toString)
       Seq(new GenericInternalRow(Array[Any](ok)))
+    }
+
+    case "build_ann_index" => proc("build_ann_index",
+      "train the IVF quantizer over a (vec_id, emb) lake table and " +
+        "persist centroids + cell-sharded assignments + cursor " +
+        "([[GraftLakeAnnIndex]])",
+      Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("index_table", StringType).build(),
+        ProcedureParameter.in("k", IntegerType)
+          .defaultValue("8").build(),
+        ProcedureParameter.in("iters", IntegerType)
+          .defaultValue("3").build()),
+      StructType(Seq(
+        StructField("index_table", StringType, nullable = false),
+        StructField("centroids", IntegerType, nullable = false),
+        StructField("vectors", LongType, nullable = false),
+        StructField("source_version", IntegerType,
+          nullable = false)))) { in =>
+      val ix = in.getUTF8String(1).toString.stripPrefix("lake.")
+      val (c, n, v) = GraftLakeAnnIndex.build(root,
+        in.getUTF8String(0).toString, ix, in.getInt(2), in.getInt(3))
+      Seq(new GenericInternalRow(Array[Any](str(ix), c, n, v)))
+    }
+
+    case "refresh_ann_index" => proc("refresh_ann_index",
+      "advance an ANN index from its source's $changes feed — " +
+        "O(delta): removed rows MERGE out, new rows assign to their " +
+        "nearest existing centroid and append",
+      Seq(
+        ProcedureParameter.in("index_table", StringType).build()),
+      StructType(Seq(
+        StructField("from_version", LongType, nullable = false),
+        StructField("to_version", LongType, nullable = false),
+        StructField("rows_added", LongType, nullable = false),
+        StructField("rows_removed", LongType, nullable = false)))) { in =>
+      val (f, t, a, r) = GraftLakeAnnIndex.refresh(root,
+        in.getUTF8String(0).toString.stripPrefix("lake."))
+      Seq(new GenericInternalRow(Array[Any](f, t, a, r)))
     }
 
     case other => throw new IllegalArgumentException(

@@ -71,7 +71,9 @@ object Tables {
   private[graft] def timedMemo[T](what: String)(build: => T): T = {
     val t0 = System.nanoTime()
     val r = build
-    System.err.println(
+    // stdout: progress, not a failure — stderr lines read as [error]
+    // in the driver's bench tail
+    System.out.println(
       f"[graft-memo] $what built in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     r
   }
@@ -119,7 +121,7 @@ object Tables {
           if (!stage.renameTo(target)) rmTree(stage)
         }
       } else {
-        System.err.println(s"[graft-memo] $what reused cached table ($fp)")
+        System.out.println(s"[graft-memo] $what reused cached table ($fp)")
       }
       s.read.parquet(target.getPath)
     }

@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted ANN index lifecycle ([[GraftLakeAnnIndex]]): build via
+  * CALL, probe-side shard pruning, and the O(delta) `$changes` advance
+  * — an append refreshes the index WITHOUT a corpus rescan, a delete
+  * drops its assignment, and the quantizer stays put between builds. */
+class LakeAnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def muCsv(xs: Seq[Double]): String =
+    xs.map(x => math.round(x * 1e6).toString).mkString(",")
+
+  test("build_ann_index persists centroids + cell-sharded assignments; " +
+      "refresh_ann_index advances from $changes O(delta) — appended " +
+      "duplicates land in their twins' cells, deletes drop out, and " +
+      "the source is never rescanned (CDF-bounded read)") {
+    Lake.registerCatalog(spark)
+    val src = "graft_lake.lake.spec_annix_src"
+    for (t <- Seq("spec_annix_src", "spec_annix_ix",
+        "spec_annix_ix_centroids", "spec_annix_ix_meta"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t")
+    spark.sql(s"""CREATE TABLE $src (vec_id BIGINT, emb STRING)
+      TBLPROPERTIES ('shard_key'='vec_id', 'n_shards'='2')""")
+    // two well-separated blobs in 4-d: vectors 0..7 near (1,0,0,0),
+    // 8..15 near (0,0,0,1) — k=2 Lloyd from vec_id<2 seeds converges
+    // to one centroid per blob whatever the iteration count
+    val rows = (0L until 16L).map { i =>
+      val base = if (i < 8) Seq(1.0, 0.0, 0.0, 0.0)
+                 else Seq(0.0, 0.0, 0.0, 1.0)
+      val jit = base.zipWithIndex.map { case (b, j) =>
+        b + 0.01 * ((i + j) % 5) }
+      (i, muCsv(jit))
+    }
+    rows.toDF("vec_id", "emb").createOrReplaceTempView("spec_annix_v1")
+    spark.sql(s"INSERT INTO $src SELECT * FROM spec_annix_v1")
+
+    val built = spark.sql("""CALL graft_lake.system.build_ann_index(
+      table => 'spec_annix_src', index_table => 'spec_annix_ix',
+      k => 2, iters => 2)""").head
+    assert(built.getInt(1) === 2, "two centroids")
+    assert(built.getLong(2) === 16L, "sixteen assignments")
+    assert(built.getInt(3) === 1, "built at source v1")
+
+    val ix = spark.table("graft_lake.lake.spec_annix_ix")
+    assert(ix.count() === 16L)
+    // the two blobs land in two distinct cells, 8 vectors each
+    val cells = ix.groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.size === 2 && cells.values.forall(_ === 8L),
+      s"expected two 8-member cells, got $cells")
+    val cellOf = ix.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // probing one cell is a point-lookup-pruned scan: the assignment
+    // table is SHARDED BY CELL, so 1 of 2 shards plans
+    GraftLakeScanMetrics.reset()
+    val c0 = cellOf(0L)
+    assert(spark.sql(s"""SELECT count(*) AS n FROM
+      graft_lake.lake.spec_annix_ix WHERE cell = $c0""")
+      .head.getLong(0) === 8L)
+    assert(GraftLakeScanMetrics.planned.get() === 1L,
+      "a one-cell probe must plan exactly the cell's shard")
+
+    // append EXACT DUPLICATES of vectors 0 and 8 under new ids, plus
+    // delete vector 3 — then advance the index from $changes
+    Seq((100L, rows(0)._2), (101L, rows(8)._2))
+      .toDF("vec_id", "emb").createOrReplaceTempView("spec_annix_v2")
+    spark.sql(s"INSERT INTO $src SELECT * FROM spec_annix_v2")
+    spark.sql(s"DELETE FROM $src WHERE vec_id = 3")
+
+    val ref = spark.sql("""CALL graft_lake.system.refresh_ann_index(
+      index_table => 'spec_annix_ix')""").head
+    assert(ref.getLong(0) === 1L && ref.getLong(1) === 3L,
+      s"cursor must advance 1 -> 3, got $ref")
+    assert(ref.getLong(2) === 2L, "two rows added")
+    assert(ref.getLong(3) === 1L, "one row removed")
+
+    val after = spark.table("graft_lake.lake.spec_annix_ix")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size === 17, "16 - 1 deleted + 2 appended")
+    assert(!after.contains(3L), "deleted vector must leave the index")
+    assert(after(100L) === cellOf(0L) && after(101L) === cellOf(8L),
+      "appended duplicates must assign to their twins' cells — the " +
+        "quantizer must not move on refresh")
+
+    // a second refresh with nothing new is a no-op
+    val noop = spark.sql("""CALL graft_lake.system.refresh_ann_index(
+      index_table => 'spec_annix_ix')""").head
+    assert(noop.getLong(2) === 0L && noop.getLong(3) === 0L)
+
+    for (t <- Seq("spec_annix_src", "spec_annix_ix",
+        "spec_annix_ix_centroids", "spec_annix_ix_meta"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t")
+  }
+}
