@@ -270,9 +270,23 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val d = om.readTree(java.nio.file.Files.readString(
       descriptorFile(ident.name()).toPath))
+    // WRITE-AUDIT-PUBLISH: when the session pins a branch (the Iceberg
+    // `spark.wap.branch` idiom), tables that HAVE that branch resolve
+    // reads AND writes against the branch's sub-store — main readers
+    // in other sessions keep seeing the published head. Tables without
+    // the branch are untouched, so an unrelated query under the same
+    // session conf never silently redirects.
+    val mainDir = tableDir(ident.name()).getPath
+    val branch = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.lake.branch", "")
+    val resolvedDir =
+      if (branch.nonEmpty &&
+          GraftLakeIO.readBranches(mainDir).contains(branch))
+        GraftLakeIO.branchDir(mainDir, branch).getPath
+      else mainDir
     new GraftLakeTable(ident.name(),
       DataType.fromJson(d.get("schema").asText()).asInstanceOf[StructType],
-      tableDir(ident.name()).getPath,
+      resolvedDir,
       d.get("shardKey").asText(), d.get("nShards").asInt(),
       Option(d.get("shardWidth")).map(_.asLong()).getOrElse(0L),
       pinnedVersion = None,
@@ -380,20 +394,26 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     * snapshot (0 = the empty pre-insert table). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = loadTable(ident).asInstanceOf[GraftLakeTable]
-    // `VERSION AS OF` accepts a version id or a NAMED TAG (Iceberg
-    // tags / Trino `FOR VERSION AS OF 'name'`): non-numeric strings
-    // resolve through the table's `_refs.json`
+    val mainDir = tableDir(ident.name()).getPath
+    // `VERSION AS OF` accepts a version id, a NAMED TAG (Iceberg
+    // tags / Trino `FOR VERSION AS OF 'name'`), or a BRANCH name —
+    // a branch resolves to the branch's CURRENT head (the audit
+    // read of unpublished work); tags/ids resolve through
+    // `_refs.json` / the version dirs as before
+    if (version.toIntOption.isEmpty &&
+        GraftLakeIO.readBranches(mainDir).contains(version))
+      return t.withDataDir(
+        GraftLakeIO.branchDir(mainDir, version).getPath)
     val v = version.toIntOption.getOrElse {
-      GraftLakeIO.readRefs(tableDir(ident.name()).getPath)
+      GraftLakeIO.readRefs(mainDir)
         .getOrElse(version, throw new IllegalArgumentException(
           s"${ident.name()}: '$version' is neither a version id " +
-            "nor a known tag"))
+            "nor a known tag/branch"))
     }
-    val latest = GraftLakeIO.latestVersion(tableDir(ident.name()).getPath)
+    val latest = GraftLakeIO.latestVersion(t.dataDir)
     require(v >= 0 && v <= latest,
       s"${ident.name()}: version $v out of range 0..$latest")
-    require(v == 0 || GraftLakeIO.versionDir(
-        tableDir(ident.name()).getPath, v).exists(),
+    require(v == 0 || GraftLakeIO.versionDir(t.dataDir, v).exists(),
       s"${ident.name()}: version $v has been expired")
     t.withPinned(v)
   }
@@ -572,6 +592,13 @@ class GraftLakeTable(private[sources] val tableName: String,
   private[sources] def withPinned(v: Int): GraftLakeTable =
     new GraftLakeTable(tableName, declared, dataDir, shardKey, nShards,
       shardWidth, Some(v), deleteMode, updateMode, mergeMode,
+      bloomCols, writeDistribution)
+
+  /** The same table resolved against another dataDir — a branch's
+    * `_branch_<name>/` sub-store (write-audit-publish). */
+  private[sources] def withDataDir(dir: String): GraftLakeTable =
+    new GraftLakeTable(tableName, declared, dir, shardKey, nShards,
+      shardWidth, pinnedVersion, deleteMode, updateMode, mergeMode,
       bloomCols, writeDistribution)
 
   override def metadataColumns(): Array[MetadataColumn] =
@@ -1436,6 +1463,119 @@ object GraftLakeIO {
       if (!refs.contains(tag)) false
       else { writeRefs(dataDir, refs - tag); true }
     }
+
+  // ---- BRANCHES (write-audit-publish) ----
+  // An Iceberg-style branch is a named line of commits main readers
+  // never see until published. Here a branch IS a dataDir: a
+  // subdirectory `_branch_<name>/` with its own `_latest` pointer and
+  // version dirs, seeded by hardlinking main's head snapshot — so
+  // branch commits ride the UNCHANGED commit protocol (same CAS, same
+  // build-dir discipline, same sidecar handling) and two branch
+  // writers race each other exactly like two main writers.
+  // `fast_forward` publishes the branch head back into main as ONE
+  // squashed commit through the same CAS — a main commit that landed
+  // since the branch was created makes the publish CONFLICT, never
+  // clobber. The registry entry `branch:<name> -> base` lives in
+  // `_refs.json` beside the tags (the prefixed key cannot collide:
+  // tag names resolve verbatim, branch resolution strips the prefix).
+
+  def branchDir(dataDir: String, name: String): java.io.File =
+    new java.io.File(dataDir, s"_branch_$name")
+
+  def readBranches(dataDir: String): Map[String, Int] =
+    readRefs(dataDir).collect {
+      case (k, v) if k.startsWith("branch:") =>
+        k.stripPrefix("branch:") -> v
+    }
+
+  /** Hardlink every file of a published snapshot into a build dir
+    * (falling back to copy on filesystems without links) — the
+    * rollback idiom, shared by branch seed and fast-forward. The
+    * `_commit` stamp is NOT carried: each commit writes its own. */
+  private def linkSnapshot(srcV: java.io.File,
+      build: java.io.File): Unit =
+    Option(srcV.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName != "_commit")
+      .foreach { f =>
+        val dst = new java.io.File(build, f.getName)
+        try java.nio.file.Files.createLink(dst.toPath, f.toPath): Unit
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(f.toPath, dst.toPath): Unit
+        }
+      }
+
+  /** Create branch `name` at main's current head. Returns the base
+    * version the branch forked from. */
+  def createBranch(dataDir: String, name: String): Int =
+    withCommitLock(dataDir) {
+      require(name.matches("[A-Za-z0-9_-]+") && name.toIntOption.isEmpty,
+        s"branch name '$name' must be alphanumeric/_/- and non-numeric")
+      val refs = readRefs(dataDir)
+      require(!refs.contains(s"branch:$name") && !refs.contains(name),
+        s"$dataDir: ref '$name' already exists")
+      val base = latestVersion(dataDir)
+      val bdir = branchDir(dataDir, name)
+      rmTree(bdir)
+      bdir.mkdirs(): Unit
+      if (base > 0) {
+        // seed = branch v1, a pure-link copy of main's head; the
+        // branch's own commit lock is distinct (different dataDir),
+        // so nesting under main's lock cannot self-deadlock
+        val build = newBuildDir(bdir.getPath)
+        linkSnapshot(versionDir(dataDir, base), build)
+        writeCommitMeta(build, nextCommitStamp(bdir.getPath, 0),
+          "branch")
+        commitVersion(bdir.getPath, 0, build): Unit
+      }
+      writeRefs(dataDir, refs.updated(s"branch:$name", base))
+      base
+    }
+
+  def dropBranch(dataDir: String, name: String): Boolean =
+    withCommitLock(dataDir) {
+      val refs = readRefs(dataDir)
+      if (!refs.contains(s"branch:$name")) false
+      else {
+        rmTree(branchDir(dataDir, name))
+        writeRefs(dataDir, refs - s"branch:$name")
+        true
+      }
+    }
+
+  /** Publish: fast-forward main to the branch head as ONE new main
+    * commit (squashed — readers atomically flip from the audited base
+    * to the audited result, never an intermediate), then drop the
+    * branch. Refuses with [[GraftLakeCommitConflict]] if main moved
+    * since the branch forked. Returns the new main head (= main's
+    * current head when the branch carries no commits beyond its
+    * seed). */
+  def fastForward(dataDir: String, name: String): Int = {
+    // check-build OUTSIDE main's lock (commitVersion takes it, and
+    // the OS FileLock is not reentrant); a main commit landing in
+    // the window just turns into the same CAS conflict
+    val refs = readRefs(dataDir)
+    val base = refs.getOrElse(s"branch:$name",
+      throw new IllegalArgumentException(
+        s"$dataDir: no such branch '$name'"))
+    val cur = latestVersion(dataDir)
+    if (cur != base)
+      throw new GraftLakeCommitConflict(
+        s"$dataDir: cannot fast-forward branch '$name' — main moved " +
+          s"v$base -> v$cur since the branch forked; re-create the " +
+          "branch from the new head (or drop it)")
+    val bdir = branchDir(dataDir, name)
+    val bHead = latestVersion(bdir.getPath)
+    val seed = if (base > 0) 1 else 0
+    if (bHead <= seed) { dropBranch(dataDir, name): Unit; return cur }
+    val build = newBuildDir(dataDir)
+    linkSnapshot(versionDir(bdir.getPath, bHead), build)
+    writeCommitMeta(build, nextCommitStamp(dataDir, cur),
+      "fast_forward")
+    val v = commitVersion(dataDir, cur, build)
+    dropBranch(dataDir, name): Unit
+    v
+  }
 
   /** Expire history: drop every snapshot older than the newest `keep`
     * (the Iceberg `expire_snapshots` maintenance op) — EXCEPT tagged
@@ -5065,6 +5205,75 @@ object Lake {
        WHERE n.n_events >= 3
        ORDER BY n.user_id"""
 
+  /** WRITE-AUDIT-PUBLISH through branches: v1 INSERTs first-half
+    * counts to MAIN; `CALL create_branch('audit')` forks; the
+    * second-half additive MERGE commits ON THE BRANCH (under the
+    * `spark.graft.lake.branch` session pin — main readers still see
+    * v1); the audit gate validates the branch content; `CALL
+    * fast_forward` publishes it as ONE squashed main commit. The
+    * output joins the published head with `VERSION AS OF 1` — the
+    * pre-publish main state survives as ordinary history, so the
+    * oracle checks BOTH the published totals and the audited
+    * intermediate state in one hash. LakeBranchSpec pins the
+    * isolation window, the conflict path (main moved ⇒ publish
+    * CAS-refuses), and the branch-vs-main commit race. */
+  val lakeBranchWap: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val name = s"wapf_$fp"
+    val tbl = s"graft_lake.lake.$name"
+    if (!builtHistories.contains(tbl)) {
+      val ev = Tables.events(s, dir)
+        .selectExpr("user_id", "dayofmonth(ts) AS dom")
+      ev.filter(col("dom") <= 15).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .createOrReplaceTempView("graft_lake_wap_b1")
+      ev.filter(col("dom") > 15).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .createOrReplaceTempView("graft_lake_wap_b2")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT)
+                TBLPROPERTIES ('shard_key'='user_id',
+                  'n_shards'='8')""")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_wap_b1")
+      s.sql(s"""CALL graft_lake.system.create_branch(
+                table => '$name', branch => 'audit')""")
+      s.conf.set("spark.graft.lake.branch", "audit")
+      try {
+        s.sql(s"""MERGE INTO $tbl t USING graft_lake_wap_b2 b
+                  ON t.user_id = b.user_id
+                  WHEN MATCHED THEN
+                    UPDATE SET n_events = t.n_events + b.n_events
+                  WHEN NOT MATCHED THEN
+                    INSERT (user_id, n_events)
+                    VALUES (b.user_id, b.n_events)""")
+        // the AUDIT gate: loud validation of the unpublished state
+        val bad = s.table(tbl).filter(col("n_events") <= 0).count()
+        require(bad == 0, s"audit failed: $bad non-positive counts")
+      } finally s.conf.unset("spark.graft.lake.branch")
+      s.sql(s"""CALL graft_lake.system.fast_forward(
+                table => '$name', branch => 'audit')""")
+      builtHistories.add(tbl): Unit
+    }
+    s.sql(s"""SELECT h.user_id, h.n_events, p.n_events AS n_prepublish
+              FROM $tbl h
+              LEFT JOIN (SELECT user_id, n_events
+                         FROM $tbl VERSION AS OF 1) p
+                ON h.user_id = p.user_id
+              ORDER BY h.user_id""")
+  }
+
+  val lakeBranchWapOracle: String =
+    """WITH ev AS (
+         SELECT user_id, day(CAST(ts AS TIMESTAMP)) AS dom FROM events),
+       tot AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+               FROM ev GROUP BY user_id),
+       pre AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+               FROM ev WHERE dom <= 15 GROUP BY user_id)
+       SELECT t.user_id, t.n_events, p.n_events AS n_prepublish
+       FROM tot t LEFT JOIN pre p ON t.user_id = p.user_id
+       ORDER BY t.user_id"""
+
   // ---- persisted ANN index (GraftLakeAnnIndex) ----
 
   /** µ-grid parse/serialize twins for the index's CSV embedding
@@ -5191,6 +5400,7 @@ object Lake {
 
   val queries: Map[String, Q] = Map(
     "ann_indexed_topk" -> annIndexedTopk,
+    "lake_branch_wap" -> lakeBranchWap,
     "lake_limit_pushdown" -> lakeLimitPushdown,
     "lake_zorder_skip" -> lakeZorderSkip,
     "lake_clustered_write" -> lakeClusteredWrite,
@@ -5228,6 +5438,7 @@ object Lake {
 
   val oracles: Map[String, String] = Map(
     "ann_indexed_topk" -> annIndexedTopkOracle,
+    "lake_branch_wap" -> lakeBranchWapOracle,
     "lake_limit_pushdown" -> lakeLimitPushdownOracle,
     "lake_zorder_skip" -> lakeZorderSkipOracle,
     "lake_clustered_write" -> lakeClusteredWriteOracle,

@@ -34,7 +34,8 @@ object GraftLakeProcedures {
   val Names: Seq[String] =
     Seq("optimize", "expire_snapshots", "rollback_to_version",
       "vacuum", "create_tag", "drop_tag",
-      "build_ann_index", "refresh_ann_index")
+      "build_ann_index", "refresh_ann_index",
+      "create_branch", "drop_branch", "fast_forward")
 
   /** Resolve the `table` argument ("tbl" or "lake.tbl") to its data
     * dir under the catalog root, refusing unknown tables loudly. */
@@ -168,6 +169,51 @@ object GraftLakeProcedures {
       val dir = dataDir(root, in.getUTF8String(0).toString)
       val ok = GraftLakeIO.dropTag(dir, in.getUTF8String(1).toString)
       Seq(new GenericInternalRow(Array[Any](ok)))
+    }
+
+    case "create_branch" => proc("create_branch",
+      "fork a named branch at main's head: writes under " +
+        "spark.graft.lake.branch land on the branch, main readers " +
+        "keep the published head (write-audit-publish)",
+      Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build()),
+      StructType(Seq(
+        StructField("branch", StringType, nullable = false),
+        StructField("base_version", IntegerType, nullable = false)))) {
+      in =>
+      val dir = dataDir(root, in.getUTF8String(0).toString)
+      val b = in.getUTF8String(1).toString
+      val base = GraftLakeIO.createBranch(dir, b)
+      Seq(new GenericInternalRow(Array[Any](str(b), base)))
+    }
+
+    case "drop_branch" => proc("drop_branch",
+      "drop a branch and its unpublished commits",
+      Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build()),
+      StructType(Seq(
+        StructField("dropped", BooleanType, nullable = false)))) { in =>
+      val dir = dataDir(root, in.getUTF8String(0).toString)
+      val ok = GraftLakeIO.dropBranch(dir,
+        in.getUTF8String(1).toString)
+      Seq(new GenericInternalRow(Array[Any](ok)))
+    }
+
+    case "fast_forward" => proc("fast_forward",
+      "publish a branch: fast-forward main to the branch head as one " +
+        "squashed commit (CAS — conflicts if main moved since the " +
+        "fork), then drop the branch",
+      Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("branch", StringType).build()),
+      StructType(Seq(
+        StructField("new_head", IntegerType, nullable = false)))) { in =>
+      val dir = dataDir(root, in.getUTF8String(0).toString)
+      val v = GraftLakeIO.fastForward(dir,
+        in.getUTF8String(1).toString)
+      Seq(new GenericInternalRow(Array[Any](v)))
     }
 
     case "build_ann_index" => proc("build_ann_index",
