@@ -299,6 +299,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       bloomCols = Option(d.get("bloomColumns")).map(_.asText())
         .filter(_.nonEmpty).fold(Seq.empty[String])(_.split(",").toSeq),
       writeDistribution = Option(d.get("writeDistribution"))
+        .map(_.asText()).getOrElse("none"),
+      upsertMode = Option(d.get("upsertMode"))
         .map(_.asText()).getOrElse("none"))
   }
 
@@ -371,6 +373,17 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         s"bloom_columns: $c must be integral/date/string, got " +
           schema(c).dataType.sql)
     }
+    // `write_upsert = equality-delete`: every append is an UPSERT on
+    // the shard key (last writer wins) via Iceberg-style equality
+    // deletes ([[GraftLakeIO.readEqDel]]); batches must be key-unique.
+    // BIGINT keys only (the eqdel map is keyed by long).
+    val upsertMode =
+      Option(properties.get("write_upsert")).getOrElse("none")
+    require(upsertMode == "none" || upsertMode == "equality-delete",
+      s"write_upsert must be none or equality-delete, got $upsertMode")
+    require(upsertMode == "none" ||
+      schema(shardKey).dataType == LongType,
+      "write_upsert=equality-delete requires a BIGINT shard key")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val d = om.createObjectNode()
     d.put("schema", schema.json): Unit
@@ -384,6 +397,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       d.put("bloomColumns", bloomCols.mkString(",")): Unit
     if (writeDistribution != "none")
       d.put("writeDistribution", writeDistribution): Unit
+    if (upsertMode != "none")
+      d.put("upsertMode", upsertMode): Unit
     tableDir(ident.name()).mkdirs()
     java.nio.file.Files.writeString(descriptorFile(ident.name()).toPath,
       om.writeValueAsString(d))
@@ -573,7 +588,8 @@ class GraftLakeTable(private[sources] val tableName: String,
     val updateMode: String = "copy-on-write",
     val mergeMode: String = "copy-on-write",
     val bloomCols: Seq[String] = Nil,
-    val writeDistribution: String = "none")
+    val writeDistribution: String = "none",
+    val upsertMode: String = "none")
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with SupportsDeleteV2 {
@@ -592,14 +608,14 @@ class GraftLakeTable(private[sources] val tableName: String,
   private[sources] def withPinned(v: Int): GraftLakeTable =
     new GraftLakeTable(tableName, declared, dataDir, shardKey, nShards,
       shardWidth, Some(v), deleteMode, updateMode, mergeMode,
-      bloomCols, writeDistribution)
+      bloomCols, writeDistribution, upsertMode)
 
   /** The same table resolved against another dataDir — a branch's
     * `_branch_<name>/` sub-store (write-audit-publish). */
   private[sources] def withDataDir(dir: String): GraftLakeTable =
     new GraftLakeTable(tableName, declared, dir, shardKey, nShards,
       shardWidth, pinnedVersion, deleteMode, updateMode, mergeMode,
-      bloomCols, writeDistribution)
+      bloomCols, writeDistribution, upsertMode)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -1577,6 +1593,50 @@ object GraftLakeIO {
     v
   }
 
+  // ---- EQUALITY DELETES (`_eqdel.json` per version dir) ----
+  // Iceberg equality-delete semantics for last-writer-wins upserts:
+  // per shard, a map `key -> bound` meaning "every row of this key at
+  // concatenation ordinal < bound is dead". One entry per key
+  // suffices (a later upsert's bound covers everything an earlier one
+  // did, because parts only ever append), so the map never grows past
+  // the live key count. Readers mask by key+ordinal; writers record
+  // the appended part's base ordinal for each staged key — O(batch),
+  // no target data file is ever read.
+
+  def eqDelFile(vdir: java.io.File): java.io.File =
+    new java.io.File(vdir, "_eqdel.json")
+
+  def readEqDel(vdir: java.io.File): Map[Int, Map[Long, Long]] = {
+    val f = eqDelFile(vdir)
+    if (!f.exists()) return Map.empty
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readString(f.toPath))
+    val out = Map.newBuilder[Int, Map[Long, Long]]
+    root.properties().forEach { e =>
+      val inner = Map.newBuilder[Long, Long]
+      e.getValue.properties().forEach(kv =>
+        inner += kv.getKey.toLong -> kv.getValue.asLong())
+      out += e.getKey.toInt -> inner.result()
+    }
+    out.result()
+  }
+
+  def writeEqDel(build: java.io.File,
+      m: Map[Int, Map[Long, Long]]): Unit = {
+    val pruned = m.filter(_._2.nonEmpty)
+    if (pruned.isEmpty) return
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.createObjectNode()
+    pruned.toSeq.sortBy(_._1).foreach { case (k, keys) =>
+      val inner = root.putObject(k.toString)
+      keys.toSeq.sortBy(_._1).foreach { case (key, bound) =>
+        inner.put(key.toString, bound): Unit
+      }
+    }
+    java.nio.file.Files.writeString(eqDelFile(build).toPath,
+      om.writeValueAsString(root)): Unit
+  }
+
   /** Expire history: drop every snapshot older than the newest `keep`
     * (the Iceberg `expire_snapshots` maintenance op) — EXCEPT tagged
     * snapshots, which a tag pins until dropped. Safe against the
@@ -1903,7 +1963,10 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
     // deletion vectors make footer/zone-map metadata an OVER-statement
     // of the live rows: counts subtract the DV cardinality; MIN/MAX
     // and null-aware counts refuse on DV-carrying shards (a deleted
-    // row may have held the extreme / the nulls are unattributed)
+    // row may have held the extreme / the nulls are unattributed).
+    // EQUALITY deletes are worse — the dead-row count is unknowable
+    // from metadata at all — so their presence refuses every pushdown
+    if (GraftLakeIO.readEqDel(vdir).nonEmpty) return None
     lazy val dv = GraftLakeIO.readDv(vdir)
     // one footer read per shard PART, shared by every COUNT term
     lazy val footers: Seq[(org.apache.parquet.schema.MessageType, Long,
@@ -2271,6 +2334,7 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
     // no cross-scan recombination contract, so they prune freely.
     val rowLevelRead = required.fieldNames.contains("_shard") ||
       required.fieldNames.contains("_pos")
+    val eqDel = GraftLakeIO.readEqDel(vdir)
     var skippedParts = 0L
     val result: Array[InputPartition] = kept.map { k =>
       val all = parts.getOrElse(k, Nil)
@@ -2279,7 +2343,9 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
         else prunedParts(all)
       skippedParts += (all.length - keep.length).toLong
       GraftLakeInputPartition(keep.map(_.getPath), k,
-        GraftLakeIO.dvBytes(dvMap, k), bases)
+        GraftLakeIO.dvBytes(dvMap, k), bases,
+        eqDel.getOrElse(k, Map.empty),
+        if (eqDel.contains(k)) shardKey else "")
     }
     record(kept.length.toLong,
       (candidates.length - zoneKept.length).toLong,
@@ -2500,7 +2566,11 @@ case class GraftLakeInputPartition(paths: Seq[String], shard: Int,
     // part pruning can drop parts from the MIDDLE of the list and
     // `_pos`/deletion-vector ordinals must not shift (empty = dense,
     // reader accumulates)
-    ordBases: Seq[Long] = Nil)
+    ordBases: Seq[Long] = Nil,
+    // equality deletes for this shard (key -> bound) + the key column
+    // name; rows with key k at ordinal < bound(k) are dead
+    eqDel: Map[Long, Long] = Map.empty,
+    eqKey: String = "")
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** The value of `bucket(nShards, shardKey)` for every row in this
@@ -2519,7 +2589,7 @@ class GraftLakeReaderFactory(required: StructType, limit: Int = -1)
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftLakeInputPartition]
     new GraftLakePartitionReader(p.paths, p.shard, required, p.dv,
-      p.ordBases, limit)
+      p.ordBases, limit, p.eqDel, p.eqKey)
   }
 }
 
@@ -2541,10 +2611,14 @@ class GraftLakeReaderFactory(required: StructType, limit: Int = -1)
   * (advisor round 10). */
 class GraftLakePartitionReader(paths: Seq[String], shard: Int,
     required: StructType, dvBytes: Array[Byte] = null,
-    ordBases: Seq[Long] = Nil, limit: Int = -1)
+    ordBases: Seq[Long] = Nil, limit: Int = -1,
+    eqDel: Map[Long, Long] = Map.empty, eqKey: String = "")
     extends PartitionReader[InternalRow] {
   // pushed partial LIMIT: live rows emitted by THIS partition
   private var emitted = 0L
+  require(eqDel.isEmpty || eqKey.nonEmpty,
+    s"shard $shard carries equality deletes but the scan has no key " +
+      "column to mask by — refusing rather than serving dead rows")
   paths.foreach { p =>
     if (!new java.io.File(p).exists())
       throw new java.io.FileNotFoundException(
@@ -2552,9 +2626,15 @@ class GraftLakePartitionReader(paths: Seq[String], shard: Int,
           "was expired or deleted while being read")
   }
 
-  private val dataNames =
-    required.fields.iterator.map(_.name)
+  // equality deletes force the key column into the decode set even
+  // when the projection pruned it (a `count(*)` over an upsert table
+  // must still resolve dead rows — the metadata-only fast path is
+  // refused upstream for exactly this reason)
+  private val dataNames = {
+    val req = required.fields.iterator.map(_.name)
       .filter(n => n != "_shard" && n != "_pos").toSeq
+    if (eqDel.nonEmpty && !req.contains(eqKey)) req :+ eqKey else req
+  }
   // this snapshot's deletion vector for the shard: positions are
   // concatenation ordinals, masked here so every consumer sees live
   // rows only; `_pos` reports the PRE-mask ordinal (the stable row id)
@@ -2565,6 +2645,7 @@ class GraftLakePartitionReader(paths: Seq[String], shard: Int,
   private var partRows = 0L        // rows of the current part
   private var partOrd = 0L         // next ordinal within current part
   private var projIdx: Array[Int] = null
+  private var eqKeyIdx = -1
   private var metadataOnly = true
   private var reader: org.apache.parquet.hadoop
     .ParquetReader[org.apache.parquet.example.data.Group] = null
@@ -2584,6 +2665,10 @@ class GraftLakePartitionReader(paths: Seq[String], shard: Int,
     val projection = GraftShardCodec.projectionFor(fileSchema, dataNames)
     partRows = rows
     partOrd = 0L
+    eqKeyIdx =
+      if (eqDel.nonEmpty && projection.containsField(eqKey))
+        projection.getFieldIndex(eqKey)
+      else -1
     projIdx = required.fields.map { fd =>
       if (fd.name != "_shard" && fd.name != "_pos" &&
         projection.containsField(fd.name))
@@ -2616,9 +2701,19 @@ class GraftLakePartitionReader(paths: Seq[String], shard: Int,
             if (r == null) return false
             r
           }
+        // equality deletes: a row of key k at ordinal < bound(k) is
+        // dead — an upserted key's older versions never become rows
+        val eqDead = eqKeyIdx >= 0 && g != null && {
+          GraftShardCodec.value(g, eqKeyIdx, LongType) match {
+            case k: java.lang.Long =>
+              eqDel.get(k.longValue).exists(ord < _)
+            case _ => false
+          }
+        }
         // a deleted position still advances the file reader (the bytes
         // are there; the row is dead) — it just never becomes a row
-        if (ord > Int.MaxValue || !dv.contains(ord.toInt)) {
+        if (!eqDead &&
+          (ord > Int.MaxValue || !dv.contains(ord.toInt))) {
           val vals = new Array[Any](required.length)
           var i = 0
           while (i < required.length) {
@@ -2757,6 +2852,12 @@ class GraftLakeChangesScan(base: GraftLakeTable,
       // masks each side's positions before comparing
       val preDv = GraftLakeIO.readDv(preDir)
       val postDv = GraftLakeIO.readDv(postDir)
+      // equality deletes are mask state exactly like the vectors:
+      // identical files only prove a shard diff-free when the eqdel
+      // entry is ALSO unchanged (an upsert commit changes the map of
+      // every shard it touched, so those fall to the general differ)
+      val preEq = GraftLakeIO.readEqDel(preDir)
+      val postEq = GraftLakeIO.readEqDel(postDir)
       val preParts = GraftLakeIO.allShardParts(preDir)
       val postParts = GraftLakeIO.allShardParts(postDir)
       def sameFile(a: java.io.File, b: java.io.File): Boolean =
@@ -2764,7 +2865,8 @@ class GraftLakeChangesScan(base: GraftLakeTable,
       (preParts.keySet ++ postParts.keySet).toSeq.sorted.flatMap { k =>
         val pre = preParts.getOrElse(k, Nil)
         val post = postParts.getOrElse(k, Nil)
-        val sameDv = preDv.get(k) == postDv.get(k)
+        val sameDv = preDv.get(k) == postDv.get(k) &&
+          preEq.get(k) == postEq.get(k)
         val prefixLen = pre.zip(post).takeWhile((sameFile _).tupled)
           .length
         if (prefixLen == pre.length && pre.length == post.length &&
@@ -2782,7 +2884,9 @@ class GraftLakeChangesScan(base: GraftLakeTable,
         else Some(GraftLakeChangesPartition(
           pre.map(_.getPath), post.map(_.getPath),
           k, v, GraftLakeIO.dvBytes(preDv, k),
-          GraftLakeIO.dvBytes(postDv, k)): InputPartition)
+          GraftLakeIO.dvBytes(postDv, k),
+          preEq.getOrElse(k, Map.empty),
+          postEq.getOrElse(k, Map.empty)): InputPartition)
       }
     }.toArray
   }
@@ -2856,7 +2960,9 @@ class GraftLakeChangesStream(base: GraftLakeTable, out: StructType,
 
 case class GraftLakeChangesPartition(prePaths: Seq[String],
     postPaths: Seq[String], shard: Int, version: Int,
-    preDv: Array[Byte] = null, postDv: Array[Byte] = null)
+    preDv: Array[Byte] = null, postDv: Array[Byte] = null,
+    preEq: Map[Long, Long] = Map.empty,
+    postEq: Map[Long, Long] = Map.empty)
     extends InputPartition
 
 class GraftLakeChangesReaderFactory(out: StructType,
@@ -2884,15 +2990,25 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
   // diffing (positions are CONCATENATION ordinals across the part
   // list): a row whose position entered the post DV reads as absent
   // there and emits a `delete`, exactly like a physical removal
+  private def eqDead(eq: Map[Long, Long], r: Array[Any],
+      ord: Long): Boolean =
+    eq.nonEmpty && (r(keyIdx) match {
+      case k: java.lang.Long => eq.get(k.longValue).exists(ord < _)
+      case k: java.lang.Integer => eq.get(k.longValue).exists(ord < _)
+      case _ => false
+    })
+
   private def readAll(paths: Seq[String],
-      dvB: Array[Byte]): Seq[Array[Any]] =
+      dvB: Array[Byte], eq: Map[Long, Long]): Seq[Array[Any]] =
     if (paths.isEmpty) Nil
     else {
       val dv = GraftLakeIO.dvOf(dvB)
       paths.iterator.flatMap(p =>
         GraftShardCodec.readRows(new java.io.File(p), dataSchema))
         .zipWithIndex
-        .collect { case (r, i) if !dv.contains(i) => r }.toVector
+        .collect { case (r, i)
+          if !dv.contains(i) && !eqDead(eq, r, i.toLong) => r }
+        .toVector
     }
 
   // the POST side STREAMS (only the pre side needs indexing — the
@@ -2911,7 +3027,8 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
           new java.io.File(path), dataSchema)
         postClosers += c
         it
-      }.zipWithIndex.collect { case (r, i) if !dv.contains(i) => r }
+      }.zipWithIndex.collect { case (r, i)
+        if !dv.contains(i) && !eqDead(p.postEq, r, i.toLong) => r }
     }
 
   private def sameVals(a: Array[Any], b: Array[Any]): Boolean = {
@@ -2944,7 +3061,7 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
     }
     val preByKey = scala.collection.mutable.LinkedHashMap[Long,
       Array[Any]]()
-    readAll(p.prePaths, p.preDv).foreach { v =>
+    readAll(p.prePaths, p.preDv, p.preEq).foreach { v =>
       val k = keyOf(v)
       require(!preByKey.contains(k),
         s"shard ${p.shard} v${p.version - 1}: duplicate key $k — the " +
@@ -3375,6 +3492,40 @@ private[sources] object GraftLakeCommitter {
         }
       }
       GraftLakeIO.writeDv(build, dvOut)
+      // EQUALITY DELETES are snapshot state like the vectors:
+      // dropped/rewritten shards lose their entry (their replacement
+      // files were built from RESOLVED live rows — the reader masks
+      // eq-deletes on every consumer, row-level operations included),
+      // carried shards keep it. Under `write_upsert=equality-delete`
+      // a plain append ADDITIONALLY records, per staged key, the
+      // appended part's base ordinal — every older row of that key is
+      // dead at read. O(batch): the bound comes from carried-part
+      // FOOTERS, the keys from decoding ONE column of the part this
+      // commit just wrote; no target data file is ever read.
+      val eqCarried = GraftLakeIO.readEqDel(baseDir)
+        .filter { case (k, _) => carriedBase.contains(k) }
+      val eqOut =
+        if (table.upsertMode != "equality-delete" || op.nonEmpty ||
+            truncateFirst) eqCarried
+        else staged.keySet.foldLeft(eqCarried) { (acc, k) =>
+          val bound =
+            if (carriedBase.contains(k))
+              baseParts.getOrElse(k, Nil).iterator
+                .map(f => GraftShardCodec.footer(f)._2).sum
+            else 0L
+          if (bound == 0L) acc // fresh shard: nothing older to kill
+          else {
+            val nextSeq = GraftLakeIO.nextPartSeq(baseDir, k)
+            val part = GraftLakeIO.shardPartFile(build, k, nextSeq)
+            val keyField = StructType(Seq(StructField(table.shardKey,
+              LongType)))
+            val keys = GraftShardCodec.readRows(part, keyField)
+              .collect { case Array(v: java.lang.Long) => v.longValue }
+            val prev = acc.getOrElse(k, Map.empty[Long, Long])
+            acc.updated(k, keys.foldLeft(prev)(_.updated(_, bound)))
+          }
+        }
+      GraftLakeIO.writeEqDel(build, eqOut)
       val operation = operationOverride
         .orElse(op.map(_.command().name().toLowerCase(
           java.util.Locale.ROOT)))

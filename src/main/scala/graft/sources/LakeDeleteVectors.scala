@@ -323,8 +323,13 @@ object GraftLakeMaintenance {
       val headDir = GraftLakeIO.versionDir(dataDir, headV)
       val dv = GraftLakeIO.readDv(headDir)
       val headParts = GraftLakeIO.allShardParts(headDir)
+      // equality-delete shards are EXEMPT: their masks bind to
+      // concatenation ordinals AND key bounds, and a live-rows-only
+      // rewrite would shift the ordinals the bounds refer to — those
+      // shards compact only through a full (reader-resolved) rewrite
+      val eqShards = GraftLakeIO.readEqDel(headDir).keySet
       val targets = dv.toSeq.collect {
-        case (k, bm) if {
+        case (k, bm) if !eqShards.contains(k) && {
           val rows = headParts.getOrElse(k, Nil).iterator
             .map(f => GraftShardCodec.footer(f)._2).sum
           rows > 0L && bm.getCardinality.toDouble / rows >= threshold
@@ -436,8 +441,12 @@ object GraftLakeMaintenance {
       val headV = GraftLakeIO.latestVersion(dataDir)
       val headDir = GraftLakeIO.versionDir(dataDir, headV)
       val partsAll = GraftLakeIO.allShardParts(headDir)
+      // equality-delete shards exempt (ordinal-bound masks — see
+      // compactDeletionVectors)
+      val eqShards = GraftLakeIO.readEqDel(headDir).keySet
       val targets = partsAll.collect {
-        case (k, parts) if parts.lengthCompare(maxParts) > 0 => k
+        case (k, parts) if parts.lengthCompare(maxParts) > 0 &&
+          !eqShards.contains(k) => k
       }.toSeq.sorted
       if (targets.isEmpty) return Nil
       val build = GraftLakeIO.newBuildDir(dataDir)

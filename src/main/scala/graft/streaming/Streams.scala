@@ -436,6 +436,69 @@ object Streams {
       .orderBy("user_id")
   }
 
+  /** Streaming CDC upsert via EQUALITY DELETES — the O(batch) twin of
+    * [[streamMergeUpsert]]: that path re-plans a MERGE per micro-batch
+    * (scanning matched groups); here the target table is declared
+    * `write_upsert = equality-delete`, so each epoch's per-user latest
+    * state APPENDS while the commit records key->bound equality
+    * deletes from the staged part alone — no target data file is read
+    * during the upsert commit (LakeEqUpsertSpec pins it with scan
+    * metrics), the Iceberg equality-delete upsert. Replay is
+    * idempotent BY CONSTRUCTION: re-appending a batch re-kills the
+    * previous copies (the new bound covers them), so the table
+    * converges to last-writer-wins whatever the retry history. The
+    * chunks replay chronologically, so each user's final row derives
+    * from their globally-latest event — the flat recompute the oracle
+    * runs. */
+  val streamLakeUpsertEq: Q = (s, dir) => {
+    val ss = streamSession(s)
+    // both sessions need the catalog binding: the stream (+ its
+    // per-batch clones) writes through ss, the final read runs on s
+    graft.sources.Lake.registerCatalog(s)
+    graft.sources.Lake.registerCatalog(ss)
+    val chunks = chunkedEventsDir(ss, dir)
+    val tag = s"${graft.sources.Tables.fingerprint(dir, "events")}" +
+      s"_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val tbl = s"graft_lake.lake.upsert_eq_$tag"
+    ss.sql(s"""CREATE TABLE $tbl (user_id BIGINT, last_event_id BIGINT,
+        last_cents BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+        'write_upsert'='equality-delete')""")
+    val q = rawFileStream(ss, chunks, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // per-user LATEST state within the batch (key-unique by
+        // construction — the upsert contract)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        batch
+          .selectExpr("user_id", "ts", "event_id",
+            "CAST(round(coalesce(value, CAST(0 AS DOUBLE)) * 100) " +
+              "AS BIGINT) AS cents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .selectExpr("user_id", "event_id AS last_event_id",
+            "cents AS last_cents")
+          .writeTo(tbl).append()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(tbl)
+      .select("user_id", "last_event_id", "last_cents")
+      .orderBy("user_id")
+  }
+
+  val streamLakeUpsertEqOracle: String =
+    """WITH ranked AS (
+         SELECT user_id, event_id,
+           CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS cents,
+           row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       SELECT user_id, event_id AS last_event_id, cents AS last_cents
+       FROM ranked WHERE rn = 1 ORDER BY user_id"""
+
   /** Streaming EXACTLY-ONCE sink INTO the lake — the write direction
     * of the CDF loop (`stream_lake_cdf_source` reads commits out;
     * this replays the ts-chunked event log IN through `writeStream
@@ -904,6 +967,7 @@ object Streams {
     "stream_foreach_batch_sink" -> streamForeachBatchSink,
     "stream_merge_upsert" -> streamMergeUpsert,
     "stream_lake_sink" -> streamLakeSink,
+    "stream_lake_upsert_eq" -> streamLakeUpsertEq,
     "stream_stream_left_join" -> streamStreamLeftJoin,
     "stream_stream_full_join" -> streamStreamFullJoin,
     "stream_stateful_latest" -> streamStatefulLatest,
@@ -921,6 +985,7 @@ object Streams {
     "stream_merge_upsert" ->
       graft.operators.Merge.mergeUpsertFirstSeenOracle,
     "stream_lake_sink" -> streamLakeSinkOracle,
+    "stream_lake_upsert_eq" -> streamLakeUpsertEqOracle,
     "stream_stream_left_join" -> streamStreamLeftJoinOracle,
     "stream_stream_full_join" -> streamStreamFullJoinOracle,
     "stream_stateful_latest" -> streamStatefulLatestOracle,

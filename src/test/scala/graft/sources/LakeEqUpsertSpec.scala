@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Equality-delete upsert lifecycle (`write_upsert = equality-delete`,
+  * [[GraftLakeIO.readEqDel]]): last-writer-wins appends, the O(batch)
+  * commit (NO target data file read), replay idempotence, the agg
+  * pushdown refusal (footer counts over-state live rows), DV/CoW
+  * interplay, and the `$changes` feed seeing implicit updates. */
+class LakeEqUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def state(tbl: String): Map[Long, Long] =
+    spark.table(tbl).select("user_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("appends upsert on the shard key: older versions of a key die, " +
+      "untouched keys survive, the commit reads no target data file, " +
+      "replay is idempotent, and count(*) resolves (no metadata " +
+      "shortcut over-counting dead rows)") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_equp"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, v BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='2',
+        'write_upsert'='equality-delete')""")
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("user_id", "v")
+      .createOrReplaceTempView("spec_equp_b1")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_equp_b1")
+    assert(state(tbl) === Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+
+    // batch 2: update key 2, insert key 4 — ONE ordinary append
+    GraftLakeScanMetrics.reset()
+    Seq((2L, 22L), (4L, 44L)).toDF("user_id", "v")
+      .createOrReplaceTempView("spec_equp_b2")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_equp_b2")
+    assert(GraftLakeScanMetrics.planned.get() === 0L &&
+      GraftLakeScanMetrics.decodedColumns.get() === 0L,
+      "the upsert commit must not scan the target table — bounds " +
+        "come from footers, keys from the part the commit just wrote")
+    assert(state(tbl) === Map(1L -> 10L, 2L -> 22L, 3L -> 30L,
+      4L -> 44L))
+
+    // count(*) resolves dead rows: 5 physical rows, 4 live — the
+    // metadata-only aggregate pushdown must REFUSE here
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $tbl")
+      .head.getLong(0) === 4L)
+    assert(GraftLakeScanMetrics.aggPushdowns.get() === 0L,
+      "agg pushdown over an equality-delete snapshot would serve " +
+        "footer counts that include dead rows")
+
+    // replay the SAME batch (an at-least-once retry): the re-applied
+    // bound kills the previous copies — state unchanged
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_equp_b2")
+    assert(state(tbl) === Map(1L -> 10L, 2L -> 22L, 3L -> 30L,
+      4L -> 44L))
+    assert(spark.table(tbl).count() === 4L)
+
+    // the $changes feed sees the upsert as a VALUE change, not a
+    // blind append: batch 2's commit (v2) must carry 2->22 as an
+    // update pair and 4 as an insert
+    val ch = spark.read.option("startingVersion", "1")
+      .option("endingVersion", "2")
+      .table("graft_lake.lake.`spec_equp$changes`")
+      .selectExpr("_change_type", "user_id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ch === Set(("update_preimage", 2L, 20L),
+      ("update_postimage", 2L, 22L), ("insert", 4L, 44L)),
+      s"unexpected CDC diff: $ch")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("row-level DML composes: a CoW DELETE resolves equality " +
+      "deletes in its rewrite (the entry drops with the replaced " +
+      "shard), and the key upserts back afterwards") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_equp_dml"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, v BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='2',
+        'write_upsert'='equality-delete')""")
+    Seq((1L, 10L), (2L, 20L)).toDF("user_id", "v")
+      .createOrReplaceTempView("spec_equp_d1")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_equp_d1")
+    Seq((1L, 11L)).toDF("user_id", "v")
+      .createOrReplaceTempView("spec_equp_d2")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_equp_d2")
+    assert(state(tbl) === Map(1L -> 11L, 2L -> 20L))
+    spark.sql(s"DELETE FROM $tbl WHERE user_id = 1")
+    assert(state(tbl) === Map(2L -> 20L))
+    Seq((1L, 12L)).toDF("user_id", "v")
+      .createOrReplaceTempView("spec_equp_d3")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_equp_d3")
+    assert(state(tbl) === Map(1L -> 12L, 2L -> 20L))
+    // time travel still serves every historical state, eqdel-resolved
+    assert(spark.sql(s"SELECT user_id, v FROM $tbl VERSION AS OF 2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 11L, 2L -> 20L))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("DDL validation: equality-delete upsert requires a BIGINT " +
+      "shard key") {
+    Lake.registerCatalog(spark)
+    val e = intercept[Exception] {
+      spark.sql("""CREATE TABLE graft_lake.lake.spec_equp_bad
+        (user_id INT, v BIGINT)
+        TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='2',
+          'write_upsert'='equality-delete')""")
+    }
+    assert(e.getMessage.contains("BIGINT shard key"))
+  }
+}
