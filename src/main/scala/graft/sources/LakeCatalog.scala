@@ -322,13 +322,25 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     // contiguous key ranges, which is what makes the per-shard min/max
     // zone maps ([[GraftLakeIO.readStats]]) actually skip files on
     // range predicates — the lakehouse CLUSTER BY layout.
-    val shardWidth = Option(properties.get("shard_width")).map(_.toLong)
+    val shardWidth0 = Option(properties.get("shard_width")).map(_.toLong)
       .getOrElse(0L)
-    require(schema.fieldNames.contains(shardKey),
-      s"shard_key $shardKey not in schema")
-    require(schema(shardKey).dataType == LongType ||
-      schema(shardKey).dataType == IntegerType,
-      s"shard_key $shardKey must be integral")
+    // hidden partitioning: `shard_key = 'days(col)'` / `'months(col)'`
+    // routes by the DERIVED value of a TIMESTAMP column
+    // ([[GraftLakeTransform]]); width defaults to one derived unit
+    val (shardTransform, shardKeyCol) = GraftLakeTransform.parse(shardKey)
+    val shardWidth =
+      if (shardTransform.nonEmpty && shardWidth0 == 0L) 1L
+      else shardWidth0
+    require(schema.fieldNames.contains(shardKeyCol),
+      s"shard_key $shardKeyCol not in schema")
+    if (shardTransform.nonEmpty)
+      require(schema(shardKeyCol).dataType == TimestampType,
+        s"shard_key $shardTransform($shardKeyCol) requires a " +
+          s"TIMESTAMP column, got ${schema(shardKeyCol).dataType.sql}")
+    else
+      require(schema(shardKeyCol).dataType == LongType ||
+        schema(shardKeyCol).dataType == IntegerType,
+        s"shard_key $shardKeyCol must be integral")
     // Per-command row-level strategy (the Iceberg `write.delete.mode`
     // / `write.update.mode` / `write.merge.mode` table properties):
     // copy-on-write rewrites affected shards; merge-on-read records
@@ -381,9 +393,9 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       Option(properties.get("write_upsert")).getOrElse("none")
     require(upsertMode == "none" || upsertMode == "equality-delete",
       s"write_upsert must be none or equality-delete, got $upsertMode")
-    require(upsertMode == "none" ||
-      schema(shardKey).dataType == LongType,
-      "write_upsert=equality-delete requires a BIGINT shard key")
+    require(upsertMode == "none" || (shardTransform.isEmpty &&
+      schema(shardKeyCol).dataType == LongType),
+      "write_upsert=equality-delete requires a plain BIGINT shard key")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val d = om.createObjectNode()
     d.put("schema", schema.json): Unit
@@ -937,6 +949,43 @@ class GraftLakeRowLevelOperation(table: GraftLakeTable, dataDir: String,
   * rebuilds from the new head — Iceberg's commit protocol. */
 final class GraftLakeCommitConflict(msg: String)
     extends RuntimeException(msg)
+
+/** HIDDEN PARTITIONING transforms (Iceberg `days(ts)` / `months(ts)`):
+  * a `shard_key` of the form `days(col)` routes rows by a DERIVED
+  * value — epoch days (or months) of a TIMESTAMP column — without any
+  * user-visible partition column. Layout: `shard_width` derived units
+  * per bucket, buckets placed round-robin over the shards
+  * (`floorMod(floorDiv(derived, width), nShards)`), so a bucket's rows
+  * are CONTIGUOUS IN TIME and the ordinary ts zone maps become
+  * selective — date predicates prune by layout, which is the whole
+  * point of hidden partitioning. The cyclic placement bounds capacity
+  * at n·width units per cycle before ranges start overlapping (the
+  * time-series bucket-recycle shape); zone maps record OBSERVED values,
+  * so overlap only costs selectivity, never correctness. Transform
+  * tables route by a value predicates can't see, so point-lookup /
+  * DPP / SPJ claims all self-refuse (their provenance tag parses to
+  * None) — skipping comes from the stats, as designed. */
+object GraftLakeTransform {
+  /** `shard_key` string → (transform, raw column): `days(ts)` →
+    * ("days", "ts"); a plain column parses as ("", col). */
+  def parse(shardKey: String): (String, String) = shardKey match {
+    case s if s.startsWith("days(") && s.endsWith(")") =>
+      ("days", s.substring(5, s.length - 1))
+    case s if s.startsWith("months(") && s.endsWith(")") =>
+      ("months", s.substring(7, s.length - 1))
+    case s => ("", s)
+  }
+
+  /** Derived routing value from the raw (micros for timestamps). */
+  def derive(transform: String, raw: Long): Long = transform match {
+    case "days" => java.lang.Math.floorDiv(raw, 86400000000L)
+    case "months" =>
+      val d = java.time.LocalDate.ofEpochDay(
+        java.lang.Math.floorDiv(raw, 86400000000L))
+      d.getYear * 12L + d.getMonthValue - 1
+    case _ => raw
+  }
+}
 
 object GraftLakeIO {
   def latestVersion(dataDir: String): Int = {
@@ -2984,7 +3033,8 @@ class GraftLakeChangesReaderFactory(out: StructType,
 class GraftLakeChangesReader(p: GraftLakeChangesPartition,
     out: StructType, dataSchema: StructType, shardKey: String)
     extends PartitionReader[InternalRow] {
-  private val keyIdx = dataSchema.fieldIndex(shardKey)
+  private val keyIdx =
+    dataSchema.fieldIndex(GraftLakeTransform.parse(shardKey)._2)
 
   // each side is masked by ITS OWN version's deletion vector before
   // diffing (positions are CONCATENATION ordinals across the part
@@ -3450,10 +3500,16 @@ private[sources] object GraftLakeCommitter {
       // if it matches the CURRENT routing (else "mixed" — never
       // pruned), fresh takes the current tag; pre-provenance history
       // degrades to "mixed"
-      val currentTag =
-        if (table.shardWidth > 0L)
+      val currentTag = {
+        val (transform, _) = GraftLakeTransform.parse(table.shardKey)
+        if (transform.nonEmpty)
+          // routeUnder parses this to None: raw-column probes must
+          // never prune a transform-routed shard
+          s"$transform:${table.shardWidth}:${table.nShards}"
+        else if (table.shardWidth > 0L)
           s"range:${table.shardWidth}:${table.nShards}"
         else s"hash:${table.nShards}"
+      }
       val baseRouting = GraftLakeIO.readRouting(baseDir)
       val routingOut = GraftLakeIO.existingShards(build).map { k =>
         k -> ((carried.contains(k), staged.contains(k)) match {
@@ -3571,8 +3627,12 @@ class GraftLakeDataWriter(stagePath: String, writeSchema: StructType,
     blooms.getOrElseUpdate(k,
         scala.collection.mutable.Map[String, Array[Long]]())
       .getOrElseUpdate(name, GraftLakeBloom.empty())
-  private val keyIdx = writeSchema.fieldIndex(shardKey)
-  private val keyIsLong = writeSchema(keyIdx).dataType == LongType
+  // hidden-partitioning transforms travel inside the shard-key string
+  // ("days(ts)") so every writer construction site stays unchanged
+  private val (keyTransform, keyCol) = GraftLakeTransform.parse(shardKey)
+  private val keyIdx = writeSchema.fieldIndex(keyCol)
+  private val keyIsLong = writeSchema(keyIdx).dataType == LongType ||
+    writeSchema(keyIdx).dataType == TimestampType
   // parquet payload: one columnar staged file per shard this task
   // routes rows to ([[GraftShardCodec]] bounds each writer's row-group
   // buffer)
@@ -3630,11 +3690,21 @@ class GraftLakeDataWriter(stagePath: String, writeSchema: StructType,
   }
 
   override def write(row: InternalRow): Unit = {
-    val key = if (keyIsLong) row.getLong(keyIdx) else row.getInt(keyIdx).toLong
-    // hash routing by default; RANGE clustering when shard_width is set
-    // (contiguous key ranges per shard — the layout zone maps need)
+    val raw =
+      if (keyIsLong) row.getLong(keyIdx) else row.getInt(keyIdx).toLong
+    val key = GraftLakeTransform.derive(keyTransform, raw)
+    // hash routing by default; RANGE clustering when shard_width is
+    // set (contiguous key ranges per shard — the layout zone maps
+    // need); hidden-partitioning transforms place width-sized DERIVED
+    // buckets round-robin (contiguous in time per bucket, unbounded
+    // domain — epoch days never start near 0, so the clamped range
+    // form would pile everything into the last shard)
     val k =
-      if (shardWidth > 0L)
+      if (keyTransform.nonEmpty)
+        java.lang.Math.floorMod(
+          java.lang.Math.floorDiv(key, math.max(shardWidth, 1L)),
+          nShards.toLong).toInt
+      else if (shardWidth > 0L)
         math.min(math.max(java.lang.Math.floorDiv(key, shardWidth), 0L),
           (nShards - 1).toLong).toInt
       else java.lang.Math.floorMod(key, nShards.toLong).toInt
@@ -3646,7 +3716,11 @@ class GraftLakeDataWriter(stagePath: String, writeSchema: StructType,
         // physical routing (`_shard`) is never stored; nulls are
         // simply absent from the group
         f.dataType match {
-          case LongType =>
+          case LongType | TimestampType =>
+            // timestamps ride as INT64 micros (the codec's logical
+            // annotation restores the type at read); the zone map
+            // observes the micros — date predicates push as micros
+            // literals and prune on the integral range
             val v = row.getLong(i)
             g.add(f.name, v)
             observe(k, f.name,
@@ -5425,6 +5499,49 @@ object Lake {
        FROM tot t LEFT JOIN pre p ON t.user_id = p.user_id
        ORDER BY t.user_id"""
 
+  /** HIDDEN PARTITIONING pruning through the oracle gate: the event
+    * log lands in a lake table routed by `days(ts)` — no user-visible
+    * partition column, 4-day buckets, 8 shards covering the corpus's
+    * 30 days — and the reference-shaped date-range query (§2.0 Q1–Q5
+    * predicates) prunes by LAYOUT: the ts zone maps are selective
+    * because the transform made each shard a contiguous time band
+    * (LakeHiddenPartitionSpec pins the 1-of-4 planned / 3-skipped
+    * counts on a controlled layout, plus the months(ts) variant and
+    * the DDL refusals). At 100 TB this is the recency scan touching
+    * only the recent shards, with the partition column hidden inside
+    * the routing exactly like Iceberg's `days(ts)` transform. */
+  val lakeHiddenPartitionPrune: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.hidden_$fp"
+    if (!builtHistories.contains(tbl)) {
+      Tables.events(s, dir)
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts",
+          "user_id")
+        .createOrReplaceTempView("graft_lake_hidden_src")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl
+                (event_id BIGINT, ts TIMESTAMP, user_id BIGINT)
+                TBLPROPERTIES ('shard_key'='days(ts)',
+                  'n_shards'='8', 'shard_width'='4')""")
+      s.sql(s"""INSERT INTO $tbl
+                SELECT * FROM graft_lake_hidden_src""")
+      builtHistories.add(tbl): Unit
+    }
+    s.sql(s"""SELECT user_id, count(*) AS n_events,
+                max(event_id) AS max_event_id
+              FROM $tbl
+              WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+              GROUP BY user_id ORDER BY user_id""")
+  }
+
+  val lakeHiddenPartitionPruneOracle: String =
+    """SELECT user_id, count(*) AS n_events,
+         max(event_id) AS max_event_id
+       FROM events
+       WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-21 00:00:00'
+       GROUP BY user_id ORDER BY user_id"""
+
   // ---- persisted ANN index (GraftLakeAnnIndex) ----
 
   /** µ-grid parse/serialize twins for the index's CSV embedding
@@ -5552,6 +5669,7 @@ object Lake {
   val queries: Map[String, Q] = Map(
     "ann_indexed_topk" -> annIndexedTopk,
     "lake_branch_wap" -> lakeBranchWap,
+    "lake_hidden_partition_prune" -> lakeHiddenPartitionPrune,
     "lake_limit_pushdown" -> lakeLimitPushdown,
     "lake_zorder_skip" -> lakeZorderSkip,
     "lake_clustered_write" -> lakeClusteredWrite,
@@ -5590,6 +5708,7 @@ object Lake {
   val oracles: Map[String, String] = Map(
     "ann_indexed_topk" -> annIndexedTopkOracle,
     "lake_branch_wap" -> lakeBranchWapOracle,
+    "lake_hidden_partition_prune" -> lakeHiddenPartitionPruneOracle,
     "lake_limit_pushdown" -> lakeLimitPushdownOracle,
     "lake_zorder_skip" -> lakeZorderSkipOracle,
     "lake_clustered_write" -> lakeClusteredWriteOracle,
