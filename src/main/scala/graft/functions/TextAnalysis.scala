@@ -330,16 +330,18 @@ object TextAnalysis {
     * shuffles every (token) pair, this holds <= 64 counters per group and
     * only the bounded maps cross the exchange (map-side
     * ObjectHashAggregate partials): the 100 TB shape for "top terms per
-    * language" over an unbounded term universe. Capacity 64 exceeds the
-    * harness vocabulary (~31), so every count is EXACT and the oracle
-    * recomputes them with a plain GROUP BY; the approximation bounds for
-    * the under-capacity regime are spec-pinned (FrequentItemsSpec). */
+    * language" over an unbounded term universe. Capacity 1024 exceeds
+    * the vocabulary at every tested scale (~31 at the gate scales;
+    * ~310 at sf1, whose generator suffixes words per copy), so every
+    * count is EXACT and the oracle recomputes them with a plain GROUP
+    * BY; the approximation bounds for the under-capacity regime are
+    * spec-pinned (FrequentItemsSpec). */
   val heavyHittersPerLang: Q = (s, dir) =>
     t(s, dir, "documents")
       .selectExpr("lang", "explode(split(text, ' ')) AS term")
       .filter(col("term") =!= "")
       .groupBy("lang")
-      .agg(expr("graft_frequent_items(term, 64)").as("hh"))
+      .agg(expr("graft_frequent_items(term, 1024)").as("hh"))
       .selectExpr("lang", "posexplode(hh) AS (pos, e)")
       .filter(col("pos") < 5)
       .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),

@@ -839,10 +839,10 @@ object Streams {
     * the state store between micro-batches — per-group state is one
     * bounded counter map (<= capacity entries) however many events
     * arrive, and the Agarwal merge makes the result micro-batch-order
-    * independent. Capacity 4096 exceeds the harness's distinct users
-    * per type (1.5 k at sf0.1), so counts are exact and the oracle is a
-    * plain GROUP BY; the bounded-regime contracts live in
-    * FrequentItemsSpec. */
+    * independent. Capacity 65536 exceeds the harness's distinct users
+    * per type at every tested scale (1.5 k at sf0.1, ~15 k at sf1), so
+    * counts are exact and the oracle is a plain GROUP BY; the
+    * bounded-regime contracts live in FrequentItemsSpec. */
   val streamHeavyHitters: Q = (s, dir) => {
     val ss = streamSession(s)
     heavyHittersCore(ss, eventStream(ss, dir), "stream_heavy_hitters")
@@ -856,7 +856,7 @@ object Streams {
     val agg = stream
       .groupBy(col("event_type"))
       .agg(expr(
-        "graft_frequent_items(CAST(user_id AS STRING), 4096)").as("hh"))
+        "graft_frequent_items(CAST(user_id AS STRING), 65536)").as("hh"))
     runToTable(agg, name, "complete")
       .selectExpr("event_type", "posexplode(hh) AS (pos, e)")
       .filter(col("pos") < 5)
