@@ -323,18 +323,31 @@ object GraftLakeMaintenance {
       val headDir = GraftLakeIO.versionDir(dataDir, headV)
       val dv = GraftLakeIO.readDv(headDir)
       val headParts = GraftLakeIO.allShardParts(headDir)
-      // equality-delete shards are EXEMPT: their masks bind to
-      // concatenation ordinals AND key bounds, and a live-rows-only
-      // rewrite would shift the ordinals the bounds refer to — those
-      // shards compact only through a full (reader-resolved) rewrite
-      val eqShards = GraftLakeIO.readEqDel(headDir).keySet
-      val targets = dv.toSeq.collect {
-        case (k, bm) if !eqShards.contains(k) && {
+      // equality-delete shards resolve UNCONDITIONALLY: their dead
+      // fraction is unknowable from metadata (the whole reason agg
+      // pushdown refuses on them), so OPTIMIZE is the reclaim point —
+      // the rewrite applies BOTH masks (positions + key bounds) and
+      // clears both sidecars, restoring exact commit-metadata counts
+      // and metadata-only aggregates for the table
+      val eqDel = GraftLakeIO.readEqDel(headDir)
+      val targets = (dv.toSeq.collect {
+        case (k, bm) if !eqDel.contains(k) && {
           val rows = headParts.getOrElse(k, Nil).iterator
             .map(f => GraftShardCodec.footer(f)._2).sum
           rows > 0L && bm.getCardinality.toDouble / rows >= threshold
         } => k
-      }.sorted
+      } ++ eqDel.keys).distinct.sorted
+      // the key column for the equality masks, from the table
+      // descriptor beside the data dir (transforms cannot carry
+      // equality deletes, so the raw parse suffices)
+      lazy val keyCol = {
+        val d = new java.io.File(dataDir)
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val doc = om.readTree(java.nio.file.Files.readString(
+          new java.io.File(d.getParentFile,
+            s"${d.getName}.lake.json").toPath))
+        GraftLakeTransform.parse(doc.get("shardKey").asText())._2
+      }
       if (targets.isEmpty) return Nil
       val build = GraftLakeIO.newBuildDir(dataDir)
       try {
@@ -345,6 +358,7 @@ object GraftLakeMaintenance {
           .filter { f =>
             f.isFile && f.getName != "_commit" &&
               f.getName != GraftLakeIO.dvFile(headDir).getName &&
+              f.getName != GraftLakeIO.eqDelFile(headDir).getName &&
               !targetFiles.contains(f.getName)
           }
           .foreach { f =>
@@ -359,30 +373,48 @@ object GraftLakeMaintenance {
         // each PART rewrites under its OWN schema (no value
         // conversion, evolution state preserved): the shard's vector
         // positions are concatenation ordinals, sliced per part by
-        // the running ordinal base; a part left with zero live rows
-        // is dropped entirely (seq numbers legitimately go sparse)
+        // the running ordinal base; equality-dead rows (key at
+        // ordinal < bound — the reader's mask, applied here once and
+        // for all) drop alongside them; a part left with zero live
+        // rows is dropped entirely (seq numbers legitimately go
+        // sparse)
         val rewrites = targets.map { k => () =>
-          val mask = dv(k)
+          val mask = dv.getOrElse(k, new org.roaringbitmap.RoaringBitmap)
+          val eq = eqDel.getOrElse(k, Map.empty[Long, Long])
           var ordBase = 0L
           GraftLakeIO.shardParts(headDir, k).foreach { src =>
             val (fileSchema, rows) = GraftShardCodec.footer(src)
-            val live = (0L until rows).count(o =>
-              ordBase + o > Int.MaxValue ||
-                !mask.contains((ordBase + o).toInt))
-            if (live > 0) {
-              val reader = GraftShardCodec.openReader(src, fileSchema)
-              val writer = GraftShardCodec.openWriter(
-                new java.io.File(build, src.getName), fileSchema)
-              try {
-                var ord = ordBase
-                var g = reader.read()
-                while (g != null) {
-                  if (ord > Int.MaxValue || !mask.contains(ord.toInt))
-                    writer.write(g)
-                  ord += 1
-                  g = reader.read()
+            val eqIdx =
+              if (eq.isEmpty) -1
+              else fileSchema.getFieldIndex(keyCol)
+            def eqDead(g: org.apache.parquet.example.data.Group,
+                ord: Long): Boolean =
+              eqIdx >= 0 && (GraftShardCodec.value(g, eqIdx,
+                org.apache.spark.sql.types.LongType) match {
+                case kk: java.lang.Long =>
+                  eq.get(kk.longValue).exists(ord < _)
+                case _ => false
+              })
+            val reader = GraftShardCodec.openReader(src, fileSchema)
+            var writer: org.apache.parquet.hadoop.ParquetWriter[
+              org.apache.parquet.example.data.Group] = null
+            try {
+              var ord = ordBase
+              var g = reader.read()
+              while (g != null) {
+                if ((ord > Int.MaxValue || !mask.contains(ord.toInt)) &&
+                  !eqDead(g, ord)) {
+                  if (writer == null) // open lazily: all-dead parts drop
+                    writer = GraftShardCodec.openWriter(
+                      new java.io.File(build, src.getName), fileSchema)
+                  writer.write(g)
                 }
-              } finally { reader.close(); writer.close() }
+                ord += 1
+                g = reader.read()
+              }
+            } finally {
+              reader.close()
+              if (writer != null) writer.close()
             }
             ordBase += rows
           }
@@ -401,6 +433,7 @@ object GraftLakeMaintenance {
           } finally pool.shutdown()
         }
         GraftLakeIO.writeDv(build, dv -- targets)
+        GraftLakeIO.writeEqDel(build, eqDel -- targets)
         GraftLakeIO.writeCommitMeta(build,
           GraftLakeIO.nextCommitStamp(dataDir, headV), "optimize")
         GraftLakeIO.commitVersion(dataDir, headV, build): Unit
@@ -441,12 +474,13 @@ object GraftLakeMaintenance {
       val headV = GraftLakeIO.latestVersion(dataDir)
       val headDir = GraftLakeIO.versionDir(dataDir, headV)
       val partsAll = GraftLakeIO.allShardParts(headDir)
-      // equality-delete shards exempt (ordinal-bound masks — see
-      // compactDeletionVectors)
-      val eqShards = GraftLakeIO.readEqDel(headDir).keySet
+      // equality-delete shards need NO exemption here: raw row-group
+      // append preserves every row's concatenation ordinal, so the
+      // key->bound masks keep binding exactly (unlike a live-rows
+      // rewrite, which compactDeletionVectors handles by RESOLVING
+      // the masks)
       val targets = partsAll.collect {
-        case (k, parts) if parts.lengthCompare(maxParts) > 0 &&
-          !eqShards.contains(k) => k
+        case (k, parts) if parts.lengthCompare(maxParts) > 0 => k
       }.toSeq.sorted
       if (targets.isEmpty) return Nil
       val build = GraftLakeIO.newBuildDir(dataDir)

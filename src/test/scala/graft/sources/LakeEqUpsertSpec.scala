@@ -73,6 +73,50 @@ class LakeEqUpsertSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("OPTIMIZE resolves equality deletes: the rewrite drops dead " +
+      "rows physically, clears the sidecar, and metadata-only " +
+      "aggregates come back") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_equp_opt"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, v BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='2',
+        'write_upsert'='equality-delete')""")
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("user_id", "v")
+      .createOrReplaceTempView("spec_equp_o1")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_equp_o1")
+    Seq((2L, 22L), (4L, 44L)).toDF("user_id", "v")
+      .createOrReplaceTempView("spec_equp_o2")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_equp_o2")
+    assert(state(tbl) === Map(1L -> 10L, 2L -> 22L, 3L -> 30L,
+      4L -> 44L))
+    val dataDir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft_lake.path"),
+      "spec_equp_opt").getPath
+    val head = GraftLakeIO.versionDir(dataDir,
+      GraftLakeIO.latestVersion(dataDir))
+    assert(GraftLakeIO.readEqDel(head).nonEmpty, "fixture sanity")
+    spark.sql(s"""CALL graft_lake.system.optimize(
+      table => 'spec_equp_opt')""")
+    val opt = GraftLakeIO.versionDir(dataDir,
+      GraftLakeIO.latestVersion(dataDir))
+    assert(GraftLakeIO.readEqDel(opt).isEmpty,
+      "the rewrite must clear the equality-delete sidecar")
+    // physical rows == live rows now (the dead key-2 copy is gone)
+    val physical = GraftLakeIO.allShardParts(opt).values.flatten
+      .map(f => GraftShardCodec.footer(f)._2).sum
+    assert(physical === 4L, s"expected 4 physical rows, got $physical")
+    assert(state(tbl) === Map(1L -> 10L, 2L -> 22L, 3L -> 30L,
+      4L -> 44L))
+    // metadata-only count(*) is legal again post-resolution
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $tbl")
+      .head.getLong(0) === 4L)
+    assert(GraftLakeScanMetrics.aggPushdowns.get() === 1L,
+      "post-OPTIMIZE the footer counts are exact — pushdown resumes")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("row-level DML composes: a CoW DELETE resolves equality " +
       "deletes in its rewrite (the entry drops with the replaced " +
       "shard), and the key upserts back afterwards") {
