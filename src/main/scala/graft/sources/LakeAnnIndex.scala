@@ -77,9 +77,41 @@ object GraftLakeAnnIndex {
         s"""transform(split(centroid, ','),
             t -> CAST(t AS DOUBLE) / 1000000.0D) AS centroid""")
 
-  /** Train + persist. Returns (centroids, vectors, sourceVersion). */
+  private def codebookFrame(s: SparkSession, ix: String): DataFrame =
+    s.table(q(s"${ix}_codebooks"))
+      .selectExpr("CAST(j AS INT) AS j", "code AS cid",
+        s"""transform(split(centroid, ','),
+            t -> CAST(t AS DOUBLE) / 1000000.0D) AS centroid""")
+
+  /** One row per (vector, PQ subspace): `sv` = the j-th slice. */
+  private def subSlices(v: DataFrame, m: Int, sub: Int): DataFrame = {
+    val structs = (0 until m).map(j =>
+      s"struct(CAST($j AS INT) AS j, " +
+        s"slice(sv, ${j * sub + 1}, $sub) AS sv)").mkString(", ")
+    v.selectExpr("vec_id", s"explode(array($structs)) AS e")
+      .selectExpr("vec_id", "e.j AS j", "e.sv AS sv")
+      .selectExpr("vec_id", "j", "sv", "graft_dot(sv, sv) AS xx")
+  }
+
+  /** Encode vectors against trained codebooks: per vector, the CSV of
+    * its m nearest sub-codes in subspace order. */
+  private def encode(sub: DataFrame, books: DataFrame): DataFrame =
+    Similarity.kmAssignSpark(sub, books, byJ = true)
+      .selectExpr("vec_id", "j", "cid")
+      .groupBy("vec_id")
+      .agg(expr("""concat_ws(',', transform(
+        sort_array(collect_list(struct(j, cid))),
+        p -> CAST(p.cid AS STRING)))""").as("codes"))
+
+  /** Train + persist. Returns (centroids, vectors, sourceVersion).
+    * Alongside the IVF quantizer, PQ CODEBOOKS train per subspace
+    * (`pqM` slices of the vector, `pqK` codes each, the Jégou et al.
+    * product-quantization layout) and every vector's m-code encoding
+    * persists WITH its assignment row — the compressed representation
+    * ADC search scores through without touching the float vectors. */
   def build(root: String, table: String, ix: String, k: Int,
-      iters: Int): (Int, Long, Int) = {
+      iters: Int, pqM: Int = 8, pqK: Int = 32,
+      pqIters: Int = 2): (Int, Long, Int) = {
     val s = SparkSession.active
     val src = table.stripPrefix("lake.")
     // pin the snapshot FIRST: a concurrent commit between the version
@@ -91,23 +123,40 @@ object GraftLakeAnnIndex {
       // reads arrays, never re-parses strings (HOF parse is per-element
       // interpreted — fine once, wrong k·iters times)
       .localCheckpoint()
+    val dim = corpus.selectExpr("size(sv) AS d").limit(1).head.getInt(0)
+    require(dim % pqM == 0,
+      s"pq_m=$pqM must divide the embedding dimensionality $dim")
     var cents = corpus.filter(col("vec_id") < k)
       .selectExpr("vec_id AS cid", "sv AS centroid")
     for (_ <- 1 to iters)
       cents = Similarity.kmUpdateSpark(
         Similarity.kmAssignSpark(corpus, cents, byJ = false), Seq("cid"))
         .localCheckpoint()
+    // PQ training over the SAME µ-grid corpus (per-subspace Lloyd,
+    // seeds = the pqK smallest vec_ids' subvectors)
+    val sub = subSlices(corpus, pqM, dim / pqM).localCheckpoint()
+    var books = sub.filter(col("vec_id") < pqK)
+      .selectExpr("j", "vec_id AS cid", "sv AS centroid")
+    for (_ <- 1 to pqIters)
+      books = Similarity.kmUpdateSpark(
+        Similarity.kmAssignSpark(sub, books, byJ = true), Seq("j", "cid"))
+        .localCheckpoint()
     val assigned = Similarity
       .kmAssignSpark(corpus, cents, byJ = false)
       .selectExpr("cid AS cell", "vec_id", "emb")
+      .join(encode(sub, books), "vec_id")
+      .selectExpr("cell", "vec_id", "emb", "codes")
       .localCheckpoint() // one pass feeds both the insert and the counts
-    Seq(s"${ix}_centroids", ix, s"${ix}_meta")
+    Seq(s"${ix}_centroids", s"${ix}_codebooks", ix, s"${ix}_meta")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${q(t)}"))
     s.sql(s"""CREATE TABLE ${q(s"${ix}_centroids")}
               (cell BIGINT, centroid STRING, n BIGINT)
               TBLPROPERTIES ('shard_key'='cell', 'n_shards'='1')""")
+    s.sql(s"""CREATE TABLE ${q(s"${ix}_codebooks")}
+              (j BIGINT, code BIGINT, centroid STRING)
+              TBLPROPERTIES ('shard_key'='j', 'n_shards'='1')""")
     s.sql(s"""CREATE TABLE ${q(ix)}
-              (cell BIGINT, vec_id BIGINT, emb STRING)
+              (cell BIGINT, vec_id BIGINT, emb STRING, codes STRING)
               TBLPROPERTIES ('shard_key'='cell', 'n_shards'='8')""")
     s.sql(s"""CREATE TABLE ${q(s"${ix}_meta")}
               (source STRING, k BIGINT, last_version BIGINT)
@@ -121,6 +170,12 @@ object GraftLakeAnnIndex {
       .createOrReplaceTempView("graft_annix_centroids_src")
     s.sql(s"""INSERT INTO ${q(s"${ix}_centroids")}
               SELECT * FROM graft_annix_centroids_src""")
+    books
+      .selectExpr("CAST(j AS BIGINT) AS j", "cid AS code",
+        s"${muCsv("centroid")} AS centroid")
+      .createOrReplaceTempView("graft_annix_books_src")
+    s.sql(s"""INSERT INTO ${q(s"${ix}_codebooks")}
+              SELECT * FROM graft_annix_books_src""")
     assigned.createOrReplaceTempView("graft_annix_cells_src")
     s.sql(s"""INSERT INTO ${q(ix)}
               SELECT * FROM graft_annix_cells_src""")
@@ -166,11 +221,18 @@ object GraftLakeAnnIndex {
     val adds = parsed(changes
       .filter(col("_change_type").isin("insert", "update_postimage"))
       .select("vec_id", "emb"))
-    // nearest EXISTING centroid — the quantizer does not move on
-    // refresh, so old and new vectors rank in one consistent space
+    // nearest EXISTING centroid + EXISTING codebooks — neither
+    // quantizer moves on refresh, so old and new vectors rank (and
+    // ADC-score) in one consistent space
+    val books = codebookFrame(s, ix)
+    val pqM = books.selectExpr("max(j) AS m").head.getInt(0) + 1
+    val dim = adds.limit(1).selectExpr("size(sv) AS d").collect()
+      .headOption.map(_.getInt(0)).getOrElse(pqM)
     val assigned = Similarity
       .kmAssignSpark(adds, centroidFrame(s, ix), byJ = false)
       .selectExpr("cid AS cell", "vec_id", "emb")
+      .join(encode(subSlices(adds, pqM, dim / pqM), books), "vec_id")
+      .selectExpr("cell", "vec_id", "emb", "codes")
     val added = assigned.count()
     if (added > 0)
       assigned.writeTo(q(ix)).append()

@@ -5567,8 +5567,11 @@ object Lake {
     * quantize, Lloyd train, assign, probe, rank — from the raw
     * parquet corpus, pinning that the persisted tables hold exactly
     * the index the math defines. */
-  val annIndexedTopk: Q = (s, dir) => Lake.synchronized {
-    registerCatalog(s)
+  /** Shared fixture: the µ-serialized embeddings corpus as a lake
+    * table + `CALL build_ann_index` over it (IVF k=8 + PQ m=8/k=32 —
+    * the procedure defaults). Returns the index table base name. */
+  private def annIndexFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
     val fp = Tables.fingerprint(dir, "embeddings")
     val src = s"annsrc_$fp"
     val ix = s"annix_$fp"
@@ -5589,6 +5592,13 @@ object Lake {
                 table => '$src', index_table => '$ix')""")
       builtHistories.add(src): Unit
     }
+    ix
+  }
+
+  /** The IVF probe side: each query (µ-quantized, vec_id < 10) routed
+    * to its nearest persisted centroid by the quantizer's own d². */
+  private def annIndexProbe(s: org.apache.spark.sql.SparkSession,
+      dir: String, ix: String): org.apache.spark.sql.DataFrame = {
     val q = s.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") < 10)
       .selectExpr("vec_id AS q_id", s"$muQuant AS q_sv")
@@ -5598,12 +5608,18 @@ object Lake {
       .selectExpr("cell", "c_sv", "graft_dot(c_sv, c_sv) AS cc")
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("d2").asc, col("cell").asc)
-    val probe = q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(cents))
       .withColumn("d2",
         expr("q_xx - 2 * graft_dot(q_sv, c_sv) + cc"))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") === 1)
       .select("q_id", "q_sv", "q_xx", "cell")
+  }
+
+  val annIndexedTopk: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val ix = annIndexFixture(s, dir)
+    val probe = annIndexProbe(s, dir, ix)
     val cands = s.table(s"graft_lake.lake.$ix")
       .selectExpr("cell", "vec_id AS c_id", s"${svParse("emb")} AS c_sv")
       .selectExpr("cell", "c_id", "c_sv",
@@ -5617,6 +5633,124 @@ object Lake {
       .filter(col("rank") <= 5)
       .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
       .orderBy("q_id", "rank")
+  }
+
+  /** IVF + PQ over the PERSISTED index — the full production read
+    * path: the probe picks each query's cell from the persisted
+    * quantizer, candidates come from the cell's assignment shard, and
+    * scoring runs ASYMMETRIC-DISTANCE over the persisted m-code
+    * encodings against a per-query LUT built from the persisted
+    * codebooks — the float vectors are never touched at search time
+    * (the ~50× compression ADC exists for). Decimal-summed partial
+    * distances keep the m-term fold order-independent; the oracle
+    * replays quantize → IVF train → assign → PQ train → encode →
+    * probe → LUT → rank from the raw corpus. */
+  val annIndexedPq: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val ix = annIndexFixture(s, dir)
+    val probe = annIndexProbe(s, dir, ix)
+    val m = 8
+    val sub = 8 // 64-d harness embeddings, the fixture's pq_m=8
+    val books = s.table(s"graft_lake.lake.${ix}_codebooks")
+      .selectExpr("CAST(j AS INT) AS j", "code AS cid",
+        s"${svParse("centroid")} AS c_sv")
+      .selectExpr("j", "cid", "c_sv", "graft_dot(c_sv, c_sv) AS cc")
+    val qStructs = (0 until m).map(j =>
+      s"struct(CAST($j AS INT) AS j, " +
+        s"slice(q_sv, ${j * sub + 1}, $sub) AS sv)").mkString(", ")
+    val qsub = probe
+      .selectExpr("q_id", s"explode(array($qStructs)) AS e")
+      .selectExpr("q_id", "e.j AS j", "e.sv AS sv")
+      .selectExpr("q_id", "j", "sv", "graft_dot(sv, sv) AS xx")
+    val lut = qsub.join(books, Seq("j"))
+      .selectExpr("q_id", "j", "cid",
+        """CAST(round(xx - 2 * graft_dot(sv, c_sv) + cc, 6)
+           AS DECIMAL(18,6)) AS pd""")
+    val cands = s.table(s"graft_lake.lake.$ix")
+      .selectExpr("cell", "vec_id AS c_id",
+        "posexplode(split(codes, ',')) AS (j, code)")
+      .selectExpr("cell", "c_id", "CAST(j AS INT) AS j",
+        "CAST(code AS BIGINT) AS cid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc").asc, col("c_id").asc)
+    cands.join(broadcast(probe.select("q_id", "cell")), "cell")
+      .join(broadcast(lut), Seq("q_id", "j", "cid"))
+      .groupBy("q_id", "c_id")
+      .agg(sum("pd").as("adcq"))
+      .selectExpr("q_id", "c_id", "CAST(adcq AS DOUBLE) AS adc")
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 5)
+      .selectExpr("q_id", "rank", "c_id", "round(adc, 6) AS adc_dist")
+      .orderBy("q_id", "rank")
+  }
+
+  val annIndexedPqOracle: String = {
+    import graft.operators.Similarity.{kmAssignDuck, kmUpdateDuck, dotD}
+    val m = 8
+    val sub = 8
+    val v0 =
+      """SELECT vec_id, list_transform(embedding, x ->
+           CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                AS DOUBLE) / 1000000.0) AS sv
+         FROM embeddings"""
+    val v = s"""SELECT vec_id, sv, ${dotD("sv", "sv")} AS xx
+                FROM ($v0)"""
+    var cents = s"""SELECT vec_id AS cid, sv AS centroid FROM ($v)
+                    WHERE vec_id < 8"""
+    for (_ <- 1 to 3)
+      cents = kmUpdateDuck(kmAssignDuck(v, cents, byJ = false),
+        Seq("cid"), 64)
+    val assigned =
+      s"""SELECT cid AS cell, vec_id
+         FROM (${kmAssignDuck(v, cents, byJ = false)})"""
+    val subBranches = (0 until m).map(j =>
+      s"""SELECT vec_id, $j AS j,
+            list_slice(sv, ${j * sub + 1}, ${(j + 1) * sub}) AS sv
+          FROM ($v0)""").mkString(" UNION ALL ")
+    val vsub = s"""SELECT vec_id, j, sv, ${dotD("sv", "sv")} AS xx
+                   FROM ($subBranches) u"""
+    var books = s"""SELECT j, vec_id AS cid, sv AS centroid
+                    FROM ($vsub) WHERE vec_id < 32"""
+    for (_ <- 1 to 2)
+      books = kmUpdateDuck(kmAssignDuck(vsub, books, byJ = true),
+        Seq("j", "cid"), sub)
+    val codes =
+      s"""SELECT vec_id AS c_id, j, cid
+          FROM (${kmAssignDuck(vsub, books, byJ = true)}) enc"""
+    val probe =
+      s"""SELECT q_id, cell FROM (
+           SELECT q.vec_id AS q_id, c.cid AS cell,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               q.xx - 2 * ${dotD("q.sv", "c.centroid")} + c.cc ASC,
+               c.cid ASC) AS prn
+           FROM (SELECT * FROM ($v) WHERE vec_id < 10) q
+           CROSS JOIN (SELECT cid, centroid,
+             ${dotD("centroid", "centroid")} AS cc FROM ($cents)) c)
+         WHERE prn = 1"""
+    val qsub = s"""SELECT vec_id AS q_id, j, sv, xx FROM ($vsub)
+                   WHERE vec_id < 10"""
+    s"""WITH lut AS (
+         SELECT q.q_id, q.j, c.cid,
+           CAST(round(q.xx - 2 * ${dotD("q.sv", "c.centroid")} + c.cc,
+             6) AS DECIMAL(18,6)) AS pd
+         FROM ($qsub) q JOIN (
+           SELECT j, cid, centroid,
+             ${dotD("centroid", "centroid")} AS cc
+           FROM ($books)) c ON q.j = c.j),
+       scored AS (
+         SELECT p.q_id, k.c_id, CAST(sum(l.pd) AS DOUBLE) AS adc
+         FROM ($codes) k
+         JOIN ($assigned) a ON k.c_id = a.vec_id
+         JOIN ($probe) p ON a.cell = p.cell
+         JOIN lut l ON l.q_id = p.q_id AND k.j = l.j AND k.cid = l.cid
+         GROUP BY p.q_id, k.c_id),
+       ranked AS (
+         SELECT q_id, c_id, adc, row_number() OVER (PARTITION BY q_id
+           ORDER BY adc ASC, c_id ASC) AS rank
+         FROM scored)
+       SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id,
+         round(adc, 6) AS adc_dist
+       FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
   }
 
   val annIndexedTopkOracle: String = {
@@ -5668,6 +5802,7 @@ object Lake {
 
   val queries: Map[String, Q] = Map(
     "ann_indexed_topk" -> annIndexedTopk,
+    "ann_indexed_pq" -> annIndexedPq,
     "lake_branch_wap" -> lakeBranchWap,
     "lake_hidden_partition_prune" -> lakeHiddenPartitionPrune,
     "lake_limit_pushdown" -> lakeLimitPushdown,
@@ -5707,6 +5842,7 @@ object Lake {
 
   val oracles: Map[String, String] = Map(
     "ann_indexed_topk" -> annIndexedTopkOracle,
+    "ann_indexed_pq" -> annIndexedPqOracle,
     "lake_branch_wap" -> lakeBranchWapOracle,
     "lake_hidden_partition_prune" -> lakeHiddenPartitionPruneOracle,
     "lake_limit_pushdown" -> lakeLimitPushdownOracle,

@@ -217,16 +217,22 @@ object GraftLakeProcedures {
     }
 
     case "build_ann_index" => proc("build_ann_index",
-      "train the IVF quantizer over a (vec_id, emb) lake table and " +
-        "persist centroids + cell-sharded assignments + cursor " +
-        "([[GraftLakeAnnIndex]])",
+      "train the IVF quantizer + PQ codebooks over a (vec_id, emb) " +
+        "lake table and persist centroids, codebooks, cell-sharded " +
+        "encoded assignments, and the cursor ([[GraftLakeAnnIndex]])",
       Seq(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("index_table", StringType).build(),
         ProcedureParameter.in("k", IntegerType)
           .defaultValue("8").build(),
         ProcedureParameter.in("iters", IntegerType)
-          .defaultValue("3").build()),
+          .defaultValue("3").build(),
+        ProcedureParameter.in("pq_m", IntegerType)
+          .defaultValue("8").build(),
+        ProcedureParameter.in("pq_k", IntegerType)
+          .defaultValue("32").build(),
+        ProcedureParameter.in("pq_iters", IntegerType)
+          .defaultValue("2").build()),
       StructType(Seq(
         StructField("index_table", StringType, nullable = false),
         StructField("centroids", IntegerType, nullable = false),
@@ -235,7 +241,8 @@ object GraftLakeProcedures {
           nullable = false)))) { in =>
       val ix = in.getUTF8String(1).toString.stripPrefix("lake.")
       val (c, n, v) = GraftLakeAnnIndex.build(root,
-        in.getUTF8String(0).toString, ix, in.getInt(2), in.getInt(3))
+        in.getUTF8String(0).toString, ix, in.getInt(2), in.getInt(3),
+        in.getInt(4), in.getInt(5), in.getInt(6))
       Seq(new GenericInternalRow(Array[Any](str(ix), c, n, v)))
     }
 

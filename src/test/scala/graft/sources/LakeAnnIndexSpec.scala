@@ -21,7 +21,8 @@ class LakeAnnIndexSpec extends SparkSpec {
     Lake.registerCatalog(spark)
     val src = "graft_lake.lake.spec_annix_src"
     for (t <- Seq("spec_annix_src", "spec_annix_ix",
-        "spec_annix_ix_centroids", "spec_annix_ix_meta"))
+        "spec_annix_ix_centroids", "spec_annix_ix_codebooks",
+        "spec_annix_ix_meta"))
       spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t")
     spark.sql(s"""CREATE TABLE $src (vec_id BIGINT, emb STRING)
       TBLPROPERTIES ('shard_key'='vec_id', 'n_shards'='2')""")
@@ -40,7 +41,7 @@ class LakeAnnIndexSpec extends SparkSpec {
 
     val built = spark.sql("""CALL graft_lake.system.build_ann_index(
       table => 'spec_annix_src', index_table => 'spec_annix_ix',
-      k => 2, iters => 2)""").head
+      k => 2, iters => 2, pq_m => 2, pq_k => 4, pq_iters => 1)""").head
     assert(built.getInt(1) === 2, "two centroids")
     assert(built.getLong(2) === 16L, "sixteen assignments")
     assert(built.getInt(3) === 1, "built at source v1")
@@ -87,6 +88,16 @@ class LakeAnnIndexSpec extends SparkSpec {
     assert(after(100L) === cellOf(0L) && after(101L) === cellOf(8L),
       "appended duplicates must assign to their twins' cells — the " +
         "quantizer must not move on refresh")
+    // the PQ side is stable too: an exact duplicate encodes to its
+    // twin's codes (same codebooks, no retrain on refresh)
+    val codesOf = spark.table("graft_lake.lake.spec_annix_ix")
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(codesOf(100L) === codesOf(0L) &&
+      codesOf(101L) === codesOf(8L),
+      "appended duplicates must carry their twins' PQ codes")
+    assert(spark.table("graft_lake.lake.spec_annix_ix_codebooks")
+      .count() > 0L, "codebooks persisted")
 
     // a second refresh with nothing new is a no-op
     val noop = spark.sql("""CALL graft_lake.system.refresh_ann_index(
@@ -94,7 +105,8 @@ class LakeAnnIndexSpec extends SparkSpec {
     assert(noop.getLong(2) === 0L && noop.getLong(3) === 0L)
 
     for (t <- Seq("spec_annix_src", "spec_annix_ix",
-        "spec_annix_ix_centroids", "spec_annix_ix_meta"))
+        "spec_annix_ix_centroids", "spec_annix_ix_codebooks",
+        "spec_annix_ix_meta"))
       spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t")
   }
 }
