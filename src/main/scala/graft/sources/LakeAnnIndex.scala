@@ -225,9 +225,14 @@ object GraftLakeAnnIndex {
     // quantizer moves on refresh, so old and new vectors rank (and
     // ADC-score) in one consistent space
     val books = codebookFrame(s, ix)
-    val pqM = books.selectExpr("max(j) AS m").head.getInt(0) + 1
-    val dim = adds.limit(1).selectExpr("size(sv) AS d").collect()
-      .headOption.map(_.getInt(0)).getOrElse(pqM)
+    // the dimensionality is a property of the PERSISTED index, not of
+    // the delta: m subspaces × the trained subvector length — derived
+    // from the codebooks in the same tiny aggregate that finds m, so
+    // no extra job (and no probe of `adds`, which may be empty)
+    val bk = books
+      .selectExpr("max(j) AS m", "max(size(centroid)) AS sub").head()
+    val pqM = bk.getInt(0) + 1
+    val dim = pqM * bk.getInt(1)
     val assigned = Similarity
       .kmAssignSpark(adds, centroidFrame(s, ix), byJ = false)
       .selectExpr("cid AS cell", "vec_id", "emb")

@@ -131,6 +131,7 @@ class RegistryGuardSpec extends SparkSpec {
   private val BnljByConstruction: Set[String] = Set(
     // ANN: corpus × broadcast centroid/codebook tables (≤ k rows)
     "ann_indexed_topk", // 10 queries × k persisted centroid rows
+    "ann_indexed_pq",   // same broadcast-centroid probe + PQ-code LUT
     "ann_int8_topk", "ann_ivf_centroid_topk", "ann_ivf_multiprobe_recall",
     "ann_two_stage_rerank", "embedding_kmeans", "embedding_outlier_cells",
     "embedding_cosine_neardup_cells", "knn_graph_cells",
