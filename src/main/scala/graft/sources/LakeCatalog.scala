@@ -437,12 +437,20 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           s"${ident.name()}: '$version' is neither a version id " +
             "nor a known tag/branch"))
     }
-    val latest = GraftLakeIO.latestVersion(t.dataDir)
+    // tags and explicit version ids are MAIN-HISTORY coordinates
+    // (tag ids come from main's _refs.json; Iceberg snapshot ids are
+    // branch-agnostic) — under a `spark.graft.lake.branch` session
+    // pin, loadTable(ident) resolved t.dataDir to the BRANCH
+    // sub-store, and validating/pinning a main version number against
+    // branch history would read the wrong snapshot or throw a
+    // spurious out-of-range error. Re-anchor to main.
+    val tm = if (t.dataDir == mainDir) t else t.withDataDir(mainDir)
+    val latest = GraftLakeIO.latestVersion(mainDir)
     require(v >= 0 && v <= latest,
       s"${ident.name()}: version $v out of range 0..$latest")
-    require(v == 0 || GraftLakeIO.versionDir(t.dataDir, v).exists(),
+    require(v == 0 || GraftLakeIO.versionDir(mainDir, v).exists(),
       s"${ident.name()}: version $v has been expired")
-    t.withPinned(v)
+    tm.withPinned(v)
   }
 
   /** `TIMESTAMP AS OF t` (micros since epoch, Spark's contract): the
@@ -562,6 +570,12 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       doc.put("bloomColumns", bloomCols.mkString(",")): Unit
     if (writeDistribution != "none")
       doc.put("writeDistribution", writeDistribution): Unit
+    // carry the upsert mode THROUGH the rewrite: alterTable
+    // re-serializes the whole descriptor, and dropping this field
+    // would silently turn an equality-delete table back into plain
+    // appends — duplicate/stale rows with no error anywhere
+    if (t.upsertMode != "none")
+      doc.put("upsertMode", t.upsertMode): Unit
     // atomic descriptor swap: readers see old or new schema, no torn doc
     val tmp = new java.io.File(root,
       s"${ident.name()}.lake.json.tmp${ProcessHandle.current().pid()}")
@@ -1516,6 +1530,12 @@ object GraftLakeIO {
       val refs = readRefs(dataDir)
       require(!refs.contains(tag),
         s"$dataDir: tag '$tag' already exists (at v${refs(tag)})")
+      // mirror createBranch's reverse check: branch names resolve
+      // BEFORE tags in loadTable, so a tag shadowed by a live branch
+      // would be silently unreachable (and resurface with different
+      // semantics when the branch drops) — keep the namespace unique
+      require(!refs.contains(s"branch:$tag"),
+        s"$dataDir: '$tag' already names a branch")
       require(version >= 1 && version <= latestVersion(dataDir) &&
         versionDir(dataDir, version).exists(),
         s"$dataDir: cannot tag v$version — not a surviving snapshot")
@@ -2194,16 +2214,24 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
     if (statsCache == null || statsCache._1 != key) {
       val parts = planInputPartitions()
         .map(_.asInstanceOf[GraftLakeInputPartition])
-      val files = parts.toSeq.flatMap(_.paths).map(new java.io.File(_))
-      // LIVE rows: deletion-vector positions are masked at read time,
-      // so the planner must not count them either (floor at 0 — a
-      // part-pruned shard can carry a DV counting rows in skipped
-      // parts)
-      statsCache = (key, (files.map(_.length()).sum,
-        math.max(0L,
-          files.map(f => GraftShardCodec.footer(f)._2).sum -
-            parts.toSeq.map(p => dvMap.get(p.shard)
-              .map(_.getCardinality.toLong).getOrElse(0L)).sum)))
+      // LIVE rows, corrected PER SHARD: a shard's DV can count rows in
+      // parts this scan pruned, so its subtraction clamps to that
+      // shard's own planned rows — never cancelling real rows from
+      // OTHER shards (a global max(0,...) would). Equality-delete
+      // entries are dead rows too: each map key kills at most one
+      // older copy, so map size is a sound lower-bound correction —
+      // without it upsert-heavy tables overstate rows to the CBO.
+      val (bytes, liveRows) = parts.toSeq.foldLeft((0L, 0L)) {
+        case ((b, r), p) =>
+          val fs = p.paths.map(new java.io.File(_))
+          val shardRows = fs.map(f => GraftShardCodec.footer(f)._2).sum
+          val dead = dvMap.get(p.shard)
+            .map(_.getCardinality.toLong).getOrElse(0L) +
+            p.eqDel.size.toLong
+          (b + fs.map(_.length()).sum,
+            r + math.max(0L, shardRows - math.min(dead, shardRows)))
+      }
+      statsCache = (key, (bytes, liveRows))
     }
     val (bytes, rows) = statsCache._2
     new org.apache.spark.sql.connector.read.Statistics {
@@ -3569,14 +3597,31 @@ private[sources] object GraftLakeCommitter {
               baseParts.getOrElse(k, Nil).iterator
                 .map(f => GraftShardCodec.footer(f)._2).sum
             else 0L
+          val nextSeq = GraftLakeIO.nextPartSeq(baseDir, k)
+          val part = GraftLakeIO.shardPartFile(build, k, nextSeq)
+          val keyField = StructType(Seq(StructField(table.shardKey,
+            LongType)))
+          val keys = GraftShardCodec.readRows(part, keyField)
+            .collect { case Array(v: java.lang.Long) => v.longValue }
+            .toSeq
+          // enforce the documented batch contract AT WRITE TIME:
+          // duplicate keys within one appended batch all sit at
+          // ord >= bound, so every copy would stay live — silently
+          // breaking last-writer-wins now and failing the $changes
+          // differ loudly later. O(batch), checked for fresh shards
+          // too (in-batch dups are a contract violation either way).
+          if (keys.size != keys.distinct.size) {
+            val dups = keys.groupBy(identity).collect {
+              case (kk, vs) if vs.size > 1 => kk
+            }.toSeq.sorted.take(5)
+            throw new IllegalArgumentException(
+              s"${table.tableName}: write_upsert=equality-delete " +
+                s"batches must be key-unique; duplicate " +
+                s"${table.shardKey} values in this append: " +
+                s"${dups.mkString(", ")}")
+          }
           if (bound == 0L) acc // fresh shard: nothing older to kill
           else {
-            val nextSeq = GraftLakeIO.nextPartSeq(baseDir, k)
-            val part = GraftLakeIO.shardPartFile(build, k, nextSeq)
-            val keyField = StructType(Seq(StructField(table.shardKey,
-              LongType)))
-            val keys = GraftShardCodec.readRows(part, keyField)
-              .collect { case Array(v: java.lang.Long) => v.longValue }
             val prev = acc.getOrElse(k, Map.empty[Long, Long])
             acc.updated(k, keys.foldLeft(prev)(_.updated(_, bound)))
           }

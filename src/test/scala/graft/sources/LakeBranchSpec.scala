@@ -62,6 +62,52 @@ class LakeBranchSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("tags and version ids are MAIN-history coordinates even under " +
+      "a branch pin; the ref namespace refuses tag/branch collisions") {
+    Lake.registerCatalog(spark)
+    val name = "spec_wap_refs"
+    val tbl = s"graft_lake.lake.$name"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, n_events BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='2')""")
+    spark.sql(s"INSERT INTO $tbl VALUES (1, 10)")
+    spark.sql(s"INSERT INTO $tbl VALUES (2, 20)")
+    val dataDir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft_lake.path"), name).getPath
+    GraftLakeIO.createTag(dataDir, "v1tag", 1)
+    spark.sql(s"""CALL graft_lake.system.create_branch(
+      table => '$name', branch => 'audit')""")
+    // a tag may not shadow (or be shadowed by) a live branch
+    val clash = intercept[Exception] {
+      GraftLakeIO.createTag(dataDir, "audit", 1)
+    }
+    assert(clash.getMessage.contains("names a branch"))
+    spark.conf.set("spark.graft.lake.branch", "audit")
+    try {
+      // branch moves past main's history length
+      spark.sql(s"INSERT INTO $tbl VALUES (3, 30)")
+      spark.sql(s"INSERT INTO $tbl VALUES (4, 40)")
+      assert(counts(tbl).keySet === Set(1L, 2L, 3L, 4L))
+      // the TAG resolves against MAIN's history, not the branch's
+      assert(spark.sql(
+        s"SELECT user_id FROM $tbl VERSION AS OF 'v1tag'")
+        .collect().map(_.getLong(0)).toSet === Set(1L),
+        "tag must pin main's v1 even while the session pins a branch")
+      // an explicit version id too (main head = v2: keys 1, 2 — the
+      // branch's v4 would include 3 and 4)
+      assert(spark.sql(s"SELECT user_id FROM $tbl VERSION AS OF 2")
+        .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+      // a main-history id past main's head refuses loudly instead of
+      // silently reading the branch's v4
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM $tbl VERSION AS OF 4").collect()
+      }
+    } finally spark.conf.unset("spark.graft.lake.branch")
+    spark.sql(s"""CALL graft_lake.system.drop_branch(
+      table => '$name', branch => 'audit')""")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("conflict paths: fast_forward refuses when main moved since " +
       "the fork; a branch commit built on a stale branch base " +
       "CAS-conflicts instead of clobbering") {

@@ -146,6 +146,51 @@ class LakeEqUpsertSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("ALTER TABLE carries the upsert mode through the descriptor " +
+      "rewrite: appends after ADD COLUMN still resolve as upserts") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_equp_alter"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, v BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='2',
+        'write_upsert'='equality-delete')""")
+    Seq((1L, 10L), (2L, 20L)).toDF("user_id", "v")
+      .createOrReplaceTempView("spec_equp_a1")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_equp_a1")
+    // the descriptor rewrite that used to silently drop upsertMode
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN note STRING")
+    Seq((2L, 22L, "x")).toDF("user_id", "v", "note")
+      .createOrReplaceTempView("spec_equp_a2")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_equp_a2")
+    assert(state(tbl) === Map(1L -> 10L, 2L -> 22L),
+      "post-ALTER append must still last-writer-wins on the key")
+    assert(spark.table(tbl).count() === 2L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("a key-duplicated batch refuses at commit time (the contract " +
+      "violation would otherwise silently keep every copy live)") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_equp_dup"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, v BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='2',
+        'write_upsert'='equality-delete')""")
+    Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("user_id", "v")
+      .createOrReplaceTempView("spec_equp_dup1")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_equp_dup1")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("key-unique")),
+      s"expected the key-unique refusal, got: ${chain(e)}")
+    // the refused commit must not have landed
+    assert(spark.table(tbl).count() === 0L)
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("DDL validation: equality-delete upsert requires a BIGINT " +
       "shard key") {
     Lake.registerCatalog(spark)
