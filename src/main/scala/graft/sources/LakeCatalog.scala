@@ -2626,8 +2626,22 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
         .UnknownPartitioning(parts.length)
   }
 
+  /** Row vs columnar, decided once for the whole scan: VECTORIZED
+    * batches for plain data reads (the overwhelmingly common shape —
+    * see [[GraftLakeColumnarPartitionReader]]); the row path keeps
+    * the cases it is structurally better at — `_pos`-bearing
+    * row-level-operation reads (stable row ids are per-row by
+    * nature), LIMIT-pushed scans (row-grained early stop), and
+    * projection-empty reads (served from footer counts, zero data
+    * pages — faster than any decode). */
+  private def columnarEligible: Boolean =
+    limit < 0 &&
+      !required.fieldNames.contains("_pos") &&
+      required.fields.exists(f =>
+        f.name != "_shard" && f.name != "_pos")
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLakeReaderFactory(required, limit)
+    new GraftLakeReaderFactory(required, limit, columnarEligible)
 
   override def description(): String =
     s"GraftLakeScan(${vdir.getName}, " +
@@ -2660,13 +2674,25 @@ case class GraftLakeInputPartition(paths: Seq[String], shard: Int,
     new GenericInternalRow(Array[Any](shard))
 }
 
-class GraftLakeReaderFactory(required: StructType, limit: Int = -1)
+class GraftLakeReaderFactory(required: StructType, limit: Int = -1,
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftLakeInputPartition]
     new GraftLakePartitionReader(p.paths, p.shard, required, p.dv,
       p.ordBases, limit, p.eqDel, p.eqKey)
+  }
+  // the row/columnar choice is SCAN-GLOBAL (Spark refuses mixed
+  // partitions in one scan), decided where the scan knows its whole
+  // shape: see GraftLakeScan.createReaderFactory
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftLakeInputPartition]
+    new GraftLakeColumnarPartitionReader(p.paths, p.shard, required,
+      p.dv, p.ordBases, p.eqDel, p.eqKey)
   }
 }
 
