@@ -143,10 +143,15 @@ object GraftLakeAnnIndex {
         .localCheckpoint()
     val assigned = Similarity
       .kmAssignSpark(corpus, cents, byJ = false)
-      .selectExpr("cid AS cell", "vec_id", "emb")
+      .selectExpr("cid AS cell", "vec_id", "emb", "d2")
       .join(encode(sub, books), "vec_id")
-      .selectExpr("cell", "vec_id", "emb", "codes")
-      .localCheckpoint() // one pass feeds both the insert and the counts
+      .selectExpr("cell", "vec_id", "emb", "codes", "d2")
+      .localCheckpoint() // one pass feeds insert + counts + drift base
+    // the build-time FIT QUALITY, the drift metric's baseline: mean
+    // squared distance of every vector to its assigned centroid —
+    // when the live mean pulls away from this, the quantizer has gone
+    // stale and the user should retrain (lifecycle, round 14)
+    val meanD2 = assigned.agg(avg(col("d2"))).head.getDouble(0)
     Seq(s"${ix}_centroids", s"${ix}_codebooks", ix, s"${ix}_meta")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${q(t)}"))
     s.sql(s"""CREATE TABLE ${q(s"${ix}_centroids")}
@@ -159,7 +164,8 @@ object GraftLakeAnnIndex {
               (cell BIGINT, vec_id BIGINT, emb STRING, codes STRING)
               TBLPROPERTIES ('shard_key'='cell', 'n_shards'='8')""")
     s.sql(s"""CREATE TABLE ${q(s"${ix}_meta")}
-              (source STRING, k BIGINT, last_version BIGINT)
+              (source STRING, k BIGINT, last_version BIGINT,
+               build_mean_d2 DOUBLE)
               TBLPROPERTIES ('shard_key'='last_version',
                 'n_shards'='1')""")
     cents
@@ -176,11 +182,12 @@ object GraftLakeAnnIndex {
       .createOrReplaceTempView("graft_annix_books_src")
     s.sql(s"""INSERT INTO ${q(s"${ix}_codebooks")}
               SELECT * FROM graft_annix_books_src""")
-    assigned.createOrReplaceTempView("graft_annix_cells_src")
+    assigned.selectExpr("cell", "vec_id", "emb", "codes")
+      .createOrReplaceTempView("graft_annix_cells_src")
     s.sql(s"""INSERT INTO ${q(ix)}
               SELECT * FROM graft_annix_cells_src""")
     s.sql(s"""INSERT INTO ${q(s"${ix}_meta")}
-              VALUES ('$src', ${k}L, ${v}L)""")
+              VALUES ('$src', ${k}L, ${v}L, ${meanD2}D)""")
     val nCents = s.table(q(s"${ix}_centroids")).count().toInt
     val nVecs = s.table(q(ix)).count()
     (nCents, nVecs, v)
@@ -242,8 +249,63 @@ object GraftLakeAnnIndex {
     if (added > 0)
       assigned.writeTo(q(ix)).append()
     s.sql(s"""INSERT INTO ${q(s"${ix}_meta")}
-              SELECT source, k, ${head}L FROM ${q(s"${ix}_meta")}
+              SELECT source, k, ${head}L, build_mean_d2
+              FROM ${q(s"${ix}_meta")}
               ORDER BY last_version DESC LIMIT 1""")
     (last, head, added, removed)
+  }
+
+  /** DRIFT METRIC — tells the user WHEN to retrain. The live mean
+    * squared distance of every indexed vector to its ASSIGNED centroid
+    * (not the nearest: drift shows up precisely as vectors stuck in
+    * stale cells), compared to the build-time fit recorded in the
+    * meta cursor. A refresh-only index over a shifted distribution
+    * pulls the live mean above the baseline; `ratio` ≫ 1 = retrain.
+    * One keyed aggregate over the assignment shards — no training, no
+    * driver state; at 100 TB this is a single column-pruned scan
+    * (emb + cell) and can be sampled per cell if even that is too
+    * much. */
+  def drift(root: String, ix: String): (Double, Double, Double) = {
+    val s = SparkSession.active
+    val meta = s.table(q(s"${ix}_meta"))
+      .orderBy(col("last_version").desc).limit(1)
+      .selectExpr("build_mean_d2").head()
+    val base = meta.getDouble(0)
+    val live = s.table(q(ix))
+      .selectExpr("cell", s"$parseSv AS sv")
+      .join(centroidFrame(s, ix), col("cell") === col("cid"))
+      .selectExpr("""graft_dot(sv, sv)
+          - 2 * graft_dot(sv, centroid)
+          + graft_dot(centroid, centroid) AS d2""")
+      .agg(avg(col("d2"))).head.getDouble(0)
+    (base, live, if (base > 0) live / base else Double.PositiveInfinity)
+  }
+
+  /** RETRAIN — the lifecycle completion of [[refresh]]: rebuild the
+    * quantizer AND the codebooks over the source's CURRENT snapshot
+    * and reassign/re-encode everything, reusing [[build]] wholesale
+    * (same deterministic kernels, same tables DROPped and recreated,
+    * cursor re-pinned at the retrain version). The shape parameters
+    * come FROM the index itself — k from the meta cursor (overridable
+    * when the corpus outgrew its cell count), pq_m/pq_k from the
+    * persisted codebooks — so a plain
+    * `CALL retrain_ann_index(index_table)` needs nothing the user has
+    * to remember. Old and new encodings never mix: retrain replaces
+    * the whole index transactionally per table, and probes planned
+    * against the pre-retrain snapshot finish against it (lake
+    * snapshot isolation). */
+  def retrain(root: String, ix: String, kOverride: Int = -1,
+      iters: Int = 3, pqIters: Int = 2): (Int, Long, Int) = {
+    val s = SparkSession.active
+    val meta = s.table(q(s"${ix}_meta"))
+      .orderBy(col("last_version").desc).limit(1)
+      .selectExpr("source", "k").head()
+    val src = meta.getString(0)
+    val k = if (kOverride > 0) kOverride else meta.getLong(1).toInt
+    val bk = codebookFrame(s, ix)
+      .selectExpr("max(j) AS m", "count(DISTINCT cid) AS pqk").head()
+    build(root, src, ix, k, iters,
+      pqM = bk.getInt(0) + 1, pqK = bk.getLong(1).toInt,
+      pqIters = pqIters)
   }
 }

@@ -35,6 +35,7 @@ object GraftLakeProcedures {
     Seq("optimize", "expire_snapshots", "rollback_to_version",
       "vacuum", "create_tag", "drop_tag",
       "build_ann_index", "refresh_ann_index",
+      "retrain_ann_index", "ann_index_drift",
       "create_branch", "drop_branch", "fast_forward")
 
   /** Resolve the `table` argument ("tbl" or "lake.tbl") to its data
@@ -260,6 +261,47 @@ object GraftLakeProcedures {
       val (f, t, a, r) = GraftLakeAnnIndex.refresh(root,
         in.getUTF8String(0).toString.stripPrefix("lake."))
       Seq(new GenericInternalRow(Array[Any](f, t, a, r)))
+    }
+
+    case "retrain_ann_index" => proc("retrain_ann_index",
+      "rebuild the IVF quantizer + PQ codebooks over the source's " +
+        "CURRENT snapshot and reassign everything — the lifecycle " +
+        "answer to quantizer staleness; k defaults to the index's " +
+        "own, pq shape comes from the persisted codebooks",
+      Seq(
+        ProcedureParameter.in("index_table", StringType).build(),
+        ProcedureParameter.in("k", IntegerType)
+          .defaultValue("-1").build(), // -1 = keep the index's k
+        ProcedureParameter.in("iters", IntegerType)
+          .defaultValue("3").build(),
+        ProcedureParameter.in("pq_iters", IntegerType)
+          .defaultValue("2").build()),
+      StructType(Seq(
+        StructField("index_table", StringType, nullable = false),
+        StructField("centroids", IntegerType, nullable = false),
+        StructField("vectors", LongType, nullable = false),
+        StructField("source_version", IntegerType,
+          nullable = false)))) { in =>
+      val ix = in.getUTF8String(0).toString.stripPrefix("lake.")
+      val (c, n, v) = GraftLakeAnnIndex.retrain(root, ix,
+        in.getInt(1), in.getInt(2), in.getInt(3))
+      Seq(new GenericInternalRow(Array[Any](str(ix), c, n, v)))
+    }
+
+    case "ann_index_drift" => proc("ann_index_drift",
+      "quantizer staleness: live mean squared distance-to-assigned-" +
+        "centroid vs the build-time fit recorded in the cursor; " +
+        "ratio >> 1 means the distribution moved — retrain",
+      Seq(
+        ProcedureParameter.in("index_table", StringType).build()),
+      StructType(Seq(
+        StructField("build_mean_d2", DoubleType, nullable = false),
+        StructField("live_mean_d2", DoubleType, nullable = false),
+        StructField("drift_ratio", DoubleType, nullable = false)))) {
+      in =>
+      val (b, l, r) = GraftLakeAnnIndex.drift(root,
+        in.getUTF8String(0).toString.stripPrefix("lake."))
+      Seq(new GenericInternalRow(Array[Any](b, l, r)))
     }
 
     case other => throw new IllegalArgumentException(

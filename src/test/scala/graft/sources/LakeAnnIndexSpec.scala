@@ -109,4 +109,122 @@ class LakeAnnIndexSpec extends SparkSpec {
         "spec_annix_ix_meta"))
       spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t")
   }
+
+  test("index lifecycle: a drifted corpus trips the drift metric, " +
+      "1-probe recall degrades against brute-force truth, " +
+      "retrain_ann_index recovers it, and OPTIMIZE compacts the " +
+      "refresh-appended assignment parts") {
+    Lake.registerCatalog(spark)
+    val src = "graft_lake.lake.spec_annlc_src"
+    val tables = Seq("spec_annlc_src", "spec_annlc_ix",
+      "spec_annlc_ix_centroids", "spec_annlc_ix_codebooks",
+      "spec_annlc_ix_meta")
+    tables.foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t"))
+    spark.sql(s"""CREATE TABLE $src (vec_id BIGINT, emb STRING)
+      TBLPROPERTIES ('shard_key'='vec_id', 'n_shards'='2')""")
+
+    // base corpus: cluster A (seed id 0) near (1,0,0,0), cluster B
+    // (seed id 1) near (0,1,0,0); id 2 is RESERVED for the drift
+    // cluster so a k=3 retrain seeds one centroid per true cluster
+    def jitter(base: Seq[Double], i: Long): Seq[Double] =
+      base.zipWithIndex.map { case (b, j) => b + 0.01 * ((i + j) % 5) }
+    val clusterA = (Seq(0L) ++ (3L to 9L)).map(i =>
+      i -> jitter(Seq(1.0, 0.0, 0.0, 0.0), i))
+    val clusterB = (Seq(1L) ++ (10L to 16L)).map(i =>
+      i -> jitter(Seq(0.0, 1.0, 0.0, 0.0), i))
+    (clusterA ++ clusterB).map { case (i, v) => (i, muCsv(v)) }
+      .toDF("vec_id", "emb").createOrReplaceTempView("spec_annlc_v1")
+    spark.sql(s"INSERT INTO $src SELECT * FROM spec_annlc_v1")
+    spark.sql("""CALL graft_lake.system.build_ann_index(
+      table => 'spec_annlc_src', index_table => 'spec_annlc_ix',
+      k => 2, iters => 2, pq_m => 2, pq_k => 4, pq_iters => 1)""")
+    val base = spark.sql("""CALL graft_lake.system.ann_index_drift(
+      index_table => 'spec_annlc_ix')""").head
+    assert(math.abs(base.getDouble(2) - 1.0) < 1e-9,
+      "freshly built: live fit == build fit")
+
+    // DRIFT: cluster C far from both centroids at (0,0,5,5)-ish;
+    // even-t members lean toward A's centroid, odd-t toward B's, so
+    // the refresh splits C across the two stale cells and the true
+    // top-4 for a C-centered query interleaves both halves
+    val clusterC = (0 until 16).map { t =>
+      val id = if (t == 0) 2L else 99L + t
+      val (a, b) = if (t % 2 == 0) (0.2, 0.0) else (0.0, 0.2)
+      id -> Seq(a, b, 5.0 + 0.01 * t, 5.0)
+    }
+    clusterC.map { case (i, v) => (i, muCsv(v)) }
+      .toDF("vec_id", "emb").createOrReplaceTempView("spec_annlc_v2")
+    spark.sql(s"INSERT INTO $src SELECT * FROM spec_annlc_v2")
+    spark.sql("""CALL graft_lake.system.refresh_ann_index(
+      index_table => 'spec_annlc_ix')""")
+
+    val drifted = spark.sql("""CALL graft_lake.system.ann_index_drift(
+      index_table => 'spec_annlc_ix')""").head
+    assert(drifted.getDouble(2) > 10.0,
+      s"16 far vectors in stale cells must trip the metric, " +
+        s"got ratio ${drifted.getDouble(2)}")
+
+    // 1-probe top-4 vs driver-computed brute truth (48 vectors)
+    val qv = Seq(0.0, 0.0, 5.0, 5.0)
+    def d2(x: Seq[Double], y: Seq[Double]): Double =
+      x.zip(y).map { case (u, w) => (u - w) * (u - w) }.sum
+    val all = (clusterA ++ clusterB ++ clusterC).toMap
+    val truth = all.toSeq.sortBy { case (i, v) => (d2(v, qv), i) }
+      .take(4).map(_._1).toSet
+    def probeTop4(): Set[Long] = {
+      val cents = spark
+        .table("graft_lake.lake.spec_annlc_ix_centroids")
+        .collect().map(r => r.getLong(0) ->
+          r.getString(1).split(",").map(_.toDouble / 1e6).toSeq)
+      val cell = cents.minBy { case (c, v) => (d2(v, qv), c) }._1
+      spark.sql(s"""SELECT vec_id, emb FROM graft_lake.lake.spec_annlc_ix
+          WHERE cell = $cell""").collect()
+        .map(r => r.getLong(0) ->
+          r.getString(1).split(",").map(_.toDouble / 1e6).toSeq)
+        .sortBy { case (i, v) => (d2(v, qv), i) }
+        .take(4).map(_._1).toSet
+    }
+    val before = probeTop4()
+    assert((before & truth).size === 2,
+      s"pre-retrain 1-probe must miss the other stale cell's half: " +
+        s"got $before vs truth $truth")
+
+    // RETRAIN with k=3 (the corpus outgrew two cells): seeds 0/1/2
+    // land one per true cluster, so the drift cluster gets its own
+    // centroid and 1-probe recall recovers
+    val rt = spark.sql("""CALL graft_lake.system.retrain_ann_index(
+      index_table => 'spec_annlc_ix', k => 3)""").head
+    assert(rt.getInt(1) === 3 && rt.getLong(2) === 32L,
+      s"retrain must reassign all 32 vectors under 3 centroids: $rt")
+    assert(probeTop4() === truth,
+      "post-retrain the drift cluster is one cell — 1-probe is exact")
+    val recovered = spark.sql("""CALL graft_lake.system.ann_index_drift(
+      index_table => 'spec_annlc_ix')""").head
+    assert(math.abs(recovered.getDouble(2) - 1.0) < 1e-9,
+      "retrain resets the drift baseline")
+
+    // OPTIMIZE compacts multi-part assignment shards (refresh appends
+    // fragment them); probe results are unchanged
+    spark.sql("""CALL graft_lake.system.refresh_ann_index(
+      index_table => 'spec_annlc_ix')""") // no-op advance (cursor)
+    Seq((300L, muCsv(Seq(0.21, 0.0, 5.2, 5.0))))
+      .toDF("vec_id", "emb").createOrReplaceTempView("spec_annlc_v3")
+    spark.sql(s"INSERT INTO $src SELECT * FROM spec_annlc_v3")
+    spark.sql("""CALL graft_lake.system.refresh_ann_index(
+      index_table => 'spec_annlc_ix')""")
+    def maxParts(): Long = spark.sql(
+      """SELECT max(cnt) FROM (SELECT shard, count(*) AS cnt
+         FROM graft_lake.lake.`spec_annlc_ix$files` GROUP BY shard)""")
+      .head.getLong(0)
+    assert(maxParts() > 1L, "refresh append must have fragmented")
+    val pre = probeTop4()
+    spark.sql("""CALL graft_lake.system.optimize(
+      table => 'spec_annlc_ix', max_parts => 1)""")
+    assert(maxParts() === 1L, "OPTIMIZE must compact to one part")
+    assert(probeTop4() === pre, "compaction never changes results")
+
+    tables.foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t"))
+  }
 }
