@@ -127,6 +127,42 @@ object BenchSkip {
         .head.getLong(0))
     out("limit50", t5, n5)
 
+    // ---- vectorized (columnar-batch) vs row-by-row decode ----
+    // the round-14 scan lever. The skip corpora above are too small
+    // for decode cost to beat fixed job overhead, so this one scans a
+    // DEDICATED wide table: lineitem x4 (2.4M rows at sf0.1, strings
+    // + doubles + dates), a shape where the reader, not the shuffle,
+    // is the bottleneck — the 100 TB scan profile in miniature.
+    val wide = "graft_lake.lake.skipb_wide"
+    spark.sql(s"DROP TABLE IF EXISTS $wide")
+    spark.sql(s"""CREATE TABLE $wide (l_orderkey BIGINT,
+        l_partkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE,
+        l_discount DOUBLE, l_returnflag STRING, l_linestatus STRING,
+        l_shipdate DATE)
+      TBLPROPERTIES ('shard_key'='l_orderkey', 'n_shards'='32')""")
+    (0 until 4).foreach { r =>
+      spark.sql(s"""INSERT INTO $wide
+        SELECT l_orderkey * 4 + $r, l_partkey, l_quantity,
+               l_extendedprice, l_discount, l_returnflag,
+               l_linestatus, CAST(l_shipdate AS DATE)
+        FROM parquet.`$sfDir/lineitem.parquet`""")
+    }
+    def wideScan(): Long = spark.sql(
+      s"""SELECT count(*) FROM (
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS q,
+                   sum(l_extendedprice * (1 - l_discount)) AS rev,
+                   min(l_shipdate) AS d0, max(l_shipdate) AS d1,
+                   count(DISTINCT l_partkey) AS pk
+            FROM $wide GROUP BY 1, 2)""").head.getLong(0)
+    spark.conf.set("spark.graft.lake.columnar", "false")
+    val (n6, t6) = timeMed(wideScan())
+    spark.conf.set("spark.graft.lake.columnar", "true")
+    val (n7, t7) = timeMed(wideScan())
+    out("widescan_row", t6, n6)
+    out("widescan_columnar", t7, n7,
+      s""","speedup":${f"${t6 / t7}%.2f"}""")
+
     spark.stop()
   }
 }

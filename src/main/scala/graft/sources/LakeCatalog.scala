@@ -301,7 +301,10 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       writeDistribution = Option(d.get("writeDistribution"))
         .map(_.asText()).getOrElse("none"),
       upsertMode = Option(d.get("upsertMode"))
-        .map(_.asText()).getOrElse("none"))
+        .map(_.asText()).getOrElse("none"),
+      upsertKeysDecl = Option(d.get("upsertKeys")).map(_.asText())
+        .filter(_.nonEmpty)
+        .fold(Seq.empty[String])(_.split(",").toSeq))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -386,9 +389,13 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
           schema(c).dataType.sql)
     }
     // `write_upsert = equality-delete`: every append is an UPSERT on
-    // the shard key (last writer wins) via Iceberg-style equality
+    // the upsert key (last writer wins) via Iceberg-style equality
     // deletes ([[GraftLakeIO.readEqDel]]); batches must be key-unique.
-    // BIGINT keys only (the eqdel map is keyed by long).
+    // The key defaults to the shard key; `upsert_keys` declares a
+    // COMPOSITE key (round 14 — real CDC keys are composite and
+    // string-typed). It must INCLUDE the shard key: routing is by
+    // shard key, and a key that didn't determine its shard could land
+    // a new version where the mask can't see the old one.
     val upsertMode =
       Option(properties.get("write_upsert")).getOrElse("none")
     require(upsertMode == "none" || upsertMode == "equality-delete",
@@ -396,6 +403,26 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     require(upsertMode == "none" || (shardTransform.isEmpty &&
       schema(shardKeyCol).dataType == LongType),
       "write_upsert=equality-delete requires a plain BIGINT shard key")
+    val upsertKeys = Option(properties.get("upsert_keys"))
+      .filter(_.nonEmpty)
+      .fold(Seq.empty[String])(_.split(",").toSeq.map(_.trim))
+    if (upsertKeys.nonEmpty) {
+      require(upsertMode == "equality-delete",
+        "upsert_keys requires write_upsert=equality-delete")
+      require(upsertKeys.contains(shardKeyCol),
+        s"upsert_keys must include the shard key $shardKeyCol — the " +
+          "key must determine the shard a version routes to")
+      require(upsertKeys.distinct == upsertKeys,
+        s"upsert_keys has duplicates: ${upsertKeys.mkString(",")}")
+      upsertKeys.foreach { c =>
+        require(schema.fieldNames.contains(c),
+          s"upsert_keys: no such column $c")
+        require(Seq(LongType, IntegerType, DateType, StringType)
+          .contains(schema(c).dataType),
+          s"upsert_keys: $c must be integral/date/string, got " +
+            schema(c).dataType.sql)
+      }
+    }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val d = om.createObjectNode()
     d.put("schema", schema.json): Unit
@@ -411,6 +438,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       d.put("writeDistribution", writeDistribution): Unit
     if (upsertMode != "none")
       d.put("upsertMode", upsertMode): Unit
+    if (upsertKeys.nonEmpty)
+      d.put("upsertKeys", upsertKeys.mkString(",")): Unit
     tableDir(ident.name()).mkdirs()
     java.nio.file.Files.writeString(descriptorFile(ident.name()).toPath,
       om.writeValueAsString(d))
@@ -576,6 +605,13 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     // appends — duplicate/stale rows with no error anywhere
     if (t.upsertMode != "none")
       doc.put("upsertMode", t.upsertMode): Unit
+    if (t.upsertMode != "none" && t.upsertKeys != Seq(t.shardKey))
+      doc.put("upsertKeys", t.upsertKeys.mkString(",")): Unit
+    // a dropped column may not be an upsert key part
+    if (t.upsertMode != "none")
+      t.upsertKeys.foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"lake schema evolution: cannot drop upsert key column $c"))
     // atomic descriptor swap: readers see old or new schema, no torn doc
     val tmp = new java.io.File(root,
       s"${ident.name()}.lake.json.tmp${ProcessHandle.current().pid()}")
@@ -615,10 +651,16 @@ class GraftLakeTable(private[sources] val tableName: String,
     val mergeMode: String = "copy-on-write",
     val bloomCols: Seq[String] = Nil,
     val writeDistribution: String = "none",
-    val upsertMode: String = "none")
+    val upsertMode: String = "none",
+    private val upsertKeysDecl: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with SupportsDeleteV2 {
+
+  /** The equality-delete upsert key columns, in declared order:
+    * `upsert_keys` when set, else the shard key alone. */
+  val upsertKeys: Seq[String] =
+    if (upsertKeysDecl.nonEmpty) upsertKeysDecl else Seq(shardKey)
 
   override def name(): String =
     pinnedVersion.fold(tableName)(v => s"$tableName@v$v")
@@ -634,14 +676,14 @@ class GraftLakeTable(private[sources] val tableName: String,
   private[sources] def withPinned(v: Int): GraftLakeTable =
     new GraftLakeTable(tableName, declared, dataDir, shardKey, nShards,
       shardWidth, Some(v), deleteMode, updateMode, mergeMode,
-      bloomCols, writeDistribution, upsertMode)
+      bloomCols, writeDistribution, upsertMode, upsertKeysDecl)
 
   /** The same table resolved against another dataDir — a branch's
     * `_branch_<name>/` sub-store (write-audit-publish). */
   private[sources] def withDataDir(dir: String): GraftLakeTable =
     new GraftLakeTable(tableName, declared, dir, shardKey, nShards,
       shardWidth, pinnedVersion, deleteMode, updateMode, mergeMode,
-      bloomCols, writeDistribution, upsertMode)
+      bloomCols, writeDistribution, upsertMode, upsertKeysDecl)
 
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
@@ -663,7 +705,7 @@ class GraftLakeTable(private[sources] val tableName: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(declared, dataDir, pinnedVersion, None,
-      shardKey, nShards)
+      shardKey, nShards, upsertKeys)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -912,7 +954,7 @@ class GraftLakeRowLevelOperation(table: GraftLakeTable, dataDir: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftLakeScanBuilder(table.schema(), dataDir, Some(snapshotV),
-      Some(this), table.shardKey, table.nShards)
+      Some(this), table.shardKey, table.nShards, table.upsertKeys)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftLakeWriteBuilder(table, dataDir, info, Some(this))
@@ -1392,6 +1434,37 @@ object GraftLakeIO {
     out.result()
   }
 
+  // ---- SORTED-SHARD PROVENANCE (`_sorted.json` per version dir) ----
+  // Which shards' single part is key-sorted: set at commit when a
+  // clustered write's REQUIRED ORDERING produced the file (one task,
+  // one adopted part, rows ascending in the shard key), dropped the
+  // moment an append merges behind it or a rewrite reorders rows.
+  // Scans report it through DSv2 SupportsReportOrdering so
+  // sort-merge joins over co-sharded clustered tables plan with ZERO
+  // sorts on the lake sides (composing with SPJ's zero exchanges).
+
+  def sortedFile(vdir: java.io.File): java.io.File =
+    new java.io.File(vdir, "_sorted.json")
+
+  def writeSorted(vdir: java.io.File, shards: Set[Int]): Unit =
+    if (shards.nonEmpty) {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = om.createArrayNode()
+      shards.toSeq.sorted.foreach(k => arr.add(k): Unit)
+      java.nio.file.Files.writeString(sortedFile(vdir).toPath,
+        om.writeValueAsString(arr)): Unit
+    }
+
+  def readSorted(vdir: java.io.File): Set[Int] = {
+    val f = sortedFile(vdir)
+    if (!f.exists()) return Set.empty
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readString(f.toPath))
+    val out = Set.newBuilder[Int]
+    root.forEach(n => out += n.asInt())
+    out.result()
+  }
+
   /** Which shard does `key` route to under `tag`? None for "mixed" /
     * unparseable tags (caller must not prune). */
   def routeUnder(tag: String, key: Long): Option[Int] =
@@ -1670,28 +1743,52 @@ object GraftLakeIO {
   // did, because parts only ever append), so the map never grows past
   // the live key count. Readers mask by key+ordinal; writers record
   // the appended part's base ordinal for each staged key — O(batch),
-  // no target data file is ever read.
+  // no target data file is ever read. Keys are ENCODED STRINGS
+  // ([[encodeEqKey]]) so composite and string-typed CDC keys carry the
+  // same way single BIGINT keys always did.
 
   def eqDelFile(vdir: java.io.File): java.io.File =
     new java.io.File(vdir, "_eqdel.json")
 
-  def readEqDel(vdir: java.io.File): Map[Int, Map[Long, Long]] = {
+  /** Canonical string of one upsert-key part (the typed column value
+    * as decoded by the shard codec); null parts are the caller's to
+    * refuse — a null can never address an equality delete. */
+  def eqKeyPart(v: Any): String = v match {
+    case null => null
+    case l: java.lang.Long => l.toString
+    case i: java.lang.Integer => i.toString
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case s: String => s
+    case other => throw new IllegalArgumentException(
+      s"unsupported upsert key part $other (${other.getClass})")
+  }
+
+  /** Encode an upsert key: a SINGLE part is its canonical string
+    * verbatim (byte-identical to the original BIGINT-keyed layout, so
+    * existing sidecars and fixtures keep reading); a COMPOSITE key is
+    * the length-prefixed join of its parts — unambiguous for
+    * arbitrary string content, no escaping needed. */
+  def encodeEqKey(parts: Seq[String]): String =
+    if (parts.lengthCompare(1) == 0) parts.head
+    else parts.map(p => s"${p.length}:$p").mkString("|")
+
+  def readEqDel(vdir: java.io.File): Map[Int, Map[String, Long]] = {
     val f = eqDelFile(vdir)
     if (!f.exists()) return Map.empty
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = om.readTree(java.nio.file.Files.readString(f.toPath))
-    val out = Map.newBuilder[Int, Map[Long, Long]]
+    val out = Map.newBuilder[Int, Map[String, Long]]
     root.properties().forEach { e =>
-      val inner = Map.newBuilder[Long, Long]
+      val inner = Map.newBuilder[String, Long]
       e.getValue.properties().forEach(kv =>
-        inner += kv.getKey.toLong -> kv.getValue.asLong())
+        inner += kv.getKey -> kv.getValue.asLong())
       out += e.getKey.toInt -> inner.result()
     }
     out.result()
   }
 
   def writeEqDel(build: java.io.File,
-      m: Map[Int, Map[Long, Long]]): Unit = {
+      m: Map[Int, Map[String, Long]]): Unit = {
     val pruned = m.filter(_._2.nonEmpty)
     if (pruned.isEmpty) return
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1699,7 +1796,7 @@ object GraftLakeIO {
     pruned.toSeq.sortBy(_._1).foreach { case (k, keys) =>
       val inner = root.putObject(k.toString)
       keys.toSeq.sortBy(_._1).foreach { case (key, bound) =>
-        inner.put(key.toString, bound): Unit
+        inner.put(key, bound): Unit
       }
     }
     java.nio.file.Files.writeString(eqDelFile(build).toPath,
@@ -1936,7 +2033,8 @@ object GraftLakeScanMetrics {
 
 class GraftLakeScanBuilder(declared: StructType, dataDir: String,
     pinned: Option[Int], op: Option[GraftLakeRowLevelOperation],
-    shardKey: String, nShards: Int = 0)
+    shardKey: String, nShards: Int = 0,
+    upsertKeys: Seq[String] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters
     with SupportsPushDownAggregates
@@ -2126,7 +2224,7 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
         val v = pinned.getOrElse(GraftLakeIO.latestVersion(dataDir))
         val scan = new GraftLakeScan(required,
           GraftLakeIO.versionDir(dataDir, v), zonePreds, shardKey,
-          nShards, limit)
+          nShards, limit, upsertKeys)
         op.foreach(_.scans.add(scan))
         scan
     }
@@ -2182,10 +2280,12 @@ class GraftLakeAggReaderFactory(out: StructType)
 
 class GraftLakeScan(required: StructType, vdir: java.io.File,
     zonePreds: Array[V2Predicate] = Array.empty,
-    shardKey: String = "", nShards: Int = 0, limit: Int = -1)
+    shardKey: String = "", nShards: Int = 0, limit: Int = -1,
+    upsertKeys: Seq[String] = Nil)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   @volatile private[sources] var runtimeFiltered = false
   @volatile private var retained: Option[Set[Int]] = None
@@ -2422,7 +2522,9 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
       GraftLakeInputPartition(keep.map(_.getPath), k,
         GraftLakeIO.dvBytes(dvMap, k), bases,
         eqDel.getOrElse(k, Map.empty),
-        if (eqDel.contains(k)) shardKey else "")
+        if (eqDel.contains(k))
+          (if (upsertKeys.nonEmpty) upsertKeys else Seq(shardKey))
+        else Nil)
     }
     record(kept.length.toLong,
       (candidates.length - zoneKept.length).toLong,
@@ -2626,6 +2728,36 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
         .UnknownPartitioning(parts.length)
   }
 
+  /** DSv2 `SupportsReportOrdering`: the scan reports an ascending
+    * shard-key ordering iff EVERY planned shard carries sorted
+    * provenance (`_sorted.json` — written fresh by a clustered
+    * write's required ordering, dropped on append/rewrite) and still
+    * has its single sorted part. DV and equality-delete masking only
+    * REMOVE rows, never reorder, so the claim survives them. With
+    * [[outputPartitioning]]'s key-grouped claim this makes a
+    * co-sharded clustered join plan with zero exchanges AND zero
+    * sorts (SPARK-38647 + SPARK-37375 composed — the
+    * Iceberg/Trino sorted-bucket join). Derived/hidden transforms
+    * never claim (the key column's order is not the derived order
+    * rows were routed by). */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val claim = shardKey.nonEmpty &&
+      GraftLakeTransform.parse(shardKey)._1.isEmpty &&
+      required.fieldNames.contains(shardKey) && {
+        val sorted = GraftLakeIO.readSorted(vdir)
+        val parts = planInputPartitions()
+          .map(_.asInstanceOf[GraftLakeInputPartition])
+        parts.nonEmpty && parts.forall(p =>
+          sorted.contains(p.shard) && p.paths.lengthCompare(1) == 0)
+      }
+    if (claim)
+      Array(Expressions.sort(Expressions.identity(shardKey),
+        org.apache.spark.sql.connector.expressions.SortDirection
+          .ASCENDING))
+    else Array.empty
+  }
+
   /** Row vs columnar, decided once for the whole scan: VECTORIZED
     * batches for plain data reads (the overwhelmingly common shape —
     * see [[GraftLakeColumnarPartitionReader]]); the row path keeps
@@ -2635,7 +2767,9 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
     * projection-empty reads (served from footer counts, zero data
     * pages — faster than any decode). */
   private def columnarEligible: Boolean =
-    limit < 0 &&
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.lake.columnar", "true").toBoolean &&
+      limit < 0 &&
       !required.fieldNames.contains("_pos") &&
       required.fields.exists(f =>
         f.name != "_shard" && f.name != "_pos")
@@ -2658,10 +2792,11 @@ case class GraftLakeInputPartition(paths: Seq[String], shard: Int,
     // `_pos`/deletion-vector ordinals must not shift (empty = dense,
     // reader accumulates)
     ordBases: Seq[Long] = Nil,
-    // equality deletes for this shard (key -> bound) + the key column
-    // name; rows with key k at ordinal < bound(k) are dead
-    eqDel: Map[Long, Long] = Map.empty,
-    eqKey: String = "")
+    // equality deletes for this shard (encoded key -> bound) + the
+    // key columns; rows whose encoded key k sits at ordinal < bound(k)
+    // are dead
+    eqDel: Map[String, Long] = Map.empty,
+    eqKeys: Seq[String] = Nil)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   /** The value of `bucket(nShards, shardKey)` for every row in this
@@ -2681,7 +2816,7 @@ class GraftLakeReaderFactory(required: StructType, limit: Int = -1,
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftLakeInputPartition]
     new GraftLakePartitionReader(p.paths, p.shard, required, p.dv,
-      p.ordBases, limit, p.eqDel, p.eqKey)
+      p.ordBases, limit, p.eqDel, p.eqKeys)
   }
   // the row/columnar choice is SCAN-GLOBAL (Spark refuses mixed
   // partitions in one scan), decided where the scan knows its whole
@@ -2692,7 +2827,7 @@ class GraftLakeReaderFactory(required: StructType, limit: Int = -1,
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftLakeInputPartition]
     new GraftLakeColumnarPartitionReader(p.paths, p.shard, required,
-      p.dv, p.ordBases, p.eqDel, p.eqKey)
+      p.dv, p.ordBases, p.eqDel, p.eqKeys)
   }
 }
 
@@ -2715,13 +2850,13 @@ class GraftLakeReaderFactory(required: StructType, limit: Int = -1,
 class GraftLakePartitionReader(paths: Seq[String], shard: Int,
     required: StructType, dvBytes: Array[Byte] = null,
     ordBases: Seq[Long] = Nil, limit: Int = -1,
-    eqDel: Map[Long, Long] = Map.empty, eqKey: String = "")
+    eqDel: Map[String, Long] = Map.empty, eqKeys: Seq[String] = Nil)
     extends PartitionReader[InternalRow] {
   // pushed partial LIMIT: live rows emitted by THIS partition
   private var emitted = 0L
-  require(eqDel.isEmpty || eqKey.nonEmpty,
+  require(eqDel.isEmpty || eqKeys.nonEmpty,
     s"shard $shard carries equality deletes but the scan has no key " +
-      "column to mask by — refusing rather than serving dead rows")
+      "columns to mask by — refusing rather than serving dead rows")
   paths.foreach { p =>
     if (!new java.io.File(p).exists())
       throw new java.io.FileNotFoundException(
@@ -2729,14 +2864,15 @@ class GraftLakePartitionReader(paths: Seq[String], shard: Int,
           "was expired or deleted while being read")
   }
 
-  // equality deletes force the key column into the decode set even
-  // when the projection pruned it (a `count(*)` over an upsert table
+  // equality deletes force the key columns into the decode set even
+  // when the projection pruned them (a `count(*)` over an upsert table
   // must still resolve dead rows — the metadata-only fast path is
   // refused upstream for exactly this reason)
   private val dataNames = {
     val req = required.fields.iterator.map(_.name)
       .filter(n => n != "_shard" && n != "_pos").toSeq
-    if (eqDel.nonEmpty && !req.contains(eqKey)) req :+ eqKey else req
+    if (eqDel.isEmpty) req
+    else req ++ eqKeys.filterNot(req.contains)
   }
   // this snapshot's deletion vector for the shard: positions are
   // concatenation ordinals, masked here so every consumer sees live
@@ -2748,7 +2884,7 @@ class GraftLakePartitionReader(paths: Seq[String], shard: Int,
   private var partRows = 0L        // rows of the current part
   private var partOrd = 0L         // next ordinal within current part
   private var projIdx: Array[Int] = null
-  private var eqKeyIdx = -1
+  private var eqKeyIdxs: Array[Int] = null // per key col; null = no mask
   private var metadataOnly = true
   private var reader: org.apache.parquet.hadoop
     .ParquetReader[org.apache.parquet.example.data.Group] = null
@@ -2768,10 +2904,14 @@ class GraftLakePartitionReader(paths: Seq[String], shard: Int,
     val projection = GraftShardCodec.projectionFor(fileSchema, dataNames)
     partRows = rows
     partOrd = 0L
-    eqKeyIdx =
-      if (eqDel.nonEmpty && projection.containsField(eqKey))
-        projection.getFieldIndex(eqKey)
-      else -1
+    // composite masking needs EVERY key part decodable from this
+    // part's own schema; key columns exist from table creation
+    // (DDL-validated, never droppable), so a missing one can only
+    // mean rows that predate the key — unaddressable, left live
+    eqKeyIdxs =
+      if (eqDel.nonEmpty && eqKeys.forall(projection.containsField))
+        eqKeys.map(projection.getFieldIndex).toArray
+      else null
     projIdx = required.fields.map { fd =>
       if (fd.name != "_shard" && fd.name != "_pos" &&
         projection.containsField(fd.name))
@@ -2804,14 +2944,17 @@ class GraftLakePartitionReader(paths: Seq[String], shard: Int,
             if (r == null) return false
             r
           }
-        // equality deletes: a row of key k at ordinal < bound(k) is
-        // dead — an upserted key's older versions never become rows
-        val eqDead = eqKeyIdx >= 0 && g != null && {
-          GraftShardCodec.value(g, eqKeyIdx, LongType) match {
-            case k: java.lang.Long =>
-              eqDel.get(k.longValue).exists(ord < _)
-            case _ => false
-          }
+        // equality deletes: a row whose ENCODED key k sits at
+        // ordinal < bound(k) is dead — an upserted key's older
+        // versions never become rows. A null key part makes the row
+        // unaddressable (commits refuse null keys, so only
+        // pre-contract rows can carry one) — left live.
+        val eqDead = eqKeyIdxs != null && g != null && {
+          val parts = eqKeyIdxs.map(i =>
+            GraftLakeIO.eqKeyPart(GraftShardCodec.rawValue(g, i)))
+          !parts.contains(null) &&
+            eqDel.get(GraftLakeIO.encodeEqKey(parts.toSeq))
+              .exists(ord < _)
         }
         // a deleted position still advances the file reader (the bytes
         // are there; the row is dead) — it just never becomes a row
@@ -2998,7 +3141,9 @@ class GraftLakeChangesScan(base: GraftLakeTable,
     diffPartitions(startVersion, pinnedHead)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLakeChangesReaderFactory(out, base.declared, base.shardKey)
+    new GraftLakeChangesReaderFactory(out, base.declared,
+      if (base.upsertMode == "equality-delete") base.upsertKeys
+      else Seq(GraftLakeTransform.parse(base.shardKey)._2))
 
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read
@@ -3055,7 +3200,9 @@ class GraftLakeChangesStream(base: GraftLakeTable, out: StructType,
       end.asInstanceOf[VOffset].v)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLakeChangesReaderFactory(out, base.declared, base.shardKey)
+    new GraftLakeChangesReaderFactory(out, base.declared,
+      if (base.upsertMode == "equality-delete") base.upsertKeys
+      else Seq(GraftLakeTransform.parse(base.shardKey)._2))
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -3064,17 +3211,17 @@ class GraftLakeChangesStream(base: GraftLakeTable, out: StructType,
 case class GraftLakeChangesPartition(prePaths: Seq[String],
     postPaths: Seq[String], shard: Int, version: Int,
     preDv: Array[Byte] = null, postDv: Array[Byte] = null,
-    preEq: Map[Long, Long] = Map.empty,
-    postEq: Map[Long, Long] = Map.empty)
+    preEq: Map[String, Long] = Map.empty,
+    postEq: Map[String, Long] = Map.empty)
     extends InputPartition
 
 class GraftLakeChangesReaderFactory(out: StructType,
-    dataSchema: StructType, shardKey: String)
+    dataSchema: StructType, pairKeys: Seq[String])
     extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftLakeChangesPartition]
-    new GraftLakeChangesReader(p, out, dataSchema, shardKey)
+    new GraftLakeChangesReader(p, out, dataSchema, pairKeys)
   }
 }
 
@@ -3085,25 +3232,31 @@ class GraftLakeChangesReaderFactory(out: StructType,
   * detection compares the DECODED typed values (not file bytes), so
   * re-encoding noise can never fake a change. */
 class GraftLakeChangesReader(p: GraftLakeChangesPartition,
-    out: StructType, dataSchema: StructType, shardKey: String)
+    out: StructType, dataSchema: StructType, pairKeys: Seq[String])
     extends PartitionReader[InternalRow] {
-  private val keyIdx =
-    dataSchema.fieldIndex(GraftLakeTransform.parse(shardKey)._2)
+  // row identity for image pairing: the UPSERT key (composite for
+  // equality-delete tables, the plain shard-key column otherwise)
+  private val keyIdxs = pairKeys.map(dataSchema.fieldIndex).toArray
+
+  private def encKey(r: Array[Any]): String = {
+    val parts = keyIdxs.map(i => GraftLakeIO.eqKeyPart(r(i)))
+    if (parts.contains(null)) null
+    else GraftLakeIO.encodeEqKey(parts.toSeq)
+  }
 
   // each side is masked by ITS OWN version's deletion vector before
   // diffing (positions are CONCATENATION ordinals across the part
   // list): a row whose position entered the post DV reads as absent
   // there and emits a `delete`, exactly like a physical removal
-  private def eqDead(eq: Map[Long, Long], r: Array[Any],
+  private def eqDead(eq: Map[String, Long], r: Array[Any],
       ord: Long): Boolean =
-    eq.nonEmpty && (r(keyIdx) match {
-      case k: java.lang.Long => eq.get(k.longValue).exists(ord < _)
-      case k: java.lang.Integer => eq.get(k.longValue).exists(ord < _)
-      case _ => false
-    })
+    eq.nonEmpty && {
+      val k = encKey(r)
+      k != null && eq.get(k).exists(ord < _)
+    }
 
   private def readAll(paths: Seq[String],
-      dvB: Array[Byte], eq: Map[Long, Long]): Seq[Array[Any]] =
+      dvB: Array[Byte], eq: Map[String, Long]): Seq[Array[Any]] =
     if (paths.isEmpty) Nil
     else {
       val dv = GraftLakeIO.dvOf(dvB)
@@ -3157,13 +3310,15 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
   }
 
   private val rows: Iterator[InternalRow] = {
-    def keyOf(vals: Array[Any]): Long = vals(keyIdx) match {
-      case l: java.lang.Long => l.longValue()
-      case i: java.lang.Integer => i.longValue()
-      case other => throw new IllegalStateException(
-        s"non-integral shard key $other")
+    def keyOf(vals: Array[Any]): String = {
+      val k = encKey(vals)
+      if (k == null) throw new IllegalStateException(
+        s"shard ${p.shard}: NULL in pairing key " +
+          s"(${pairKeys.mkString(", ")}) — the change feed cannot " +
+          "pair images on a null key")
+      k
     }
-    val preByKey = scala.collection.mutable.LinkedHashMap[Long,
+    val preByKey = scala.collection.mutable.LinkedHashMap[String,
       Array[Any]]()
     readAll(p.prePaths, p.preDv, p.preEq).foreach { v =>
       val k = keyOf(v)
@@ -3176,8 +3331,8 @@ class GraftLakeChangesReader(p: GraftLakeChangesPartition,
       new GenericInternalRow(
         (UTF8String.fromString(tag): Any) +: (p.version.toLong: Any) +:
           vals)
-    val matchedPre = scala.collection.mutable.Set[Long]()
-    val seenPost = scala.collection.mutable.Set[Long]()
+    val matchedPre = scala.collection.mutable.Set[String]()
+    val seenPost = scala.collection.mutable.Set[String]()
     val fromPost = postLines.flatMap { v =>
       val k = keyOf(v)
       require(!seenPost.contains(k),
@@ -3252,9 +3407,21 @@ class GraftLakeWriteBuilder(table: GraftLakeTable, dataDir: String,
           .unspecified()
     override def requiredNumPartitions(): Int =
       if (clustered) table.nShards else 0
+    /** Clustered writes also require an ASCENDING key order within
+      * each task: with one task per shard, every adopted shard file
+      * is key-sorted — recorded as sorted provenance at commit and
+      * served back through `SupportsReportOrdering`, so a downstream
+      * sort-merge join needs neither exchange NOR sort on the lake
+      * side (Iceberg's write.distribution-mode=hash + sort-order
+      * composition). */
     override def requiredOrdering()
         : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      Array.empty
+      if (clustered)
+        Array(Expressions.sort(
+          Expressions.identity(table.shardKey),
+          org.apache.spark.sql.connector.expressions.SortDirection
+            .ASCENDING))
+      else Array.empty
     override def toBatch: BatchWrite =
       new GraftLakeBatchWrite(table, dataDir, info.schema(),
         truncateFirst, op, info.queryId())
@@ -3578,6 +3745,25 @@ private[sources] object GraftLakeCommitter {
       }.toMap
       if (routingOut.nonEmpty)
         GraftLakeIO.writeRouting(build, routingOut)
+      // sorted-shard provenance: a shard is key-sorted iff this commit
+      // wrote it FRESH as one adopted part under a clustered write's
+      // required ordering (batch/row-level — streaming epochs declare
+      // no ordering), or carried it untouched from a sorted base.
+      // Appends merge unsorted behind sorted rows: flag drops.
+      val orderedWrite = !operationOverride.contains("streaming") &&
+        table.writeDistribution == "clustered" &&
+        table.shardWidth == 0L &&
+        writeSchema.fieldNames.contains(table.shardKey)
+      val baseSorted = GraftLakeIO.readSorted(baseDir)
+      val sortedOut = GraftLakeIO.existingShards(build).filter { k =>
+        (carried.contains(k), staged.contains(k)) match {
+          case (true, false) => baseSorted.contains(k)
+          case (false, true) =>
+            orderedWrite && staged(k).lengthCompare(1) == 0
+          case _ => false
+        }
+      }
+      GraftLakeIO.writeSorted(build, sortedOut)
       // streaming txn watermarks are SNAPSHOT STATE: carried from the
       // base and updated atomically with the commit that records them
       val txns = txnUpdate.foldLeft(GraftLakeIO.readTxns(baseDir)) {
@@ -3625,11 +3811,20 @@ private[sources] object GraftLakeCommitter {
             else 0L
           val nextSeq = GraftLakeIO.nextPartSeq(baseDir, k)
           val part = GraftLakeIO.shardPartFile(build, k, nextSeq)
-          val keyField = StructType(Seq(StructField(table.shardKey,
-            LongType)))
-          val keys = GraftShardCodec.readRows(part, keyField)
-            .collect { case Array(v: java.lang.Long) => v.longValue }
-            .toSeq
+          // decode ALL upsert key columns of the staged part (the
+          // composite-key generalization: parts encode to one string
+          // via the canonical single/length-prefixed layout)
+          val keyFields = StructType(table.upsertKeys.map(n =>
+            table.declared(table.declared.fieldIndex(n))))
+          val keys = GraftShardCodec.readRows(part, keyFields)
+            .map { row =>
+              val parts = row.map(GraftLakeIO.eqKeyPart)
+              require(!parts.contains(null),
+                s"${table.tableName}: write_upsert=equality-delete " +
+                  "refuses NULL upsert key parts — a null can never " +
+                  "address the older version it should replace")
+              GraftLakeIO.encodeEqKey(parts.toSeq)
+            }.toSeq
           // enforce the documented batch contract AT WRITE TIME:
           // duplicate keys within one appended batch all sit at
           // ord >= bound, so every copy would stay live — silently
@@ -3643,12 +3838,12 @@ private[sources] object GraftLakeCommitter {
             throw new IllegalArgumentException(
               s"${table.tableName}: write_upsert=equality-delete " +
                 s"batches must be key-unique; duplicate " +
-                s"${table.shardKey} values in this append: " +
-                s"${dups.mkString(", ")}")
+                s"(${table.upsertKeys.mkString(", ")}) values in " +
+                s"this append: ${dups.mkString(", ")}")
           }
           if (bound == 0L) acc // fresh shard: nothing older to kill
           else {
-            val prev = acc.getOrElse(k, Map.empty[Long, Long])
+            val prev = acc.getOrElse(k, Map.empty[String, Long])
             acc.updated(k, keys.foldLeft(prev)(_.updated(_, bound)))
           }
         }

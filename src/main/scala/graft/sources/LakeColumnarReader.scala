@@ -53,15 +53,15 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 class GraftLakeColumnarPartitionReader(paths: Seq[String], shard: Int,
     required: StructType, dvBytes: Array[Byte] = null,
     ordBases: Seq[Long] = Nil,
-    eqDel: Map[Long, Long] = Map.empty, eqKey: String = "")
+    eqDel: Map[String, Long] = Map.empty, eqKeys: Seq[String] = Nil)
     extends PartitionReader[ColumnarBatch] {
 
   require(!required.fieldNames.contains("_pos"),
     "columnar lake reads never serve _pos — the scan must have " +
       "planned the row path for row-level operations")
-  require(eqDel.isEmpty || eqKey.nonEmpty,
+  require(eqDel.isEmpty || eqKeys.nonEmpty,
     s"shard $shard carries equality deletes but the scan has no key " +
-      "column to mask by — refusing rather than serving dead rows")
+      "columns to mask by — refusing rather than serving dead rows")
   paths.foreach { p =>
     if (!new java.io.File(p).exists())
       throw new java.io.FileNotFoundException(
@@ -77,7 +77,8 @@ class GraftLakeColumnarPartitionReader(paths: Seq[String], shard: Int,
   private val dataNames: Seq[String] = {
     val req = required.fields.iterator.map(_.name)
       .filter(_ != "_shard").toSeq
-    if (eqDel.nonEmpty && !req.contains(eqKey)) req :+ eqKey else req
+    if (eqDel.isEmpty) req
+    else req ++ eqKeys.filterNot(req.contains)
   }
 
   // constant vectors live for the whole partition read
@@ -101,7 +102,7 @@ class GraftLakeColumnarPartitionReader(paths: Seq[String], shard: Int,
   private var vr: VectorizedParquetRecordReader = null
   private var present: Seq[String] = Nil   // decode set of this part
   private var presentIdx: Array[Int] = null // required -> batch column
-  private var eqKeyBatchIdx = -1
+  private var eqKeyBatchIdxs: Array[Int] = null // per key col; null = off
   private var partRows = 0L
   private var consumed = 0L                // rows read of current part
   private var ordBase = 0L                 // concat ordinal of row 0
@@ -123,7 +124,10 @@ class GraftLakeColumnarPartitionReader(paths: Seq[String], shard: Int,
     presentIdx = required.fields.map { fd =>
       if (fd.name == "_shard") -1 else present.indexOf(fd.name)
     }
-    eqKeyBatchIdx = if (eqDel.nonEmpty) present.indexOf(eqKey) else -1
+    eqKeyBatchIdxs =
+      if (eqDel.nonEmpty && eqKeys.forall(present.contains))
+        eqKeys.map(present.indexOf).toArray
+      else null
     if (present.isEmpty) {
       // a part predating every requested column: all-NULL content,
       // only the live-row COUNT matters (ordinal-masked below)
@@ -144,14 +148,14 @@ class GraftLakeColumnarPartitionReader(paths: Seq[String], shard: Int,
   }
 
   /** Ordinal-masked liveness: DV positions (int ordinals) and
-    * equality-deleted key versions. `keyAt` reads the key of batch row
-    * i when equality masking applies (−2 = no masking). */
-  private def live(ord: Long, keyOf: Int => Any, i: Int): Boolean = {
+    * equality-deleted key versions. `keyOf` builds row i's ENCODED
+    * upsert key from the batch's key columns, null when any part is
+    * null (unaddressable — left live). */
+  private def live(ord: Long, keyOf: Int => String, i: Int): Boolean = {
     if (ord <= Int.MaxValue && dv.contains(ord.toInt)) return false
-    if (eqKeyBatchIdx >= 0) keyOf(i) match {
-      case k: java.lang.Long =>
-        if (eqDel.get(k.longValue).exists(ord < _)) return false
-      case _ => ()
+    if (eqKeyBatchIdxs != null) {
+      val k = keyOf(i)
+      if (k != null && eqDel.get(k).exists(ord < _)) return false
     }
     true
   }
@@ -189,11 +193,26 @@ class GraftLakeColumnarPartitionReader(paths: Seq[String], shard: Int,
         val n = batch.numRows()
         val start = ordBase + consumed
         consumed += n
-        val keyCol =
-          if (eqKeyBatchIdx >= 0) batch.column(eqKeyBatchIdx) else null
-        val keyOf: Int => Any = i =>
-          if (keyCol == null || keyCol.isNullAt(i)) null
-          else java.lang.Long.valueOf(keyCol.getLong(i))
+        val keyCols =
+          if (eqKeyBatchIdxs != null)
+            eqKeyBatchIdxs.map(batch.column)
+          else null
+        val keyOf: Int => String = i =>
+          if (keyCols == null) null
+          else {
+            val parts = keyCols.map { c =>
+              if (c.isNullAt(i)) null
+              else c.dataType() match {
+                case LongType | TimestampType => c.getLong(i).toString
+                case IntegerType | DateType => c.getInt(i).toString
+                case StringType => c.getUTF8String(i).toString
+                case other => throw new IllegalArgumentException(
+                  s"unsupported upsert key type $other")
+              }
+            }
+            if (parts.contains(null)) null
+            else GraftLakeIO.encodeEqKey(parts.toSeq)
+          }
         // selection vector over this batch
         val sel = new Array[Int](n)
         var liveN = 0

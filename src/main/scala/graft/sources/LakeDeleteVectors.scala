@@ -337,16 +337,20 @@ object GraftLakeMaintenance {
           rows > 0L && bm.getCardinality.toDouble / rows >= threshold
         } => k
       } ++ eqDel.keys).distinct.sorted
-      // the key column for the equality masks, from the table
+      // the key columns for the equality masks, from the table
       // descriptor beside the data dir (transforms cannot carry
-      // equality deletes, so the raw parse suffices)
-      lazy val keyCol = {
+      // equality deletes, so the raw parse suffices); `upsertKeys`
+      // when declared (composite), the shard key otherwise
+      lazy val keyCols: Seq[String] = {
         val d = new java.io.File(dataDir)
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val doc = om.readTree(java.nio.file.Files.readString(
           new java.io.File(d.getParentFile,
             s"${d.getName}.lake.json").toPath))
-        GraftLakeTransform.parse(doc.get("shardKey").asText())._2
+        Option(doc.get("upsertKeys")).map(_.asText())
+          .filter(_.nonEmpty).fold(Seq(
+            GraftLakeTransform.parse(doc.get("shardKey").asText())._2))(
+            _.split(",").toSeq)
       }
       if (targets.isEmpty) return Nil
       val build = GraftLakeIO.newBuildDir(dataDir)
@@ -380,21 +384,22 @@ object GraftLakeMaintenance {
         // sparse)
         val rewrites = targets.map { k => () =>
           val mask = dv.getOrElse(k, new org.roaringbitmap.RoaringBitmap)
-          val eq = eqDel.getOrElse(k, Map.empty[Long, Long])
+          val eq = eqDel.getOrElse(k, Map.empty[String, Long])
           var ordBase = 0L
           GraftLakeIO.shardParts(headDir, k).foreach { src =>
             val (fileSchema, rows) = GraftShardCodec.footer(src)
-            val eqIdx =
-              if (eq.isEmpty) -1
-              else fileSchema.getFieldIndex(keyCol)
+            val eqIdxs: Array[Int] =
+              if (eq.isEmpty) null
+              else keyCols.map(fileSchema.getFieldIndex).toArray
             def eqDead(g: org.apache.parquet.example.data.Group,
                 ord: Long): Boolean =
-              eqIdx >= 0 && (GraftShardCodec.value(g, eqIdx,
-                org.apache.spark.sql.types.LongType) match {
-                case kk: java.lang.Long =>
-                  eq.get(kk.longValue).exists(ord < _)
-                case _ => false
-              })
+              eqIdxs != null && {
+                val parts = eqIdxs.map(i =>
+                  GraftLakeIO.eqKeyPart(GraftShardCodec.rawValue(g, i)))
+                !parts.contains(null) &&
+                  eq.get(GraftLakeIO.encodeEqKey(parts.toSeq))
+                    .exists(ord < _)
+              }
             val reader = GraftShardCodec.openReader(src, fileSchema)
             var writer: org.apache.parquet.hadoop.ParquetWriter[
               org.apache.parquet.example.data.Group] = null

@@ -339,6 +339,29 @@ object GraftShardCodec {
     }
   }
 
+  /** One field of a Group decoded by the FILE's own primitive type —
+    * for callers (the equality-delete key mask) that address a column
+    * without carrying its declared Spark type. Strings come back as
+    * java.lang.String (not UTF8String — key encoding wants the
+    * canonical form anyway). */
+  def rawValue(g: Group, idx: Int): Any = {
+    if (g.getFieldRepetitionCount(idx) == 0) return null
+    g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT64 =>
+        java.lang.Long.valueOf(g.getLong(idx, 0))
+      case PrimitiveTypeName.INT32 =>
+        java.lang.Integer.valueOf(g.getInteger(idx, 0))
+      case PrimitiveTypeName.BINARY =>
+        g.getBinary(idx, 0).toStringUsingUTF8
+      case PrimitiveTypeName.DOUBLE =>
+        java.lang.Double.valueOf(g.getDouble(idx, 0))
+      case PrimitiveTypeName.BOOLEAN =>
+        java.lang.Boolean.valueOf(g.getBoolean(idx, 0))
+      case other => throw new IllegalArgumentException(
+        s"unsupported raw column type: $other")
+    }
+  }
+
   /** Append one JVM value (the same representation [[value]] reads)
     * to a group under `name`; nulls are simply not added. */
   def add(g: Group, name: String, v: Any): Unit = v match {

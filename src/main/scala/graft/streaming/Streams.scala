@@ -499,6 +499,67 @@ object Streams {
        SELECT user_id, event_id AS last_event_id, cents AS last_cents
        FROM ranked WHERE rn = 1 ORDER BY user_id"""
 
+  /** COMPOSITE-KEY equality-delete upsert (round 14): the same
+    * streaming CDC shape as [[streamLakeUpsertEq]] but keyed on
+    * `(user_id BIGINT, event_type STRING)` via the `upsert_keys`
+    * table property — the real CDC shape, where the business key is
+    * composite and partly string-typed. Routing stays on the BIGINT
+    * shard key (which the composite must include, DDL-enforced);
+    * the commit decodes BOTH key columns from the staged part and
+    * records length-prefix-encoded composite bounds; readers mask by
+    * the same encoding. Several users' types interleave per shard, so
+    * any cross-key bleed (a bound killing a different type's row)
+    * breaks the oracle hash immediately. */
+  val streamLakeUpsertEq2: Q = (s, dir) => {
+    val ss = streamSession(s)
+    graft.sources.Lake.registerCatalog(s)
+    graft.sources.Lake.registerCatalog(ss)
+    val chunks = chunkedEventsDir(ss, dir)
+    val tag = s"${graft.sources.Tables.fingerprint(dir, "events")}" +
+      s"_${ProcessHandle.current().pid()}_${System.nanoTime()}"
+    val tbl = s"graft_lake.lake.upsert_eq2_$tag"
+    ss.sql(s"""CREATE TABLE $tbl (user_id BIGINT, event_type STRING,
+        last_event_id BIGINT, last_cents BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+        'write_upsert'='equality-delete',
+        'upsert_keys'='user_id,event_type')""")
+    val q = rawFileStream(ss, chunks, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        batch
+          .selectExpr("user_id",
+            "coalesce(event_type, '') AS event_type", "ts", "event_id",
+            "CAST(round(coalesce(value, CAST(0 AS DOUBLE)) * 100) " +
+              "AS BIGINT) AS cents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .selectExpr("user_id", "event_type",
+            "event_id AS last_event_id", "cents AS last_cents")
+          .writeTo(tbl).append()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(tbl)
+      .select("user_id", "event_type", "last_event_id", "last_cents")
+      .orderBy("user_id", "event_type")
+  }
+
+  val streamLakeUpsertEq2Oracle: String =
+    """WITH ranked AS (
+         SELECT user_id, coalesce(event_type, '') AS event_type,
+           event_id,
+           CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS cents,
+           row_number() OVER (
+             PARTITION BY user_id, coalesce(event_type, '')
+             ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events)
+       SELECT user_id, event_type, event_id AS last_event_id,
+              cents AS last_cents
+       FROM ranked WHERE rn = 1 ORDER BY user_id, event_type"""
+
   /** Streaming EXACTLY-ONCE sink INTO the lake — the write direction
     * of the CDF loop (`stream_lake_cdf_source` reads commits out;
     * this replays the ts-chunked event log IN through `writeStream
@@ -968,6 +1029,7 @@ object Streams {
     "stream_merge_upsert" -> streamMergeUpsert,
     "stream_lake_sink" -> streamLakeSink,
     "stream_lake_upsert_eq" -> streamLakeUpsertEq,
+    "stream_lake_upsert_eq2" -> streamLakeUpsertEq2,
     "stream_stream_left_join" -> streamStreamLeftJoin,
     "stream_stream_full_join" -> streamStreamFullJoin,
     "stream_stateful_latest" -> streamStatefulLatest,
@@ -986,6 +1048,7 @@ object Streams {
       graft.operators.Merge.mergeUpsertFirstSeenOracle,
     "stream_lake_sink" -> streamLakeSinkOracle,
     "stream_lake_upsert_eq" -> streamLakeUpsertEqOracle,
+    "stream_lake_upsert_eq2" -> streamLakeUpsertEq2Oracle,
     "stream_stream_left_join" -> streamStreamLeftJoinOracle,
     "stream_stream_full_join" -> streamStreamFullJoinOracle,
     "stream_stateful_latest" -> streamStatefulLatestOracle,

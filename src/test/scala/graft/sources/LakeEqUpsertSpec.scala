@@ -191,6 +191,94 @@ class LakeEqUpsertSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("composite (BIGINT, STRING) upsert keys: versions replace only " +
+      "their exact composite key, the $changes diff pairs on it, " +
+      "OPTIMIZE resolves it, and null key parts refuse at commit") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_equp_comp"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, kind STRING,
+        v BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='2',
+        'write_upsert'='equality-delete',
+        'upsert_keys'='user_id,kind')""")
+    def st(): Map[(Long, String), Long] =
+      spark.table(tbl).collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    Seq((1L, "a", 10L), (1L, "b", 11L), (2L, "a", 20L))
+      .toDF("user_id", "kind", "v")
+      .createOrReplaceTempView("spec_equp_c1")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_equp_c1")
+    // update (1,a) only: (1,b) shares the shard AND the BIGINT key
+    // half — any cross-key bleed in the composite mask kills it
+    Seq((1L, "a", 12L), (3L, "a", 30L)).toDF("user_id", "kind", "v")
+      .createOrReplaceTempView("spec_equp_c2")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_equp_c2")
+    assert(st() === Map((1L, "a") -> 12L, (1L, "b") -> 11L,
+      (2L, "a") -> 20L, (3L, "a") -> 30L))
+    assert(spark.table(tbl).count() === 4L)
+    // replay idempotence on the composite key
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_equp_c2")
+    assert(st() === Map((1L, "a") -> 12L, (1L, "b") -> 11L,
+      (2L, "a") -> 20L, (3L, "a") -> 30L))
+    // CDC diff pairs images on the composite key: (1,a) is an update
+    // pair, (3,a) an insert, (1,b)/(2,a) silent
+    val ch = spark.read.option("startingVersion", "1")
+      .option("endingVersion", "2")
+      .table("graft_lake.lake.`spec_equp_comp$changes`")
+      .selectExpr("_change_type", "user_id", "kind", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(ch === Set(("update_preimage", 1L, "a", 10L),
+      ("update_postimage", 1L, "a", 12L), ("insert", 3L, "a", 30L)),
+      s"unexpected CDC diff: $ch")
+    // OPTIMIZE resolves the composite dead rows physically
+    spark.sql(s"""CALL graft_lake.system.optimize(
+      table => 'spec_equp_comp')""")
+    val dataDir = new java.io.File(
+      spark.conf.get("spark.sql.catalog.graft_lake.path"),
+      "spec_equp_comp").getPath
+    val head = GraftLakeIO.versionDir(dataDir,
+      GraftLakeIO.latestVersion(dataDir))
+    assert(GraftLakeIO.readEqDel(head).isEmpty)
+    assert(st() === Map((1L, "a") -> 12L, (1L, "b") -> 11L,
+      (2L, "a") -> 20L, (3L, "a") -> 30L))
+    // a NULL key part can never address its older version: refused
+    Seq((9L, Option.empty[String], 90L)).toDF("user_id", "kind", "v")
+      .createOrReplaceTempView("spec_equp_c3")
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_equp_c3")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("NULL upsert key")),
+      s"expected the null-key refusal, got: ${chain(e)}")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("composite-key DDL validation: the key must include the shard " +
+      "key, exist, and be integral/date/string") {
+    Lake.registerCatalog(spark)
+    def refuse(props: String, msg: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql(s"""CREATE TABLE graft_lake.lake.spec_equp_cbad
+          (user_id BIGINT, kind STRING, x DOUBLE)
+          TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='2',
+            $props)""")
+      }
+      assert(e.getMessage.contains(msg), s"$props: ${e.getMessage}")
+    }
+    refuse("'write_upsert'='equality-delete', 'upsert_keys'='kind'",
+      "must include the shard key")
+    refuse("'write_upsert'='equality-delete', " +
+      "'upsert_keys'='user_id,nope'", "no such column")
+    refuse("'write_upsert'='equality-delete', " +
+      "'upsert_keys'='user_id,x'", "must be integral/date/string")
+    refuse("'upsert_keys'='user_id'",
+      "requires write_upsert=equality-delete")
+  }
+
   test("DDL validation: equality-delete upsert requires a BIGINT " +
       "shard key") {
     Lake.registerCatalog(spark)
