@@ -128,18 +128,30 @@ object Dedup {
   // oracle stays the O(n²) brute force (DuckDB only runs it at sf0.01);
   // the shared-shingle guard mirrors the inverted-index domain — a pair
   // with zero shared shingles has Jaccard 0 and never qualifies
+  /** Ground truth via an INVERTED-INDEX candidate join, not all
+    * pairs: a pair can only satisfy `len(list_intersect) > 0` by
+    * sharing at least one shingle hash, so the equi-join on exploded
+    * shingles enumerates EXACTLY the pairs the quadratic form would
+    * keep — same rows, same jaccard, but sf1's 50k docs finish in
+    * seconds instead of timing out the stamp (round-14 verdict #6;
+    * the sf0.01 driver gate hash-pins the equivalence every round). */
   val ngramJaccardOracle: String =
     s"""WITH sh AS (
          SELECT doc_id,
            list_distinct(list_transform($shDuck, x -> ${hex60Duck("x")}))
              AS sh
-         FROM documents)
-       SELECT a.doc_id AS d1, b.doc_id AS d2,
+         FROM documents),
+       ex AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id)
+       SELECT c.d1, c.d2,
          round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
            / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       WHERE len(list_intersect(a.sh, b.sh)) > 0
-         AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       FROM cand c
+       JOIN sh a ON c.d1 = a.doc_id
+       JOIN sh b ON c.d2 = b.doc_id
+       WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
            / len(list_distinct(a.sh || b.sh)), 6) >= 0.5
        ORDER BY d1, d2"""
 
@@ -786,17 +798,19 @@ object Dedup {
   val lshRecallOracle: String =
     s"""WITH $minhashScoredCte,
        lsh AS (SELECT d1, d2 FROM scored WHERE jaccard >= 0.8),
+       tsh AS (SELECT doc_id,
+                 list_distinct(list_transform($shDuck,
+                   x -> ${hex60Duck("x")})) AS sh FROM documents),
+       tex AS (SELECT doc_id, unnest(sh) AS h FROM tsh),
+       tcand AS (
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM tex a JOIN tex b ON a.h = b.h AND a.doc_id < b.doc_id),
        truth AS (
-         SELECT a.doc_id AS d1, b.doc_id AS d2
-         FROM (SELECT doc_id,
-                 list_distinct(list_transform($shDuck,
-                   x -> ${hex60Duck("x")})) AS sh FROM documents) a
-         JOIN (SELECT doc_id,
-                 list_distinct(list_transform($shDuck,
-                   x -> ${hex60Duck("x")})) AS sh FROM documents) b
-           ON a.doc_id < b.doc_id
-         WHERE len(list_intersect(a.sh, b.sh)) > 0
-           AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         SELECT c.d1, c.d2
+         FROM tcand c
+         JOIN tsh a ON c.d1 = a.doc_id
+         JOIN tsh b ON c.d2 = b.doc_id
+         WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              / len(list_distinct(a.sh || b.sh)), 6) >= 0.8)
        SELECT CAST(count(*) AS BIGINT) AS n_truth,
          CAST(sum(CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END)

@@ -86,4 +86,175 @@ class ConnectServerSpec extends SparkSpec {
       } finally { channel.shutdownNow(); () }
     } finally SparkConnectService.stop(None, None)
   }
+
+  // ---- promoted round-14 drive: a REPRESENTATIVE registry sample +
+  // the lakehouse verbs over the same gRPC hop ----
+
+  /** Decode the single STRING column of Connect Arrow batches (each
+    * ArrowBatch.data is a self-contained IPC stream). */
+  private def arrowStrings(
+      batches: Seq[Array[Byte]]): Seq[String] = {
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    try batches.flatMap { data =>
+      val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        new java.io.ByteArrayInputStream(data), alloc)
+      try {
+        val root = rd.getVectorSchemaRoot
+        val out = Seq.newBuilder[String]
+        while (rd.loadNextBatch()) {
+          // command results ship field-less batches — nothing to read
+          if (!root.getSchema.getFields.isEmpty) {
+            val v = root.getVector(0)
+            (0 until root.getRowCount).foreach(i =>
+              out += (if (v.isNull(i)) "<null>"
+                      else v.getObject(i).toString))
+          }
+        }
+        out.result()
+      } finally rd.close()
+    } finally alloc.close()
+  }
+
+  test("a representative registry sample (12 queries) plus lake DML, " +
+      "CALL procedures, time travel, and an ANN index probe all run " +
+      "over one Spark Connect gRPC session, row-hash-equal to the " +
+      "local engine") {
+    // catalog binding at CONTEXT level: Connect spawns fresh sessions
+    // that inherit only spark-defaults-style conf (same discipline as
+    // the Thrift hop)
+    graft.sources.Lake.registerCatalog(spark)
+    org.apache.spark.sql.graft.Bridge.setContextConf(spark,
+      "spark.sql.catalog.graft_lake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    org.apache.spark.sql.graft.Bridge.setContextConf(spark,
+      "spark.sql.catalog.graft_lake.path",
+      spark.conf.get("spark.sql.catalog.graft_lake.path"))
+
+    val sample = Seq("q1_join_filter_sort", "groupby_agg",
+      "distinct_rows", "join_left_outer", "union_all", "top_k",
+      "having_filter", "subquery_exists", "filter_in_between_like",
+      "orderby_multi", "case_when_project", "scalar_string_funcs")
+    // publish each query's UNEXECUTED plan as a global temp view: the
+    // Connect-side SELECT re-executes the full plan (scans, joins,
+    // aggregates) inside the server-spawned session — the hop carries
+    // real execution, not a cached result
+    val canonical = sample.map { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.createOrReplaceGlobalTempView(s"graft_cx_$name")
+      val casts = df.columns.map(c =>
+        s"coalesce(CAST(`$c` AS STRING), '<null>')").mkString(", ")
+      val sql = s"SELECT concat_ws('', $casts) AS r " +
+        s"FROM global_temp.graft_cx_$name"
+      name -> (sql, df.sparkSession.sql(sql).collect()
+        .map(_.getString(0)).toSeq)
+    }
+
+    SparkConnectService.start(spark.sparkContext)
+    try {
+      val channel = ManagedChannelBuilder
+        .forAddress("localhost", 15937).usePlaintext().build()
+      try {
+        val stub = proto.SparkConnectServiceGrpc.newBlockingStub(channel)
+        // ONE session id for the whole drive: catalog state (created
+        // tables, tags) must persist across statements like any
+        // client session
+        val sid = java.util.UUID.randomUUID().toString
+        def run(sql: String): Seq[String] = {
+          val req = proto.ExecutePlanRequest.newBuilder()
+            .setSessionId(sid)
+            .setUserContext(
+              proto.UserContext.newBuilder().setUserId("graft"))
+            .setPlan(proto.Plan.newBuilder().setRoot(
+              proto.Relation.newBuilder().setSql(
+                proto.SQL.newBuilder().setQuery(sql))))
+            .build()
+          var attempt = 0
+          while (true) {
+            try {
+              val it = stub.executePlan(req)
+              val batches = Seq.newBuilder[Array[Byte]]
+              while (it.hasNext) {
+                val resp = it.next()
+                if (resp.hasArrowBatch)
+                  batches += resp.getArrowBatch.getData.toByteArray
+              }
+              return arrowStrings(batches.result())
+            } catch {
+              case _: Exception if attempt < 20 =>
+                attempt += 1; Thread.sleep(500)
+            }
+          }
+          Nil // unreachable
+        }
+
+        // 1) the registry sample, hash-equal (ordered row-string
+        // comparison — every registry query ends in a total ORDER BY)
+        canonical.foreach { case (name, (sql, expect)) =>
+          val got = run(sql)
+          assert(got === expect,
+            s"$name over Connect diverged: ${got.take(3)} vs " +
+              s"${expect.take(3)}")
+        }
+
+        // 2) lakehouse verbs through the same session
+        val t = "graft_lake.lake.cx_lake"
+        run(s"DROP TABLE IF EXISTS $t")
+        run(s"""CREATE TABLE $t (user_id BIGINT, v BIGINT)
+                TBLPROPERTIES ('shard_key'='user_id','n_shards'='2')""")
+        run(s"INSERT INTO $t VALUES (1, 10), (2, 20), (3, 30)")
+        run(s"UPDATE $t SET v = 99 WHERE user_id = 1")
+        run(s"""MERGE INTO $t x USING (
+                  SELECT * FROM VALUES (2L, 22L), (4L, 44L) AS s(k, nv)
+                ) s ON x.user_id = s.k
+                WHEN MATCHED THEN UPDATE SET v = s.nv
+                WHEN NOT MATCHED THEN INSERT (user_id, v)
+                  VALUES (s.k, s.nv)""")
+        def state(q: String): Seq[String] = run(
+          s"SELECT concat_ws(',', CAST(user_id AS STRING), " +
+            s"CAST(v AS STRING)) AS r FROM ($q) ORDER BY r")
+        assert(state(s"SELECT * FROM $t") ===
+          Seq("1,99", "2,22", "3,30", "4,44"))
+        // time travel via a named tag, CALLed over the wire
+        run(s"""CALL graft_lake.system.create_tag(
+                table => 'cx_lake', tag => 'first', version => 1)""")
+        assert(state(s"SELECT * FROM $t VERSION AS OF 'first'") ===
+          Seq("1,10", "2,20", "3,30"))
+        // maintenance + storage inventory
+        run(s"CALL graft_lake.system.optimize(table => 'cx_lake')")
+        assert(state(s"SELECT * FROM $t") ===
+          Seq("1,99", "2,22", "3,30", "4,44"))
+        assert(run(s"SELECT CAST(count(*) AS STRING) AS r FROM " +
+          s"graft_lake.lake.`cx_lake$$files`").head.toLong >= 1L)
+
+        // 3) ANN: build the persisted index over the wire, probe it
+        val vt = "graft_lake.lake.cx_vecs"
+        run(s"DROP TABLE IF EXISTS $vt")
+        run(s"""CREATE TABLE $vt (vec_id BIGINT, emb STRING)
+                TBLPROPERTIES ('shard_key'='vec_id','n_shards'='2')""")
+        val rows = (0 until 16).map { i =>
+          val base = if (i < 8) Seq(1.0, 0.0, 0.0, 0.0)
+                     else Seq(0.0, 0.0, 0.0, 1.0)
+          val emb = base.zipWithIndex.map { case (b, j) =>
+            math.round((b + 0.01 * ((i + j) % 5)) * 1e6).toString
+          }.mkString(",")
+          s"(${i}L, '$emb')"
+        }.mkString(", ")
+        run(s"INSERT INTO $vt VALUES $rows")
+        run("""CALL graft_lake.system.build_ann_index(
+               table => 'cx_vecs', index_table => 'cx_ix',
+               k => 2, iters => 2, pq_m => 2, pq_k => 4,
+               pq_iters => 1)""")
+        // probe vector 0's cell: its whole 8-member blob, nobody else
+        val cell = run("""SELECT CAST(cell AS STRING) AS r
+          FROM graft_lake.lake.cx_ix WHERE vec_id = 0""").head
+        val members = run(s"""SELECT CAST(vec_id AS STRING) AS r
+          FROM graft_lake.lake.cx_ix WHERE cell = $cell
+          ORDER BY vec_id""")
+        assert(members === (0 until 8).map(_.toString))
+        Seq("cx_lake", "cx_vecs", "cx_ix", "cx_ix_centroids",
+          "cx_ix_codebooks", "cx_ix_meta").foreach(n =>
+          run(s"DROP TABLE IF EXISTS graft_lake.lake.$n"))
+      } finally { channel.shutdownNow(); () }
+    } finally SparkConnectService.stop(None, None)
+  }
 }

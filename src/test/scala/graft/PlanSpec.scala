@@ -427,6 +427,74 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ANALYZE-fed CBO REORDERS a TPC-H Q9-shaped 5-way join tree: " +
+      "the selective part filter moves off the written order, result " +
+      "unchanged") {
+    val fp = graft.sources.Tables.fingerprint(sf, "orders")
+    val names = Seq("lineitem", "orders", "supplier", "nation", "part")
+    def tbl(n: String) = s"spec_cbr_${n}_$fp"
+    names.foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS spark_catalog.default.${tbl(n)}")
+      spark.sql(s"""CREATE TABLE spark_catalog.default.${tbl(n)}
+        USING parquet LOCATION '$sf/$n.parquet'""")
+    }
+    // Q9's join graph on the harness schema, WRITTEN in a bad order:
+    // the two biggest relations first, the selective part filter last
+    val joinSql =
+      s"""SELECT count(*) AS n, sum(l.l_orderkey) AS s1,
+             sum(p.p_partkey) AS s2
+         FROM spark_catalog.default.${tbl("lineitem")} l
+         JOIN spark_catalog.default.${tbl("orders")} o
+           ON l.l_orderkey = o.o_orderkey
+         JOIN spark_catalog.default.${tbl("supplier")} s
+           ON l.l_suppkey = s.s_suppkey
+         JOIN spark_catalog.default.${tbl("nation")} n
+           ON s.s_nationkey = n.n_nationkey
+         JOIN spark_catalog.default.${tbl("part")} p
+           ON l.l_partkey = p.p_partkey
+         WHERE p.p_partkey < 20"""
+    def leafOrder: Seq[String] =
+      spark.sql(joinSql).queryExecution.optimizedPlan.collectLeaves()
+        .map(_.toString.linesIterator.next())
+        .flatMap("spec_cbr_([a-z]+)_".r.findFirstMatchIn(_)
+          .map(_.group(1))).toSeq
+    val saved = "spark.sql.cbo.joinReorder.enabled" ->
+      spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      // stats-off: the reorderer has no row counts — written order
+      val before = leafOrder
+      assert(before === Seq("lineitem", "orders", "supplier",
+        "nation", "part"),
+        s"stats-less plan must keep the written join order: $before")
+      val keyCols = Map(
+        "lineitem" -> "l_orderkey, l_suppkey, l_partkey",
+        "orders" -> "o_orderkey", "supplier" -> "s_suppkey, s_nationkey",
+        "nation" -> "n_nationkey", "part" -> "p_partkey")
+      names.foreach(n => spark.sql(
+        s"""ANALYZE TABLE spark_catalog.default.${tbl(n)}
+            COMPUTE STATISTICS FOR COLUMNS ${keyCols(n)}"""))
+      val after = leafOrder
+      assert(after !== before,
+        s"ANALYZE stats did not reorder the join tree: $after")
+      // the selective filtered dimension must join before at least one
+      // of the two big relations the written order put first
+      assert(after.indexOf("part") <
+        math.max(after.indexOf("orders"), after.indexOf("supplier")),
+        s"expected the filtered part dim to move earlier: $after")
+      // reordered plan, identical answer (vs the raw-parquet recompute)
+      val got = spark.sql(joinSql).head()
+      val want = spark.sql(names.foldLeft(joinSql)((q, n) =>
+        q.replace(s"spark_catalog.default.${tbl(n)}",
+          s"parquet.`$sf/$n.parquet`"))).head()
+      assert(got === want)
+    } finally {
+      spark.conf.set(saved._1, saved._2)
+      names.foreach(n => spark.sql(
+        s"DROP TABLE IF EXISTS spark_catalog.default.${tbl(n)}"))
+    }
+  }
+
   test("lake scan reports DSv2 statistics: a small lake dimension " +
       "joined to parquet plans a broadcast of the lake side (without " +
       "stats a DSv2 relation defaults to 'huge' and shuffles both)") {

@@ -10,12 +10,37 @@ It registers the harness parquet tables as DuckDB views, runs each entry of
 
 This is a builder-side dev tool only; the shipped library is pure Scala.
 """
-import sys, json, glob, math, datetime
+import sys, json, glob, math, datetime, hashlib, os
 
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# Deliberately-quadratic exact-baseline truths whose one-time cost at
+# sf1 exceeds any sane stamp budget. With GRAFT_TRUTH_CACHE=<dir> set,
+# the oracle result materializes ONCE per (query, input fingerprint,
+# SQL text) as parquet and later stamps read it back — the truth is
+# still computed by DuckDB from the raw tables, never by the engine
+# under test; the cache key pins both the inputs and the exact SQL, so
+# any change recomputes. Unset (the driver's sf0.01 gate), nothing
+# changes.
+SLOW_TRUTH = {"dedup_semantic_keep"}
+
+
+def truth_cache_path(name, sql, sf):
+    d = os.environ.get("GRAFT_TRUTH_CACHE")
+    if not d or name not in SLOW_TRUTH:
+        return None
+    h = hashlib.sha256()
+    h.update(sql.encode())
+    for t in TABLES:
+        f = f"{sf}/{t}.parquet"
+        if os.path.exists(f):
+            st = os.stat(f)
+            h.update(f"{t}:{st.st_size}:{st.st_mtime_ns}".encode())
+    os.makedirs(d, exist_ok=True)
+    return f"{d}/{name}_{h.hexdigest()[:16]}.parquet"
 
 
 def canon(v):
@@ -71,8 +96,19 @@ def main():
             print(f"FAIL {name}: cannot read spark output: {e}")
             n_bad += 1
             continue
+        cache = truth_cache_path(name, sql, sf)
         try:
-            ocols, orows = fetch(con, sql)
+            if cache and os.path.exists(cache):
+                ocols, orows = fetch(
+                    con, f"SELECT * FROM read_parquet('{cache}')")
+            else:
+                if cache:
+                    con.execute(
+                        f"COPY ({sql}) TO '{cache}' (FORMAT PARQUET)")
+                    ocols, orows = fetch(
+                        con, f"SELECT * FROM read_parquet('{cache}')")
+                else:
+                    ocols, orows = fetch(con, sql)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_bad += 1
@@ -85,7 +121,9 @@ def main():
         st = dict((c[0], c[1]) for c in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet({flist})").fetchall())
         ot = dict((c[0], c[1]) for c in con.execute(
-            f"DESCRIBE {sql}").fetchall())
+            f"DESCRIBE SELECT * FROM read_parquet('{cache}')"
+            if cache and os.path.exists(cache)
+            else f"DESCRIBE {sql}").fetchall())
         dtbad = [f"{c}: spark={st[c]} oracle={ot[c]}"
                  for c in sorted(st) if c in ot and st[c] != ot[c]]
         if dtbad:
