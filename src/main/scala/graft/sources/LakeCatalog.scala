@@ -5696,6 +5696,54 @@ object Lake {
        WHERE n.n_events >= 3
        ORDER BY n.user_id"""
 
+  /** SORTED-BUCKET JOIN through the oracle gate: the SPJ pair's
+    * clustered twin — both tables written under
+    * `write_distribution = clustered`, whose required ordering leaves
+    * every shard file KEY-SORTED and recorded as sorted provenance,
+    * so the join plans with zero exchanges (SPJ) AND zero sort nodes
+    * (`SupportsReportOrdering`). LakeSortOrderSpec pins the plan
+    * shape; this query pins the VALUES against DuckDB. At 100 TB a
+    * fact-fact key join costs neither network nor sort CPU. */
+  val lakeSortedJoin: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val ta = s"graft_lake.lake.srtn_$fp"
+    val tb = s"graft_lake.lake.srtd_$fp"
+    val ev = Tables.events(s, dir)
+    ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .createOrReplaceTempView("graft_lake_srt_n")
+    ev.groupBy("user_id")
+      .agg(min(expr("CAST(to_date(ts) AS DATE)")).as("cohort_d"))
+      .createOrReplaceTempView("graft_lake_srt_d")
+    for ((t, src, cols) <- Seq(
+        (ta, "graft_lake_srt_n", "user_id BIGINT, n_events BIGINT"),
+        (tb, "graft_lake_srt_d", "user_id BIGINT, cohort_d DATE"))) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"""CREATE TABLE $t ($cols)
+                TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+                  'write_distribution'='clustered')""")
+      s.sql(s"INSERT INTO $t SELECT * FROM $src")
+    }
+    s.sql(s"""SELECT a.user_id, b.cohort_d, a.n_events
+              FROM $ta a JOIN $tb b ON a.user_id = b.user_id
+              WHERE a.n_events >= 3
+              ORDER BY a.user_id""")
+  }
+
+  val lakeSortedJoinOracle: String =
+    """WITH n AS (
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY user_id),
+       d AS (
+         SELECT user_id,
+           CAST(min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS DATE)
+             AS cohort_d
+         FROM events GROUP BY user_id)
+       SELECT n.user_id, d.cohort_d, n.n_events
+       FROM n JOIN d ON n.user_id = d.user_id
+       WHERE n.n_events >= 3
+       ORDER BY n.user_id"""
+
   /** WRITE-AUDIT-PUBLISH through branches: v1 INSERTs first-half
     * counts to MAIN; `CALL create_branch('audit')` forks; the
     * second-half additive MERGE commits ON THE BRANCH (under the
@@ -6078,6 +6126,7 @@ object Lake {
     "lake_part_prune" -> lakePartPrune,
     "lake_bloom_skip" -> lakeBloomSkip,
     "lake_spj_join" -> lakeSpjJoin,
+    "lake_sorted_join" -> lakeSortedJoin,
     "lake_recluster_skip" -> lakeReclusterSkip,
     "merge_sql_firstseen" -> mergeSqlFirstSeen,
     "lake_time_travel" -> lakeTimeTravel,
@@ -6118,6 +6167,7 @@ object Lake {
     "lake_part_prune" -> lakePartPruneOracle,
     "lake_bloom_skip" -> lakeBloomSkipOracle,
     "lake_spj_join" -> lakeSpjJoinOracle,
+    "lake_sorted_join" -> lakeSortedJoinOracle,
     "lake_recluster_skip" -> lakeStatsSkippingOracle,
     "merge_sql_firstseen" ->
       graft.operators.Merge.mergeUpsertFirstSeenOracle,
