@@ -97,14 +97,21 @@ def main():
             n_bad += 1
             continue
         cache = truth_cache_path(name, sql, sf)
+        def cache_ready():
+            return (cache and os.path.exists(cache)
+                    and os.path.getsize(cache) > 0)
         try:
-            if cache and os.path.exists(cache):
+            if cache_ready():
                 ocols, orows = fetch(
                     con, f"SELECT * FROM read_parquet('{cache}')")
             else:
                 if cache:
+                    # write-then-rename: a concurrent reader never sees
+                    # a half-written truth file
+                    tmp = cache + f".tmp{os.getpid()}"
                     con.execute(
-                        f"COPY ({sql}) TO '{cache}' (FORMAT PARQUET)")
+                        f"COPY ({sql}) TO '{tmp}' (FORMAT PARQUET)")
+                    os.replace(tmp, cache)
                     ocols, orows = fetch(
                         con, f"SELECT * FROM read_parquet('{cache}')")
                 else:
@@ -122,7 +129,7 @@ def main():
             f"DESCRIBE SELECT * FROM read_parquet({flist})").fetchall())
         ot = dict((c[0], c[1]) for c in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{cache}')"
-            if cache and os.path.exists(cache)
+            if cache_ready()
             else f"DESCRIBE {sql}").fetchall())
         dtbad = [f"{c}: spark={st[c]} oracle={ot[c]}"
                  for c in sorted(st) if c in ot and st[c] != ot[c]]
