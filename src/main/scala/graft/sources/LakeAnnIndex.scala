@@ -150,8 +150,14 @@ object GraftLakeAnnIndex {
     // the build-time FIT QUALITY, the drift metric's baseline: mean
     // squared distance of every vector to its assigned centroid —
     // when the live mean pulls away from this, the quantizer has gone
-    // stale and the user should retrain (lifecycle, round 14)
-    val meanD2 = assigned.agg(avg(col("d2"))).head.getDouble(0)
+    // stale and the user should retrain (lifecycle, round 14).
+    // DECIMAL-folded at 6 dp so the mean is partition-order
+    // independent (the repo-wide exactness discipline — the
+    // registered drift query is oracle-checked against DuckDB)
+    val meanD2 = assigned
+      .selectExpr("CAST(round(d2, 6) AS DECIMAL(18,6)) AS d6")
+      .agg((sum(col("d6")).cast("double") / count(lit(1))).as("m"))
+      .head.getDouble(0)
     Seq(s"${ix}_centroids", s"${ix}_codebooks", ix, s"${ix}_meta")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${q(t)}"))
     s.sql(s"""CREATE TABLE ${q(s"${ix}_centroids")}
@@ -274,10 +280,12 @@ object GraftLakeAnnIndex {
     val live = s.table(q(ix))
       .selectExpr("cell", s"$parseSv AS sv")
       .join(centroidFrame(s, ix), col("cell") === col("cid"))
-      .selectExpr("""graft_dot(sv, sv)
+      .selectExpr("""CAST(round(graft_dot(sv, sv)
           - 2 * graft_dot(sv, centroid)
-          + graft_dot(centroid, centroid) AS d2""")
-      .agg(avg(col("d2"))).head.getDouble(0)
+          + graft_dot(centroid, centroid), 6)
+          AS DECIMAL(18,6)) AS d6""")
+      .agg((sum(col("d6")).cast("double") / count(lit(1))).as("m"))
+      .head.getDouble(0)
     (base, live, if (base > 0) live / base else Double.PositiveInfinity)
   }
 

@@ -6067,6 +6067,77 @@ object Lake {
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
   }
 
+  /** The LIFECYCLE drift metric through the oracle gate: an index
+    * built over labels 0–7 only, then labels 8–9 arrive as a delta
+    * and `refresh_ann_index` folds them into the STALE quantizer —
+    * `CALL ann_index_drift` must report exactly the live-vs-build
+    * mean-d² ratio the math defines (decimal-folded at 6 dp so both
+    * engines' means are partition-order independent). The DuckDB twin
+    * retrains the same Lloyd pipeline on the label<8 subset and
+    * re-derives both means from the raw corpus — so a wrong cursor
+    * baseline, a refresh that moved the quantizer, or a biased live
+    * aggregate all hash-mismatch. */
+  val annIndexDrift: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "embeddings")
+    val src = s"anndrift_$fp"
+    val ix = s"anndriftix_$fp"
+    if (!builtHistories.contains(src)) {
+      val corpus = s.read.parquet(s"$dir/embeddings.parquet")
+        .selectExpr("vec_id", "label",
+          """concat_ws(',', transform(embedding, x ->
+             CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+             AS STRING))) AS emb""")
+      corpus.filter(col("label") < 8).select("vec_id", "emb")
+        .createOrReplaceTempView("graft_anndrift_b1")
+      corpus.filter(col("label") >= 8).select("vec_id", "emb")
+        .createOrReplaceTempView("graft_anndrift_b2")
+      s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$src")
+      s.sql(s"""CREATE TABLE graft_lake.lake.$src
+                (vec_id BIGINT, emb STRING)
+                TBLPROPERTIES ('shard_key'='vec_id', 'n_shards'='4')""")
+      s.sql(s"""INSERT INTO graft_lake.lake.$src
+                SELECT * FROM graft_anndrift_b1""")
+      s.sql(s"""CALL graft_lake.system.build_ann_index(
+                table => '$src', index_table => '$ix')""")
+      s.sql(s"""INSERT INTO graft_lake.lake.$src
+                SELECT * FROM graft_anndrift_b2""")
+      s.sql(s"""CALL graft_lake.system.refresh_ann_index(
+                index_table => '$ix')""")
+      builtHistories.add(src): Unit
+    }
+    s.sql(s"""CALL graft_lake.system.ann_index_drift(
+              index_table => '$ix')""")
+      .selectExpr("round(build_mean_d2, 6) AS build_mean_d2",
+        "round(live_mean_d2, 6) AS live_mean_d2",
+        "round(drift_ratio, 6) AS drift_ratio")
+  }
+
+  val annIndexDriftOracle: String = {
+    import graft.operators.Similarity.{kmAssignDuck, kmUpdateDuck, dotD}
+    val v0 =
+      """SELECT vec_id, label, list_transform(embedding, x ->
+           CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                AS DOUBLE) / 1000000.0) AS sv
+         FROM embeddings"""
+    val v = s"""SELECT vec_id, label, sv, ${dotD("sv", "sv")} AS xx
+                FROM ($v0)"""
+    val bld = s"SELECT * FROM ($v) WHERE label < 8"
+    var cents = s"""SELECT vec_id AS cid, sv AS centroid FROM ($bld)
+                    WHERE vec_id < 8"""
+    for (_ <- 1 to 3)
+      cents = kmUpdateDuck(kmAssignDuck(bld, cents, byJ = false),
+        Seq("cid"), 64)
+    def mean(src: String): String =
+      s"""SELECT CAST(sum(CAST(round(d2, 6) AS DECIMAL(18,6)))
+            AS DOUBLE) / count(*) AS m
+          FROM (${kmAssignDuck(src, cents, byJ = false)})"""
+    s"""SELECT round(b.m, 6) AS build_mean_d2,
+         round(l.m, 6) AS live_mean_d2,
+         round(l.m / b.m, 6) AS drift_ratio
+       FROM (${mean(bld)}) b, (${mean(s"SELECT * FROM ($v)")}) l"""
+  }
+
   val annIndexedTopkOracle: String = {
     import graft.operators.Similarity.{kmAssignDuck, kmUpdateDuck, dotD}
     val v0 =
@@ -6116,6 +6187,7 @@ object Lake {
 
   val queries: Map[String, Q] = Map(
     "ann_indexed_topk" -> annIndexedTopk,
+    "ann_index_drift" -> annIndexDrift,
     "ann_indexed_pq" -> annIndexedPq,
     "lake_branch_wap" -> lakeBranchWap,
     "lake_hidden_partition_prune" -> lakeHiddenPartitionPrune,
@@ -6157,6 +6229,7 @@ object Lake {
 
   val oracles: Map[String, String] = Map(
     "ann_indexed_topk" -> annIndexedTopkOracle,
+    "ann_index_drift" -> annIndexDriftOracle,
     "ann_indexed_pq" -> annIndexedPqOracle,
     "lake_branch_wap" -> lakeBranchWapOracle,
     "lake_hidden_partition_prune" -> lakeHiddenPartitionPruneOracle,

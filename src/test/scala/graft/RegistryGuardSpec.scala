@@ -61,7 +61,8 @@ class RegistryGuardSpec extends SparkSpec {
     * cannot matter, so no ORDER BY is demanded. Membership is enforced
     * below — each must actually return <= 1 row on the harness data. */
   private val OrderFreeSingleRow: Set[String] = Set(
-    "agg_minmax_global", "corr_matrix", "dedup_lsh_recall",
+    "agg_minmax_global", "ann_index_drift", "corr_matrix",
+    "dedup_lsh_recall",
     "lake_agg_pushdown", "lake_limit_pushdown", "meta_analyze_stats",
     "funnel_conversion", "graph_triangle_count", "q14_promo_revenue",
     "q17_small_qty_revenue", "q19_discounted_revenue",
