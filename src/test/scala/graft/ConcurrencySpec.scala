@@ -99,4 +99,59 @@ class ConcurrencySpec extends SparkSpec {
     assert(pinned.collect().map(_.toString).sorted.toSeq === want)
     spark.sql(s"DROP TABLE $tbl")
   }
+
+  test("equality-delete upserts race: concurrent composite-key batch " +
+      "writers all land through CAS retries, every key resolves to " +
+      "its writer's value, no duplicates survive") {
+    graft.sources.Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_equp_race"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, kind STRING,
+        v BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4',
+        'write_upsert'='equality-delete',
+        'upsert_keys'='user_id,kind')""")
+    // seed every key once
+    spark.sql(s"""INSERT INTO $tbl
+      SELECT id % 8 AS user_id,
+             CASE WHEN id < 8 THEN 'a' ELSE 'b' END AS kind,
+             0L AS v
+      FROM range(0, 16)""")
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4))
+    def retrying(sql: String): Unit = {
+      def isConflict(t: Throwable): Boolean =
+        t != null && (t.isInstanceOf[
+          graft.sources.GraftLakeCommitConflict] ||
+          isConflict(t.getCause))
+      var done = false
+      while (!done)
+        try { spark.sql(sql): Unit; done = true }
+        catch { case e: Exception if isConflict(e) => }
+    }
+    // 4 writers, each upserting ITS OWN key-unique batch: writer w
+    // rewrites kind-'a' values of users w and w+4 to 100+w, and the
+    // 'b' twin to 200+w — batches overlap in SHARDS (CAS races) but
+    // never in KEYS, so last-writer-wins must converge to exactly
+    // these values whatever the commit order
+    val writers = Future.sequence((0 until 4).map { w =>
+      Future(retrying(
+        s"""INSERT INTO $tbl
+            SELECT u AS user_id, k AS kind,
+                   CASE WHEN k = 'a' THEN ${100 + w}L
+                        ELSE ${200 + w}L END AS v
+            FROM (SELECT explode(array(${w}L, ${w + 4}L)) AS u)
+            LATERAL VIEW explode(array('a', 'b')) t AS k"""))
+    })
+    Await.result(writers, 2.minutes): Unit
+    val got = spark.table(tbl).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+    assert(got.length === 16, s"duplicates survived: ${got.length}")
+    got.toMap.foreach { case ((u, k), v) =>
+      val w = (u % 4).toInt
+      assert(v === (if (k == "a") 100 + w else 200 + w),
+        s"key ($u,$k) resolved to $v")
+    }
+    spark.sql(s"DROP TABLE $tbl")
+  }
 }
