@@ -665,6 +665,33 @@ class GraftLakeTable(private[sources] val tableName: String,
   override def name(): String =
     pinnedVersion.fold(tableName)(v => s"$tableName@v$v")
   override def schema(): StructType = declared
+
+  /** The DDL-visible table properties (`SHOW TBLPROPERTIES`,
+    * `DESCRIBE TABLE EXTENDED`) — the same keys CREATE TABLE accepts,
+    * round-tripped, so a user can inspect a table's layout and write
+    * semantics without reading descriptor files. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("shard_key", shardKey): Unit
+    m.put("n_shards", nShards.toString): Unit
+    if (shardWidth > 0L) m.put("shard_width", shardWidth.toString): Unit
+    if (deleteMode != "copy-on-write")
+      m.put("delete_mode", deleteMode): Unit
+    if (updateMode != "copy-on-write")
+      m.put("update_mode", updateMode): Unit
+    if (mergeMode != "copy-on-write")
+      m.put("merge_mode", mergeMode): Unit
+    if (bloomCols.nonEmpty)
+      m.put("bloom_columns", bloomCols.mkString(",")): Unit
+    if (writeDistribution != "none")
+      m.put("write_distribution", writeDistribution): Unit
+    if (upsertMode != "none") {
+      m.put("write_upsert", upsertMode): Unit
+      if (upsertKeys != Seq(shardKey))
+        m.put("upsert_keys", upsertKeys.mkString(",")): Unit
+    }
+    m
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     if (pinnedVersion.isDefined)
       java.util.EnumSet.of(TableCapability.BATCH_READ)

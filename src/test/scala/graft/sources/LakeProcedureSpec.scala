@@ -175,4 +175,38 @@ class LakeProcedureSpec extends SparkSpec {
         procCells.mkString("[", ", ", "]"))
     spark.sql(s"DROP TABLE $tbl")
   }
+
+  test("SHOW TBLPROPERTIES round-trips the DDL surface: layout and " +
+      "write semantics are inspectable without descriptor files") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_props"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, kind STRING,
+        v BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='4',
+        'delete_mode'='merge-on-read',
+        'write_distribution'='clustered',
+        'write_upsert'='equality-delete',
+        'upsert_keys'='user_id,kind')""")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("shard_key") === "user_id")
+    assert(props("n_shards") === "4")
+    assert(props("delete_mode") === "merge-on-read")
+    assert(props("write_distribution") === "clustered")
+    assert(props("write_upsert") === "equality-delete")
+    assert(props("upsert_keys") === "user_id,kind")
+    // defaults stay silent: no copy-on-write noise rows
+    assert(!props.contains("update_mode") && !props.contains("merge_mode"))
+    // ALTER-visible too: the property surface reflects the rewrite
+    spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+      "('bloom_columns'='kind')")
+    val props2 = spark.sql(s"SHOW TBLPROPERTIES $tbl").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props2("bloom_columns") === "kind")
+    assert(props2("write_upsert") === "equality-delete",
+      "ALTER must not drop the upsert surface (round-14 advice class)")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
 }
