@@ -199,9 +199,22 @@ object GraftLakeAnnIndex {
     (nCents, nVecs, v)
   }
 
+  /** Pre-r14 indexes persisted a 3-column `_meta` without
+    * `build_mean_d2`; selecting it there fails with an opaque
+    * unresolved-column analysis error. Detect the legacy schema up
+    * front and say what to do about it. */
+  private def requireDriftBaseline(meta: DataFrame, ix: String): Unit =
+    if (!meta.schema.fieldNames.contains("build_mean_d2"))
+      throw new IllegalStateException(
+        s"ANN index '$ix' predates drift tracking (its _meta table " +
+          "has no build_mean_d2 column); CALL " +
+          s"retrain_ann_index('$ix') to rebuild it with a drift " +
+          "baseline")
+
   /** Advance from `$changes`. Returns (from, to, added, removed). */
   def refresh(root: String, ix: String): (Long, Long, Long, Long) = {
     val s = SparkSession.active
+    requireDriftBaseline(s.table(q(s"${ix}_meta")), ix)
     val meta = s.table(q(s"${ix}_meta"))
       .orderBy(col("last_version").desc).limit(1)
       .selectExpr("source", "last_version").head()
@@ -273,7 +286,9 @@ object GraftLakeAnnIndex {
     * much. */
   def drift(root: String, ix: String): (Double, Double, Double) = {
     val s = SparkSession.active
-    val meta = s.table(q(s"${ix}_meta"))
+    val metaTbl = s.table(q(s"${ix}_meta"))
+    requireDriftBaseline(metaTbl, ix)
+    val meta = metaTbl
       .orderBy(col("last_version").desc).limit(1)
       .selectExpr("build_mean_d2").head()
     val base = meta.getDouble(0)
@@ -298,10 +313,14 @@ object GraftLakeAnnIndex {
     * when the corpus outgrew its cell count), pq_m/pq_k from the
     * persisted codebooks — so a plain
     * `CALL retrain_ann_index(index_table)` needs nothing the user has
-    * to remember. Old and new encodings never mix: retrain replaces
-    * the whole index transactionally per table, and probes planned
-    * against the pre-retrain snapshot finish against it (lake
-    * snapshot isolation). */
+    * to remember. Atomicity is PER TABLE only: build() drops and
+    * recreates the four index tables sequentially, so a probe that
+    * starts BETWEEN those commits can see a missing table or a
+    * mixed-generation pair (new centroids against old cells); a probe
+    * planned before the retrain finishes consistently against its own
+    * pre-retrain snapshots (lake snapshot isolation per table).
+    * Retrain is an offline maintenance verb — run it without
+    * concurrent probes, or build into staging names and swap. */
   def retrain(root: String, ix: String, kOverride: Int = -1,
       iters: Int = 3, pqIters: Int = 2): (Int, Long, Int) = {
     val s = SparkSession.active

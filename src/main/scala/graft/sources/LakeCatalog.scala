@@ -527,6 +527,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       changes: TableChange*): Table = {
     val t = loadTable(ident).asInstanceOf[GraftLakeTable]
     var schema = t.schema()
+    var shardKey = t.shardKey
+    var nShards = t.nShards
     var shardWidth = t.shardWidth
     var bloomCols = t.bloomCols
     var writeDistribution = t.writeDistribution
@@ -554,6 +556,31 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
       // (the OPTIMIZE/CLUSTER BY migration — lake_recluster_skip).
       case p: TableChange.SetProperty if p.property() == "shard_width" =>
         shardWidth = p.value().toLong
+      // PARTITION-SPEC EVOLUTION (Iceberg `REPLACE PARTITION FIELD`,
+      // the hidden-transform half): `SET TBLPROPERTIES
+      // ('shard_key'='months(ts)')` on a `days(ts)` table re-routes
+      // FUTURE writes by the new transform without touching data.
+      // Soundness falls out of the existing provenance discipline:
+      // old shards keep their `days:<w>:<n>` tags — which every
+      // pruning path already treats as never-prunable-by-probe
+      // (transform tags parse to None in routeUnder, SPJ demands
+      // `hash:<n>`, sorted claims refuse transforms) — so they degrade
+      // to effectively-mixed, while ts zone maps record OBSERVED
+      // ranges and keep skipping on BOTH generations. Append-merging
+      // new rows into an old shard degrades its tag to literal
+      // "mixed" (tag != currentTag at commit). Restricted to
+      // transform→transform over the SAME raw column: plain-key
+      // changes are refused because plain routing tags (`hash:<n>`)
+      // do not record WHICH column routed the shard, so a carried
+      // tag could string-match the new routing and mis-prune.
+      case p: TableChange.SetProperty if p.property() == "shard_key" =>
+        shardKey = p.value()
+      // n_shards evolution: sound for non-upsert tables because every
+      // pruning decision routes under the SHARD'S OWN recorded tag
+      // (which embeds the n it was written with), never the current
+      // one; scans enumerate shards from the directory, not 0..n-1.
+      case p: TableChange.SetProperty if p.property() == "n_shards" =>
+        nShards = p.value().toInt
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "lake schema evolution: nested column adds unsupported")
@@ -566,13 +593,45 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
         require(d.fieldNames().length == 1,
           "lake schema evolution: nested column drops unsupported")
         val name = d.fieldNames()(0)
-        require(name != t.shardKey,
+        // parse-aware: the routing column of `days(ts)` is `ts`
+        require(name != GraftLakeTransform.parse(shardKey)._2,
           s"lake schema evolution: cannot drop the shard key $name")
         require(schema.fieldNames.contains(name),
           s"no such column $name")
         schema = StructType(schema.filterNot(_.name == name))
       case other => throw new UnsupportedOperationException(
         s"lake schema evolution: unsupported change $other")
+    }
+    // partition-spec evolution validation, against the FINAL state so
+    // it composes with other changes in the same ALTER
+    if (shardKey != t.shardKey) {
+      require(t.upsertMode == "none",
+        "partition-spec evolution: shard_key is frozen on " +
+          "write_upsert=equality-delete tables (upsert masking " +
+          "requires every key version to route to the same shard)")
+      val (oldT, oldC) = GraftLakeTransform.parse(t.shardKey)
+      val (newT, newC) = GraftLakeTransform.parse(shardKey)
+      require(oldT.nonEmpty && newT.nonEmpty,
+        s"partition-spec evolution: only hidden-transform changes " +
+          s"(days(col) <-> months(col)) are supported; " +
+          s"'${t.shardKey}' -> '$shardKey' would re-route by a key " +
+          "the recorded per-shard provenance tags cannot distinguish" +
+          " — rewrite into a new table (INSERT OVERWRITE) instead")
+      require(oldC == newC,
+        s"partition-spec evolution: the raw routing column must stay " +
+          s"the same (got $oldC -> $newC) — tags do not record the " +
+          "column, so old shards could mis-prune under the new one")
+      require(schema.fieldNames.contains(newC) &&
+        schema(newC).dataType == TimestampType,
+        s"shard_key $newT($newC) requires a TIMESTAMP column")
+      if (shardWidth <= 0L) shardWidth = 1L
+    }
+    if (nShards != t.nShards) {
+      require(t.upsertMode == "none",
+        "partition-spec evolution: n_shards is frozen on " +
+          "write_upsert=equality-delete tables (a re-routed key " +
+          "version could no longer mask its older copy)")
+      require(nShards > 0, s"n_shards must be positive, got $nShards")
     }
     // same loud DDL refusal as createTable: a typo'd or float column
     // set via ALTER must fail here, not silently never build filters.
@@ -589,8 +648,8 @@ class GraftLakeCatalog extends TableCatalog with SupportsNamespaces
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val doc = om.createObjectNode()
     doc.put("schema", schema.json): Unit
-    doc.put("shardKey", t.shardKey): Unit
-    doc.put("nShards", t.nShards): Unit
+    doc.put("shardKey", shardKey): Unit
+    doc.put("nShards", nShards): Unit
     doc.put("shardWidth", shardWidth): Unit
     doc.put("deleteMode", t.deleteMode): Unit
     doc.put("updateMode", t.updateMode): Unit
@@ -2345,9 +2404,15 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
       // parts this scan pruned, so its subtraction clamps to that
       // shard's own planned rows — never cancelling real rows from
       // OTHER shards (a global max(0,...) would). Equality-delete
-      // entries are dead rows too: each map key kills at most one
-      // older copy, so map size is a sound lower-bound correction —
-      // without it upsert-heavy tables overstate rows to the CBO.
+      // entries approximate dead rows: each key kills AT MOST one
+      // older copy, but the committer records an entry for EVERY
+      // staged key on a non-empty shard — a brand-new key kills
+      // nothing, so insert-heavy upsert tables UNDERSTATE live rows
+      // here (and a key upserted across N commits kills N-1 copies
+      // while appearing once, understating dead). Estimate-only and
+      // clamped per shard; the alternative (reading base keys at
+      // commit to record only real kills) costs a target scan per
+      // commit, which the O(batch) write path deliberately avoids.
       val (bytes, liveRows) = parts.toSeq.foldLeft((0L, 0L)) {
         case ((b, r), p) =>
           val fs = p.paths.map(new java.io.File(_))
@@ -5771,6 +5836,91 @@ object Lake {
        WHERE n.n_events >= 3
        ORDER BY n.user_id"""
 
+  /** AQE SKEW-JOIN over a LAKE fact scan, through the oracle gate:
+    * the fact table concentrates ~70% of the event log on one hot
+    * join key (the canonical power-law entity), the dim side is too
+    * big-by-config to broadcast, and Spark's own runtime skew split
+    * (`spark.sql.adaptive.skewJoin`) divides the hot partition —
+    * composing with the vectorized columnar lake read. This is the
+    * AUTOMATIC answer to the skew `join_salted` solves by hand; the
+    * aggregate is materialized into a lake table UNDER the
+    * skew-tuned confs (saved/restored around the one execution) so
+    * the registered read stays conf-clean for the rest of the suite.
+    * PlanSpec pins the `skew=true` SMJ node on a controlled lake
+    * fixture; this query pins the VALUES against DuckDB. At 100 TB
+    * the hot-key partition is the straggler that decides job time —
+    * AQE's split is the no-code-change fix. */
+  val joinSkewAqe: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val res = s"graft_lake.lake.skewr_$fp"
+    if (!builtHistories.contains(res)) {
+      val fact = s"graft_lake.lake.skewf_$fp"
+      Tables.events(s, dir)
+        .selectExpr("event_id",
+          "CASE WHEN user_id % 10 < 7 THEN 0L ELSE user_id END" +
+            " AS skew_key")
+        .createOrReplaceTempView("graft_lake_skew_src")
+      s.sql(s"DROP TABLE IF EXISTS $fact")
+      s.sql(s"""CREATE TABLE $fact (event_id BIGINT, skew_key BIGINT)
+                TBLPROPERTIES ('shard_key'='event_id',
+                  'n_shards'='8')""")
+      s.sql(s"INSERT INTO $fact SELECT * FROM graft_lake_skew_src")
+      s.sql(s"DROP TABLE IF EXISTS $res")
+      s.sql(s"""CREATE TABLE $res (weight BIGINT, n_rows BIGINT,
+                  max_event_id BIGINT, n_keys BIGINT)
+                TBLPROPERTIES ('shard_key'='weight', 'n_shards'='4')""")
+      val saved = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        .map(k => k -> scala.util.Try(s.conf.get(k)).toOption)
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.conf.set(
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        s.conf.set("spark.sql.adaptive.skewJoin" +
+          ".skewedPartitionThresholdInBytes", "16KB")
+        s.conf.set(
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        // dim derived from the fact's OWN key domain (includes the
+        // synthetic hot key 0); the grouping key differs from the
+        // join key so the post-join exchange is needed either way and
+        // OptimizeSkewedJoin is free to split without
+        // forceOptimizeSkewedJoin
+        s.sql(s"""INSERT INTO $res
+          WITH dim AS (SELECT DISTINCT skew_key,
+                         skew_key % 97 AS weight FROM $fact)
+          SELECT d.weight, count(*) AS n_rows,
+            max(f.event_id) AS max_event_id,
+            count(DISTINCT f.skew_key) AS n_keys
+          FROM $fact f JOIN dim d ON f.skew_key = d.skew_key
+          GROUP BY d.weight""")
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      builtHistories.add(res): Unit
+    }
+    s.sql(s"""SELECT weight, n_rows, max_event_id, n_keys
+              FROM $res ORDER BY weight""")
+  }
+
+  val joinSkewAqeOracle: String =
+    """WITH fact AS (
+         SELECT event_id,
+           CASE WHEN user_id % 10 < 7 THEN 0 ELSE user_id END
+             AS skew_key
+         FROM events),
+       dim AS (SELECT DISTINCT skew_key, skew_key % 97 AS weight
+               FROM fact)
+       SELECT d.weight, CAST(count(*) AS BIGINT) AS n_rows,
+         max(f.event_id) AS max_event_id,
+         CAST(count(DISTINCT f.skew_key) AS BIGINT) AS n_keys
+       FROM fact f JOIN dim d ON f.skew_key = d.skew_key
+       GROUP BY d.weight ORDER BY d.weight"""
+
   /** WRITE-AUDIT-PUBLISH through branches: v1 INSERTs first-half
     * counts to MAIN; `CALL create_branch('audit')` forks; the
     * second-half additive MERGE commits ON THE BRANCH (under the
@@ -5881,6 +6031,57 @@ object Lake {
          max(event_id) AS max_event_id
        FROM events
        WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-21 00:00:00'
+       GROUP BY user_id ORDER BY user_id"""
+
+  /** PARTITION-SPEC EVOLUTION through the oracle gate (Iceberg
+    * `REPLACE PARTITION FIELD`): the event log starts on a `days(ts)`
+    * layout (4-day buckets), is ALTERed to `months(ts)` mid-history,
+    * and the second half of the corpus lands routed by the NEW
+    * transform — no rewrite, no user-visible partition column, and the
+    * cross-generation date-range aggregate still answers exactly
+    * (zone maps record OBSERVED ts ranges, so both generations keep
+    * skipping; old shards' `days:` tags degrade to effectively-mixed
+    * provenance and are never mis-pruned —
+    * LakeHiddenPartitionSpec pins the tag bookkeeping and the
+    * refusals). At 100 TB this is the no-downtime re-layout every
+    * long-lived event table eventually needs: coarser buckets as the
+    * corpus ages without rewriting history. */
+  val lakePartitionEvolution: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.pevolve_$fp"
+    if (!builtHistories.contains(tbl)) {
+      Tables.events(s, dir)
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts",
+          "user_id")
+        .createOrReplaceTempView("graft_lake_pevolve_src")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl
+                (event_id BIGINT, ts TIMESTAMP, user_id BIGINT)
+                TBLPROPERTIES ('shard_key'='days(ts)',
+                  'n_shards'='8', 'shard_width'='4')""")
+      s.sql(s"""INSERT INTO $tbl
+                SELECT * FROM graft_lake_pevolve_src
+                WHERE ts < TIMESTAMP '2024-01-16 00:00:00'""")
+      s.sql(s"""ALTER TABLE $tbl SET TBLPROPERTIES
+                ('shard_key'='months(ts)', 'shard_width'='1')""")
+      s.sql(s"""INSERT INTO $tbl
+                SELECT * FROM graft_lake_pevolve_src
+                WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'""")
+      builtHistories.add(tbl): Unit
+    }
+    s.sql(s"""SELECT user_id, count(*) AS n_events,
+                max(event_id) AS max_event_id
+              FROM $tbl
+              WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+              GROUP BY user_id ORDER BY user_id""")
+  }
+
+  val lakePartitionEvolutionOracle: String =
+    """SELECT user_id, count(*) AS n_events,
+         max(event_id) AS max_event_id
+       FROM events
+       WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
        GROUP BY user_id ORDER BY user_id"""
 
   // ---- persisted ANN index (GraftLakeAnnIndex) ----
@@ -6218,6 +6419,7 @@ object Lake {
     "ann_indexed_pq" -> annIndexedPq,
     "lake_branch_wap" -> lakeBranchWap,
     "lake_hidden_partition_prune" -> lakeHiddenPartitionPrune,
+    "lake_partition_evolution" -> lakePartitionEvolution,
     "lake_limit_pushdown" -> lakeLimitPushdown,
     "lake_zorder_skip" -> lakeZorderSkip,
     "lake_clustered_write" -> lakeClusteredWrite,
@@ -6226,6 +6428,7 @@ object Lake {
     "lake_bloom_skip" -> lakeBloomSkip,
     "lake_spj_join" -> lakeSpjJoin,
     "lake_sorted_join" -> lakeSortedJoin,
+    "join_skew_aqe" -> joinSkewAqe,
     "lake_recluster_skip" -> lakeReclusterSkip,
     "merge_sql_firstseen" -> mergeSqlFirstSeen,
     "lake_time_travel" -> lakeTimeTravel,
@@ -6260,6 +6463,7 @@ object Lake {
     "ann_indexed_pq" -> annIndexedPqOracle,
     "lake_branch_wap" -> lakeBranchWapOracle,
     "lake_hidden_partition_prune" -> lakeHiddenPartitionPruneOracle,
+    "lake_partition_evolution" -> lakePartitionEvolutionOracle,
     "lake_limit_pushdown" -> lakeLimitPushdownOracle,
     "lake_zorder_skip" -> lakeZorderSkipOracle,
     "lake_clustered_write" -> lakeClusteredWriteOracle,
@@ -6268,6 +6472,7 @@ object Lake {
     "lake_bloom_skip" -> lakeBloomSkipOracle,
     "lake_spj_join" -> lakeSpjJoinOracle,
     "lake_sorted_join" -> lakeSortedJoinOracle,
+    "join_skew_aqe" -> joinSkewAqeOracle,
     "lake_recluster_skip" -> lakeStatsSkippingOracle,
     "merge_sql_firstseen" ->
       graft.operators.Merge.mergeUpsertFirstSeenOracle,

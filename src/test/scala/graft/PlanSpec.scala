@@ -329,6 +329,44 @@ class PlanSpec extends SparkSpec {
       s"AQE did not mark the hot partition as skewed:\n$p")
   }
 
+  test("AQE skew split fires on a LAKE fact SMJ, composing with the " +
+      "vectorized columnar read (join_skew_aqe's plan contract)") {
+    val ss = spark.newSession()
+    graft.sources.Lake.registerCatalog(ss)
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    ss.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fact = "graft_lake.lake.spec_skew_fact"
+    ss.sql(s"DROP TABLE IF EXISTS $fact")
+    ss.sql(s"""CREATE TABLE $fact (event_id BIGINT, k BIGINT)
+      TBLPROPERTIES ('shard_key'='event_id', 'n_shards'='8')""")
+    // 50k rows on one hot key + a 1k-row cold tail over 100 keys
+    ss.sql(s"""INSERT INTO $fact
+      SELECT id AS event_id, 0L AS k FROM range(0, 50000)
+      UNION ALL
+      SELECT 50000 + id, id % 100 + 1 FROM range(0, 1000)""")
+    val dim = ss.range(0, 101).selectExpr("id AS k", "id * 2 AS w")
+    val j = ss.table(fact).join(dim, "k")
+      // group on w (not k): the post-join exchange is needed either
+      // way, so OptimizeSkewedJoin can split without being forced.
+      // max(event_id) keeps the DISTINCT ids in the fact shuffle —
+      // a k-only projection is 50k identical longs, which lz4
+      // compresses below any skew threshold (partition sizes are
+      // measured on compressed map output)
+      .groupBy("w").agg(org.apache.spark.sql.functions.max("event_id"))
+    assert(j.collect().length === 101)
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"AQE did not split the hot lake partition:\n$p")
+    assert(p.contains("GraftLakeScan"),
+      s"expected the lake fact scan in:\n$p")
+    ss.sql(s"DROP TABLE $fact")
+  }
+
   test("bitmap64 distinct: two-level ObjectHashAggregate, partial " +
       "map-side — only serialized bitmaps cross the exchange") {
     val df = Aggregates.bitmapExactDistinct64(spark, sf)

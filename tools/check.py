@@ -107,10 +107,21 @@ def main():
             else:
                 if cache:
                     # write-then-rename: a concurrent reader never sees
-                    # a half-written truth file
+                    # a half-written truth file. Capture the oracle
+                    # dtypes from DESCRIBE {sql} NOW — parquet COPY can
+                    # normalize types (HUGEINT widening etc.), so warm
+                    # runs must compare against the ORIGINAL SQL's
+                    # types, stored in a sidecar next to the parquet.
+                    otypes = dict(
+                        (c[0], c[1])
+                        for c in con.execute(f"DESCRIBE {sql}").fetchall())
                     tmp = cache + f".tmp{os.getpid()}"
                     con.execute(
                         f"COPY ({sql}) TO '{tmp}' (FORMAT PARQUET)")
+                    ttmp = cache + f".types.tmp{os.getpid()}"
+                    with open(ttmp, "w") as fh:
+                        json.dump(otypes, fh)
+                    os.replace(ttmp, cache + ".types.json")
                     os.replace(tmp, cache)
                     ocols, orows = fetch(
                         con, f"SELECT * FROM read_parquet('{cache}')")
@@ -127,10 +138,14 @@ def main():
         # dtype-strict schema comparison (the driver's check may be)
         st = dict((c[0], c[1]) for c in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet({flist})").fetchall())
-        ot = dict((c[0], c[1]) for c in con.execute(
-            f"DESCRIBE SELECT * FROM read_parquet('{cache}')"
-            if cache_ready()
-            else f"DESCRIBE {sql}").fetchall())
+        if cache_ready() and os.path.exists(cache + ".types.json"):
+            # warm run: the sidecar holds DESCRIBE {sql} captured at
+            # cache-write time — parquet round-tripping must not be
+            # allowed to soften (or harden) the dtype comparison
+            ot = json.load(open(cache + ".types.json"))
+        else:
+            ot = dict((c[0], c[1]) for c in con.execute(
+                f"DESCRIBE {sql}").fetchall())
         dtbad = [f"{c}: spark={st[c]} oracle={ot[c]}"
                  for c in sorted(st) if c in ot and st[c] != ot[c]]
         if dtbad:
