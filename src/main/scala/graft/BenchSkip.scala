@@ -163,6 +163,22 @@ object BenchSkip {
     out("widescan_columnar", t7, n7,
       s""","speedup":${f"${t6 / t7}%.2f"}""")
 
+    // ---- LIMIT over the wide table (round 15): row-grained early
+    // stop vs columnar batch-grained early stop. The columnar side
+    // decodes one 4k batch per shard where the row side boxes
+    // limit-many rows per shard — the A/B shows which wins at the
+    // wide-projection shape the pushdown exists for. ----
+    def wideLimit(): Long = spark.sql(
+      s"SELECT count(*) FROM (SELECT * FROM $wide LIMIT 2000)")
+      .head.getLong(0)
+    spark.conf.set("spark.graft.lake.columnar", "false")
+    val (n8, t8) = timeMed(wideLimit())
+    spark.conf.set("spark.graft.lake.columnar", "true")
+    val (n9, t9) = timeMed(wideLimit())
+    out("widelimit_row", t8, n8)
+    out("widelimit_columnar", t9, n9,
+      s""","speedup":${f"${t8 / t9}%.2f"}""")
+
     spark.stop()
   }
 }

@@ -430,6 +430,112 @@ object TextAnalysis {
                WHERE length(w) >= 2 GROUP BY w))
        GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 10"""
 
+  /** Number of merges the BPE trainer performs (small enough that the
+    * DuckDB replay stays one readable unrolled SQL; each merge is one
+    * vocab-sized aggregation + one vocab-sized fold). */
+  private val BpeTrainSteps = 6
+
+  /** FULL BPE TRAINER LOOP (Sennrich et al., ACL 2016 — the complete
+    * algorithm [[bpeMergeStep]] runs one iteration of): K merges, each
+    * = (1) corpus-weighted adjacent-pair counts over the CURRENT
+    * segmentation, (2) argmax with lexicographic tie-break, (3) the
+    * merge applied LEFT-TO-RIGHT to every vocab word. Driver-side loop
+    * over K (like `embedding_kmeans`' unrolled Lloyd rounds) — the
+    * only driver value per round is the single argmax row; all real
+    * work is distributed over the (word, freq) VOCABULARY, which is
+    * what bounds cost at 100 TB: after the one corpus-wide word count,
+    * every iteration touches |vocab| rows, not |corpus|. The merge is
+    * an explicit left-to-right `aggregate` fold (interpreted per
+    * SYMBOL, but vocab-sized — not a corpus-path HOF), semantics
+    * pinned by the identical `list_reduce` fold in the DuckDB replay:
+    * an `aa`-run under pair (a,a) merges greedily from the left
+    * because the freshly-merged symbol, not its parts, is what the
+    * next comparison sees. Output: the merge table (step, pair, n). */
+  val bpeTrainK: Q = (s, dir) => {
+    import s.implicits._
+    var seg = t(s, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+      // regexp_extract_all, not split(w, ''): Spark's split carries
+      // Java's limit=-1 trailing "" which would fabricate a phantom
+      // symbol; '.' extraction is empty-free in both engines
+      .selectExpr("regexp_extract_all(w, '.', 0) AS seg", "wn")
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    for (step <- 1 to BpeTrainSteps) {
+      val best = seg
+        .selectExpr("wn",
+          """explode(transform(sequence(1, size(seg) - 1),
+             i -> concat(element_at(seg, CAST(i AS INT)), ' ',
+                         element_at(seg, CAST(i + 1 AS INT)))))
+             AS pair""")
+        .groupBy("pair").agg(sum("wn").as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).head()
+      val pair = best.getString(0)
+      val Array(a, b) = pair.split(" ", 2)
+      merges += ((step.toLong, pair, best.getLong(1)))
+      // merge applied as a left-to-right fold; literals go through
+      // Column lit() (never string-spliced — tokens can carry quotes).
+      // localCheckpoint per round caps the lineage at one fold deep
+      // (K chained interpreted folds would re-run every prior round).
+      val prev = seg
+      seg = seg.select(
+        aggregate(col("seg"), array().cast("array<string>"),
+          (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - lit(1)),
+                array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))).as("seg"),
+        col("wn"))
+        .localCheckpoint(true)
+      prev.unpersist(): Unit
+    }
+    merges.result().toDF("step", "pair", "n").orderBy("step")
+  }
+
+  /** DuckDB replay of [[bpeTrainK]]: the SAME K rounds unrolled as
+    * CTE layers — pair counts, argmax, and the identical left-to-right
+    * `list_reduce` fold (single-symbol lists folded into a VARCHAR[]
+    * accumulator seeded by a prepended empty list). */
+  lazy val bpeTrainKOracle: String = {
+    val v0 =
+      """SELECT regexp_extract_all(w, '.') AS seg, wn FROM (
+           SELECT w, count(*) AS wn FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE length(w) >= 2 GROUP BY w)"""
+    def best(v: String) =
+      s"""SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM (
+            SELECT unnest(list_transform(range(1, len(seg)),
+              i -> seg[i] || ' ' || seg[i + 1])) AS pair, wn
+            FROM $v)
+          GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 1"""
+    def merged(v: String, b: String) =
+      s"""SELECT list_reduce(
+            list_prepend([]::VARCHAR[], list_transform(seg, c -> [c])),
+            (acc, x) -> CASE WHEN len(acc) > 0
+                AND acc[-1] = string_split($b.pair, ' ')[1]
+                AND x[1] = string_split($b.pair, ' ')[2]
+              THEN list_append(acc[:len(acc) - 1],
+                string_split($b.pair, ' ')[1]
+                  || string_split($b.pair, ' ')[2])
+              ELSE list_append(acc, x[1]) END) AS seg, wn
+          FROM $v, $b"""
+    val layers = (1 to BpeTrainSteps).map { k =>
+      s"b$k AS (${best(s"v${k - 1}")})" +
+        (if (k < BpeTrainSteps) s", v$k AS (${merged(s"v${k - 1}", s"b$k")})"
+         else "")
+    }.mkString(",\n")
+    val rows = (1 to BpeTrainSteps)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, pair, n FROM b$k")
+      .mkString(" UNION ALL ")
+    s"""WITH v0 AS ($v0),
+        $layers
+        SELECT step, pair, n FROM ($rows) ORDER BY step"""
+  }
+
   /** Bigram collocations scored by pointwise mutual information:
     * PMI = ln(p(ab) / (p(a)·p(b))) over word bigrams — the classic
     * collocation-mining statistic. Probabilities are exact rationals of
@@ -1549,6 +1655,7 @@ object TextAnalysis {
     "text_heavy_hitters" -> heavyHittersPerLang,
     "text_trigram_counts" -> trigramCounts,
     "text_bpe_merge_step" -> bpeMergeStep,
+    "text_bpe_train_k" -> bpeTrainK,
     "text_bigram_pmi" -> bigramPmi,
     "text_rank_keywords" -> textRankKeywords,
     "text_lm_perplexity" -> lmPerplexity,
@@ -1587,6 +1694,7 @@ object TextAnalysis {
     "text_heavy_hitters" -> heavyHittersPerLangOracle,
     "text_trigram_counts" -> trigramCountsOracle,
     "text_bpe_merge_step" -> bpeMergeStepOracle,
+    "text_bpe_train_k" -> bpeTrainKOracle,
     "text_bigram_pmi" -> bigramPmiOracle,
     "text_rank_keywords" -> textRankKeywordsOracle,
     "text_lm_perplexity" -> lmPerplexityOracle,

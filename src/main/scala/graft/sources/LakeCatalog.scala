@@ -2108,12 +2108,17 @@ object GraftLakeScanMetrics {
   // vs MERGED from multiple task fragments
   val adoptedParts = new java.util.concurrent.atomic.AtomicLong()
   val mergedParts = new java.util.concurrent.atomic.AtomicLong()
+  // columnar batches actually decoded — the LIMIT early-stop
+  // observable: a pushed LIMIT k over a multi-batch shard decodes
+  // exactly the batches up to the one crossing k
+  val batchesDecoded = new java.util.concurrent.atomic.AtomicLong()
   def reset(): Unit = {
     planned.set(0); skippedByStats.set(0)
     decodedColumns.set(0); metadataOnlyReads.set(0)
     writerRotations.set(0); aggPushdowns.set(0)
     skippedByBloom.set(0); skippedParts.set(0)
     adoptedParts.set(0); mergedParts.set(0)
+    batchesDecoded.set(0)
   }
 }
 
@@ -2852,16 +2857,16 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
 
   /** Row vs columnar, decided once for the whole scan: VECTORIZED
     * batches for plain data reads (the overwhelmingly common shape —
-    * see [[GraftLakeColumnarPartitionReader]]); the row path keeps
-    * the cases it is structurally better at — `_pos`-bearing
-    * row-level-operation reads (stable row ids are per-row by
-    * nature), LIMIT-pushed scans (row-grained early stop), and
-    * projection-empty reads (served from footer counts, zero data
-    * pages — faster than any decode). */
+    * see [[GraftLakeColumnarPartitionReader]]), INCLUDING LIMIT-pushed
+    * scans (round 15: batch-grained early stop — the decode win holds
+    * and reading still halts right after the batch crossing the
+    * limit); the row path keeps the cases it is structurally better
+    * at — `_pos`-bearing row-level-operation reads (stable row ids
+    * are per-row by nature) and projection-empty reads (served from
+    * footer counts, zero data pages — faster than any decode). */
   private def columnarEligible: Boolean =
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("spark.graft.lake.columnar", "true").toBoolean &&
-      limit < 0 &&
       !required.fieldNames.contains("_pos") &&
       required.fields.exists(f =>
         f.name != "_shard" && f.name != "_pos")
@@ -2919,7 +2924,7 @@ class GraftLakeReaderFactory(required: StructType, limit: Int = -1,
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftLakeInputPartition]
     new GraftLakeColumnarPartitionReader(p.paths, p.shard, required,
-      p.dv, p.ordBases, p.eqDel, p.eqKeys)
+      p.dv, p.ordBases, p.eqDel, p.eqKeys, limit)
   }
 }
 

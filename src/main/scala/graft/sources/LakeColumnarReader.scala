@@ -43,17 +43,25 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   *    equality key is forced into the decode set even when projected
   *    out, exactly like the row path.
   *
+  * LIMIT-pushed scans (round 15) take the columnar path too, with
+  * BATCH-grained early stop: the reader quits after the batch that
+  * crosses `limit` live rows (the pushdown is declared partial —
+  * `isPartiallyPushed` — so Spark's own Local/GlobalLimit trims the
+  * overshoot inside that final 4k-row batch). A `LIMIT k` over a wide
+  * 100 TB table thus keeps the vectorized decode win AND stops after
+  * ~k rows per shard.
+  *
   * Row-path fallbacks (chosen PER SCAN, never per partition — Spark
   * requires every partition of one scan to agree on row vs columnar):
-  * `_pos`-bearing reads (row-level DML needs the stable row id),
-  * LIMIT-pushed scans (the early-stop bookkeeping is row-grained),
-  * and projection-empty reads (`count(*)` — the row path serves those
+  * `_pos`-bearing reads (row-level DML needs the stable row id) and
+  * projection-empty reads (`count(*)` — the row path serves those
   * from footer counts without opening data pages at all, which beats
   * any decode). */
 class GraftLakeColumnarPartitionReader(paths: Seq[String], shard: Int,
     required: StructType, dvBytes: Array[Byte] = null,
     ordBases: Seq[Long] = Nil,
-    eqDel: Map[String, Long] = Map.empty, eqKeys: Seq[String] = Nil)
+    eqDel: Map[String, Long] = Map.empty, eqKeys: Seq[String] = Nil,
+    limit: Int = -1)
     extends PartitionReader[ColumnarBatch] {
 
   require(!required.fieldNames.contains("_pos"),
@@ -161,8 +169,14 @@ class GraftLakeColumnarPartitionReader(paths: Seq[String], shard: Int,
   }
 
   private var out: ColumnarBatch = null
+  private var emitted = 0L // live rows emitted (batch-grained limit)
 
   override def next(): Boolean = {
+    // batch-grained early stop: once the cumulative live count crosses
+    // the pushed limit, later parts/row-groups are never opened; the
+    // final batch may overshoot inside its 4k rows — Spark's retained
+    // limit operator (isPartiallyPushed) trims it
+    if (limit >= 0 && emitted >= limit) return false
     while (true) {
       if (partIdx < 0 || (vr == null && nullPartRemaining <= 0L) ||
           (vr != null && consumed >= partRows)) {
@@ -184,11 +198,13 @@ class GraftLakeColumnarPartitionReader(paths: Seq[String], shard: Int,
               if (required.fields(j).name == "_shard") shardConst
               else v
             }.toArray[ColumnVector], liveN)
+          emitted += liveN
           return true
         }
       } else if (!vr.nextBatch()) {
         consumed = partRows // defensive: footer said more than decoded
       } else {
+        GraftLakeScanMetrics.batchesDecoded.incrementAndGet(): Unit
         val batch = vr.resultBatch()
         val n = batch.numRows()
         val start = ordBase + consumed
@@ -261,6 +277,7 @@ class GraftLakeColumnarPartitionReader(paths: Seq[String], shard: Int,
               }
             }
           out = new ColumnarBatch(cols, liveN)
+          emitted += liveN
           return true
         }
       }

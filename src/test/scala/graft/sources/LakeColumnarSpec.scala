@@ -37,8 +37,8 @@ class LakeColumnarSpec extends SparkSpec {
   }
 
   test("a plain lake read plans columnar batches (ColumnarToRow over " +
-      "the lake scan); LIMIT-pushed and count(*) reads keep the row " +
-      "path that serves them better") {
+      "the lake scan); LIMIT-pushed reads are columnar WITH early " +
+      "stop; count(*) keeps the footer-served row path") {
     Lake.registerCatalog(spark)
     val tbl = "graft_lake.lake.spec_colnar"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -53,9 +53,13 @@ class LakeColumnarSpec extends SparkSpec {
       spark.table(tbl).filter(col("v") > 10)),
       "plain projected+filtered lake read must decode columnar")
 
-    // LIMIT pushdown keeps the row reader (row-grained early stop)
+    // LIMIT pushdown rides the vectorized path (round 15): columnar
+    // decode, batch-grained early stop, Spark's retained limit trims
     val lim = spark.sql(s"SELECT user_id FROM $tbl LIMIT 3")
-    assert(!hasColumnarLakeScan(lim) && lim.count() === 3L)
+    assert(lim.collect().length === 3)
+    assert(hasColumnarLakeScan(
+      spark.sql(s"SELECT user_id FROM $tbl LIMIT 3")),
+      "LIMIT-pushed lake reads must decode columnar")
 
     // count(*) stays footer-served (agg pushdown, or the metadata-only
     // row path when pushdown is off): zero data pages either way
@@ -66,6 +70,35 @@ class LakeColumnarSpec extends SparkSpec {
       "count(*) must stay footer-served, not decode batches")
     assert(GraftLakeScanMetrics.decodedColumns.get() === 0L,
       "count(*) must not decode any column")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("LIMIT early stop is batch-grained: a pushed LIMIT over a " +
+      "multi-batch shard decodes one batch per partition, not the " +
+      "shard") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_colnar_lim"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, v BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='2')""")
+    // 40k rows -> ~5 four-k batches per shard
+    (0L until 40000L).map(i => (i, i)).toDF("user_id", "v")
+      .createOrReplaceTempView("spec_colnar_lim_src")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_colnar_lim_src")
+
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(s"SELECT v FROM $tbl LIMIT 5")
+      .collect().length === 5)
+    val limBatches = GraftLakeScanMetrics.batchesDecoded.get()
+    assert(limBatches <= 2L, // one batch per shard partition at most
+      s"LIMIT 5 decoded $limBatches batches — early stop not firing")
+
+    GraftLakeScanMetrics.reset()
+    assert(spark.sql(s"SELECT v FROM $tbl WHERE v >= 0")
+      .collect().length === 40000)
+    val fullBatches = GraftLakeScanMetrics.batchesDecoded.get()
+    assert(fullBatches >= 10L, // ~5 per shard
+      s"full scan decoded only $fullBatches batches?")
     spark.sql(s"DROP TABLE $tbl")
   }
 
