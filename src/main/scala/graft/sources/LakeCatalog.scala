@@ -6116,25 +6116,44 @@ object Lake {
     * the index the math defines. */
   /** Shared fixture: the µ-serialized embeddings corpus as a lake
     * table + `CALL build_ann_index` over it (IVF k=8 + PQ m=8/k=32 —
-    * the procedure defaults). Returns the index table base name. */
+    * the procedure defaults). Returns the index table base name.
+    *
+    * The source is an EQUALITY-DELETE UPSERT table populated in two
+    * commits — the probe vectors (vec_id < 10) land WRONG first
+    * (+0.5 on every coordinate) and a second commit upserts the true
+    * values under the same keys — so the corpus the index trains on
+    * equals the raw parquet ONLY IF the eqdel mask hides the stale
+    * versions from the build scan. Every downstream index query
+    * (topk / PQ-ADC / drift) therefore re-stamps the CDC-upsert read
+    * path against the clean-replay DuckDB oracle. */
   private def annIndexFixture(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val fp = Tables.fingerprint(dir, "embeddings")
     val src = s"annsrc_$fp"
     val ix = s"annix_$fp"
     if (!builtHistories.contains(src)) {
-      s.read.parquet(s"$dir/embeddings.parquet")
+      val raw = s.read.parquet(s"$dir/embeddings.parquet")
+      raw.selectExpr("vec_id",
+          """concat_ws(',', transform(embedding, x ->
+             CAST(CAST(round((CAST(x AS DOUBLE) +
+               CASE WHEN vec_id < 10 THEN 0.5D ELSE 0.0D END)
+               * 1000000) AS BIGINT) AS STRING))) AS emb""")
+        .createOrReplaceTempView("graft_annix_corpus_src")
+      raw.filter(col("vec_id") < 10)
         .selectExpr("vec_id",
           """concat_ws(',', transform(embedding, x ->
              CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
              AS STRING))) AS emb""")
-        .createOrReplaceTempView("graft_annix_corpus_src")
+        .createOrReplaceTempView("graft_annix_corpus_fix")
       s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$src")
       s.sql(s"""CREATE TABLE graft_lake.lake.$src
                 (vec_id BIGINT, emb STRING)
-                TBLPROPERTIES ('shard_key'='vec_id', 'n_shards'='4')""")
+                TBLPROPERTIES ('shard_key'='vec_id', 'n_shards'='4',
+                  'write_upsert'='equality-delete')""")
       s.sql(s"""INSERT INTO graft_lake.lake.$src
                 SELECT * FROM graft_annix_corpus_src""")
+      s.sql(s"""INSERT INTO graft_lake.lake.$src
+                SELECT * FROM graft_annix_corpus_fix""")
       s.sql(s"""CALL graft_lake.system.build_ann_index(
                 table => '$src', index_table => '$ix')""")
       builtHistories.add(src): Unit

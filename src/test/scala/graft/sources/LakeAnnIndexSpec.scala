@@ -110,6 +110,74 @@ class LakeAnnIndexSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t")
   }
 
+  test("refresh over a COMPOSITE-key equality-delete upsert source: " +
+      "an upserted vector is re-assigned exactly once (the differ's " +
+      "image pairing feeds the delta), inserts assign, and the " +
+      "advance stays O(delta)") {
+    Lake.registerCatalog(spark)
+    val src = "graft_lake.lake.spec_annup_src"
+    val tables = Seq("spec_annup_src", "spec_annup_ix",
+      "spec_annup_ix_centroids", "spec_annup_ix_codebooks",
+      "spec_annup_ix_meta")
+    tables.foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t"))
+    // composite upsert key (vec_id, lang): real embedding stores key
+    // on (entity, variant); every INSERT is an upsert — same key
+    // replaces (update_preimage + update_postimage in $changes), new
+    // key inserts
+    spark.sql(s"""CREATE TABLE $src
+      (vec_id BIGINT, lang STRING, emb STRING)
+      TBLPROPERTIES ('shard_key'='vec_id', 'n_shards'='2',
+        'write_upsert'='equality-delete',
+        'upsert_keys'='vec_id,lang')""")
+    val blobA = Seq(1.0, 0.0, 0.0, 0.0)
+    val blobB = Seq(0.0, 0.0, 0.0, 1.0)
+    def jit(base: Seq[Double], i: Long): String =
+      muCsv(base.zipWithIndex.map { case (b, j) =>
+        b + 0.01 * ((i + j) % 5) })
+    (0L until 16L).map(i =>
+        (i, "en", jit(if (i < 8) blobA else blobB, i)))
+      .toDF("vec_id", "lang", "emb")
+      .createOrReplaceTempView("spec_annup_v1")
+    spark.sql(s"INSERT INTO $src SELECT * FROM spec_annup_v1")
+    spark.sql("""CALL graft_lake.system.build_ann_index(
+      table => 'spec_annup_src', index_table => 'spec_annup_ix',
+      k => 2, iters => 2, pq_m => 2, pq_k => 4, pq_iters => 1)""")
+    val cellOf = spark.table("graft_lake.lake.spec_annup_ix")
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cellOf.size === 16 && cellOf(0L) != cellOf(15L))
+
+    // one UPSERT batch: vector 0 MOVES from blob A to blob B (same
+    // composite key -> replace), vector 100 is new in blob A
+    Seq((0L, "en", jit(blobB, 99L)), (100L, "en", jit(blobA, 100L)))
+      .toDF("vec_id", "lang", "emb")
+      .createOrReplaceTempView("spec_annup_v2")
+    spark.sql(s"INSERT INTO $src SELECT * FROM spec_annup_v2")
+
+    val ref = spark.sql("""CALL graft_lake.system.refresh_ann_index(
+      index_table => 'spec_annup_ix')""").head
+    // O(delta): the differ pairs vec 0's images (1 removed, 1 added)
+    // and vec 100 inserts — 2 added, 1 removed, NOT a rescan of 17
+    assert(ref.getLong(2) === 2L && ref.getLong(3) === 1L,
+      s"expected added=2/removed=1, got $ref")
+
+    val after = spark.table("graft_lake.lake.spec_annup_ix")
+      .select("vec_id", "cell").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq)
+      .toMap
+    assert(after.size === 17, s"17 distinct vectors, got ${after.size}")
+    assert(after.values.forall(_.size == 1),
+      s"every vector assigned EXACTLY once, got " +
+        s"${after.filter(_._2.size > 1)}")
+    assert(after(0L).head === cellOf(15L),
+      "the upserted vector must move to blob B's cell")
+    assert(after(100L).head === cellOf(1L),
+      "the inserted vector must land in blob A's cell")
+    tables.foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t"))
+  }
+
   test("index lifecycle: a drifted corpus trips the drift metric, " +
       "1-probe recall degrades against brute-force truth, " +
       "retrain_ann_index recovers it, and OPTIMIZE compacts the " +
