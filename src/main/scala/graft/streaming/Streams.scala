@@ -103,6 +103,20 @@ object Streams {
   private[streaming] def streamSession(s: SparkSession): SparkSession = {
     val ns = s.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", streamStatePartitions)
+    // State-store provider A/B knob (BASELINE.md records the numbers):
+    // SPARK_GRAFT_STATE_STORE=rocksdb flips every registered stateful
+    // stream to RocksDB. Default stays HDFS-backed — measured FASTER
+    // at harness scale for the heavy stream-stream outer joins (tiny
+    // per-epoch state, 4 micro-batches: the JNI + per-commit
+    // checkpoint/compaction overhead outweighs off-heap wins until
+    // state outgrows executor memory; on a 100 TB cluster with
+    // million-key state the trade flips, which is why it's a knob,
+    // not a fork: stream_tws_running_agg pins the RocksDB binding
+    // itself).
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb"))
+      ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
     ns
   }
 
