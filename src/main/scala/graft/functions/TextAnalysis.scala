@@ -451,56 +451,142 @@ object TextAnalysis {
     * an `aa`-run under pair (a,a) merges greedily from the left
     * because the freshly-merged symbol, not its parts, is what the
     * next comparison sees. Output: the merge table (step, pair, n). */
+  /** The left-to-right merge of pair (a, b), as a Column fold over a
+    * symbol array; literals go through Column lit() (never
+    * string-spliced — tokens can carry quotes). */
+  private def bpeMergeFold(seg: org.apache.spark.sql.Column,
+      a: String, b: String): org.apache.spark.sql.Column =
+    aggregate(seg, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - lit(1)),
+            array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  // trained merge tables, memoized per harness dir: the trainer and
+  // the encoder share one training pass per JVM
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, Long)]]()
+
+  private def bpeMerges(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, String, Long)] =
+    bpeMemo.computeIfAbsent(dir, _ => {
+      var seg = t(s, dir, "documents")
+        .selectExpr("explode(split(text, ' ')) AS w")
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wn"))
+        // regexp_extract_all, not split(w, ''): Spark's split carries
+        // Java's limit=-1 trailing "" which would fabricate a phantom
+        // symbol; '.' extraction is empty-free in both engines
+        .selectExpr("regexp_extract_all(w, '.', 0) AS seg", "wn")
+        .localCheckpoint(true)
+      val merges = Seq.newBuilder[(Long, String, Long)]
+      for (step <- 1 to BpeTrainSteps) {
+        val best = seg
+          .selectExpr("wn",
+            """explode(transform(sequence(1, size(seg) - 1),
+               i -> concat(element_at(seg, CAST(i AS INT)), ' ',
+                           element_at(seg, CAST(i + 1 AS INT)))))
+               AS pair""")
+          .groupBy("pair").agg(sum("wn").as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(1).head()
+        val pair = best.getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((step.toLong, pair, best.getLong(1)))
+        // localCheckpoint per round caps the lineage at one fold deep
+        // (K chained interpreted folds would re-run every prior round)
+        val prev = seg
+        seg = seg
+          .select(bpeMergeFold(col("seg"), a, b).as("seg"), col("wn"))
+          .localCheckpoint(true)
+        prev.unpersist(): Unit
+      }
+      merges.result()
+    })
+
   val bpeTrainK: Q = (s, dir) => {
     import s.implicits._
-    var seg = t(s, dir, "documents")
+    bpeMerges(s, dir).toDF("step", "pair", "n").orderBy("step")
+  }
+
+  /** BPE ENCODE — the apply half of the tokenizer story: segment every
+    * document with the K trained merges and report per-doc token
+    * counts before/after. The merges fold over the DISTINCT-WORD
+    * vocabulary (all words, including the length-1 words the trainer's
+    * pair counts never see — a merge can't touch them but the encoder
+    * must still count them), then the corpus-sized work is ONE
+    * word-level join of exploded doc tokens against the encoded vocab
+    * + a per-doc sum: at 100 TB the per-merge cost stays vocab-bound
+    * and the corpus is touched exactly twice (vocab build + count
+    * join), the same two passes any production tokenizer pipeline
+    * spends. */
+  val bpeEncodeDocs: Q = (s, dir) => {
+    val merges = bpeMerges(s, dir)
+    var vocab = t(s, dir, "documents")
       .selectExpr("explode(split(text, ' ')) AS w")
-      .filter(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("wn"))
-      // regexp_extract_all, not split(w, ''): Spark's split carries
-      // Java's limit=-1 trailing "" which would fabricate a phantom
-      // symbol; '.' extraction is empty-free in both engines
-      .selectExpr("regexp_extract_all(w, '.', 0) AS seg", "wn")
+      .distinct()
+      .selectExpr("w", "regexp_extract_all(w, '.', 0) AS seg")
       .localCheckpoint(true)
-    val merges = Seq.newBuilder[(Long, String, Long)]
-    for (step <- 1 to BpeTrainSteps) {
-      val best = seg
-        .selectExpr("wn",
-          """explode(transform(sequence(1, size(seg) - 1),
-             i -> concat(element_at(seg, CAST(i AS INT)), ' ',
-                         element_at(seg, CAST(i + 1 AS INT)))))
-             AS pair""")
-        .groupBy("pair").agg(sum("wn").as("n"))
-        .orderBy(col("n").desc, col("pair").asc)
-        .limit(1).head()
-      val pair = best.getString(0)
+    merges.foreach { case (_, pair, _) =>
       val Array(a, b) = pair.split(" ", 2)
-      merges += ((step.toLong, pair, best.getLong(1)))
-      // merge applied as a left-to-right fold; literals go through
-      // Column lit() (never string-spliced — tokens can carry quotes).
-      // localCheckpoint per round caps the lineage at one fold deep
-      // (K chained interpreted folds would re-run every prior round).
-      val prev = seg
-      seg = seg.select(
-        aggregate(col("seg"), array().cast("array<string>"),
-          (acc, x) =>
-            when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - lit(1)),
-                array(lit(a + b))))
-              .otherwise(concat(acc, array(x)))).as("seg"),
-        col("wn"))
+      val prev = vocab
+      vocab = vocab
+        .select(col("w"), bpeMergeFold(col("seg"), a, b).as("seg"))
         .localCheckpoint(true)
       prev.unpersist(): Unit
     }
-    merges.result().toDF("step", "pair", "n").orderBy("step")
+    val wordLens = vocab.selectExpr("w",
+      "CAST(size(seg) AS BIGINT) AS n_sym")
+    t(s, dir, "documents")
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+      .join(wordLens, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_words", "n_bpe")
   }
 
-  /** DuckDB replay of [[bpeTrainK]]: the SAME K rounds unrolled as
-    * CTE layers — pair counts, argmax, and the identical left-to-right
+  /** DuckDB replay of [[bpeEncodeDocs]]: the trainer's unrolled CTE
+    * layers (shared builder) compute b1..bK, then the ALL-WORDS vocab
+    * is folded through the same K merges and the per-doc counts join
+    * against it. */
+  lazy val bpeEncodeDocsOracle: String = {
+    val enc0 =
+      """SELECT w, regexp_extract_all(w, '.') AS seg FROM (
+           SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+           FROM documents)"""
+    def encMerged(v: String, b: String) =
+      s"""SELECT w, list_reduce(
+            list_prepend([]::VARCHAR[], list_transform(seg, c -> [c])),
+            (acc, x) -> CASE WHEN len(acc) > 0
+                AND acc[-1] = string_split($b.pair, ' ')[1]
+                AND x[1] = string_split($b.pair, ' ')[2]
+              THEN list_append(acc[:len(acc) - 1],
+                string_split($b.pair, ' ')[1]
+                  || string_split($b.pair, ' ')[2])
+              ELSE list_append(acc, x[1]) END) AS seg
+          FROM $v, $b"""
+    val encLayers = (1 to BpeTrainSteps).map(k =>
+      s"e$k AS (${encMerged(s"e${k - 1}", s"b$k")})").mkString(",\n")
+    s"""WITH ${bpeTrainerCtes},
+        e0 AS ($enc0),
+        $encLayers
+        SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          CAST(sum(len(e.seg)) AS BIGINT) AS n_bpe
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents) d
+        JOIN e$BpeTrainSteps e ON d.w = e.w
+        GROUP BY d.doc_id ORDER BY d.doc_id"""
+  }
+
+  /** The trainer's unrolled DuckDB CTE chain (v0, b1, v1, …, bK):
+    * pair counts, argmax, and the identical left-to-right
     * `list_reduce` fold (single-symbol lists folded into a VARCHAR[]
-    * accumulator seeded by a prepended empty list). */
-  lazy val bpeTrainKOracle: String = {
+    * accumulator seeded by a prepended empty list) — shared by the
+    * trainer and encoder oracles. */
+  private lazy val bpeTrainerCtes: String = {
     val v0 =
       """SELECT regexp_extract_all(w, '.') AS seg, wn FROM (
            SELECT w, count(*) AS wn FROM (
@@ -528,11 +614,16 @@ object TextAnalysis {
         (if (k < BpeTrainSteps) s", v$k AS (${merged(s"v${k - 1}", s"b$k")})"
          else "")
     }.mkString(",\n")
+    s"v0 AS ($v0),\n$layers"
+  }
+
+  /** DuckDB replay of [[bpeTrainK]]: the shared unrolled rounds, merge
+    * table emitted per step. */
+  lazy val bpeTrainKOracle: String = {
     val rows = (1 to BpeTrainSteps)
       .map(k => s"SELECT CAST($k AS BIGINT) AS step, pair, n FROM b$k")
       .mkString(" UNION ALL ")
-    s"""WITH v0 AS ($v0),
-        $layers
+    s"""WITH $bpeTrainerCtes
         SELECT step, pair, n FROM ($rows) ORDER BY step"""
   }
 
@@ -1656,6 +1747,7 @@ object TextAnalysis {
     "text_trigram_counts" -> trigramCounts,
     "text_bpe_merge_step" -> bpeMergeStep,
     "text_bpe_train_k" -> bpeTrainK,
+    "text_bpe_encode_docs" -> bpeEncodeDocs,
     "text_bigram_pmi" -> bigramPmi,
     "text_rank_keywords" -> textRankKeywords,
     "text_lm_perplexity" -> lmPerplexity,
@@ -1695,6 +1787,7 @@ object TextAnalysis {
     "text_trigram_counts" -> trigramCountsOracle,
     "text_bpe_merge_step" -> bpeMergeStepOracle,
     "text_bpe_train_k" -> bpeTrainKOracle,
+    "text_bpe_encode_docs" -> bpeEncodeDocsOracle,
     "text_bigram_pmi" -> bigramPmiOracle,
     "text_rank_keywords" -> textRankKeywordsOracle,
     "text_lm_perplexity" -> lmPerplexityOracle,

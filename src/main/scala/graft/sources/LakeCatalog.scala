@@ -5841,6 +5841,52 @@ object Lake {
        WHERE n.n_events >= 3
        ORDER BY n.user_id"""
 
+  /** SORT-REWRITE through the oracle gate (round 15 — Iceberg
+    * `rewrite_data_files(strategy => 'sort')`): the clustered pair's
+    * second table lands in TWO commits (evens, then odds — the append
+    * fragments every shard and drops its sorted provenance), then
+    * `CALL rewrite_sorted` rewrites each shard's live rows into one
+    * key-ordered part and restores the provenance — so the join plans
+    * zero-exchange zero-sort again (LakeSortOrderSpec pins the plan
+    * arc) and the VALUES still match DuckDB exactly. At 100 TB this
+    * is the maintenance job that keeps a continuously-appended
+    * clustered fact joinable without sort CPU. */
+  val lakeSortedRewrite: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val ta = s"graft_lake.lake.srwn_$fp"
+    val tb = s"graft_lake.lake.srwd_$fp"
+    if (!builtHistories.contains(ta)) {
+      val ev = Tables.events(s, dir)
+      ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .createOrReplaceTempView("graft_lake_srw_n")
+      ev.groupBy("user_id")
+        .agg(min(expr("CAST(to_date(ts) AS DATE)")).as("cohort_d"))
+        .createOrReplaceTempView("graft_lake_srw_d")
+      for ((t, cols) <- Seq(
+          (ta, "user_id BIGINT, n_events BIGINT"),
+          (tb, "user_id BIGINT, cohort_d DATE"))) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        s.sql(s"""CREATE TABLE $t ($cols)
+                  TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+                    'write_distribution'='clustered')""")
+      }
+      s.sql(s"INSERT INTO $ta SELECT * FROM graft_lake_srw_n")
+      s.sql(s"""INSERT INTO $tb SELECT * FROM graft_lake_srw_d
+                WHERE user_id % 2 = 0""")
+      s.sql(s"""INSERT INTO $tb SELECT * FROM graft_lake_srw_d
+                WHERE user_id % 2 = 1""")
+      s.sql(s"CALL graft_lake.system.rewrite_sorted(table => 'srwd_$fp')")
+      builtHistories.add(ta): Unit
+    }
+    s.sql(s"""SELECT a.user_id, b.cohort_d, a.n_events
+              FROM $ta a JOIN $tb b ON a.user_id = b.user_id
+              WHERE a.n_events >= 3
+              ORDER BY a.user_id""")
+  }
+
+  val lakeSortedRewriteOracle: String = lakeSortedJoinOracle
+
   /** AQE SKEW-JOIN over a LAKE fact scan, through the oracle gate:
     * the fact table concentrates ~70% of the event log on one hot
     * join key (the canonical power-law entity), the dim side is too
@@ -6452,6 +6498,7 @@ object Lake {
     "lake_bloom_skip" -> lakeBloomSkip,
     "lake_spj_join" -> lakeSpjJoin,
     "lake_sorted_join" -> lakeSortedJoin,
+    "lake_sorted_rewrite" -> lakeSortedRewrite,
     "join_skew_aqe" -> joinSkewAqe,
     "lake_recluster_skip" -> lakeReclusterSkip,
     "merge_sql_firstseen" -> mergeSqlFirstSeen,
@@ -6496,6 +6543,7 @@ object Lake {
     "lake_bloom_skip" -> lakeBloomSkipOracle,
     "lake_spj_join" -> lakeSpjJoinOracle,
     "lake_sorted_join" -> lakeSortedJoinOracle,
+    "lake_sorted_rewrite" -> lakeSortedRewriteOracle,
     "join_skew_aqe" -> joinSkewAqeOracle,
     "lake_recluster_skip" -> lakeStatsSkippingOracle,
     "merge_sql_firstseen" ->

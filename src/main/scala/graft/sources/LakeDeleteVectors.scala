@@ -458,6 +458,164 @@ object GraftLakeMaintenance {
     Nil // unreachable
   }
 
+  /** SORT-REWRITE — Iceberg `rewrite_data_files(strategy => 'sort')`:
+    * rewrite each shard's LIVE rows (both masks applied, exactly like
+    * [[compactDeletionVectors]]) into ONE part ordered ascending in
+    * the plain shard key, then record sorted provenance — so a
+    * clustered table fragmented by appends gets its zero-exchange
+    * ZERO-SORT sort-merge joins back, and a plain hash-sharded table
+    * can be converted to the sorted layout in place. Skips shards
+    * already (sorted ∧ single-part) and shards whose parts carry
+    * mixed evolution schemas (one output file has one schema; those
+    * sort on their next full rewrite — skipped loudly in the return
+    * by absence, never wrongly claimed). Hidden-transform tables
+    * refuse: their routing order is not the column order, and the
+    * scan never claims ordering for them anyway. DV and
+    * equality-delete entries for rewritten shards RESOLVE (only live
+    * rows are written); zone maps/blooms carry (sound supersets).
+    * At 100 TB this is the single-node twin of a cluster sort-rewrite
+    * job: per-shard work, embarrassingly parallel, one shard's rows
+    * in memory at a time per pool thread. Commits as `optimize` with
+    * CAS retry; returns the rewritten shard ids. */
+  def rewriteSorted(dataDir: String): Seq[Int] = {
+    val d = new java.io.File(dataDir)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val doc = om.readTree(java.nio.file.Files.readString(
+      new java.io.File(d.getParentFile,
+        s"${d.getName}.lake.json").toPath))
+    val rawKey = doc.get("shardKey").asText()
+    val (transform, keyCol) = GraftLakeTransform.parse(rawKey)
+    require(transform.isEmpty,
+      s"rewrite_sorted: hidden-transform tables have no column sort " +
+        s"order to restore (shard_key=$rawKey)")
+    val keyCols: Seq[String] =
+      Option(doc.get("upsertKeys")).map(_.asText())
+        .filter(_.nonEmpty).fold(Seq(keyCol))(_.split(",").toSeq)
+    var attempts = 0
+    while (true) {
+      val headV = GraftLakeIO.latestVersion(dataDir)
+      val headDir = GraftLakeIO.versionDir(dataDir, headV)
+      val dv = GraftLakeIO.readDv(headDir)
+      val eqDel = GraftLakeIO.readEqDel(headDir)
+      val headParts = GraftLakeIO.allShardParts(headDir)
+      val sortedBase = GraftLakeIO.readSorted(headDir)
+      val targets = headParts.collect {
+        case (k, parts)
+            if !(sortedBase.contains(k) &&
+              parts.lengthCompare(1) == 0) &&
+              parts.map(f => GraftShardCodec.footer(f)._1)
+                .distinct.lengthCompare(1) == 0 => k
+      }.toSeq.sorted
+      if (targets.isEmpty) return Nil
+      val build = GraftLakeIO.newBuildDir(dataDir)
+      try {
+        val targetFiles = targets
+          .flatMap(k => headParts.getOrElse(k, Nil))
+          .map(_.getName).toSet
+        Option(headDir.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter { f =>
+            f.isFile && f.getName != "_commit" &&
+              f.getName != GraftLakeIO.dvFile(headDir).getName &&
+              f.getName != GraftLakeIO.eqDelFile(headDir).getName &&
+              f.getName != GraftLakeIO.sortedFile(headDir).getName &&
+              !targetFiles.contains(f.getName)
+          }
+          .foreach { f =>
+            val dst = new java.io.File(build, f.getName)
+            try java.nio.file.Files.createLink(dst.toPath, f.toPath): Unit
+            catch {
+              case _: UnsupportedOperationException |
+                  _: java.io.IOException =>
+                java.nio.file.Files.copy(f.toPath, dst.toPath): Unit
+            }
+          }
+        val rewrites = targets.map { k => () =>
+          val mask = dv.getOrElse(k, new org.roaringbitmap.RoaringBitmap)
+          val eq = eqDel.getOrElse(k, Map.empty[String, Long])
+          val parts = GraftLakeIO.shardParts(headDir, k)
+          val fileSchema = GraftShardCodec.footer(parts.head)._1
+          val keyIdx = fileSchema.getFieldIndex(keyCol)
+          val eqIdxs: Array[Int] =
+            if (eq.isEmpty) null
+            else keyCols.map(fileSchema.getFieldIndex).toArray
+          def eqDead(g: org.apache.parquet.example.data.Group,
+              ord: Long): Boolean =
+            eqIdxs != null && {
+              val ps = eqIdxs.map(i =>
+                GraftLakeIO.eqKeyPart(GraftShardCodec.rawValue(g, i)))
+              !ps.contains(null) &&
+                eq.get(GraftLakeIO.encodeEqKey(ps.toSeq))
+                  .exists(ord < _)
+            }
+          val live = Seq.newBuilder[
+            (Long, org.apache.parquet.example.data.Group)]
+          var ordBase = 0L
+          parts.foreach { src =>
+            val rows = GraftShardCodec.footer(src)._2
+            val reader = GraftShardCodec.openReader(src, fileSchema)
+            try {
+              var ord = ordBase
+              var g = reader.read()
+              while (g != null) {
+                if ((ord > Int.MaxValue || !mask.contains(ord.toInt)) &&
+                  !eqDead(g, ord)) {
+                  val key = GraftShardCodec.rawValue(g, keyIdx) match {
+                    case l: java.lang.Long => l.longValue
+                    case i: java.lang.Integer => i.longValue
+                    case _ => Long.MinValue // null keys sort first
+                  }
+                  live += key -> g
+                }
+                ord += 1
+                g = reader.read()
+              }
+            } finally reader.close()
+            ordBase += rows
+          }
+          val sorted = live.result().sortBy(_._1) // stable within key
+          if (sorted.nonEmpty) {
+            val writer = GraftShardCodec.openWriter(
+              new java.io.File(build,
+                GraftLakeIO.shardFile(build, k).getName), fileSchema)
+            try sorted.foreach { case (_, g) => writer.write(g) }
+            finally writer.close()
+          }
+        }
+        if (rewrites.lengthCompare(2) < 0) rewrites.foreach(_())
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(rewrites.length,
+              Runtime.getRuntime.availableProcessors()))
+          try {
+            val futures = rewrites.map(r =>
+              pool.submit(new java.util.concurrent.Callable[Unit] {
+                override def call(): Unit = r()
+              }))
+            futures.foreach(_.get())
+          } finally pool.shutdown()
+        }
+        GraftLakeIO.writeDv(build, dv -- targets)
+        GraftLakeIO.writeEqDel(build, eqDel -- targets)
+        GraftLakeIO.writeSorted(build, sortedBase ++ targets)
+        GraftLakeIO.writeCommitMeta(build,
+          GraftLakeIO.nextCommitStamp(dataDir, headV), "optimize")
+        GraftLakeIO.commitVersion(dataDir, headV, build): Unit
+        return targets
+      } catch {
+        case _: GraftLakeCommitConflict if attempts < 5 =>
+          attempts += 1 // lost the CAS race: re-plan on the new head
+        case e: Throwable =>
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          if (build.exists()) rm(build)
+          throw e
+      }
+    }
+    Nil // unreachable
+  }
+
   /** PART-COUNT compaction — the file-compaction half of `OPTIMIZE`
     * (Iceberg `rewrite_data_files` bin-packing): shards that
     * accumulated more than `maxParts` part files from append commits

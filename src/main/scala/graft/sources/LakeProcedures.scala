@@ -36,7 +36,8 @@ object GraftLakeProcedures {
       "vacuum", "create_tag", "drop_tag",
       "build_ann_index", "refresh_ann_index",
       "retrain_ann_index", "ann_index_drift",
-      "create_branch", "drop_branch", "fast_forward")
+      "create_branch", "drop_branch", "fast_forward",
+      "rewrite_sorted")
 
   /** Resolve the `table` argument ("tbl" or "lake.tbl") to its data
     * dir under the catalog root, refusing unknown tables loudly. */
@@ -98,6 +99,20 @@ object GraftLakeProcedures {
           dv.length, str(dv.mkString(",")))),
         new GenericInternalRow(Array[Any](str("part_files"),
           parts.length, str(parts.mkString(",")))))
+    }
+
+    case "rewrite_sorted" => proc("rewrite_sorted",
+      "sort-rewrite shards by the plain shard key, restoring sorted " +
+        "provenance (Iceberg rewrite_data_files strategy => 'sort')",
+      Seq(ProcedureParameter.in("table", StringType).build()),
+      StructType(Seq(
+        StructField("n_shards_rewritten", IntegerType,
+          nullable = false),
+        StructField("shards", StringType, nullable = false)))) { in =>
+      val dir = dataDir(root, in.getUTF8String(0).toString)
+      val done = GraftLakeMaintenance.rewriteSorted(dir)
+      Seq(new GenericInternalRow(Array[Any](done.length,
+        str(done.mkString(",")))))
     }
 
     case "expire_snapshots" => proc("expire_snapshots",

@@ -105,13 +105,19 @@ class ConnectSweepSpec extends SparkSpec {
       "gRPC hop with native-type Arrow decode (timestamps, dates, " +
       "decimals, doubles, binary) — the client-boundary contract for " +
       "the whole registry at sf0.01") {
-    graft.sources.Lake.registerCatalog(spark)
+    // ISOLATED session for the local builds: other suites bind the
+    // per-session Derby JDBC catalog to THEIR data dir (sf0.001) in
+    // the shared session, and the jdbc-backed queries refuse a
+    // same-session rebind by design — a fresh session binds sf0.01
+    // cleanly whatever ran before (suite-order independence)
+    val sess = spark.newSession()
+    graft.sources.Lake.registerCatalog(sess)
     org.apache.spark.sql.graft.Bridge.setContextConf(spark,
       "spark.sql.catalog.graft_lake",
       classOf[graft.sources.GraftLakeCatalog].getName)
     org.apache.spark.sql.graft.Bridge.setContextConf(spark,
       "spark.sql.catalog.graft_lake.path",
-      spark.conf.get("spark.sql.catalog.graft_lake.path"))
+      sess.conf.get("spark.sql.catalog.graft_lake.path"))
 
     SparkConnectService.start(spark.sparkContext)
     try {
@@ -152,7 +158,7 @@ class ConnectSweepSpec extends SparkSpec {
         var nOk = 0
         SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
           try {
-            val df = SparkEntry.queries(name)(spark, sweepSf)
+            val df = SparkEntry.queries(name)(sess, sweepSf)
             val local = df.collect().map(r =>
               (0 until r.length).map(i =>
                 if (r.isNullAt(i)) "<null>"

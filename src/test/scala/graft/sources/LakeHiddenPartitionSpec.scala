@@ -138,6 +138,19 @@ class LakeHiddenPartitionSpec extends SparkSpec {
       s"append-merged old shard must degrade to mixed, got $routing2")
     assert(routing2(1) === "days:2:4" && routing2(3) === "months:1:4",
       s"untouched shards keep their tags, got $routing2")
+
+    // time travel ACROSS the evolution fence: a pre-evolution snapshot
+    // read under the post-evolution descriptor answers exactly —
+    // pruning is governed by that snapshot's own recorded provenance
+    // and observed zone maps, never the current routing
+    val v1 = spark.sql(
+      s"SELECT event_id FROM $tbl VERSION AS OF 1 ORDER BY event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(v1 === (0L until 8L),
+      s"days-era snapshot must read exactly batch A, got $v1")
+    assert(spark.sql(s"""SELECT count(*) FROM $tbl VERSION AS OF 1
+        WHERE ts >= TIMESTAMP '2024-04-01 00:00:00'""")
+      .head.getLong(0) === 0L)
     spark.sql(s"DROP TABLE $tbl")
   }
 

@@ -98,6 +98,30 @@ class LakeSortOrderSpec extends SparkSpec {
       s"append must re-introduce the sort on the appended side:\n$p2")
     check(df2, 64)
 
+    // CALL rewrite_sorted (round 15 — Iceberg rewrite_data_files
+    // strategy 'sort'): the fragmented side's shards rewrite into one
+    // key-ordered part each, sorted provenance restores, and the join
+    // plans with ZERO exchanges AND ZERO sorts again — with the
+    // appended rows now in the result
+    val rs = ss.sql("""CALL graft_lake.system.rewrite_sorted(
+      table => 'spec_so_b')""").head
+    assert(rs.getInt(0) === 8,
+      s"all 8 fragmented shards must rewrite, got $rs")
+    val bDir = new java.io.File(root, "spec_so_b").getPath
+    val head2 = GraftLakeIO.versionDir(bDir,
+      GraftLakeIO.latestVersion(bDir))
+    assert(GraftLakeIO.readSorted(head2).size === 8,
+      "sorted provenance must restore on every shard")
+    assert(GraftLakeIO.allShardParts(head2).values
+      .forall(_.lengthCompare(1) == 0),
+      "every shard must be one part after the sort-rewrite")
+    val df3 = joined(a, b)
+    val p3 = finalPlan(df3)
+    assert(!p3.contains("Exchange") && !p3.contains("Sort "),
+      s"rewrite_sorted must restore the zero-exchange zero-sort " +
+        s"join:\n$p3")
+    check(df3, 64) // a still holds 0..63; b's appended tail unmatched
+
     // a single global ORDER BY over one sorted table still plans ITS
     // range exchange (global order needs one), but no extra sort is
     // free to assert here — the single-table scan ordering claim is
