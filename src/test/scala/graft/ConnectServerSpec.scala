@@ -87,6 +87,111 @@ class ConnectServerSpec extends SparkSpec {
     } finally SparkConnectService.stop(None, None)
   }
 
+  test("a client-COMPOSED relational proto plan (NamedTable -> Filter " +
+      "-> Project -> Sort, no SQL string) executes against a lake " +
+      "table — the DataFrame-API wire path PySpark clients send") {
+    graft.sources.Lake.registerCatalog(spark)
+    org.apache.spark.sql.graft.Bridge.setContextConf(spark,
+      "spark.sql.catalog.graft_lake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    org.apache.spark.sql.graft.Bridge.setContextConf(spark,
+      "spark.sql.catalog.graft_lake.path",
+      spark.conf.get("spark.sql.catalog.graft_lake.path"))
+    val tbl = "graft_lake.lake.spec_cx_proto"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"""CREATE TABLE $tbl (user_id BIGINT, v BIGINT)
+      TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='2')""")
+    spark.sql(s"""INSERT INTO $tbl
+      SELECT id AS user_id, id * 3 AS v FROM range(0, 20)""")
+
+    def attr(n: String) = proto.Expression.newBuilder()
+      .setUnresolvedAttribute(proto.Expression.UnresolvedAttribute
+        .newBuilder().setUnparsedIdentifier(n))
+    def litL(x: Long) = proto.Expression.newBuilder()
+      .setLiteral(proto.Expression.Literal.newBuilder().setLong(x))
+    val read = proto.Relation.newBuilder().setRead(
+      proto.Read.newBuilder().setNamedTable(
+        proto.Read.NamedTable.newBuilder()
+          .setUnparsedIdentifier(tbl)))
+    val filtered = proto.Relation.newBuilder().setFilter(
+      proto.Filter.newBuilder()
+        .setInput(read)
+        .setCondition(proto.Expression.newBuilder()
+          .setUnresolvedFunction(
+            proto.Expression.UnresolvedFunction.newBuilder()
+              .setFunctionName(">")
+              .addArguments(attr("v")).addArguments(litL(30L)))))
+    val projected = proto.Relation.newBuilder().setProject(
+      proto.Project.newBuilder()
+        .setInput(filtered)
+        .addExpressions(attr("user_id"))
+        .addExpressions(attr("v")))
+    val sorted = proto.Relation.newBuilder().setSort(
+      proto.Sort.newBuilder()
+        .setInput(projected)
+        .setIsGlobal(true) // default false = sortWithinPartitions
+        .addOrder(proto.Expression.SortOrder.newBuilder()
+          .setChild(attr("user_id"))
+          .setDirection(proto.Expression.SortOrder.SortDirection
+            .SORT_DIRECTION_ASCENDING)))
+
+    SparkConnectService.start(spark.sparkContext)
+    try {
+      val channel = ManagedChannelBuilder
+        .forAddress("localhost", 15937).usePlaintext().build()
+      try {
+        val stub = proto.SparkConnectServiceGrpc.newBlockingStub(channel)
+        val req = proto.ExecutePlanRequest.newBuilder()
+          .setSessionId(java.util.UUID.randomUUID().toString)
+          .setUserContext(
+            proto.UserContext.newBuilder().setUserId("graft"))
+          .setPlan(proto.Plan.newBuilder().setRoot(sorted))
+          .build()
+        var attempt = 0
+        var got: Seq[Seq[Long]] = null
+        while (got == null) {
+          try {
+            val it = stub.executePlan(req)
+            val batches = Seq.newBuilder[Array[Byte]]
+            while (it.hasNext) {
+              val resp = it.next()
+              if (resp.hasArrowBatch)
+                batches += resp.getArrowBatch.getData.toByteArray
+            }
+            val alloc = new org.apache.arrow.memory.RootAllocator()
+            try got = batches.result().flatMap { data =>
+              val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+                new java.io.ByteArrayInputStream(data), alloc)
+              try {
+                val root = rd.getVectorSchemaRoot
+                val out = Seq.newBuilder[Seq[Long]]
+                while (rd.loadNextBatch()) {
+                  if (!root.getSchema.getFields.isEmpty)
+                    (0 until root.getRowCount).foreach(i =>
+                      out += Seq(
+                        root.getVector(0).getObject(i)
+                          .asInstanceOf[Long],
+                        root.getVector(1).getObject(i)
+                          .asInstanceOf[Long]))
+                }
+                out.result()
+              } finally rd.close()
+            } finally alloc.close()
+          } catch {
+            case _: Exception if attempt < 20 =>
+              attempt += 1; Thread.sleep(500)
+          }
+        }
+        // v = 3*id > 30 -> ids 11..19, ascending
+        assert(got === (11L until 20L).map(i => Seq(i, i * 3)),
+          s"proto-composed plan diverged: $got")
+      } finally { channel.shutdownNow(); () }
+    } finally {
+      SparkConnectService.stop(None, None)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   // ---- promoted round-14 drive: a REPRESENTATIVE registry sample +
   // the lakehouse verbs over the same gRPC hop ----
 

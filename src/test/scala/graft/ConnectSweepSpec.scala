@@ -76,10 +76,15 @@ class ConnectSweepSpec extends SparkSpec {
   }
 
   /** Decode every column of the Connect Arrow batches into canonical
-    * row strings (column values joined with '|'). */
-  private def arrowRows(batches: Seq[Array[Byte]]): Seq[String] = {
+    * row strings (column values joined with '|'), plus the wire
+    * schema's column names — a renamed/reordered column is a wire
+    * divergence even when the values happen to line up. */
+  private def arrowRows(
+      batches: Seq[Array[Byte]]): (Seq[String], Seq[String]) = {
     val alloc = new org.apache.arrow.memory.RootAllocator()
-    try batches.flatMap { data =>
+    val names = Seq.newBuilder[String]
+    var sawSchema = false
+    val rows = try batches.flatMap { data =>
       val rd = new org.apache.arrow.vector.ipc.ArrowStreamReader(
         new java.io.ByteArrayInputStream(data), alloc)
       try {
@@ -87,6 +92,10 @@ class ConnectSweepSpec extends SparkSpec {
         val out = Seq.newBuilder[String]
         while (rd.loadNextBatch()) {
           if (!root.getSchema.getFields.isEmpty) {
+            if (!sawSchema) {
+              sawSchema = true
+              root.getSchema.getFields.forEach(f => names += f.getName)
+            }
             val nCols = root.getSchema.getFields.size()
             val vs = (0 until nCols).map(root.getVector)
             (0 until root.getRowCount).foreach { i =>
@@ -99,6 +108,7 @@ class ConnectSweepSpec extends SparkSpec {
         out.result()
       } finally rd.close()
     } finally alloc.close()
+    (rows, names.result())
   }
 
   test("EVERY registered query is row-hash-equal over a Spark Connect " +
@@ -126,7 +136,7 @@ class ConnectSweepSpec extends SparkSpec {
       try {
         val stub = proto.SparkConnectServiceGrpc.newBlockingStub(channel)
         val sid = java.util.UUID.randomUUID().toString
-        def run(sql: String): Seq[String] = {
+        def run(sql: String): (Seq[String], Seq[String]) = {
           val req = proto.ExecutePlanRequest.newBuilder()
             .setSessionId(sid)
             .setUserContext(
@@ -151,7 +161,7 @@ class ConnectSweepSpec extends SparkSpec {
                 attempt += 1; Thread.sleep(500)
             }
           }
-          Nil // unreachable
+          (Nil, Nil) // unreachable
         }
 
         val failures = Seq.newBuilder[String]
@@ -164,8 +174,15 @@ class ConnectSweepSpec extends SparkSpec {
                 if (r.isNullAt(i)) "<null>"
                 else canonLocal(r.get(i))).mkString("|")).toSeq
             df.createOrReplaceGlobalTempView("graft_sweep_q")
-            val wire = run("SELECT * FROM global_temp.graft_sweep_q")
-            if (wire == local) nOk += 1
+            val (wire, wireCols) =
+              run("SELECT * FROM global_temp.graft_sweep_q")
+            // empty-result queries ship field-less command batches, so
+            // only compare names when the wire declared any
+            if (wireCols.nonEmpty &&
+              wireCols != df.schema.fieldNames.toSeq)
+              failures += s"$name: wire schema $wireCols vs local " +
+                s"${df.schema.fieldNames.toSeq}"
+            else if (wire == local) nOk += 1
             else {
               val i = wire.zipAll(local, "<missing>", "<missing>")
                 .indexWhere { case (a, b) => a != b }
