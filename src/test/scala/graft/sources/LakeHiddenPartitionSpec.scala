@@ -226,6 +226,73 @@ class LakeHiddenPartitionSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $ns")
   }
 
+  test("row-level DML on an EVOLVED table: a CoW DELETE/UPDATE of " +
+      "days-era rows re-routes survivors by the CURRENT months " +
+      "transform (rows may change shards; results exact; provenance " +
+      "never lies)") {
+    Lake.registerCatalog(spark)
+    val tbl = "graft_lake.lake.spec_pevolve_dml"
+    mk(tbl, "days(ts)", 4, 2)
+    // March days 2..5 -> shards 0/1 under days; under months(1) ALL
+    // March rows route to shard 24290 % 4 = 2
+    (0L until 8L).map(i =>
+        (i, java.sql.Timestamp.valueOf(f"2024-03-${2 + i / 2}%02d " +
+          f"0${i % 2 * 6 + 3}:00:00")))
+      .toDF("event_id", "ts")
+      .createOrReplaceTempView("spec_pevolve_dml_src")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM spec_pevolve_dml_src")
+    spark.sql(s"""ALTER TABLE $tbl SET TBLPROPERTIES
+      ('shard_key'='months(ts)', 'shard_width'='1')""")
+
+    // CoW DELETE touches old days-shards; surviving rows rewrite
+    // routed by months -> they MOVE to shard 2
+    spark.sql(s"DELETE FROM $tbl WHERE event_id IN (1, 6)")
+    val afterDel = spark.sql(
+      s"SELECT event_id FROM $tbl ORDER BY event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterDel === Seq(0L, 2L, 3L, 4L, 5L, 7L))
+
+    // CoW UPDATE: bump an event's ts into April -> the rewritten row
+    // must route to April's month shard (24291 % 4 = 3)
+    spark.sql(s"""UPDATE $tbl
+      SET ts = TIMESTAMP '2024-04-02 09:00:00' WHERE event_id = 0""")
+    val got = spark.sql(s"""SELECT event_id FROM $tbl
+        WHERE ts >= TIMESTAMP '2024-04-01 00:00:00'""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(0L))
+    assert(spark.sql(s"SELECT count(*) FROM $tbl")
+      .head.getLong(0) === 6L)
+
+    // physical honesty: no row lives in a shard whose recorded
+    // non-mixed provenance couldn't have produced it — every shard's
+    // rows re-derive their tag's routing
+    val root = spark.conf.get("spark.sql.catalog.graft_lake.path")
+    val dir = new java.io.File(root, "spec_pevolve_dml").getPath
+    val head = GraftLakeIO.versionDir(dir,
+      GraftLakeIO.latestVersion(dir))
+    val routing = GraftLakeIO.readRouting(head)
+    val byShard = spark.sql(
+      s"SELECT _shard, ts FROM $tbl")
+      .collect().groupBy(_.getInt(0))
+    byShard.foreach { case (k, rows) =>
+      routing.get(k) match {
+        case Some(tag) if tag != "mixed" =>
+          val Array(tr, w, n) = tag.split(":")
+          rows.foreach { r =>
+            val micros = r.getTimestamp(1).getTime * 1000L
+            val derived = GraftLakeTransform.derive(tr, micros)
+            val expect = java.lang.Math.floorMod(
+              java.lang.Math.floorDiv(derived, w.toLong),
+              n.toLong).toInt
+            assert(expect === k,
+              s"row ${r} in shard $k violates its tag $tag")
+          }
+        case _ => // mixed/absent: no claim to check
+      }
+    }
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("DDL refusals: a transform over a non-timestamp column and an " +
       "unknown raw column both fail loudly") {
     Lake.registerCatalog(spark)
