@@ -5887,6 +5887,48 @@ object Lake {
 
   val lakeSortedRewriteOracle: String = lakeSortedJoinOracle
 
+  /** RIGHT-TO-BE-FORGOTTEN pipeline through the oracle gate — the
+    * governance flow every 100 TB corpus eventually runs: the event
+    * log lands in a merge-on-read lake table keyed by the user, ONE
+    * `DELETE … WHERE user_id = X` masks every trace O(matched) via a
+    * deletion vector (no shard rewrite on the hot path), and
+    * `CALL optimize(dv_threshold => tiny)` then PHYSICALLY rewrites
+    * the masked shards — after which the forgotten user is gone from
+    * every read, count, and footer statistic (LakeDeleteVectorSpec
+    * pins the physical-drop mechanics; this query pins the
+    * post-forget VALUES against a DuckDB oracle that never saw the
+    * user). The two-phase shape is the point: erasure LATENCY is the
+    * DV write, erasure PHYSICS is the next maintenance window. */
+  val pipelineForgetUser: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "events")
+    val tbl = s"graft_lake.lake.forget_$fp"
+    if (!builtHistories.contains(tbl)) {
+      Tables.events(s, dir).selectExpr("event_id", "user_id")
+        .createOrReplaceTempView("graft_lake_forget_src")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"""CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT)
+                TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8',
+                  'delete_mode'='merge-on-read')""")
+      s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_forget_src")
+      s.sql(s"DELETE FROM $tbl WHERE user_id = 7")
+      s.sql(s"""CALL graft_lake.system.optimize(
+                table => 'forget_$fp', dv_threshold => 0.000001D)""")
+      builtHistories.add(tbl): Unit
+    }
+    s.sql(s"""SELECT user_id, count(*) AS n_events,
+                max(event_id) AS max_event_id
+              FROM $tbl WHERE user_id <= 30
+              GROUP BY user_id ORDER BY user_id""")
+  }
+
+  val pipelineForgetUserOracle: String =
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         max(event_id) AS max_event_id
+       FROM events
+       WHERE user_id <= 30 AND user_id <> 7
+       GROUP BY user_id ORDER BY user_id"""
+
   /** AQE SKEW-JOIN over a LAKE fact scan, through the oracle gate:
     * the fact table concentrates ~70% of the event log on one hot
     * join key (the canonical power-law entity), the dim side is too
@@ -6499,6 +6541,7 @@ object Lake {
     "lake_spj_join" -> lakeSpjJoin,
     "lake_sorted_join" -> lakeSortedJoin,
     "lake_sorted_rewrite" -> lakeSortedRewrite,
+    "pipeline_forget_user" -> pipelineForgetUser,
     "join_skew_aqe" -> joinSkewAqe,
     "lake_recluster_skip" -> lakeReclusterSkip,
     "merge_sql_firstseen" -> mergeSqlFirstSeen,
@@ -6544,6 +6587,7 @@ object Lake {
     "lake_spj_join" -> lakeSpjJoinOracle,
     "lake_sorted_join" -> lakeSortedJoinOracle,
     "lake_sorted_rewrite" -> lakeSortedRewriteOracle,
+    "pipeline_forget_user" -> pipelineForgetUserOracle,
     "join_skew_aqe" -> joinSkewAqeOracle,
     "lake_recluster_skip" -> lakeStatsSkippingOracle,
     "merge_sql_firstseen" ->
