@@ -1660,6 +1660,94 @@ object TextAnalysis {
               ELSE 'test' END AS split
        FROM b ORDER BY doc_id"""
 
+  /** Leakage-safe (group-aware) train/val/test split: documents that are
+    * duplicates after normalization (the [[dedupNormalized]] equivalence)
+    * are assigned as a GROUP — the split hash is taken over the group's
+    * representative (min doc_id), not the document — so no two copies of
+    * the same content can straddle train and test (the eval-leakage
+    * failure mode that per-doc hashing like [[corpusSplitAssign]] cannot
+    * rule out). The same shape generalizes to any leakage key: URL host,
+    * near-dup cluster id, conversation thread.
+    *
+    * Scale: one shuffle on the 60-bit normalized-content hash (the window
+    * min); the split itself stays a pure per-row function of the
+    * representative — no sampling state, reproducible on any cluster. */
+  val corpusSplitGrouped: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("doc_id",
+        hex60("regexp_replace(regexp_replace(lower(text), '[0-9]', '0'), ' +', ' ')")
+          + " AS norm_hash")
+      .withColumn("group_rep",
+        min("doc_id").over(Window.partitionBy("norm_hash")))
+      .selectExpr("doc_id", "group_rep",
+        hex60("concat('gsplit_', CAST(group_rep AS STRING))") + " % 100" +
+          " AS bucket")
+      .selectExpr("doc_id", "group_rep", "bucket",
+        """CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split""")
+      .orderBy("doc_id")
+
+  val corpusSplitGroupedOracle: String =
+    s"""WITH g AS (
+         SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY
+             ${hex60Duck("regexp_replace(regexp_replace(lower(text), '[0-9]', '0', 'g'), ' +', ' ', 'g')")})
+             AS group_rep
+         FROM documents),
+       b AS (
+         SELECT doc_id, group_rep,
+           ${hex60Duck("concat('gsplit_', CAST(group_rep AS VARCHAR))")} % 100
+             AS bucket
+         FROM g)
+       SELECT doc_id, group_rep, bucket,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+       FROM b ORDER BY doc_id"""
+
+  /** Length-bucketed batching report: documents binned by their padded
+    * sequence length (pad-to-multiple-of-32 tokens — the bucketing that
+    * keeps attention batches rectangular without one global max_len), with
+    * the exact padding waste per bucket in integer ppm. This is the
+    * planning report behind length-grouped batch samplers: waste_ppm
+    * quantifies what fraction of compute a bucket burns on pad tokens.
+    * All arithmetic is integer (DIV / //), so the report is bit-identical
+    * cross-engine. Scale: one narrow projection + a fixed-fanout
+    * aggregate (≤ max_len/32 groups) — no shuffle beyond the partial/
+    * final agg, at any corpus size. */
+  val corpusLengthBuckets: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
+      .selectExpr("n_tokens",
+        "((greatest(n_tokens, 1) + 31) DIV 32) * 32 AS bucket_cap")
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("bigint").as("sum_tokens"))
+      .selectExpr("bucket_cap", "n_docs", "sum_tokens",
+        "bucket_cap * n_docs AS padded_tokens",
+        """((bucket_cap * n_docs - sum_tokens) * 1000000)
+           DIV (bucket_cap * n_docs) AS waste_ppm""")
+      .orderBy("bucket_cap")
+
+  val corpusLengthBucketsOracle: String =
+    """WITH n AS (
+         SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+       b AS (
+         SELECT n_tokens,
+           ((greatest(n_tokens, 1) + 31) // 32) * 32 AS bucket_cap
+         FROM n),
+       agg AS (
+         SELECT bucket_cap, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM b GROUP BY 1)
+       SELECT bucket_cap, n_docs, sum_tokens,
+         bucket_cap * n_docs AS padded_tokens,
+         ((bucket_cap * n_docs - sum_tokens) * 1000000)
+           // (bucket_cap * n_docs) AS waste_ppm
+       FROM agg ORDER BY bucket_cap"""
+
   /** Boilerplate (frequent-line) removal — the MassiveText repetition
     * filter family (Rae et al., "Scaling Language Models: … Gopher",
     * 2021, §A.1.1; RefinedWeb's line-wise corrections, Penedo et al.
@@ -1729,6 +1817,8 @@ object TextAnalysis {
     "text_boilerplate_lines" -> boilerplateLines,
     "doc_chunk_overlap" -> docChunkOverlap,
     "corpus_split_assign" -> corpusSplitAssign,
+    "corpus_split_grouped" -> corpusSplitGrouped,
+    "corpus_length_buckets" -> corpusLengthBuckets,
     "corpus_global_shuffle" -> corpusShuffle,
     "corpus_budget_cap" -> corpusBudgetCap,
     "text_char_entropy" -> charEntropy,
@@ -1769,6 +1859,8 @@ object TextAnalysis {
     "text_boilerplate_lines" -> boilerplateLinesOracle,
     "doc_chunk_overlap" -> docChunkOverlapOracle,
     "corpus_split_assign" -> corpusSplitAssignOracle,
+    "corpus_split_grouped" -> corpusSplitGroupedOracle,
+    "corpus_length_buckets" -> corpusLengthBucketsOracle,
     "corpus_global_shuffle" -> corpusShuffleOracle,
     "corpus_budget_cap" -> corpusBudgetCapOracle,
     "text_char_entropy" -> charEntropyOracle,

@@ -1402,6 +1402,231 @@ object Similarity {
        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
   }
 
+  /** Hard-negative mining: for each query vector, the top-3 most
+    * cosine-similar candidates whose label DIFFERS from the query's —
+    * the standard negative-selection step for contrastive/embedding
+    * training (high-similarity, wrong-class examples are the
+    * informative negatives). The label predicate applies BEFORE
+    * scoring (pre-filtering): post-filtering a plain top-k would
+    * silently return fewer than k negatives whenever same-label
+    * neighbors crowd the list — the classic filtered-search recall
+    * bug this operator's shape rules out by construction.
+    *
+    * Scale: the filter is part of the join condition, so non-matching
+    * pairs die before any dot product is computed; the rank filter
+    * stages as partial+final WindowGroupLimit (O(k·partitions)
+    * shuffle). Over the persisted IVF index the same shape filters the
+    * assignment rows of the probed cells (the payload column lives in
+    * the index table). */
+  val annHardNegatives: Q = (s, dir) => {
+    val v = vecs(s, dir)
+    val q = v.filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", "label AS q_label",
+        "embedding AS q_emb", "nrm AS q_nrm")
+    val c = v.filter(col("vec_id") >= 10)
+      .selectExpr("vec_id AS c_id", "label AS c_label",
+        "embedding AS c_emb", "nrm AS c_nrm")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("c_id").asc)
+    c.join(broadcast(q), col("c_label") =!= col("q_label"))
+      .selectExpr("q_id", "q_label", "c_id", "c_label",
+        s"${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim")
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 3)
+      .selectExpr("q_id", "rank", "c_id",
+        "CAST(q_label AS BIGINT) AS q_label",
+        "CAST(c_label AS BIGINT) AS c_label",
+        "round(cos_sim, 6) AS cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  val annHardNegativesOracle: String =
+    s"""WITH v AS ($vecsDuck),
+       q AS (SELECT vec_id AS q_id, label AS q_label,
+               embedding AS q_emb, nrm AS q_nrm
+             FROM v WHERE vec_id < 10),
+       c AS (SELECT vec_id AS c_id, label AS c_label,
+               embedding AS c_emb, nrm AS c_nrm
+             FROM v WHERE vec_id >= 10),
+       scored AS (
+         SELECT q_id, q_label, c_id, c_label,
+           ${dotD("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim
+         FROM c JOIN q ON c.c_label <> q.q_label),
+       ranked AS (
+         SELECT q_id, q_label, c_id, c_label, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY cos_sim DESC, c_id ASC) AS rank
+         FROM scored)
+       SELECT q_id, rank, c_id, CAST(q_label AS BIGINT) AS q_label,
+         CAST(c_label AS BIGINT) AS c_label,
+         round(cos_sim, 6) AS cos_sim
+       FROM ranked WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  /** Hybrid retrieval: the lexical BM25 ranking and the dense cosine
+    * ranking fused by Reciprocal Rank Fusion (Cormack, Clarke &
+    * Büttcher, SIGIR 2009): score(d) = Σ_retrievers 1/(K + rank_r(d)),
+    * K = 60 — the standard zero-tuning fusion in RAG / training-data
+    * curation stacks where neither retriever's raw scores are
+    * calibrated against the other's. Here the fusion is exact integer
+    * µ-units (`1000000 DIV (60 + rank)`), so it is bit-identical
+    * cross-engine; a document missing from one retriever's top-20
+    * contributes 0 from that side (rank reported as 0 = "not
+    * retrieved").
+    *
+    * Queries: the three fixed q_ids share both modalities — the lexical
+    * terms are `text_bm25_topk`'s query set (TextAnalysis.scala), the
+    * dense vector is the embedding with `vec_id = q_id`; candidates are
+    * `doc_id`/`vec_id >= 10` (the documents and embeddings tables share
+    * one id space).
+    *
+    * Scale shape (100 TB): each side is the already-audited top-k plan —
+    * BM25 touches only the postings of query terms after the one corpus
+    * tokenize-shuffle, the cosine side goes through the
+    * RewriteCosineTopK custom operator (bounded per-partition buffers,
+    * O(k·partitions) shuffle). The fusion then joins two 20-row-per-query
+    * rank lists — negligible at any corpus size. In production both
+    * sides probe persisted indexes (inverted postings / the lake ANN
+    * index) instead of rebuilding them per query. */
+  val searchHybridRrf: Q = (s, dir) => {
+    import s.implicits._
+    // lexical side: BM25 top-20 (the text_bm25_topk scoring, k1=1.2
+    // b=0.75, 6dp-rounded DECIMAL partials) over candidates doc_id >= 10
+    val queries = Seq(
+      (1L, "join"), (1L, "hash"),
+      (2L, "vector"), (2L, "stream"),
+      (3L, "scan"), (3L, "filter"), (3L, "slow")).toDF("q_id", "term")
+    val toks = t(s, dir, "documents").filter(col("doc_id") >= 10)
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("bigint").as("sum_dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wl = Window.partitionBy("q_id")
+      .orderBy(col("s").desc, col("doc_id"))
+    val lex = tf.join(broadcast(queries), "term")
+      .join(dl, "doc_id")
+      .join(broadcast(dfreq.join(
+        broadcast(queries.select("term").distinct()), "term")), "term")
+      .crossJoin(broadcast(stats))
+      .selectExpr("q_id", "doc_id",
+        """CAST(round(
+             ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+             (CAST(tf AS DOUBLE) * 2.2) /
+             (CAST(tf AS DOUBLE) + 1.2 *
+               (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                / CAST(sum_dl AS DOUBLE))),
+           6) AS DECIMAL(18,6)) AS ps""")
+      .groupBy("q_id", "doc_id")
+      .agg(sum("ps").as("s"))
+      .withColumn("lex_rank", row_number().over(wl).cast(LongType))
+      .filter(col("lex_rank") <= 20)
+      .select("q_id", "doc_id", "lex_rank")
+    // dense side: cosine top-20 (the ann_brute_topk scoring; the
+    // projection shape lets RewriteCosineTopK stage it through
+    // CosineTopKJoinExec)
+    val v = vecs(s, dir)
+    val q = v.filter(col("vec_id").isin(1L, 2L, 3L))
+      .selectExpr("vec_id AS q_id", "embedding AS q_emb", "nrm AS q_nrm")
+    val c = v.filter(col("vec_id") >= 10)
+      .selectExpr("vec_id AS doc_id", "embedding AS c_emb", "nrm AS c_nrm")
+    val wd = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("doc_id").asc)
+    val dense = c.join(broadcast(q))
+      .selectExpr("q_id", "doc_id",
+        s"${dotS("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim")
+      .withColumn("dense_rank", row_number().over(wd).cast(LongType))
+      .filter(col("dense_rank") <= 20)
+      .select("q_id", "doc_id", "dense_rank")
+    // fusion: integer RRF, rank 0 = not retrieved by that side
+    val wf = Window.partitionBy("q_id")
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .selectExpr("q_id", "doc_id",
+        "coalesce(lex_rank, CAST(0 AS BIGINT)) AS lex_rank",
+        "coalesce(dense_rank, CAST(0 AS BIGINT)) AS dense_rank",
+        """(CASE WHEN lex_rank IS NULL THEN CAST(0 AS BIGINT)
+                 ELSE 1000000 DIV (60 + lex_rank) END
+          + CASE WHEN dense_rank IS NULL THEN CAST(0 AS BIGINT)
+                 ELSE 1000000 DIV (60 + dense_rank) END) AS rrf_score""")
+      .withColumn("rank", row_number().over(wf).cast(LongType))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "doc_id", "rrf_score", "lex_rank",
+        "dense_rank")
+      .orderBy("q_id", "rank")
+  }
+
+  val searchHybridRrfOracle: String =
+    s"""WITH qt(q_id, term) AS (VALUES
+         (1, 'join'), (1, 'hash'),
+         (2, 'vector'), (2, 'stream'),
+         (3, 'scan'), (3, 'filter'), (3, 'slow')),
+       toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents WHERE doc_id >= 10),
+       tfc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dlc AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+              FROM dlc),
+       dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+       ps AS (
+         SELECT qt.q_id, tfc.doc_id,
+           CAST(round(
+             ln(1 + (CAST(st.n_docs AS DOUBLE) - dfc.df + 0.5) / (CAST(dfc.df AS DOUBLE) + 0.5)) *
+             (CAST(tfc.tf AS DOUBLE) * 2.2) /
+             (CAST(tfc.tf AS DOUBLE) + 1.2 *
+               (0.25 + 0.75 * CAST(dlc.dl AS DOUBLE) * CAST(st.n_docs AS DOUBLE)
+                / CAST(st.sum_dl AS DOUBLE))),
+           6) AS DECIMAL(18,6)) AS ps
+         FROM tfc JOIN qt USING (term)
+         JOIN dlc USING (doc_id)
+         JOIN dfc USING (term)
+         CROSS JOIN st),
+       agg AS (
+         SELECT q_id, doc_id, sum(ps) AS s FROM ps GROUP BY 1, 2),
+       lex0 AS (
+         SELECT CAST(q_id AS BIGINT) AS q_id, doc_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY s DESC, doc_id) AS lex_rank
+         FROM agg),
+       lex AS (SELECT * FROM lex0 WHERE lex_rank <= 20),
+       v AS ($vecsDuck),
+       qd AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+              FROM v WHERE vec_id IN (1, 2, 3)),
+       cd AS (SELECT vec_id AS doc_id, embedding AS c_emb, nrm AS c_nrm
+              FROM v WHERE vec_id >= 10),
+       scored AS (
+         SELECT q_id, doc_id,
+           ${dotD("q_emb", "c_emb")} / (q_nrm * c_nrm) AS cos_sim
+         FROM cd CROSS JOIN qd),
+       dense0 AS (
+         SELECT q_id, doc_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY cos_sim DESC, doc_id ASC) AS dense_rank
+         FROM scored),
+       dense AS (SELECT * FROM dense0 WHERE dense_rank <= 20),
+       fused AS (
+         SELECT COALESCE(l.q_id, d.q_id) AS q_id,
+           COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           COALESCE(l.lex_rank, 0) AS lex_rank,
+           COALESCE(d.dense_rank, 0) AS dense_rank,
+           (CASE WHEN l.lex_rank IS NULL THEN 0
+                 ELSE 1000000 // (60 + l.lex_rank) END
+          + CASE WHEN d.dense_rank IS NULL THEN 0
+                 ELSE 1000000 // (60 + d.dense_rank) END) AS rrf_score
+         FROM lex l FULL OUTER JOIN dense d
+           ON l.q_id = d.q_id AND l.doc_id = d.doc_id),
+       rk AS (
+         SELECT q_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY rrf_score DESC, doc_id ASC) AS rank,
+           doc_id, rrf_score, lex_rank, dense_rank
+         FROM fused)
+       SELECT q_id, rank, doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+         CAST(lex_rank AS BIGINT) AS lex_rank,
+         CAST(dense_rank AS BIGINT) AS dense_rank
+       FROM rk WHERE rank <= 10 ORDER BY q_id, rank"""
+
   val queries: Map[String, Q] = Map(
     "embedding_random_projection" -> randomProjection,
     "ann_ivf_centroid_topk" -> annIvfCentroidTopk,
@@ -1423,7 +1648,9 @@ object Similarity {
     "embedding_norm_stats" -> normStats,
     "embedding_kmeans" -> embeddingKmeans,
     "ann_pq_adc" -> annPqAdc,
-    "ann_ivf_multiprobe_recall" -> annIvfMultiprobeRecall)
+    "ann_ivf_multiprobe_recall" -> annIvfMultiprobeRecall,
+    "search_hybrid_rrf" -> searchHybridRrf,
+    "ann_hard_negatives" -> annHardNegatives)
 
   val oracles: Map[String, String] = Map(
     "embedding_random_projection" -> randomProjectionOracle,
@@ -1446,5 +1673,7 @@ object Similarity {
     "embedding_norm_stats" -> normStatsOracle,
     "embedding_kmeans" -> embeddingKmeansOracle,
     "ann_pq_adc" -> annPqAdcOracle,
-    "ann_ivf_multiprobe_recall" -> annIvfMultiprobeRecallOracle)
+    "ann_ivf_multiprobe_recall" -> annIvfMultiprobeRecallOracle,
+    "search_hybrid_rrf" -> searchHybridRrfOracle,
+    "ann_hard_negatives" -> annHardNegativesOracle)
 }

@@ -6525,6 +6525,231 @@ object Lake {
        ORDER BY q_id, rank"""
   }
 
+  // ---- persisted TEXT index (GraftLakeTextIndex) ----
+
+  /** Shared fixture: the documents corpus as a lake table + `CALL
+    * build_text_index` over it, then the FULL index lifecycle before
+    * any probe runs — one doc DELETEd, one UPDATEd (its text replaced
+    * with query-term-bearing content so rankings actually move), one
+    * brand-new doc INSERTed, and `CALL refresh_text_index` advancing
+    * the cursor from `$changes`. Every probe therefore exercises
+    * postings from TWO generations, tombstone masking, and delta
+    * visibility at once; the DuckDB oracle recomputes BM25 from the
+    * raw parquet with the same three edits applied in SQL. */
+  private val tixUpdatedText =
+    "join hash vector stream scan filter slow join"
+  private val tixInsertedText = "join join hash vector slow scan"
+
+  private def textIndexFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val fp = Tables.fingerprint(dir, "documents")
+    val src = s"tixsrc_$fp"
+    val ix = s"tix_$fp"
+    if (!builtHistories.contains(src)) {
+      s.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id", "text")
+        .createOrReplaceTempView("graft_tix_corpus_src")
+      s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$src")
+      s.sql(s"""CREATE TABLE graft_lake.lake.$src
+                (doc_id BIGINT, text STRING)
+                TBLPROPERTIES ('shard_key'='doc_id',
+                  'n_shards'='4')""")
+      s.sql(s"""INSERT INTO graft_lake.lake.$src
+                SELECT * FROM graft_tix_corpus_src""")
+      s.sql(s"""CALL graft_lake.system.build_text_index(
+                table => '$src', index_table => '$ix')""")
+      s.sql(s"DELETE FROM graft_lake.lake.$src WHERE doc_id = 11")
+      s.sql(s"""UPDATE graft_lake.lake.$src
+                SET text = '$tixUpdatedText' WHERE doc_id = 12""")
+      s.sql(s"""INSERT INTO graft_lake.lake.$src
+                VALUES (100000L, '$tixInsertedText')""")
+      s.sql(s"""CALL graft_lake.system.refresh_text_index(
+                index_table => '$ix')""")
+      builtHistories.add(src): Unit
+    }
+    ix
+  }
+
+  /** BM25 top-5 served FROM THE PERSISTED INVERTED INDEX — the
+    * production read path `text_bm25_topk`'s per-query tokenize
+    * lacks: postings and doc lengths are lake tables built once by
+    * `CALL build_text_index` and advanced by `refresh_text_index`.
+    * The probe filters `term_h IN (<60-bit hashes of the query
+    * terms>)` — LITERALS computed from the same md5 kernel the index
+    * writes (graft_hex60), so shard routing prunes the postings scan
+    * to the query terms' shards (LakeTextIndexSpec pins the planned
+    * shard count); the string `term` equi-join makes hash collisions
+    * harmless. Tombstone masking + the `ver >= before` liveness rule
+    * hide the deleted doc and the updated doc's stale postings; the
+    * refreshed delta (including a brand-new doc) ranks. Scoring is
+    * the exact `text_bm25_topk` arithmetic (6dp DECIMAL partials), so
+    * the DuckDB oracle — a clean recompute over the edited corpus —
+    * pins index == recompute. */
+  val searchIndexedBm25: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val ix = textIndexFixture(s, dir)
+    import s.implicits._
+    val terms = Seq(
+      (1L, "join"), (1L, "hash"),
+      (2L, "vector"), (2L, "stream"),
+      (3L, "scan"), (3L, "filter"), (3L, "slow"))
+    // literal probe hashes from the same JVM kernel graft_hex60 runs —
+    // no collect, no corpus job, and the IN pushes into shard routing
+    val hashes = terms.map(_._2).distinct.map(t =>
+      graft.plans.HashUtil.hex60md5(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        .asInstanceOf[Any])
+    val qdf = terms.toDF("q_id", "term")
+    val tomb = GraftLakeTextIndex.tombstones(s, ix)
+    val post = GraftLakeTextIndex.live(
+      s.table(s"graft_lake.lake.$ix")
+        .filter(col("term_h").isin(hashes: _*)), tomb)
+    val docs = GraftLakeTextIndex.live(
+      s.table(s"graft_lake.lake.${ix}_docs"), tomb)
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("bigint").as("sum_dl"))
+    val dfreq = post.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("s").desc, col("doc_id"))
+    post.join(broadcast(qdf), "term")
+      .join(docs.select("doc_id", "dl"), "doc_id")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .selectExpr("q_id", "doc_id",
+        """CAST(round(
+             ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+             (CAST(tf AS DOUBLE) * 2.2) /
+             (CAST(tf AS DOUBLE) + 1.2 *
+               (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                / CAST(sum_dl AS DOUBLE))),
+           6) AS DECIMAL(18,6)) AS ps""")
+      .groupBy("q_id", "doc_id")
+      .agg(sum("ps").as("s"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w)
+        .cast(org.apache.spark.sql.types.LongType))
+      .filter(col("rank") <= 5)
+      .selectExpr("q_id", "rank", "doc_id", "n_terms",
+        "CAST(s AS DOUBLE) AS bm25")
+      .orderBy("q_id", "rank")
+  }
+
+  val searchIndexedBm25Oracle: String =
+    s"""WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         WHERE doc_id NOT IN (11, 12)
+         UNION ALL SELECT CAST(12 AS BIGINT), '$tixUpdatedText'
+         UNION ALL SELECT CAST(100000 AS BIGINT), '$tixInsertedText'),
+       q(q_id, term) AS (VALUES
+         (1, 'join'), (1, 'hash'),
+         (2, 'vector'), (2, 'stream'),
+         (3, 'scan'), (3, 'filter'), (3, 'slow')),
+       toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM corpus),
+       tfc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dlc AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+       st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+              FROM dlc),
+       dfc AS (SELECT term, count(*) AS df FROM tfc
+               WHERE term IN (SELECT term FROM q) GROUP BY 1),
+       ps AS (
+         SELECT q.q_id, tfc.doc_id,
+           CAST(round(
+             ln(1 + (CAST(st.n_docs AS DOUBLE) - dfc.df + 0.5) / (CAST(dfc.df AS DOUBLE) + 0.5)) *
+             (CAST(tfc.tf AS DOUBLE) * 2.2) /
+             (CAST(tfc.tf AS DOUBLE) + 1.2 *
+               (0.25 + 0.75 * CAST(dlc.dl AS DOUBLE) * CAST(st.n_docs AS DOUBLE)
+                / CAST(st.sum_dl AS DOUBLE))),
+           6) AS DECIMAL(18,6)) AS ps
+         FROM tfc JOIN q USING (term)
+         JOIN dlc USING (doc_id)
+         JOIN dfc USING (term)
+         CROSS JOIN st),
+       agg AS (
+         SELECT q_id, doc_id, sum(ps) AS s, count(*) AS n_terms
+         FROM ps GROUP BY 1, 2),
+       rk AS (
+         SELECT CAST(q_id AS BIGINT) AS q_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY s DESC, doc_id) AS rank,
+           doc_id, n_terms, CAST(s AS DOUBLE) AS bm25
+         FROM agg)
+       SELECT q_id, rank, doc_id, n_terms, bm25 FROM rk
+       WHERE rank <= 5 ORDER BY q_id, rank"""
+
+  /** The FULLY-INDEXED hybrid retrieval stack: Reciprocal Rank Fusion
+    * over two PERSISTED indexes — the lexical rank list from
+    * [[searchIndexedBm25]] (term-hash-sharded postings probe) and the
+    * dense rank list from [[annIndexedTopk]] (IVF cell probe of the
+    * persisted quantizer) — the production form of
+    * `search_hybrid_rrf`, whose sides recompute per query. Fusion is
+    * the same exact integer µ-unit RRF (`1000000 DIV (60 + rank)`,
+    * K=60, rank 0 = not retrieved by that side); each side serves
+    * k=5, the fused list keeps top-5.
+    *
+    * The two indexes deliberately index DIFFERENT fixture lifecycles
+    * (the text index a delete/update/insert + refresh over documents,
+    * the ANN index a CDC-upsert corpus over embeddings) — the fusion
+    * scores whatever each index serves, which is exactly the
+    * production contract (retrievers are maintained independently).
+    * Scale: two index probes + a join of two 5-row-per-query rank
+    * lists; nothing here rescans a corpus. */
+  val searchHybridIndexed: Q = (s, dir) => Lake.synchronized {
+    val lex = searchIndexedBm25(s, dir)
+      .selectExpr("q_id", "doc_id", "rank AS lex_rank")
+    val dense = annIndexedTopk(s, dir)
+      .filter(col("q_id").isin(1L, 2L, 3L))
+      .selectExpr("q_id", "c_id AS doc_id", "rank AS dense_rank")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .selectExpr("q_id", "doc_id",
+        "coalesce(lex_rank, CAST(0 AS BIGINT)) AS lex_rank",
+        "coalesce(dense_rank, CAST(0 AS BIGINT)) AS dense_rank",
+        """(CASE WHEN lex_rank IS NULL THEN CAST(0 AS BIGINT)
+                 ELSE 1000000 DIV (60 + lex_rank) END
+          + CASE WHEN dense_rank IS NULL THEN CAST(0 AS BIGINT)
+                 ELSE 1000000 DIV (60 + dense_rank) END) AS rrf_score""")
+      .withColumn("rank", row_number().over(w)
+        .cast(org.apache.spark.sql.types.LongType))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "doc_id", "rrf_score", "lex_rank",
+        "dense_rank")
+      .orderBy("q_id", "rank")
+  }
+
+  val searchHybridIndexedOracle: String =
+    s"""WITH lexr AS (
+         SELECT q_id, doc_id, rank AS lex_rank
+         FROM ($searchIndexedBm25Oracle)),
+       denser AS (
+         SELECT q_id, c_id AS doc_id, rank AS dense_rank
+         FROM ($annIndexedTopkOracle)
+         WHERE q_id IN (1, 2, 3)),
+       fused AS (
+         SELECT COALESCE(l.q_id, d.q_id) AS q_id,
+           COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           COALESCE(l.lex_rank, 0) AS lex_rank,
+           COALESCE(d.dense_rank, 0) AS dense_rank,
+           (CASE WHEN l.lex_rank IS NULL THEN 0
+                 ELSE 1000000 // (60 + l.lex_rank) END
+          + CASE WHEN d.dense_rank IS NULL THEN 0
+                 ELSE 1000000 // (60 + d.dense_rank) END) AS rrf_score
+         FROM lexr l FULL OUTER JOIN denser d
+           ON l.q_id = d.q_id AND l.doc_id = d.doc_id),
+       rk AS (
+         SELECT q_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY rrf_score DESC, doc_id ASC) AS rank,
+           doc_id, rrf_score, lex_rank, dense_rank
+         FROM fused)
+       SELECT q_id, rank, doc_id, CAST(rrf_score AS BIGINT) AS rrf_score,
+         CAST(lex_rank AS BIGINT) AS lex_rank,
+         CAST(dense_rank AS BIGINT) AS dense_rank
+       FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
+
   val queries: Map[String, Q] = Map(
     "ann_indexed_topk" -> annIndexedTopk,
     "ann_index_drift" -> annIndexDrift,
@@ -6541,6 +6766,8 @@ object Lake {
     "lake_spj_join" -> lakeSpjJoin,
     "lake_sorted_join" -> lakeSortedJoin,
     "lake_sorted_rewrite" -> lakeSortedRewrite,
+    "search_indexed_bm25" -> searchIndexedBm25,
+    "search_hybrid_indexed" -> searchHybridIndexed,
     "pipeline_forget_user" -> pipelineForgetUser,
     "join_skew_aqe" -> joinSkewAqe,
     "lake_recluster_skip" -> lakeReclusterSkip,
@@ -6587,6 +6814,8 @@ object Lake {
     "lake_spj_join" -> lakeSpjJoinOracle,
     "lake_sorted_join" -> lakeSortedJoinOracle,
     "lake_sorted_rewrite" -> lakeSortedRewriteOracle,
+    "search_indexed_bm25" -> searchIndexedBm25Oracle,
+    "search_hybrid_indexed" -> searchHybridIndexedOracle,
     "pipeline_forget_user" -> pipelineForgetUserOracle,
     "join_skew_aqe" -> joinSkewAqeOracle,
     "lake_recluster_skip" -> lakeStatsSkippingOracle,

@@ -36,6 +36,7 @@ object GraftLakeProcedures {
       "vacuum", "create_tag", "drop_tag",
       "build_ann_index", "refresh_ann_index",
       "retrain_ann_index", "ann_index_drift",
+      "build_text_index", "refresh_text_index",
       "create_branch", "drop_branch", "fast_forward",
       "rewrite_sorted")
 
@@ -301,6 +302,43 @@ object GraftLakeProcedures {
       val (c, n, v) = GraftLakeAnnIndex.retrain(root, ix,
         in.getInt(1), in.getInt(2), in.getInt(3))
       Seq(new GenericInternalRow(Array[Any](str(ix), c, n, v)))
+    }
+
+    case "build_text_index" => proc("build_text_index",
+      "tokenize a (doc_id, text) lake table at its current snapshot " +
+        "and persist the inverted index: term-hash-sharded postings, " +
+        "doc lengths, tombstones, cursor ([[GraftLakeTextIndex]])",
+      Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("index_table", StringType).build()),
+      StructType(Seq(
+        StructField("index_table", StringType, nullable = false),
+        StructField("postings", LongType, nullable = false),
+        StructField("docs", LongType, nullable = false),
+        StructField("source_version", IntegerType,
+          nullable = false)))) { in =>
+      val ix = in.getUTF8String(1).toString.stripPrefix("lake.")
+      val (p, d, v) = GraftLakeTextIndex.build(root,
+        in.getUTF8String(0).toString, ix)
+      Seq(new GenericInternalRow(Array[Any](str(ix), p, d, v)))
+    }
+
+    case "refresh_text_index" => proc("refresh_text_index",
+      "advance a text index from its source's $changes feed — " +
+        "O(delta): deleted docs append one tombstone row each " +
+        "(probe-time anti-mask, the Lucene live-docs model), new " +
+        "docs tokenize and append postings + length rows",
+      Seq(
+        ProcedureParameter.in("index_table", StringType).build()),
+      StructType(Seq(
+        StructField("from_version", LongType, nullable = false),
+        StructField("to_version", LongType, nullable = false),
+        StructField("postings_added", LongType, nullable = false),
+        StructField("docs_tombstoned", LongType,
+          nullable = false)))) { in =>
+      val (f, t, a, r) = GraftLakeTextIndex.refresh(root,
+        in.getUTF8String(0).toString.stripPrefix("lake."))
+      Seq(new GenericInternalRow(Array[Any](f, t, a, r)))
     }
 
     case "ann_index_drift" => proc("ann_index_drift",

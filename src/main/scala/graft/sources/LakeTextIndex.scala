@@ -1,0 +1,188 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED INVERTED (TEXT) INDEX as incrementally-maintained lake
+  * tables — the lexical twin of [[GraftLakeAnnIndex]]: where the ANN
+  * index persists the trained IVF structure, this persists the BM25
+  * scoring state (postings + document lengths), so a ranked text
+  * search costs a point-lookup-pruned probe of the query terms'
+  * shards instead of a corpus tokenize (the Lucene/ES segment model,
+  * expressed as lake shard routing + snapshot isolation).
+  *
+  * `CALL graft_lake.system.build_text_index(table, index_table)`
+  * tokenizes the source snapshot (pinned at `VERSION AS OF`) and
+  * persists FOUR lake tables:
+  *
+  *  - `<ix>       (term_h, term, doc_id, tf, ver)` — one posting per
+  *    (document, term), SHARDED BY `term_h` (the 60-bit md5 term hash
+  *    — shard keys are integral; the string `term` column rides along
+  *    so the final equi-join is collision-proof). A probe of k query
+  *    terms plans only the shards those hashes route to.
+  *  - `<ix>_docs  (doc_id, dl, ver)` — document lengths (the BM25
+  *    normalizer), sharded by doc_id.
+  *  - `<ix>_tomb  (doc_id, before)` — DELETION TOMBSTONES: "rows of
+  *    doc_id with ver < before are dead". Inverted indexes cannot
+  *    cheaply delete by doc (a document's postings spread across all
+  *    term shards), so deletion is a tombstone append — O(1) per
+  *    deleted doc — applied at probe time by an anti-mask against the
+  *    (tiny) tombstone table and physically resolved at the next
+  *    rebuild. This is the standard Lucene live-docs design.
+  *  - `<ix>_meta  (source, last_version)` — the cursor (head = max).
+  *
+  * `CALL graft_lake.system.refresh_text_index(index_table)` advances
+  * from the source's `$changes` feed, O(delta): deleted/pre-image docs
+  * append one tombstone row each; inserted/post-image docs tokenize
+  * and append postings + length rows stamped `ver = head`, which the
+  * `ver >= before` liveness rule makes visible past their own
+  * tombstone (an update is delete + re-add at the same version).
+  *
+  * 100 TB shape: build is the one corpus tokenize-shuffle every text
+  * operator already pays, persisted once; refresh reads only the
+  * commits past the cursor and appends (never rewrites a posting
+  * shard); probes scan only the probed terms' shards and join the
+  * broadcast tombstone/stats frames. Rebuild (= build again) is the
+  * compaction that folds tombstones away. */
+object GraftLakeTextIndex {
+
+  private def q(name: String) = s"graft_lake.lake.$name"
+
+  private def dataDir(root: String, table: String): String = {
+    val bare = table.stripPrefix("lake.")
+    require(new java.io.File(root, s"$bare.lake.json").exists(),
+      s"no such lake table: $table")
+    new java.io.File(root, bare).getPath
+  }
+
+  /** Whitespace tokens of a (doc_id, text) frame — the SAME
+    * segmentation as `text_bm25_topk`/`text_token_count`, so the
+    * indexed scores are provably the recomputed scores. */
+  private def tokens(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+
+  /** Postings + doc-length rows for a (doc_id, text) frame, stamped
+    * with the source version they reflect. */
+  private def indexRows(docs: DataFrame,
+      ver: Long): (DataFrame, DataFrame) = {
+    val toks = tokens(docs)
+    val postings = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .selectExpr("graft_hex60(term) AS term_h", "term", "doc_id",
+        "tf", s"CAST($ver AS BIGINT) AS ver")
+    val doclens = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"))
+      .selectExpr("doc_id", "dl", s"CAST($ver AS BIGINT) AS ver")
+    (postings, doclens)
+  }
+
+  /** Train-free build: tokenize the pinned snapshot, DROP + recreate
+    * the four index tables, persist. Returns
+    * (postings, docs, sourceVersion). */
+  def build(root: String, table: String, ix: String)
+      : (Long, Long, Int) = {
+    val s = SparkSession.active
+    val src = table.stripPrefix("lake.")
+    // pin the snapshot FIRST (the ANN build discipline): a commit
+    // between stamp and read would desync cursor and content
+    val v = GraftLakeIO.latestVersion(dataDir(root, src))
+    val docs = s.sql(
+      s"SELECT doc_id, text FROM ${q(src)} VERSION AS OF $v")
+    val (postings, doclens) = indexRows(docs, v.toLong)
+    Seq(ix, s"${ix}_docs", s"${ix}_tomb", s"${ix}_meta")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${q(t)}"))
+    s.sql(s"""CREATE TABLE ${q(ix)}
+              (term_h BIGINT, term STRING, doc_id BIGINT, tf BIGINT,
+               ver BIGINT)
+              TBLPROPERTIES ('shard_key'='term_h', 'n_shards'='8')""")
+    s.sql(s"""CREATE TABLE ${q(s"${ix}_docs")}
+              (doc_id BIGINT, dl BIGINT, ver BIGINT)
+              TBLPROPERTIES ('shard_key'='doc_id', 'n_shards'='4')""")
+    s.sql(s"""CREATE TABLE ${q(s"${ix}_tomb")}
+              (doc_id BIGINT, before BIGINT)
+              TBLPROPERTIES ('shard_key'='doc_id', 'n_shards'='1')""")
+    s.sql(s"""CREATE TABLE ${q(s"${ix}_meta")}
+              (source STRING, last_version BIGINT)
+              TBLPROPERTIES ('shard_key'='last_version',
+                'n_shards'='1')""")
+    postings.createOrReplaceTempView("graft_tix_postings_src")
+    s.sql(s"""INSERT INTO ${q(ix)}
+              SELECT * FROM graft_tix_postings_src""")
+    doclens.createOrReplaceTempView("graft_tix_doclens_src")
+    s.sql(s"""INSERT INTO ${q(s"${ix}_docs")}
+              SELECT * FROM graft_tix_doclens_src""")
+    s.sql(s"""INSERT INTO ${q(s"${ix}_meta")}
+              VALUES ('$src', ${v}L)""")
+    val nPost = s.table(q(ix)).count()
+    val nDocs = s.table(q(s"${ix}_docs")).count()
+    (nPost, nDocs, v)
+  }
+
+  /** Advance from `$changes`. Returns
+    * (from, to, postingsAdded, docsTombstoned). */
+  def refresh(root: String, ix: String): (Long, Long, Long, Long) = {
+    val s = SparkSession.active
+    val meta = s.table(q(s"${ix}_meta"))
+      .orderBy(col("last_version").desc).limit(1)
+      .selectExpr("source", "last_version").head()
+    val src = meta.getString(0)
+    val last = meta.getLong(1)
+    val head = GraftLakeIO.latestVersion(dataDir(root, src)).toLong
+    if (head <= last) return (last, head, 0L, 0L)
+    val changes = s.read
+      .option("startingVersion", last.toString)
+      .option("endingVersion", head.toString)
+      .table(s"graft_lake.lake.`$src$$changes`")
+    // tombstones FIRST (one row per doc that existed before, O(1) per
+    // delete): an update is preimage (tombstone: everything before
+    // `head` is dead) + postimage (fresh rows at ver = head, live
+    // because the liveness rule is ver >= before)
+    val dead = changes
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select("doc_id").distinct()
+      .selectExpr("doc_id", s"CAST($head AS BIGINT) AS before")
+    val removed = dead.count()
+    if (removed > 0) {
+      dead.createOrReplaceTempView("graft_tix_tomb_src")
+      s.sql(s"""INSERT INTO ${q(s"${ix}_tomb")}
+                SELECT * FROM graft_tix_tomb_src""")
+    }
+    // re-add only each doc's FINAL in-window image: a doc inserted at
+    // v2 and deleted at v4 has no add row at its max commit version,
+    // so the multi-commit window collapses to the truth instead of
+    // resurrecting the mid-window state
+    val lastV = changes.groupBy("doc_id")
+      .agg(max("_commit_version").as("vmax"))
+    val adds = changes
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .join(lastV, "doc_id")
+      .filter(col("_commit_version") === col("vmax"))
+      .select("doc_id", "text")
+    val (postings, doclens) = indexRows(adds, head)
+    val added = postings.count()
+    if (added > 0) {
+      postings.createOrReplaceTempView("graft_tix_postings_src")
+      s.sql(s"""INSERT INTO ${q(ix)}
+                SELECT * FROM graft_tix_postings_src""")
+      doclens.createOrReplaceTempView("graft_tix_doclens_src")
+      s.sql(s"""INSERT INTO ${q(s"${ix}_docs")}
+                SELECT * FROM graft_tix_doclens_src""")
+    }
+    s.sql(s"""INSERT INTO ${q(s"${ix}_meta")}
+              VALUES ('$src', ${head}L)""")
+    (last, head, added, removed)
+  }
+
+  /** Per-doc max tombstone bound (a tiny frame — one row per ever-
+    * deleted doc until the next rebuild folds it away). */
+  def tombstones(s: SparkSession, ix: String): DataFrame =
+    s.table(q(s"${ix}_tomb"))
+      .groupBy("doc_id").agg(max("before").as("before"))
+
+  /** Liveness mask: keep rows whose `ver` survives the doc's newest
+    * tombstone (`ver >= before`; no tombstone = live). */
+  def live(df: DataFrame, tomb: DataFrame): DataFrame =
+    df.join(broadcast(tomb), Seq("doc_id"), "left_outer")
+      .filter(col("before").isNull || col("ver") >= col("before"))
+      .drop("before")
+}

@@ -67,6 +67,18 @@ class PlanSpec extends SparkSpec {
       s"RewriteCosineTopK did not fire on the declarative form:\n$p")
   }
 
+  test("hybrid RRF: dense side rides CosineTopKJoinExec, both rank " +
+      "filters stage into partial top-k, and no cartesian appears") {
+    val p = plan(Similarity.searchHybridRrf(spark, sf))
+    assert(p.contains("CosineTopKJoin"),
+      s"dense side did not rewrite to the custom operator:\n$p")
+    // three staged rank filters: lexical top-20, fusion top-10 (the
+    // dense top-20 lives inside CosineTopKJoinExec's bounded buffers)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4,
+      s"rank filters not staged partial+final:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
   test("cosine top-k rewrite also fires over the typed media pipeline") {
     val df = graft.operators.Multimodal.mmEmbedAnn(spark, sf)
     val p = plan(df)

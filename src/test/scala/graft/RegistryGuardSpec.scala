@@ -143,6 +143,19 @@ class RegistryGuardSpec extends SparkSpec {
     // broadcast corpus-level stats/vocab scalars into per-row math
     "graph_triangle_count", "text_bigram_pmi", "text_bm25_topk",
     "text_lm_perplexity", "text_tfidf_topk", "scalar_subquery",
+    // hybrid RRF: the BM25 side's 1-row corpus-stats frame broadcast
+    // into the per-posting score (the dense side stages through the
+    // CosineTopKJoinExec rewrite, not a BNLJ)
+    "search_hybrid_rrf",
+    // hard negatives: corpus × broadcast 10-query frame under a
+    // label-inequality theta condition (pre-filtered scoring)
+    "ann_hard_negatives",
+    // indexed BM25: the same 1-row corpus-stats frame as
+    // text_bm25_topk, broadcast into the postings-slice score
+    "search_indexed_bm25",
+    // fully-indexed hybrid: inherits both probes' by-construction
+    // broadcasts (ann_indexed_topk centroids + the BM25 stats frame)
+    "search_hybrid_indexed",
     // TPC-H scalar-subquery decorrelations: a 1-row aggregate
     // (0.1%-of-total threshold / positive-balance average) broadcast
     // into the filter — the textbook RewriteCorrelatedScalarSubquery

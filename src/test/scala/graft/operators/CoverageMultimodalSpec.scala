@@ -415,4 +415,62 @@ class CoverageMultimodalSpec extends SparkSpec {
       assert(caps(c) === ((false, "unbound")), s"$c: ${caps(c)}")
     }
   }
+
+  test("corpus_split_grouped: normalized duplicates never straddle " +
+      "splits, and the representative is the group min") {
+    val rows = graft.functions.TextAnalysis.corpusSplitGrouped(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    // group_rep is the min doc_id of its group, and every member of a
+    // group carries the SAME split — the leakage-safety contract
+    rows.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._1).min === rep,
+        s"group $rep: representative is not the min doc_id")
+      assert(members.map(_._4).distinct.length === 1,
+        s"group $rep straddles splits: ${members.map(_._4).toSet}")
+    }
+    // the split is a pure function of the representative: recompute it
+    val buckets = rows.map(_._2).distinct.toSeq.sorted
+    val bdf = buckets.toDF("rep").selectExpr("rep",
+      graft.functions.TextAnalysis
+        .hex60("concat('gsplit_', CAST(rep AS STRING))") + " % 100 AS b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (_, rep, bucket, split) =>
+      assert(bucket === bdf(rep))
+      val want = if (bucket < 80) "train" else if (bucket < 90) "val"
+        else "test"
+      assert(split === want)
+    }
+    // and the grouping is real on harness data: compare group count to
+    // distinct normalized hashes
+    val nGroups = graft.functions.TextAnalysis.dedupNormalized(spark, sf)
+      .count()
+    assert(rows.map(_._2).distinct.length.toLong === nGroups)
+  }
+
+  test("corpus_length_buckets: buckets tile by 32, counts and waste " +
+      "recompute from raw token counts") {
+    val rows = graft.functions.TextAnalysis.corpusLengthBuckets(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .collect().map(_.getLong(0))
+    val expect = toks.groupBy(n => ((math.max(n, 1) + 31) / 32) * 32)
+      .toSeq.sortBy(_._1)
+      .map { case (cap, ns) =>
+        val (nd, st) = (ns.length.toLong, ns.sum)
+        val padded = cap * nd
+        (cap, nd, st, padded, (padded - st) * 1000000L / padded)
+      }
+    assert(rows.toSeq === expect)
+    // every doc's tokens fit its bucket: waste is non-negative and the
+    // bucket is the tightest multiple of 32
+    rows.foreach { case (cap, _, _, _, waste) =>
+      assert(cap % 32 === 0 && waste >= 0L && waste < 1000000L)
+    }
+  }
 }

@@ -777,4 +777,109 @@ class DedupSimilaritySpec extends SparkSpec {
     val toks = df.selectExpr("size(split(text, ' ')) AS n").head.getInt(0)
     assert(toks === 4)
   }
+
+  test("ann_hard_negatives: every negative has a different label and " +
+      "the ranking equals a single-machine pre-filtered recompute") {
+    val out = Similarity.annHardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, _, ql, cl, _) => assert(ql !== cl) }
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val expect = rows.filter(_._1 < 10).sortBy(_._1).toSeq.flatMap {
+      case (qid, qv, qlab) =>
+        val qn = math.sqrt(dot(qv, qv))
+        rows.filter(r => r._1 >= 10 && r._3 != qlab).toSeq
+          .map { case (cid, cv, clab) =>
+            (cid, clab, dot(qv, cv) / (qn * math.sqrt(dot(cv, cv))))
+          }
+          .sortBy { case (cid, _, s) => (-s, cid) }.take(3)
+          .zipWithIndex.map { case ((cid, clab, s), i) =>
+            (qid, i + 1L, cid, qlab.toLong, clab.toLong,
+              BigDecimal(s).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+    }
+    assert(out.toSeq === expect)
+  }
+
+  test("search_hybrid_rrf: fusion equals a single-machine recompute of " +
+      "BM25 + cosine top-20 lists fused with integer RRF") {
+    val out = Similarity.searchHybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // --- lexical side: BM25 over doc_id >= 10, 6dp DECIMAL partials
+    val qterms = Map(
+      1L -> Seq("join", "hash"),
+      2L -> Seq("vector", "stream"),
+      3L -> Seq("scan", "filter", "slow"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .filter(_.getLong(0) >= 10)
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = docs.size.toLong
+    val sumDl = docs.values.map(_.size.toLong).sum
+    val dfAll = docs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, v) => t -> v.size.toLong }
+    def lexRanks(q: Long): Map[Long, Long] = docs.toSeq.flatMap {
+      case (d, toks) =>
+        val dl = toks.size.toLong
+        val parts = qterms(q).flatMap { term =>
+          val tf = toks.count(_ == term).toLong
+          if (tf == 0 || !dfAll.contains(term)) None
+          else {
+            val idf = math.log(1 + (n.toDouble - dfAll(term) + 0.5) /
+              (dfAll(term).toDouble + 0.5))
+            val tfc = (tf.toDouble * 2.2) / (tf.toDouble + 1.2 *
+              (0.25 + 0.75 * dl.toDouble * n.toDouble / sumDl.toDouble))
+            Some(BigDecimal(idf * tfc)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          }
+        }
+        if (parts.isEmpty) None else Some(d -> parts.sum)
+    }.sortBy { case (d, sc) => (-sc, d) }.take(20)
+      .zipWithIndex.map { case ((d, _), i) => d -> (i + 1L) }.toMap
+    // --- dense side: left-to-right double fold (= graft_dot)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def denseRanks(q: Long): Map[Long, Long] = {
+      val qv = vecs(q)
+      val qn = math.sqrt(dot(qv, qv))
+      vecs.toSeq.filter(_._1 >= 10).map { case (c, cv) =>
+        c -> dot(qv, cv) / (qn * math.sqrt(dot(cv, cv)))
+      }.sortBy { case (c, s) => (-s, c) }.take(20)
+        .zipWithIndex.map { case ((c, _), i) => c -> (i + 1L) }.toMap
+    }
+    // --- integer RRF fusion, rank 0 = not retrieved
+    val expect = Seq(1L, 2L, 3L).flatMap { q =>
+      val lr = lexRanks(q)
+      val dr = denseRanks(q)
+      (lr.keySet ++ dr.keySet).toSeq.map { d =>
+        val score = lr.get(d).map(r => 1000000L / (60L + r)).getOrElse(0L) +
+          dr.get(d).map(r => 1000000L / (60L + r)).getOrElse(0L)
+        (q, d, score, lr.getOrElse(d, 0L), dr.getOrElse(d, 0L))
+      }.sortBy { case (_, d, sc, _, _) => (-sc, d) }.take(10)
+        .zipWithIndex.map { case ((qq, d, sc, l, dn), i) =>
+          (qq, i + 1L, d, sc, l, dn)
+        }
+    }
+    assert(out.toSeq === expect,
+      s"hybrid fusion mismatch:\n got=${out.toSeq}\n exp=$expect")
+  }
 }
