@@ -6540,6 +6540,15 @@ object Lake {
     "join hash vector stream scan filter slow join"
   private val tixInsertedText = "join join hash vector slow scan"
 
+  /** The DuckDB replay of the fixture's edited corpus (delete 11,
+    * replace 12, insert 100000) — shared by every text-index
+    * oracle. */
+  private val tixCorpusDuck =
+    s"""SELECT doc_id, text FROM documents
+        WHERE doc_id NOT IN (11, 12)
+        UNION ALL SELECT CAST(12 AS BIGINT), '$tixUpdatedText'
+        UNION ALL SELECT CAST(100000 AS BIGINT), '$tixInsertedText'"""
+
   private def textIndexFixture(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val fp = Tables.fingerprint(dir, "documents")
@@ -6585,21 +6594,27 @@ object Lake {
     * the exact `text_bm25_topk` arithmetic (6dp DECIMAL partials), so
     * the DuckDB oracle — a clean recompute over the edited corpus —
     * pins index == recompute. */
-  val searchIndexedBm25: Q = (s, dir) => Lake.synchronized {
-    registerCatalog(s)
+  private val tixQueryTerms = Seq(
+    (1L, "join"), (1L, "hash"),
+    (2L, "vector"), (2L, "stream"),
+    (3L, "scan"), (3L, "filter"), (3L, "slow"))
+
+  /** The shared probe-and-score stage: live postings of the query
+    * terms (shard-pruned by literal graft_hex60 hashes — no collect,
+    * no corpus job) scored with the exact text_bm25_topk arithmetic,
+    * aggregated to one (q_id, doc_id, s, n_terms) row per candidate.
+    * [[searchIndexedBm25]] ranks this frame as-is (disjunctive,
+    * standard BM25); [[searchIndexedConjunctive]] first demands
+    * n_terms = |query| (AND semantics). */
+  private def indexedBm25Scored(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     val ix = textIndexFixture(s, dir)
     import s.implicits._
-    val terms = Seq(
-      (1L, "join"), (1L, "hash"),
-      (2L, "vector"), (2L, "stream"),
-      (3L, "scan"), (3L, "filter"), (3L, "slow"))
-    // literal probe hashes from the same JVM kernel graft_hex60 runs —
-    // no collect, no corpus job, and the IN pushes into shard routing
-    val hashes = terms.map(_._2).distinct.map(t =>
+    val hashes = tixQueryTerms.map(_._2).distinct.map(t =>
       graft.plans.HashUtil.hex60md5(
         org.apache.spark.unsafe.types.UTF8String.fromString(t))
         .asInstanceOf[Any])
-    val qdf = terms.toDF("q_id", "term")
+    val qdf = tixQueryTerms.toDF("q_id", "term")
     val tomb = GraftLakeTextIndex.tombstones(s, ix)
     val post = GraftLakeTextIndex.live(
       s.table(s"graft_lake.lake.$ix")
@@ -6610,8 +6625,6 @@ object Lake {
       sum("dl").cast("bigint").as("sum_dl"))
     val dfreq = post.select("term", "doc_id").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("s").desc, col("doc_id"))
     post.join(broadcast(qdf), "term")
       .join(docs.select("doc_id", "dl"), "doc_id")
       .join(broadcast(dfreq), "term")
@@ -6626,6 +6639,41 @@ object Lake {
            6) AS DECIMAL(18,6)) AS ps""")
       .groupBy("q_id", "doc_id")
       .agg(sum("ps").as("s"), count(lit(1)).as("n_terms"))
+  }
+
+  val searchIndexedBm25: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("s").desc, col("doc_id"))
+    indexedBm25Scored(s, dir)
+      .withColumn("rank", row_number().over(w)
+        .cast(org.apache.spark.sql.types.LongType))
+      .filter(col("rank") <= 5)
+      .selectExpr("q_id", "rank", "doc_id", "n_terms",
+        "CAST(s AS DOUBLE) AS bm25")
+      .orderBy("q_id", "rank")
+  }
+
+  /** CONJUNCTIVE (AND) retrieval over the same index: only documents
+    * containing EVERY query term qualify, then BM25 ranks the
+    * survivors — how production search engines actually execute
+    * (conjunctive candidate generation, then ranking): the AND filter
+    * shrinks the ranked set from "any term matched" to the
+    * high-precision intersection. The qualification is free here —
+    * the scored frame already counts matched terms per (query, doc),
+    * so AND is `n_terms = |query|` against a broadcast 3-row
+    * term-count frame. */
+  val searchIndexedConjunctive: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    import s.implicits._
+    val need = tixQueryTerms.groupBy(_._1).view
+      .mapValues(_.size.toLong).toSeq
+      .map { case (q, n) => (q, n) }.toDF("q_id", "need")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("s").desc, col("doc_id"))
+    indexedBm25Scored(s, dir)
+      .join(broadcast(need), "q_id")
+      .filter(col("n_terms") === col("need"))
       .withColumn("rank", row_number().over(w)
         .cast(org.apache.spark.sql.types.LongType))
       .filter(col("rank") <= 5)
@@ -6635,11 +6683,7 @@ object Lake {
   }
 
   val searchIndexedBm25Oracle: String =
-    s"""WITH corpus AS (
-         SELECT doc_id, text FROM documents
-         WHERE doc_id NOT IN (11, 12)
-         UNION ALL SELECT CAST(12 AS BIGINT), '$tixUpdatedText'
-         UNION ALL SELECT CAST(100000 AS BIGINT), '$tixInsertedText'),
+    s"""WITH corpus AS ($tixCorpusDuck),
        q(q_id, term) AS (VALUES
          (1, 'join'), (1, 'hash'),
          (2, 'vector'), (2, 'stream'),
@@ -6677,6 +6721,113 @@ object Lake {
          FROM agg)
        SELECT q_id, rank, doc_id, n_terms, bm25 FROM rk
        WHERE rank <= 5 ORDER BY q_id, rank"""
+
+  /** The conjunctive oracle is the BM25 oracle with the AND
+    * qualification applied before ranking: only (q, doc) rows whose
+    * matched-term count equals the query's term count survive. */
+  val searchIndexedConjunctiveOracle: String = {
+    val base = searchIndexedBm25Oracle
+    val cut = base.lastIndexOf("rk AS (")
+    require(cut > 0, "bm25 oracle shape changed")
+    base.substring(0, cut) +
+      s"""nq AS (SELECT q_id, count(*) AS need FROM q GROUP BY 1),
+       rk AS (
+         SELECT CAST(a.q_id AS BIGINT) AS q_id,
+           row_number() OVER (PARTITION BY a.q_id
+             ORDER BY a.s DESC, a.doc_id) AS rank,
+           a.doc_id, a.n_terms, CAST(a.s AS DOUBLE) AS bm25
+         FROM agg a JOIN nq ON a.q_id = nq.q_id
+         WHERE a.n_terms = nq.need)
+       SELECT q_id, rank, doc_id, n_terms, bm25 FROM rk
+       WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
+
+  /** PHRASE SEARCH over the positional postings — the query class an
+    * inverted index exists for and a bag-of-words scan cannot answer:
+    * "these two tokens ADJACENT, in order". Each posting row carries
+    * the term's ascending 0-based position list, so a 2-term phrase is
+    * (1) a shard-pruned probe of both terms' postings (literal
+    * graft_hex60 hashes, same as the BM25 probe), (2) an equi-join on
+    * doc_id, (3) a per-row positional intersection
+    * `size(filter(ps1, p -> array_contains(ps2, p + 1)))` — no text
+    * is ever rescanned. Tombstone liveness applies before the join,
+    * so phrase hits in deleted/stale docs are impossible; the DuckDB
+    * oracle recomputes adjacency from the edited raw corpus by
+    * sliding over the token lists. Scale: postings of exactly the
+    * phrase terms (shard-routed), one join keyed by (term, doc),
+    * per-row position work bounded by term frequency. */
+  val searchPhraseIndexed: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val ix = textIndexFixture(s, dir)
+    import s.implicits._
+    val phrases = Seq(
+      (1L, "vector", "stream"), (2L, "table", "hash"),
+      (3L, "slow", "key"))
+    val hashes = phrases.flatMap(p => Seq(p._2, p._3)).distinct
+      .map(t => graft.plans.HashUtil.hex60md5(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        .asInstanceOf[Any])
+    val tomb = GraftLakeTextIndex.tombstones(s, ix)
+    val post = GraftLakeTextIndex.live(
+      s.table(s"graft_lake.lake.$ix")
+        .filter(col("term_h").isin(hashes: _*)), tomb)
+      .selectExpr("term", "doc_id",
+        "transform(split(positions, ','), t -> CAST(t AS INT)) AS ps")
+    val pdf = phrases.toDF("q_id", "w1", "w2")
+    post.selectExpr("term AS w1", "doc_id", "ps AS ps1")
+      .join(broadcast(pdf), "w1")
+      .join(post.selectExpr("term AS w2", "doc_id", "ps AS ps2"),
+        Seq("w2", "doc_id"))
+      .selectExpr("q_id", "doc_id",
+        """CAST(size(filter(ps1, p -> array_contains(ps2, p + 1)))
+           AS BIGINT) AS n_matches""")
+      .filter(col("n_matches") > 0)
+      .orderBy("q_id", "doc_id")
+  }
+
+  val searchPhraseIndexedOracle: String =
+    s"""WITH corpus AS ($tixCorpusDuck),
+       toks AS (
+         SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+       ph(q_id, w1, w2) AS (VALUES
+         (1, 'vector', 'stream'), (2, 'table', 'hash'),
+         (3, 'slow', 'key')),
+       m AS (
+         SELECT ph.q_id, t.doc_id,
+           CAST(len(list_filter(range(1, len(t.ts)),
+             i -> t.ts[i] = ph.w1 AND t.ts[i + 1] = ph.w2))
+             AS BIGINT) AS n_matches
+         FROM toks t CROSS JOIN ph)
+       SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, n_matches
+       FROM m WHERE n_matches > 0 ORDER BY q_id, doc_id"""
+
+  /** Text-index health through `CALL text_index_stats` — dead/live
+    * postings is the rebuild trigger (the ANN drift-ratio analog;
+    * Lucene's deleted-docs percentage). Oracled: the DuckDB twin
+    * derives every count from the raw corpus + the fixture's known
+    * edits — live postings from the edited corpus, dead postings from
+    * the two replaced docs' ORIGINAL postings, two tombstoned docs. */
+  val lakeTextIndexStats: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val ix = textIndexFixture(s, dir)
+    s.sql(s"""CALL graft_lake.system.text_index_stats(
+              index_table => '$ix')""")
+  }
+
+  val lakeTextIndexStatsOracle: String =
+    s"""WITH corpus AS ($tixCorpusDuck),
+       lp AS (SELECT count(*) AS v FROM (
+         SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+         FROM corpus)),
+       dp AS (SELECT count(*) AS v FROM (
+         SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+         FROM documents WHERE doc_id IN (11, 12))),
+       ld AS (SELECT count(*) AS v FROM corpus)
+       SELECT CAST(lp.v AS BIGINT) AS live_postings,
+         CAST(dp.v AS BIGINT) AS dead_postings,
+         CAST(ld.v AS BIGINT) AS live_docs,
+         CAST(2 AS BIGINT) AS docs_tombstoned
+       FROM lp, dp, ld"""
 
   /** The FULLY-INDEXED hybrid retrieval stack: Reciprocal Rank Fusion
     * over two PERSISTED indexes — the lexical rank list from
@@ -6767,6 +6918,9 @@ object Lake {
     "lake_sorted_join" -> lakeSortedJoin,
     "lake_sorted_rewrite" -> lakeSortedRewrite,
     "search_indexed_bm25" -> searchIndexedBm25,
+    "search_indexed_conjunctive" -> searchIndexedConjunctive,
+    "search_phrase_indexed" -> searchPhraseIndexed,
+    "lake_text_index_stats" -> lakeTextIndexStats,
     "search_hybrid_indexed" -> searchHybridIndexed,
     "pipeline_forget_user" -> pipelineForgetUser,
     "join_skew_aqe" -> joinSkewAqe,
@@ -6815,6 +6969,9 @@ object Lake {
     "lake_sorted_join" -> lakeSortedJoinOracle,
     "lake_sorted_rewrite" -> lakeSortedRewriteOracle,
     "search_indexed_bm25" -> searchIndexedBm25Oracle,
+    "search_indexed_conjunctive" -> searchIndexedConjunctiveOracle,
+    "search_phrase_indexed" -> searchPhraseIndexedOracle,
+    "lake_text_index_stats" -> lakeTextIndexStatsOracle,
     "search_hybrid_indexed" -> searchHybridIndexedOracle,
     "pipeline_forget_user" -> pipelineForgetUserOracle,
     "join_skew_aqe" -> joinSkewAqeOracle,

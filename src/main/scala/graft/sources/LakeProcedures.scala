@@ -36,7 +36,7 @@ object GraftLakeProcedures {
       "vacuum", "create_tag", "drop_tag",
       "build_ann_index", "refresh_ann_index",
       "retrain_ann_index", "ann_index_drift",
-      "build_text_index", "refresh_text_index",
+      "build_text_index", "refresh_text_index", "text_index_stats",
       "create_branch", "drop_branch", "fast_forward",
       "rewrite_sorted")
 
@@ -339,6 +339,23 @@ object GraftLakeProcedures {
       val (f, t, a, r) = GraftLakeTextIndex.refresh(root,
         in.getUTF8String(0).toString.stripPrefix("lake."))
       Seq(new GenericInternalRow(Array[Any](f, t, a, r)))
+    }
+
+    case "text_index_stats" => proc("text_index_stats",
+      "text-index health: live vs tombstone-masked postings — " +
+        "dead/live is the rebuild trigger (Lucene's deleted-docs " +
+        "percentage, the ANN drift-ratio analog)",
+      Seq(
+        ProcedureParameter.in("index_table", StringType).build()),
+      StructType(Seq(
+        StructField("live_postings", LongType, nullable = false),
+        StructField("dead_postings", LongType, nullable = false),
+        StructField("live_docs", LongType, nullable = false),
+        StructField("docs_tombstoned", LongType,
+          nullable = false)))) { in =>
+      val (lp, dp, ld, dt) = GraftLakeTextIndex.stats(root,
+        in.getUTF8String(0).toString.stripPrefix("lake."))
+      Seq(new GenericInternalRow(Array[Any](lp, dp, ld, dt)))
     }
 
     case "ann_index_drift" => proc("ann_index_drift",

@@ -55,21 +55,28 @@ object GraftLakeTextIndex {
     new java.io.File(root, bare).getPath
   }
 
-  /** Whitespace tokens of a (doc_id, text) frame — the SAME
-    * segmentation as `text_bm25_topk`/`text_token_count`, so the
-    * indexed scores are provably the recomputed scores. */
+  /** Whitespace tokens of a (doc_id, text) frame with their 0-based
+    * positions — the SAME segmentation as `text_bm25_topk`/
+    * `text_token_count`, so the indexed scores are provably the
+    * recomputed scores. */
   private def tokens(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+    docs.selectExpr("doc_id",
+      "posexplode(split(text, ' ')) AS (pos, term)")
 
   /** Postings + doc-length rows for a (doc_id, text) frame, stamped
-    * with the source version they reflect. */
+    * with the source version they reflect. Each posting is
+    * POSITIONAL: the ascending CSV of the term's 0-based token
+    * positions (the Lucene proximity-data layout) — phrase and
+    * proximity queries join positions instead of rescanning text. */
   private def indexRows(docs: DataFrame,
       ver: Long): (DataFrame, DataFrame) = {
     val toks = tokens(docs)
     val postings = toks.groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        expr("concat_ws(',', sort_array(collect_list(pos)))")
+          .as("positions"))
       .selectExpr("graft_hex60(term) AS term_h", "term", "doc_id",
-        "tf", s"CAST($ver AS BIGINT) AS ver")
+        "tf", "positions", s"CAST($ver AS BIGINT) AS ver")
     val doclens = toks.groupBy("doc_id")
       .agg(count(lit(1)).as("dl"))
       .selectExpr("doc_id", "dl", s"CAST($ver AS BIGINT) AS ver")
@@ -93,7 +100,7 @@ object GraftLakeTextIndex {
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${q(t)}"))
     s.sql(s"""CREATE TABLE ${q(ix)}
               (term_h BIGINT, term STRING, doc_id BIGINT, tf BIGINT,
-               ver BIGINT)
+               positions STRING, ver BIGINT)
               TBLPROPERTIES ('shard_key'='term_h', 'n_shards'='8')""")
     s.sql(s"""CREATE TABLE ${q(s"${ix}_docs")}
               (doc_id BIGINT, dl BIGINT, ver BIGINT)
@@ -171,6 +178,24 @@ object GraftLakeTextIndex {
     s.sql(s"""INSERT INTO ${q(s"${ix}_meta")}
               VALUES ('$src', ${head}L)""")
     (last, head, added, removed)
+  }
+
+  /** Index health: (livePostings, deadPostings, liveDocs,
+    * docsTombstoned). Dead postings are rows the liveness mask hides
+    * — they cost probe-side filtering until a rebuild folds them
+    * away, so dead/live is the text index's "drift ratio": the metric
+    * that tells the user WHEN to rebuild (the ANN index's staleness
+    * analog; Lucene calls this deleted-docs percentage and triggers
+    * segment merges on it). Two counts over the postings table + two
+    * tiny frames — no tokenize, no corpus touch. */
+  def stats(root: String, ix: String): (Long, Long, Long, Long) = {
+    val s = SparkSession.active
+    val tomb = tombstones(s, ix)
+    val post = s.table(q(ix))
+    val total = post.count()
+    val livePosts = live(post, tomb).count()
+    val liveDocs = live(s.table(q(s"${ix}_docs")), tomb).count()
+    (livePosts, total - livePosts, liveDocs, tomb.count())
   }
 
   /** Per-doc max tombstone bound (a tiny frame — one row per ever-

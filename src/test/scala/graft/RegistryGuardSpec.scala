@@ -63,7 +63,8 @@ class RegistryGuardSpec extends SparkSpec {
   private val OrderFreeSingleRow: Set[String] = Set(
     "agg_minmax_global", "ann_index_drift", "corr_matrix",
     "dedup_lsh_recall",
-    "lake_agg_pushdown", "lake_limit_pushdown", "meta_analyze_stats",
+    "lake_agg_pushdown", "lake_limit_pushdown",
+    "lake_text_index_stats", "meta_analyze_stats",
     "funnel_conversion", "graph_triangle_count", "q14_promo_revenue",
     "q17_small_qty_revenue", "q19_discounted_revenue",
     "q6_forecast_revenue", "text_cm_frequency")
@@ -150,9 +151,10 @@ class RegistryGuardSpec extends SparkSpec {
     // hard negatives: corpus × broadcast 10-query frame under a
     // label-inequality theta condition (pre-filtered scoring)
     "ann_hard_negatives",
-    // indexed BM25: the same 1-row corpus-stats frame as
-    // text_bm25_topk, broadcast into the postings-slice score
-    "search_indexed_bm25",
+    // indexed BM25 (+ its conjunctive variant): the same 1-row
+    // corpus-stats frame as text_bm25_topk, broadcast into the
+    // postings-slice score
+    "search_indexed_bm25", "search_indexed_conjunctive",
     // fully-indexed hybrid: inherits both probes' by-construction
     // broadcasts (ann_indexed_topk centroids + the BM25 stats frame)
     "search_hybrid_indexed",

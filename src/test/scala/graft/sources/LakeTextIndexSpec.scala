@@ -46,6 +46,15 @@ class LakeTextIndexSpec extends SparkSpec {
     val hOk = post.selectExpr(
       "count_if(term_h != graft_hex60(term)) AS bad").head.getLong(0)
     assert(hOk === 0L, "term_h must be the graft_hex60 of term")
+    // positional postings: ascending 0-based token positions, and
+    // tf is exactly the position count
+    val posMap = post.select("term", "doc_id", "positions").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(posMap(("alpha", 0L)) === "0,2")
+    assert(posMap(("delta", 2L)) === "1,2,3")
+    assert(post.selectExpr(
+      "count_if(tf != size(split(positions, ','))) AS bad")
+      .head.getLong(0) === 0L, "tf must equal the position count")
 
     // a one-term probe is a point-lookup-pruned scan: postings are
     // sharded by term_h (8 shards), so exactly 1 shard plans
@@ -101,6 +110,13 @@ class LakeTextIndexSpec extends SparkSpec {
     assert(ref2.getLong(0) === 4L && ref2.getLong(1) === 4L &&
       ref2.getLong(2) === 0L && ref2.getLong(3) === 0L)
 
+    // index health: 7 live + 4 dead postings (d1's 2 + d2's old 2),
+    // 4 live docs, 2 tombstoned — dead/live is the rebuild trigger
+    val st = spark.sql("""CALL graft_lake.system.text_index_stats(
+      index_table => 'spec_tix_ix')""").head
+    assert((st.getLong(0), st.getLong(1), st.getLong(2),
+      st.getLong(3)) === ((7L, 4L, 4L, 2L)), s"stats: $st")
+
     // rebuild folds the tombstones away: postings collapse to the
     // live set and the tombstone table is empty
     spark.sql("""CALL graft_lake.system.build_text_index(
@@ -109,6 +125,41 @@ class LakeTextIndexSpec extends SparkSpec {
       "rebuild persists exactly the live postings")
     assert(spark.table("graft_lake.lake.spec_tix_ix_tomb").count()
       === 0L)
+    val st2 = spark.sql("""CALL graft_lake.system.text_index_stats(
+      index_table => 'spec_tix_ix')""").head
+    assert((st2.getLong(0), st2.getLong(1), st2.getLong(3))
+      === ((7L, 0L, 0L)), "rebuild zeroes the dead/tombstone counts")
+  }
+
+  /** The fixture's edited corpus, recomputed from the raw parquet —
+    * the same three edits textIndexFixture commits. */
+  private def editedDocs: Map[Long, Array[String]] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .-(11L)
+      .updated(12L, "join hash vector stream scan filter slow join")
+      .updated(100000L, "join join hash vector slow scan")
+      .map { case (d, t) => d -> t.split(" ") }
+
+  test("search_phrase_indexed equals a raw-text adjacency recompute " +
+      "over the edited corpus") {
+    val out = Lake.searchPhraseIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val phrases = Seq(
+      (1L, "vector", "stream"), (2L, "table", "hash"),
+      (3L, "slow", "key"))
+    val docs = editedDocs
+    val expect = phrases.flatMap { case (q, w1, w2) =>
+      docs.toSeq.map { case (d, toks) =>
+        val n = (0 until toks.length - 1)
+          .count(i => toks(i) == w1 && toks(i + 1) == w2).toLong
+        (q, d, n)
+      }.filter(_._3 > 0).sortBy(_._2)
+    }
+    assert(out.nonEmpty, "phrase queries must hit at sf0.001")
+    assert(out.toSeq === expect,
+      s"phrase mismatch:\n got=${out.toSeq}\n exp=$expect")
   }
 
   test("search_indexed_bm25 equals the raw-corpus recompute after the " +
@@ -159,6 +210,29 @@ class LakeTextIndexSpec extends SparkSpec {
     }
     assert(out.toSeq === expect,
       s"indexed BM25 mismatch:\n got=${out.toSeq}\n exp=$expect")
+  }
+
+  test("search_indexed_conjunctive keeps only all-terms docs and is " +
+      "the BM25 ranking restricted to them") {
+    val out = Lake.searchIndexedConjunctive(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val need = Map(1L -> 2L, 2L -> 2L, 3L -> 3L)
+    out.foreach { case (q, _, _, nt, _) =>
+      assert(nt === need(q), s"q=$q: non-conjunctive doc survived")
+    }
+    // the conjunctive list is the disjunctive list filtered to
+    // full-match docs, re-ranked (same scores, tighter candidate set)
+    val all = Lake.searchIndexedBm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    out.foreach { case (q, _, d, nt, s) =>
+      all.get((q, d)).foreach { case (nt2, s2) =>
+        assert(nt === nt2 && s === s2,
+          s"conjunctive row (q=$q, d=$d) disagrees with the " +
+            "disjunctive score")
+      }
+    }
   }
 
   test("search_hybrid_indexed is exactly the integer-RRF fusion of the " +
