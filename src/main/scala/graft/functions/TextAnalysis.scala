@@ -1706,6 +1706,60 @@ object TextAnalysis {
               ELSE 'test' END AS split
        FROM b ORDER BY doc_id"""
 
+  /** Temperature-scaled mixture shares (the multilingual-LM sampling
+    * table: sample language l with probability ∝ mass_l^α, α = 0.7 —
+    * the mT5/XLM-R recipe that upsamples low-resource languages
+    * without letting them dominate): per language, the raw token
+    * share and the α-tempered share, both in exact integer ppm, plus
+    * the resulting up/down-sampling factor. The ONE libm call per
+    * group (`pow`) is µ-scaled and rounded to a BIGINT immediately
+    * (the repo's 6dp libm discipline), so every downstream division
+    * is pure integer arithmetic — bit-identical cross-engine.
+    * Complements `corpus_mix_weighted` (fixed rates) and
+    * `corpus_budget_cap` (hard budgets): this op COMPUTES the rate
+    * table those consume. Scale: one fixed-fanout aggregate over the
+    * corpus + a |langs|-row cross of its own totals. */
+  val corpusMixTemperature: Q = (s, dir) => {
+    val base = t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+          .cast("bigint").as("n_tokens"))
+      .selectExpr("lang", "n_docs", "n_tokens",
+        """CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7) * 1000000)
+           AS BIGINT) AS wi""")
+    val totals = base.agg(sum("wi").cast("bigint").as("tw"),
+      sum("n_tokens").cast("bigint").as("tt"))
+    base.crossJoin(broadcast(totals))
+      .selectExpr("lang", "n_docs", "n_tokens",
+        "(n_tokens * 1000000) DIV tt AS raw_ppm",
+        "(wi * 1000000) DIV tw AS temp_ppm",
+        """((wi * 1000000 DIV tw) * 1000)
+           DIV greatest((n_tokens * 1000000) DIV tt, 1)
+           AS boost_x1000""")
+      .orderBy("lang")
+  }
+
+  val corpusMixTemperatureOracle: String =
+    """WITH s AS (
+         SELECT lang, count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+             AS n_tokens
+         FROM documents GROUP BY 1),
+       w AS (
+         SELECT lang, n_docs, n_tokens,
+           CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7) * 1000000)
+             AS BIGINT) AS wi
+         FROM s),
+       t AS (SELECT CAST(sum(wi) AS BIGINT) AS tw,
+               CAST(sum(n_tokens) AS BIGINT) AS tt FROM w)
+       SELECT lang, n_docs, n_tokens,
+         (n_tokens * 1000000) // tt AS raw_ppm,
+         (wi * 1000000) // tw AS temp_ppm,
+         ((wi * 1000000 // tw) * 1000)
+           // greatest((n_tokens * 1000000) // tt, 1) AS boost_x1000
+       FROM w, t ORDER BY lang"""
+
   /** Length-bucketed batching report: documents binned by their padded
     * sequence length (pad-to-multiple-of-32 tokens — the bucketing that
     * keeps attention batches rectangular without one global max_len), with
@@ -1819,6 +1873,7 @@ object TextAnalysis {
     "corpus_split_assign" -> corpusSplitAssign,
     "corpus_split_grouped" -> corpusSplitGrouped,
     "corpus_length_buckets" -> corpusLengthBuckets,
+    "corpus_mix_temperature" -> corpusMixTemperature,
     "corpus_global_shuffle" -> corpusShuffle,
     "corpus_budget_cap" -> corpusBudgetCap,
     "text_char_entropy" -> charEntropy,
@@ -1861,6 +1916,7 @@ object TextAnalysis {
     "corpus_split_assign" -> corpusSplitAssignOracle,
     "corpus_split_grouped" -> corpusSplitGroupedOracle,
     "corpus_length_buckets" -> corpusLengthBucketsOracle,
+    "corpus_mix_temperature" -> corpusMixTemperatureOracle,
     "corpus_global_shuffle" -> corpusShuffleOracle,
     "corpus_budget_cap" -> corpusBudgetCapOracle,
     "text_char_entropy" -> charEntropyOracle,

@@ -449,6 +449,37 @@ class CoverageMultimodalSpec extends SparkSpec {
     assert(rows.map(_._2).distinct.length.toLong === nGroups)
   }
 
+  test("corpus_mix_temperature: tempered shares recompute exactly and " +
+      "temperature boosts the low-resource tail") {
+    val rows = graft.functions.TextAnalysis
+      .corpusMixTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("lang", "CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val byLang = toks.groupBy(_._1).map { case (l, v) =>
+      l -> ((v.length.toLong, v.map(_._2).sum)) }
+    val wi = byLang.map { case (l, (nd, nt)) =>
+      l -> ((nd, nt, math.round(math.pow(nt.toDouble, 0.7) * 1e6))) }
+    val tw = wi.values.map(_._3).sum
+    val tt = wi.values.map(_._2).sum
+    val expect = wi.toSeq.sortBy(_._1).map { case (l, (nd, nt, w)) =>
+      val raw = nt * 1000000L / tt
+      val tmp = w * 1000000L / tw
+      (l, nd, nt, raw, tmp, tmp * 1000L / math.max(raw, 1L))
+    }
+    assert(rows.toSeq === expect,
+      s"mixture mismatch:\n got=${rows.toSeq}\n exp=$expect")
+    // α < 1 compresses the distribution: the smallest-mass language is
+    // upsampled (boost > 1×), the largest damped (boost < 1×)
+    val byMass = rows.sortBy(_._3)
+    assert(byMass.head._6 > 1000L, s"tail not boosted: ${byMass.head}")
+    assert(byMass.last._6 < 1000L, s"head not damped: ${byMass.last}")
+    // ppm shares tile to 1e6 within the floor truncation slack
+    assert(math.abs(rows.map(_._5).sum - 1000000L) <= rows.length.toLong)
+  }
+
   test("corpus_length_buckets: buckets tile by 32, counts and waste " +
       "recompute from raw token counts") {
     val rows = graft.functions.TextAnalysis.corpusLengthBuckets(spark, sf)
