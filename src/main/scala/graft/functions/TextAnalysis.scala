@@ -1712,9 +1712,16 @@ object TextAnalysis {
     * without letting them dominate): per language, the raw token
     * share and the α-tempered share, both in exact integer ppm, plus
     * the resulting up/down-sampling factor. The ONE libm call per
-    * group (`pow`) is µ-scaled and rounded to a BIGINT immediately
-    * (the repo's 6dp libm discipline), so every downstream division
-    * is pure integer arithmetic — bit-identical cross-engine.
+    * group (`pow`) is milli-scaled and rounded to a BIGINT
+    * immediately (the repo's libm discipline), so every downstream
+    * division is pure integer arithmetic — bit-identical
+    * cross-engine. The weight scale is 1e3 (not 1e6) deliberately:
+    * `temp_ppm` multiplies wi by 1e6 again, and wi must stay under
+    * BIGINT/1e6 ≈ 9.2e12 — at 1e3 scaling that bound is
+    * tokens^0.7 ≤ 9.2e9, i.e. ~1.6e14 tokens PER LANGUAGE (beyond a
+    * 100 TB corpus), where 1e6 scaling would overflow (silently in
+    * Spark, loudly in DuckDB) at ~8e9 tokens. Only ratios of wi
+    * matter, so ppm precision is preserved.
     * Complements `corpus_mix_weighted` (fixed rates) and
     * `corpus_budget_cap` (hard budgets): this op COMPUTES the rate
     * table those consume. Scale: one fixed-fanout aggregate over the
@@ -1726,7 +1733,7 @@ object TextAnalysis {
         sum(expr("CAST(size(split(text, ' ')) AS BIGINT)"))
           .cast("bigint").as("n_tokens"))
       .selectExpr("lang", "n_docs", "n_tokens",
-        """CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7) * 1000000)
+        """CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7) * 1000)
            AS BIGINT) AS wi""")
     val totals = base.agg(sum("wi").cast("bigint").as("tw"),
       sum("n_tokens").cast("bigint").as("tt"))
@@ -1748,7 +1755,7 @@ object TextAnalysis {
          FROM documents GROUP BY 1),
        w AS (
          SELECT lang, n_docs, n_tokens,
-           CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7) * 1000000)
+           CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7) * 1000)
              AS BIGINT) AS wi
          FROM s),
        t AS (SELECT CAST(sum(wi) AS BIGINT) AS tw,

@@ -748,6 +748,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.sources.ResolveGraftLakeViews(s))
     e.injectOptimizerRule(_ => RewriteRankOneToMaxBy)
     e.injectOptimizerRule(_ => RewriteCosineTopK)
+    e.injectOptimizerRule(_ => RewriteTrinoTablesample)
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -193,3 +193,106 @@ object RewriteCosineTopK extends Rule[LogicalPlan] {
       rewritten.getOrElse(f)
   }
 }
+
+/** DETERMINISTIC TABLESAMPLE (reference surface: Trino's
+  * `TABLESAMPLE BERNOULLI(p)` / `TABLESAMPLE SYSTEM(p)`, SQL-92
+  * sampled scans): [[graft.sources.LakeViewSql.rewriteTablesample]]
+  * parses the Trino syntax into Spark `Sample` nodes tagged with a
+  * MAGIC `REPEATABLE` seed; this rule replaces those nodes — over a
+  * lake table with a plain integral shard key — with the
+  * deterministic hash-based forms a data pipeline can reproduce
+  * across runs, engines and cluster sizes (rand()-seeded Sample
+  * cannot: its outcome depends on partition layout):
+  *
+  *  - BERNOULLI(p): per-ROW sampling — `Filter(graft_hex60('tsmp_' ||
+  *    key) % 1e6 < p·1e4)` on the table's shard key, the exact
+  *    portable-hash discipline of the corpus_sample_* kernels. Row
+  *    semantics, full scan (as Trino documents for BERNOULLI).
+  *  - SYSTEM(p): per-SPLIT sampling — whole shards survive iff
+  *    `hex60('tsys_<nShards>_<shard>') % 1e6 < p·1e4`, computed HERE
+  *    from table metadata and pushed into the scan as a
+  *    `graft.sample_shards` read option, so unsampled shards are
+  *    never even planned (metadata-only, the Trino SYSTEM contract:
+  *    sampling happens at split granularity for near-zero cost).
+  *
+  * Any other Sample (real REPEATABLE seeds, non-lake children,
+  * transform shard keys) is left to vanilla Spark. */
+object RewriteTrinoTablesample extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+  import org.apache.spark.sql.types.StringType
+  import graft.sources.{GraftLakeTable, GraftLakeTransform, LakeViewSql}
+
+  /** The lake relation under the Sample, walking ONLY operators that
+    * commute with per-row sampling (aliases and deterministic
+    * projections — ColumnPruning pushes a Project through Sample, so
+    * by optimizer time `Sample(Project(rel))` is the COMMON shape).
+    * Anything else (a join, an aggregate) refuses: sampling their
+    * output is not sampling the table. */
+  private def lakeRel(plan: LogicalPlan)
+      : Option[(DataSourceV2Relation, GraftLakeTable)] =
+    plan match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftLakeTable => Some((r, t))
+        case _ => None
+      }
+      case SubqueryAlias(_, child) => lakeRel(child)
+      case p: Project if p.projectList.forall(_.deterministic) =>
+        lakeRel(p.child)
+      case _ => None
+    }
+
+  /** Plain integral shard key column of `t`, when that is what the
+    * table routes by (days()/months() transforms refuse — their cast
+    * to string is not the portable-hash key contract). */
+  private def plainKey(t: GraftLakeTable): Option[String] =
+    GraftLakeTransform.parse(t.shardKey) match {
+      case ("", col) => Some(col)
+      case _ => None
+    }
+
+  private def threshold(upperBound: Double): Long =
+    math.round(upperBound * 1000000.0)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case s @ Sample(lb, ub, false, LakeViewSql.BernoulliSampleSeed, child)
+        if lb == 0.0 =>
+      (for {
+        (rel, t) <- lakeRel(child)
+        key <- plainKey(t)
+        attr <- rel.output.find(_.name == key)
+      } yield {
+        // the filter lands DIRECTLY above the relation (the shard key
+        // may be pruned out of the intervening Project) — sound
+        // because everything lakeRel walks through is per-row
+        val hash = Md5Prefix60(
+          Concat(Seq(Literal("tsmp_"), Cast(attr, StringType))))
+        val pred = LessThan(new Remainder(hash, Literal(1000000L)),
+          Literal(threshold(ub)))
+        child.transformUp {
+          case r: DataSourceV2Relation if r eq rel => Filter(pred, r)
+        }
+      }).getOrElse(s)
+
+    case s @ Sample(lb, ub, false, LakeViewSql.SystemSampleSeed, child)
+        if lb == 0.0 =>
+      (for {
+        (rel, t) <- lakeRel(child)
+        _ <- plainKey(t)
+      } yield {
+        val keep = (0 until t.nShards).filter { k =>
+          HashUtil.hex60md5(
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(s"tsys_${t.nShards}_$k")) % 1000000L <
+            threshold(ub)
+        }
+        val merged = new java.util.HashMap[String, String](rel.options)
+        merged.put("graft.sample_shards", keep.mkString(","))
+        child.transformUp {
+          case r: DataSourceV2Relation if r eq rel =>
+            r.copy(options =
+              new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+                merged))
+        }
+      }).getOrElse(s)
+  }
+}

@@ -789,9 +789,16 @@ class GraftLakeTable(private[sources] val tableName: String,
     })
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    // TABLESAMPLE SYSTEM: the optimizer rule precomputed the
+    // surviving shard ids from metadata and delivers them as a read
+    // option — unsampled shards are never planned
+    val sample = Option(options.get("graft.sample_shards"))
+      .map(_.split(",").iterator.filter(_.nonEmpty)
+        .map(_.trim.toInt).toSet)
     new GraftLakeScanBuilder(declared, dataDir, pinnedVersion, None,
-      shardKey, nShards, upsertKeys)
+      shardKey, nShards, upsertKeys, sample)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
@@ -2125,7 +2132,8 @@ object GraftLakeScanMetrics {
 class GraftLakeScanBuilder(declared: StructType, dataDir: String,
     pinned: Option[Int], op: Option[GraftLakeRowLevelOperation],
     shardKey: String, nShards: Int = 0,
-    upsertKeys: Seq[String] = Nil)
+    upsertKeys: Seq[String] = Nil,
+    sampleShards: Option[Set[Int]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters
     with SupportsPushDownAggregates
@@ -2315,7 +2323,7 @@ class GraftLakeScanBuilder(declared: StructType, dataDir: String,
         val v = pinned.getOrElse(GraftLakeIO.latestVersion(dataDir))
         val scan = new GraftLakeScan(required,
           GraftLakeIO.versionDir(dataDir, v), zonePreds, shardKey,
-          nShards, limit, upsertKeys)
+          nShards, limit, upsertKeys, sampleShards)
         op.foreach(_.scans.add(scan))
         scan
     }
@@ -2372,7 +2380,8 @@ class GraftLakeAggReaderFactory(out: StructType)
 class GraftLakeScan(required: StructType, vdir: java.io.File,
     zonePreds: Array[V2Predicate] = Array.empty,
     shardKey: String = "", nShards: Int = 0, limit: Int = -1,
-    upsertKeys: Seq[String] = Nil)
+    upsertKeys: Seq[String] = Nil,
+    sampleShards: Option[Set[Int]] = None)
     extends Scan with Batch with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -2529,7 +2538,10 @@ class GraftLakeScan(required: StructType, vdir: java.io.File,
 
   private[sources] def plannedShards: Set[Int] = {
     val existing = GraftLakeIO.existingShards(vdir)
-    retained.fold(existing)(_.intersect(existing))
+    val base = retained.fold(existing)(_.intersect(existing))
+    // TABLESAMPLE SYSTEM: metadata-decided shard sample — unsampled
+    // shards drop out before any footer or data page is touched
+    sampleShards.fold(base)(_.intersect(base))
   }
 
   /** This snapshot's deletion vectors (merge-on-read DELETE): readers
@@ -6555,9 +6567,17 @@ object Lake {
     val src = s"tixsrc_$fp"
     val ix = s"tix_$fp"
     if (!builtHistories.contains(src)) {
-      s.read.parquet(s"$dir/documents.parquet")
+      val corpus = s.read.parquet(s"$dir/documents.parquet")
         .selectExpr("doc_id", "text")
-        .createOrReplaceTempView("graft_tix_corpus_src")
+      // the fixture INSERTs doc_id 100000 and the static DuckDB
+      // oracle replays that literal — if the corpus ever reached it,
+      // two live generations of the same doc would silently diverge
+      // from the oracle's per-doc merge, so refuse loudly instead
+      val maxId = corpus.agg(max("doc_id")).head().getLong(0)
+      require(maxId < 100000L,
+        s"text-index fixture id clash: corpus max doc_id $maxId >= " +
+          "100000 (the fixture's inserted id); bump tixInsertedId")
+      corpus.createOrReplaceTempView("graft_tix_corpus_src")
       s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$src")
       s.sql(s"""CREATE TABLE graft_lake.lake.$src
                 (doc_id BIGINT, text STRING)
@@ -6682,7 +6702,13 @@ object Lake {
       .orderBy("q_id", "rank")
   }
 
-  val searchIndexedBm25Oracle: String =
+  /** Shared CTE prefix (edited corpus → per-(query,doc) scored `agg`)
+    * of the indexed-search oracles — a named constant each oracle
+    * extends with its own ranking tail, so a change to the scoring
+    * stage cannot silently desync the variants (previously the
+    * conjunctive oracle was derived by substring surgery on the BM25
+    * oracle's finished string). */
+  private val searchIndexedScoredCtes: String =
     s"""WITH corpus AS ($tixCorpusDuck),
        q(q_id, term) AS (VALUES
          (1, 'join'), (1, 'hash'),
@@ -6712,7 +6738,10 @@ object Lake {
          CROSS JOIN st),
        agg AS (
          SELECT q_id, doc_id, sum(ps) AS s, count(*) AS n_terms
-         FROM ps GROUP BY 1, 2),
+         FROM ps GROUP BY 1, 2)"""
+
+  val searchIndexedBm25Oracle: String =
+    s"""$searchIndexedScoredCtes,
        rk AS (
          SELECT CAST(q_id AS BIGINT) AS q_id,
            row_number() OVER (PARTITION BY q_id
@@ -6722,15 +6751,13 @@ object Lake {
        SELECT q_id, rank, doc_id, n_terms, bm25 FROM rk
        WHERE rank <= 5 ORDER BY q_id, rank"""
 
-  /** The conjunctive oracle is the BM25 oracle with the AND
-    * qualification applied before ranking: only (q, doc) rows whose
-    * matched-term count equals the query's term count survive. */
-  val searchIndexedConjunctiveOracle: String = {
-    val base = searchIndexedBm25Oracle
-    val cut = base.lastIndexOf("rk AS (")
-    require(cut > 0, "bm25 oracle shape changed")
-    base.substring(0, cut) +
-      s"""nq AS (SELECT q_id, count(*) AS need FROM q GROUP BY 1),
+  /** The conjunctive oracle extends the shared scored CTEs with the
+    * AND qualification applied before ranking: only (q, doc) rows
+    * whose matched-term count equals the query's term count
+    * survive. */
+  val searchIndexedConjunctiveOracle: String =
+    s"""$searchIndexedScoredCtes,
+       nq AS (SELECT q_id, count(*) AS need FROM q GROUP BY 1),
        rk AS (
          SELECT CAST(a.q_id AS BIGINT) AS q_id,
            row_number() OVER (PARTITION BY a.q_id
@@ -6740,7 +6767,6 @@ object Lake {
          WHERE a.n_terms = nq.need)
        SELECT q_id, rank, doc_id, n_terms, bm25 FROM rk
        WHERE rank <= 5 ORDER BY q_id, rank"""
-  }
 
   /** PHRASE SEARCH over the positional postings — the query class an
     * inverted index exists for and a bag-of-words scan cannot answer:
@@ -6901,7 +6927,65 @@ object Lake {
          CAST(dense_rank AS BIGINT) AS dense_rank
        FROM rk WHERE rank <= 5 ORDER BY q_id, rank"""
 
+  // ---- TABLESAMPLE (Trino BERNOULLI/SYSTEM syntax, deterministic) ----
+
+  /** Trino's `TABLESAMPLE BERNOULLI(p)` / `TABLESAMPLE SYSTEM(p)` SQL
+    * surface over a lake table, DETERMINISTIC variant: the parser
+    * extension accepts the Trino syntax and
+    * [[graft.plans.RewriteTrinoTablesample]] lowers it to the
+    * portable-hash forms — BERNOULLI to a per-row shard-key-hash
+    * filter (row semantics, reproducible across engines/runs/cluster
+    * sizes — the property rand()-seeded sampling cannot give), SYSTEM
+    * to METADATA-ONLY shard sampling (the surviving shard ids are
+    * decided from table metadata on the driver and pushed into the
+    * scan as a read option, so unsampled shards are never planned —
+    * Trino's split-granularity SYSTEM contract). The DuckDB oracle
+    * replays both hash decisions in SQL: the row hash for BERNOULLI,
+    * and for SYSTEM the per-shard hash + `doc_id % 8` routing replay
+    * (the lake routes by floorMod on the integral shard key). */
+  val sampleTablesample: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "documents")
+    val tbl = s"tsdocs_$fp"
+    if (!builtHistories.contains(tbl)) {
+      s.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id", "lang")
+        .createOrReplaceTempView("graft_tsmp_docs_src")
+      s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$tbl")
+      s.sql(s"""CREATE TABLE graft_lake.lake.$tbl
+                (doc_id BIGINT, lang STRING)
+                TBLPROPERTIES ('shard_key'='doc_id',
+                  'n_shards'='8')""")
+      s.sql(s"""INSERT INTO graft_lake.lake.$tbl
+                SELECT * FROM graft_tsmp_docs_src""")
+      builtHistories.add(tbl): Unit
+    }
+    val bern = s.sql(
+      s"""SELECT 'bernoulli' AS variant, doc_id, lang
+          FROM graft_lake.lake.$tbl TABLESAMPLE BERNOULLI(30)""")
+    val sys = s.sql(
+      s"""SELECT 'system' AS variant, doc_id, lang
+          FROM graft_lake.lake.$tbl TABLESAMPLE SYSTEM(50)""")
+    bern.unionAll(sys).orderBy("variant", "doc_id")
+  }
+
+  val sampleTablesampleOracle: String =
+    """SELECT variant, doc_id, lang FROM (
+         SELECT 'bernoulli' AS variant, doc_id, lang FROM documents
+         WHERE CAST(concat('0x', substr(md5(concat('tsmp_',
+             CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+           % 1000000 < 300000
+         UNION ALL
+         SELECT 'system', doc_id, lang FROM documents
+         WHERE (doc_id % 8) IN (
+           SELECT s FROM (SELECT unnest(range(8)) AS s)
+           WHERE CAST(concat('0x', substr(md5(concat('tsys_8_',
+               CAST(s AS VARCHAR))), 1, 15)) AS BIGINT)
+             % 1000000 < 500000))
+       ORDER BY variant, doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "sample_tablesample" -> sampleTablesample,
     "ann_indexed_topk" -> annIndexedTopk,
     "ann_index_drift" -> annIndexDrift,
     "ann_indexed_pq" -> annIndexedPq,
@@ -6953,6 +7037,7 @@ object Lake {
     "lake_point_lookup" -> lakePointLookup)
 
   val oracles: Map[String, String] = Map(
+    "sample_tablesample" -> sampleTablesampleOracle,
     "ann_indexed_topk" -> annIndexedTopkOracle,
     "ann_index_drift" -> annIndexDriftOracle,
     "ann_indexed_pq" -> annIndexedPqOracle,

@@ -51,6 +51,36 @@ object LakeViewSql {
     """(?is)\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?`?graft_lake`?\s*\.\s*`?lake`?\s*\.\s*`?(\w+)`?\s*;?\s*""".r
   private[sources] val ShowV =
     """(?is)\s*SHOW\s+VIEWS\s+(?:IN|FROM)\s+`?graft_lake`?\s*\.\s*`?lake`?\s*;?\s*""".r
+
+  /** Trino's `TABLESAMPLE BERNOULLI(p)` / `TABLESAMPLE SYSTEM(p)`
+    * (reference surface: stock-Trino SQL — e.g. the demo's ad-hoc
+    * notebook queries can sample scans) rewritten to Spark's
+    * `TABLESAMPLE (p PERCENT) REPEATABLE (seed)` with a MAGIC seed
+    * per variant. The seed is not an RNG seed here: it marks the
+    * Sample node for [[graft.plans.RewriteTrinoTablesample]], which
+    * replaces it with the DETERMINISTIC hash-based form (BERNOULLI →
+    * a shard-key-hash row filter, the same portable-hash discipline
+    * as the corpus_sample_* kernels; SYSTEM → metadata-only shard
+    * sampling pushed into the lake scan). Deterministic sampling is
+    * the variant a data pipeline can actually use: reproducible
+    * across runs, engines and cluster sizes. */
+  val BernoulliSampleSeed = 60477001L
+  val SystemSampleSeed = 60477002L
+  private val BernoulliRe =
+    """(?i)TABLESAMPLE\s+BERNOULLI\s*\(\s*(\d+(?:\.\d+)?)\s*\)""".r
+  private val SystemRe =
+    """(?i)TABLESAMPLE\s+SYSTEM\s*\(\s*(\d+(?:\.\d+)?)\s*\)""".r
+
+  private[sources] def rewriteTablesample(sql: String): String = {
+    if (!sql.toLowerCase(java.util.Locale.ROOT).contains("tablesample"))
+      return sql
+    val b = BernoulliRe.replaceAllIn(sql, m =>
+      s"TABLESAMPLE (${m.group(1)} PERCENT) " +
+        s"REPEATABLE ($BernoulliSampleSeed)")
+    SystemRe.replaceAllIn(b, m =>
+      s"TABLESAMPLE (${m.group(1)} PERCENT) " +
+        s"REPEATABLE ($SystemSampleSeed)")
+  }
 }
 
 class GraftViewSqlParser(delegate: ParserInterface)
@@ -65,7 +95,7 @@ class GraftViewSqlParser(delegate: ParserInterface)
       case DropV(ifExists, name) =>
         DropLakeViewCommand(name, ifExists = ifExists != null)
       case ShowV() => ShowLakeViewsCommand()
-      case _ => delegate.parsePlan(sqlText)
+      case _ => delegate.parsePlan(rewriteTablesample(sqlText))
     }
 
   /** `spark.sql(text, args)` routes here, not parsePlan — the
@@ -79,7 +109,8 @@ class GraftViewSqlParser(delegate: ParserInterface)
     sqlText match {
       case CreateV(_, _, _) | DropV(_, _) | ShowV() =>
         parsePlan(sqlText)
-      case _ => delegate.parsePlanWithParameters(sqlText, context)
+      case _ => delegate.parsePlanWithParameters(
+        rewriteTablesample(sqlText), context)
     }
 
   override def parseExpression(sqlText: String): Expression =
@@ -93,7 +124,7 @@ class GraftViewSqlParser(delegate: ParserInterface)
       sqlText: String): Seq[String] =
     delegate.parseMultipartIdentifier(sqlText)
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(sqlText)
+    delegate.parseQuery(rewriteTablesample(sqlText))
   override def parseTableSchema(sqlText: String): StructType =
     delegate.parseTableSchema(sqlText)
   override def parseDataType(sqlText: String): DataType =

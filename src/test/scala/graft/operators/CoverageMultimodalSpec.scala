@@ -460,8 +460,18 @@ class CoverageMultimodalSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val byLang = toks.groupBy(_._1).map { case (l, v) =>
       l -> ((v.length.toLong, v.map(_._2).sum)) }
+    // tie guard (ADVICE r15): the single libm call per language must
+    // not sit on a .5 rounding boundary, where a 1-ulp pow difference
+    // between Spark's Math.pow and DuckDB's libm would flip wi by one
+    // unit and cascade into temp_ppm — surface a future tie as THIS
+    // named failure instead of a gate hash mismatch
+    byLang.foreach { case (l, (_, nt)) =>
+      val x = math.pow(nt.toDouble, 0.7) * 1e3
+      assert(math.abs(x - math.floor(x) - 0.5) > 1e-6,
+        s"lang $l: pow weight $x sits on a rounding tie")
+    }
     val wi = byLang.map { case (l, (nd, nt)) =>
-      l -> ((nd, nt, math.round(math.pow(nt.toDouble, 0.7) * 1e6))) }
+      l -> ((nd, nt, math.round(math.pow(nt.toDouble, 0.7) * 1e3))) }
     val tw = wi.values.map(_._3).sum
     val tt = wi.values.map(_._2).sum
     val expect = wi.toSeq.sortBy(_._1).map { case (l, (nd, nt, w)) =>
