@@ -211,8 +211,12 @@ object GraftLakeAnnIndex {
           s"retrain_ann_index('$ix') to rebuild it with a drift " +
           "baseline")
 
-  /** Advance from `$changes`. Returns (from, to, added, removed). */
-  def refresh(root: String, ix: String): (Long, Long, Long, Long) = {
+  /** Advance from `$changes`. Returns (from, to, added, removed).
+    * `headOverride` >= 0 pins the target version (the
+    * `CALL refresh_indexes` snapshot-consistency hook — see the text
+    * index twin). */
+  def refresh(root: String, ix: String,
+      headOverride: Long = -1L): (Long, Long, Long, Long) = {
     val s = SparkSession.active
     requireDriftBaseline(s.table(q(s"${ix}_meta")), ix)
     val meta = s.table(q(s"${ix}_meta"))
@@ -220,7 +224,10 @@ object GraftLakeAnnIndex {
       .selectExpr("source", "last_version").head()
     val src = meta.getString(0)
     val last = meta.getLong(1)
-    val head = GraftLakeIO.latestVersion(dataDir(root, src)).toLong
+    val atHead = GraftLakeIO.latestVersion(dataDir(root, src)).toLong
+    require(headOverride < 0 || headOverride <= atHead,
+      s"refresh target v$headOverride is past $src's head v$atHead")
+    val head = if (headOverride >= 0) headOverride else atHead
     if (head <= last) return (last, head, 0L, 0L)
     // startingVersion is EXCLUSIVE by this lake's contract ("already
     // processed through v" — lake_changes_bounded pins it), so the

@@ -6627,8 +6627,14 @@ object Lake {
     * standard BM25); [[searchIndexedConjunctive]] first demands
     * n_terms = |query| (AND semantics). */
   private def indexedBm25Scored(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val ix = textIndexFixture(s, dir)
+      dir: String): org.apache.spark.sql.DataFrame =
+    indexedBm25ScoredOver(s, dir, textIndexFixture(s, dir))
+
+  /** The same probe against an explicit index — shared with the
+    * rebuild-lifecycle key, which scores through a REBUILT index. */
+  private def indexedBm25ScoredOver(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String, ix: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val hashes = tixQueryTerms.map(_._2).distinct.map(t =>
       graft.plans.HashUtil.hex60md5(
@@ -6636,11 +6642,12 @@ object Lake {
         .asInstanceOf[Any])
     val qdf = tixQueryTerms.toDF("q_id", "term")
     val tomb = GraftLakeTextIndex.tombstones(s, ix)
+    val bcast = GraftLakeTextIndex.maskBroadcastable(s, ix)
     val post = GraftLakeTextIndex.live(
       s.table(s"graft_lake.lake.$ix")
-        .filter(col("term_h").isin(hashes: _*)), tomb)
+        .filter(col("term_h").isin(hashes: _*)), tomb, bcast)
     val docs = GraftLakeTextIndex.live(
-      s.table(s"graft_lake.lake.${ix}_docs"), tomb)
+      s.table(s"graft_lake.lake.${ix}_docs"), tomb, bcast)
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum("dl").cast("bigint").as("sum_dl"))
     val dfreq = post.select("term", "doc_id").distinct()
@@ -6794,9 +6801,10 @@ object Lake {
         org.apache.spark.unsafe.types.UTF8String.fromString(t))
         .asInstanceOf[Any])
     val tomb = GraftLakeTextIndex.tombstones(s, ix)
+    val bcast = GraftLakeTextIndex.maskBroadcastable(s, ix)
     val post = GraftLakeTextIndex.live(
       s.table(s"graft_lake.lake.$ix")
-        .filter(col("term_h").isin(hashes: _*)), tomb)
+        .filter(col("term_h").isin(hashes: _*)), tomb, bcast)
       .selectExpr("term", "doc_id",
         "transform(split(positions, ','), t -> CAST(t AS INT)) AS ps")
     val pdf = phrases.toDF("q_id", "w1", "w2")
@@ -6826,6 +6834,191 @@ object Lake {
          FROM toks t CROSS JOIN ph)
        SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, n_matches
        FROM m WHERE n_matches > 0 ORDER BY q_id, doc_id"""
+
+  /** PROXIMITY SEARCH — the Lucene SloppyPhraseQuery surface over the
+    * same positional postings: `"w1 w2"~slop` and k-term phrases,
+    * ORDERED with a per-step window (each next term within `slop + 1`
+    * positions after the previous match — slop 0 degenerates to exact
+    * phrase adjacency). The positional intersection generalizes by
+    * ITERATION: S₁ = positions of w1; Sᵢ = positions p of wᵢ with
+    * some q ∈ Sᵢ₋₁ where 0 < p − q ≤ slop + 1; a doc matches iff the
+    * final chain set is non-empty. Everything stays shard-pruned
+    * (literal graft_hex60 probes of exactly the phrase terms) and
+    * per-row work is bounded by term frequency — no text rescan at
+    * any corpus size. The DuckDB oracle recomputes the identical
+    * chain from the edited raw corpus's token position lists. */
+  val searchProximityIndexed: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val ix = textIndexFixture(s, dir)
+    import s.implicits._
+    val phrases = Seq(
+      (1L, "join", "vector", None: Option[String], 2L),
+      (2L, "join", "vector", Some("scan"), 2L),
+      (3L, "hash", "stream", None: Option[String], 0L))
+    val hashes = phrases.flatMap(p =>
+      Seq(Some(p._2), Some(p._3), p._4).flatten).distinct
+      .map(t => graft.plans.HashUtil.hex60md5(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        .asInstanceOf[Any])
+    val tomb = GraftLakeTextIndex.tombstones(s, ix)
+    val bcast = GraftLakeTextIndex.maskBroadcastable(s, ix)
+    val post = GraftLakeTextIndex.live(
+      s.table(s"graft_lake.lake.$ix")
+        .filter(col("term_h").isin(hashes: _*)), tomb, bcast)
+      .selectExpr("term", "doc_id",
+        "transform(split(positions, ','), t -> CAST(t AS INT)) AS ps")
+    val pdf = phrases.toDF("q_id", "w1", "w2", "w3", "slop")
+    post.selectExpr("term AS w1", "doc_id", "ps AS ps1")
+      .join(broadcast(pdf), "w1")
+      .join(post.selectExpr("term AS w2", "doc_id", "ps AS ps2"),
+        Seq("w2", "doc_id"))
+      .join(post.selectExpr("term AS w3", "doc_id", "ps AS ps3"),
+        Seq("w3", "doc_id"), "left_outer")
+      .selectExpr("q_id", "doc_id", "w3", "ps3", "slop",
+        """filter(ps2, p -> exists(ps1,
+           q -> p > q AND p - q <= slop + 1)) AS s2""")
+      .selectExpr("q_id", "doc_id",
+        """CAST(size(CASE
+             WHEN w3 IS NULL THEN s2
+             WHEN ps3 IS NULL THEN CAST(array() AS ARRAY<INT>)
+             ELSE filter(ps3, p -> exists(s2,
+               q -> p > q AND p - q <= slop + 1)) END)
+           AS BIGINT) AS n_matches""")
+      .filter(col("n_matches") > 0)
+      .orderBy("q_id", "doc_id")
+  }
+
+  val searchProximityIndexedOracle: String =
+    s"""WITH corpus AS ($tixCorpusDuck),
+       toks AS (
+         SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+       ph(q_id, w1, w2, w3, slop) AS (VALUES
+         (1, 'join', 'vector', NULL, 2),
+         (2, 'join', 'vector', 'scan', 2),
+         (3, 'hash', 'stream', NULL, 0)),
+       pos AS (
+         SELECT ph.q_id, t.doc_id, ph.slop, ph.w3,
+           list_filter(range(0, len(t.ts)),
+             i -> t.ts[i + 1] = ph.w1) AS ps1,
+           list_filter(range(0, len(t.ts)),
+             i -> t.ts[i + 1] = ph.w2) AS ps2,
+           CASE WHEN ph.w3 IS NULL THEN NULL
+                ELSE list_filter(range(0, len(t.ts)),
+                  i -> t.ts[i + 1] = ph.w3) END AS ps3
+         FROM toks t CROSS JOIN ph),
+       chain AS (
+         SELECT q_id, doc_id, w3, slop, ps3,
+           list_filter(ps2, p -> len(list_filter(ps1,
+             q -> p > q AND p - q <= slop + 1)) > 0) AS s2
+         FROM pos),
+       fin AS (
+         SELECT q_id, doc_id,
+           CAST(len(CASE
+             WHEN w3 IS NULL THEN s2
+             WHEN ps3 IS NULL THEN []
+             ELSE list_filter(ps3, p -> len(list_filter(s2,
+               q -> p > q AND p - q <= slop + 1)) > 0) END)
+           AS BIGINT) AS n_matches
+         FROM chain)
+       SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, n_matches
+       FROM fin WHERE n_matches > 0 ORDER BY q_id, doc_id"""
+
+  // ---- text-index rebuild lifecycle (oracled) ----
+
+  /** Memoized lifecycle evidence per corpus: (dead_pre, tomb_pre,
+    * dead_post, tomb_post) captured AT FIXTURE BUILD TIME — the
+    * rebuild is destructive, so re-running the query must replay the
+    * recorded before/after counts, not re-measure a folded index. */
+  private val tixRebuildStats = new java.util.concurrent
+    .ConcurrentHashMap[String, (Long, Long, Long, Long)]()
+
+  private def textIndexRebuildFixture(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, (Long, Long, Long, Long)) = {
+    val fp = Tables.fingerprint(dir, "documents")
+    val src = s"tixrbsrc_$fp"
+    val ix = s"tixrb_$fp"
+    if (!builtHistories.contains(src)) {
+      s.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id", "text")
+        .createOrReplaceTempView("graft_tixrb_corpus_src")
+      s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$src")
+      s.sql(s"""CREATE TABLE graft_lake.lake.$src
+                (doc_id BIGINT, text STRING)
+                TBLPROPERTIES ('shard_key'='doc_id',
+                  'n_shards'='4')""")
+      s.sql(s"""INSERT INTO graft_lake.lake.$src
+                SELECT * FROM graft_tixrb_corpus_src""")
+      s.sql(s"""CALL graft_lake.system.build_text_index(
+                table => '$src', index_table => '$ix')""")
+      s.sql(s"DELETE FROM graft_lake.lake.$src WHERE doc_id = 11")
+      s.sql(s"""UPDATE graft_lake.lake.$src
+                SET text = '$tixUpdatedText' WHERE doc_id = 12""")
+      s.sql(s"""INSERT INTO graft_lake.lake.$src
+                VALUES (100000L, '$tixInsertedText')""")
+      s.sql(s"""CALL graft_lake.system.refresh_text_index(
+                index_table => '$ix')""")
+      val pre = s.sql(s"""CALL graft_lake.system.text_index_stats(
+                index_table => '$ix')""").head()
+      // REBUILD = build again over the current snapshot: tombstones
+      // and masked stale generations fold away physically
+      s.sql(s"""CALL graft_lake.system.build_text_index(
+                table => '$src', index_table => '$ix')""")
+      val post = s.sql(s"""CALL graft_lake.system.text_index_stats(
+                index_table => '$ix')""").head()
+      tixRebuildStats.put(src,
+        (pre.getLong(1), pre.getLong(3),
+          post.getLong(1), post.getLong(3))): Unit
+      builtHistories.add(src): Unit
+    }
+    (ix, tixRebuildStats.get(src))
+  }
+
+  /** TEXT-INDEX REBUILD LIFECYCLE, oracled end-to-end (the text twin
+    * of `ann_index_drift`'s lifecycle evidence): edits leave the index
+    * carrying dead postings + tombstones (dead_pre > 0, tomb_pre = 2 —
+    * the DuckDB twin derives dead_pre from the two replaced docs'
+    * ORIGINAL postings), a rebuild folds them away physically
+    * (dead_post = tomb_post = 0), and the post-rebuild BM25 top-5 is
+    * HASH-CHECKED against the clean recompute over the edited corpus —
+    * proving the rebuild changed the physical layout and nothing
+    * else. */
+  val lakeTextIndexRebuild: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val (ix, (deadPre, tombPre, deadPost, tombPost)) =
+      textIndexRebuildFixture(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("s").desc, col("doc_id"))
+    indexedBm25ScoredOver(s, dir, ix)
+      .withColumn("rank", row_number().over(w)
+        .cast(org.apache.spark.sql.types.LongType))
+      .filter(col("rank") <= 5)
+      .selectExpr("q_id", "rank", "doc_id", "n_terms",
+        "CAST(s AS DOUBLE) AS bm25",
+        s"CAST($deadPre AS BIGINT) AS dead_pre",
+        s"CAST($tombPre AS BIGINT) AS tomb_pre",
+        s"CAST($deadPost AS BIGINT) AS dead_post",
+        s"CAST($tombPost AS BIGINT) AS tomb_post")
+      .orderBy("q_id", "rank")
+  }
+
+  val lakeTextIndexRebuildOracle: String =
+    s"""$searchIndexedScoredCtes,
+       rk AS (
+         SELECT CAST(q_id AS BIGINT) AS q_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY s DESC, doc_id) AS rank,
+           doc_id, n_terms, CAST(s AS DOUBLE) AS bm25
+         FROM agg),
+       reb AS (
+         SELECT CAST((SELECT count(*) FROM (
+             SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+             FROM documents WHERE doc_id IN (11, 12)))
+           AS BIGINT) AS dead_pre)
+       SELECT q_id, rank, doc_id, n_terms, bm25,
+         reb.dead_pre, CAST(2 AS BIGINT) AS tomb_pre,
+         CAST(0 AS BIGINT) AS dead_post, CAST(0 AS BIGINT) AS tomb_post
+       FROM rk, reb WHERE rank <= 5 ORDER BY q_id, rank"""
 
   /** Text-index health through `CALL text_index_stats` — dead/live
     * postings is the rebuild trigger (the ANN drift-ratio analog;
@@ -7004,7 +7197,9 @@ object Lake {
     "search_indexed_bm25" -> searchIndexedBm25,
     "search_indexed_conjunctive" -> searchIndexedConjunctive,
     "search_phrase_indexed" -> searchPhraseIndexed,
+    "search_proximity_indexed" -> searchProximityIndexed,
     "lake_text_index_stats" -> lakeTextIndexStats,
+    "lake_text_index_rebuild" -> lakeTextIndexRebuild,
     "search_hybrid_indexed" -> searchHybridIndexed,
     "pipeline_forget_user" -> pipelineForgetUser,
     "join_skew_aqe" -> joinSkewAqe,
@@ -7056,7 +7251,9 @@ object Lake {
     "search_indexed_bm25" -> searchIndexedBm25Oracle,
     "search_indexed_conjunctive" -> searchIndexedConjunctiveOracle,
     "search_phrase_indexed" -> searchPhraseIndexedOracle,
+    "search_proximity_indexed" -> searchProximityIndexedOracle,
     "lake_text_index_stats" -> lakeTextIndexStatsOracle,
+    "lake_text_index_rebuild" -> lakeTextIndexRebuildOracle,
     "search_hybrid_indexed" -> searchHybridIndexedOracle,
     "pipeline_forget_user" -> pipelineForgetUserOracle,
     "join_skew_aqe" -> joinSkewAqeOracle,

@@ -37,6 +37,7 @@ object GraftLakeProcedures {
       "build_ann_index", "refresh_ann_index",
       "retrain_ann_index", "ann_index_drift",
       "build_text_index", "refresh_text_index", "text_index_stats",
+      "refresh_indexes",
       "create_branch", "drop_branch", "fast_forward",
       "rewrite_sorted")
 
@@ -356,6 +357,45 @@ object GraftLakeProcedures {
       val (lp, dp, ld, dt) = GraftLakeTextIndex.stats(root,
         in.getUTF8String(0).toString.stripPrefix("lake."))
       Seq(new GenericInternalRow(Array[Any](lp, dp, ld, dt)))
+    }
+
+    case "refresh_indexes" => proc("refresh_indexes",
+      "snapshot-consistent refresh of a table's INDEX GROUP: pin the " +
+        "source's current version ONCE, then advance its text AND " +
+        "ANN cursors to exactly that version — hybrid retrieval over " +
+        "the pair serves one source snapshot even under concurrent " +
+        "writers (independently-refreshed indexes cannot promise " +
+        "that: a commit can land between the two refreshes)",
+      Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("text_index", StringType).build(),
+        ProcedureParameter.in("ann_index", StringType).build()),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("text_postings_added", LongType, nullable = false),
+        StructField("text_docs_tombstoned", LongType,
+          nullable = false),
+        StructField("ann_rows_added", LongType, nullable = false),
+        StructField("ann_rows_removed", LongType,
+          nullable = false)))) { in =>
+      val tbl = in.getUTF8String(0).toString.stripPrefix("lake.")
+      val tix = in.getUTF8String(1).toString.stripPrefix("lake.")
+      val aix = in.getUTF8String(2).toString.stripPrefix("lake.")
+      val s = org.apache.spark.sql.SparkSession.active
+      def srcOf(metaTbl: String): String = s.sql(
+        s"""SELECT source FROM graft_lake.lake.$metaTbl
+            ORDER BY last_version DESC LIMIT 1""").head().getString(0)
+      require(srcOf(s"${tix}_meta") == tbl,
+        s"text index $tix does not source $tbl")
+      require(srcOf(s"${aix}_meta") == tbl,
+        s"ann index $aix does not source $tbl")
+      // the ONE version stamp both refreshes advance to
+      val v = GraftLakeIO.latestVersion(dataDir(root, tbl)).toLong
+      val (_, tTo, ta, tr) = GraftLakeTextIndex.refresh(root, tix, v)
+      val (_, aTo, aa, ar) = GraftLakeAnnIndex.refresh(root, aix, v)
+      require(tTo == v && aTo == v,
+        s"cursor desync: text at v$tTo, ann at v$aTo, pinned v$v")
+      Seq(new GenericInternalRow(Array[Any](v, ta, tr, aa, ar)))
     }
 
     case "ann_index_drift" => proc("ann_index_drift",

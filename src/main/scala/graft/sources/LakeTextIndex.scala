@@ -126,15 +126,25 @@ object GraftLakeTextIndex {
   }
 
   /** Advance from `$changes`. Returns
-    * (from, to, postingsAdded, docsTombstoned). */
-  def refresh(root: String, ix: String): (Long, Long, Long, Long) = {
+    * (from, to, postingsAdded, docsTombstoned).
+    *
+    * `headOverride` >= 0 pins the target version instead of the
+    * source's current head — the snapshot-consistency hook
+    * `CALL refresh_indexes` uses to advance a table's text AND ANN
+    * cursors to the SAME version even while writers keep
+    * committing. */
+  def refresh(root: String, ix: String,
+      headOverride: Long = -1L): (Long, Long, Long, Long) = {
     val s = SparkSession.active
     val meta = s.table(q(s"${ix}_meta"))
       .orderBy(col("last_version").desc).limit(1)
       .selectExpr("source", "last_version").head()
     val src = meta.getString(0)
     val last = meta.getLong(1)
-    val head = GraftLakeIO.latestVersion(dataDir(root, src)).toLong
+    val atHead = GraftLakeIO.latestVersion(dataDir(root, src)).toLong
+    require(headOverride < 0 || headOverride <= atHead,
+      s"refresh target v$headOverride is past $src's head v$atHead")
+    val head = if (headOverride >= 0) headOverride else atHead
     if (head <= last) return (last, head, 0L, 0L)
     val changes = s.read
       .option("startingVersion", last.toString)
@@ -191,10 +201,12 @@ object GraftLakeTextIndex {
   def stats(root: String, ix: String): (Long, Long, Long, Long) = {
     val s = SparkSession.active
     val tomb = tombstones(s, ix)
+    val bcast = maskBroadcastable(s, ix)
     val post = s.table(q(ix))
     val total = post.count()
-    val livePosts = live(post, tomb).count()
-    val liveDocs = live(s.table(q(s"${ix}_docs")), tomb).count()
+    val livePosts = live(post, tomb, bcast).count()
+    val liveDocs =
+      live(s.table(q(s"${ix}_docs")), tomb, bcast).count()
     (livePosts, total - livePosts, liveDocs, tomb.count())
   }
 
@@ -204,10 +216,46 @@ object GraftLakeTextIndex {
     s.table(q(s"${ix}_tomb"))
       .groupBy("doc_id").agg(max("before").as("before"))
 
+  /** TOMBSTONE-GROWTH GUARD: broadcasting the mask is only sane while
+    * the tombstone table is small, and a delete-heavy never-rebuilt
+    * index grows it without bound. The cap (rows, default 1e6 ≈ a
+    * few MB broadcast; `spark.graft.textIndex.maxBroadcastTombstones`
+    * overrides) is checked against the table's METADATA row count
+    * (DSv2 `SupportsReportStatistics` — parquet footers, no job, no
+    * data pages). Past the cap the probe DEGRADES to a shuffle join —
+    * still correct at any mask size, still O(probed shards) on the
+    * postings side — and warns that a rebuild (`CALL
+    * build_text_index`) would fold the mask away. Refusing outright
+    * would trade an availability hole for the memory hole; Lucene's
+    * answer (auto segment merge) is our rebuild, which stays the
+    * user's explicit call. */
+  def maskBroadcastable(s: SparkSession, ix: String): Boolean = {
+    val cap = s.conf.getOption(
+      "spark.graft.textIndex.maxBroadcastTombstones")
+      .map(_.toLong).getOrElse(1000000L)
+    val tombRows = s.table(q(s"${ix}_tomb"))
+      .queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong)
+      .getOrElse(s.table(q(s"${ix}_tomb")).count())
+    val ok = tombRows <= cap
+    if (!ok)
+      // scalastyle:off println
+      Console.err.println(s"[graft-tix] index '$ix' carries " +
+        s"$tombRows tombstone rows (> cap $cap): probes fall back " +
+        "to a shuffle-join mask; CALL " +
+        s"graft_lake.system.build_text_index to fold tombstones away")
+      // scalastyle:on println
+    ok
+  }
+
   /** Liveness mask: keep rows whose `ver` survives the doc's newest
-    * tombstone (`ver >= before`; no tombstone = live). */
-  def live(df: DataFrame, tomb: DataFrame): DataFrame =
-    df.join(broadcast(tomb), Seq("doc_id"), "left_outer")
+    * tombstone (`ver >= before`; no tombstone = live). `bcast` comes
+    * from [[maskBroadcastable]] — computed once per probe, shared by
+    * the postings and doc-length masks. */
+  def live(df: DataFrame, tomb: DataFrame,
+      bcast: Boolean = true): DataFrame =
+    df.join(if (bcast) broadcast(tomb) else tomb,
+        Seq("doc_id"), "left_outer")
       .filter(col("before").isNull || col("ver") >= col("before"))
       .drop("before")
 }

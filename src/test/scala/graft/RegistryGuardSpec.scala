@@ -154,8 +154,10 @@ class RegistryGuardSpec extends SparkSpec {
     "ann_hard_negatives",
     // indexed BM25 (+ its conjunctive variant): the same 1-row
     // corpus-stats frame as text_bm25_topk, broadcast into the
-    // postings-slice score
+    // postings-slice score; the rebuild-lifecycle key scores the
+    // rebuilt index through the identical probe
     "search_indexed_bm25", "search_indexed_conjunctive",
+    "lake_text_index_rebuild",
     // fully-indexed hybrid: inherits both probes' by-construction
     // broadcasts (ann_indexed_topk centroids + the BM25 stats frame)
     "search_hybrid_indexed",

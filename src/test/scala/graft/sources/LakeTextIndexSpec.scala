@@ -261,4 +261,147 @@ class LakeTextIndexSpec extends SparkSpec {
     assert(got.toSeq === expect,
       s"indexed hybrid fusion mismatch:\n got=${got.toSeq}\n exp=$expect")
   }
+
+  test("search_proximity_indexed equals the ordered per-step-window " +
+      "chain recomputed from the edited raw corpus (slop 0 = phrase)") {
+    val out = Lake.searchProximityIndexed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val queries = Seq(
+      (1L, Seq("join", "vector"), 2L),
+      (2L, Seq("join", "vector", "scan"), 2L),
+      (3L, Seq("hash", "stream"), 0L))
+    val docs = editedDocs
+    val expect = queries.flatMap { case (q, terms, slop) =>
+      docs.toSeq.map { case (d, toks) =>
+        val pos = terms.map(w =>
+          toks.indices.filter(i => toks(i) == w))
+        val fin = pos.tail.foldLeft(pos.head) { (prev, cur) =>
+          cur.filter(p => prev.exists(qp =>
+            p > qp && p - qp <= slop + 1))
+        }
+        (q, d, fin.length.toLong)
+      }.filter(_._3 > 0).sortBy(_._2)
+    }
+    assert(out.nonEmpty, "proximity queries must hit")
+    assert(out.toSeq === expect,
+      s"proximity mismatch:\n got=${out.toSeq}\n exp=$expect")
+    // the 3-term chain is genuinely stricter than its 2-term prefix:
+    // every q2 hit is a q1 hit, not vice versa
+    val q1Docs = out.filter(_._1 == 1L).map(_._2).toSet
+    val q2Docs = out.filter(_._1 == 2L).map(_._2).toSet
+    assert(q2Docs.subsetOf(q1Docs) && q2Docs.size < q1Docs.size,
+      s"expected q2 strictly inside q1: ${q2Docs.size} vs ${q1Docs.size}")
+  }
+
+  test("tombstone-growth guard: past the broadcast cap a probe " +
+      "degrades to a shuffle-join mask (same rows), and a rebuild " +
+      "restores broadcastability") {
+    Lake.registerCatalog(spark)
+    val src = "graft_lake.lake.spec_tixg_src"
+    for (t <- Seq("spec_tixg_src", "spec_tixg_ix", "spec_tixg_ix_docs",
+        "spec_tixg_ix_tomb", "spec_tixg_ix_meta"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t")
+    spark.sql(s"""CREATE TABLE $src (doc_id BIGINT, text STRING)
+      TBLPROPERTIES ('shard_key'='doc_id', 'n_shards'='2')""")
+    spark.sql(s"""INSERT INTO $src SELECT id,
+      concat('alpha w', CAST(id AS STRING)) FROM range(0, 20)""")
+    spark.sql("""CALL graft_lake.system.build_text_index(
+      table => 'spec_tixg_src', index_table => 'spec_tixg_ix')""")
+    spark.sql(s"DELETE FROM $src WHERE doc_id >= 15")
+    spark.sql("""CALL graft_lake.system.refresh_text_index(
+      index_table => 'spec_tixg_ix')""")
+    assert(spark.table("graft_lake.lake.spec_tixg_ix_tomb").count()
+      === 5L)
+    val tomb = GraftLakeTextIndex.tombstones(spark, "spec_tixg_ix")
+    val post = spark.table("graft_lake.lake.spec_tixg_ix")
+    def liveRows(bcast: Boolean): Seq[(Long, String)] =
+      GraftLakeTextIndex.live(post, tomb, bcast)
+        .select("doc_id", "term").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    // below the default cap: broadcastable, mask joins as broadcast
+    assert(GraftLakeTextIndex.maskBroadcastable(spark, "spec_tixg_ix"))
+    try {
+      spark.conf.set("spark.graft.textIndex.maxBroadcastTombstones", "4")
+      // 5 tombstones > cap 4: the guard trips
+      assert(!GraftLakeTextIndex
+        .maskBroadcastable(spark, "spec_tixg_ix"))
+      // the guard drops the FORCED broadcast hint past the cap — the
+      // logical join carries no strategy hint, so Spark's own
+      // size-based planning decides (here the 5-row mask still
+      // broadcasts; a 100-TB-scale mask with real stats would not —
+      // the point is the mask can no longer FORCE a driver OOM)
+      val hinted = GraftLakeTextIndex.live(post, tomb, true)
+        .queryExecution.optimizedPlan.toString
+      val unhinted = GraftLakeTextIndex.live(post, tomb, false)
+        .queryExecution.optimizedPlan.toString
+      assert(hinted.contains("strategy=broadcast"),
+        s"below-cap mask must carry the broadcast hint:\n$hinted")
+      assert(!unhinted.contains("strategy=broadcast"),
+        s"degraded mask must not force a broadcast:\n$unhinted")
+      // degraded plan, identical rows — correctness is mode-free
+      assert(liveRows(bcast = false) === liveRows(bcast = true))
+      assert(liveRows(bcast = false).map(_._1).toSet ===
+        (0L until 15L).toSet)
+      // rebuild folds tombstones away and the guard clears at the
+      // same tight cap
+      spark.sql("""CALL graft_lake.system.build_text_index(
+        table => 'spec_tixg_src', index_table => 'spec_tixg_ix')""")
+      assert(spark.table("graft_lake.lake.spec_tixg_ix_tomb").count()
+        === 0L)
+      assert(GraftLakeTextIndex
+        .maskBroadcastable(spark, "spec_tixg_ix"))
+    } finally
+      spark.conf.unset("spark.graft.textIndex.maxBroadcastTombstones")
+  }
+
+  test("CALL refresh_indexes advances a table's text AND ANN cursors " +
+      "to the SAME pinned source version (the index-group contract)") {
+    Lake.registerCatalog(spark)
+    val src = "graft_lake.lake.spec_ixg_src"
+    for (t <- Seq("spec_ixg_src", "spec_ixg_tix", "spec_ixg_tix_docs",
+        "spec_ixg_tix_tomb", "spec_ixg_tix_meta", "spec_ixg_aix",
+        "spec_ixg_aix_centroids", "spec_ixg_aix_codebooks",
+        "spec_ixg_aix_meta"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t")
+    // one table carrying BOTH retrieval modalities: text + embedding
+    spark.sql(s"""CREATE TABLE $src
+      (doc_id BIGINT, text STRING, vec_id BIGINT, emb STRING)
+      TBLPROPERTIES ('shard_key'='doc_id', 'n_shards'='2')""")
+    spark.sql(s"""INSERT INTO $src VALUES
+      (0L, 'alpha beta', 0L, '1000000,0,0,0'),
+      (1L, 'beta gamma', 1L, '0,1000000,0,0'),
+      (2L, 'alpha alpha', 2L, '900000,100000,0,0'),
+      (3L, 'gamma delta', 3L, '0,900000,100000,0')""")
+    spark.sql("""CALL graft_lake.system.build_text_index(
+      table => 'spec_ixg_src', index_table => 'spec_ixg_tix')""")
+    spark.sql("""CALL graft_lake.system.build_ann_index(
+      table => 'spec_ixg_src', index_table => 'spec_ixg_aix',
+      k => 2, iters => 1, pq_m => 2, pq_k => 2, pq_iters => 1)""")
+    // two edits = two MORE source commits after both builds
+    spark.sql(s"DELETE FROM $src WHERE doc_id = 1")
+    spark.sql(s"""INSERT INTO $src VALUES
+      (4L, 'delta alpha', 4L, '500000,500000,0,0')""")
+    val r = spark.sql("""CALL graft_lake.system.refresh_indexes(
+      table => 'spec_ixg_src', text_index => 'spec_ixg_tix',
+      ann_index => 'spec_ixg_aix')""").head
+    val v = r.getLong(0)
+    assert(v === 3L, s"head after create+insert+delete+insert: $r")
+    assert(r.getLong(1) === 2L, "text postings added: d4{delta,alpha}")
+    assert(r.getLong(2) === 1L, "text docs tombstoned: d1")
+    assert(r.getLong(3) === 1L && r.getLong(4) === 1L,
+      s"ann delta: +vec4 -vec1, got $r")
+    def cursor(meta: String): Long =
+      spark.sql(s"""SELECT max(last_version) FROM
+        graft_lake.lake.$meta""").head.getLong(0)
+    assert(cursor("spec_ixg_tix_meta") === v)
+    assert(cursor("spec_ixg_aix_meta") === v,
+      "both cursors must land on the pinned version")
+    // a mismatched table refuses loudly instead of desyncing cursors
+    val e = intercept[Exception] {
+      spark.sql("""CALL graft_lake.system.refresh_indexes(
+        table => 'spec_tix_src', text_index => 'spec_ixg_tix',
+        ann_index => 'spec_ixg_aix')""").collect()
+    }
+    assert(e.getMessage.contains("does not source"))
+  }
 }
