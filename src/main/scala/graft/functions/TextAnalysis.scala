@@ -627,6 +627,261 @@ object TextAnalysis {
         SELECT step, pair, n FROM ($rows) ORDER BY step"""
   }
 
+  // ---- unigram-LM tokenizer trainer (SentencePiece family) ----
+
+  /** EM rounds / max piece length / seeded multi-char candidates. T=2
+    * keeps the DuckDB replay one readable unrolled SQL while still
+    * proving the EM loop (counts move between rounds, pruning fires). */
+  private val UniLmRounds = 2
+  private val UniLmMaxLen = 4
+  private val UniLmSeedMulti = 24
+
+  /** (piece, cnt) → (piece, lp): µ-scaled log-probability, the ONE
+    * libm call per piece per round, rounded to BIGINT immediately (the
+    * repo's libm discipline) so the Viterbi DP is pure integer
+    * addition/max — bit-identical cross-engine. */
+  private def uniLmLogp(vocab: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tot = vocab.agg(sum("cnt").cast("bigint").as("tot"))
+    vocab.crossJoin(broadcast(tot))
+      .selectExpr("piece",
+        """CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+           * 1000000) AS BIGINT) AS lp""")
+  }
+
+  /** One Viterbi E-step over the distinct-word table: per word the
+    * best (max total µ-logp) segmentation into vocab pieces, returned
+    * as the piece multiset. DP is a left-to-right `aggregate` fold
+    * (interpreted per position, but word-length-bounded and
+    * VOCABULARY-sized — never a corpus-path HOF): best[i] = max over
+    * vocab pieces ending at i of best[i-l] + lp(piece), argmax
+    * tie-break = the SHORTEST winning piece (deterministic on both
+    * engines); single-char coverage makes best[i] total. A second
+    * fold backtracks the recorded piece lengths into the path. */
+  private def uniLmSegmented(words: org.apache.spark.sql.DataFrame,
+      logp: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    words
+      .selectExpr("w", "wn",
+        s"""explode(flatten(transform(sequence(1, length(w)),
+            i -> transform(sequence(1, least($UniLmMaxLen, i)),
+              l -> struct(i AS e, l AS l,
+                substring(w, i - l + 1, l) AS piece))))) AS m""")
+      .selectExpr("w", "wn", "m.e AS e", "m.l AS l", "m.piece AS piece")
+      .join(broadcast(logp), "piece")
+      .groupBy("w", "wn")
+      .agg(expr("sort_array(collect_list(struct(e, l, lp)))").as("ms"))
+      .selectExpr("w", "wn",
+        """aggregate(sequence(1, length(w)),
+             struct(array(CAST(0 AS BIGINT)) AS bs, array(0) AS pl),
+             (acc, i) -> struct(
+               concat(acc.bs, array(
+                 array_max(transform(filter(ms, m -> m.e = i),
+                   m -> element_at(acc.bs, i - m.l + 1) + m.lp)))) AS bs,
+               concat(acc.pl, array(
+                 array_min(transform(filter(ms, m -> m.e = i AND
+                     element_at(acc.bs, i - m.l + 1) + m.lp =
+                     array_max(transform(filter(ms, mm -> mm.e = i),
+                       mm -> element_at(acc.bs, i - mm.l + 1) + mm.lp))),
+                   m -> m.l)))) AS pl)) AS dp""")
+      .selectExpr("w", "wn",
+        """aggregate(sequence(1, length(w)),
+             struct(length(w) AS pos,
+               CAST(array() AS ARRAY<STRING>) AS ps),
+             (acc, x) -> CASE WHEN acc.pos = 0 THEN acc ELSE struct(
+               acc.pos - element_at(dp.pl, acc.pos + 1) AS pos,
+               concat(acc.ps, array(substring(w,
+                 acc.pos - element_at(dp.pl, acc.pos + 1) + 1,
+                 element_at(dp.pl, acc.pos + 1)))) AS ps) END) AS bt""")
+      .selectExpr("wn", "bt.ps AS pieces")
+
+  /** UNIGRAM-LM TOKENIZER TRAINER (Kudo, ACL 2018 — the SentencePiece
+    * unigram model; hard-EM/Viterbi variant): the OTHER production
+    * tokenizer family, complementing [[bpeTrainK]].
+    *
+    *  1. SEED: every single character (kept throughout for coverage)
+    *     plus the top-24 multi-char substrings (length ≤ 4) by
+    *     corpus-weighted occurrence count — the frequent-substring
+    *     candidate pool standing in for SentencePiece's suffix-array
+    *     seeding.
+    *  2. EM (2 rounds, each = E: Viterbi-segment every DISTINCT word
+    *     under the current µ-logp table; M: piece counts = word-freq-
+    *     weighted usage in the Viterbi paths): hard EM — the Viterbi
+    *     path stands in for the full forward-backward expectation,
+    *     the documented fast variant of the SentencePiece trainer.
+    *  3. PRUNE by likelihood contribution: a multi-char piece the
+    *     E-step never uses contributes zero likelihood and is dropped
+    *     (SentencePiece's prune-by-loss, degenerate-case exact);
+    *     single chars smooth to count ≥ 1 (coverage must survive).
+    *
+    * BPE's scale discipline carries over verbatim: the corpus is
+    * touched ONCE (the distinct-word count); every EM round works on
+    * the vocabulary-sized word table, per-word cost bounded by word
+    * length × max piece length. Output: the final vocab with usage
+    * counts and µ-scaled log-probs — all integer except the per-piece
+    * `ln`, µ-rounded immediately, so the DuckDB replay (the same two
+    * rounds unrolled, same seed, same tie-breaks) is hash-exact. */
+  val unigramTrain: Q = (s, dir) => {
+    val words = t(s, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).cast("bigint").as("wn"))
+      .localCheckpoint(true)
+    val subs = words
+      .selectExpr("wn",
+        s"""explode(flatten(transform(sequence(1, length(w)),
+            i -> transform(sequence(1, least($UniLmMaxLen, i)),
+              l -> substring(w, i - l + 1, l))))) AS piece""")
+      .groupBy("piece").agg(sum("wn").cast("bigint").as("cnt"))
+      .localCheckpoint(true)
+    val singles = subs.filter("length(piece) = 1")
+    var vocab = singles.unionAll(
+      subs.filter("length(piece) > 1")
+        .orderBy(col("cnt").desc, col("piece").asc)
+        .limit(UniLmSeedMulti))
+      .localCheckpoint(true)
+    for (_ <- 1 to UniLmRounds) {
+      val counts = uniLmSegmented(words, uniLmLogp(vocab))
+        .selectExpr("wn", "explode(pieces) AS piece")
+        .groupBy("piece").agg(sum("wn").cast("bigint").as("cnt"))
+        .localCheckpoint(true)
+      val prev = vocab
+      vocab = singles.select("piece")
+        .join(counts, Seq("piece"), "left_outer")
+        .selectExpr("piece", "greatest(coalesce(cnt, 0L), 1L) AS cnt")
+        .unionAll(counts.filter("length(piece) > 1"))
+        .localCheckpoint(true)
+      prev.unpersist(): Unit
+    }
+    vocab.crossJoin(broadcast(
+        vocab.agg(sum("cnt").cast("bigint").as("tot"))))
+      .selectExpr("piece", "cnt AS n_uses",
+        """CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+           * 1000000) AS BIGINT) AS logp_micro""")
+      .orderBy("piece")
+  }
+
+  /** DuckDB replay of [[unigramTrain]]: the same seed, the same two
+    * unrolled EM rounds (µ-logp table → candidate-match join →
+    * `list_reduce` Viterbi DP with the shortest-winning-piece
+    * tie-break → backtrack fold → weighted counts → prune/smooth).
+    * `list_reduce` has no explicit zero, so the accumulator is
+    * PREPENDED to the element list (the bpe-oracle trick) — and
+    * DuckDB 1.0.0's list_reduce MANGLES struct accumulators
+    * (reproduced: a {'bs':…,'pl':…} accumulator collapses to the last
+    * step), so the DP accumulator is a FLAT BIGINT[] interleaving
+    * (best₀, plen₀, best₁, plen₁, …): best[k] lives at index 2k+1,
+    * plen[k] at 2k+2; elements are [i] (the position rides in x[1]).
+    * The backtrack accumulator is a VARCHAR[] whose head slot carries
+    * the current position as text and whose tail accumulates the
+    * emitted pieces. EVERY CTE is AS MATERIALIZED: DuckDB 1.0.0
+    * inlines CTEs by default, and in this chain an `unnest(list)`
+    * with sibling columns over an inlined lambda stage MISALIGNS rows
+    * (reproduced: the per-row backtrack lists are correct, but
+    * unnesting attributed one word's pieces to another word's wn;
+    * materializing only dp/bt moved the misalignment to another
+    * stage) — materializing the whole chain pins every row
+    * pairing, at vocabulary-table cost. Vocab TOTALS are window sums
+    * (`sum(cnt) OVER ()`) over the SAME scan that reads the counts,
+    * never a separate scalar CTE: even under MATERIALIZED, a
+    * cross-joined total was observed desyncing from the emitted rows
+    * (sf0.1: counts right, total off), and a single-scan window is
+    * self-consistent by construction. */
+  lazy val unigramTrainOracle: String = {
+    val words =
+      """SELECT w, CAST(count(*) AS BIGINT) AS wn FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE length(w) >= 1 GROUP BY w"""
+    val cand =
+      s"""SELECT w, wn, m['e'] AS e, m['l'] AS l, m['piece'] AS piece
+          FROM (
+            SELECT w, wn,
+              unnest(flatten(list_transform(range(1, length(w) + 1),
+                i -> list_transform(range(1, least($UniLmMaxLen, i) + 1),
+                  l -> {'e': i, 'l': l,
+                        'piece': substr(w, CAST(i - l + 1 AS INT),
+                                        CAST(l AS INT))})))) AS m
+            FROM words)"""
+    val subs =
+      """SELECT piece, CAST(sum(wn) AS BIGINT) AS cnt
+         FROM cand GROUP BY piece"""
+    val v0 =
+      s"""SELECT piece, cnt FROM subs WHERE length(piece) = 1
+          UNION ALL SELECT piece, cnt FROM (
+            SELECT piece, cnt FROM subs WHERE length(piece) > 1
+            ORDER BY cnt DESC, piece ASC LIMIT $UniLmSeedMulti)"""
+    def round(r: Int, prev: String): String = {
+      val best =
+        s"""list_max(list_transform(list_filter(ms,
+             mm -> mm['e'] = x[1]),
+             mm -> acc[CAST(2 * (x[1] - mm['l']) + 1 AS INT)]
+               + mm['lp']))"""
+      val plv = "pl[CAST(CAST(acc[1] AS BIGINT) + 1 AS INT)]"
+      s"""lp$r AS MATERIALIZED (
+         SELECT piece, CAST(round(ln(CAST(cnt AS DOUBLE)
+           / CAST(sum(cnt) OVER () AS DOUBLE)) * 1000000)
+           AS BIGINT) AS lp
+         FROM $prev),
+       ms$r AS MATERIALIZED (
+         SELECT c.w, c.wn,
+           list({'e': c.e, 'l': c.l, 'lp': p.lp} ORDER BY c.e, c.l)
+             AS ms
+         FROM cand c JOIN lp$r p ON c.piece = p.piece
+         GROUP BY c.w, c.wn),
+       dp$r AS MATERIALIZED (
+         SELECT w, wn, list_reduce(
+           list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+             list_transform(range(1, length(w) + 1), i -> [i])),
+           (acc, x) -> list_append(list_append(acc, $best),
+             list_min(list_transform(list_filter(ms,
+               m -> m['e'] = x[1] AND
+                 acc[CAST(2 * (x[1] - m['l']) + 1 AS INT)]
+                   + m['lp'] = $best),
+               m -> m['l'])))) AS dp
+         FROM ms$r),
+       pl$r AS MATERIALIZED (
+         SELECT w, wn, list_transform(range(0, length(w) + 1),
+           k -> dp[CAST(2 * k + 2 AS INT)]) AS pl
+         FROM dp$r),
+       bt$r AS MATERIALIZED (
+         SELECT w, wn, list_reduce(
+           list_prepend([CAST(length(w) AS VARCHAR)],
+             list_transform(range(1, length(w) + 1), i -> [''])),
+           (acc, x) -> CASE WHEN CAST(acc[1] AS BIGINT) = 0 THEN acc
+             ELSE list_append(
+               list_prepend(
+                 CAST(CAST(acc[1] AS BIGINT) - $plv AS VARCHAR),
+                 acc[2:]),
+               substr(w,
+                 CAST(CAST(acc[1] AS BIGINT) - $plv + 1 AS INT),
+                 CAST($plv AS INT))) END) AS bt
+         FROM pl$r),
+       cnt$r AS MATERIALIZED (
+         SELECT piece, CAST(sum(wn) AS BIGINT) AS cnt FROM (
+           SELECT wn, unnest(bt[2:]) AS piece FROM bt$r)
+         GROUP BY piece),
+       v$r AS MATERIALIZED (
+         SELECT s.piece,
+           CAST(greatest(coalesce(c.cnt, 0), 1) AS BIGINT) AS cnt
+         FROM (SELECT piece FROM v0 WHERE length(piece) = 1) s
+         LEFT JOIN cnt$r c ON s.piece = c.piece
+         UNION ALL
+         SELECT piece, cnt FROM cnt$r WHERE length(piece) > 1)"""
+    }
+    val rounds = (1 to UniLmRounds)
+      .map(r => round(r, s"v${r - 1}")).mkString(",\n")
+    s"""WITH words AS MATERIALIZED ($words),
+       cand AS MATERIALIZED ($cand),
+       subs AS MATERIALIZED ($subs),
+       v0 AS MATERIALIZED ($v0),
+       $rounds
+       SELECT piece, cnt AS n_uses,
+         CAST(round(ln(CAST(cnt AS DOUBLE)
+           / CAST(sum(cnt) OVER () AS DOUBLE)) * 1000000)
+           AS BIGINT) AS logp_micro
+       FROM v$UniLmRounds ORDER BY piece"""
+  }
+
   /** Bigram collocations scored by pointwise mutual information:
     * PMI = ln(p(ab) / (p(a)·p(b))) over word bigrams — the classic
     * collocation-mining statistic. Probabilities are exact rationals of
@@ -1900,6 +2155,7 @@ object TextAnalysis {
     "text_bpe_merge_step" -> bpeMergeStep,
     "text_bpe_train_k" -> bpeTrainK,
     "text_bpe_encode_docs" -> bpeEncodeDocs,
+    "text_unigram_train" -> unigramTrain,
     "text_bigram_pmi" -> bigramPmi,
     "text_rank_keywords" -> textRankKeywords,
     "text_lm_perplexity" -> lmPerplexity,
@@ -1943,6 +2199,7 @@ object TextAnalysis {
     "text_bpe_merge_step" -> bpeMergeStepOracle,
     "text_bpe_train_k" -> bpeTrainKOracle,
     "text_bpe_encode_docs" -> bpeEncodeDocsOracle,
+    "text_unigram_train" -> unigramTrainOracle,
     "text_bigram_pmi" -> bigramPmiOracle,
     "text_rank_keywords" -> textRankKeywordsOracle,
     "text_lm_perplexity" -> lmPerplexityOracle,

@@ -142,7 +142,7 @@ class RegistryGuardSpec extends SparkSpec {
     "bitmap_audience_overlap", "bitmap_audience_overlap_pruned",
     "retention_cohorts", "merge_retention_cohorts",
     // broadcast corpus-level stats/vocab scalars into per-row math
-    "corpus_mix_temperature",
+    "corpus_mix_temperature", "text_unigram_train",
     "graph_triangle_count", "text_bigram_pmi", "text_bm25_topk",
     "text_lm_perplexity", "text_tfidf_topk", "scalar_subquery",
     // hybrid RRF: the BM25 side's 1-row corpus-stats frame broadcast

@@ -150,6 +150,64 @@ class AggregatesSpec extends SparkSpec {
     top.foreach { case (p, n) => assert(counted(p) === n, p) }
   }
 
+  test("text_unigram_train: the full hard-EM trainer matches an " +
+      "independent single-machine recompute (seed, 2 Viterbi-EM " +
+      "rounds, prune/smooth, final µ-logp)") {
+    val got = graft.functions.TextAnalysis.unigramTrain(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").as[String].collect()
+      .flatMap(_.split(' ')).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, v) => w -> v.length.toLong }
+    val subs = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, wn) =>
+      for (i <- 1 to w.length; l <- 1 to math.min(4, i))
+        subs(w.substring(i - l, i)) =
+          subs.getOrElse(w.substring(i - l, i), 0L) + wn
+    }
+    val singles = subs.filter(_._1.length == 1).toMap
+    var vocab = singles ++ subs.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(24).toMap
+    for (_ <- 1 to 2) {
+      val tot = vocab.values.sum
+      val lp = vocab.map { case (p, c) =>
+        p -> math.round(math.log(c.toDouble / tot) * 1e6) }
+      val cnt = scala.collection.mutable.Map.empty[String, Long]
+      words.foreach { case (w, wn) =>
+        val n = w.length
+        val best = Array.fill(n + 1)(0L)
+        val pl = Array.fill(n + 1)(0)
+        for (i <- 1 to n) {
+          val cands = (1 to math.min(4, i)).flatMap { l =>
+            lp.get(w.substring(i - l, i)).map(v => (best(i - l) + v, l))
+          }
+          best(i) = cands.map(_._1).max
+          pl(i) = cands.filter(_._1 == best(i)).map(_._2).min
+        }
+        var pos = n
+        while (pos > 0) {
+          val piece = w.substring(pos - pl(pos), pos)
+          cnt(piece) = cnt.getOrElse(piece, 0L) + wn
+          pos -= pl(pos)
+        }
+      }
+      vocab = singles.map { case (p, _) =>
+        p -> math.max(cnt.getOrElse(p, 0L), 1L) } ++
+        cnt.filter(_._1.length > 1)
+    }
+    val tot = vocab.values.sum
+    val expect = vocab.map { case (p, c) =>
+      p -> ((c, math.round(math.log(c.toDouble / tot) * 1e6))) }
+    assert(got === expect,
+      s"unigram vocab mismatch: got=${got.toSeq.sorted.take(8)}… " +
+        s"exp=${expect.toSeq.sorted.take(8)}…")
+    // the EM actually trained: some multi-char piece survived pruning
+    // and carries more uses than any of its characters alone would as
+    // a leftover (i.e. it won Viterbi segments)
+    assert(got.keys.exists(_.length > 1), "no multi-char piece survived")
+  }
+
   test("text_trigram_counts: totals tile the corpus token counts") {
     val top = graft.functions.TextAnalysis.trigramCounts(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1))
