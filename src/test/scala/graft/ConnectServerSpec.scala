@@ -356,9 +356,92 @@ class ConnectServerSpec extends SparkSpec {
           FROM graft_lake.lake.cx_ix WHERE cell = $cell
           ORDER BY vec_id""")
         assert(members === (0 until 8).map(_.toString))
+        // 4) TEXT-INDEX lifecycle CALL verbs — the admin surface a
+        // remote client actually drives: build, source edits, refresh,
+        // health stats, and an INDEXED shard-pruned search, all over
+        // the same gRPC session (run() reads result column 0)
+        val dt = "graft_lake.lake.cx_docs"
+        run(s"DROP TABLE IF EXISTS $dt")
+        run(s"""CREATE TABLE $dt (doc_id BIGINT, text STRING)
+                TBLPROPERTIES ('shard_key'='doc_id','n_shards'='2')""")
+        run(s"""INSERT INTO $dt VALUES (0L, 'alpha beta'),
+                (1L, 'beta gamma'), (2L, 'alpha delta'),
+                (3L, 'gamma beta')""")
+        val builtTix = run("""CALL graft_lake.system.build_text_index(
+               table => 'cx_docs', index_table => 'cx_tix')""")
+        assert(builtTix === Seq("cx_tix"), s"build returned $builtTix")
+        run(s"DELETE FROM $dt WHERE doc_id = 1")
+        run(s"INSERT INTO $dt VALUES (4L, 'alpha alpha')")
+        // refresh over the wire: col 0 = from_version (the cursor
+        // before the advance — built at source v1)
+        assert(run("""CALL graft_lake.system.refresh_text_index(
+               index_table => 'cx_tix')""") === Seq("1"))
+        assert(run("SELECT CAST(count(*) AS STRING) AS r FROM " +
+          "graft_lake.lake.cx_tix_tomb") === Seq("1"))
+        // health stats over the wire: live postings of the edited
+        // corpus = d0{alpha,beta} d2{alpha,delta} d3{gamma,beta}
+        // d4{alpha} = 7 (col 0 = live_postings)
+        assert(run("""CALL graft_lake.system.text_index_stats(
+               index_table => 'cx_tix')""") === Seq("7"))
+        // indexed search over the hop: shard-pruned literal term-hash
+        // probe + the tombstone liveness rule, ranked by tf — the
+        // deleted doc 1 is masked, the refreshed doc 4 leads
+        val alphaH = graft.plans.HashUtil.hex60md5(
+          org.apache.spark.unsafe.types.UTF8String.fromString("alpha"))
+        assert(run(s"""SELECT CAST(p.doc_id AS STRING) AS r
+          FROM graft_lake.lake.cx_tix p
+          LEFT JOIN (SELECT doc_id, max(before) AS b
+                     FROM graft_lake.lake.cx_tix_tomb
+                     GROUP BY doc_id) t ON p.doc_id = t.doc_id
+          WHERE p.term_h = ${alphaH}L AND p.term = 'alpha'
+            AND (t.b IS NULL OR p.ver >= t.b)
+          ORDER BY p.tf DESC, p.doc_id""") === Seq("4", "0", "2"))
+        // sort-rewrite maintenance over the wire (col 0 = shard count)
+        assert(run("CALL graft_lake.system.rewrite_sorted(" +
+          "table => 'cx_lake')").head.toInt >= 1)
+        assert(state(s"SELECT * FROM $t") ===
+          Seq("1,99", "2,22", "3,30", "4,44"))
+
+        // 5) snapshot-consistent INDEX-GROUP refresh over the wire:
+        // one table carrying both modalities, both cursors advance to
+        // the same pinned version (col 0 = version)
+        val bt = "graft_lake.lake.cx_both"
+        run(s"DROP TABLE IF EXISTS $bt")
+        run(s"""CREATE TABLE $bt
+                (doc_id BIGINT, text STRING, vec_id BIGINT, emb STRING)
+                TBLPROPERTIES ('shard_key'='doc_id','n_shards'='2')""")
+        run(s"""INSERT INTO $bt VALUES
+                (0L, 'alpha beta', 0L, '1000000,0,0,0'),
+                (1L, 'beta gamma', 1L, '0,1000000,0,0'),
+                (2L, 'alpha alpha', 2L, '900000,100000,0,0'),
+                (3L, 'gamma delta', 3L, '0,900000,100000,0')""")
+        run("""CALL graft_lake.system.build_text_index(
+               table => 'cx_both', index_table => 'cx_btix')""")
+        run("""CALL graft_lake.system.build_ann_index(
+               table => 'cx_both', index_table => 'cx_baix',
+               k => 2, iters => 1, pq_m => 2, pq_k => 2,
+               pq_iters => 1)""")
+        run(s"DELETE FROM $bt WHERE doc_id = 1")
+        run(s"""INSERT INTO $bt VALUES
+                (4L, 'delta alpha', 4L, '500000,500000,0,0')""")
+        assert(run("""CALL graft_lake.system.refresh_indexes(
+               table => 'cx_both', text_index => 'cx_btix',
+               ann_index => 'cx_baix')""") === Seq("3"))
+        Seq("tix_meta" -> "cx_btix_meta", "aix_meta" -> "cx_baix_meta")
+          .foreach { case (what, meta) =>
+            assert(run(s"SELECT CAST(max(last_version) AS STRING) " +
+              s"AS r FROM graft_lake.lake.$meta") === Seq("3"),
+              s"$what cursor must land on the pinned v3")
+          }
+
         Seq("cx_lake", "cx_vecs", "cx_ix", "cx_ix_centroids",
-          "cx_ix_codebooks", "cx_ix_meta").foreach(n =>
-          run(s"DROP TABLE IF EXISTS graft_lake.lake.$n"))
+          "cx_ix_codebooks", "cx_ix_meta",
+          "cx_docs", "cx_tix", "cx_tix_docs", "cx_tix_tomb",
+          "cx_tix_meta", "cx_both", "cx_btix", "cx_btix_docs",
+          "cx_btix_tomb", "cx_btix_meta", "cx_baix",
+          "cx_baix_centroids", "cx_baix_codebooks", "cx_baix_meta")
+          .foreach(n =>
+            run(s"DROP TABLE IF EXISTS graft_lake.lake.$n"))
       } finally { channel.shutdownNow(); () }
     } finally SparkConnectService.stop(None, None)
   }
