@@ -763,30 +763,29 @@ object TextAnalysis {
 
   /** DuckDB replay of [[unigramTrain]]: the same seed, the same two
     * unrolled EM rounds (µ-logp table → candidate-match join →
-    * `list_reduce` Viterbi DP with the shortest-winning-piece
-    * tie-break → backtrack fold → weighted counts → prune/smooth).
-    * `list_reduce` has no explicit zero, so the accumulator is
-    * PREPENDED to the element list (the bpe-oracle trick) — and
-    * DuckDB 1.0.0's list_reduce MANGLES struct accumulators
-    * (reproduced: a {'bs':…,'pl':…} accumulator collapses to the last
-    * step), so the DP accumulator is a FLAT BIGINT[] interleaving
-    * (best₀, plen₀, best₁, plen₁, …): best[k] lives at index 2k+1,
-    * plen[k] at 2k+2; elements are [i] (the position rides in x[1]).
-    * The backtrack accumulator is a VARCHAR[] whose head slot carries
-    * the current position as text and whose tail accumulates the
-    * emitted pieces. EVERY CTE is AS MATERIALIZED: DuckDB 1.0.0
-    * inlines CTEs by default, and in this chain an `unnest(list)`
-    * with sibling columns over an inlined lambda stage MISALIGNS rows
-    * (reproduced: the per-row backtrack lists are correct, but
-    * unnesting attributed one word's pieces to another word's wn;
-    * materializing only dp/bt moved the misalignment to another
-    * stage) — materializing the whole chain pins every row
-    * pairing, at vocabulary-table cost. Vocab TOTALS are window sums
-    * (`sum(cnt) OVER ()`) over the SAME scan that reads the counts,
-    * never a separate scalar CTE: even under MATERIALIZED, a
-    * cross-joined total was observed desyncing from the emitted rows
-    * (sf0.1: counts right, total off), and a single-scan window is
-    * self-consistent by construction. */
+    * Viterbi DP with the shortest-winning-piece tie-break → backtrack
+    * walk → weighted counts → prune/smooth).
+    *
+    * The DP and the backtrack are RECURSIVE CTEs, not list_reduce
+    * folds, and every non-recursive CTE is AS MATERIALIZED — because
+    * THREE distinct DuckDB-1.0.0 evaluator defects were reproduced
+    * while building this oracle:
+    *  1. list_reduce MANGLES struct accumulators (a {'bs':…,'pl':…}
+    *     accumulator collapses to the last step);
+    *  2. default CTE inlining MISALIGNS `unnest(list)` rows against
+    *     sibling columns (one word's pieces attributed to another
+    *     word's wn; a cross-joined scalar total likewise desynced
+    *     from the very rows it summed — totals are therefore window
+    *     sums `sum(cnt) OVER ()` on the SAME scan);
+    *  3. even a FLAT-list list_reduce mis-associates its accumulator
+    *     past a few hundred rows (sf1: the fold's own accumulator
+    *     arrived as an element placeholder — conversion error or
+    *     outright segfault).
+    * list_filter/list_transform/list_min/list_max are reliable (the
+    * proximity oracle leans on them at every scale), so the per-step
+    * candidate scoring stays lambda-based while the SEQUENTIAL state
+    * (DP table, path walk) advances one recursion level per position
+    * — the engine-agnostic way to spell a fold. */
   lazy val unigramTrainOracle: String = {
     val words =
       """SELECT w, CAST(count(*) AS BIGINT) AS wn FROM (
@@ -813,10 +812,9 @@ object TextAnalysis {
     def round(r: Int, prev: String): String = {
       val best =
         s"""list_max(list_transform(list_filter(ms,
-             mm -> mm['e'] = x[1]),
-             mm -> acc[CAST(2 * (x[1] - mm['l']) + 1 AS INT)]
-               + mm['lp']))"""
-      val plv = "pl[CAST(CAST(acc[1] AS BIGINT) + 1 AS INT)]"
+             mm -> mm['e'] = i + 1),
+             mm -> bs[CAST(i + 2 - mm['l'] AS INT)] + mm['lp']))"""
+      val plv = "p.pl[CAST(k.pos + 1 AS INT)]"
       s"""lp$r AS MATERIALIZED (
          SELECT piece, CAST(round(ln(CAST(cnt AS DOUBLE)
            / CAST(sum(cnt) OVER () AS DOUBLE)) * 1000000)
@@ -828,38 +826,34 @@ object TextAnalysis {
              AS ms
          FROM cand c JOIN lp$r p ON c.piece = p.piece
          GROUP BY c.w, c.wn),
-       dp$r AS MATERIALIZED (
-         SELECT w, wn, list_reduce(
-           list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
-             list_transform(range(1, length(w) + 1), i -> [i])),
-           (acc, x) -> list_append(list_append(acc, $best),
+       dp$r AS (
+         SELECT w, wn, ms, 0 AS i,
+           [CAST(0 AS BIGINT)] AS bs, [CAST(0 AS BIGINT)] AS pl
+         FROM ms$r
+         UNION ALL
+         SELECT w, wn, ms, i + 1,
+           list_append(bs, $best),
+           list_append(pl,
              list_min(list_transform(list_filter(ms,
-               m -> m['e'] = x[1] AND
-                 acc[CAST(2 * (x[1] - m['l']) + 1 AS INT)]
-                   + m['lp'] = $best),
-               m -> m['l'])))) AS dp
-         FROM ms$r),
+               m -> m['e'] = i + 1 AND
+                 bs[CAST(i + 2 - m['l'] AS INT)] + m['lp'] = $best),
+               m -> m['l'])))
+         FROM dp$r WHERE i < length(w)),
        pl$r AS MATERIALIZED (
-         SELECT w, wn, list_transform(range(0, length(w) + 1),
-           k -> dp[CAST(2 * k + 2 AS INT)]) AS pl
-         FROM dp$r),
-       bt$r AS MATERIALIZED (
-         SELECT w, wn, list_reduce(
-           list_prepend([CAST(length(w) AS VARCHAR)],
-             list_transform(range(1, length(w) + 1), i -> [''])),
-           (acc, x) -> CASE WHEN CAST(acc[1] AS BIGINT) = 0 THEN acc
-             ELSE list_append(
-               list_prepend(
-                 CAST(CAST(acc[1] AS BIGINT) - $plv AS VARCHAR),
-                 acc[2:]),
-               substr(w,
-                 CAST(CAST(acc[1] AS BIGINT) - $plv + 1 AS INT),
-                 CAST($plv AS INT))) END) AS bt
-         FROM pl$r),
+         SELECT w, wn, pl FROM dp$r WHERE i = length(w)),
+       walk$r AS (
+         SELECT w, wn, CAST(length(w) AS BIGINT) AS pos,
+           CAST(NULL AS VARCHAR) AS piece
+         FROM pl$r
+         UNION ALL
+         SELECT k.w, k.wn, k.pos - $plv,
+           substr(k.w, CAST(k.pos - $plv + 1 AS INT),
+             CAST($plv AS INT))
+         FROM walk$r k JOIN pl$r p ON k.w = p.w
+         WHERE k.pos > 0),
        cnt$r AS MATERIALIZED (
-         SELECT piece, CAST(sum(wn) AS BIGINT) AS cnt FROM (
-           SELECT wn, unnest(bt[2:]) AS piece FROM bt$r)
-         GROUP BY piece),
+         SELECT piece, CAST(sum(wn) AS BIGINT) AS cnt FROM walk$r
+         WHERE piece IS NOT NULL GROUP BY piece),
        v$r AS MATERIALIZED (
          SELECT s.piece,
            CAST(greatest(coalesce(c.cnt, 0), 1) AS BIGINT) AS cnt
@@ -870,7 +864,7 @@ object TextAnalysis {
     }
     val rounds = (1 to UniLmRounds)
       .map(r => round(r, s"v${r - 1}")).mkString(",\n")
-    s"""WITH words AS MATERIALIZED ($words),
+    s"""WITH RECURSIVE words AS MATERIALIZED ($words),
        cand AS MATERIALIZED ($cand),
        subs AS MATERIALIZED ($subs),
        v0 AS MATERIALIZED ($v0),
