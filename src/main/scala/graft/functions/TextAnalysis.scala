@@ -693,7 +693,7 @@ object TextAnalysis {
                concat(acc.ps, array(substring(w,
                  acc.pos - element_at(dp.pl, acc.pos + 1) + 1,
                  element_at(dp.pl, acc.pos + 1)))) AS ps) END) AS bt""")
-      .selectExpr("wn", "bt.ps AS pieces")
+      .selectExpr("w", "wn", "bt.ps AS pieces")
 
   /** UNIGRAM-LM TOKENIZER TRAINER (Kudo, ACL 2018 — the SentencePiece
     * unigram model; hard-EM/Viterbi variant): the OTHER production
@@ -786,7 +786,67 @@ object TextAnalysis {
     * candidate scoring stays lambda-based while the SEQUENTIAL state
     * (DP table, path walk) advances one recursion level per position
     * — the engine-agnostic way to spell a fold. */
-  lazy val unigramTrainOracle: String = {
+  /** One EM round's CTE block (`lp$r` → `v$r`), shared by the train
+    * oracle (rounds 1..T) and the encode oracle (which appends one
+    * EXTRA round under the FINAL vocab purely for its Viterbi walk —
+    * `walk$r` IS the segmentation). */
+  private def uniLmOracleRound(r: Int, prev: String): String = {
+    val best =
+      s"""list_max(list_transform(list_filter(ms,
+           mm -> mm['e'] = i + 1),
+           mm -> bs[CAST(i + 2 - mm['l'] AS INT)] + mm['lp']))"""
+    val plv = "p.pl[CAST(k.pos + 1 AS INT)]"
+    s"""lp$r AS MATERIALIZED (
+       SELECT piece, CAST(round(ln(CAST(cnt AS DOUBLE)
+         / CAST(sum(cnt) OVER () AS DOUBLE)) * 1000000)
+         AS BIGINT) AS lp
+       FROM $prev),
+     ms$r AS MATERIALIZED (
+       SELECT c.w, c.wn,
+         list({'e': c.e, 'l': c.l, 'lp': p.lp} ORDER BY c.e, c.l)
+           AS ms
+       FROM cand c JOIN lp$r p ON c.piece = p.piece
+       GROUP BY c.w, c.wn),
+     dp$r AS (
+       SELECT w, wn, ms, 0 AS i,
+         [CAST(0 AS BIGINT)] AS bs, [CAST(0 AS BIGINT)] AS pl
+       FROM ms$r
+       UNION ALL
+       SELECT w, wn, ms, i + 1,
+         list_append(bs, $best),
+         list_append(pl,
+           list_min(list_transform(list_filter(ms,
+             m -> m['e'] = i + 1 AND
+               bs[CAST(i + 2 - m['l'] AS INT)] + m['lp'] = $best),
+             m -> m['l'])))
+       FROM dp$r WHERE i < length(w)),
+     pl$r AS MATERIALIZED (
+       SELECT w, wn, pl FROM dp$r WHERE i = length(w)),
+     walk$r AS (
+       SELECT w, wn, CAST(length(w) AS BIGINT) AS pos,
+         CAST(NULL AS VARCHAR) AS piece
+       FROM pl$r
+       UNION ALL
+       SELECT k.w, k.wn, k.pos - $plv,
+         substr(k.w, CAST(k.pos - $plv + 1 AS INT),
+           CAST($plv AS INT))
+       FROM walk$r k JOIN pl$r p ON k.w = p.w
+       WHERE k.pos > 0),
+     cnt$r AS MATERIALIZED (
+       SELECT piece, CAST(sum(wn) AS BIGINT) AS cnt FROM walk$r
+       WHERE piece IS NOT NULL GROUP BY piece),
+     v$r AS MATERIALIZED (
+       SELECT s.piece,
+         CAST(greatest(coalesce(c.cnt, 0), 1) AS BIGINT) AS cnt
+       FROM (SELECT piece FROM v0 WHERE length(piece) = 1) s
+       LEFT JOIN cnt$r c ON s.piece = c.piece
+       UNION ALL
+       SELECT piece, cnt FROM cnt$r WHERE length(piece) > 1)"""
+  }
+
+  /** The train oracle's shared CTE prefix: words/cand/subs/v0 + the
+    * T unrolled EM rounds (ending at `v$UniLmRounds`). */
+  private lazy val uniLmOracleBase: String = {
     val words =
       """SELECT w, CAST(count(*) AS BIGINT) AS wn FROM (
            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -809,71 +869,91 @@ object TextAnalysis {
           UNION ALL SELECT piece, cnt FROM (
             SELECT piece, cnt FROM subs WHERE length(piece) > 1
             ORDER BY cnt DESC, piece ASC LIMIT $UniLmSeedMulti)"""
-    def round(r: Int, prev: String): String = {
-      val best =
-        s"""list_max(list_transform(list_filter(ms,
-             mm -> mm['e'] = i + 1),
-             mm -> bs[CAST(i + 2 - mm['l'] AS INT)] + mm['lp']))"""
-      val plv = "p.pl[CAST(k.pos + 1 AS INT)]"
-      s"""lp$r AS MATERIALIZED (
-         SELECT piece, CAST(round(ln(CAST(cnt AS DOUBLE)
-           / CAST(sum(cnt) OVER () AS DOUBLE)) * 1000000)
-           AS BIGINT) AS lp
-         FROM $prev),
-       ms$r AS MATERIALIZED (
-         SELECT c.w, c.wn,
-           list({'e': c.e, 'l': c.l, 'lp': p.lp} ORDER BY c.e, c.l)
-             AS ms
-         FROM cand c JOIN lp$r p ON c.piece = p.piece
-         GROUP BY c.w, c.wn),
-       dp$r AS (
-         SELECT w, wn, ms, 0 AS i,
-           [CAST(0 AS BIGINT)] AS bs, [CAST(0 AS BIGINT)] AS pl
-         FROM ms$r
-         UNION ALL
-         SELECT w, wn, ms, i + 1,
-           list_append(bs, $best),
-           list_append(pl,
-             list_min(list_transform(list_filter(ms,
-               m -> m['e'] = i + 1 AND
-                 bs[CAST(i + 2 - m['l'] AS INT)] + m['lp'] = $best),
-               m -> m['l'])))
-         FROM dp$r WHERE i < length(w)),
-       pl$r AS MATERIALIZED (
-         SELECT w, wn, pl FROM dp$r WHERE i = length(w)),
-       walk$r AS (
-         SELECT w, wn, CAST(length(w) AS BIGINT) AS pos,
-           CAST(NULL AS VARCHAR) AS piece
-         FROM pl$r
-         UNION ALL
-         SELECT k.w, k.wn, k.pos - $plv,
-           substr(k.w, CAST(k.pos - $plv + 1 AS INT),
-             CAST($plv AS INT))
-         FROM walk$r k JOIN pl$r p ON k.w = p.w
-         WHERE k.pos > 0),
-       cnt$r AS MATERIALIZED (
-         SELECT piece, CAST(sum(wn) AS BIGINT) AS cnt FROM walk$r
-         WHERE piece IS NOT NULL GROUP BY piece),
-       v$r AS MATERIALIZED (
-         SELECT s.piece,
-           CAST(greatest(coalesce(c.cnt, 0), 1) AS BIGINT) AS cnt
-         FROM (SELECT piece FROM v0 WHERE length(piece) = 1) s
-         LEFT JOIN cnt$r c ON s.piece = c.piece
-         UNION ALL
-         SELECT piece, cnt FROM cnt$r WHERE length(piece) > 1)"""
-    }
     val rounds = (1 to UniLmRounds)
-      .map(r => round(r, s"v${r - 1}")).mkString(",\n")
-    s"""WITH RECURSIVE words AS MATERIALIZED ($words),
+      .map(r => uniLmOracleRound(r, s"v${r - 1}")).mkString(",\n")
+    s"""words AS MATERIALIZED ($words),
        cand AS MATERIALIZED ($cand),
        subs AS MATERIALIZED ($subs),
        v0 AS MATERIALIZED ($v0),
-       $rounds
+       $rounds"""
+  }
+
+  lazy val unigramTrainOracle: String =
+    s"""WITH RECURSIVE $uniLmOracleBase
        SELECT piece, cnt AS n_uses,
          CAST(round(ln(CAST(cnt AS DOUBLE)
            / CAST(sum(cnt) OVER () AS DOUBLE)) * 1000000)
            AS BIGINT) AS logp_micro
        FROM v$UniLmRounds ORDER BY piece"""
+
+  /** The trained unigram vocab as a cross-JVM memo (tiny: single
+    * chars + ≤ 24 multi-char pieces), so the ENCODE query doesn't
+    * re-run the 2-round EM the TRAIN query already proved — the
+    * Tables.persistentMemo discipline (fingerprint-keyed, rebuilt on
+    * corpus change). */
+  private def uniLmVocab(s: org.apache.spark.sql.SparkSession,
+      dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.sources.Tables.persistentMemo(s, "unilm_vocab",
+      graft.sources.Tables.fingerprint(dir, "documents")) {
+      unigramTrain(s, dir)
+    }
+
+  /** UNIGRAM ENCODE — the apply half of [[unigramTrain]], the way
+    * [[bpeEncodeDocs]] applies [[bpeTrainK]]: Viterbi-segment the
+    * FULL corpus under the trained µ-logp vocabulary and report, per
+    * document, the token count, the whitespace word count, and the
+    * tokens-per-word ratio in exact integer ppm (the fertility /
+    * compression statistic tokenizer evaluations quote).
+    *
+    * Scale shape (100 TB): identical to the trainer's — the DP runs
+    * once per DISTINCT word (vocabulary-sized, never corpus-sized);
+    * the corpus is touched twice with narrow projections (word
+    * frequency count, then per-doc word explode joined against the
+    * per-word token counts). The vocab itself loads from the
+    * fingerprint-keyed memo, so encode never re-pays EM training.
+    * DuckDB replays by appending ONE extra EM-round CTE block under
+    * the final vocab (its recursive Viterbi walk IS the
+    * segmentation), then aggregating the walk per document. */
+  val unigramEncodeDocs: Q = (s, dir) => {
+    val lp = uniLmVocab(s, dir).selectExpr("piece", "logp_micro AS lp")
+    val occ = t(s, dir, "documents")
+      .selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+      .filter(length(col("w")) >= 1)
+    val words = occ.groupBy("w")
+      .agg(count(lit(1)).cast("bigint").as("wn"))
+      .localCheckpoint(true)
+    val wordTok = uniLmSegmented(words, lp)
+      .selectExpr("w", "CAST(size(pieces) AS BIGINT) AS n_tok")
+    occ.join(wordTok, "w")
+      .groupBy("doc_id")
+      .agg(sum("n_tok").cast("bigint").as("n_tokens"),
+        count(lit(1)).cast("bigint").as("n_words"))
+      .selectExpr("doc_id", "n_tokens", "n_words",
+        "(n_tokens * CAST(1000000 AS BIGINT)) div n_words " +
+          "AS tokens_per_word_ppm")
+      .orderBy("doc_id")
+  }
+
+  lazy val unigramEncodeDocsOracle: String = {
+    val enc = UniLmRounds + 1
+    s"""WITH RECURSIVE $uniLmOracleBase,
+       ${uniLmOracleRound(enc, s"v$UniLmRounds")},
+       wordtok AS MATERIALIZED (
+         SELECT w, CAST(count(*) AS BIGINT) AS n_tok FROM walk$enc
+         WHERE piece IS NOT NULL GROUP BY w),
+       occ AS MATERIALIZED (
+         SELECT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents)
+         WHERE length(w) >= 1)
+       SELECT o.doc_id,
+         CAST(sum(t.n_tok) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST((CAST(sum(t.n_tok) AS BIGINT) * 1000000)
+           // CAST(count(*) AS BIGINT) AS BIGINT) AS tokens_per_word_ppm
+       FROM occ o JOIN wordtok t ON o.w = t.w
+       GROUP BY o.doc_id ORDER BY o.doc_id"""
   }
 
   /** Bigram collocations scored by pointwise mutual information:
@@ -2150,6 +2230,7 @@ object TextAnalysis {
     "text_bpe_train_k" -> bpeTrainK,
     "text_bpe_encode_docs" -> bpeEncodeDocs,
     "text_unigram_train" -> unigramTrain,
+    "text_unigram_encode_docs" -> unigramEncodeDocs,
     "text_bigram_pmi" -> bigramPmi,
     "text_rank_keywords" -> textRankKeywords,
     "text_lm_perplexity" -> lmPerplexity,
@@ -2194,6 +2275,7 @@ object TextAnalysis {
     "text_bpe_train_k" -> bpeTrainKOracle,
     "text_bpe_encode_docs" -> bpeEncodeDocsOracle,
     "text_unigram_train" -> unigramTrainOracle,
+    "text_unigram_encode_docs" -> unigramEncodeDocsOracle,
     "text_bigram_pmi" -> bigramPmiOracle,
     "text_rank_keywords" -> textRankKeywordsOracle,
     "text_lm_perplexity" -> lmPerplexityOracle,

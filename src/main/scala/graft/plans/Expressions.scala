@@ -748,7 +748,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.sources.ResolveGraftLakeViews(s))
     e.injectOptimizerRule(_ => RewriteRankOneToMaxBy)
     e.injectOptimizerRule(_ => RewriteCosineTopK)
-    e.injectOptimizerRule(_ => RewriteTrinoTablesample)
+    // POST-HOC (analyzer), not optimizer: the Trino-sample marker is
+    // a TreeNode tag, and optimizer rules (ColumnPruning) rebuild
+    // Sample via case-class copy(), which drops tags — by post-hoc
+    // resolution the tag is still guaranteed present
+    e.injectPostHocResolutionRule(_ => RewriteTrinoTablesample)
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

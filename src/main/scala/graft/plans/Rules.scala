@@ -197,47 +197,75 @@ object RewriteCosineTopK extends Rule[LogicalPlan] {
 /** DETERMINISTIC TABLESAMPLE (reference surface: Trino's
   * `TABLESAMPLE BERNOULLI(p)` / `TABLESAMPLE SYSTEM(p)`, SQL-92
   * sampled scans): [[graft.sources.LakeViewSql.rewriteTablesample]]
-  * parses the Trino syntax into Spark `Sample` nodes tagged with a
-  * MAGIC `REPEATABLE` seed; this rule replaces those nodes — over a
-  * lake table with a plain integral shard key — with the
-  * deterministic hash-based forms a data pipeline can reproduce
-  * across runs, engines and cluster sizes (rand()-seeded Sample
-  * cannot: its outcome depends on partition layout):
+  * lowers the Trino syntax to Spark `Sample` nodes stamped with the
+  * OUT-OF-BAND [[graft.sources.LakeViewSql.TrinoSampleTag]] (r16
+  * overloaded two fixed REPEATABLE seed values, making a user's
+  * genuine `REPEATABLE (60477001)` indistinguishable from the
+  * marker); this rule — running at ANALYZER POST-HOC time, because
+  * tags survive analysis's makeCopy but not the optimizer's
+  * case-class copy() in ColumnPruning — replaces tagged nodes with
+  * the deterministic hash-based forms a data pipeline can reproduce
+  * across runs,
+  * engines and cluster sizes (rand()-seeded Sample cannot: its
+  * outcome depends on partition layout):
   *
   *  - BERNOULLI(p): per-ROW sampling — `Filter(graft_hex60('tsmp_' ||
-  *    key) % 1e6 < p·1e4)` on the table's shard key, the exact
-  *    portable-hash discipline of the corpus_sample_* kernels. Row
-  *    semantics, full scan (as Trino documents for BERNOULLI).
+  *    key) % 1e6 < p·1e4)` on the relation's declared integral key,
+  *    the exact portable-hash discipline of the corpus_sample_*
+  *    kernels. Row semantics, full scan (as Trino documents for
+  *    BERNOULLI). The key is the lake table's plain shard key when
+  *    the leaf is a lake table; for ANY other relation (session
+  *    parquet view, JDBC, …) the first
+  *    `spark.graft.tablesample.keyColumns` entry present with an
+  *    integral type — the declared-key convention that extends
+  *    deterministic sampling beyond the lake.
   *  - SYSTEM(p): per-SPLIT sampling — whole shards survive iff
   *    `hex60('tsys_<nShards>_<shard>') % 1e6 < p·1e4`, computed HERE
   *    from table metadata and pushed into the scan as a
   *    `graft.sample_shards` read option, so unsampled shards are
   *    never even planned (metadata-only, the Trino SYSTEM contract:
   *    sampling happens at split granularity for near-zero cost).
+  *    Lake-only: split sampling needs split metadata, which only the
+  *    lake scan declares.
   *
-  * Any other Sample (real REPEATABLE seeds, non-lake children,
-  * transform shard keys) is left to vanilla Spark. */
+  * Refusal matrix (the Sample survives → vanilla Spark sampling, the
+  * honest fallback for Trino's non-deterministic default): untagged
+  * Samples (every user REPEATABLE seed); BERNOULLI with no declared
+  * key on the leaf; SYSTEM over non-lake leaves or transform shard
+  * keys; any non-commuting operator (join, aggregate) between Sample
+  * and leaf. */
 object RewriteTrinoTablesample extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+    ShortType, StringType}
   import graft.sources.{GraftLakeTable, GraftLakeTransform, LakeViewSql}
 
-  /** The lake relation under the Sample, walking ONLY operators that
+  /** The relation LEAF under the Sample, walking ONLY operators that
     * commute with per-row sampling (aliases and deterministic
     * projections — ColumnPruning pushes a Project through Sample, so
     * by optimizer time `Sample(Project(rel))` is the COMMON shape).
     * Anything else (a join, an aggregate) refuses: sampling their
     * output is not sampling the table. */
-  private def lakeRel(plan: LogicalPlan)
-      : Option[(DataSourceV2Relation, GraftLakeTable)] =
+  private def relLeaf(plan: LogicalPlan): Option[LogicalPlan] =
     plan match {
+      case r: DataSourceV2Relation => Some(r)
+      case r: LogicalRelation => Some(r)
+      case SubqueryAlias(_, child) => relLeaf(child)
+      // the rule runs at analysis post-hoc, where temp-view reads are
+      // still wrapped in View (EliminateView is an optimizer rule)
+      case v: View => relLeaf(v.child)
+      case p: Project if p.projectList.forall(_.deterministic) =>
+        relLeaf(p.child)
+      case _ => None
+    }
+
+  private def lakeTable(leaf: LogicalPlan): Option[GraftLakeTable] =
+    leaf match {
       case r: DataSourceV2Relation => r.table match {
-        case t: GraftLakeTable => Some((r, t))
+        case t: GraftLakeTable => Some(t)
         case _ => None
       }
-      case SubqueryAlias(_, child) => lakeRel(child)
-      case p: Project if p.projectList.forall(_.deterministic) =>
-        lakeRel(p.child)
       case _ => None
     }
 
@@ -250,33 +278,65 @@ object RewriteTrinoTablesample extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  private def integral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+
+  /** BERNOULLI's deterministic row key on `leaf`: lake shard key
+    * first (the table's own routing contract), else the declared-key
+    * convention — first `spark.graft.tablesample.keyColumns` column
+    * present with an integral type. */
+  private def bernoulliKey(leaf: LogicalPlan): Option[Attribute] = {
+    val fromLake = for {
+      t <- lakeTable(leaf)
+      k <- plainKey(t)
+      a <- leaf.output.find(_.name == k)
+    } yield a
+    fromLake.orElse {
+      conf.getConfString("spark.graft.tablesample.keyColumns",
+          "doc_id,vec_id,event_id")
+        .split(",").iterator.map(_.trim).filter(_.nonEmpty)
+        .flatMap(c => leaf.output.find(a =>
+          a.name.equalsIgnoreCase(c) && integral(a.dataType)))
+        .nextOption()
+    }
+  }
+
   private def threshold(upperBound: Double): Long =
     math.round(upperBound * 1000000.0)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case s @ Sample(lb, ub, false, LakeViewSql.BernoulliSampleSeed, child)
-        if lb == 0.0 =>
+  private def variant(s: Sample): Option[String] =
+    s.getTagValue(LakeViewSql.TrinoSampleTag)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+      org.apache.spark.sql.graft.Bridge.allowTransformsInAnalyzer {
+    plan.transformUp {
+    case s @ Sample(lb, ub, false, _, child)
+        if lb == 0.0 && variant(s).contains("bernoulli") =>
       (for {
-        (rel, t) <- lakeRel(child)
-        key <- plainKey(t)
-        attr <- rel.output.find(_.name == key)
+        leaf <- relLeaf(child)
+        attr <- bernoulliKey(leaf)
       } yield {
-        // the filter lands DIRECTLY above the relation (the shard key
-        // may be pruned out of the intervening Project) — sound
-        // because everything lakeRel walks through is per-row
+        // the filter lands DIRECTLY above the relation (the key may
+        // be pruned out of the intervening Project) — sound because
+        // everything relLeaf walks through is per-row
         val hash = Md5Prefix60(
           Concat(Seq(Literal("tsmp_"), Cast(attr, StringType))))
         val pred = LessThan(new Remainder(hash, Literal(1000000L)),
           Literal(threshold(ub)))
         child.transformUp {
-          case r: DataSourceV2Relation if r eq rel => Filter(pred, r)
+          case r if r eq leaf => Filter(pred, r)
         }
       }).getOrElse(s)
 
-    case s @ Sample(lb, ub, false, LakeViewSql.SystemSampleSeed, child)
-        if lb == 0.0 =>
+    case s @ Sample(lb, ub, false, _, child)
+        if lb == 0.0 && variant(s).contains("system") =>
       (for {
-        (rel, t) <- lakeRel(child)
+        leaf <- relLeaf(child)
+        rel <- Some(leaf).collect { case r: DataSourceV2Relation => r }
+        t <- lakeTable(leaf)
         _ <- plainKey(t)
       } yield {
         val keep = (0 until t.nShards).filter { k =>
@@ -294,5 +354,5 @@ object RewriteTrinoTablesample extends Rule[LogicalPlan] {
                 merged))
         }
       }).getOrElse(s)
-  }
+  } }
 }

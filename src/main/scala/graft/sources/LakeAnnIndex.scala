@@ -211,6 +211,17 @@ object GraftLakeAnnIndex {
           s"retrain_ann_index('$ix') to rebuild it with a drift " +
           "baseline")
 
+  /** The preconditions [[refresh]] itself asserts — `_meta` readable
+    * and the drift baseline present — WITHOUT mutating anything.
+    * `CALL refresh_indexes` runs this BEFORE the text refresh commits
+    * its cursor: the group's two cursor advances are separate CAS
+    * commits, so an ANN-side failure discovered after the text commit
+    * would leave the group half-advanced — the exact version skew the
+    * verb exists to prevent. */
+  def validateRefreshPreconditions(ix: String): Unit =
+    requireDriftBaseline(
+      SparkSession.active.table(q(s"${ix}_meta")), ix)
+
   /** Advance from `$changes`. Returns (from, to, added, removed).
     * `headOverride` >= 0 pins the target version (the
     * `CALL refresh_indexes` snapshot-consistency hook — see the text

@@ -6429,8 +6429,13 @@ object Lake {
     * re-derives both means from the raw corpus — so a wrong cursor
     * baseline, a refresh that moved the quantizer, or a biased live
     * aggregate all hash-mismatch. */
-  val annIndexDrift: Q = (s, dir) => Lake.synchronized {
-    registerCatalog(s)
+  /** Shared drift fixture: index built over the label<8 half of the
+    * embeddings, then the label>=8 half arrives via refresh — the
+    * quantizer is stale by construction, so drift_ratio >> 1. Used by
+    * `ann_index_drift` and by the maintenance advisor. Returns the
+    * index table name. */
+  private def annDriftFixture(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
     val fp = Tables.fingerprint(dir, "embeddings")
     val src = s"anndrift_$fp"
     val ix = s"anndriftix_$fp"
@@ -6458,6 +6463,12 @@ object Lake {
                 index_table => '$ix')""")
       builtHistories.add(src): Unit
     }
+    ix
+  }
+
+  val annIndexDrift: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val ix = annDriftFixture(s, dir)
     s.sql(s"""CALL graft_lake.system.ann_index_drift(
               index_table => '$ix')""")
       .selectExpr("round(build_mean_d2, 6) AS build_mean_d2",
@@ -6465,7 +6476,11 @@ object Lake {
         "round(drift_ratio, 6) AS drift_ratio")
   }
 
-  val annIndexDriftOracle: String = {
+  /** The drift fixture's (build_mean_d2, live_mean_d2) as a DuckDB
+    * derived table `(SELECT bm, lm FROM ...)` — the raw-embedding
+    * recompute shared by the drift oracle and the maintenance
+    * advisor's drift-ppm check. */
+  private lazy val annDriftMeansDuck: String = {
     import graft.operators.Similarity.{kmAssignDuck, kmUpdateDuck, dotD}
     val v0 =
       """SELECT vec_id, label, list_transform(embedding, x ->
@@ -6484,11 +6499,148 @@ object Lake {
       s"""SELECT CAST(sum(CAST(round(d2, 6) AS DECIMAL(18,6)))
             AS DOUBLE) / count(*) AS m
           FROM (${kmAssignDuck(src, cents, byJ = false)})"""
-    s"""SELECT round(b.m, 6) AS build_mean_d2,
-         round(l.m, 6) AS live_mean_d2,
-         round(l.m / b.m, 6) AS drift_ratio
-       FROM (${mean(bld)}) b, (${mean(s"SELECT * FROM ($v)")}) l"""
+    s"""(SELECT b.m AS bm, l.m AS lm
+        FROM (${mean(bld)}) b, (${mean(s"SELECT * FROM ($v)")}) l)"""
   }
+
+  val annIndexDriftOracle: String =
+    s"""SELECT round(bm, 6) AS build_mean_d2,
+         round(lm, 6) AS live_mean_d2,
+         round(lm / bm, 6) AS drift_ratio
+       FROM $annDriftMeansDuck"""
+
+  // ---- maintenance advisor (CALL maintenance_plan) ----
+
+  /** Storage-degradation fixture for the maintenance advisor — a
+    * small MoR table driven through a scripted lifecycle whose head
+    * state is fully derivable from the documents table in SQL (shard
+    * = doc_id % 4; every INSERT commit writes ONE part per touched
+    * shard):
+    *   v1 INSERT even doc_ids            → shards {0,2}, 1 part each
+    *   v2 CALL rewrite_sorted            → provenance on {0,2}
+    *   v3 INSERT doc_id % 4 = 1          → shard 1, unsorted
+    *   v4 INSERT (doc_id+1e6) % 8 = 0 ids → 2nd part on shard 0,
+    *      provenance lost there (fresh ids: no key duplicates)
+    *   v5 MoR DELETE doc_id%4=2 ∧ %3=0   → DVs on shard 2; parts
+    *      carried, so shard 2 KEEPS provenance
+    * Head: fragmentation 4 files / 3 data shards, DV dead rows on
+    * shard 2, sorted coverage 1/3 — every storage signal the advisor
+    * reads, in one table. */
+  private def maintenanceTableFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fp = Tables.fingerprint(dir, "documents")
+    val tbl = s"mx_$fp"
+    if (!builtHistories.contains(tbl)) {
+      s.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id", "n_chars")
+        .createOrReplaceTempView("graft_mx_src")
+      s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$tbl")
+      s.sql(s"""CREATE TABLE graft_lake.lake.$tbl
+                (doc_id BIGINT, n_chars BIGINT)
+                TBLPROPERTIES ('shard_key'='doc_id', 'n_shards'='4',
+                  'delete_mode'='merge-on-read')""")
+      s.sql(s"""INSERT INTO graft_lake.lake.$tbl
+                SELECT * FROM graft_mx_src WHERE doc_id % 2 = 0""")
+      s.sql(s"""CALL graft_lake.system.rewrite_sorted(
+                table => '$tbl')""")
+      s.sql(s"""INSERT INTO graft_lake.lake.$tbl
+                SELECT * FROM graft_mx_src WHERE doc_id % 4 = 1""")
+      s.sql(s"""INSERT INTO graft_lake.lake.$tbl
+                SELECT doc_id + 1000000, n_chars FROM graft_mx_src
+                WHERE doc_id % 8 = 0""")
+      s.sql(s"""DELETE FROM graft_lake.lake.$tbl
+                WHERE doc_id % 4 = 2 AND doc_id % 3 = 0""")
+      builtHistories.add(tbl): Unit
+    }
+    tbl
+  }
+
+  /** THE MAINTENANCE ADVISOR (`CALL maintenance_plan`) — the verb a
+    * 100 TB deployment runs nightly: every health metric the lake
+    * already persists (text-index dead/live + tombstones, ANN drift,
+    * `$files` fragmentation, DV dead-row fraction, sorted-provenance
+    * coverage) unified into one deterministic integer-ppm report with
+    * a recommendation per signal. All six metrics are O(metadata) —
+    * footer/sidecar reads and two tiny stats CALLs; only the drift
+    * check runs a (cell-bounded) Spark job. The DuckDB twin recomputes
+    * EVERY metric from the raw tables + the scripted fixture
+    * lifecycles — including the drift means from raw embeddings — and
+    * applies the same thresholds, so the recommendations themselves
+    * are oracle-checked. The advisor reads three INDEPENDENTLY-
+    * maintained objects (the dirty text index, the drifted ANN index,
+    * the degraded storage table): a report, not a transaction — the
+    * `refresh_indexes` snapshot-consistency contract is deliberately
+    * not required here. */
+  val lakeMaintenancePlan: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val tix = textIndexFixture(s, dir)
+    val aix = annDriftFixture(s, dir)
+    val tbl = maintenanceTableFixture(s, dir)
+    s.sql(s"""CALL graft_lake.system.maintenance_plan(
+              table => '$tbl', text_index => '$tix',
+              ann_index => '$aix')""")
+      .orderBy("target", "signal")
+  }
+
+  lazy val lakeMaintenancePlanOracle: String =
+    s"""WITH corpus AS ($tixCorpusDuck),
+       lpq AS (SELECT count(*) AS v FROM (
+         SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+         FROM corpus)),
+       dpq AS (SELECT count(*) AS v FROM (
+         SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+         FROM documents WHERE doc_id IN (11, 12))),
+       stor AS (SELECT
+         count(*) FILTER (WHERE doc_id % 4 = 0) AS s0v1,
+         count(*) FILTER (WHERE doc_id % 2 = 0) AS n1,
+         count(*) FILTER (WHERE doc_id % 4 = 1) AS n2,
+         count(*) FILTER (WHERE doc_id % 8 = 0) AS n3,
+         count(*) FILTER (WHERE doc_id % 4 = 2) AS s2r,
+         count(*) FILTER (WHERE doc_id % 4 = 2 AND doc_id % 3 = 0)
+           AS ndel
+         FROM documents),
+       m AS (SELECT
+         (SELECT CAST(dpq.v * 1000000 // (lpq.v + dpq.v) AS BIGINT)
+          FROM lpq, dpq) AS dead_ppm,
+         CAST(2 AS BIGINT) AS tomb_ppm,
+         (SELECT CAST(round(round(lm, 6) / round(bm, 6) * 1000000)
+            AS BIGINT) FROM $annDriftMeansDuck) AS drift_ppm,
+         CAST(((CASE WHEN s0v1 > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN n3 > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN s2r > 0 THEN 1 ELSE 0 END)) * 1000000
+           // ((CASE WHEN s0v1 > 0 OR n3 > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN s2r > 0 THEN 1 ELSE 0 END)) AS BIGINT)
+           AS frag_ppm,
+         CAST(ndel * 1000000 // (n1 + n2 + n3) AS BIGINT) AS dv_ppm,
+         CAST(CASE WHEN NOT ((s0v1 > 0 AND n3 = 0) OR s2r > 0) THEN 0
+           ELSE ((CASE WHEN (s0v1 > 0 OR n3 > 0)
+                   AND NOT (s0v1 > 0 AND n3 = 0) THEN 1 ELSE 0 END)
+               + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END)) * 1000000
+             // ((CASE WHEN s0v1 > 0 OR n3 > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN s2r > 0 THEN 1 ELSE 0 END)) END AS BIGINT)
+           AS sorted_ppm
+         FROM stor)
+       SELECT target, signal, metric_ppm, threshold_ppm,
+         CASE WHEN metric_ppm > threshold_ppm THEN reco
+              ELSE 'ok' END AS action
+       FROM (
+         SELECT 'text_index' AS target, 'dead_postings' AS signal,
+           dead_ppm AS metric_ppm, CAST(100000 AS BIGINT)
+             AS threshold_ppm, 'rebuild_text_index' AS reco FROM m
+         UNION ALL SELECT 'text_index', 'tombstone_fill', tomb_ppm,
+           CAST(500000 AS BIGINT), 'rebuild_text_index' FROM m
+         UNION ALL SELECT 'ann_index', 'quantizer_drift', drift_ppm,
+           CAST(1200000 AS BIGINT), 'retrain_ann_index' FROM m
+         UNION ALL SELECT 'table', 'fragmentation', frag_ppm,
+           CAST(1250000 AS BIGINT), 'optimize' FROM m
+         UNION ALL SELECT 'table', 'dv_deleted_rows', dv_ppm,
+           CAST(50000 AS BIGINT), 'optimize' FROM m
+         UNION ALL SELECT 'table', 'sorted_provenance', sorted_ppm,
+           CAST(0 AS BIGINT), 'rewrite_sorted' FROM m)
+       ORDER BY target, signal"""
 
   val annIndexedTopkOracle: String = {
     import graft.operators.Similarity.{kmAssignDuck, kmUpdateDuck, dotD}
@@ -6561,23 +6713,30 @@ object Lake {
         UNION ALL SELECT CAST(12 AS BIGINT), '$tixUpdatedText'
         UNION ALL SELECT CAST(100000 AS BIGINT), '$tixInsertedText'"""
 
+  /** Corpus loader shared by BOTH text-index fixtures: every fixture
+    * INSERTs the literal doc_id 100000 that the static DuckDB oracles
+    * replay — if the corpus ever reached it, two live generations of
+    * the same doc would silently diverge from the oracle's per-doc
+    * merge, so refuse loudly instead (r16 guarded only
+    * textIndexFixture; its rebuild twin had the same exposure). */
+  private def guardedTixCorpus(s: org.apache.spark.sql.SparkSession,
+      dir: String, view: String): Unit = {
+    val corpus = s.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text")
+    val maxId = corpus.agg(max("doc_id")).head().getLong(0)
+    require(maxId < 100000L,
+      s"text-index fixture id clash: corpus max doc_id $maxId >= " +
+        "100000 (the fixture's inserted id); bump tixInsertedId")
+    corpus.createOrReplaceTempView(view)
+  }
+
   private def textIndexFixture(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val fp = Tables.fingerprint(dir, "documents")
     val src = s"tixsrc_$fp"
     val ix = s"tix_$fp"
     if (!builtHistories.contains(src)) {
-      val corpus = s.read.parquet(s"$dir/documents.parquet")
-        .selectExpr("doc_id", "text")
-      // the fixture INSERTs doc_id 100000 and the static DuckDB
-      // oracle replays that literal — if the corpus ever reached it,
-      // two live generations of the same doc would silently diverge
-      // from the oracle's per-doc merge, so refuse loudly instead
-      val maxId = corpus.agg(max("doc_id")).head().getLong(0)
-      require(maxId < 100000L,
-        s"text-index fixture id clash: corpus max doc_id $maxId >= " +
-          "100000 (the fixture's inserted id); bump tixInsertedId")
-      corpus.createOrReplaceTempView("graft_tix_corpus_src")
+      guardedTixCorpus(s, dir, "graft_tix_corpus_src")
       s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$src")
       s.sql(s"""CREATE TABLE graft_lake.lake.$src
                 (doc_id BIGINT, text STRING)
@@ -6939,9 +7098,7 @@ object Lake {
     val src = s"tixrbsrc_$fp"
     val ix = s"tixrb_$fp"
     if (!builtHistories.contains(src)) {
-      s.read.parquet(s"$dir/documents.parquet")
-        .selectExpr("doc_id", "text")
-        .createOrReplaceTempView("graft_tixrb_corpus_src")
+      guardedTixCorpus(s, dir, "graft_tixrb_corpus_src")
       s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$src")
       s.sql(s"""CREATE TABLE graft_lake.lake.$src
                 (doc_id BIGINT, text STRING)
@@ -7177,10 +7334,38 @@ object Lake {
              % 1000000 < 500000))
        ORDER BY variant, doc_id"""
 
+  /** BERNOULLI TABLESAMPLE over a SESSION parquet temp view — no lake
+    * table anywhere in the plan. The r16 rule refused non-lake
+    * children, silently degrading Trino BERNOULLI to rand()-seeded
+    * Sample (layout-dependent — the exact defect deterministic
+    * sampling exists to fix); the rule now also keys on the
+    * declared-key convention (`spark.graft.tablesample.keyColumns`,
+    * `doc_id` by default), so the same portable-hash row filter lands
+    * on any relation carrying a declared integral key and the sample
+    * is reproducible across engines — which is precisely what lets
+    * DuckDB oracle it. SYSTEM stays lake-only (split sampling needs
+    * split metadata). */
+  val sampleTablesampleParquet: Q = (s, dir) => {
+    s.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "lang")
+      .createOrReplaceTempView("graft_tsmp_parquet_docs")
+    s.sql("""SELECT doc_id, lang FROM graft_tsmp_parquet_docs
+             TABLESAMPLE BERNOULLI(30)""").orderBy("doc_id")
+  }
+
+  val sampleTablesampleParquetOracle: String =
+    """SELECT doc_id, lang FROM documents
+       WHERE CAST(concat('0x', substr(md5(concat('tsmp_',
+           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+         % 1000000 < 300000
+       ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "sample_tablesample" -> sampleTablesample,
+    "sample_tablesample_parquet" -> sampleTablesampleParquet,
     "ann_indexed_topk" -> annIndexedTopk,
     "ann_index_drift" -> annIndexDrift,
+    "lake_maintenance_plan" -> lakeMaintenancePlan,
     "ann_indexed_pq" -> annIndexedPq,
     "lake_branch_wap" -> lakeBranchWap,
     "lake_hidden_partition_prune" -> lakeHiddenPartitionPrune,
@@ -7233,8 +7418,10 @@ object Lake {
 
   val oracles: Map[String, String] = Map(
     "sample_tablesample" -> sampleTablesampleOracle,
+    "sample_tablesample_parquet" -> sampleTablesampleParquetOracle,
     "ann_indexed_topk" -> annIndexedTopkOracle,
     "ann_index_drift" -> annIndexDriftOracle,
+    "lake_maintenance_plan" -> lakeMaintenancePlanOracle,
     "ann_indexed_pq" -> annIndexedPqOracle,
     "lake_branch_wap" -> lakeBranchWapOracle,
     "lake_hidden_partition_prune" -> lakeHiddenPartitionPruneOracle,

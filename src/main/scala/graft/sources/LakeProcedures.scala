@@ -39,7 +39,7 @@ object GraftLakeProcedures {
       "build_text_index", "refresh_text_index", "text_index_stats",
       "refresh_indexes",
       "create_branch", "drop_branch", "fast_forward",
-      "rewrite_sorted")
+      "rewrite_sorted", "maintenance_plan")
 
   /** Resolve the `table` argument ("tbl" or "lake.tbl") to its data
     * dir under the catalog root, refusing unknown tables loudly. */
@@ -389,6 +389,15 @@ object GraftLakeProcedures {
         s"text index $tix does not source $tbl")
       require(srcOf(s"${aix}_meta") == tbl,
         s"ann index $aix does not source $tbl")
+      // ANN preconditions FIRST (meta readability, drift baseline):
+      // the two cursor advances are separate CAS commits, so a doomed
+      // ANN side must fail the verb BEFORE the text cursor moves —
+      // both advance or neither does. The remaining window is a crash
+      // BETWEEN the two commits; retrying the CALL self-heals by
+      // re-pinning the same head (both refreshes are idempotent at a
+      // version: an already-advanced cursor reports a zero delta) —
+      // LakeTextIndexSpec pins both halves of this contract.
+      GraftLakeAnnIndex.validateRefreshPreconditions(aix)
       // the ONE version stamp both refreshes advance to
       val v = GraftLakeIO.latestVersion(dataDir(root, tbl)).toLong
       val (_, tTo, ta, tr) = GraftLakeTextIndex.refresh(root, tix, v)
@@ -396,6 +405,81 @@ object GraftLakeProcedures {
       require(tTo == v && aTo == v,
         s"cursor desync: text at v$tTo, ann at v$aTo, pinned v$v")
       Seq(new GenericInternalRow(Array[Any](v, ta, tr, aa, ar)))
+    }
+
+    case "maintenance_plan" => proc("maintenance_plan",
+      "the nightly ops brain: every persisted health metric the lake " +
+        "already tracks — text-index dead-posting fraction + " +
+        "tombstone fill vs the broadcast cap, ANN quantizer drift, " +
+        "part-file fragmentation, deletion-vector dead-row fraction, " +
+        "sorted-provenance coverage — unified into ONE deterministic " +
+        "integer-ppm report with a recommendation per signal " +
+        "(rebuild_text_index / retrain_ann_index / optimize / " +
+        "rewrite_sorted, or 'ok'). Read-only: executing the " +
+        "recommended CALLs clears them (spec-pinned)",
+      Seq(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("text_index", StringType).build(),
+        ProcedureParameter.in("ann_index", StringType).build()),
+      StructType(Seq(
+        StructField("target", StringType, nullable = false),
+        StructField("signal", StringType, nullable = false),
+        StructField("metric_ppm", LongType, nullable = false),
+        StructField("threshold_ppm", LongType, nullable = false),
+        StructField("action", StringType, nullable = false)))) { in =>
+      val s = org.apache.spark.sql.SparkSession.active
+      val tbl = in.getUTF8String(0).toString.stripPrefix("lake.")
+      val tix = in.getUTF8String(1).toString.stripPrefix("lake.")
+      val aix = in.getUTF8String(2).toString.stripPrefix("lake.")
+      // text index: dead fraction + tombstone fill (both O(metadata))
+      val (lp, dp, _, dt) = GraftLakeTextIndex.stats(root, tix)
+      val deadPpm = if (lp + dp == 0L) 0L else dp * 1000000L / (lp + dp)
+      val cap = s.conf.getOption(
+        "spark.graft.textIndex.maxBroadcastTombstones")
+        .map(_.toLong).getOrElse(1000000L)
+      val tombPpm = dt * 1000000L / cap
+      // ANN index: quantizer staleness in ppm — both means rounded to
+      // 6 dp FIRST (the drift oracle's cross-engine agreement point),
+      // then one double division, µ-rounded
+      val (b, l, _) = GraftLakeAnnIndex.drift(root, aix)
+      def r6(x: Double): Double = math.round(x * 1000000d) / 1000000d
+      val driftPpm = math.round(r6(l) / r6(b) * 1000000d)
+      // table storage: part inventory + DVs + sorted provenance, all
+      // driver-side metadata (footers/sidecars — no Spark job at all)
+      val vdir = GraftLakeIO.versionDir(dataDir(root, tbl),
+        GraftLakeIO.latestVersion(dataDir(root, tbl)))
+      val parts = GraftLakeIO.allShardParts(vdir)
+      val dv = GraftLakeIO.readDv(vdir)
+      val nf = parts.valuesIterator.map(_.size.toLong).sum
+      val ns = parts.size.toLong
+      val nr = parts.valuesIterator.flatMap(_.iterator)
+        .map(f => GraftShardCodec.footer(f)._2).sum
+      val nd = dv.valuesIterator.map(_.getCardinality.toLong).sum
+      val fragPpm = if (ns == 0L) 0L else nf * 1000000L / ns
+      val dvPpm = if (nr == 0L) 0L else nd * 1000000L / nr
+      val sortedSet = GraftLakeIO.readSorted(vdir)
+      // a table with NO sorted shard never opted into the sorted
+      // layout — nothing to restore, not a degradation
+      val unsorted = parts.keysIterator
+        .count(k => !sortedSet.contains(k)).toLong
+      val sortedPpm =
+        if (sortedSet.isEmpty || ns == 0L) 0L
+        else unsorted * 1000000L / ns
+      def row(target: String, signal: String, m: Long, th: Long,
+          act: String): InternalRow =
+        new GenericInternalRow(Array[Any](str(target), str(signal),
+          m, th, str(if (m > th) act else "ok")))
+      Seq(
+        row("text_index", "dead_postings", deadPpm, 100000L,
+          "rebuild_text_index"),
+        row("text_index", "tombstone_fill", tombPpm, 500000L,
+          "rebuild_text_index"),
+        row("ann_index", "quantizer_drift", driftPpm, 1200000L,
+          "retrain_ann_index"),
+        row("table", "fragmentation", fragPpm, 1250000L, "optimize"),
+        row("table", "dv_deleted_rows", dvPpm, 50000L, "optimize"),
+        row("table", "sorted_provenance", sortedPpm, 0L,
+          "rewrite_sorted"))
     }
 
     case "ann_index_drift" => proc("ann_index_drift",

@@ -55,31 +55,134 @@ object LakeViewSql {
   /** Trino's `TABLESAMPLE BERNOULLI(p)` / `TABLESAMPLE SYSTEM(p)`
     * (reference surface: stock-Trino SQL — e.g. the demo's ad-hoc
     * notebook queries can sample scans) rewritten to Spark's
-    * `TABLESAMPLE (p PERCENT) REPEATABLE (seed)` with a MAGIC seed
-    * per variant. The seed is not an RNG seed here: it marks the
-    * Sample node for [[graft.plans.RewriteTrinoTablesample]], which
-    * replaces it with the DETERMINISTIC hash-based form (BERNOULLI →
-    * a shard-key-hash row filter, the same portable-hash discipline
-    * as the corpus_sample_* kernels; SYSTEM → metadata-only shard
-    * sampling pushed into the lake scan). Deterministic sampling is
-    * the variant a data pipeline can actually use: reproducible
-    * across runs, engines and cluster sizes. */
-  val BernoulliSampleSeed = 60477001L
-  val SystemSampleSeed = 60477002L
+    * `TABLESAMPLE (p PERCENT) REPEATABLE (marker)`. The marker seed
+    * is parse-local plumbing, NOT the signal itself: right after the
+    * delegate parses the rewritten text, [[GraftViewSqlParser]] finds
+    * the Sample nodes carrying a marker seed and stamps them with
+    * [[TrinoSampleTag]] — the OUT-OF-BAND signal
+    * [[graft.plans.RewriteTrinoTablesample]] keys on to install the
+    * DETERMINISTIC hash-based form (BERNOULLI → a key-hash row
+    * filter, the same portable-hash discipline as the corpus_sample_*
+    * kernels; SYSTEM → metadata-only shard sampling pushed into the
+    * lake scan). Deterministic sampling is the variant a data
+    * pipeline can actually use: reproducible across runs, engines and
+    * cluster sizes.
+    *
+    * Marker seeds are allocated fresh per occurrence and skipped if
+    * their digits appear ANYWHERE in the original statement, so a
+    * user's genuine `REPEATABLE (n)` — any n, including the fixed
+    * 60477001/60477002 the r16 design overloaded — can never be
+    * mistaken for a marker: an untagged Sample is always vanilla
+    * Spark's. */
+  val TrinoSampleTag: org.apache.spark.sql.catalyst.trees.TreeNodeTag[String] =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[String](
+      "graft.trino_sample")
+  private val MarkerBase = 60477000001L
   private val BernoulliRe =
     """(?i)TABLESAMPLE\s+BERNOULLI\s*\(\s*(\d+(?:\.\d+)?)\s*\)""".r
   private val SystemRe =
     """(?i)TABLESAMPLE\s+SYSTEM\s*\(\s*(\d+(?:\.\d+)?)\s*\)""".r
 
-  private[sources] def rewriteTablesample(sql: String): String = {
+  /** Half-open `[start, end)` CODE spans of `sql` — everything
+    * outside single-quoted literals (`''` and backslash escapes),
+    * double-quoted literals/identifiers, backquoted identifiers,
+    * `--` line comments and (nested) bracketed comments. The
+    * TABLESAMPLE rewrite only touches code spans: r16 substituted
+    * the raw text, so `INSERT INTO t VALUES ('TABLESAMPLE
+    * BERNOULLI(30)')` silently corrupted the stored literal. */
+  private[sources] def codeSpans(sql: String): Seq[(Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    val n = sql.length
+    var i = 0
+    var start = 0
+    def close(endExcl: Int): Unit =
+      if (endExcl > start) spans += ((start, endExcl))
+    def quoted(q: Char): Unit = { // i sits ON the opening quote
+      close(i); i += 1
+      var done = false
+      while (i < n && !done) {
+        val c = sql.charAt(i)
+        if (c == q) {
+          if (i + 1 < n && sql.charAt(i + 1) == q) i += 2 // '' escape
+          else { i += 1; done = true }
+        } else if (c == '\\' && q != '`' && i + 1 < n) i += 2
+        else i += 1
+      }
+      start = i
+    }
+    while (i < n) {
+      sql.charAt(i) match {
+        case '\'' | '"' | '`' => quoted(sql.charAt(i))
+        case '-' if i + 1 < n && sql.charAt(i + 1) == '-' =>
+          close(i); i += 2
+          while (i < n && sql.charAt(i) != '\n') i += 1
+          start = i
+        case '/' if i + 1 < n && sql.charAt(i + 1) == '*' =>
+          close(i); i += 2
+          var depth = 1
+          while (i < n && depth > 0) {
+            if (sql.startsWith("/*", i)) { depth += 1; i += 2 }
+            else if (sql.startsWith("*/", i)) { depth -= 1; i += 2 }
+            else i += 1
+          }
+          start = i
+        case _ => i += 1
+      }
+    }
+    close(n)
+    spans.result()
+  }
+
+  /** Rewritten statement + marker-seed → variant ("bernoulli" |
+    * "system") for every Trino-TABLESAMPLE occurrence replaced. */
+  private[sources] def rewriteTablesample(
+      sql: String): (String, Map[Long, String]) = {
     if (!sql.toLowerCase(java.util.Locale.ROOT).contains("tablesample"))
-      return sql
-    val b = BernoulliRe.replaceAllIn(sql, m =>
-      s"TABLESAMPLE (${m.group(1)} PERCENT) " +
-        s"REPEATABLE ($BernoulliSampleSeed)")
-    SystemRe.replaceAllIn(b, m =>
-      s"TABLESAMPLE (${m.group(1)} PERCENT) " +
-        s"REPEATABLE ($SystemSampleSeed)")
+      return (sql, Map.empty)
+    val markers = Map.newBuilder[Long, String]
+    var next = MarkerBase
+    def alloc(variant: String): Long = {
+      while (sql.contains(next.toString)) next += 1
+      val m = next
+      next += 1
+      markers += ((m, variant))
+      m
+    }
+    def rewriteCode(code: String): String = {
+      val b = BernoulliRe.replaceAllIn(code, m =>
+        s"TABLESAMPLE (${m.group(1)} PERCENT) " +
+          s"REPEATABLE (${alloc("bernoulli")})")
+      SystemRe.replaceAllIn(b, m =>
+        s"TABLESAMPLE (${m.group(1)} PERCENT) " +
+          s"REPEATABLE (${alloc("system")})")
+    }
+    val out = new StringBuilder
+    var pos = 0
+    codeSpans(sql).foreach { case (a, b) =>
+      out.append(sql.substring(pos, a)) // literal/comment: verbatim
+      out.append(rewriteCode(sql.substring(a, b)))
+      pos = b
+    }
+    out.append(sql.substring(pos))
+    (out.toString, markers.result())
+  }
+
+  /** Stamp [[TrinoSampleTag]] onto the Sample nodes the rewrite
+    * introduced (matched by their parse-local marker seed). Tags ride
+    * TreeNode copies through ANALYSIS (makeCopy/copyTagsFrom), but
+    * optimizer rules like ColumnPruning rebuild Sample via case-class
+    * copy(), which drops tags — which is why
+    * [[graft.plans.RewriteTrinoTablesample]] consumes the tag as a
+    * POST-HOC RESOLUTION rule, before any optimizer copy. */
+  private[sources] def tagTrinoSamples(plan: LogicalPlan,
+      markers: Map[Long, String]): LogicalPlan = {
+    if (markers.nonEmpty) plan.foreach {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sample
+          if markers.contains(s.seed) =>
+        s.setTagValue(TrinoSampleTag, markers(s.seed))
+      case _ => ()
+    }
+    plan
   }
 }
 
@@ -95,7 +198,9 @@ class GraftViewSqlParser(delegate: ParserInterface)
       case DropV(ifExists, name) =>
         DropLakeViewCommand(name, ifExists = ifExists != null)
       case ShowV() => ShowLakeViewsCommand()
-      case _ => delegate.parsePlan(rewriteTablesample(sqlText))
+      case _ =>
+        val (rw, markers) = rewriteTablesample(sqlText)
+        tagTrinoSamples(delegate.parsePlan(rw), markers)
     }
 
   /** `spark.sql(text, args)` routes here, not parsePlan — the
@@ -109,8 +214,10 @@ class GraftViewSqlParser(delegate: ParserInterface)
     sqlText match {
       case CreateV(_, _, _) | DropV(_, _) | ShowV() =>
         parsePlan(sqlText)
-      case _ => delegate.parsePlanWithParameters(
-        rewriteTablesample(sqlText), context)
+      case _ =>
+        val (rw, markers) = rewriteTablesample(sqlText)
+        tagTrinoSamples(
+          delegate.parsePlanWithParameters(rw, context), markers)
     }
 
   override def parseExpression(sqlText: String): Expression =
@@ -123,8 +230,10 @@ class GraftViewSqlParser(delegate: ParserInterface)
   override def parseMultipartIdentifier(
       sqlText: String): Seq[String] =
     delegate.parseMultipartIdentifier(sqlText)
-  override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(rewriteTablesample(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan = {
+    val (rw, markers) = rewriteTablesample(sqlText)
+    tagTrinoSamples(delegate.parseQuery(rw), markers)
+  }
   override def parseTableSchema(sqlText: String): StructType =
     delegate.parseTableSchema(sqlText)
   override def parseDataType(sqlText: String): DataType =

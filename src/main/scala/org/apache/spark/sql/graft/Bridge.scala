@@ -71,4 +71,16 @@ object Bridge extends org.apache.spark.internal.Logging {
   def setContextConf(spark: SparkSession, key: String,
       value: String): Unit =
     spark.sparkContext.conf.set(key, value): Unit
+
+  /** Run `f` with analyzer transform assertions lifted
+    * (AnalysisHelper.allowInvokingTransformsInAnalyzer is
+    * private[sql]). RewriteTrinoTablesample is a POST-HOC RESOLUTION
+    * rule — it must rewrite tagged Sample nodes before the optimizer
+    * runs, because optimizer rules (ColumnPruning) rebuild Sample via
+    * case-class copy(), which drops TreeNode tags — and its body uses
+    * plain transformUp, which the analyzer guards in Spark-testing
+    * builds. */
+  def allowTransformsInAnalyzer[T](f: => T): T =
+    org.apache.spark.sql.catalyst.plans.logical.AnalysisHelper
+      .allowInvokingTransformsInAnalyzer(f)
 }

@@ -86,19 +86,109 @@ class LakeTablesampleSpec extends SparkSpec {
     assert(n > 300 && n < 700, s"implausible sample size $n")
   }
 
-  test("rewriteTablesample maps Trino syntax and leaves everything " +
-      "else byte-identical") {
+  test("rewriteTablesample maps Trino syntax to fresh marker seeds " +
+      "and leaves everything else byte-identical") {
     val in = "SELECT * FROM t TABLESAMPLE BERNOULLI(30) WHERE x > 1"
-    assert(LakeViewSql.rewriteTablesample(in) ===
-      "SELECT * FROM t TABLESAMPLE (30 PERCENT) REPEATABLE " +
-        s"(${LakeViewSql.BernoulliSampleSeed}) WHERE x > 1")
+    val (rw, markers) = LakeViewSql.rewriteTablesample(in)
+    assert(markers.size === 1)
+    val (seed, variant) = markers.head
+    assert(variant === "bernoulli")
+    assert(rw ===
+      s"SELECT * FROM t TABLESAMPLE (30 PERCENT) REPEATABLE ($seed) " +
+        "WHERE x > 1")
     val sys = "SELECT * FROM t TABLESAMPLE system( 12.5 )"
-    assert(LakeViewSql.rewriteTablesample(sys) ===
-      "SELECT * FROM t TABLESAMPLE (12.5 PERCENT) REPEATABLE " +
-        s"(${LakeViewSql.SystemSampleSeed})")
+    val (rwSys, mSys) = LakeViewSql.rewriteTablesample(sys)
+    assert(mSys.values.toSeq === Seq("system"))
+    assert(rwSys === "SELECT * FROM t TABLESAMPLE (12.5 PERCENT) " +
+      s"REPEATABLE (${mSys.keys.head})")
+    // two occurrences in one statement → two DISTINCT markers
+    val two = "SELECT * FROM a TABLESAMPLE BERNOULLI(10) JOIN " +
+      "b TABLESAMPLE BERNOULLI(20) ON a.k = b.k"
+    val (_, mTwo) = LakeViewSql.rewriteTablesample(two)
+    assert(mTwo.size === 2 && mTwo.values.toSet === Set("bernoulli"))
     val plain = "SELECT * FROM t TABLESAMPLE (5 PERCENT)"
-    assert(LakeViewSql.rewriteTablesample(plain) === plain)
+    assert(LakeViewSql.rewriteTablesample(plain) === ((plain, Map.empty)))
     val noSample = "SELECT bernoulli FROM t"
-    assert(LakeViewSql.rewriteTablesample(noSample) === noSample)
+    assert(LakeViewSql.rewriteTablesample(noSample) ===
+      ((noSample, Map.empty)))
+  }
+
+  test("rewriteTablesample never touches string literals, quoted " +
+      "identifiers or comments") {
+    // the r16 ADVICE defect: a stored literal was silently corrupted
+    val ins = "INSERT INTO t VALUES ('TABLESAMPLE BERNOULLI(30)')"
+    assert(LakeViewSql.rewriteTablesample(ins) === ((ins, Map.empty)))
+    val esc = "SELECT 'it''s TABLESAMPLE SYSTEM(50) text' FROM t"
+    assert(LakeViewSql.rewriteTablesample(esc) === ((esc, Map.empty)))
+    val cmt = "SELECT x FROM t -- TABLESAMPLE BERNOULLI(30)\nWHERE x>1"
+    assert(LakeViewSql.rewriteTablesample(cmt) === ((cmt, Map.empty)))
+    val blk = "SELECT x /* outer /* TABLESAMPLE SYSTEM(1) */ still " +
+      "comment */ FROM t"
+    assert(LakeViewSql.rewriteTablesample(blk) === ((blk, Map.empty)))
+    val tick = "SELECT `TABLESAMPLE BERNOULLI(30)` FROM t"
+    assert(LakeViewSql.rewriteTablesample(tick) === ((tick, Map.empty)))
+    // mixed: code occurrence rewritten, literal untouched
+    val mix = "SELECT 'TABLESAMPLE BERNOULLI(9)' FROM t " +
+      "TABLESAMPLE BERNOULLI(30)"
+    val (rwMix, mMix) = LakeViewSql.rewriteTablesample(mix)
+    assert(mMix.size === 1)
+    assert(rwMix.startsWith("SELECT 'TABLESAMPLE BERNOULLI(9)' FROM t "))
+    assert(rwMix.contains(s"REPEATABLE (${mMix.keys.head})"))
+  }
+
+  test("a genuine REPEATABLE (60477001) — the r16 magic seed — is a " +
+      "plain seeded Sample, never rewritten") {
+    mk()
+    val df = spark.sql(s"""SELECT doc_id FROM $tbl
+        TABLESAMPLE (30 PERCENT) REPEATABLE (60477001)""")
+    // the optimized plan keeps the Sample: the marker travels as an
+    // out-of-band tag now, so no seed value can impersonate it
+    val hasSample = df.queryExecution.optimizedPlan.collectFirst {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sample => s
+    }
+    assert(hasSample.isDefined,
+      "user REPEATABLE(60477001) was rewritten away")
+    val a = df.collect().map(_.getLong(0)).sorted
+    val b = spark.sql(s"""SELECT doc_id FROM $tbl
+        TABLESAMPLE (30 PERCENT) REPEATABLE (60477001)""")
+      .collect().map(_.getLong(0)).sorted
+    assert(a === b)
+  }
+
+  test("BERNOULLI over a session parquet view uses the declared-key " +
+      "hash filter; refusal matrix leaves vanilla Sample") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tsmp_pq").toFile
+    spark.range(0, 400).selectExpr("id AS doc_id",
+      "concat('l', CAST(id % 3 AS STRING)) AS lang")
+      .write.mode("overwrite").parquet(s"${dir.getPath}/docs")
+    spark.read.parquet(s"${dir.getPath}/docs")
+      .createOrReplaceTempView("tsmp_pq_docs")
+    val df = spark.sql(
+      "SELECT doc_id FROM tsmp_pq_docs TABLESAMPLE BERNOULLI(30)")
+    // deterministic: Sample rewritten to the hash Filter
+    assert(df.queryExecution.optimizedPlan.collectFirst {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sample => s
+    }.isEmpty, "parquet BERNOULLI kept a vanilla Sample")
+    val got = df.collect().map(_.getLong(0)).sorted
+    val manual = spark.sql(
+      """SELECT doc_id FROM tsmp_pq_docs
+         WHERE graft_hex60(concat('tsmp_', CAST(doc_id AS STRING)))
+           % 1000000 < 300000""").collect().map(_.getLong(0)).sorted
+    assert(got === manual && got.nonEmpty && got.length < 400)
+    // refusal 1: SYSTEM over non-lake → vanilla Sample survives
+    val sys = spark.sql(
+      "SELECT doc_id FROM tsmp_pq_docs TABLESAMPLE SYSTEM(50)")
+    assert(sys.queryExecution.optimizedPlan.collectFirst {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sample => s
+    }.isDefined, "SYSTEM over parquet must stay vanilla")
+    // refusal 2: no declared integral key → vanilla Sample survives
+    spark.range(0, 100).toDF("some_col")
+      .createOrReplaceTempView("tsmp_pq_nokey")
+    val nk = spark.sql(
+      "SELECT some_col FROM tsmp_pq_nokey TABLESAMPLE BERNOULLI(50)")
+    assert(nk.queryExecution.optimizedPlan.collectFirst {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sample => s
+    }.isDefined, "keyless BERNOULLI must stay vanilla")
   }
 }

@@ -404,4 +404,69 @@ class LakeTextIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("does not source"))
   }
+
+  test("refresh_indexes atomicity: a doomed ANN side fails the verb " +
+      "BEFORE the text cursor moves, and retry is idempotent") {
+    Lake.registerCatalog(spark)
+    val src = "graft_lake.lake.spec_ixa_src"
+    for (t <- Seq("spec_ixa_src", "spec_ixa_tix", "spec_ixa_tix_docs",
+        "spec_ixa_tix_tomb", "spec_ixa_tix_meta", "spec_ixa_aix",
+        "spec_ixa_aix_centroids", "spec_ixa_aix_codebooks",
+        "spec_ixa_aix_meta"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t")
+    spark.sql(s"""CREATE TABLE $src
+      (doc_id BIGINT, text STRING, vec_id BIGINT, emb STRING)
+      TBLPROPERTIES ('shard_key'='doc_id', 'n_shards'='2')""")
+    spark.sql(s"""INSERT INTO $src VALUES
+      (0L, 'alpha beta', 0L, '1000000,0,0,0'),
+      (1L, 'beta gamma', 1L, '0,1000000,0,0'),
+      (2L, 'alpha alpha', 2L, '900000,100000,0,0'),
+      (3L, 'gamma delta', 3L, '0,900000,100000,0')""")
+    spark.sql("""CALL graft_lake.system.build_text_index(
+      table => 'spec_ixa_src', index_table => 'spec_ixa_tix')""")
+    spark.sql("""CALL graft_lake.system.build_ann_index(
+      table => 'spec_ixa_src', index_table => 'spec_ixa_aix',
+      k => 2, iters => 1, pq_m => 2, pq_k => 2, pq_iters => 1)""")
+    spark.sql(s"""INSERT INTO $src VALUES
+      (4L, 'delta alpha', 4L, '500000,500000,0,0')""")
+    def textCursor: Long = spark.sql(
+      """SELECT max(last_version)
+         FROM graft_lake.lake.spec_ixa_tix_meta""").head.getLong(0)
+    val before = textCursor
+    // swap the ANN _meta for a pre-r14 LEGACY schema (no
+    // build_mean_d2): the ANN refresh is now doomed — the verb must
+    // discover that BEFORE the text cursor commits
+    spark.sql("DROP TABLE graft_lake.lake.spec_ixa_aix_meta")
+    spark.sql("""CREATE TABLE graft_lake.lake.spec_ixa_aix_meta
+      (source STRING, k BIGINT, last_version BIGINT)
+      TBLPROPERTIES ('shard_key'='last_version', 'n_shards'='1')""")
+    spark.sql("""INSERT INTO graft_lake.lake.spec_ixa_aix_meta
+      VALUES ('spec_ixa_src', 2L, 2L)""")
+    val e = intercept[Exception] {
+      spark.sql("""CALL graft_lake.system.refresh_indexes(
+        table => 'spec_ixa_src', text_index => 'spec_ixa_tix',
+        ann_index => 'spec_ixa_aix')""").collect()
+    }
+    assert(e.getMessage.contains("predates drift tracking"))
+    assert(textCursor === before,
+      "text cursor advanced despite the doomed ANN side — the group " +
+        "is version-skewed, the exact state the verb must prevent")
+    // heal the ANN side by rebuilding, then the documented crash
+    // recovery: re-running the CALL re-pins the same head and an
+    // already-current cursor reports a ZERO delta (idempotent retry)
+    spark.sql("DROP TABLE graft_lake.lake.spec_ixa_aix_meta")
+    spark.sql("""CALL graft_lake.system.build_ann_index(
+      table => 'spec_ixa_src', index_table => 'spec_ixa_aix',
+      k => 2, iters => 1, pq_m => 2, pq_k => 2, pq_iters => 1)""")
+    val r1 = spark.sql("""CALL graft_lake.system.refresh_indexes(
+      table => 'spec_ixa_src', text_index => 'spec_ixa_tix',
+      ann_index => 'spec_ixa_aix')""").head
+    val r2 = spark.sql("""CALL graft_lake.system.refresh_indexes(
+      table => 'spec_ixa_src', text_index => 'spec_ixa_tix',
+      ann_index => 'spec_ixa_aix')""").head
+    assert(r2.getLong(0) === r1.getLong(0), "retry re-pins the head")
+    assert(r2.getLong(1) === 0L && r2.getLong(2) === 0L &&
+      r2.getLong(3) === 0L && r2.getLong(4) === 0L,
+      s"already-advanced cursors must report a zero delta, got $r2")
+  }
 }
