@@ -158,6 +158,8 @@ class RegistryGuardSpec extends SparkSpec {
     // rebuilt index through the identical probe
     "search_indexed_bm25", "search_indexed_conjunctive",
     "lake_text_index_rebuild",
+    // the stream-followed index scores through the identical probe
+    "stream_index_refresh",
     // fully-indexed hybrid: inherits both probes' by-construction
     // broadcasts (ann_indexed_topk centroids + the BM25 stats frame)
     "search_hybrid_indexed",

@@ -469,4 +469,71 @@ class LakeTextIndexSpec extends SparkSpec {
       r2.getLong(3) === 0L && r2.getLong(4) === 0L,
       s"already-advanced cursors must report a zero delta, got $r2")
   }
+
+  test("streaming index freshness: a $changes stream consumer " +
+      "advances the cursor ONE COMMIT PER MICRO-BATCH and converges " +
+      "to the clean-rebuild state") {
+    Lake.registerCatalog(spark)
+    for (t <- Seq("spec_six_src", "spec_six_ix", "spec_six_ix_docs",
+        "spec_six_ix_tomb", "spec_six_ix_meta", "spec_six_rb",
+        "spec_six_rb_docs", "spec_six_rb_tomb", "spec_six_rb_meta"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t")
+    spark.sql("""CREATE TABLE graft_lake.lake.spec_six_src
+      (doc_id BIGINT, text STRING)
+      TBLPROPERTIES ('shard_key'='doc_id', 'n_shards'='2')""")
+    spark.sql("""INSERT INTO graft_lake.lake.spec_six_src VALUES
+      (0L, 'alpha beta'), (1L, 'beta gamma'), (2L, 'gamma alpha'),
+      (3L, 'delta beta')""")
+    spark.sql("""CALL graft_lake.system.build_text_index(
+      table => 'spec_six_src', index_table => 'spec_six_ix')""")
+    spark.sql("DELETE FROM graft_lake.lake.spec_six_src WHERE doc_id = 1")
+    spark.sql("""UPDATE graft_lake.lake.spec_six_src
+      SET text = 'epsilon alpha' WHERE doc_id = 2""")
+    spark.sql("""INSERT INTO graft_lake.lake.spec_six_src
+      VALUES (4L, 'beta epsilon')""")
+    val root = spark.conf.get("spark.sql.catalog.graft_lake.path")
+    val walk =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream
+      .table("graft_lake.lake.`spec_six_src$changes`")
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val v = batch.agg(
+            org.apache.spark.sql.functions.max("_commit_version"))
+            .head()
+          if (!v.isNullAt(0)) {
+            GraftLakeTextIndex.refresh(root, "spec_six_ix",
+              v.getLong(0))
+            val cur = spark.sql("""SELECT max(last_version) FROM
+              graft_lake.lake.spec_six_ix_meta""").head.getLong(0)
+            walk.add((v.getLong(0), cur)): Unit
+          }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // one commit per micro-batch, cursor tracking each version
+    // exactly (commit 1 is the initial insert — already indexed, the
+    // refresh is a recorded no-op at v1)
+    val steps = walk.toArray(Array.empty[(Long, Long)]).toSeq
+    assert(steps.map(_._1) === Seq(1L, 2L, 3L, 4L),
+      s"expected one micro-batch per commit, got $steps")
+    assert(steps.forall { case (v, cur) => cur == v },
+      s"cursor must land on each batch's version: $steps")
+    // convergence: the followed index serves the same live postings
+    // as a clean rebuild at head
+    def livePostings(ix: String): Seq[(Long, String, Long)] = {
+      val tomb = GraftLakeTextIndex.tombstones(spark, ix)
+      GraftLakeTextIndex
+        .live(spark.table(s"graft_lake.lake.$ix"), tomb)
+        .selectExpr("doc_id", "term", "CAST(tf AS BIGINT) AS tf")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2))).toSeq.sorted
+    }
+    spark.sql("""CALL graft_lake.system.build_text_index(
+      table => 'spec_six_src', index_table => 'spec_six_rb')""")
+    assert(livePostings("spec_six_ix") === livePostings("spec_six_rb"),
+      "streamed cursor advance diverged from the clean rebuild")
+  }
 }
