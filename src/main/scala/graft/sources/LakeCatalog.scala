@@ -6690,7 +6690,7 @@ object Lake {
     * already persists (text-index dead/live + tombstones, ANN drift,
     * `$files` fragmentation, DV dead-row fraction, sorted-provenance
     * coverage) unified into one deterministic integer-ppm report with
-    * a recommendation per signal. All six metrics are O(metadata) —
+    * a recommendation per signal. All seven metrics are O(metadata) —
     * footer/sidecar reads and two tiny stats CALLs; only the drift
     * check runs a (cell-bounded) Spark job. The DuckDB twin recomputes
     * EVERY metric from the raw tables + the scripted fixture
@@ -6768,6 +6768,9 @@ object Lake {
            CAST(1250000 AS BIGINT), 'optimize' FROM m
          UNION ALL SELECT 'table', 'dv_deleted_rows', dv_ppm,
            CAST(50000 AS BIGINT), 'optimize' FROM m
+         UNION ALL SELECT 'table', 'snapshot_retention',
+           CAST(1250000 AS BIGINT), CAST(1000000 AS BIGINT),
+           'expire_snapshots' FROM m
          UNION ALL SELECT 'table', 'sorted_provenance', sorted_ppm,
            CAST(0 AS BIGINT), 'rewrite_sorted' FROM m)
        ORDER BY target, signal"""

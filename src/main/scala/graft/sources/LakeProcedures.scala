@@ -412,9 +412,10 @@ object GraftLakeProcedures {
         "already tracks — text-index dead-posting fraction + " +
         "tombstone fill vs the broadcast cap, ANN quantizer drift, " +
         "part-file fragmentation, deletion-vector dead-row fraction, " +
-        "sorted-provenance coverage — unified into ONE deterministic " +
-        "integer-ppm report with a recommendation per signal " +
-        "(rebuild_text_index / retrain_ann_index / optimize / " +
+        "snapshot retention vs a 4-version budget, sorted-provenance " +
+        "coverage — unified into ONE deterministic integer-ppm " +
+        "report with a recommendation per signal (rebuild_text_index " +
+        "/ retrain_ann_index / optimize / expire_snapshots / " +
         "rewrite_sorted, or 'ok'). Read-only: executing the " +
         "recommended CALLs clears them (spec-pinned)",
       Seq(
@@ -457,6 +458,14 @@ object GraftLakeProcedures {
       val nd = dv.valuesIterator.map(_.getCardinality.toLong).sum
       val fragPpm = if (ns == 0L) 0L else nf * 1000000L / ns
       val dvPpm = if (nr == 0L) 0L else nd * 1000000L / nr
+      // snapshot retention: live version dirs vs a 4-snapshot budget
+      // (Iceberg's expire_snapshots is the nightly job this advises;
+      // tag/branch-pinned versions survive expiry and keep counting)
+      val dd = dataDir(root, tbl)
+      val latest = GraftLakeIO.latestVersion(dd)
+      val retained = (1 to latest)
+        .count(v => GraftLakeIO.versionDir(dd, v).exists()).toLong
+      val retPpm = retained * 1000000L / 4L
       val sortedSet = GraftLakeIO.readSorted(vdir)
       // a table with NO sorted shard never opted into the sorted
       // layout — nothing to restore, not a degradation
@@ -478,6 +487,8 @@ object GraftLakeProcedures {
           "retrain_ann_index"),
         row("table", "fragmentation", fragPpm, 1250000L, "optimize"),
         row("table", "dv_deleted_rows", dvPpm, 50000L, "optimize"),
+        row("table", "snapshot_retention", retPpm, 1000000L,
+          "expire_snapshots"),
         row("table", "sorted_provenance", sortedPpm, 0L,
           "rewrite_sorted"))
     }

@@ -85,7 +85,12 @@ class LakeMaintenancePlanSpec extends SparkSpec {
       spark.conf.set("spark.graft.textIndex.maxBroadcastTombstones",
         "15")
       val p1 = plan()
-      assert(p1.size === 6)
+      assert(p1.size === 7)
+      // create + insert + rewrite_sorted + insert + delete + update
+      // = 5 retained snapshots > the 4-version budget
+      assert(p1(("table", "snapshot_retention")) ===
+        ((1250000L, "expire_snapshots")),
+        s"retention: ${p1(("table", "snapshot_retention"))}")
       assert(p1(("text_index", "dead_postings"))._2 ===
         "rebuild_text_index", s"dead: ${p1(("text_index", "dead_postings"))}")
       assert(p1(("text_index", "tombstone_fill"))._2 ===
@@ -110,6 +115,10 @@ class LakeMaintenancePlanSpec extends SparkSpec {
         max_parts => 1)""")
       spark.sql("""CALL graft_lake.system.rewrite_sorted(
         table => 'spec_mx_tbl')""")
+      // expire LAST: the maintenance verbs above each COMMIT a new
+      // version, so retention is the final thing to trim
+      spark.sql("""CALL graft_lake.system.expire_snapshots(
+        table => 'spec_mx_tbl', keep => 1)""")
       val p2 = plan()
       assert(p2.values.forall(_._2 == "ok"),
         s"plan not cleared: ${p2.filter(_._2._2 != "ok")}")
@@ -121,6 +130,8 @@ class LakeMaintenancePlanSpec extends SparkSpec {
       assert(p2(("table", "fragmentation"))._1 === 1000000L,
         "compacted table: exactly one part per data shard")
       assert(p2(("table", "dv_deleted_rows"))._1 === 0L)
+      assert(p2(("table", "snapshot_retention"))._1 === 250000L,
+        "one retained snapshot after expire keep=1")
       assert(p2(("table", "sorted_provenance"))._1 === 0L)
     } finally
       spark.conf.unset("spark.graft.textIndex.maxBroadcastTombstones")
