@@ -6660,6 +6660,23 @@ object Lake {
     val tbl = s"mx_$fp"
     if (!builtHistories.contains(tbl)) {
       memoizedLakeState(s, "mx", fp, Seq(tbl)) {
+        // the static oracle assumes ALL FIVE commits materialize
+        // (retention counts versions; an empty INSERT/DELETE commits
+        // nothing) — refuse loudly on a corpus that can't script them
+        // instead of desyncing with no diagnostic (the guardedTixCorpus
+        // discipline, applied to the storage fixture)
+        val pre = s.read.parquet(s"$dir/documents.parquet")
+          .selectExpr(
+            "count(if(doc_id % 2 = 0, 1, NULL)) AS v1even",
+            "count(if(doc_id % 4 = 1, 1, NULL)) AS v3mod4",
+            "count(if(doc_id % 8 = 0, 1, NULL)) AS v4mod8",
+            "count(if(doc_id % 12 = 6, 1, NULL)) AS v5del").head()
+        for (i <- 0 until 4)
+          require(pre.getLong(i) > 0L,
+            "maintenance fixture precondition failed: corpus has no " +
+              s"rows for scripted commit predicate ${pre.schema(i).name}" +
+              " — the advisor's static oracle (5 retained versions, " +
+              "shard layout) would silently desync")
         s.read.parquet(s"$dir/documents.parquet")
           .selectExpr("doc_id", "n_chars")
           .createOrReplaceTempView("graft_mx_src")
@@ -6856,10 +6873,19 @@ object Lake {
       dir: String, view: String): Unit = {
     val corpus = s.read.parquet(s"$dir/documents.parquet")
       .selectExpr("doc_id", "text")
-    val maxId = corpus.agg(max("doc_id")).head().getLong(0)
+    val pre = corpus.agg(max("doc_id").as("mx"),
+      count(when(col("doc_id").isin(11L, 12L), 1)).as("edited")).head()
+    val maxId = pre.getLong(0)
     require(maxId < 100000L,
       s"text-index fixture id clash: corpus max doc_id $maxId >= " +
         "100000 (the fixture's inserted id); bump tixInsertedId")
+    // the scripted DELETE 11 / UPDATE 12 must hit real rows: a corpus
+    // lacking them changes the commit count and tombstone census the
+    // static oracles (incl. the advisor's tombstone_fill=2) replay
+    require(pre.getLong(1) == 2L,
+      "text-index fixture precondition failed: corpus must contain " +
+        s"doc_ids 11 AND 12 (found ${pre.getLong(1)} of 2) — the " +
+        "scripted edits would no-op and desync every static oracle")
     corpus.createOrReplaceTempView(view)
   }
 
@@ -7308,7 +7334,16 @@ object Lake {
     * path). Hardlink restore is sound because the lake's commit
     * protocol never mutates a published file in place — new commits
     * write NEW version dirs, and deleting a link never touches the
-    * memo copy. */
+    * memo copy.
+    *
+    * [[lakeMemoFormat]] is part of the key: the fingerprint captures
+    * the INPUT data but not the fixture script or the lake's on-disk
+    * layout, so without it a newer binary would silently restore a
+    * stale memo published by an older build (confusing mismatches
+    * until tmpdir is cleared). Bump it whenever a fixture script or
+    * the table format changes shape. */
+  private val lakeMemoFormat = "f18"
+
   private def memoizedLakeState(s: org.apache.spark.sql.SparkSession,
       what: String, fp: String, names: Seq[String])(
       build: => Unit): Unit = {
@@ -7316,7 +7351,7 @@ object Lake {
       s.conf.get("spark.sql.catalog.graft_lake.path"))
     root.mkdirs()
     val memo = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_memo_lake_${what}_$fp")
+      s"graft_memo_lake_${lakeMemoFormat}_${what}_$fp")
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmTree))
       f.delete(): Unit

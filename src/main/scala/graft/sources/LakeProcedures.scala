@@ -412,16 +412,19 @@ object GraftLakeProcedures {
         "already tracks — text-index dead-posting fraction + " +
         "tombstone fill vs the broadcast cap, ANN quantizer drift, " +
         "part-file fragmentation, deletion-vector dead-row fraction, " +
-        "snapshot retention vs a 4-version budget, sorted-provenance " +
-        "coverage — unified into ONE deterministic integer-ppm " +
-        "report with a recommendation per signal (rebuild_text_index " +
-        "/ retrain_ann_index / optimize / expire_snapshots / " +
-        "rewrite_sorted, or 'ok'). Read-only: executing the " +
-        "recommended CALLs clears them (spec-pinned)",
+        "snapshot retention vs the snapshot_budget (CALL arg, " +
+        "default 4; a real deployment tunes retention per table), " +
+        "sorted-provenance coverage — unified into ONE deterministic " +
+        "integer-ppm report with a recommendation per signal " +
+        "(rebuild_text_index / retrain_ann_index / optimize / " +
+        "expire_snapshots / rewrite_sorted, or 'ok'). Read-only: " +
+        "executing the recommended CALLs clears them (spec-pinned)",
       Seq(
         ProcedureParameter.in("table", StringType).build(),
         ProcedureParameter.in("text_index", StringType).build(),
-        ProcedureParameter.in("ann_index", StringType).build()),
+        ProcedureParameter.in("ann_index", StringType).build(),
+        ProcedureParameter.in("snapshot_budget", IntegerType)
+          .defaultValue("4").build()),
       StructType(Seq(
         StructField("target", StringType, nullable = false),
         StructField("signal", StringType, nullable = false),
@@ -458,14 +461,16 @@ object GraftLakeProcedures {
       val nd = dv.valuesIterator.map(_.getCardinality.toLong).sum
       val fragPpm = if (ns == 0L) 0L else nf * 1000000L / ns
       val dvPpm = if (nr == 0L) 0L else nd * 1000000L / nr
-      // snapshot retention: live version dirs vs a 4-snapshot budget
+      // snapshot retention: live version dirs vs the caller's budget
       // (Iceberg's expire_snapshots is the nightly job this advises;
       // tag/branch-pinned versions survive expiry and keep counting)
+      val budget = in.getInt(3)
+      require(budget > 0, s"snapshot_budget must be > 0, got $budget")
       val dd = dataDir(root, tbl)
       val latest = GraftLakeIO.latestVersion(dd)
       val retained = (1 to latest)
         .count(v => GraftLakeIO.versionDir(dd, v).exists()).toLong
-      val retPpm = retained * 1000000L / 4L
+      val retPpm = retained * 1000000L / budget
       val sortedSet = GraftLakeIO.readSorted(vdir)
       // a table with NO sorted shard never opted into the sorted
       // layout — nothing to restore, not a degradation

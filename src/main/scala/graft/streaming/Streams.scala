@@ -112,15 +112,33 @@ object Streams {
     * with the plain tmpdir fallback. Production streams keep
     * checkpoints on durable storage exactly as before — queries that
     * pass an explicit `checkpointLocation` (the exactly-once lake
-    * sink, the restart tests) are untouched by this default. */
+    * sink, the restart tests) are untouched by this default.
+    *
+    * Lifecycle: the pid-scoped dir is removed by a JVM shutdown hook,
+    * and init sweeps siblings left by DEAD processes (a kill -9
+    * skips hooks) — without both, long bench loops accumulate
+    * delta/fsync files in RAM-backed tmpfs until it exhausts. */
   private[streaming] lazy val scratchCheckpointRoot: String = {
     val shm = new java.io.File("/dev/shm")
     val base =
       if (shm.isDirectory && shm.canWrite) shm.getPath
       else System.getProperty("java.io.tmpdir")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(): Unit
+    }
+    // reap scratch roots whose owning process is gone
+    Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_ckpt_"))
+      .foreach { d =>
+        val alive = d.getName.stripPrefix("graft_ckpt_").toLongOption
+          .exists(pid => ProcessHandle.of(pid).isPresent)
+        if (!alive) rmTree(d)
+      }
     val d = new java.io.File(base,
       s"graft_ckpt_${ProcessHandle.current().pid()}")
     d.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmTree(d)))
     d.getPath
   }
 

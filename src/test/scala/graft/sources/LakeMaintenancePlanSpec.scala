@@ -105,6 +105,27 @@ class LakeMaintenancePlanSpec extends SparkSpec {
         s"sorted: ${p1(("table", "sorted_provenance"))}")
       // read-only: a second CALL reports the identical state
       assert(plan() === p1)
+      // the retention budget is a CALL arg (default 4): a deployment
+      // that tunes a table to keep 8 versions sees the same 5
+      // retained snapshots as healthy, and the other signals are
+      // untouched by the knob
+      val p8 = spark.sql("""CALL graft_lake.system.maintenance_plan(
+          table => 'spec_mx_tbl', text_index => 'spec_mx_tix',
+          ann_index => 'spec_mx_aix', snapshot_budget => 8)""")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getString(4)))).toMap
+      assert(p8(("table", "snapshot_retention")) === ((625000L, "ok")),
+        s"budget=8: ${p8(("table", "snapshot_retention"))}")
+      assert(p8.filterNot(_._1._2 == "snapshot_retention") ===
+        p1.filterNot(_._1._2 == "snapshot_retention"))
+      val eBudget = intercept[Exception] {
+        spark.sql("""CALL graft_lake.system.maintenance_plan(
+          table => 'spec_mx_tbl', text_index => 'spec_mx_tix',
+          ann_index => 'spec_mx_aix', snapshot_budget => 0)""")
+          .collect()
+      }
+      assert(eBudget.getMessage.contains("snapshot_budget"))
       // execute EXACTLY the recommended maintenance verbs
       spark.sql("""CALL graft_lake.system.build_text_index(
         table => 'spec_mx_tbl', index_table => 'spec_mx_tix')""")
