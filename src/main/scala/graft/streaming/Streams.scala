@@ -462,7 +462,7 @@ object Streams {
 
   /** Streaming CDC upsert — the foreachBatch + MERGE pattern every
     * warehouse-bound CDC pipeline runs (stream → per-batch upsert into
-    * a maintained table): the event log replays as FOUR chronological
+    * a maintained table): the event log replays as chronological
     * micro-batches (time-range-chunked staged copy, maxFilesPerTrigger
     * = 1), and each batch's per-user min-day is MERGEd into the
     * first-seen table through [[graft.operators.Merge.mergeUpsert]] —
@@ -634,7 +634,7 @@ object Streams {
     * checkpoint) commits nothing — [[graft.sources
     * .GraftLakeStreamingWrite]]. The table read back after the drain
     * must equal the flat batch projection of the log (oracle-exact):
-    * that holds only if each of the 4 chunks committed EXACTLY once —
+    * that holds only if each chunk committed EXACTLY once —
     * a dropped epoch loses rows, a doubled replay duplicates
     * event_ids into the same shards. Monetary values ride as BIGINT
     * cents (the lake's exact-type discipline; no float-sum drift in
@@ -678,18 +678,29 @@ object Streams {
          max(event_id) AS max_event_id
        FROM events GROUP BY 1 ORDER BY user_id"""
 
-  /** Time-range-chunked staged copy of the event log (4 parquet files,
-    * one per ts quartile — a chronological arrival log), built once per
+  /** Number of time-range chunks (= micro-batches) the replay twins
+    * consume. Three, not four: every consumer's oracle is a flat
+    * recompute over the WHOLE log, and the stateful semantics under
+    * test (watermark eviction inside the deterministic region,
+    * last-writer-wins upserts, exactly-once epoch commits) only need
+    * the watermark to genuinely advance BETWEEN batches — which two
+    * boundaries already give. Each extra chunk costs one more
+    * stateful micro-batch × two join sides of state-store commits,
+    * the dominant cost of the stream-stream outer joins. */
+  private val replayChunks = 3
+
+  /** Time-range-chunked staged copy of the event log (one parquet
+    * file per ts range — a chronological arrival log), built once per
     * corpus fingerprint. */
   private def chunkedEventsDir(s: SparkSession, dir: String): String = {
     val d = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_stream_chunks_" +
+      s"graft_stream_chunks${replayChunks}_" +
         graft.sources.Tables.fingerprint(dir, "events"))
     Streams.synchronized {
       if (!new java.io.File(d, "_SUCCESS").exists()) {
         graft.sources.Tables.timedMemo("chunkedEvents") {
           graft.sources.Tables.events(s, dir)
-            .repartitionByRange(4, col("ts"))
+            .repartitionByRange(replayChunks, col("ts"))
             .write.mode("overwrite").parquet(d.getPath)
           // the file stream admits files in MODIFICATION-TIME order,
           // but the 4 range-partition tasks finish in arbitrary order —
@@ -754,8 +765,8 @@ object Streams {
     * null-extended row is emitted only when the WATERMARK passes its
     * join window (state eviction — Spark must prove no matching
     * purchase can still arrive), so the replay runs over the
-    * ts-chunked 4-file log (maxFilesPerTrigger=1) where the watermark
-    * genuinely advances between micro-batches. Emission at the exact
+    * ts-chunked multi-file log (maxFilesPerTrigger=1) where the
+    * watermark genuinely advances between micro-batches. Emission at the exact
     * final-watermark EDGE is engine-timing-defined, so both the query
     * and the oracle restrict to the deterministic region: clicks older
     * than min(max click ts, max purchase ts) − (delay 10 m + window
