@@ -5245,6 +5245,20 @@ object Lake {
     * okey%11=0. Dim (customer): v1 INSERT all, v2 UPDATE nation←
     * (nation+7)%25 where cust%13=0 (the group-migration case), v3
     * DELETE cust%17=0 (orphaned facts drop out of the inner join). */
+  /** Signed `$changes` feed of a lake table past `from`: +1 for
+    * insert/update_postimage rows, −1 for delete/update_preimage. */
+  private def mvChanges(s: org.apache.spark.sql.SparkSession,
+      tbl: String, from: Int): org.apache.spark.sql.DataFrame = {
+    val nm = tbl.split('.').toSeq match {
+      case init :+ last => (init :+ s"`$last$$changes`").mkString(".")
+      case _ => sys.error("unreachable")
+    }
+    s.read.option("startingVersion", from.toString).table(nm)
+      .withColumn("sgn",
+        expr("""CASE WHEN _change_type IN ('insert',
+                'update_postimage') THEN 1L ELSE -1L END"""))
+  }
+
   private def mvJoinTables(s: org.apache.spark.sql.SparkSession,
       dir: String): (String, String) = {
     val fp = Tables.fingerprint(dir, "orders")
@@ -5254,7 +5268,8 @@ object Lake {
     val dt = s"graft_lake.lake.$dn"
     if (!builtHistories.contains(fn)) {
       memoizedLakeState(s, "mvj",
-        s"${fp}_${Tables.fingerprint(dir, "customer")}", Seq(fn, dn)) {
+        s"${fp}_${Tables.fingerprint(dir, "customer")}",
+        Seq(fn, dn, s"mvjb_$fp", s"mvjs_$fp")) {
         Tables.t(s, dir, "orders").selectExpr("o_orderkey AS okey",
           "o_custkey AS cust",
           """CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -5279,6 +5294,31 @@ object Lake {
         s.sql(s"INSERT INTO $dt SELECT * FROM graft_mvj_cust")
         s.sql(s"UPDATE $dt SET nation = (nation + 7) % 25 WHERE cust % 13 = 0")
         s.sql(s"DELETE FROM $dt WHERE cust % 17 = 0")
+        // the MV's PERSISTED base state at (F v1, D v1) — what a real
+        // deployment materializes once and then only maintains:
+        //  - mvjb: the MV itself (per-nation aggregate)
+        //  - mvjs: the IVM SUPPORT relation (per-cust partial
+        //    aggregate of the fact), sharded by the join key — a dim
+        //    delta joins |ΔD| rows against point-lookups here instead
+        //    of scanning the fact base. ΔF maintains mvjs by the
+        //    single-table incremental-MV pattern (`lake_incremental_mv`)
+        s.sql(s"""CREATE TABLE graft_lake.lake.mvjs_$fp
+                  (cust BIGINT, cents BIGINT, n BIGINT)
+                  TBLPROPERTIES ('shard_key'='cust', 'n_shards'='4')""")
+        s.sql(s"""INSERT INTO graft_lake.lake.mvjs_$fp
+                  SELECT cust, CAST(sum(price_c) AS BIGINT),
+                    CAST(count(*) AS BIGINT)
+                  FROM $ft VERSION AS OF 1 GROUP BY cust""")
+        s.sql(s"""CREATE TABLE graft_lake.lake.mvjb_$fp
+                  (nation BIGINT, cents BIGINT, n BIGINT)
+                  TBLPROPERTIES ('shard_key'='nation', 'n_shards'='4')""")
+        s.sql(s"""INSERT INTO graft_lake.lake.mvjb_$fp
+                  SELECT d.nation, CAST(sum(f.price_c) AS BIGINT),
+                    CAST(count(*) AS BIGINT)
+                  FROM (SELECT * FROM $ft VERSION AS OF 1) f
+                  JOIN (SELECT * FROM $dt VERSION AS OF 1) d
+                    ON f.cust = d.cust
+                  GROUP BY d.nation""")
       }
       builtHistories.add(fn): Unit
     }
@@ -5299,41 +5339,37 @@ object Lake {
     * price update contributes (−old, +new) against the NEW dim and a
     * dim migration moves the customer's whole base contribution
     * between groups through F_base⋈ΔD. Work scales with |changes| ×
-    * join fanout, never |fact|: the ΔF and ΔD reads plan only
-    * CHANGED shards ((from, head] via startingVersion — hardlinked
-    * shards are proven diff-free unopened), and F_base⋈ΔD is an
-    * equi-join whose probe side is the tiny dim delta. The DuckDB
-    * oracle recomputes the HEAD join aggregate directly from raw
-    * orders × customer with the scripted edits applied — hash
-    * equality IS the incremental-equals-direct proof, at every
-    * scale. */
+    * join fanout, never |fact|: MV_base and F_base-grouped-by-cust
+    * are PERSISTED lake tables (mvjb/mvjs — a real deployment
+    * materializes the MV and its IVM support relation once, then
+    * only maintains them), the ΔF and ΔD reads plan only CHANGED
+    * shards ((from, head] via startingVersion — hardlinked shards
+    * are proven diff-free unopened), and the F_base⋈ΔD leg joins
+    * the tiny dim delta against the support relation's per-cust
+    * partial aggregates — point lookups on its shard key, NO fact
+    * scan on a dim-side maintenance cycle (LakeIncrementalMvSpec
+    * pins the plan). The DuckDB oracle recomputes the HEAD join
+    * aggregate directly from raw orders × customer with the
+    * scripted edits applied — hash equality IS the
+    * incremental-equals-direct proof, at every scale. */
   val lakeIncrementalMvJoin: Q = (s, dir) => Lake.synchronized {
     registerCatalog(s)
     val (ft, dt) = mvJoinTables(s, dir)
-    def changes(tbl: String, from: Int)
-        : org.apache.spark.sql.DataFrame = {
-      val nm = tbl.split('.').toSeq match {
-        case init :+ last => (init :+ s"`$last$$changes`").mkString(".")
-        case _ => sys.error("unreachable")
-      }
-      s.read.option("startingVersion", from.toString).table(nm)
-        .withColumn("sgn",
-          expr("""CASE WHEN _change_type IN ('insert',
-                  'update_postimage') THEN 1L ELSE -1L END"""))
-    }
-    val fBase = s.sql(s"SELECT * FROM $ft VERSION AS OF 1")
-    val dBase = s.sql(s"SELECT * FROM $dt VERSION AS OF 1")
-    val mvBase = fBase.join(dBase, "cust").groupBy("nation")
-      .agg(sum("price_c").as("cents"), count(lit(1)).as("n"))
-    val dfXdHead = changes(ft, 1).join(s.table(dt), "cust")
+    val fp = Tables.fingerprint(dir, "orders")
+    val dfXdHead = mvChanges(s, ft, 1).join(s.table(dt), "cust")
       .groupBy("nation")
       .agg(sum(expr("sgn * price_c")).as("d_cents"),
         sum(col("sgn")).as("d_n"))
-    val fBaseXdd = fBase.join(
-        changes(dt, 1).select("cust", "nation", "sgn"), "cust")
+    // ΔD ⋈ support: each signed dim-change row picks up its
+    // customer's ENTIRE base-fact contribution pre-aggregated —
+    // O(|ΔD|) probe, the fact base is never opened
+    val fBaseXdd = s.table(s"graft_lake.lake.mvjs_$fp").join(
+        mvChanges(s, dt, 1).select("cust", "nation", "sgn"), "cust")
       .groupBy("nation")
-      .agg(sum(expr("sgn * price_c")).as("d_cents"),
-        sum(col("sgn")).as("d_n"))
+      .agg(sum(expr("sgn * cents")).as("d_cents"),
+        sum(expr("sgn * n")).as("d_n"))
+    val mvBase = s.table(s"graft_lake.lake.mvjb_$fp")
+      .select("nation", "cents", "n")
     val delta = dfXdHead.unionByName(fBaseXdd)
       .groupBy("nation")
       .agg(sum("d_cents").as("d_cents"), sum("d_n").as("d_n"))
