@@ -6968,7 +6968,8 @@ object Lake {
       // deterministic scripted state → cross-JVM memo (every probe
       // query shares this fixture; r16 re-built it in every JVM)
       memoizedLakeState(s, "tix", fp,
-        Seq(src, ix, s"${ix}_docs", s"${ix}_tomb", s"${ix}_meta")) {
+        Seq(src, ix, s"${ix}_docs", s"${ix}_tomb", s"${ix}_meta",
+          s"${ix}_bm")) {
         guardedTixCorpus(s, dir, "graft_tix_corpus_src")
         s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$src")
         s.sql(s"""CREATE TABLE graft_lake.lake.$src
@@ -7049,14 +7050,7 @@ object Lake {
       .join(docs.select("doc_id", "dl"), "doc_id")
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
-      .selectExpr("q_id", "doc_id",
-        """CAST(round(
-             ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
-             (CAST(tf AS DOUBLE) * 2.2) /
-             (CAST(tf AS DOUBLE) + 1.2 *
-               (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
-                / CAST(sum_dl AS DOUBLE))),
-           6) AS DECIMAL(18,6)) AS ps""")
+      .selectExpr("q_id", "doc_id", GraftLakeTextIndex.bm25PartialSql)
       .groupBy("q_id", "doc_id")
       .agg(sum("ps").as("s"), count(lit(1)).as("n_terms"))
   }
@@ -7072,6 +7066,22 @@ object Lake {
       .selectExpr("q_id", "rank", "doc_id", "n_terms",
         "CAST(s AS DOUBLE) AS bm25")
       .orderBy("q_id", "rank")
+  }
+
+  /** BLOCK-MAX WAND top-5 over the same persisted index + the same
+    * queries as `search_indexed_bm25` — the PRUNED production read
+    * path ([[GraftLakeTextIndex.wandTopk]]): per-(term, doc-block)
+    * score upper bounds persisted beside the postings let the probe
+    * skip whole blocks that provably cannot enter the top-k, so at
+    * 100 TB postings cost follows the few highest-scoring blocks
+    * instead of every document containing any query term. Shares the
+    * exhaustive probe's oracle verbatim: pruning is exact or it is
+    * broken (LakeTextIndexSpec additionally pins blocks_skipped > 0
+    * on a skewed corpus). */
+  val searchIndexedWand: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val ix = textIndexFixture(s, dir)
+    GraftLakeTextIndex.wandTopk(s, ix, tixQueryTerms, 5)._1
   }
 
   /** STREAMING INDEX FRESHNESS — the read-side twin of
@@ -7101,7 +7111,8 @@ object Lake {
       // siblings, so each JVM pays only the STREAMING REPLAY under
       // test, not the corpus build + tokenize it follows
       memoizedLakeState(s, "six", fp,
-        Seq(src, ix, s"${ix}_docs", s"${ix}_tomb", s"${ix}_meta")) {
+        Seq(src, ix, s"${ix}_docs", s"${ix}_tomb", s"${ix}_meta",
+          s"${ix}_bm")) {
         guardedTixCorpus(s, dir, "graft_six_corpus_src")
         s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$src")
         s.sql(s"""CREATE TABLE graft_lake.lake.$src
@@ -7420,7 +7431,7 @@ object Lake {
     * stale memo published by an older build (confusing mismatches
     * until tmpdir is cleared). Bump it whenever a fixture script or
     * the table format changes shape. */
-  private val lakeMemoFormat = "f18"
+  private val lakeMemoFormat = "f18b"
 
   private def memoizedLakeState(s: org.apache.spark.sql.SparkSession,
       what: String, fp: String, names: Seq[String])(
@@ -7486,7 +7497,8 @@ object Lake {
       // REBUILD UNDER TEST, not the first full build too (r16 bench
       // paid both: 1.2–4.8 s/run of repeated fixture setup)
       memoizedLakeState(s, "tixrb", fp,
-        Seq(src, ix, s"${ix}_docs", s"${ix}_tomb", s"${ix}_meta")) {
+        Seq(src, ix, s"${ix}_docs", s"${ix}_tomb", s"${ix}_meta",
+          s"${ix}_bm")) {
         guardedTixCorpus(s, dir, "graft_tixrb_corpus_src")
         s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$src")
         s.sql(s"""CREATE TABLE graft_lake.lake.$src
@@ -7770,6 +7782,7 @@ object Lake {
     "lake_sorted_join" -> lakeSortedJoin,
     "lake_sorted_rewrite" -> lakeSortedRewrite,
     "search_indexed_bm25" -> searchIndexedBm25,
+    "search_indexed_wand" -> searchIndexedWand,
     "stream_index_refresh" -> streamIndexRefresh,
     "search_indexed_conjunctive" -> searchIndexedConjunctive,
     "search_phrase_indexed" -> searchPhraseIndexed,
@@ -7828,6 +7841,7 @@ object Lake {
     "lake_sorted_join" -> lakeSortedJoinOracle,
     "lake_sorted_rewrite" -> lakeSortedRewriteOracle,
     "search_indexed_bm25" -> searchIndexedBm25Oracle,
+    "search_indexed_wand" -> searchIndexedBm25Oracle,
     "stream_index_refresh" -> searchIndexedBm25Oracle,
     "search_indexed_conjunctive" -> searchIndexedConjunctiveOracle,
     "search_phrase_indexed" -> searchPhraseIndexedOracle,

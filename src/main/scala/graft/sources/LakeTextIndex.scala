@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * `CALL graft_lake.system.build_text_index(table, index_table)`
   * tokenizes the source snapshot (pinned at `VERSION AS OF`) and
-  * persists FOUR lake tables:
+  * persists FIVE lake tables:
   *
   *  - `<ix>       (term_h, term, doc_id, tf, ver)` — one posting per
   *    (document, term), SHARDED BY `term_h` (the 60-bit md5 term hash
@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
   *    (tiny) tombstone table and physically resolved at the next
   *    rebuild. This is the standard Lucene live-docs design.
   *  - `<ix>_meta  (source, last_version)` — the cursor (head = max).
+  *  - `<ix>_bm    (term_h, term, block, max_tf, min_dl, ver)` —
+  *    BLOCK-MAX skip metadata (one row per term × 64-doc block, see
+  *    [[wandTopk]]), sharded by `term_h` like the postings so a probe
+  *    reads only the query terms' metadata shards.
   *
   * `CALL graft_lake.system.refresh_text_index(index_table)` advances
   * from the source's `$changes` feed, O(delta): deleted/pre-image docs
@@ -47,6 +51,28 @@ import org.apache.spark.sql.functions._
 object GraftLakeTextIndex {
 
   private def q(name: String) = s"graft_lake.lake.$name"
+
+  /** Docs per BLOCK-MAX block: blocks partition DOCUMENTS
+    * (`block = doc_id div blockDocs`), so a term's postings for one
+    * doc always land in one block and "score block b" means "fully
+    * score every doc in b". Fixed, not a conf — probe and build must
+    * agree forever, and a changed width would silently mis-bucket
+    * every persisted index. */
+  private[sources] val blockDocs = 64L
+
+  /** The per-(term, doc) BM25 partial — 6 dp DECIMAL, the exact
+    * arithmetic `text_bm25_topk` and every indexed probe share (one
+    * definition, so the block-max prune bound and the scorer can
+    * never drift apart). Expects columns n_docs, df, tf, dl,
+    * sum_dl in scope. */
+  private[sources] val bm25PartialSql: String =
+    """CAST(round(
+         ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+         (CAST(tf AS DOUBLE) * 2.2) /
+         (CAST(tf AS DOUBLE) + 1.2 *
+           (0.25 + 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+            / CAST(sum_dl AS DOUBLE))),
+       6) AS DECIMAL(18,6)) AS ps"""
 
   private def dataDir(root: String, table: String): String = {
     val bare = table.stripPrefix("lake.")
@@ -83,6 +109,26 @@ object GraftLakeTextIndex {
     (postings, doclens)
   }
 
+  /** BLOCK-MAX metadata rows for a postings/doc-length batch: per
+    * (term, doc-block), the term's max tf and the block's min doc
+    * length — exactly the two monotone inputs of the BM25 partial
+    * (increasing in tf, decreasing in dl), so at probe time
+    * `partial(max_tf, min_dl, live df/stats)` upper-bounds every
+    * actual partial in the block. The bound survives maintenance
+    * without rewrites: deletions only REMOVE candidates (a stale max
+    * stays a valid, merely looser bound) and refresh APPENDS the
+    * delta's rows — the probe folds generations with max/min. This is
+    * the Block-Max WAND skip structure (Ding & Suel, SIGIR'11)
+    * persisted as a lake table beside the postings. */
+  private def blockRows(postings: DataFrame,
+      doclens: DataFrame): DataFrame =
+    postings.join(doclens.select("doc_id", "dl"), "doc_id")
+      .selectExpr("term_h", "term", s"doc_id div $blockDocs AS block",
+        "tf", "dl", "ver")
+      .groupBy("term_h", "term", "block")
+      .agg(max("tf").as("max_tf"), min("dl").as("min_dl"),
+        max("ver").as("ver"))
+
   /** Train-free build: tokenize the pinned snapshot, DROP + recreate
     * the four index tables, persist. Returns
     * (postings, docs, sourceVersion). */
@@ -96,7 +142,7 @@ object GraftLakeTextIndex {
     val docs = s.sql(
       s"SELECT doc_id, text FROM ${q(src)} VERSION AS OF $v")
     val (postings, doclens) = indexRows(docs, v.toLong)
-    Seq(ix, s"${ix}_docs", s"${ix}_tomb", s"${ix}_meta")
+    Seq(ix, s"${ix}_docs", s"${ix}_tomb", s"${ix}_meta", s"${ix}_bm")
       .foreach(t => s.sql(s"DROP TABLE IF EXISTS ${q(t)}"))
     s.sql(s"""CREATE TABLE ${q(ix)}
               (term_h BIGINT, term STRING, doc_id BIGINT, tf BIGINT,
@@ -112,12 +158,20 @@ object GraftLakeTextIndex {
               (source STRING, last_version BIGINT)
               TBLPROPERTIES ('shard_key'='last_version',
                 'n_shards'='1')""")
+    s.sql(s"""CREATE TABLE ${q(s"${ix}_bm")}
+              (term_h BIGINT, term STRING, block BIGINT,
+               max_tf BIGINT, min_dl BIGINT, ver BIGINT)
+              TBLPROPERTIES ('shard_key'='term_h', 'n_shards'='8')""")
     postings.createOrReplaceTempView("graft_tix_postings_src")
     s.sql(s"""INSERT INTO ${q(ix)}
               SELECT * FROM graft_tix_postings_src""")
     doclens.createOrReplaceTempView("graft_tix_doclens_src")
     s.sql(s"""INSERT INTO ${q(s"${ix}_docs")}
               SELECT * FROM graft_tix_doclens_src""")
+    blockRows(postings, doclens)
+      .createOrReplaceTempView("graft_tix_bm_src")
+    s.sql(s"""INSERT INTO ${q(s"${ix}_bm")}
+              SELECT * FROM graft_tix_bm_src""")
     s.sql(s"""INSERT INTO ${q(s"${ix}_meta")}
               VALUES ('$src', ${v}L)""")
     val nPost = s.table(q(ix)).count()
@@ -184,6 +238,13 @@ object GraftLakeTextIndex {
       doclens.createOrReplaceTempView("graft_tix_doclens_src")
       s.sql(s"""INSERT INTO ${q(s"${ix}_docs")}
                 SELECT * FROM graft_tix_doclens_src""")
+      // block-max rows for the delta generation append like the
+      // postings; probes fold generations with max/min, so the skip
+      // bound stays valid without rewriting any published block row
+      blockRows(postings, doclens)
+        .createOrReplaceTempView("graft_tix_bm_src")
+      s.sql(s"""INSERT INTO ${q(s"${ix}_bm")}
+                SELECT * FROM graft_tix_bm_src""")
     }
     s.sql(s"""INSERT INTO ${q(s"${ix}_meta")}
               VALUES ('$src', ${head}L)""")
@@ -258,4 +319,106 @@ object GraftLakeTextIndex {
         Seq("doc_id"), "left_outer")
       .filter(col("before").isNull || col("ver") >= col("before"))
       .drop("before")
+
+  /** BLOCK-MAX WAND top-k over the persisted index — the pruned twin
+    * of the exhaustive BM25 probe (provably the SAME answer, cheaper):
+    * instead of scoring every (query, doc) pair containing any query
+    * term, the probe reads the tiny `<ix>_bm` metadata first and
+    * skips whole doc-blocks that cannot reach the top-k.
+    *
+    *  1. UB(q, b) = Σ over the query's terms of
+    *     `partial(max_tf, min_dl, live df/stats)` (+1e-6/term slack
+    *     covering the scorer's 6 dp round-half-up) — an upper bound
+    *     on ANY doc's score in block b, from metadata alone.
+    *  2. SEED: fully score the `seedBlocks` highest-UB blocks per
+    *     query; θ(q) = the k-th best seed score (absent ⇒ −∞).
+    *  3. PRUNE: every remaining block with UB < θ is skipped — a doc
+    *     there scores ≤ UB < θ ≤ the true k-th best (θ comes from a
+    *     subset, so it can only UNDER-estimate the real bar; skipping
+    *     below it is conservative). Survivors are scored via a
+    *     broadcast (q, block) semi-join applied BEFORE the dl/df
+    *     joins and the aggregate, so pruned blocks never enter the
+    *     expensive stages; at 100 TB postings this is the standard
+    *     top-k retrieval lever (the block list further admits a
+    *     doc_id zone-map pushdown, since blocks are doc_id ranges).
+    *
+    * Returns (top-k frame `(q_id, rank, doc_id, n_terms, bm25)` —
+    * schema-identical to the exhaustive probe, so they share one
+    * oracle — and the per-query skipped-block counts the spec pins
+    * positive). */
+  def wandTopk(s: SparkSession, ix: String,
+      queryTerms: Seq[(Long, String)], k: Int,
+      seedBlocks: Int = 2): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val hashes = queryTerms.map(_._2).distinct.map(t =>
+      graft.plans.HashUtil.hex60md5(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        .asInstanceOf[Any])
+    val qdf = queryTerms.toDF("q_id", "term")
+    val tomb = tombstones(s, ix)
+    val bcast = maskBroadcastable(s, ix)
+    val post = live(s.table(q(ix))
+      .filter(col("term_h").isin(hashes: _*)), tomb, bcast)
+    val docs = live(s.table(q(s"${ix}_docs")), tomb, bcast)
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum("dl").cast("bigint").as("sum_dl"))
+    val dfreq = post.select("term", "doc_id").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    // metadata pass: fold block-max generations, bound each block.
+    // A term whose live df is 0 drops out of the inner dfreq join —
+    // sound: its true partial everywhere is 0, and any block it alone
+    // anchored holds no positively-scoring doc.
+    val ub = s.table(q(s"${ix}_bm"))
+      .filter(col("term_h").isin(hashes: _*))
+      .join(broadcast(qdf), "term")
+      .groupBy("q_id", "term", "block")
+      .agg(max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .selectExpr("q_id", "block",
+        """ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5)) *
+           (CAST(max_tf AS DOUBLE) * 2.2) /
+           (CAST(max_tf AS DOUBLE) + 1.2 *
+             (0.25 + 0.75 * CAST(min_dl AS DOUBLE)
+              * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))
+           + 1e-6 AS ubt""")
+      .groupBy("q_id", "block").agg(sum("ubt").as("ub"))
+    val wb = Window.partitionBy("q_id")
+      .orderBy(col("ub").desc, col("block"))
+    val ranked = ub.withColumn("brn", row_number().over(wb))
+    def score(pairs: DataFrame): DataFrame =
+      post.withColumn("block", expr(s"doc_id div $blockDocs"))
+        .join(broadcast(qdf), "term")
+        .join(broadcast(pairs.select("q_id", "block")),
+          Seq("q_id", "block"), "left_semi")
+        .join(docs.select("doc_id", "dl"), "doc_id")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .selectExpr("q_id", "doc_id", bm25PartialSql)
+        .groupBy("q_id", "doc_id")
+        .agg(sum("ps").as("s"), count(lit(1)).as("n_terms"))
+    val wk = Window.partitionBy("q_id")
+      .orderBy(col("s").desc, col("doc_id"))
+    val seedScores = score(ranked.filter(col("brn") <= seedBlocks))
+    val theta = seedScores.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") === k)
+      .select(col("q_id"), col("s").cast("double").as("theta"))
+    val rest = ranked.filter(col("brn") > seedBlocks)
+      .join(broadcast(theta), Seq("q_id"), "left_outer")
+    val skipped = rest
+      .filter(col("theta").isNotNull && col("ub") < col("theta"))
+      .groupBy("q_id").agg(count(lit(1)).as("blocks_skipped"))
+    val survivorScores = score(
+      rest.filter(col("theta").isNull || col("ub") >= col("theta")))
+    val topk = seedScores.unionByName(survivorScores)
+      .withColumn("rank", row_number().over(wk)
+        .cast(org.apache.spark.sql.types.LongType))
+      .filter(col("rank") <= k)
+      .selectExpr("q_id", "rank", "doc_id", "n_terms",
+        "CAST(s AS DOUBLE) AS bm25")
+      .orderBy("q_id", "rank")
+    (topk, skipped)
+  }
 }

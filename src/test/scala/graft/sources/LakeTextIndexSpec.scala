@@ -536,4 +536,45 @@ class LakeTextIndexSpec extends SparkSpec {
     assert(livePostings("spec_six_ix") === livePostings("spec_six_rb"),
       "streamed cursor advance diverged from the clean rebuild")
   }
+
+  test("block-max WAND: low-bound blocks are SKIPPED (blocks_skipped " +
+      "> 0) and the pruned top-k equals the exhaustive answer") {
+    Lake.registerCatalog(spark)
+    for (t <- Seq("spec_wand_src", "spec_wand_ix", "spec_wand_ix_docs",
+        "spec_wand_ix_tomb", "spec_wand_ix_meta", "spec_wand_ix_bm"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t")
+    spark.sql("""CREATE TABLE graft_lake.lake.spec_wand_src
+      (doc_id BIGINT, text STRING)
+      TBLPROPERTIES ('shard_key'='doc_id', 'n_shards'='2')""")
+    // skewed corpus: block 0 (docs 0-63) holds short, term-dense docs
+    // (tf 8, dl 8); blocks 1-3 (docs 64-255) hold one term occurrence
+    // diluted in long padding — their metadata bound can never reach
+    // block 0's 5th-best score
+    spark.sql("""INSERT INTO graft_lake.lake.spec_wand_src
+      SELECT id, CASE WHEN id < 64
+        THEN concat_ws(' ', array_repeat('alpha', 8))
+        ELSE concat('alpha ', concat_ws(' ', array_repeat('pad', 100)))
+        END
+      FROM range(0, 256)""")
+    spark.sql("""CALL graft_lake.system.build_text_index(
+      table => 'spec_wand_src', index_table => 'spec_wand_ix')""")
+    // 4 doc-blocks of term metadata for 'alpha'
+    assert(spark.table("graft_lake.lake.spec_wand_ix_bm")
+      .filter(col("term") === "alpha").count() === 4L)
+    val terms = Seq((1L, "alpha"))
+    val (pruned, skipped) = GraftLakeTextIndex.wandTopk(spark,
+      "spec_wand_ix", terms, 5, seedBlocks = 1)
+    // seeding one block establishes θ; the three diluted blocks all
+    // bound below it and never reach the scoring stages
+    val sk = skipped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sk.toSeq === Seq((1L, 3L)),
+      s"expected 3 skipped blocks for q1, got ${sk.toSeq}")
+    // exhaustive twin: seed EVERYTHING (no block past the seed rank
+    // ⇒ nothing is ever pruned) — results must agree exactly
+    val (exhaustive, none) = GraftLakeTextIndex.wandTopk(spark,
+      "spec_wand_ix", terms, 5, seedBlocks = Int.MaxValue)
+    assert(none.collect().isEmpty)
+    assert(pruned.collect().toSeq === exhaustive.collect().toSeq,
+      "pruning changed the top-k — the bound is not an upper bound")
+  }
 }
