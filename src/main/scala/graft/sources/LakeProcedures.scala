@@ -50,6 +50,52 @@ object GraftLakeProcedures {
     new java.io.File(root, bare).getPath
   }
 
+  // ---- refresh_indexes write-ahead intent ----
+  // The group refresh is two CAS commits (text cursor, then ANN
+  // cursor); precondition ordering makes a DOOMED refresh atomic, but
+  // a CRASH between the commits still leaves text advanced / ANN
+  // behind until someone retries. The verb therefore records a tiny
+  // intent (source table + pinned version) BEFORE the first cursor
+  // moves and clears it after the second: an intent still on disk
+  // means an unfinished group refresh — `maintenance_plan` surfaces
+  // it as an extra signal row, and the next `refresh_indexes` CALL
+  // self-heals by re-pinning (both refreshes are idempotent at a
+  // version: an already-advanced cursor reports a zero delta).
+
+  private def intentFile(root: String, tix: String,
+      aix: String): java.io.File =
+    new java.io.File(root, s"${tix}__$aix.refresh_intent")
+
+  private[sources] def writeIntent(root: String, tix: String,
+      aix: String, table: String, pinned: Long): Unit = {
+    val f = intentFile(root, tix, aix)
+    val tmp = new java.io.File(f.getPath +
+      s"._stage_${ProcessHandle.current().pid()}")
+    java.nio.file.Files.writeString(tmp.toPath, s"$table\n$pinned\n")
+    if (!tmp.renameTo(f)) { // a concurrent writer won the rename
+      tmp.delete()
+      require(f.exists(), s"intent write lost for $tix/$aix")
+    }
+  }
+
+  /** The open intent's (source table, pinned version), if an
+    * unfinished group refresh left one behind. */
+  private[sources] def openIntent(root: String, tix: String,
+      aix: String): Option[(String, Long)] = {
+    val f = intentFile(root, tix, aix)
+    if (!f.exists()) None
+    else java.nio.file.Files.readString(f.toPath)
+      .split('\n').toSeq match {
+        case t +: v +: _ => Some((t, v.trim.toLong))
+        case _ => None
+      }
+  }
+
+  private[sources] def clearIntent(root: String, tix: String,
+      aix: String): Unit = {
+    intentFile(root, tix, aix).delete(): Unit
+  }
+
   private def str(s: String): UTF8String = UTF8String.fromString(s)
 
   private def proc(pname: String, doc: String,
@@ -392,18 +438,26 @@ object GraftLakeProcedures {
       // ANN preconditions FIRST (meta readability, drift baseline):
       // the two cursor advances are separate CAS commits, so a doomed
       // ANN side must fail the verb BEFORE the text cursor moves —
-      // both advance or neither does. The remaining window is a crash
-      // BETWEEN the two commits; retrying the CALL self-heals by
-      // re-pinning the same head (both refreshes are idempotent at a
-      // version: an already-advanced cursor reports a zero delta) —
-      // LakeTextIndexSpec pins both halves of this contract.
+      // both advance or neither does. A crash BETWEEN the commits
+      // leaves the write-ahead INTENT below on disk: this CALL (any
+      // retry, on any driver) self-heals by re-pinning ≥ the crashed
+      // pin and advancing both — idempotent cursors make the replay
+      // safe — and clears the intent only after both cursors land.
+      // LakeTextIndexSpec pins the crash simulation end-to-end.
       GraftLakeAnnIndex.validateRefreshPreconditions(aix)
+      openIntent(root, tix, aix).foreach { case (it, iv) =>
+        require(it == tbl,
+          s"open refresh intent for $tix/$aix names source '$it', " +
+            s"not '$tbl' — refusing to heal across sources")
+      }
       // the ONE version stamp both refreshes advance to
       val v = GraftLakeIO.latestVersion(dataDir(root, tbl)).toLong
+      writeIntent(root, tix, aix, tbl, v)
       val (_, tTo, ta, tr) = GraftLakeTextIndex.refresh(root, tix, v)
       val (_, aTo, aa, ar) = GraftLakeAnnIndex.refresh(root, aix, v)
       require(tTo == v && aTo == v,
         s"cursor desync: text at v$tTo, ann at v$aTo, pinned v$v")
+      clearIntent(root, tix, aix)
       Seq(new GenericInternalRow(Array[Any](v, ta, tr, aa, ar)))
     }
 
@@ -495,7 +549,13 @@ object GraftLakeProcedures {
         row("table", "snapshot_retention", retPpm, 1000000L,
           "expire_snapshots"),
         row("table", "sorted_provenance", sortedPpm, 0L,
-          "rewrite_sorted"))
+          "rewrite_sorted")) ++
+        // a dangling group-refresh intent (crash between the text and
+        // ANN cursor commits) is an actionable signal until the next
+        // refresh_indexes CALL heals it; healthy groups add no row
+        openIntent(root, tix, aix).toSeq.map(_ =>
+          row("index_group", "open_refresh_intent", 1000000L, 0L,
+            "refresh_indexes"))
     }
 
     case "ann_index_drift" => proc("ann_index_drift",

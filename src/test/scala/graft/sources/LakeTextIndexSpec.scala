@@ -537,6 +537,67 @@ class LakeTextIndexSpec extends SparkSpec {
       "streamed cursor advance diverged from the clean rebuild")
   }
 
+  test("crash between the group refresh's two cursor commits leaves " +
+      "an OPEN INTENT: maintenance_plan reports it, the next " +
+      "refresh_indexes self-heals and clears it") {
+    Lake.registerCatalog(spark)
+    val src = "graft_lake.lake.spec_ixc_src"
+    for (t <- Seq("spec_ixc_src", "spec_ixc_tix", "spec_ixc_tix_docs",
+        "spec_ixc_tix_tomb", "spec_ixc_tix_meta", "spec_ixc_tix_bm",
+        "spec_ixc_aix", "spec_ixc_aix_centroids",
+        "spec_ixc_aix_codebooks", "spec_ixc_aix_meta"))
+      spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t")
+    spark.sql(s"""CREATE TABLE $src
+      (doc_id BIGINT, text STRING, vec_id BIGINT, emb STRING)
+      TBLPROPERTIES ('shard_key'='doc_id', 'n_shards'='2')""")
+    spark.sql(s"""INSERT INTO $src VALUES
+      (0L, 'alpha beta', 0L, '1000000,0,0,0'),
+      (1L, 'beta gamma', 1L, '0,1000000,0,0'),
+      (2L, 'alpha alpha', 2L, '900000,100000,0,0'),
+      (3L, 'gamma delta', 3L, '0,900000,100000,0')""")
+    spark.sql("""CALL graft_lake.system.build_text_index(
+      table => 'spec_ixc_src', index_table => 'spec_ixc_tix')""")
+    spark.sql("""CALL graft_lake.system.build_ann_index(
+      table => 'spec_ixc_src', index_table => 'spec_ixc_aix',
+      k => 2, iters => 1, pq_m => 2, pq_k => 2, pq_iters => 1)""")
+    spark.sql(s"""INSERT INTO $src VALUES
+      (4L, 'delta alpha', 4L, '500000,500000,0,0')""") // source v2
+    val root = spark.conf.get("spark.sql.catalog.graft_lake.path")
+    def cursor(meta: String): Long =
+      spark.sql(s"""SELECT max(last_version) FROM
+        graft_lake.lake.$meta""").head.getLong(0)
+    // SIMULATE the crash: intent written, text cursor committed, ANN
+    // cursor never advanced (the exact state a retry must repair)
+    GraftLakeProcedures.writeIntent(root, "spec_ixc_tix",
+      "spec_ixc_aix", "spec_ixc_src", 2L)
+    GraftLakeTextIndex.refresh(root, "spec_ixc_tix", 2L)
+    assert(cursor("spec_ixc_tix_meta") === 2L)
+    assert(cursor("spec_ixc_aix_meta") === 1L, "the skew under test")
+    def planRows(): Map[(String, String), (Long, String)] =
+      spark.sql("""CALL graft_lake.system.maintenance_plan(
+          table => 'spec_ixc_src', text_index => 'spec_ixc_tix',
+          ann_index => 'spec_ixc_aix')""")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getString(4)))).toMap
+    val p = planRows()
+    assert(p.size === 8, s"dangling intent must surface: $p")
+    assert(p(("index_group", "open_refresh_intent")) ===
+      ((1000000L, "refresh_indexes")))
+    // the heal: re-pin, advance both (text reports a zero delta —
+    // idempotent at the version), clear the intent
+    val r = spark.sql("""CALL graft_lake.system.refresh_indexes(
+      table => 'spec_ixc_src', text_index => 'spec_ixc_tix',
+      ann_index => 'spec_ixc_aix')""").head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L &&
+      r.getLong(3) === 1L, s"heal: $r")
+    assert(cursor("spec_ixc_tix_meta") === 2L)
+    assert(cursor("spec_ixc_aix_meta") === 2L)
+    assert(GraftLakeProcedures.openIntent(root, "spec_ixc_tix",
+      "spec_ixc_aix").isEmpty, "intent must clear after the heal")
+    assert(planRows().size === 7, "healthy group adds no intent row")
+  }
+
   test("block-max WAND: low-bound blocks are SKIPPED (blocks_skipped " +
       "> 0) and the pruned top-k equals the exhaustive answer") {
     Lake.registerCatalog(spark)
