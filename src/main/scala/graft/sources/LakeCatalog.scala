@@ -6725,11 +6725,20 @@ object Lake {
     * shard 2, sorted coverage 1/3 — every storage signal the advisor
     * reads, in one table. */
   private def maintenanceTableFixture(
-      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    maintenanceStorageFixture(s, dir, "mx")
+
+  /** The storage-degradation script above, parameterized by table
+    * prefix: "mx" feeds the read-only advisor, "mrx" is the executor
+    * verb's OWN copy (maintenance_run heals its objects — sharing
+    * would clear the advisor fixture's signals under it). */
+  private def maintenanceStorageFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      tag: String): String = {
     val fp = Tables.fingerprint(dir, "documents")
-    val tbl = s"mx_$fp"
+    val tbl = s"${tag}_$fp"
     if (!builtHistories.contains(tbl)) {
-      memoizedLakeState(s, "mx", fp, Seq(tbl)) {
+      memoizedLakeState(s, tag, fp, Seq(tbl)) {
         // the static oracle assumes ALL FIVE commits materialize
         // (retention counts versions; an empty INSERT/DELETE commits
         // nothing) — refuse loudly on a corpus that can't script them
@@ -6861,6 +6870,234 @@ object Lake {
          UNION ALL SELECT 'table', 'sorted_provenance', sorted_ppm,
            CAST(0 AS BIGINT), 'rewrite_sorted' FROM m)
        ORDER BY target, signal"""
+
+  // ---- maintenance executor (CALL maintenance_run) ----
+
+  /** Degraded TEXT clone for the executor: corpus table + index, then
+    * a third of the corpus DELETEd and the cursor advanced — dead
+    * postings ≈ 333 333 ppm (fires) and, with the probe cap pinned to
+    * the tombstone count by [[lakeMaintenanceRun]], tombstone fill =
+    * exactly 1 000 000 ppm (fires). The executor's rebuild heals its
+    * own copy; the advisor fixtures stay pristine. */
+  private def maintenanceRunTextFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fp = Tables.fingerprint(dir, "documents")
+    val src = s"mrtsrc_$fp"
+    val ix = s"mrtix_$fp"
+    if (!builtHistories.contains(src)) {
+      memoizedLakeState(s, "mrt", fp,
+        Seq(src, ix, s"${ix}_docs", s"${ix}_tomb", s"${ix}_meta",
+          s"${ix}_bm")) {
+        val corpus = s.read.parquet(s"$dir/documents.parquet")
+          .selectExpr("doc_id", "text")
+        require(corpus.filter(col("doc_id") % 3 === 0).limit(1)
+            .count() > 0,
+          "maintenance_run text fixture precondition failed: no " +
+            "doc_id % 3 = 0 rows — the scripted DELETE would no-op " +
+            "and the fires-by-design oracle would desync")
+        corpus.createOrReplaceTempView("graft_mrt_src")
+        s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$src")
+        s.sql(s"""CREATE TABLE graft_lake.lake.$src
+                  (doc_id BIGINT, text STRING)
+                  TBLPROPERTIES ('shard_key'='doc_id',
+                    'n_shards'='4')""")
+        s.sql(s"""INSERT INTO graft_lake.lake.$src
+                  SELECT * FROM graft_mrt_src""")
+        s.sql(s"""CALL graft_lake.system.build_text_index(
+                  table => '$src', index_table => '$ix')""")
+        s.sql(s"""DELETE FROM graft_lake.lake.$src
+                  WHERE doc_id % 3 = 0""")
+        s.sql(s"""CALL graft_lake.system.refresh_text_index(
+                  index_table => '$ix')""")
+      }
+      builtHistories.add(src): Unit
+    }
+    ix
+  }
+
+  /** Badly-drifted ANN clone for the executor: the quantizer trains
+    * on the label<8 half, then the label>=8 half arrives with every
+    * µ-unit TRIPLED (an exact integer scaling both engines replay
+    * identically) — live mean d² is several × the build fit, so the
+    * drift signal fires by construction at any SF. */
+  private def maintenanceRunAnnFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val fp = Tables.fingerprint(dir, "embeddings")
+    val src = s"mrasrc_$fp"
+    val ix = s"mraix_$fp"
+    if (!builtHistories.contains(src)) {
+      memoizedLakeState(s, "mra", fp,
+        Seq(src, ix, s"${ix}_centroids", s"${ix}_codebooks",
+          s"${ix}_meta")) {
+        val corpus = s.read.parquet(s"$dir/embeddings.parquet")
+          .selectExpr("vec_id", "label",
+            """concat_ws(',', transform(embedding, x ->
+               CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                 * (CASE WHEN label >= 8 THEN 3L ELSE 1L END)
+                 AS STRING))) AS emb""")
+        corpus.filter(col("label") < 8).select("vec_id", "emb")
+          .createOrReplaceTempView("graft_mra_b1")
+        corpus.filter(col("label") >= 8).select("vec_id", "emb")
+          .createOrReplaceTempView("graft_mra_b2")
+        s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$src")
+        s.sql(s"""CREATE TABLE graft_lake.lake.$src
+                  (vec_id BIGINT, emb STRING)
+                  TBLPROPERTIES ('shard_key'='vec_id',
+                    'n_shards'='4')""")
+        s.sql(s"""INSERT INTO graft_lake.lake.$src
+                  SELECT * FROM graft_mra_b1""")
+        s.sql(s"""CALL graft_lake.system.build_ann_index(
+                  table => '$src', index_table => '$ix')""")
+        s.sql(s"""INSERT INTO graft_lake.lake.$src
+                  SELECT * FROM graft_mra_b2""")
+        s.sql(s"""CALL graft_lake.system.refresh_ann_index(
+                  index_table => '$ix')""")
+      }
+      builtHistories.add(src): Unit
+    }
+    ix
+  }
+
+  /** Replay memo for the executor's result: `maintenance_run` HEALS
+    * its fixtures (rebuild/retrain/optimize/expire are real commits),
+    * so the recorded first-run report is what later calls in the same
+    * JVM must return — the tixRebuildStats discipline. */
+  private val maintenanceRunReplay = new java.util.concurrent
+    .ConcurrentHashMap[String,
+      (org.apache.spark.sql.types.StructType,
+        Array[org.apache.spark.sql.Row])]()
+
+  /** `CALL maintenance_run` — the NIGHTLY JOB the advisor feeds: plan,
+    * execute every recommended verb in dependency-safe order, then
+    * re-measure. The fixture clones are scripted so that ALL SEVEN
+    * signals fire deterministically at any SF (a third of the corpus
+    * deleted; tombstone cap pinned to the tombstone count; the
+    * post-build embedding batch exactly tripled; the 5-commit
+    * fragmented/DV/sorted-degraded storage table), which makes the
+    * DuckDB twin exact: before-metrics are the raw-table recomputes,
+    * after-metrics are the fully-healed constants (0 dead, 0
+    * tombstones, drift ratio exactly 1.0 after retrain, one part per
+    * data shard, 0 DV dead rows, retained == budget, full sorted
+    * coverage), and every action column names the executed verb. A
+    * guard refuses any corpus where a signal would NOT fire rather
+    * than desync the static after-state. */
+  val lakeMaintenanceRun: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val fp = Tables.fingerprint(dir, "documents")
+    val (schema, rows) = maintenanceRunReplay.computeIfAbsent(fp, _ => {
+      val tix = maintenanceRunTextFixture(s, dir)
+      val aix = maintenanceRunAnnFixture(s, dir)
+      val tbl = maintenanceStorageFixture(s, dir, "mrx")
+      val nTomb = s.table(s"graft_lake.lake.${tix}_tomb").count()
+      val key = "spark.graft.textIndex.maxBroadcastTombstones"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, nTomb.toString)
+      val df = s.sql(s"""CALL graft_lake.system.maintenance_run(
+              table => '$tbl', text_index => '$tix',
+              ann_index => '$aix')""")
+          .orderBy("target", "signal")
+      val out =
+        try df.collect()
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      require(out.forall(_.getString(4) != "none"),
+        "maintenance_run fixture contract broken: a signal did not " +
+          s"fire — ${out.mkString("; ")}")
+      (df.schema, out)
+    })
+    s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+      .orderBy("target", "signal")
+  }
+
+  /** DuckDB twin: before-metrics recomputed from the raw tables with
+    * the scripted degradations applied; after-metrics are the healed
+    * constants the executor's re-measure must land on. */
+  lazy val lakeMaintenanceRunOracle: String = {
+    import graft.operators.Similarity.{kmAssignDuck, kmUpdateDuck, dotD}
+    // the drift replay on the ×3-scaled second batch (µ-quantize
+    // FIRST, then the exact integer scaling — both engines agree)
+    val v0 =
+      """SELECT vec_id, label, list_transform(embedding, x ->
+           CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                * (CASE WHEN label >= 8 THEN 3 ELSE 1 END) AS DOUBLE)
+           / 1000000.0) AS sv
+         FROM embeddings"""
+    val v = s"""SELECT vec_id, label, sv, ${dotD("sv", "sv")} AS xx
+                FROM ($v0)"""
+    val bld = s"SELECT * FROM ($v) WHERE label < 8"
+    var cents = s"""SELECT vec_id AS cid, sv AS centroid FROM ($bld)
+                    WHERE vec_id < 8"""
+    for (_ <- 1 to 3)
+      cents = kmUpdateDuck(kmAssignDuck(bld, cents, byJ = false),
+        Seq("cid"), 64)
+    def mean(src: String): String =
+      s"""SELECT CAST(sum(CAST(round(d2, 6) AS DECIMAL(18,6)))
+            AS DOUBLE) / count(*) AS m
+          FROM (${kmAssignDuck(src, cents, byJ = false)})"""
+    val drift =
+      s"""(SELECT CAST(round(round(l.m, 6) / round(b.m, 6) * 1000000)
+            AS BIGINT)
+          FROM (${mean(bld)}) b, (${mean(s"SELECT * FROM ($v)")}) l)"""
+    s"""WITH lpq AS (SELECT count(*) AS v FROM (
+         SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+         FROM documents WHERE doc_id % 3 != 0)),
+       dpq AS (SELECT count(*) AS v FROM (
+         SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+         FROM documents WHERE doc_id % 3 = 0)),
+       stor AS (SELECT
+         count(*) FILTER (WHERE doc_id % 4 = 0) AS s0v1,
+         count(*) FILTER (WHERE doc_id % 2 = 0) AS n1,
+         count(*) FILTER (WHERE doc_id % 4 = 1) AS n2,
+         count(*) FILTER (WHERE doc_id % 8 = 0) AS n3,
+         count(*) FILTER (WHERE doc_id % 4 = 2) AS s2r,
+         count(*) FILTER (WHERE doc_id % 4 = 2 AND doc_id % 3 = 0)
+           AS ndel
+         FROM documents),
+       m AS (SELECT
+         (SELECT CAST(dpq.v * 1000000 // (lpq.v + dpq.v) AS BIGINT)
+          FROM lpq, dpq) AS dead_ppm,
+         CAST(1000000 AS BIGINT) AS tomb_ppm,
+         $drift AS drift_ppm,
+         CAST(((CASE WHEN s0v1 > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN n3 > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN s2r > 0 THEN 1 ELSE 0 END)) * 1000000
+           // ((CASE WHEN s0v1 > 0 OR n3 > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN s2r > 0 THEN 1 ELSE 0 END)) AS BIGINT)
+           AS frag_ppm,
+         CAST(ndel * 1000000 // (n1 + n2 + n3) AS BIGINT) AS dv_ppm,
+         CAST(1250000 AS BIGINT) AS ret_ppm,
+         CAST(CASE WHEN NOT ((s0v1 > 0 AND n3 = 0) OR s2r > 0) THEN 0
+           ELSE ((CASE WHEN (s0v1 > 0 OR n3 > 0)
+                   AND NOT (s0v1 > 0 AND n3 = 0) THEN 1 ELSE 0 END)
+               + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END)) * 1000000
+             // ((CASE WHEN s0v1 > 0 OR n3 > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END)
+               + (CASE WHEN s2r > 0 THEN 1 ELSE 0 END)) END AS BIGINT)
+           AS sorted_ppm
+         FROM stor)
+       SELECT target, signal, before_ppm, after_ppm, action FROM (
+         SELECT 'text_index' AS target, 'dead_postings' AS signal,
+           dead_ppm AS before_ppm, CAST(0 AS BIGINT) AS after_ppm,
+           'rebuild_text_index' AS action FROM m
+         UNION ALL SELECT 'text_index', 'tombstone_fill', tomb_ppm,
+           CAST(0 AS BIGINT), 'rebuild_text_index' FROM m
+         UNION ALL SELECT 'ann_index', 'quantizer_drift', drift_ppm,
+           CAST(1000000 AS BIGINT), 'retrain_ann_index' FROM m
+         UNION ALL SELECT 'table', 'fragmentation', frag_ppm,
+           CAST(1000000 AS BIGINT), 'optimize' FROM m
+         UNION ALL SELECT 'table', 'dv_deleted_rows', dv_ppm,
+           CAST(0 AS BIGINT), 'optimize' FROM m
+         UNION ALL SELECT 'table', 'snapshot_retention', ret_ppm,
+           CAST(1000000 AS BIGINT), 'expire_snapshots' FROM m
+         UNION ALL SELECT 'table', 'sorted_provenance', sorted_ppm,
+           CAST(0 AS BIGINT), 'rewrite_sorted' FROM m)
+       ORDER BY target, signal"""
+  }
 
   val annIndexedTopkOracle: String = {
     import graft.operators.Similarity.{kmAssignDuck, kmUpdateDuck, dotD}
@@ -7768,6 +8005,7 @@ object Lake {
     "ann_indexed_topk" -> annIndexedTopk,
     "ann_index_drift" -> annIndexDrift,
     "lake_maintenance_plan" -> lakeMaintenancePlan,
+    "lake_maintenance_run" -> lakeMaintenanceRun,
     "ann_indexed_pq" -> annIndexedPq,
     "lake_branch_wap" -> lakeBranchWap,
     "lake_hidden_partition_prune" -> lakeHiddenPartitionPrune,
@@ -7827,6 +8065,7 @@ object Lake {
     "ann_indexed_topk" -> annIndexedTopkOracle,
     "ann_index_drift" -> annIndexDriftOracle,
     "lake_maintenance_plan" -> lakeMaintenancePlanOracle,
+    "lake_maintenance_run" -> lakeMaintenanceRunOracle,
     "ann_indexed_pq" -> annIndexedPqOracle,
     "lake_branch_wap" -> lakeBranchWapOracle,
     "lake_hidden_partition_prune" -> lakeHiddenPartitionPruneOracle,

@@ -39,7 +39,7 @@ object GraftLakeProcedures {
       "build_text_index", "refresh_text_index", "text_index_stats",
       "refresh_indexes",
       "create_branch", "drop_branch", "fast_forward",
-      "rewrite_sorted", "maintenance_plan")
+      "rewrite_sorted", "maintenance_plan", "maintenance_run")
 
   /** Resolve the `table` argument ("tbl" or "lake.tbl") to its data
     * dir under the catalog root, refusing unknown tables loudly. */
@@ -94,6 +94,83 @@ object GraftLakeProcedures {
   private[sources] def clearIntent(root: String, tix: String,
       aix: String): Unit = {
     intentFile(root, tix, aix).delete(): Unit
+  }
+
+  /** The advisor's signal set — (target, signal, metric_ppm,
+    * threshold_ppm, resolved action: the recommended verb when
+    * metric > threshold, else "ok"). Shared by `maintenance_plan`
+    * (the read-only report) and `maintenance_run` (the executor,
+    * which measures before AND after). All signals are O(metadata) —
+    * footer/sidecar reads and two tiny stats CALLs; only the drift
+    * check runs a (cell-bounded) Spark job. */
+  private def planSignals(s: org.apache.spark.sql.SparkSession,
+      root: String, tbl: String, tix: String, aix: String,
+      budget: Int): Seq[(String, String, Long, Long, String)] = {
+    require(budget > 0, s"snapshot_budget must be > 0, got $budget")
+    // text index: dead fraction + tombstone fill (both O(metadata))
+    val (lp, dp, _, dt) = GraftLakeTextIndex.stats(root, tix)
+    val deadPpm = if (lp + dp == 0L) 0L else dp * 1000000L / (lp + dp)
+    val cap = s.conf.getOption(
+      "spark.graft.textIndex.maxBroadcastTombstones")
+      .map(_.toLong).getOrElse(1000000L)
+    val tombPpm = dt * 1000000L / cap
+    // ANN index: quantizer staleness in ppm — both means rounded to
+    // 6 dp FIRST (the drift oracle's cross-engine agreement point),
+    // then one double division, µ-rounded
+    val (b, l, _) = GraftLakeAnnIndex.drift(root, aix)
+    def r6(x: Double): Double = math.round(x * 1000000d) / 1000000d
+    val driftPpm = math.round(r6(l) / r6(b) * 1000000d)
+    // table storage: part inventory + DVs + sorted provenance, all
+    // driver-side metadata (footers/sidecars — no Spark job at all)
+    val vdir = GraftLakeIO.versionDir(dataDir(root, tbl),
+      GraftLakeIO.latestVersion(dataDir(root, tbl)))
+    val parts = GraftLakeIO.allShardParts(vdir)
+    val dv = GraftLakeIO.readDv(vdir)
+    val nf = parts.valuesIterator.map(_.size.toLong).sum
+    val ns = parts.size.toLong
+    val nr = parts.valuesIterator.flatMap(_.iterator)
+      .map(f => GraftShardCodec.footer(f)._2).sum
+    val nd = dv.valuesIterator.map(_.getCardinality.toLong).sum
+    val fragPpm = if (ns == 0L) 0L else nf * 1000000L / ns
+    val dvPpm = if (nr == 0L) 0L else nd * 1000000L / nr
+    // snapshot retention: live version dirs vs the caller's budget
+    // (Iceberg's expire_snapshots is the nightly job this advises;
+    // tag/branch-pinned versions survive expiry and keep counting)
+    val dd = dataDir(root, tbl)
+    val latest = GraftLakeIO.latestVersion(dd)
+    val retained = (1 to latest)
+      .count(v => GraftLakeIO.versionDir(dd, v).exists()).toLong
+    val retPpm = retained * 1000000L / budget
+    val sortedSet = GraftLakeIO.readSorted(vdir)
+    // a table with NO sorted shard never opted into the sorted
+    // layout — nothing to restore, not a degradation
+    val unsorted = parts.keysIterator
+      .count(k => !sortedSet.contains(k)).toLong
+    val sortedPpm =
+      if (sortedSet.isEmpty || ns == 0L) 0L
+      else unsorted * 1000000L / ns
+    def sig(target: String, signal: String, m: Long, th: Long,
+        act: String): (String, String, Long, Long, String) =
+      (target, signal, m, th, if (m > th) act else "ok")
+    Seq(
+      sig("text_index", "dead_postings", deadPpm, 100000L,
+        "rebuild_text_index"),
+      sig("text_index", "tombstone_fill", tombPpm, 500000L,
+        "rebuild_text_index"),
+      sig("ann_index", "quantizer_drift", driftPpm, 1200000L,
+        "retrain_ann_index"),
+      sig("table", "fragmentation", fragPpm, 1250000L, "optimize"),
+      sig("table", "dv_deleted_rows", dvPpm, 50000L, "optimize"),
+      sig("table", "snapshot_retention", retPpm, 1000000L,
+        "expire_snapshots"),
+      sig("table", "sorted_provenance", sortedPpm, 0L,
+        "rewrite_sorted")) ++
+      // a dangling group-refresh intent (crash between the text and
+      // ANN cursor commits) is an actionable signal until the next
+      // refresh_indexes CALL heals it; healthy groups add no row
+      openIntent(root, tix, aix).toSeq.map(_ =>
+        sig("index_group", "open_refresh_intent", 1000000L, 0L,
+          "refresh_indexes"))
   }
 
   private def str(s: String): UTF8String = UTF8String.fromString(s)
@@ -489,73 +566,72 @@ object GraftLakeProcedures {
       val tbl = in.getUTF8String(0).toString.stripPrefix("lake.")
       val tix = in.getUTF8String(1).toString.stripPrefix("lake.")
       val aix = in.getUTF8String(2).toString.stripPrefix("lake.")
-      // text index: dead fraction + tombstone fill (both O(metadata))
-      val (lp, dp, _, dt) = GraftLakeTextIndex.stats(root, tix)
-      val deadPpm = if (lp + dp == 0L) 0L else dp * 1000000L / (lp + dp)
-      val cap = s.conf.getOption(
-        "spark.graft.textIndex.maxBroadcastTombstones")
-        .map(_.toLong).getOrElse(1000000L)
-      val tombPpm = dt * 1000000L / cap
-      // ANN index: quantizer staleness in ppm — both means rounded to
-      // 6 dp FIRST (the drift oracle's cross-engine agreement point),
-      // then one double division, µ-rounded
-      val (b, l, _) = GraftLakeAnnIndex.drift(root, aix)
-      def r6(x: Double): Double = math.round(x * 1000000d) / 1000000d
-      val driftPpm = math.round(r6(l) / r6(b) * 1000000d)
-      // table storage: part inventory + DVs + sorted provenance, all
-      // driver-side metadata (footers/sidecars — no Spark job at all)
-      val vdir = GraftLakeIO.versionDir(dataDir(root, tbl),
-        GraftLakeIO.latestVersion(dataDir(root, tbl)))
-      val parts = GraftLakeIO.allShardParts(vdir)
-      val dv = GraftLakeIO.readDv(vdir)
-      val nf = parts.valuesIterator.map(_.size.toLong).sum
-      val ns = parts.size.toLong
-      val nr = parts.valuesIterator.flatMap(_.iterator)
-        .map(f => GraftShardCodec.footer(f)._2).sum
-      val nd = dv.valuesIterator.map(_.getCardinality.toLong).sum
-      val fragPpm = if (ns == 0L) 0L else nf * 1000000L / ns
-      val dvPpm = if (nr == 0L) 0L else nd * 1000000L / nr
-      // snapshot retention: live version dirs vs the caller's budget
-      // (Iceberg's expire_snapshots is the nightly job this advises;
-      // tag/branch-pinned versions survive expiry and keep counting)
-      val budget = in.getInt(3)
-      require(budget > 0, s"snapshot_budget must be > 0, got $budget")
-      val dd = dataDir(root, tbl)
-      val latest = GraftLakeIO.latestVersion(dd)
-      val retained = (1 to latest)
-        .count(v => GraftLakeIO.versionDir(dd, v).exists()).toLong
-      val retPpm = retained * 1000000L / budget
-      val sortedSet = GraftLakeIO.readSorted(vdir)
-      // a table with NO sorted shard never opted into the sorted
-      // layout — nothing to restore, not a degradation
-      val unsorted = parts.keysIterator
-        .count(k => !sortedSet.contains(k)).toLong
-      val sortedPpm =
-        if (sortedSet.isEmpty || ns == 0L) 0L
-        else unsorted * 1000000L / ns
-      def row(target: String, signal: String, m: Long, th: Long,
-          act: String): InternalRow =
-        new GenericInternalRow(Array[Any](str(target), str(signal),
-          m, th, str(if (m > th) act else "ok")))
+      planSignals(s, root, tbl, tix, aix, in.getInt(3)).map {
+        case (t, sig, m, th, act) =>
+          new GenericInternalRow(Array[Any](str(t), str(sig), m, th,
+            str(act)))
+      }
+    }
+
+    case "maintenance_run" => proc("maintenance_run",
+      "the nightly job itself: run maintenance_plan, EXECUTE every " +
+        "recommended verb in dependency-safe order (heal an open " +
+        "refresh intent first; rebuild/retrain the indexes; optimize " +
+        "BEFORE rewrite_sorted so compaction cannot unsort a fresh " +
+        "rewrite; expire_snapshots LAST because every other verb " +
+        "commits new versions), then re-measure — one row per signal " +
+        "with before/after ppm and the verb executed ('none' if the " +
+        "signal was healthy). Idempotent: a second run finds every " +
+        "metric under threshold and executes nothing (spec-pinned)",
       Seq(
-        row("text_index", "dead_postings", deadPpm, 100000L,
-          "rebuild_text_index"),
-        row("text_index", "tombstone_fill", tombPpm, 500000L,
-          "rebuild_text_index"),
-        row("ann_index", "quantizer_drift", driftPpm, 1200000L,
-          "retrain_ann_index"),
-        row("table", "fragmentation", fragPpm, 1250000L, "optimize"),
-        row("table", "dv_deleted_rows", dvPpm, 50000L, "optimize"),
-        row("table", "snapshot_retention", retPpm, 1000000L,
-          "expire_snapshots"),
-        row("table", "sorted_provenance", sortedPpm, 0L,
-          "rewrite_sorted")) ++
-        // a dangling group-refresh intent (crash between the text and
-        // ANN cursor commits) is an actionable signal until the next
-        // refresh_indexes CALL heals it; healthy groups add no row
-        openIntent(root, tix, aix).toSeq.map(_ =>
-          row("index_group", "open_refresh_intent", 1000000L, 0L,
-            "refresh_indexes"))
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("text_index", StringType).build(),
+        ProcedureParameter.in("ann_index", StringType).build(),
+        ProcedureParameter.in("snapshot_budget", IntegerType)
+          .defaultValue("4").build()),
+      StructType(Seq(
+        StructField("target", StringType, nullable = false),
+        StructField("signal", StringType, nullable = false),
+        StructField("before_ppm", LongType, nullable = false),
+        StructField("after_ppm", LongType, nullable = false),
+        StructField("action", StringType, nullable = false)))) { in =>
+      val s = org.apache.spark.sql.SparkSession.active
+      val tbl = in.getUTF8String(0).toString.stripPrefix("lake.")
+      val tix = in.getUTF8String(1).toString.stripPrefix("lake.")
+      val aix = in.getUTF8String(2).toString.stripPrefix("lake.")
+      val budget = in.getInt(3)
+      val before = planSignals(s, root, tbl, tix, aix, budget)
+      val actions = before.map(_._5).filter(_ != "ok").toSet
+      def srcOf(metaTbl: String): String = s.sql(
+        s"""SELECT source FROM graft_lake.lake.$metaTbl
+            ORDER BY last_version DESC LIMIT 1""").head().getString(0)
+      if (actions("refresh_indexes"))
+        s.sql(s"""CALL graft_lake.system.refresh_indexes(
+          table => '${srcOf(s"${tix}_meta")}', text_index => '$tix',
+          ann_index => '$aix')""")
+      if (actions("rebuild_text_index"))
+        s.sql(s"""CALL graft_lake.system.build_text_index(
+          table => '${srcOf(s"${tix}_meta")}',
+          index_table => '$tix')""")
+      if (actions("retrain_ann_index"))
+        s.sql(s"""CALL graft_lake.system.retrain_ann_index(
+          index_table => '$aix')""")
+      if (actions("optimize"))
+        s.sql(s"""CALL graft_lake.system.optimize(
+          table => '$tbl', dv_threshold => 0.0, max_parts => 1)""")
+      if (actions("rewrite_sorted"))
+        s.sql(s"""CALL graft_lake.system.rewrite_sorted(
+          table => '$tbl')""")
+      if (actions("expire_snapshots"))
+        s.sql(s"""CALL graft_lake.system.expire_snapshots(
+          table => '$tbl', keep => $budget)""")
+      val after = planSignals(s, root, tbl, tix, aix, budget)
+        .map(x => (x._1, x._2) -> x._3).toMap
+      before.map { case (t, sig, m, _, act) =>
+        new GenericInternalRow(Array[Any](str(t), str(sig), m,
+          after.getOrElse((t, sig), 0L),
+          str(if (act == "ok") "none" else act)))
+      }
     }
 
     case "ann_index_drift" => proc("ann_index_drift",

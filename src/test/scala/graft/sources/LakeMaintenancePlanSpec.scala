@@ -157,4 +157,50 @@ class LakeMaintenancePlanSpec extends SparkSpec {
     } finally
       spark.conf.unset("spark.graft.textIndex.maxBroadcastTombstones")
   }
+
+  test("maintenance_run executes the recommended verbs in " +
+      "dependency-safe order and is idempotent: the first run heals " +
+      "every fired signal, the second finds nothing to do") {
+    mk()
+    try {
+      spark.conf.set("spark.graft.textIndex.maxBroadcastTombstones",
+        "15")
+      def run(): Map[(String, String), (Long, Long, String)] =
+        spark.sql("""CALL graft_lake.system.maintenance_run(
+            table => 'spec_mx_tbl', text_index => 'spec_mx_tix',
+            ann_index => 'spec_mx_aix')""")
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) ->
+            ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      val r1 = run()
+      assert(r1.size === 7)
+      // every fired signal names its executed verb and lands healed
+      assert(r1(("text_index", "dead_postings"))._3 ===
+        "rebuild_text_index")
+      assert(r1(("text_index", "dead_postings"))._2 === 0L)
+      assert(r1(("text_index", "tombstone_fill"))._2 === 0L)
+      assert(r1(("ann_index", "quantizer_drift")) ===
+        ((r1(("ann_index", "quantizer_drift"))._1, 1000000L,
+          "retrain_ann_index")),
+        "retrain must land the drift ratio on exactly 1.0")
+      assert(r1(("table", "fragmentation"))._2 === 1000000L,
+        "one part per data shard after optimize")
+      assert(r1(("table", "fragmentation"))._3 === "optimize")
+      assert(r1(("table", "dv_deleted_rows"))._2 === 0L)
+      assert(r1(("table", "snapshot_retention"))._2 === 1000000L,
+        "expire_snapshots LAST trims to exactly the budget")
+      assert(r1(("table", "sorted_provenance"))._2 === 0L)
+      assert(r1(("table", "sorted_provenance"))._3 === "rewrite_sorted")
+      // idempotence: the healed state fires nothing, moves nothing
+      val r2 = run()
+      assert(r2.values.forall(_._3 == "none"),
+        s"second run executed something: ${r2.filter(_._2._3 != "none")}")
+      r2.foreach { case (k, (before, after, _)) =>
+        assert(before === after, s"$k moved on a no-op run")
+        assert(before === r1(k)._2,
+          s"$k: second-run state diverged from first-run after")
+      }
+    } finally
+      spark.conf.unset("spark.graft.textIndex.maxBroadcastTombstones")
+  }
 }
