@@ -6482,7 +6482,14 @@ object Lake {
 
   val annIndexedTopk: Q = (s, dir) => Lake.synchronized {
     registerCatalog(s)
-    val ix = annIndexFixture(s, dir)
+    annIndexedTopkOver(s, dir, annIndexFixture(s, dir))
+  }
+
+  /** The IVF cell-probe top-5 against an EXPLICIT persisted index —
+    * shared by `ann_indexed_topk` (its own fixture) and the streamed
+    * index-group key (which probes through a stream-followed index). */
+  private def annIndexedTopkOver(s: org.apache.spark.sql.SparkSession,
+      dir: String, ix: String): org.apache.spark.sql.DataFrame = {
     val probe = annIndexProbe(s, dir, ix)
     val cands = s.table(s"graft_lake.lake.$ix")
       .selectExpr("cell", "vec_id AS c_id", s"${svParse("emb")} AS c_sv")
@@ -7399,6 +7406,182 @@ object Lake {
       .orderBy("q_id", "rank")
   }
 
+  /** STREAMING INDEX-GROUP FRESHNESS — `stream_index_refresh` follows
+    * one index; a production RAG table carries BOTH retrieval
+    * modalities, and hybrid search over a half-followed pair serves
+    * two different snapshots. This fixture is one source table
+    * `(doc_id, text, vec_id, emb)` with a text index AND an ANN index
+    * built at the same version; the streaming consumer advances BOTH
+    * cursors inside one foreachBatch, pinned to the batch's commit
+    * version and bracketed by the same write-ahead intent
+    * `refresh_indexes` records — the stream IS the group verb, one
+    * commit per micro-batch. After the drain, the key probes both
+    * modalities through the followed indexes; the oracle is the union
+    * of the two CLEAN recomputes (edited-corpus BM25; IVF trained on
+    * the build snapshot, assigned over the edited corpus), so hash
+    * equality proves both cursors converged to the batch-refresh
+    * state. */
+  private val gixInsertedVec: String = "1000000" + ",0" * 63
+
+  private def streamIndexGroupFixture(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) = {
+    val fp = Tables.fingerprint(dir, "documents")
+    val src = s"gixsrc_$fp"
+    val tix = s"gtix_$fp"
+    val aix = s"gaix_$fp"
+    if (!builtHistories.contains(src)) {
+      memoizedLakeState(s, "gix",
+        s"${fp}_${Tables.fingerprint(dir, "embeddings")}",
+        Seq(src, tix, s"${tix}_docs", s"${tix}_tomb", s"${tix}_meta",
+          s"${tix}_bm", aix, s"${aix}_centroids", s"${aix}_codebooks",
+          s"${aix}_meta")) {
+        guardedTixCorpus(s, dir, "graft_gix_docs")
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .selectExpr("vec_id",
+            """concat_ws(',', transform(embedding, x ->
+               CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+               AS STRING))) AS emb""")
+          .createOrReplaceTempView("graft_gix_embs")
+        s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$src")
+        s.sql(s"""CREATE TABLE graft_lake.lake.$src
+                  (doc_id BIGINT, text STRING, vec_id BIGINT,
+                   emb STRING)
+                  TBLPROPERTIES ('shard_key'='doc_id',
+                    'n_shards'='4')""")
+        s.sql(s"""INSERT INTO graft_lake.lake.$src
+                  SELECT d.doc_id, d.text, e.vec_id, e.emb
+                  FROM graft_gix_docs d
+                  JOIN graft_gix_embs e ON d.doc_id = e.vec_id""")
+        s.sql(s"""CALL graft_lake.system.build_text_index(
+                  table => '$src', index_table => '$tix')""")
+        s.sql(s"""CALL graft_lake.system.build_ann_index(
+                  table => '$src', index_table => '$aix')""")
+        s.sql(s"DELETE FROM graft_lake.lake.$src WHERE doc_id = 11")
+        s.sql(s"""UPDATE graft_lake.lake.$src
+                  SET text = '$tixUpdatedText' WHERE doc_id = 12""")
+        s.sql(s"""INSERT INTO graft_lake.lake.$src VALUES
+                  (100000L, '$tixInsertedText', 100000L,
+                   '$gixInsertedVec')""")
+      }
+      // the STREAM under test: each micro-batch advances the WHOLE
+      // index group to its commit version, intent-bracketed
+      val root = s.conf.get("spark.sql.catalog.graft_lake.path")
+      val q = s.readStream
+        .table(s"graft_lake.lake.`$src$$changes`")
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val v = batch.agg(max("_commit_version")).head()
+            if (!v.isNullAt(0)) {
+              val pv = v.getLong(0)
+              GraftLakeProcedures.writeIntent(root, tix, aix, src, pv)
+              GraftLakeTextIndex.refresh(root, tix, pv): Unit
+              GraftLakeAnnIndex.refresh(root, aix, pv): Unit
+              GraftLakeProcedures.clearIntent(root, tix, aix)
+            }
+        }
+        .trigger(
+          org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      builtHistories.add(src): Unit
+    }
+    (tix, aix)
+  }
+
+  val streamIndexGroupRefresh: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val (tix, aix) = streamIndexGroupFixture(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("s").desc, col("doc_id"))
+    val text = indexedBm25ScoredOver(s, dir, tix)
+      .withColumn("rank", row_number().over(w)
+        .cast(org.apache.spark.sql.types.LongType))
+      .filter(col("rank") <= 5)
+      .selectExpr("'text' AS modality", "q_id", "rank",
+        "doc_id AS item_id", "CAST(s AS DOUBLE) AS score")
+    val ann = annIndexedTopkOver(s, dir, aix)
+      .selectExpr("'ann' AS modality", "q_id", "rank",
+        "c_id AS item_id", "cos_sim AS score")
+    text.unionByName(ann).orderBy("modality", "q_id", "rank")
+  }
+
+  /** Union of the two clean recomputes: the edited-corpus BM25 rank
+    * (shared CTEs) + the IVF replay (train on the BUILD snapshot —
+    * all 500 original vectors — then assign the EDITED live corpus to
+    * those frozen centroids, exactly what build + streamed O(delta)
+    * refreshes produce). */
+  lazy val streamIndexGroupRefreshOracle: String = {
+    import graft.operators.Similarity.{kmAssignDuck, kmUpdateDuck, dotD}
+    val v0 =
+      """SELECT vec_id, list_transform(embedding, x ->
+           CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                AS DOUBLE) / 1000000.0) AS sv
+         FROM embeddings"""
+    val v = s"""SELECT vec_id, sv, ${dotD("sv", "sv")} AS xx
+                FROM ($v0)"""
+    var cents = s"""SELECT vec_id AS cid, sv AS centroid FROM ($v)
+                    WHERE vec_id < 8"""
+    for (_ <- 1 to 3)
+      cents = kmUpdateDuck(kmAssignDuck(v, cents, byJ = false),
+        Seq("cid"), 64)
+    val e1 =
+      """list_concat([CAST(1 AS DOUBLE)],
+         list_transform(generate_series(1, 63),
+           x -> CAST(0 AS DOUBLE)))"""
+    val live =
+      s"""SELECT vec_id, sv FROM ($v0) WHERE vec_id != 11
+         UNION ALL SELECT CAST(100000 AS BIGINT), $e1"""
+    val livex = s"""SELECT vec_id, sv, ${dotD("sv", "sv")} AS xx
+                    FROM ($live)"""
+    val assigned =
+      s"""SELECT cid AS cell, vec_id
+         FROM (${kmAssignDuck(livex, cents, byJ = false)})"""
+    val probe =
+      s"""SELECT q_id, q_sv, q_xx, cell FROM (
+           SELECT q.vec_id AS q_id, q.sv AS q_sv, q.xx AS q_xx,
+             c.cid AS cell,
+             row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               q.xx - 2 * ${dotD("q.sv", "c.centroid")} + c.cc ASC,
+               c.cid ASC) AS prn
+           FROM (SELECT * FROM ($v) WHERE vec_id < 10) q
+           CROSS JOIN (SELECT cid, centroid,
+             ${dotD("centroid", "centroid")} AS cc FROM ($cents)) c)
+         WHERE prn = 1"""
+    val annPart =
+      s"""WITH cands AS (
+           SELECT a.cell, a.vec_id AS c_id, w.sv AS c_sv, w.xx AS c_xx
+           FROM ($assigned) a JOIN ($livex) w ON a.vec_id = w.vec_id),
+         scored AS (
+           SELECT p.q_id, c.c_id,
+             ${dotD("p.q_sv", "c.c_sv")} /
+               (sqrt(p.q_xx) * sqrt(c.c_xx)) AS cos_sim
+           FROM ($probe) p JOIN cands c ON p.cell = c.cell),
+         ranked AS (
+           SELECT q_id, c_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, c_id ASC) AS rank
+           FROM scored)
+         SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id,
+           round(cos_sim, 6) AS cos_sim
+         FROM ranked WHERE rank <= 5"""
+    s"""$searchIndexedScoredCtes,
+       trk AS (
+         SELECT CAST(q_id AS BIGINT) AS q_id,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY s DESC, doc_id) AS rank,
+           doc_id, CAST(s AS DOUBLE) AS bm25
+         FROM agg)
+       SELECT modality, q_id, rank, item_id, score FROM (
+         SELECT 'text' AS modality, q_id, CAST(rank AS BIGINT) AS rank,
+           doc_id AS item_id, bm25 AS score
+         FROM trk WHERE rank <= 5
+         UNION ALL
+         SELECT 'ann', q_id, rank, c_id, cos_sim FROM ($annPart) a)
+       ORDER BY modality, q_id, rank"""
+  }
+
   /** CONJUNCTIVE (AND) retrieval over the same index: only documents
     * containing EVERY query term qualify, then BM25 ranks the
     * survivors — how production search engines actually execute
@@ -8022,6 +8205,7 @@ object Lake {
     "search_indexed_bm25" -> searchIndexedBm25,
     "search_indexed_wand" -> searchIndexedWand,
     "stream_index_refresh" -> streamIndexRefresh,
+    "stream_index_group_refresh" -> streamIndexGroupRefresh,
     "search_indexed_conjunctive" -> searchIndexedConjunctive,
     "search_phrase_indexed" -> searchPhraseIndexed,
     "search_proximity_indexed" -> searchProximityIndexed,
@@ -8082,6 +8266,7 @@ object Lake {
     "search_indexed_bm25" -> searchIndexedBm25Oracle,
     "search_indexed_wand" -> searchIndexedBm25Oracle,
     "stream_index_refresh" -> searchIndexedBm25Oracle,
+    "stream_index_group_refresh" -> streamIndexGroupRefreshOracle,
     "search_indexed_conjunctive" -> searchIndexedConjunctiveOracle,
     "search_phrase_indexed" -> searchPhraseIndexedOracle,
     "search_proximity_indexed" -> searchProximityIndexedOracle,
