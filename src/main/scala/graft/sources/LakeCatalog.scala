@@ -6424,7 +6424,7 @@ object Lake {
     * versions from the build scan. Every downstream index query
     * (topk / PQ-ADC / drift) therefore re-stamps the CDC-upsert read
     * path against the clean-replay DuckDB oracle. */
-  private def annIndexFixture(s: org.apache.spark.sql.SparkSession,
+  private[sources] def annIndexFixture(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val fp = Tables.fingerprint(dir, "embeddings")
     val src = s"annsrc_$fp"
@@ -6459,9 +6459,10 @@ object Lake {
     ix
   }
 
-  /** The IVF probe side: each query (µ-quantized, vec_id < 10) routed
-    * to its nearest persisted centroid by the quantizer's own d². */
-  private def annIndexProbe(s: org.apache.spark.sql.SparkSession,
+  /** Every cell RANKED per query by the quantizer's own d² (crn = 1
+    * is the nearest): the probe order filtered search walks when a
+    * cell's surviving candidates can't fill k. */
+  private def annIndexCellsRanked(s: org.apache.spark.sql.SparkSession,
       dir: String, ix: String): org.apache.spark.sql.DataFrame = {
     val q = s.read.parquet(s"$dir/embeddings.parquet")
       .filter(col("vec_id") < 10)
@@ -6475,10 +6476,17 @@ object Lake {
     q.crossJoin(broadcast(cents))
       .withColumn("d2",
         expr("q_xx - 2 * graft_dot(q_sv, c_sv) + cc"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") === 1)
-      .select("q_id", "q_sv", "q_xx", "cell")
+      .withColumn("crn", row_number().over(wProbe))
+      .select("q_id", "q_sv", "q_xx", "cell", "crn")
   }
+
+  /** The IVF probe side: each query (µ-quantized, vec_id < 10) routed
+    * to its nearest persisted centroid by the quantizer's own d². */
+  private def annIndexProbe(s: org.apache.spark.sql.SparkSession,
+      dir: String, ix: String): org.apache.spark.sql.DataFrame =
+    annIndexCellsRanked(s, dir, ix)
+      .filter(col("crn") === 1)
+      .select("q_id", "q_sv", "q_xx", "cell")
 
   val annIndexedTopk: Q = (s, dir) => Lake.synchronized {
     registerCatalog(s)
@@ -6502,6 +6510,61 @@ object Lake {
         "graft_dot(q_sv, c_sv) / (sqrt(q_xx) * sqrt(c_xx)) AS cos_sim")
       .withColumn("rank", row_number().over(wTop).cast(LongType))
       .filter(col("rank") <= 5)
+      .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  /** FILTERED ANN over the PERSISTED index — the production RAG
+    * probe shape: a metadata predicate (`label % 3 = 0`) + top-k.
+    * `ann_hard_negatives` pre-filters a brute scan; this runs on the
+    * INDEXED path with PER-CELL CANDIDATE EXPANSION: the predicate
+    * evaluates on the metadata table (Catalyst pushes it into that
+    * parquet scan) and semi-join-prunes the assignments; then, per
+    * query, cells are walked in the quantizer's own d² order and the
+    * probe keeps the MINIMAL cell prefix whose filtered survivors
+    * reach k — a selective filter automatically widens the probe
+    * instead of silently returning < k rows (the recall hole naive
+    * post-filtering has). Cost stays cell-bounded: survivor COUNTS
+    * come from the assignment shards (no vectors touched), and only
+    * the kept cells' survivors are ever scored. The DuckDB twin
+    * replays train → assign → filter → prefix walk → score. */
+  val annIndexedFiltered: Q = (s, dir) => Lake.synchronized {
+    registerCatalog(s)
+    val keep = s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(expr("label % 3 = 0")).select("vec_id")
+    annFilteredTopkOver(s, dir, annIndexFixture(s, dir), keep, 5)
+  }
+
+  /** The filtered probe against an explicit index + survivor-id
+    * frame — `ann_indexed_filtered` passes the label predicate;
+    * LakeAnnIndexSpec passes a filter so selective the walk must
+    * cross cells to (provably) surface every survivor. */
+  private[sources] def annFilteredTopkOver(
+      s: org.apache.spark.sql.SparkSession, dir: String, ix: String,
+      keep: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val cells = annIndexCellsRanked(s, dir, ix)
+    val asgF = s.table(s"graft_lake.lake.$ix")
+      .join(keep, Seq("vec_id"), "left_semi")
+    val cnt = asgF.groupBy("cell").agg(count(lit(1)).as("cnt"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy("crn")
+    val kept = cells.join(broadcast(cnt), Seq("cell"), "left_outer")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("cum", sum("cnt").over(wc))
+      .filter(col("cum") - col("cnt") < k) // expand until ≥ k found
+    val cands = asgF
+      .selectExpr("cell", "vec_id AS c_id", s"${svParse("emb")} AS c_sv")
+      .selectExpr("cell", "c_id", "c_sv",
+        "graft_dot(c_sv, c_sv) AS c_xx")
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id").asc)
+    cands.join(broadcast(kept.filter(col("cnt") > 0)
+        .select("q_id", "q_sv", "q_xx", "cell")), "cell")
+      .selectExpr("q_id", "c_id",
+        "graft_dot(q_sv, c_sv) / (sqrt(q_xx) * sqrt(c_xx)) AS cos_sim")
+      .withColumn("rank", row_number().over(wTop).cast(LongType))
+      .filter(col("rank") <= k)
       .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
       .orderBy("q_id", "rank")
   }
@@ -7142,6 +7205,72 @@ object Lake {
            ${dotD("p.q_sv", "c.c_sv")} / (sqrt(p.q_xx) * sqrt(c.c_xx))
              AS cos_sim
          FROM ($probe) p JOIN cands c ON p.cell = c.cell),
+       ranked AS (
+         SELECT q_id, c_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY cos_sim DESC, c_id ASC) AS rank
+         FROM scored)
+       SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id,
+         round(cos_sim, 6) AS cos_sim
+       FROM ranked WHERE rank <= 5
+       ORDER BY q_id, rank"""
+  }
+
+  /** Filtered-ANN twin: the same train/assign replay, then the
+    * label predicate, the per-query cell-prefix walk (keep cells in
+    * d² order until the filtered survivors reach k), and the ranked
+    * scoring of exactly the kept cells' survivors. */
+  lazy val annIndexedFilteredOracle: String = {
+    import graft.operators.Similarity.{kmAssignDuck, kmUpdateDuck, dotD}
+    val v0 =
+      """SELECT vec_id, list_transform(embedding, x ->
+           CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                AS DOUBLE) / 1000000.0) AS sv
+         FROM embeddings"""
+    val v = s"""SELECT vec_id, sv, ${dotD("sv", "sv")} AS xx
+                FROM ($v0)"""
+    var cents = s"""SELECT vec_id AS cid, sv AS centroid FROM ($v)
+                    WHERE vec_id < 8"""
+    for (_ <- 1 to 3)
+      cents = kmUpdateDuck(kmAssignDuck(v, cents, byJ = false),
+        Seq("cid"), 64)
+    val assigned =
+      s"""SELECT cid AS cell, vec_id
+         FROM (${kmAssignDuck(v, cents, byJ = false)})"""
+    val asgF =
+      s"""SELECT a.cell, a.vec_id FROM ($assigned) a
+         JOIN embeddings e ON a.vec_id = e.vec_id
+         WHERE e.label % 3 = 0"""
+    val cellsRanked =
+      s"""SELECT q.vec_id AS q_id, q.sv AS q_sv, q.xx AS q_xx,
+           c.cid AS cell,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             q.xx - 2 * ${dotD("q.sv", "c.centroid")} + c.cc ASC,
+             c.cid ASC) AS crn
+         FROM (SELECT * FROM ($v) WHERE vec_id < 10) q
+         CROSS JOIN (SELECT cid, centroid,
+           ${dotD("centroid", "centroid")} AS cc FROM ($cents)) c"""
+    s"""WITH cnt AS (
+         SELECT cell, count(*) AS cnt FROM ($asgF) GROUP BY 1),
+       cr AS ($cellsRanked),
+       walk AS (
+         SELECT cr.q_id, cr.q_sv, cr.q_xx, cr.cell, cr.crn,
+           coalesce(cnt.cnt, 0) AS cnt
+         FROM cr LEFT JOIN cnt USING (cell)),
+       kept AS (
+         SELECT q_id, q_sv, q_xx, cell, cnt,
+           sum(cnt) OVER (PARTITION BY q_id ORDER BY crn) AS cum
+         FROM walk),
+       keptf AS (
+         SELECT * FROM kept WHERE cum - cnt < 5 AND cnt > 0),
+       cands AS (
+         SELECT f.cell, f.vec_id AS c_id, w.sv AS c_sv, w.xx AS c_xx
+         FROM ($asgF) f JOIN ($v) w ON f.vec_id = w.vec_id),
+       scored AS (
+         SELECT p.q_id, c.c_id,
+           ${dotD("p.q_sv", "c.c_sv")} / (sqrt(p.q_xx) * sqrt(c.c_xx))
+             AS cos_sim
+         FROM keptf p JOIN cands c ON p.cell = c.cell),
        ranked AS (
          SELECT q_id, c_id, cos_sim,
            row_number() OVER (PARTITION BY q_id
@@ -8186,6 +8315,7 @@ object Lake {
     "sample_tablesample" -> sampleTablesample,
     "sample_tablesample_parquet" -> sampleTablesampleParquet,
     "ann_indexed_topk" -> annIndexedTopk,
+    "ann_indexed_filtered" -> annIndexedFiltered,
     "ann_index_drift" -> annIndexDrift,
     "lake_maintenance_plan" -> lakeMaintenancePlan,
     "lake_maintenance_run" -> lakeMaintenanceRun,
@@ -8247,6 +8377,7 @@ object Lake {
     "sample_tablesample" -> sampleTablesampleOracle,
     "sample_tablesample_parquet" -> sampleTablesampleParquetOracle,
     "ann_indexed_topk" -> annIndexedTopkOracle,
+    "ann_indexed_filtered" -> annIndexedFilteredOracle,
     "ann_index_drift" -> annIndexDriftOracle,
     "lake_maintenance_plan" -> lakeMaintenancePlanOracle,
     "lake_maintenance_run" -> lakeMaintenanceRunOracle,

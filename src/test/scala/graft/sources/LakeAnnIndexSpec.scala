@@ -295,4 +295,48 @@ class LakeAnnIndexSpec extends SparkSpec {
     tables.foreach(t =>
       spark.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$t"))
   }
+
+  test("filtered ANN expands the cell walk until the survivors reach " +
+      "k: a filter more selective than one cell returns EVERY " +
+      "survivor in true cosine order — recall cannot silently drop") {
+    Lake.registerCatalog(spark)
+    val ix = Lake.annIndexFixture(spark, sf)
+    // 4 survivors out of 500 candidates — fewer than k=5, so the walk
+    // must keep EVERY cell holding one, whatever the quantizer did
+    val keep = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(expr("vec_id % 149 = 0")).select("vec_id")
+    val nKeep = keep.count()
+    assert(nKeep === 4L, s"fixture assumption: $nKeep survivors")
+    val got = Lake.annFilteredTopkOver(spark, sf, ix, keep, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // every query surfaces all 4 survivors (no truncated-cell recall
+    // hole), ranked by the TRUE cosine — computed brute-force here
+    // from the same µ-quantized vectors
+    val mu = """transform(embedding, x ->
+      CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+      AS DOUBLE) / CAST(1000000 AS DOUBLE))"""
+    val q = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .selectExpr("vec_id AS q_id", s"$mu AS q_sv")
+      .selectExpr("q_id", "q_sv", "graft_dot(q_sv, q_sv) AS q_xx")
+    val c = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(expr("vec_id % 149 = 0"))
+      .selectExpr("vec_id AS c_id", s"$mu AS c_sv")
+      .selectExpr("c_id", "c_sv", "graft_dot(c_sv, c_sv) AS c_xx")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    val brute = q.crossJoin(c)
+      .selectExpr("q_id", "c_id",
+        "graft_dot(q_sv, c_sv) / (sqrt(q_xx) * sqrt(c_xx)) AS cos_sim")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .selectExpr("q_id", "rank", "c_id", "round(cos_sim, 6) AS cos_sim")
+      .orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.length === 40, // 10 queries × all 4 survivors
+      s"expected every survivor for every query, got ${got.length}")
+    assert(got.toSeq === brute.toSeq,
+      "filtered walk diverged from the brute filtered ranking")
+  }
 }
