@@ -218,7 +218,9 @@ object RewriteCosineTopK extends Rule[LogicalPlan] {
   *    parquet view, JDBC, …) the first
   *    `spark.graft.tablesample.keyColumns` entry present with an
   *    integral type — the declared-key convention that extends
-  *    deterministic sampling beyond the lake.
+  *    deterministic sampling beyond the lake. The list is empty
+  *    unless the user opts in, and declared columns MUST be
+  *    row-unique (see [[RewriteTrinoTablesample.bernoulliKey]]).
   *  - SYSTEM(p): per-SPLIT sampling — whole shards survive iff
   *    `hex60('tsys_<nShards>_<shard>') % 1e6 < p·1e4`, computed HERE
   *    from table metadata and pushed into the scan as a
@@ -287,7 +289,17 @@ object RewriteTrinoTablesample extends Rule[LogicalPlan] {
   /** BERNOULLI's deterministic row key on `leaf`: lake shard key
     * first (the table's own routing contract), else the declared-key
     * convention — first `spark.graft.tablesample.keyColumns` column
-    * present with an integral type. */
+    * present with an integral type.
+    *
+    * The declared-key list is EMPTY by default: it is an explicit
+    * opt-in, because the rewrite's row semantics require the declared
+    * column to be ROW-UNIQUE on every relation it matches. Keying a
+    * non-unique column hash-samples KEY GROUPS — correlated cluster
+    * sampling, not Bernoulli — and a name-based default would switch
+    * semantics silently on any relation that happens to carry such a
+    * column. Uniqueness is the user's declaration (like Trino's
+    * bucket columns); it is not verified per-query — verification
+    * would cost a full distinct scan at analysis time. */
   private def bernoulliKey(leaf: LogicalPlan): Option[Attribute] = {
     val fromLake = for {
       t <- lakeTable(leaf)
@@ -295,8 +307,7 @@ object RewriteTrinoTablesample extends Rule[LogicalPlan] {
       a <- leaf.output.find(_.name == k)
     } yield a
     fromLake.orElse {
-      conf.getConfString("spark.graft.tablesample.keyColumns",
-          "doc_id,vec_id,event_id")
+      conf.getConfString("spark.graft.tablesample.keyColumns", "")
         .split(",").iterator.map(_.trim).filter(_.nonEmpty)
         .flatMap(c => leaf.output.find(a =>
           a.name.equalsIgnoreCase(c) && integral(a.dataType)))

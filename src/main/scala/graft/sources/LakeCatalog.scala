@@ -8290,18 +8290,27 @@ object Lake {
     * children, silently degrading Trino BERNOULLI to rand()-seeded
     * Sample (layout-dependent — the exact defect deterministic
     * sampling exists to fix); the rule now also keys on the
-    * declared-key convention (`spark.graft.tablesample.keyColumns`,
-    * `doc_id` by default), so the same portable-hash row filter lands
-    * on any relation carrying a declared integral key and the sample
-    * is reproducible across engines — which is precisely what lets
-    * DuckDB oracle it. SYSTEM stays lake-only (split sampling needs
-    * split metadata). */
+    * declared-key convention (`spark.graft.tablesample.keyColumns` —
+    * an EXPLICIT opt-in, empty by default, because the declared
+    * column must be row-unique: a non-unique key would silently turn
+    * row sampling into correlated cluster sampling), so the same
+    * portable-hash row filter lands on any relation carrying a
+    * declared integral key and the sample is reproducible across
+    * engines — which is precisely what lets DuckDB oracle it. SYSTEM
+    * stays lake-only (split sampling needs split metadata). */
   val sampleTablesampleParquet: Q = (s, dir) => {
     s.read.parquet(s"$dir/documents.parquet")
       .selectExpr("doc_id", "lang")
       .createOrReplaceTempView("graft_tsmp_parquet_docs")
-    s.sql("""SELECT doc_id, lang FROM graft_tsmp_parquet_docs
+    val key = "spark.graft.tablesample.keyColumns"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "doc_id") // declaring: doc_id is row-unique here
+    try s.sql("""SELECT doc_id, lang FROM graft_tsmp_parquet_docs
              TABLESAMPLE BERNOULLI(30)""").orderBy("doc_id")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   val sampleTablesampleParquetOracle: String =

@@ -156,7 +156,8 @@ class LakeTablesampleSpec extends SparkSpec {
   }
 
   test("BERNOULLI over a session parquet view uses the declared-key " +
-      "hash filter; refusal matrix leaves vanilla Sample") {
+      "hash filter ONLY under the explicit opt-in; refusal matrix " +
+      "leaves vanilla Sample") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_tsmp_pq").toFile
     spark.range(0, 400).selectExpr("id AS doc_id",
@@ -164,31 +165,42 @@ class LakeTablesampleSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"${dir.getPath}/docs")
     spark.read.parquet(s"${dir.getPath}/docs")
       .createOrReplaceTempView("tsmp_pq_docs")
-    val df = spark.sql(
+    def sampled() = spark.sql(
       "SELECT doc_id FROM tsmp_pq_docs TABLESAMPLE BERNOULLI(30)")
-    // deterministic: Sample rewritten to the hash Filter
-    assert(df.queryExecution.optimizedPlan.collectFirst {
+    // refusal 0: the declared-key list is an EXPLICIT opt-in (the
+    // user declares the column row-unique) — with the empty default,
+    // a doc_id-named column must NOT switch sampling semantics
+    assert(sampled().queryExecution.optimizedPlan.collectFirst {
       case s: org.apache.spark.sql.catalyst.plans.logical.Sample => s
-    }.isEmpty, "parquet BERNOULLI kept a vanilla Sample")
-    val got = df.collect().map(_.getLong(0)).sorted
-    val manual = spark.sql(
-      """SELECT doc_id FROM tsmp_pq_docs
-         WHERE graft_hex60(concat('tsmp_', CAST(doc_id AS STRING)))
-           % 1000000 < 300000""").collect().map(_.getLong(0)).sorted
-    assert(got === manual && got.nonEmpty && got.length < 400)
-    // refusal 1: SYSTEM over non-lake → vanilla Sample survives
-    val sys = spark.sql(
-      "SELECT doc_id FROM tsmp_pq_docs TABLESAMPLE SYSTEM(50)")
-    assert(sys.queryExecution.optimizedPlan.collectFirst {
-      case s: org.apache.spark.sql.catalyst.plans.logical.Sample => s
-    }.isDefined, "SYSTEM over parquet must stay vanilla")
-    // refusal 2: no declared integral key → vanilla Sample survives
-    spark.range(0, 100).toDF("some_col")
-      .createOrReplaceTempView("tsmp_pq_nokey")
-    val nk = spark.sql(
-      "SELECT some_col FROM tsmp_pq_nokey TABLESAMPLE BERNOULLI(50)")
-    assert(nk.queryExecution.optimizedPlan.collectFirst {
-      case s: org.apache.spark.sql.catalyst.plans.logical.Sample => s
-    }.isDefined, "keyless BERNOULLI must stay vanilla")
+    }.isDefined, "undeclared key must leave the vanilla Sample")
+    spark.conf.set("spark.graft.tablesample.keyColumns", "doc_id")
+    try {
+      val df = sampled()
+      // deterministic: Sample rewritten to the hash Filter
+      assert(df.queryExecution.optimizedPlan.collectFirst {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sample => s
+      }.isEmpty, "parquet BERNOULLI kept a vanilla Sample")
+      val got = df.collect().map(_.getLong(0)).sorted
+      val manual = spark.sql(
+        """SELECT doc_id FROM tsmp_pq_docs
+           WHERE graft_hex60(concat('tsmp_', CAST(doc_id AS STRING)))
+             % 1000000 < 300000""").collect().map(_.getLong(0)).sorted
+      assert(got === manual && got.nonEmpty && got.length < 400)
+      // refusal 1: SYSTEM over non-lake → vanilla Sample survives
+      val sys = spark.sql(
+        "SELECT doc_id FROM tsmp_pq_docs TABLESAMPLE SYSTEM(50)")
+      assert(sys.queryExecution.optimizedPlan.collectFirst {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sample => s
+      }.isDefined, "SYSTEM over parquet must stay vanilla")
+      // refusal 2: no declared integral key on the leaf → vanilla
+      spark.range(0, 100).toDF("some_col")
+        .createOrReplaceTempView("tsmp_pq_nokey")
+      val nk = spark.sql(
+        "SELECT some_col FROM tsmp_pq_nokey TABLESAMPLE BERNOULLI(50)")
+      assert(nk.queryExecution.optimizedPlan.collectFirst {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sample => s
+      }.isDefined, "keyless BERNOULLI must stay vanilla")
+    } finally
+      spark.conf.unset("spark.graft.tablesample.keyColumns")
   }
 }
