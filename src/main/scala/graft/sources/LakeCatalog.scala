@@ -7062,10 +7062,11 @@ object Lake {
       val key = "spark.graft.textIndex.maxBroadcastTombstones"
       val prev = s.conf.getOption(key)
       s.conf.set(key, nTomb.toString)
-      val df = s.sql(s"""CALL graft_lake.system.maintenance_run(
-              table => '$tbl', text_index => '$tix',
-              ann_index => '$aix')""")
-          .orderBy("target", "signal")
+      val df = s.sql(s"CALL graft_lake.system.maintenance_run(" +
+          s"table => '$tbl', text_index => '$tix', " +
+          s"ann_index => '$aix')").orderBy("target", "signal")
+      // CALL graft_lake.system result: O(signals) stored-procedure
+      // report rows, collected once and replayed thereafter
       val out =
         try df.collect()
         finally prev match {

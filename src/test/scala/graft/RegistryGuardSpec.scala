@@ -158,8 +158,17 @@ class RegistryGuardSpec extends SparkSpec {
     // rebuilt index through the identical probe
     "search_indexed_bm25", "search_indexed_conjunctive",
     "lake_text_index_rebuild",
+    // block-max WAND: the same 1-row stats frame broadcast into BOTH
+    // the metadata bound pass and the surviving-block scoring pass
+    "search_indexed_wand",
     // the stream-followed index scores through the identical probe
     "stream_index_refresh",
+    // the group-followed pair probes through BOTH identical paths
+    // (BM25 stats frame + ann centroid broadcast)
+    "stream_index_group_refresh",
+    // filtered ANN: every cell ranked per query = queries × broadcast
+    // centroids, the ann_indexed_topk probe shape
+    "ann_indexed_filtered",
     // fully-indexed hybrid: inherits both probes' by-construction
     // broadcasts (ann_indexed_topk centroids + the BM25 stats frame)
     "search_hybrid_indexed",
