@@ -7567,12 +7567,19 @@ object Lake {
           s"${tix}_bm", aix, s"${aix}_centroids", s"${aix}_codebooks",
           s"${aix}_meta")) {
         guardedTixCorpus(s, dir, "graft_gix_docs")
-        s.read.parquet(s"$dir/embeddings.parquet")
+        val embs = s.read.parquet(s"$dir/embeddings.parquet")
           .selectExpr("vec_id",
             """concat_ws(',', transform(embedding, x ->
                CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
                AS STRING))) AS emb""")
-          .createOrReplaceTempView("graft_gix_embs")
+        // the scripted edits must hit rows of the JOINED corpus — a
+        // doc with text but no embedding is not in this fixture, and
+        // the static oracle replays exactly the joined membership
+        require(embs.filter(col("vec_id").isin(11L, 12L)).count() == 2L,
+          "index-group fixture precondition failed: embeddings must " +
+            "cover vec_ids 11 AND 12 or the scripted edits desync " +
+            "the joined-corpus oracle")
+        embs.createOrReplaceTempView("graft_gix_embs")
         s.sql(s"DROP TABLE IF EXISTS graft_lake.lake.$src")
         s.sql(s"""CREATE TABLE graft_lake.lake.$src
                   (doc_id BIGINT, text STRING, vec_id BIGINT,
@@ -7696,7 +7703,17 @@ object Lake {
          SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id,
            round(cos_sim, 6) AS cos_sim
          FROM ranked WHERE rank <= 5"""
-    s"""$searchIndexedScoredCtes,
+    // the text side replays the JOINED corpus (docs ∩ embeddings):
+    // at scales where documents and embeddings differ in
+    // cardinality, df/dl/n_docs over the full documents table would
+    // be a DIFFERENT corpus than the one this fixture indexed
+    val gixCorpusDuck =
+      s"""SELECT doc_id, text FROM documents
+          WHERE doc_id IN (SELECT vec_id FROM embeddings)
+            AND doc_id NOT IN (11, 12)
+          UNION ALL SELECT CAST(12 AS BIGINT), '$tixUpdatedText'
+          UNION ALL SELECT CAST(100000 AS BIGINT), '$tixInsertedText'"""
+    s"""${scoredCtesOver(gixCorpusDuck)},
        trk AS (
          SELECT CAST(q_id AS BIGINT) AS q_id,
            row_number() OVER (PARTITION BY q_id
@@ -7747,7 +7764,16 @@ object Lake {
     * conjunctive oracle was derived by substring surgery on the BM25
     * oracle's finished string). */
   private val searchIndexedScoredCtes: String =
-    s"""WITH corpus AS ($tixCorpusDuck),
+    scoredCtesOver(tixCorpusDuck)
+
+  /** The scored CTEs parameterized by the replayed corpus — the
+    * index-group fixture indexes only the docs that ALSO carry an
+    * embedding (documents ⋈ embeddings), which at scales where the
+    * two tables differ in cardinality is a STRICT subset of
+    * `documents`, so its BM25 oracle must replay exactly that
+    * corpus (df/dl/n_docs all shift with corpus membership). */
+  private def scoredCtesOver(corpusSql: String): String =
+    s"""WITH corpus AS ($corpusSql),
        q(q_id, term) AS (VALUES
          (1, 'join'), (1, 'hash'),
          (2, 'vector'), (2, 'stream'),
