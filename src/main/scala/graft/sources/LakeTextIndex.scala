@@ -387,7 +387,12 @@ object GraftLakeTextIndex {
       .groupBy("q_id", "block").agg(sum("ubt").as("ub"))
     val wb = Window.partitionBy("q_id")
       .orderBy(col("ub").desc, col("block"))
+    // ranked + seed scores each feed MULTIPLE branches of the final
+    // plan (seed pairs / rest / θ / union); both are metadata-sized
+    // (queries × blocks, queries × seed docs), so materialize each
+    // once instead of re-deriving the postings subtree per branch
     val ranked = ub.withColumn("brn", row_number().over(wb))
+      .localCheckpoint()
     def score(pairs: DataFrame): DataFrame =
       post.withColumn("block", expr(s"doc_id div $blockDocs"))
         .join(broadcast(qdf), "term")
@@ -402,6 +407,7 @@ object GraftLakeTextIndex {
     val wk = Window.partitionBy("q_id")
       .orderBy(col("s").desc, col("doc_id"))
     val seedScores = score(ranked.filter(col("brn") <= seedBlocks))
+      .localCheckpoint()
     val theta = seedScores.withColumn("rn", row_number().over(wk))
       .filter(col("rn") === k)
       .select(col("q_id"), col("s").cast("double").as("theta"))
