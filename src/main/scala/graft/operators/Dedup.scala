@@ -89,10 +89,17 @@ object Dedup {
     * DISTINCT 60-bit shingle hashes (native graft_ngram_hashes kernel):
     * both engines hash identically, set ops stay fixed-width. */
   val ngramJaccard: Q = (s, dir) => {
+    // materialize the shingle table ONCE: it feeds FOUR plan branches
+    // (dfreq, the prefix pass, and both sides of the verification
+    // join), each of which would otherwise re-run the tokenize+hash
+    // kernel over the corpus — the same persist-the-signature-table
+    // discipline as minhashLsh (at cluster scale this is the
+    // checkpointed signature table)
     val sh = t(s, dir, "documents")
       .selectExpr("doc_id",
         "array_distinct(graft_ngram_hashes(text, 3)) AS sh")
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
     val ex = sh.selectExpr("doc_id", "size(sh) AS n", "explode(sh) AS h")
     val dfreq = ex.groupBy("h").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -454,6 +461,63 @@ object Dedup {
       df => df.sparkSession.createDataFrame(df.rdd, df.schema)
     val edges0 = strip(edgesIn.localCheckpoint(true))
     val sparse = edges0.count() <= sparseMaxEdges
+    // SPARSE path: ONE-JOB union-find. The pre-existing sparse path
+    // already committed to "the whole edge list fits one task" — every
+    // round coalesce(1)d the edges and broadcast the root map — but it
+    // still paid ~5 scheduler jobs per contraction round (hook, jump
+    // fixpoint probes, relabel, contract+count), ~15-30 tiny jobs per
+    // invocation whose cost is pure DAG/task overhead at harness scale.
+    // Union-find with path compression over the SAME single partition
+    // labels the graph in one mapPartitions job and emits the identical
+    // contract: every vertex of a non-self-loop edge, labeled with its
+    // component MINIMUM (pointing the larger root at the smaller root
+    // makes each root the running component min, so find(v) after all
+    // unions IS the min). Memory is the same bound the old path's
+    // coalesce(1)+broadcast assumed: O(edges) on one task, capped by
+    // sparseMaxEdges. Above the cap the hook-and-contract loop below
+    // remains the 100 TB shape (full-parallelism shuffle joins,
+    // O(log n) rounds) — DedupSimilaritySpec pins both paths equal on
+    // the adversarial chain and the real corpus graph.
+    if (sparse) {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("lab",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val labRdd = edges0
+        .selectExpr("CAST(d1 AS BIGINT) AS d1", "CAST(d2 AS BIGINT) AS d2")
+        .coalesce(1).rdd.mapPartitions { it =>
+          val parent = new scala.collection.mutable.LongMap[Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          val verts = new scala.collection.mutable.LongMap[Unit]()
+          it.foreach { row =>
+            val a = row.getLong(0)
+            val b = row.getLong(1)
+            if (a != b) { // self-loops define no component (parity with
+              verts.update(a, ()) //  the contraction path's d1 =!= d2)
+              verts.update(b, ())
+              val ra = find(a)
+              val rb = find(b)
+              if (ra != rb) {
+                if (ra < rb) parent(rb) = ra else parent(ra) = rb
+              }
+            }
+          }
+          verts.keysIterator
+            .map(v => org.apache.spark.sql.Row(v, find(v)): org.apache.spark.sql.Row)
+        }
+      roundsOut.foreach(_.set(1))
+      System.out.println(
+        "[graft-cc] sparse path labeled in one union-find task " +
+          "(sparse=true)")
+      return edgesIn.sparkSession.createDataFrame(labRdd, schema)
+    }
     // count() first, squeeze after: the count materializes the checkpoint
     val squeeze: DataFrame => DataFrame =
       if (sparse) df => strip(df.coalesce(1).localCheckpoint(true))
@@ -852,18 +916,30 @@ object Dedup {
     // native kernel: one byte-level pass hashes every L-char window
     // (position-preserving), so the per-position cost is an md5 of L
     // bytes instead of an allocated substring, and every downstream
-    // exchange carries an 8-byte hash instead of an L-char string
-    val grams = t(s, dir, "documents")
+    // exchange carries an 8-byte hash instead of an L-char string.
+    //
+    // "gram occurs in >1 distinct document" is decided INSIDE one
+    // window pass over the gram exchange: min(doc_id) != max(doc_id)
+    // over each gram's partition is exactly countDistinct(doc_id) > 1,
+    // so the corpus-sized gram table is scanned once and shuffled once
+    // (by g), instead of the previous aggregate-then-LEFT-SEMI-join
+    // shape that re-ran the tokenize kernel per branch and exchanged
+    // the gram table twice more for the distinct aggregate — the plan
+    // drops from 4 gram-carrying exchanges / 2 corpus scans to
+    // 1 exchange / 1 scan (PlanSpec pins the new shape). Per-gram
+    // partitions are 1-2 rows (uniform 60-bit hashes), so the window
+    // buffers nothing of consequence and there is no skew.
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    t(s, dir, "documents")
       .selectExpr("doc_id",
         s"posexplode(graft_char_ngram_hashes(text, $L)) AS (pos0, g)")
       .selectExpr("doc_id", "pos0 + 1 AS pos", "g")
-    val dup = grams.groupBy("g")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") > 1)
-      .select("g")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    grams.join(dup, Seq("g"), "left_semi")
+      .withColumn("dmin", min("doc_id").over(wg))
+      .withColumn("dmax", max("doc_id").over(wg))
+      .filter(col("dmin") =!= col("dmax"))
+      .select("doc_id", "pos")
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy("doc_id", "grp")
       .agg(min("pos").as("start"),

@@ -376,14 +376,23 @@ object Similarity {
     val cents = centroidIndex(s, dir)
       .selectExpr("label AS c_label", "centroid",
         s"${normS("centroid")} AS c_cnrm")
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("cent_sim").desc, col("c_label").asc)
+    // argmax as ONE hash aggregate instead of a row_number window (the
+    // kmAssignSpark rewrite, same rationale): the broadcast cross join
+    // emits each vector's k candidate rows inside one task, partial
+    // aggregation collapses them map-side, the exchange carries one row
+    // per vector (not k rows each dragging the embedding), no sort.
+    // min_by over struct(-cent_sim, c_label) is the window's exact
+    // (cent_sim DESC, c_label ASC) tiebreak; (cent_sim, c_label) is
+    // unique per vector (one row per centroid), so the pick is
+    // deterministic.
     vecs(s, dir).crossJoin(broadcast(cents))
       .selectExpr("vec_id", "embedding", "nrm", "c_label",
         s"${dotS("embedding", "centroid")} / (nrm * c_cnrm) AS cent_sim")
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .selectExpr("vec_id", "embedding", "nrm", "c_label AS cell")
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("embedding"), col("nrm"), col("c_label")),
+        struct(negate(col("cent_sim")), col("c_label"))).as("m"))
+      .selectExpr("vec_id", "m.embedding AS embedding", "m.nrm AS nrm",
+        "m.c_label AS cell")
   }
 
   /** DuckDB twin of [[cellAssigned]] (shares `centroidDuck`). */
@@ -474,8 +483,15 @@ object Similarity {
     // ReuseExchange spotting the twin subtrees
     val knn = knnGraphCells(s, dir).select("vec_id", "nbr_id")
       .localCheckpoint(true)
+    // mutualization: (a,b) survives iff the reversed edge (b,a) also
+    // exists. knn rows are DISTINCT by construction (row_number <= 3
+    // per src), so a LEFT SEMI join against the reversed list is
+    // set-equal to intersect — without intersect's two pre-aggregates
+    // (HashAggregate over each side before the join): one exchange
+    // fewer and no hash-dedup of the corpus-sized edge list.
     val edges = knn
-      .intersect(knn.selectExpr("nbr_id AS vec_id", "vec_id AS nbr_id"))
+      .join(knn.selectExpr("nbr_id AS vec_id", "vec_id AS nbr_id"),
+        Seq("vec_id", "nbr_id"), "left_semi")
       .filter(col("vec_id") < col("nbr_id"))
       .selectExpr("vec_id AS d1", "nbr_id AS d2")
     Dedup.ccFromEdges(edges, 4L * 1000 * 1000)
@@ -527,14 +543,15 @@ object Similarity {
     val cents = centroidIndex(s, dir)
       .selectExpr("label AS c_label", "centroid",
         s"${normS("centroid")} AS c_cnrm")
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("cent_sim").desc, col("c_label").asc)
+    // same argmax-as-aggregate rewrite as [[cellAssigned]]: one hash
+    // aggregate with map-side combine instead of a row_number window
     val assigned = vecs(s, dir).crossJoin(broadcast(cents))
       .selectExpr("vec_id", "c_label",
         s"${dotS("embedding", "centroid")} / (nrm * c_cnrm) AS cent_sim")
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .selectExpr("vec_id", "c_label AS cell", "cent_sim")
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("c_label"), col("cent_sim")),
+        struct(negate(col("cent_sim")), col("c_label"))).as("m"))
+      .selectExpr("vec_id", "m.c_label AS cell", "m.cent_sim AS cent_sim")
     val wCell = Window.partitionBy("cell")
       .orderBy(col("cent_sim").asc, col("vec_id").asc)
     assigned
@@ -1033,15 +1050,24 @@ object Similarity {
         s"${dotS("centroid", "centroid")} AS cc"): _*)
     val joined =
       if (byJ) v.join(broadcast(c), "j") else v.crossJoin(broadcast(c))
-    val parts =
-      if (byJ) Seq(col("vec_id"), col("j")) else Seq(col("vec_id"))
-    val w = Window.partitionBy(parts: _*)
-      .orderBy(col("d2").asc, col("cid").asc)
-    joined
+    val grp = if (byJ) Seq("vec_id", "j") else Seq("vec_id")
+    val payload = v.columns.toSeq.filterNot(grp.contains)
+    // argmin as ONE hash aggregate, not a row_number window: the
+    // broadcast join emits each vector's k candidate rows inside the
+    // same task, so PARTIAL aggregation collapses them map-side — the
+    // exchange carries one row per vector instead of k (each row
+    // dragging the embedding payload), and there is no sort at either
+    // side. min_by over struct(d2, cid) reproduces the window's exact
+    // (d2 ASC, cid ASC) tiebreak; (d2, cid) is unique per group (one
+    // candidate row per centroid), so the argmin is deterministic.
+    val valueCols = (payload :+ "cid" :+ "d2").map(col)
+    val best = joined
       .withColumn("d2", expr(s"xx - 2 * ${dotS("sv", "centroid")} + cc"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "cc", "centroid")
+      .groupBy(grp.map(col): _*)
+      .agg(min_by(struct(valueCols: _*),
+        struct(col("d2"), col("cid"))).as("m"))
+    best.select(grp.map(col) ++
+      (payload :+ "cid" :+ "d2").map(n => col(s"m.$n").as(n)): _*)
   }
 
   /** DuckDB twin of [[kmAssignSpark]] (same expansion, same fold, same

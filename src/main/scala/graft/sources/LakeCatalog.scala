@@ -4465,31 +4465,51 @@ object Lake {
     * batch-1 rows as NULL counts — the oracle recomputes exactly that
     * split from raw events, so a pass proves old files remain readable
     * through the new schema with correct NULL semantics. */
+  /** Memoized schema-EVOLVED first-seen table (v1 INSERT → ALTER ADD
+    * COLUMN → v2 anti-join INSERT): ONE scripted fixture shared by the
+    * evolution read and the metadata-aggregate probe — the operators
+    * under test are the READS (pre-ADD shards genuinely serving the
+    * new column as NULL; footer/zone-map aggregate answering), not the
+    * deterministic DDL script, so the state restores from the
+    * cross-JVM hardlink memo like [[firstSeenBase]]. */
+  private def evolvedBase(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val fp = Tables.fingerprint(dir, "events")
+    val name = s"evo_$fp"
+    val tbl = s"graft_lake.lake.$name"
+    if (!builtHistories.contains(name)) {
+      memoizedLakeState(s, "evo", fp, Seq(name)) {
+        val ev = Tables.events(s, dir)
+          .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d",
+            "dayofmonth(ts) AS dom")
+        ev.filter(col("dom") <= 15).groupBy("user_id")
+          .agg(min("d").as("cohort_d"))
+          .createOrReplaceTempView("graft_lake_evo_b1")
+        ev.filter(col("dom") > 15).groupBy("user_id")
+          .agg(min("d").as("cohort_d"), count(lit(1)).as("n_events"))
+          .createOrReplaceTempView("graft_lake_evo_b2")
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, cohort_d DATE)
+                  TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
+        s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_evo_b1")
+        s.sql(s"ALTER TABLE $tbl ADD COLUMN (n_events BIGINT)")
+        // batch 2: only users NOT already present (append-only evolution
+        // demo; upserts are the MERGE queries' business)
+        s.sql(s"""INSERT INTO $tbl
+                  SELECT b2.user_id, b2.cohort_d, b2.n_events
+                  FROM graft_lake_evo_b2 b2
+                  LEFT ANTI JOIN graft_lake_evo_b1 b1
+                    ON b1.user_id = b2.user_id""")
+        (): Unit
+      }
+      builtHistories.add(name): Unit
+    }
+    tbl
+  }
+
   val lakeSchemaEvolution: Q = (s, dir) => Lake.synchronized {
     registerCatalog(s)
-    val fp = Tables.fingerprint(dir, "events")
-    val tbl = s"graft_lake.lake.evo_$fp"
-    val ev = Tables.events(s, dir)
-      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d",
-        "dayofmonth(ts) AS dom")
-    ev.filter(col("dom") <= 15).groupBy("user_id")
-      .agg(min("d").as("cohort_d"))
-      .createOrReplaceTempView("graft_lake_evo_b1")
-    ev.filter(col("dom") > 15).groupBy("user_id")
-      .agg(min("d").as("cohort_d"), count(lit(1)).as("n_events"))
-      .createOrReplaceTempView("graft_lake_evo_b2")
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, cohort_d DATE)
-              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
-    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_evo_b1")
-    s.sql(s"ALTER TABLE $tbl ADD COLUMN (n_events BIGINT)")
-    // batch 2: only users NOT already present (append-only evolution
-    // demo; upserts are the MERGE queries' business)
-    s.sql(s"""INSERT INTO $tbl
-              SELECT b2.user_id, b2.cohort_d, b2.n_events
-              FROM graft_lake_evo_b2 b2
-              LEFT ANTI JOIN graft_lake_evo_b1 b1
-                ON b1.user_id = b2.user_id""")
+    val tbl = evolvedBase(s, dir)
     s.sql(s"""SELECT user_id, cohort_d, n_events FROM $tbl
               ORDER BY user_id""")
   }
@@ -4526,27 +4546,10 @@ object Lake {
     * true answers, at any table size. */
   val lakeAggPushdown: Q = (s, dir) => Lake.synchronized {
     registerCatalog(s)
-    val fp = Tables.fingerprint(dir, "events")
-    val tbl = s"graft_lake.lake.aggpd_$fp"
-    val ev = Tables.events(s, dir)
-      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d",
-        "dayofmonth(ts) AS dom")
-    ev.filter(col("dom") <= 15).groupBy("user_id")
-      .agg(min("d").as("cohort_d"))
-      .createOrReplaceTempView("graft_lake_aggpd_b1")
-    ev.filter(col("dom") > 15).groupBy("user_id")
-      .agg(min("d").as("cohort_d"), count(lit(1)).as("n_events"))
-      .createOrReplaceTempView("graft_lake_aggpd_b2")
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, cohort_d DATE)
-              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
-    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_aggpd_b1")
-    s.sql(s"ALTER TABLE $tbl ADD COLUMN (n_events BIGINT)")
-    s.sql(s"""INSERT INTO $tbl
-              SELECT b2.user_id, b2.cohort_d, b2.n_events
-              FROM graft_lake_aggpd_b2 b2
-              LEFT ANTI JOIN graft_lake_aggpd_b1 b1
-                ON b1.user_id = b2.user_id""")
+    // shares [[evolvedBase]]: the probe needs exactly "a schema-evolved
+    // table whose pre-ADD shards serve NULL", and rebuilding a private
+    // clone of the identical script per call bought no extra coverage
+    val tbl = evolvedBase(s, dir)
     s.sql(s"""SELECT count(*) AS n_rows, count(n_events) AS n_counted,
               min(user_id) AS min_user, max(user_id) AS max_user,
               min(cohort_d) AS min_d, max(cohort_d) AS max_d,
@@ -4895,28 +4898,42 @@ object Lake {
   val lakeMergeEvolved: Q = (s, dir) => Lake.synchronized {
     registerCatalog(s)
     val fp = Tables.fingerprint(dir, "events")
-    val tbl = s"graft_lake.lake.mergevo_$fp"
-    val ev = Tables.events(s, dir)
-      .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d",
-        "dayofmonth(ts) AS dom")
-    ev.filter(col("dom") <= 15).groupBy("user_id")
-      .agg(min("d").as("cohort_d"))
-      .createOrReplaceTempView("graft_lake_mergevo_b1")
-    ev.filter(col("dom") > 15).groupBy("user_id")
-      .agg(min("d").as("cohort_d"), count(lit(1)).as("n_events"))
-      .createOrReplaceTempView("graft_lake_mergevo_b2")
-    s.sql(s"DROP TABLE IF EXISTS $tbl")
-    s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, cohort_d DATE)
-              TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
-    s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_mergevo_b1")
-    s.sql(s"ALTER TABLE $tbl ADD COLUMN (n_events BIGINT)")
-    s.sql(s"""MERGE INTO $tbl t
-              USING graft_lake_mergevo_b2 s
-              ON t.user_id = s.user_id
-              WHEN MATCHED THEN UPDATE SET
-                cohort_d = least(t.cohort_d, s.cohort_d),
-                n_events = s.n_events
-              WHEN NOT MATCHED THEN INSERT *""")
+    val name = s"mergevo_$fp"
+    val tbl = s"graft_lake.lake.$name"
+    // the MERGE over the evolved schema IS the operator — it runs LIVE
+    // (once per JVM, like lake_merge_mor / merge_sql_firstseen); only
+    // the deterministic pre-merge base (v1 INSERT + ALTER ADD COLUMN)
+    // restores from the cross-JVM memo
+    if (!builtHistories.contains(name)) {
+      memoizedLakeState(s, "mvevo", fp, Seq(name)) {
+        val ev = Tables.events(s, dir)
+          .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d",
+            "dayofmonth(ts) AS dom")
+        ev.filter(col("dom") <= 15).groupBy("user_id")
+          .agg(min("d").as("cohort_d"))
+          .createOrReplaceTempView("graft_lake_mergevo_b1")
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        s.sql(s"""CREATE TABLE $tbl (user_id BIGINT, cohort_d DATE)
+                  TBLPROPERTIES ('shard_key'='user_id', 'n_shards'='8')""")
+        s.sql(s"INSERT INTO $tbl SELECT * FROM graft_lake_mergevo_b1")
+        s.sql(s"ALTER TABLE $tbl ADD COLUMN (n_events BIGINT)")
+        (): Unit
+      }
+      Tables.events(s, dir)
+        .selectExpr("user_id", "CAST(to_date(ts) AS DATE) AS d",
+          "dayofmonth(ts) AS dom")
+        .filter(col("dom") > 15).groupBy("user_id")
+        .agg(min("d").as("cohort_d"), count(lit(1)).as("n_events"))
+        .createOrReplaceTempView("graft_lake_mergevo_b2")
+      s.sql(s"""MERGE INTO $tbl t
+                USING graft_lake_mergevo_b2 s
+                ON t.user_id = s.user_id
+                WHEN MATCHED THEN UPDATE SET
+                  cohort_d = least(t.cohort_d, s.cohort_d),
+                  n_events = s.n_events
+                WHEN NOT MATCHED THEN INSERT *""")
+      builtHistories.add(name): Unit
+    }
     s.sql(s"""SELECT user_id, cohort_d, n_events FROM $tbl
               ORDER BY user_id""")
   }
@@ -5061,7 +5078,14 @@ object Lake {
     val fp = Tables.fingerprint(dir, "events")
     val tbl = s"graft_lake.lake.cdfhist_$fp"
     if (!builtHistories.contains(tbl)) {
-      setupCountsHistory(s, dir, tbl)
+      // the three-commit history is pure scripted fixture for every
+      // consumer (the ops under test are the CDF reads / MV deltas /
+      // streaming replay over it) — restore it from the cross-JVM
+      // hardlink memo instead of re-running the two event aggregations
+      // + DDL + INSERT + MERGE + DELETE in every fresh JVM
+      memoizedLakeState(s, "cdfh", fp, Seq(s"cdfhist_$fp")) {
+        setupCountsHistory(s, dir, tbl)
+      }
       builtHistories.add(tbl): Unit
     }
     val dataDir = new java.io.File(
@@ -5132,24 +5156,35 @@ object Lake {
       f.delete(): Unit
     }
     val latest = GraftLakeIO.latestVersion(dataDir)
+    // the staged change-batch files are a pure function of the scripted
+    // v1..v3 history — stage them ONCE per corpus fingerprint (guarded
+    // by _SUCCESS; callers hold the Lake lock) instead of recomputing
+    // three tableChanges diffs + writes per call; per-run foreachBatch
+    // state lands in a separate per-call dir below
     val stage = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft_lake_cdf_replay_${fp}_" +
-        s"${ProcessHandle.current().pid()}_${System.nanoTime()}")
-    // one change-batch FILE per commit, admitted in commit order
-    val t0 = System.currentTimeMillis() - 1000000L
-    (1 to latest).foreach { v =>
-      val sub = new java.io.File(stage, s"b$v")
-      tableChanges(s, tbl, "user_id", v - 1, v)
-        .coalesce(1).write.mode("overwrite").parquet(sub.getPath)
-      val part = Option(sub.listFiles()).getOrElse(Array.empty)
-        .find(_.getName.startsWith("part-"))
-        .getOrElse(sys.error(s"no change file staged for v$v"))
-      val dst = new java.io.File(stage, f"batch-$v%04d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath): Unit
-      dst.setLastModified(t0 + v * 1000L): Unit
-      rmTree(sub)
+      s"graft_lake_cdf_replay_v${latest}_$fp")
+    if (!new java.io.File(stage, "_SUCCESS").exists()) {
+      // one change-batch FILE per commit, admitted in commit order
+      val t0 = System.currentTimeMillis() - 1000000L
+      (1 to latest).foreach { v =>
+        val sub = new java.io.File(stage, s"b$v")
+        tableChanges(s, tbl, "user_id", v - 1, v)
+          .coalesce(1).write.mode("overwrite").parquet(sub.getPath)
+        val part = Option(sub.listFiles()).getOrElse(Array.empty)
+          .find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"no change file staged for v$v"))
+        val dst = new java.io.File(stage, f"batch-$v%04d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath): Unit
+        dst.setLastModified(t0 + v * 1000L): Unit
+        rmTree(sub)
+      }
+      new java.io.File(stage, "_SUCCESS").createNewFile(): Unit
     }
+    val stateRoot = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_lake_cdf_state_${fp}_" +
+        s"${ProcessHandle.current().pid()}_${System.nanoTime()}")
     val changeSchema = StructType(Seq(
       StructField("_change_type", StringType),
       StructField("user_id", LongType),
@@ -5177,7 +5212,7 @@ object Lake {
             case None => upserts
           }
           nextId += 1
-          val p = new java.io.File(stage, s"state_$nextId").getPath
+          val p = new java.io.File(stateRoot, s"state_$nextId").getPath
           next.write.mode("overwrite").parquet(p)
           curPath = Some(p)
           b.unpersist(): Unit

@@ -242,17 +242,24 @@ class PlanSpec extends SparkSpec {
       s"corpus cartesian appeared:\n$p")
   }
 
-  test("substring dedup: native gram kernel, map-side distinct before " +
-      "the gram exchange, no cartesian") {
+  test("substring dedup: native gram kernel scans the corpus ONCE, " +
+      "one gram exchange decides duplication in-window, no cartesian") {
     val df = graft.operators.Dedup.substringSpans(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("graft.plans.HashUtil.charNgramHashes") ||
-           p.toLowerCase.contains("charngramhashes"),
-      s"expected the native gram kernel in:\n$p")
-    // within-doc duplicate grams must collapse BEFORE shuffling: a
-    // partial (g, doc_id) hash aggregate under the gram exchange
-    assert(p.contains("partial_count(distinct"),
-      s"map-side distinct missing under the gram exchange:\n$p")
+    // exactly ONE corpus tokenize pass: the round-18 rewrite decides
+    // "gram in >1 distinct doc" with min/max over the gram window, so
+    // the kernel must appear, and only once (the old aggregate +
+    // LEFT SEMI shape re-ran it per branch)
+    val kernelHits = "charngramhashes".r
+      .findAllIn(p.toLowerCase).length
+    assert(kernelHits >= 1, s"expected the native gram kernel in:\n$p")
+    assert(kernelHits <= 1,
+      s"gram kernel evaluated $kernelHits times — corpus re-scanned:\n$p")
+    // the whole job is three shuffles: gram window, doc reassembly,
+    // final sort (was 4 gram-carrying exchanges + a semi join)
+    val exchanges = "Exchange".r.findAllIn(
+      p.replace("BroadcastExchange", "")).length
+    assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$p")
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"),
       s"substring dedup fell back to a cartesian:\n$p")

@@ -574,8 +574,11 @@ class DedupSimilaritySpec extends SparkSpec {
     val chain = chainIds.zip(chainIds.tail)
     val tri = Seq((500L, 501L), (501L, 502L), (500L, 502L))
     val edges = (chain ++ tri).toDF("d1", "d2")
+    // the contraction kernel lives on the DENSE path now (the sparse
+    // path is a one-task union-find); exercise it directly for the
+    // round-budget pin
     val rounds = new java.util.concurrent.atomic.AtomicInteger(-1)
-    val labs = Dedup.ccFromEdges(edges, sparseMaxEdges = Long.MaxValue,
+    val labs = Dedup.ccFromEdges(edges, sparseMaxEdges = -1L,
         roundsOut = Some(rounds))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     chainIds.foreach(id => assert(labs(id) === 0L,
@@ -588,10 +591,12 @@ class DedupSimilaritySpec extends SparkSpec {
     val bound = ceilLog2(chainIds.size.toLong) + 2
     assert(rounds.get > 0 && rounds.get <= bound,
       s"chain contracted in ${rounds.get} rounds, budget $bound")
-    // and the dense path labels the same adversarial graph identically
-    val dense = Dedup.ccFromEdges(edges, sparseMaxEdges = -1L)
+    // and the sparse union-find labels the same adversarial graph
+    // identically (including the long chain that defeats naive
+    // propagation)
+    val uf = Dedup.ccFromEdges(edges, sparseMaxEdges = Long.MaxValue)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(dense === labs)
+    assert(uf === labs)
   }
 
   private def ceilLog2(n: Long): Int =

@@ -329,20 +329,26 @@ class StreamsSpec extends SparkSpec {
     assert(bad === 0)
   }
 
-  test("stream_merge_upsert: genuinely incremental (4 chronological " +
+  test("stream_merge_upsert: genuinely incremental (chronological " +
       "micro-batches), final table equals the batch recompute with no " +
       "duplicate keys") {
     val rows = graft.streaming.Streams
       .streamMergeUpsert(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDate(1).toString)
-    // the staged replay is 4 ts-range chunks + maxFilesPerTrigger=1,
-    // so at least 4 merges ran — duplicates would survive if any
-    // batch appended instead of upserting
+    // the staged replay is replayChunks ts-range chunks +
+    // maxFilesPerTrigger=1, so that many merges ran — duplicates would
+    // survive if any batch appended instead of upserting. The chunk
+    // count is the SOURCE constant (this assertion went stale once
+    // already, pinned to a hand-copied dir name + count); ≥ 2 is the
+    // semantic floor — the watermark/upsert cadence must genuinely
+    // span more than one batch for the replay to test anything.
+    val chunks = graft.streaming.Streams.replayChunks
+    assert(chunks >= 2)
     val chunkDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_stream_chunks_" +
+      System.getProperty("java.io.tmpdir"), s"graft_stream_chunks${chunks}_" +
         graft.sources.Tables.fingerprint(sf, "events"))
     assert(Option(chunkDir.listFiles()).getOrElse(Array.empty)
-      .count(_.getName.endsWith(".parquet")) === 4)
+      .count(_.getName.endsWith(".parquet")) === chunks)
     assert(rows.map(_._1).distinct.length === rows.length)
     val flat = graft.operators.Merge.mergeUpsertFirstSeen(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getDate(1).toString)
